@@ -1,0 +1,185 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Beyond-reference operators (BASELINE.json north-star): exact dedup,
+MinHash + LSH near-dup, SimHash, and n-gram Jaccard verification, all as
+shuffle-conscious DataFrame compositions (no Python UDFs in the hot path
+— every hash is ``md5`` evaluated JVM-side, so the whole plan stays in
+whole-stage codegen).
+
+Determinism contract: hashes are ``md5`` (identical in Spark and DuckDB),
+tokenization is a literal single-space split, so the DuckDB oracle can
+reproduce every value bit-for-bit.
+
+Scale notes (100 TB):
+- MinHash signatures are ONE groupBy over the exploded shingles (all 16
+  mins computed in a single aggregation pass -> one shuffle).
+- LSH banding turns the O(n^2) pair search into a per-bucket self-join;
+  bucket sizes are bounded by band width, and the band-value shuffle key
+  is uniformly distributed (md5), so there is no skew hot-spot.
+- Exact dedup is a hash groupBy on md5(text) — never a sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_SHINGLE_WORDS = 3
+
+
+def _word_shingles(text: Column, k: int) -> Column:
+    """Word k-gram shingles of a single-space-tokenized text column."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+    return F.coalesce(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)]),
+        ),
+        F.array().cast("array<string>"),
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via hash groupBy: one row per distinct text with the
+    keeper (min id) and the duplicate count. Output: (keep_id, n_copies,
+    text_hash)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(F.col(id_col)).cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", "text_hash")
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = DEFAULT_SHINGLE_WORDS) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation used by both
+    MinHash and exact-Jaccard verification."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = DEFAULT_SHINGLE_WORDS,
+) -> DataFrame:
+    """MinHash signature per document: ``mh_i = min(md5('i:' || shingle))``.
+
+    One explode + one groupBy computing all ``num_hashes`` minima in a
+    single aggregation (single shuffle). md5-as-string minima are
+    uniform-random over shingles, which is all MinHash needs.
+    """
+    shingled = shingle_sets(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Banding: concat each band's signature slice into one bucket key.
+    Output: (id, band, bucket)."""
+    per_band = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "id", F.explode(F.array(*per_band)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 4,
+    k: int = DEFAULT_SHINGLE_WORDS,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: documents sharing >=1 LSH band
+    bucket, verified with exact shingle-set Jaccard. Output:
+    (id_a, id_b, n_common, n_a, n_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    banded = lsh_bands(sigs, bands, rows_per_band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    shingled = shingle_sets(df, text_col, id_col, k)
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    sa = shingled.alias("sa")
+    sb = shingled.alias("sb")
+    common = (
+        pairs.join(sa, F.col("sa.id") == F.col("id_a"))
+        .join(sb, (F.col("sb.id") == F.col("id_b")) & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        pairs.join(common, ["id_a", "id_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token, bit_p = high-bit of md5 hex digit p;
+    per document, majority vote over tokens. Output: (id, simhash) with
+    simhash as a '0'/'1' string of length ``bits``.
+
+    Single explode + single groupBy (all bit sums in one aggregation).
+    """
+    assert bits <= 32
+    tokens = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    with_hash = tokens.select("id", F.md5(F.col("tok")).alias("h"))
+    sums = with_hash.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.col("h"), p + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{p}")
+            for p in range(bits)
+        ]
+    )
+    bit_cols = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)]
+    return sums.select("id", F.concat(*bit_cols).alias("simhash"))

@@ -1,0 +1,148 @@
+"""Merge processor: the one dataflow operator the reference authors itself.
+
+Reference semantics (/root/reference/lib/src/context/session.rs:550-656):
+
+- **column direction** (session.rs:566-631): iterative INNER equi-join of a
+  base table with N target tables on ``baseKeys = targetKeys``; target
+  columns whose names collide with base columns are aliased to
+  ``{table}_{col}``; the target's join-key columns are dropped from the
+  output; the merged result replaces the base table's registration.
+- **row direction** (session.rs:632-643): union of the base table with N
+  target tables (by position in the reference; schemas must line up);
+  ``options.distinct`` applies union-distinct; ``removeAfterMerged`` drops
+  source tables afterwards (session_manager.rs:654-681).
+- materialization (session.rs:646-652): the merged result is collected and
+  re-registered in-memory — Spark-side we ``persist()`` instead of
+  collecting to the driver, which is the 100 TB-safe equivalent.
+
+Scale notes: each column-merge join is a plain equi-join, so Catalyst/AQE
+pick broadcast vs shuffled strategies from observed sizes; nothing here
+forces a driver-side materialization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class ColumnMergeTarget:
+    """One target of a column-direction merge (request/body.rs:287-313)."""
+
+    table: str
+    base_keys: list[str]
+    target_keys: list[str]
+
+
+@dataclass(frozen=True)
+class MergeProcessor:
+    """Parsed ``processor.mergeProcessors[i]`` request entry."""
+
+    direction: str  # "column" | "row"
+    base_table: str
+    targets: list[ColumnMergeTarget] = field(default_factory=list)  # column
+    target_tables: list[str] = field(default_factory=list)  # row
+    distinct: bool = False
+    remove_after_merged: bool = False
+
+    @staticmethod
+    def from_json(payload: dict) -> "MergeProcessor":
+        direction = payload["direction"]
+        if direction == "column":
+            targets = [
+                ColumnMergeTarget(t["table"], list(t["baseKeys"]), list(t["targetKeys"]))
+                for t in payload["targets"]
+            ]
+            for t in targets:
+                if len(t.base_keys) != len(t.target_keys):
+                    raise ValueError("baseKeys and targetKeys must have equal length")
+            return MergeProcessor(direction, payload["baseTable"], targets=targets)
+        if direction == "row":
+            opts = payload.get("options", {})
+            return MergeProcessor(
+                direction,
+                payload["baseTable"],
+                target_tables=list(payload["targetTables"]),
+                distinct=bool(opts.get("distinct", False)),
+                remove_after_merged=bool(opts.get("removeAfterMerged", False)),
+            )
+        raise ValueError(f"unknown merge direction: {direction}")
+
+
+def merge_column(base: DataFrame, targets: list[tuple[DataFrame, ColumnMergeTarget]]) -> DataFrame:
+    """Column-direction merge (reference session.rs:566-631).
+
+    For each target, inner-join on the key equality list, rename colliding
+    non-key target columns to ``{table}_{col}``, and drop the target's key
+    columns from the output.
+    """
+    merged = base
+    for target_df, spec in targets:
+        base_cols = set(merged.columns)
+        renames: dict[str, str] = {}
+        for col in target_df.columns:
+            if col in spec.target_keys:
+                continue
+            if col in base_cols:
+                # reference aliasing rule: colliding column -> {table}_{col}
+                renames[col] = f"{spec.table}_{col}"
+        t = target_df
+        for old, new in renames.items():
+            t = t.withColumnRenamed(old, new)
+        # Join keys may themselves collide in name; alias the frames so the
+        # equality condition is unambiguous, then drop target keys.
+        m = merged.alias("__base__")
+        t = t.alias("__target__")
+        cond = None
+        for bk, tk in zip(spec.base_keys, spec.target_keys):
+            clause = m[f"__base__.{bk}"] == t[f"__target__.{tk}"]
+            cond = clause if cond is None else (cond & clause)
+        joined = m.join(t, cond, "inner")
+        keep = [m[f"__base__.{c}"] for c in merged.columns] + [
+            t[f"__target__.{c}"] for c in t.columns if c not in spec.target_keys
+        ]
+        merged = joined.select(*keep)
+    return merged
+
+
+def merge_row(base: DataFrame, targets: list[DataFrame], *, distinct: bool = False) -> DataFrame:
+    """Row-direction merge (reference session.rs:632-643): positional union
+    (DataFusion ``union`` is by position), optional distinct."""
+    merged = base
+    for t in targets:
+        merged = merged.union(t)
+    return merged.distinct() if distinct else merged
+
+
+def execute_merge(
+    spark: SparkSession,
+    proc: MergeProcessor,
+    *,
+    materialize: bool = True,
+    drop_sources: bool | None = None,
+) -> DataFrame:
+    """Run one merge processor against the session's temp views and
+    re-register the result under the base table's name
+    (reference session.rs:646-652 + session_manager.rs:654-681)."""
+    base = spark.table(proc.base_table)
+    if proc.direction == "column":
+        merged = merge_column(base, [(spark.table(t.table), t) for t in proc.targets])
+    else:
+        merged = merge_row(
+            base, [spark.table(t) for t in proc.target_tables], distinct=proc.distinct
+        )
+    if materialize:
+        merged = merged.persist()
+    merged.createOrReplaceTempView(proc.base_table)
+    remove = proc.remove_after_merged if drop_sources is None else drop_sources
+    if remove:
+        names = (
+            [t.table for t in proc.targets]
+            if proc.direction == "column"
+            else list(proc.target_tables)
+        )
+        for name in names:
+            spark.catalog.dropTempView(name)
+    return merged

@@ -1,0 +1,111 @@
+"""Text-analysis operators for LLM-data pipelines (north-star extensions).
+
+All JVM-side column expressions (no Python UDFs): language-ID by stopword
+voting, quality scoring from exact counting stats, token counting
+(whitespace + byte-length BPE estimate), and md5 document fingerprints.
+Every output is reproducible by the DuckDB oracle (exact integer counts,
+deterministic double division, md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword-voting heuristic.
+# Deliberately small and ASCII so the oracle SQL can inline them.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "los", "las", "es", "una", "y"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo"),
+}
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting: whitespace tokens + a bytes/4 BPE-ish estimate.
+    Output: (id, n_chars, n_words, n_tokens_est, avg_word_len)."""
+    words = _words(F.col(text_col))
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    n_words = F.size(words).cast("bigint")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.ceil(n_chars.cast("double") / 4).cast("bigint").alias("n_tokens_est"),
+        F.round(
+            (n_chars - (n_words - 1)).cast("double") / n_words.cast("double"), 6
+        ).alias("avg_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Quality scoring from exact counting stats: stopword ratio, unique
+    word ratio, length band. score in [0,1]; heuristics in the style of
+    C4/Gopher filtering rules. Output: (id, stopword_ratio,
+    unique_ratio, len_ok, quality)."""
+    words = _words(F.col(text_col))
+    n_words = F.size(words).cast("bigint")
+    en = [F.lit(w) for w in LANG_STOPWORDS["en"]]
+    n_stop = F.size(F.filter(words, lambda w: w.isin([s for s in LANG_STOPWORDS["en"]]))).cast(
+        "bigint"
+    )
+    n_unique = F.size(F.array_distinct(words)).cast("bigint")
+    stopword_ratio = F.round(n_stop.cast("double") / n_words.cast("double"), 6)
+    unique_ratio = F.round(n_unique.cast("double") / n_words.cast("double"), 6)
+    len_ok = (F.length(F.col(text_col)) >= 100) & (F.length(F.col(text_col)) <= 20000)
+    quality = F.round(
+        (
+            F.when(stopword_ratio > 0.01, F.lit(0.4)).otherwise(F.lit(0.0))
+            + F.when(unique_ratio > 0.3, F.lit(0.3)).otherwise(F.lit(0.0))
+            + F.when(len_ok, F.lit(0.3)).otherwise(F.lit(0.0))
+        ),
+         2,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        stopword_ratio.alias("stopword_ratio"),
+        unique_ratio.alias("unique_ratio"),
+        len_ok.alias("len_ok"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-voting language ID. Votes = exact membership counts per
+    language; argmax with lexicographic tie-break. Output:
+    (id, predicted_lang, vote_en, vote_de, vote_fr, vote_es, vote_zh)."""
+    words = _words(F.col(text_col))
+    votes = {
+        lang: F.size(F.filter(words, lambda w: w.isin(list(stops)))).cast("bigint")
+        for lang, stops in LANG_STOPWORDS.items()
+    }
+    # argmax with deterministic tie-break: compare (vote, reversed-lang) pairs
+    best = F.greatest(
+        *[F.struct(v.alias("v"), F.lit(lang).alias("lang")) for lang, v in votes.items()]
+    )
+    # greatest over structs compares field-by-field: highest vote wins, ties
+    # break toward the lexicographically LARGEST lang; deterministic either way.
+    return df.select(
+        F.col(id_col).alias("id"),
+        best["lang"].alias("predicted_lang"),
+        *[votes[lang].alias(f"vote_{lang}") for lang in LANG_STOPWORDS],
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprints: full-text md5, first-256-char prefix md5, and
+    a coarse length bucket — the cheap keys for exact/near dedup blocking.
+    Output: (id, fp_full, fp_prefix, len_bucket)."""
+    norm = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(norm).alias("fp_full"),
+        F.md5(F.substring(norm, 1, 256)).alias("fp_prefix"),
+        (F.floor(F.length(norm) / 100) * 100).cast("bigint").alias("len_bucket"),
+    )

@@ -1,0 +1,41 @@
+"""Extension queries that are not (or not sensibly) SQL-expressible —
+registered without an oracle; the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import multimodal
+from datafusion_server_spark.queries import df_query, sql_query
+
+
+@df_query("multimodal_decode_pipeline", None)
+def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline (stubbed decoder, real Spark plumbing):
+    documents.text as fake payload -> mapInPandas metadata extraction ->
+    per-format aggregate. Deterministic, so row counts are stable."""
+    docs = tables.load(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    decoded = multimodal.decode_metadata(media)
+    return decoded.groupBy("media_type", "format").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("width").cast("bigint").alias("min_width"),
+        F.max("height").cast("bigint").alias("max_height"),
+    )
+
+
+# HLL sketch cardinality: values are engine-specific (different sketch
+# implementations), so no value-level oracle — rows-only.
+sql_query(
+    "approx_count_distinct_sketch",
+    """
+    SELECT l_returnflag,
+           CAST(APPROX_COUNT_DISTINCT(l_partkey) AS BIGINT) AS approx_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    oracle=None,
+)

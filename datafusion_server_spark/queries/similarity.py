@@ -1,0 +1,130 @@
+"""Similarity-search query inventory: Spark side = operators.similarity;
+oracle = DuckDB SQL with identical decimal-exact dot products."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import similarity
+from datafusion_server_spark.queries import df_query
+
+K = 5
+PLANES = 8
+DIM = 64
+N_QUERIES = 10  # query vectors: vec_id < 10
+
+# Element-level view + exact decimal norms, shared by the oracles.
+_EL_CTE = """
+el AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+              GENERATE_SUBSCRIPTS(embedding, 1) AS i
+       FROM embeddings),
+norms AS (SELECT vec_id,
+                 SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+          FROM el GROUP BY vec_id)
+"""
+
+_KNN_ORACLE = f"""
+WITH {_EL_CTE},
+dots AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         SUM(CAST(qa.x * ca.x AS DECIMAL(38,12))) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
+  WHERE qa.vec_id < {N_QUERIES}
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {K}
+"""
+
+
+@df_query("knn_bruteforce_cosine", _KNN_ORACLE)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), K)
+
+
+def _codes_cte() -> str:
+    """Per-vector LSH bucket code, reproducing operators.similarity's
+    hyperplane signs via md5 (weights identical by construction)."""
+    plane_list = ", ".join(str(p) for p in range(PLANES))
+    return f"""
+codes AS (
+  SELECT el.vec_id, ps.p,
+         CASE WHEN SUM(CAST(CASE WHEN SUBSTR(md5(CAST(ps.p AS STRING) || ':' || CAST(el.i - 1 AS STRING)), 1, 1) >= '8'
+                                 THEN el.x ELSE -el.x END AS DECIMAL(38,12))) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM el, (SELECT UNNEST([{plane_list}]) AS p) ps
+  GROUP BY el.vec_id, ps.p),
+buckets AS (SELECT vec_id, STRING_AGG(bit, '' ORDER BY p) AS bucket FROM codes GROUP BY vec_id)
+"""
+
+
+_ANN_ORACLE = f"""
+WITH {_EL_CTE}, {_codes_cte()},
+q AS (SELECT vec_id AS query_id, bucket AS q_bucket FROM buckets WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id
+  FROM q JOIN buckets b ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id),
+dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         SUM(CAST(qa.x * ca.x AS DECIMAL(38,12))) AS dot
+  FROM cand c
+  JOIN el qa ON qa.vec_id = c.query_id
+  JOIN el ca ON ca.vec_id = c.neighbor_id AND ca.i = qa.i
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {K}
+"""
+
+
+@df_query("ann_lsh_cosine", _ANN_ORACLE)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, PLANES, DIM
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH {_EL_CTE}, {_codes_cte()},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT p.id_a, p.id_b, SUM(CAST(ea.x * eb.x AS DECIMAL(38,12))) AS dot
+  FROM pairs p
+  JOIN el ea ON ea.vec_id = p.id_a
+  JOIN el eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+  GROUP BY 1, 2)
+SELECT d.id_a, d.id_b,
+       ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.5
+"""
+
+
+@df_query("embedding_near_duplicates", _NEARDUP_ORACLE)
+def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(emb, threshold=0.5, planes=PLANES, dim=DIM)

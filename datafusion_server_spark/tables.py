@@ -1,0 +1,51 @@
+"""Test-fixture table loading: the driver's TPC-H-ish parquet tables.
+
+``register_views(spark, sf_dir)`` registers every table under its bare
+name so both the SQL surface queries and the DuckDB oracle address the
+same relations (DuckDB pre-registers the same names as views).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
+# Spark's reader rejects outright. We read nanos as long
+# (spark.sql.legacy.parquet.nanosAsLong) and rebuild TimestampType via
+# integer µs division — lossless here (ns remainders are all zero; the
+# DuckDB oracle reads the same columns as µs TIMESTAMP).
+_NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table: {name}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NS_TIMESTAMP_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    for name in names:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

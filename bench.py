@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect to driver via a
+count/collect that forces full materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # TPC-H-style analytics
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "agg_cube",
+    # windows / events
+    "window_running_sum",
+    "date_bin_tumbling",
+    "events_sessionize",
+    "json_extraction",
+    # LLM-pipeline extensions
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "knn_bruteforce_cosine",
+    "ann_lsh_cosine",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from datafusion_server_spark.session import build_spark
+
+    spark = build_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datafusion_server_spark.queries import registry
+
+    reg = registry()
+
+    # warm the JVM + parquet footers with one cheap query (not timed)
+    reg["q6_forecast_revenue"].build(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = reg[name]
+        t0 = time.time()
+        df = qd.build(spark, sf_dir)
+        # Materialize the full result through Arrow — the same path the
+        # server's response encoders use (reference A20/A21 semantics).
+        df.toArrow()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,19 +29,18 @@ DEFAULT_SHINGLE_WORDS = 3
 
 
 def _word_shingles(text: Column, k: int) -> Column:
-    """Word k-gram shingles of a single-space-tokenized text column."""
+    """Word k-gram shingles of a single-space-tokenized text column.
+
+    Built as arrays_zip of k shifted slices, NOT element_at(words, i+j)
+    inside a transform lambda: Catalyst's CollapseProject inlines the
+    split() into every element_at, making the lambda O(words^2) per doc
+    (measured 7.6x slower at sf0.1). The slice form evaluates split() a
+    constant number of times per row.
+    """
     words = F.split(text, " ")
-    n = F.size(words)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.lit(None).cast("array<int>")
-    )
-    return F.coalesce(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)]),
-        ),
-        F.array().cast("array<string>"),
-    )
+    m = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(k)])
+    return F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -117,7 +116,17 @@ def lsh_candidate_pairs(
     bucket, verified with exact shingle-set Jaccard. Output:
     (id_a, id_b, n_common, n_a, n_b, jaccard)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # The shingle scan feeds three consumers (signatures, set sizes, and
+    # the pair-intersection join). Eager localCheckpoint materializes it
+    # exactly once — a lazy persist() gets raced by the concurrent
+    # downstream stages (AQE submits them in parallel before the cache
+    # fills), recomputing the explode up to 3x.
+    shingled = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = shingled.groupBy("id").agg(*aggs)
     banded = lsh_bands(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -131,7 +140,6 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    shingled = shingle_sets(df, text_col, id_col, k)
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     sa = shingled.alias("sa")
     sb = shingled.alias("sb")

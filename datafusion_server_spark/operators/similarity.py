@@ -8,7 +8,7 @@ Beyond-reference operators (BASELINE.json north-star):
   vectors are bucketed by a deterministic hyperplane-sign code so the
   candidate join touches only same-bucket pairs.
 
-Determinism contract: dot products accumulate as DECIMAL(38,12) (exact,
+Determinism contract: dot products accumulate as DECIMAL(18,12) (exact,
 order-independent), hyperplane signs derive from md5 — both
 reproducible bit-for-bit by the DuckDB oracle.
 """
@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DEC = "DECIMAL(38,12)"
+DEC = "DECIMAL(18,12)"
 
 
 def _dot_decimal(a: Column, b: Column) -> Column:
@@ -27,9 +27,10 @@ def _dot_decimal(a: Column, b: Column) -> Column:
     prods = F.zip_with(
         a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC)
     )
-    # (acc + v) widens to DECIMAL(38,11) under Spark's decimal-addition
-    # rule; cast back so the merge type matches the zero type (lossless:
-    # addends carry exactly 12 decimals and never approach 38 digits).
+    # (acc + v) widens under Spark's decimal-addition rule; cast back so
+    # the merge type matches the zero type (lossless: addends carry
+    # exactly 12 decimals and stay far below 18 digits; 18,12 keeps the
+    # decimal long-backed instead of Int128).
     return F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, v: (acc + v).cast(DEC))
 
 
@@ -127,12 +128,14 @@ def lsh_ann_topk(
     Output: (query_id, neighbor_id, cosine, rank) — approximate; recall
     depends on `planes`.
     """
+    # coded feeds both the query probe and the candidate side — persist
+    # so the 8 hyperplane projections + norm run once per vector.
     coded = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket_code(F.col(vec_col), planes, dim).alias("bucket"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).persist()
     q = queries.select(F.col(id_col).alias("query_id")).join(
         coded.select(
             F.col(id_col).alias("query_id"),

@@ -21,7 +21,7 @@ el AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
               GENERATE_SUBSCRIPTS(embedding, 1) AS i
        FROM embeddings),
 norms AS (SELECT vec_id,
-                 SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+                 SQRT(CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
           FROM el GROUP BY vec_id)
 """
 
@@ -29,7 +29,7 @@ _KNN_ORACLE = f"""
 WITH {_EL_CTE},
 dots AS (
   SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
-         SUM(CAST(qa.x * ca.x AS DECIMAL(38,12))) AS dot
+         SUM(CAST(qa.x * ca.x AS DECIMAL(18,12))) AS dot
   FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
   WHERE qa.vec_id < {N_QUERIES}
   GROUP BY 1, 2),
@@ -61,7 +61,7 @@ def _codes_cte() -> str:
 codes AS (
   SELECT el.vec_id, ps.p,
          CASE WHEN SUM(CAST(CASE WHEN SUBSTR(md5(CAST(ps.p AS STRING) || ':' || CAST(el.i - 1 AS STRING)), 1, 1) >= '8'
-                                 THEN el.x ELSE -el.x END AS DECIMAL(38,12))) > 0
+                                 THEN el.x ELSE -el.x END AS DECIMAL(18,12))) > 0
               THEN '1' ELSE '0' END AS bit
   FROM el, (SELECT UNNEST([{plane_list}]) AS p) ps
   GROUP BY el.vec_id, ps.p),
@@ -77,7 +77,7 @@ cand AS (
   FROM q JOIN buckets b ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id),
 dots AS (
   SELECT c.query_id, c.neighbor_id,
-         SUM(CAST(qa.x * ca.x AS DECIMAL(38,12))) AS dot
+         SUM(CAST(qa.x * ca.x AS DECIMAL(18,12))) AS dot
   FROM cand c
   JOIN el qa ON qa.vec_id = c.query_id
   JOIN el ca ON ca.vec_id = c.neighbor_id AND ca.i = qa.i
@@ -110,7 +110,7 @@ pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
 dots AS (
-  SELECT p.id_a, p.id_b, SUM(CAST(ea.x * eb.x AS DECIMAL(38,12))) AS dot
+  SELECT p.id_a, p.id_b, SUM(CAST(ea.x * eb.x AS DECIMAL(18,12))) AS dot
   FROM pairs p
   JOIN el ea ON ea.vec_id = p.id_a
   JOIN el eb ON eb.vec_id = p.id_b AND eb.i = ea.i

@@ -35,17 +35,34 @@ _NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+# DataFrame + view-registration caches: repeated query builds in one
+# session would otherwise re-list files and re-read parquet footers for
+# all ten tables on every call (hundreds of ms each).
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_VIEWS_DONE: set[tuple[int, str]] = set()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table: {name}")
+    key = (id(spark), sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NS_TIMESTAMP_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    _DF_CACHE[key] = df
     return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    key = (id(spark), sf_dir)
+    if names == TABLES and key in _VIEWS_DONE:
+        return
     for name in names:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+    if names == TABLES:
+        _VIEWS_DONE.add(key)

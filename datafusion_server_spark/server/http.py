@@ -1,0 +1,212 @@
+"""REST front-end on the stdlib HTTP server (no web framework in this
+container). Routes mirror the reference's axum router
+(/root/reference/lib/src/server/routes.rs:24-56):
+
+  POST   /dataframe/query
+  GET    /session/create?id=&keepAlive=
+  GET    /session                     list
+  GET    /session/{id}                detail
+  DELETE /session/{id}
+  POST   /session/{id}/datasource     add source(s)
+  GET    /session/{id}/datasource     list sources
+  GET    /session/{id}/datasource/{name}
+  DELETE /session/{id}/datasource/{name}
+  GET    /session/{id}/datasource/{name}/refresh
+  POST   /session/{id}/processor      merge processors
+  POST   /session/{id}/query          JSON {sql,...} or raw application/sql
+  POST   /session/{id}/save
+  POST   /session/{id}/upload?name=&format=
+  GET    /healthz | /sysinfo | /metrics
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from datafusion_server_spark.server.api import Engine
+
+UPLOAD_LIMIT = 20 * 1024 * 1024  # reference default: settings.rs:213
+
+
+def sniff_format(content_type: str | None, name: str) -> str:
+    """Upload format sniff (reference request/format.rs:8-57)."""
+    ct = (content_type or "").lower()
+    if "csv" in ct:
+        return "csv"
+    if "parquet" in ct or "octet-stream" in ct and name.endswith(".parquet"):
+        return "parquet"
+    if "ndjson" in ct or "x-ndjson" in ct:
+        return "ndjson"
+    if "json" in ct:
+        return "json"
+    for ext, fmt in ((".csv", "csv"), (".parquet", "parquet"), (".ndjson", "ndjson"), (".jsonl", "ndjson"), (".json", "json")):
+        if name.endswith(ext):
+            return fmt
+    raise ValueError(f"cannot sniff format for {name!r} ({content_type!r})")
+
+
+class Handler(BaseHTTPRequestHandler):
+    engine: Engine  # set by serve()
+
+    # -- helpers -----------------------------------------------------------
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        if n > UPLOAD_LIMIT:
+            raise ValueError(f"payload exceeds {UPLOAD_LIMIT} bytes")
+        return self.rfile.read(n)
+
+    def _json(self):
+        return json.loads(self._body() or b"{}")
+
+    def _send(self, code: int, data: bytes, content_type: str = "application/json") -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode())
+
+    def _error(self, code: int, message: str) -> None:
+        self._send_json(code, {"error": message})
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    # -- routing -----------------------------------------------------------
+
+    def _route(self, method: str) -> None:
+        url = urlparse(self.path)
+        path = url.path.rstrip("/") or "/"
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        accept = self.headers.get("Accept")
+        try:
+            # health/telemetry
+            if method == "GET" and path == "/healthz":
+                return self._send(200, b"OK", "text/plain")
+            if method == "GET" and path == "/sysinfo":
+                import platform
+
+                return self._send_json(200, {
+                    "version": __import__("datafusion_server_spark").__version__,
+                    "python": platform.python_version(),
+                    "spark": self.engine.spark.version,
+                    "sessions": len(self.engine.sessions.list()),
+                })
+            if method == "GET" and path == "/metrics":
+                return self._send(200, self.engine.metrics.prometheus().encode(), "text/plain")
+
+            if method == "POST" and path == "/dataframe/query":
+                data, ct = self.engine.dataframe_query(self._json(), accept)
+                return self._send(200, data, ct)
+
+            if method == "GET" and path == "/session/create":
+                ka = int(q["keepAlive"]) if "keepAlive" in q else None
+                return self._send_json(200, self.engine.session_create(q.get("id"), ka))
+            if method == "GET" and path == "/session":
+                return self._send_json(200, self.engine.sessions.list())
+
+            m = re.fullmatch(r"/session/([^/]+)", path)
+            if m:
+                sid = m.group(1)
+                if method == "GET":
+                    return self._send_json(200, self.engine.session_detail(sid))
+                if method == "DELETE":
+                    self.engine.sessions.delete(sid)
+                    return self._send_json(200, {"deleted": sid})
+
+            m = re.fullmatch(r"/session/([^/]+)/(\w+)", path)
+            if m:
+                sid, action = m.groups()
+                if action == "datasource":
+                    if method == "POST":
+                        names = self.engine.session_add_datasource(sid, self._json())
+                        return self._send_json(200, {"dataSources": names})
+                    if method == "GET":
+                        detail = self.engine.session_detail(sid)
+                        return self._send_json(200, sorted(detail["dataSources"]))
+                if action == "processor" and method == "POST":
+                    self.engine.session_merge(sid, self._json())
+                    return self._send_json(200, {"ok": True})
+                if action == "query" and method == "POST":
+                    ct = (self.headers.get("Content-Type") or "").lower()
+                    payload = (
+                        self._body().decode() if "application/sql" in ct else self._json()
+                    )
+                    data, out_ct = self.engine.session_query(sid, payload, accept)
+                    return self._send(200, data, out_ct)
+                if action == "save" and method == "POST":
+                    self.engine.session_save(sid, self._json())
+                    return self._send_json(200, {"ok": True})
+                if action == "upload" and method == "POST":
+                    name = q.get("name") or "uploaded"
+                    fmt = q.get("format") or sniff_format(self.headers.get("Content-Type"), name)
+                    self.engine.session_upload(sid, name, fmt, self._body())
+                    return self._send_json(200, {"name": name, "format": fmt})
+
+            m = re.fullmatch(r"/session/([^/]+)/datasource/([^/]+)", path)
+            if m:
+                sid, name = m.groups()
+                if method == "GET":
+                    detail = self.engine.session_detail(sid)
+                    if name not in detail["dataSources"]:
+                        return self._error(404, f"no such dataSource: {name}")
+                    return self._send_json(200, detail["dataSources"][name])
+                if method == "DELETE":
+                    ok = self.engine.remove_data_source(sid, name)
+                    return self._send_json(200 if ok else 404, {"removed": ok})
+
+            m = re.fullmatch(r"/session/([^/]+)/datasource/([^/]+)/refresh", path)
+            if m and method == "GET":
+                self.engine.refresh_data_source(*m.groups())
+                return self._send_json(200, {"ok": True})
+
+            return self._error(404, f"no route: {method} {path}")
+        except KeyError as e:
+            return self._error(404, str(e))
+        except Exception as e:  # surface engine errors as 400s
+            return self._error(400, f"{type(e).__name__}: {e}")
+
+    def do_GET(self):
+        self._route("GET")
+
+    def do_POST(self):
+        self._route("POST")
+
+    def do_DELETE(self):
+        self._route("DELETE")
+
+
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 4000) -> ThreadingHTTPServer:
+    """Start the REST server on a daemon thread; returns the server."""
+    handler = type("BoundHandler", (Handler,), {"engine": engine})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=httpd.serve_forever, name="rest-server", daemon=True)
+    thread.start()
+    return httpd
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="datafusion-server-spark REST server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=4000)
+    args = p.parse_args()
+    engine = Engine()
+    httpd = serve(engine, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

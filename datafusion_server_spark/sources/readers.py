@@ -1,0 +1,149 @@
+"""Buffered data-source readers: CSV / JSON array / ndJSON / Parquet from
+bytes, local paths, or HTTP(S).
+
+Reference behavior being rebuilt (file:line cited per reader):
+- CSV: header flag, delimiter, infer from first N rows
+  (lib/src/data_source/csv.rs:15-70)
+- JSON array (whole document) (lib/src/data_source/decoder/
+  build_record_batch.rs:11-53) + JSONPath extraction with optional
+  positional normalization (lib/src/data_source/with_jsonpath.rs:13-82)
+- ndJSON: line-delimited (lib/src/data_source/nd_json.rs:19-62)
+- Parquet from bytes (lib/src/data_source/parquet.rs:14-46)
+- HTTP transport (lib/src/data_source/transport/http.rs:26-41)
+
+Spark-first shape: bytes are staged to a spill file and read with the
+native ``spark.read`` readers (lazy scan, pushdown-capable), NOT decoded
+row-by-row in Python. The reference materializes remote sources eagerly
+into memory (session.rs:248-253); our equivalent is ``persist()`` at
+registration time, which the registry applies. Only the JSONPath shim
+touches Python, and only on the (bounded, <=20 MB upload limit) document
+it extracts from.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_server_spark.schema import to_struct_type
+from datafusion_server_spark.sources import jsonpath as jp
+
+DEFAULT_INFER_ROWS = 100  # reference default: lib/src/request/body.rs:52
+UPLOAD_INFER_ROWS = 1000  # reference: lib/src/context/session.rs:309
+
+
+@dataclass
+class ReadOptions:
+    """Per-source options (reference lib/src/request/body.rs:22-57)."""
+
+    has_header: bool = True
+    delimiter: str = ","
+    infer_schema_rows: int = DEFAULT_INFER_ROWS
+    json_path: str | None = None
+    require_normalize: bool = False
+    schema_json: dict | None = None  # explicit DataSourceSchema
+    extra: dict = field(default_factory=dict)
+
+    @staticmethod
+    def from_json(payload: dict | None) -> "ReadOptions":
+        p = payload or {}
+        return ReadOptions(
+            has_header=bool(p.get("hasHeader", True)),
+            delimiter=str(p.get("delimiter", ",")),
+            infer_schema_rows=int(p.get("inferSchemaRows", DEFAULT_INFER_ROWS)),
+            json_path=p.get("jsonPath"),
+            require_normalize=bool(p.get("requireNormalize", False)),
+            extra={k: v for k, v in p.items()},
+        )
+
+    def spark_schema(self):
+        return to_struct_type(self.schema_json) if self.schema_json else None
+
+
+_STAGE_DIR: str | None = None
+
+
+def stage_bytes(data: bytes, suffix: str) -> str:
+    """Spill request bytes to a content-addressed staging file so repeated
+    registrations of the same payload reuse one file."""
+    global _STAGE_DIR
+    if _STAGE_DIR is None:
+        _STAGE_DIR = tempfile.mkdtemp(prefix="dfss-stage-")
+    name = hashlib.md5(data).hexdigest() + suffix
+    path = os.path.join(_STAGE_DIR, name)
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    return path
+
+
+def fetch(uri: str, timeout: float = 30.0) -> bytes:
+    """HTTP(S) fetch (reference transport/http.rs:26-41)."""
+    import requests
+
+    resp = requests.get(uri, timeout=timeout)
+    resp.raise_for_status()
+    return resp.content
+
+
+def read_csv(spark: SparkSession, path_or_bytes: str | bytes, opts: ReadOptions) -> DataFrame:
+    if isinstance(path_or_bytes, bytes):
+        path_or_bytes = stage_bytes(path_or_bytes, ".csv")
+    reader = (
+        spark.read.option("header", str(opts.has_header).lower())
+        .option("sep", opts.delimiter)
+    )
+    schema = opts.spark_schema()
+    if schema is not None:
+        return reader.schema(schema).csv(path_or_bytes)
+    # infer-N semantics: Spark's inferSchema samples the whole file; the
+    # reference samples the first N rows. Files on this path are bounded
+    # (upload limit), so whole-file inference is a superset — schema
+    # differences only arise when later rows widen a column, which the
+    # reference would have gotten wrong anyway.
+    return reader.option("inferSchema", "true").csv(path_or_bytes)
+
+
+def read_ndjson(spark: SparkSession, path_or_bytes: str | bytes, opts: ReadOptions) -> DataFrame:
+    if isinstance(path_or_bytes, bytes):
+        path_or_bytes = stage_bytes(path_or_bytes, ".ndjson")
+    reader = spark.read
+    schema = opts.spark_schema()
+    if schema is not None:
+        return reader.schema(schema).json(path_or_bytes)
+    return reader.json(path_or_bytes)
+
+
+def read_json_array(spark: SparkSession, data: str | bytes, opts: ReadOptions) -> DataFrame:
+    """Whole-document JSON array; optional JSONPath extraction (A2 + A4)."""
+    if isinstance(data, bytes):
+        text = data.decode("utf-8")
+    elif os.path.exists(data):
+        with open(data, encoding="utf-8") as f:
+            text = f.read()
+    else:
+        text = data
+    if opts.json_path:
+        rows = jp.extract_rows(text, opts.json_path, normalize=opts.require_normalize)
+        ndjson = "\n".join(json.dumps(r) for r in rows).encode()
+        return read_ndjson(spark, stage_bytes(ndjson, ".ndjson"), opts)
+    # top-level array: Spark's multiLine JSON reader handles it natively
+    path = stage_bytes(text.encode(), ".json")
+    reader = spark.read.option("multiLine", "true")
+    schema = opts.spark_schema()
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path_or_bytes: str | bytes, opts: ReadOptions) -> DataFrame:
+    if isinstance(path_or_bytes, bytes):
+        path_or_bytes = stage_bytes(path_or_bytes, ".parquet")
+    return spark.read.parquet(path_or_bytes)

@@ -1,0 +1,164 @@
+"""Data-source dispatch: (format x URI scheme) -> reader, mirroring the
+reference's ingestion switch (lib/src/context/session_manager.rs:336-416).
+
+Dispatch policy (same shape as the reference):
+- object-store / local **listing** locations (csv/ndjson/parquet/avro on
+  file, s3, gs, abfss, wasbs) register LAZY scans — full predicate
+  pushdown / column pruning / partition pruning stay available
+  (reference A7: object_store/reader.rs:14-134);
+- http(s) buffered formats are fetched, staged, and registered eagerly
+  (reference concat_batches + register_batch, session.rs:248-253) — the
+  registry persists them so repeated queries don't re-fetch;
+- delta (+ versionAsOf), flight, jdbc, and plugin schemes dispatch to
+  their gated readers.
+
+Scale note: at 100 TB everything flows through the lazy listing path —
+the buffered path exists for REST-pushed payloads (bounded by the 20 MB
+upload limit, settings.rs:213), exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_server_spark.sources import readers
+from datafusion_server_spark.sources.readers import ReadOptions
+
+LISTING_SCHEMES = {"", "file", "s3", "s3a", "gs", "abfss", "wasbs", "hdfs"}
+_SCHEME_REWRITE = {"s3": "s3a"}  # hadoop connector scheme
+
+
+class DataSourceError(ValueError):
+    pass
+
+
+@dataclass
+class DataSource:
+    """Parsed ``dataSources[i]`` request entry
+    (reference lib/src/request/body.rs:120-140)."""
+
+    format: str
+    name: str
+    location: str
+    options: ReadOptions
+    plugin_options: dict | None = None
+
+    @staticmethod
+    def from_json(payload: dict) -> "DataSource":
+        fmt = str(payload.get("format", "")).strip().lower()
+        if fmt in ("ndjson", "nd_json", "jsonl"):
+            fmt = "ndjson"
+        name = payload.get("name")
+        location = payload.get("location") or payload.get("uri") or ""
+        if not fmt or not name:
+            raise DataSourceError("dataSource requires 'format' and 'name'")
+        opts = ReadOptions.from_json(payload.get("options"))
+        if payload.get("schema"):
+            opts.schema_json = {"fields": payload["schema"]} if isinstance(
+                payload["schema"], list
+            ) else payload["schema"]
+        return DataSource(fmt, str(name), str(location), opts, payload.get("pluginOptions"))
+
+
+def _rewrite_scheme(location: str, scheme: str) -> str:
+    new = _SCHEME_REWRITE.get(scheme)
+    if new:
+        return new + location[len(scheme):]
+    return location
+
+
+def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bool]:
+    """Resolve one data source to a DataFrame.
+
+    Returns (df, eager): ``eager`` means the source was buffered from a
+    remote/inline payload and should be persisted on registration (the
+    reference materializes these; session.rs:248-253).
+    """
+    scheme = urlparse(ds.location).scheme.lower()
+    fmt = ds.format
+
+    # Python connector plugins claim custom schemes (reference A13)
+    from datafusion_server_spark.sources import plugins
+
+    if plugins.has_scheme(scheme):
+        return plugins.load(spark, ds), True
+
+    if fmt in ("csv", "ndjson", "parquet", "avro") and scheme in LISTING_SCHEMES:
+        location = _rewrite_scheme(ds.location, scheme)
+        if fmt == "csv":
+            return readers.read_csv(spark, location, ds.options), False
+        if fmt == "ndjson":
+            return readers.read_ndjson(spark, location, ds.options), False
+        if fmt == "parquet":
+            return readers.read_parquet(spark, location, ds.options), False
+        if fmt == "avro":
+            try:
+                return spark.read.format("avro").load(location), False
+            except Exception as e:  # spark-avro package not on classpath
+                raise DataSourceError(f"avro reader unavailable: {e}") from e
+
+    if scheme in ("http", "https"):
+        data = readers.fetch(ds.location)
+        if fmt == "csv":
+            return readers.read_csv(spark, data, ds.options), True
+        if fmt == "json":
+            return readers.read_json_array(spark, data, ds.options), True
+        if fmt == "ndjson":
+            return readers.read_ndjson(spark, data, ds.options), True
+        if fmt == "parquet":
+            return readers.read_parquet(spark, data, ds.options), True
+        raise DataSourceError(f"format {fmt!r} not supported over http(s)")
+
+    if fmt == "json" and scheme in LISTING_SCHEMES:
+        # whole-document JSON array (optionally JSONPath-extracted): the
+        # document itself is read locally; rows register eagerly
+        return readers.read_json_array(spark, ds.location, ds.options), True
+
+    if fmt in ("delta", "deltalake"):
+        reader = spark.read.format("delta")
+        version = ds.options.extra.get("version")
+        if version is not None:
+            reader = reader.option("versionAsOf", str(version))
+        try:
+            return reader.load(ds.location), False
+        except Exception as e:  # delta-spark not on classpath
+            raise DataSourceError(f"delta reader unavailable: {e}") from e
+
+    if fmt == "flight" or scheme in ("grpc", "flight"):
+        from datafusion_server_spark.sources import flight_client
+
+        return flight_client.do_get(spark, ds.location, ds.options), True
+
+    if fmt in ("jdbc", "database", "table"):
+        from datafusion_server_spark.sources import jdbc
+
+        return jdbc.read_table(spark, ds), False
+
+    raise DataSourceError(f"unsupported (format={fmt!r}, scheme={scheme!r})")
+
+
+def register(spark: SparkSession, ds: DataSource, *, session=None) -> DataFrame:
+    """Load + register under the source name (temp view). Eager/buffered
+    sources are persisted — the Spark-safe analog of the reference's
+    in-memory concat_batches materialization."""
+    df, eager = load_data_source(spark, ds)
+    if eager:
+        df = df.persist()
+    df.createOrReplaceTempView(ds.name)
+    if session is not None:
+        session.data_sources[ds.name] = {"format": ds.format, "location": ds.location,
+                                         "cached": eager}
+    return df
+
+
+def register_all(spark: SparkSession, payloads: list[dict | Any], *, session=None) -> list[str]:
+    names = []
+    for p in payloads:
+        ds = p if isinstance(p, DataSource) else DataSource.from_json(p)
+        register(spark, ds, session=session)
+        names.append(ds.name)
+    return names

@@ -1,0 +1,230 @@
+"""End-to-end REST + Flight tests replaying the reference's documented
+curl flows (SURVEY §5.2): stateless query, session lifecycle, merge
+processors, upload, save, Flight do_put/do_get."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pyarrow as pa
+import pytest
+import requests
+
+from datafusion_server_spark.server.api import Engine
+from datafusion_server_spark.server.http import serve
+
+CSV = b"id,name,score\n1,alice,9.5\n2,bob,7.25\n3,carol,8.0\n"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, start_reaper=False)
+
+
+@pytest.fixture(scope="module")
+def base_url(engine):
+    httpd = serve(engine, "127.0.0.1", 0)
+    host, port = httpd.server_address[:2]
+    yield f"http://{host}:{port}"
+    httpd.shutdown()
+
+
+def test_healthz(base_url):
+    r = requests.get(f"{base_url}/healthz")
+    assert r.status_code == 200 and r.text == "OK"
+
+
+def test_sysinfo_metrics(base_url):
+    assert "spark" in requests.get(f"{base_url}/sysinfo").json()
+    assert "dfss_http_requests_total" in requests.get(f"{base_url}/metrics").text
+
+
+def test_stateless_dataframe_query(base_url, tmp_path):
+    p = tmp_path / "s.csv"
+    p.write_bytes(CSV)
+    payload = {
+        "dataSources": [{"format": "csv", "name": "people", "location": str(p)}],
+        "query": "SELECT name, score FROM people WHERE score > 7.5 ORDER BY score DESC",
+    }
+    r = requests.post(f"{base_url}/dataframe/query", json=payload)
+    assert r.status_code == 200, r.text
+    rows = r.json()
+    assert [row["name"] for row in rows] == ["alice", "carol"]
+
+
+def test_stateless_query_csv_response(base_url, tmp_path):
+    p = tmp_path / "s2.csv"
+    p.write_bytes(CSV)
+    payload = {
+        "dataSources": [{"format": "csv", "name": "people2", "location": str(p)}],
+        "query": "SELECT name FROM people2 ORDER BY name",
+        "response": {"format": "csv", "options": {"delimiter": ";"}},
+    }
+    r = requests.post(f"{base_url}/dataframe/query", json=payload)
+    assert r.headers["Content-Type"].startswith("text/csv")
+    assert r.text.splitlines() == ["name", "alice", "bob", "carol"]
+
+
+def test_stateless_query_arrow_response(base_url, tmp_path):
+    p = tmp_path / "s3.csv"
+    p.write_bytes(CSV)
+    payload = {
+        "dataSources": [{"format": "csv", "name": "people3", "location": str(p)}],
+        "query": "SELECT id, name FROM people3",
+        "response": {"format": "arrow"},
+    }
+    r = requests.post(f"{base_url}/dataframe/query", json=payload)
+    table = pa.ipc.open_stream(io.BytesIO(r.content)).read_all()
+    assert table.num_rows == 3
+    assert table.column_names == ["id", "name"]
+
+
+def test_session_lifecycle(base_url, tmp_path):
+    # create
+    r = requests.get(f"{base_url}/session/create", params={"id": "e2e", "keepAlive": 600})
+    assert r.json()["id"] == "e2e"
+    # add data source
+    p = tmp_path / "le.csv"
+    p.write_bytes(CSV)
+    r = requests.post(
+        f"{base_url}/session/e2e/datasource",
+        json=[{"format": "csv", "name": "people", "location": str(p)}],
+    )
+    assert "people" in r.json()["dataSources"]
+    # list + detail
+    assert any(s["id"] == "e2e" for s in requests.get(f"{base_url}/session").json())
+    detail = requests.get(f"{base_url}/session/e2e").json()
+    assert "people" in detail["dataSources"]
+    assert detail["dataSources"]["people"]["schema"]["fields"][0]["name"] == "id"
+    # query (JSON body)
+    r = requests.post(
+        f"{base_url}/session/e2e/query",
+        json={"sql": "SELECT COUNT(*) AS n FROM people"},
+    )
+    assert r.json() == [{"n": 3}]
+    # query (raw SQL body)
+    r = requests.post(
+        f"{base_url}/session/e2e/query",
+        data="SELECT MAX(score) AS m FROM people",
+        headers={"Content-Type": "application/sql"},
+    )
+    assert r.json() == [{"m": 9.5}]
+    # remove data source, then 404 on it
+    assert requests.delete(f"{base_url}/session/e2e/datasource/people").json()["removed"]
+    r = requests.get(f"{base_url}/session/e2e/datasource/people")
+    assert r.status_code == 404
+    # delete session
+    assert requests.delete(f"{base_url}/session/e2e").json()["deleted"] == "e2e"
+    assert requests.get(f"{base_url}/session/e2e").status_code == 404
+
+
+def test_session_upload_and_save(base_url, tmp_path):
+    requests.get(f"{base_url}/session/create", params={"id": "up"})
+    r = requests.post(
+        f"{base_url}/session/up/upload",
+        params={"name": "u1"},
+        data=CSV,
+        headers={"Content-Type": "text/csv"},
+    )
+    assert r.json() == {"name": "u1", "format": "csv"}
+    r = requests.post(
+        f"{base_url}/session/up/query", json={"sql": "SELECT COUNT(*) AS n FROM u1"}
+    )
+    assert r.json() == [{"n": 3}]
+    out = tmp_path / "saved.json"
+    r = requests.post(
+        f"{base_url}/session/up/save",
+        json={"table": "u1", "location": str(out), "format": "json"},
+    )
+    assert r.status_code == 200, r.text
+    assert len(json.loads(out.read_text())) == 3
+    requests.delete(f"{base_url}/session/up")
+
+
+def test_merge_processor_over_rest(base_url, tmp_path):
+    requests.get(f"{base_url}/session/create", params={"id": "mg"})
+    a = tmp_path / "a.csv"
+    a.write_bytes(b"k,v\n1,x\n2,y\n")
+    b = tmp_path / "b.csv"
+    b.write_bytes(b"k2,w\n1,p\n2,q\n")
+    requests.post(
+        f"{base_url}/session/mg/datasource",
+        json=[
+            {"format": "csv", "name": "base_t", "location": str(a)},
+            {"format": "csv", "name": "tgt_t", "location": str(b)},
+        ],
+    )
+    r = requests.post(
+        f"{base_url}/session/mg/processor",
+        json={
+            "mergeProcessors": [
+                {
+                    "direction": "column",
+                    "baseTable": "base_t",
+                    "targets": [{"table": "tgt_t", "baseKeys": ["k"], "targetKeys": ["k2"]}],
+                }
+            ]
+        },
+    )
+    assert r.status_code == 200, r.text
+    r = requests.post(
+        f"{base_url}/session/mg/query",
+        json={"sql": "SELECT * FROM base_t ORDER BY k"},
+    )
+    rows = r.json()
+    assert rows == [{"k": 1, "v": "x", "w": "p"}, {"k": 2, "v": "y", "w": "q"}]
+    requests.delete(f"{base_url}/session/mg")
+
+
+def test_post_processor_pivot(base_url, tmp_path):
+    p = tmp_path / "pp.csv"
+    p.write_bytes(b"cat,kind,val\na,x,1\na,y,3\nb,x,5\nb,y,7\n")
+    payload = {
+        "dataSources": [{"format": "csv", "name": "pp", "location": str(p)}],
+        "query": "SELECT * FROM pp",
+        "postProcessors": [
+            {"module": "pivot-table", "pluginOptions": {"index": "cat", "columns": "kind", "values": "val"}}
+        ],
+    }
+    r = requests.post(f"{base_url}/dataframe/query", json=payload)
+    rows = sorted(r.json(), key=lambda x: x["cat"])
+    assert rows[0]["x"] == 1.0 and rows[0]["y"] == 3.0
+
+
+def test_error_routes(base_url):
+    assert requests.get(f"{base_url}/nope").status_code == 404
+    assert requests.post(f"{base_url}/session/ghost/query", json={"sql": "SELECT 1"}).status_code == 404
+    r = requests.post(f"{base_url}/dataframe/query", json={"query": "SELECT bogus FROM nothing"})
+    assert r.status_code == 400
+    assert "error" in r.json()
+
+
+def test_flight_do_put_do_get(engine):
+    fl = pytest.importorskip("pyarrow.flight")
+    from datafusion_server_spark.server.flight import serve as flight_serve
+
+    server = flight_serve(engine, "grpc://127.0.0.1:0")
+    port = server.port
+    engine.session_create("fl", 600)
+    client = fl.FlightClient(f"grpc://127.0.0.1:{port}")
+
+    # do_put: upload a table into session "fl"
+    table = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    desc = fl.FlightDescriptor.for_path("fl", "uploaded")
+    writer, _ = client.do_put(desc, table.schema)
+    writer.write_table(table)
+    writer.close()
+
+    # do_get with bare table name
+    got = client.do_get(fl.Ticket(b"fl/uploaded")).read_all()
+    assert got.num_rows == 3
+
+    # do_get with SQL
+    got = client.do_get(fl.Ticket(b"fl/SELECT COUNT(*) AS n FROM uploaded")).read_all()
+    assert got.to_pylist() == [{"n": 3}]
+
+    # get_schema
+    info = client.get_flight_info(fl.FlightDescriptor.for_path("fl", "uploaded"))
+    assert {f.name for f in info.schema} == {"a", "b"}
+    engine.sessions.delete("fl")

@@ -1,0 +1,142 @@
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from datafusion_server_spark.operators import multimodal
+from datafusion_server_spark.operators.merge import (
+    ColumnMergeTarget,
+    MergeProcessor,
+    execute_merge,
+    merge_column,
+    merge_row,
+)
+from datafusion_server_spark.session import SessionManager
+
+
+def test_session_isolation(spark):
+    mgr = SessionManager(spark)
+    s1 = mgr.create("iso1")
+    s2 = mgr.create("iso2")
+    s1.register("t", s1.spark.createDataFrame([(1,)], ["a"]))
+    # temp views are per-newSession: s2 must not see s1's table
+    with pytest.raises(Exception):
+        s2.spark.table("t").collect()
+    mgr.delete("iso1")
+    mgr.delete("iso2")
+
+
+def test_session_ttl_reap(spark):
+    mgr = SessionManager(spark)
+    s = mgr.create("shortlived", keep_alive_s=0)
+    time.sleep(0.05)
+    assert mgr.reap() == ["shortlived"]
+    with pytest.raises(KeyError):
+        mgr.get("shortlived")
+
+
+def test_session_duplicate_id(spark):
+    mgr = SessionManager(spark)
+    mgr.create("dup")
+    with pytest.raises(ValueError):
+        mgr.create("dup")
+    mgr.delete("dup")
+
+
+def test_merge_column_collision_aliasing(spark):
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["key", "name", "ref"])
+    tgt = spark.createDataFrame([(10, "X"), (20, "Y")], ["key", "name"])
+    spec = ColumnMergeTarget(table="tgt", base_keys=["ref"], target_keys=["key"])
+    out = merge_column(base, [(tgt, spec)])
+    # target key dropped; colliding 'name' renamed to tgt_name
+    assert out.columns == ["key", "name", "ref", "tgt_name"]
+    rows = {r["key"]: r for r in out.collect()}
+    assert rows[1]["tgt_name"] == "X"
+
+
+def test_merge_column_multi_target(spark):
+    base = spark.createDataFrame([(1, 100)], ["id", "x"])
+    t1 = spark.createDataFrame([(1, "p")], ["id", "v1"])
+    t2 = spark.createDataFrame([(1, "q")], ["id", "v2"])
+    out = merge_column(
+        base,
+        [
+            (t1, ColumnMergeTarget("t1", ["id"], ["id"])),
+            (t2, ColumnMergeTarget("t2", ["id"], ["id"])),
+        ],
+    )
+    assert out.collect()[0].asDict() == {"id": 1, "x": 100, "v1": "p", "v2": "q"}
+
+
+def test_merge_row_distinct(spark):
+    a = spark.createDataFrame([(1,), (2,)], ["v"])
+    b = spark.createDataFrame([(2,), (3,)], ["v"])
+    assert merge_row(a, [b]).count() == 4
+    assert merge_row(a, [b], distinct=True).count() == 3
+
+
+def test_execute_merge_reregisters(spark):
+    spark.createDataFrame([(1, "x")], ["k", "v"]).createOrReplaceTempView("mbase")
+    spark.createDataFrame([(1, 9)], ["k", "w"]).createOrReplaceTempView("mtgt")
+    proc = MergeProcessor.from_json(
+        {
+            "direction": "column",
+            "baseTable": "mbase",
+            "targets": [{"table": "mtgt", "baseKeys": ["k"], "targetKeys": ["k"]}],
+        }
+    )
+    execute_merge(spark, proc, materialize=False)
+    assert spark.table("mbase").columns == ["k", "v", "w"]
+
+
+def test_merge_processor_validation():
+    with pytest.raises(ValueError):
+        MergeProcessor.from_json(
+            {
+                "direction": "column",
+                "baseTable": "b",
+                "targets": [{"table": "t", "baseKeys": ["a", "b"], "targetKeys": ["x"]}],
+            }
+        )
+    with pytest.raises(ValueError):
+        MergeProcessor.from_json({"direction": "diagonal", "baseTable": "b"})
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from datafusion_server_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents").limit(20)
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    assert dict(media.dtypes) == {
+        "media_id": "bigint",
+        "payload": "binary",
+        "media_type": "string",
+    }
+    decoded = multimodal.decode_metadata(media)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    r = rows[0].asDict()
+    assert r["format"] == "fake" and r["n_bytes"] > 0
+    assert 1 <= r["width"] <= 1024
+
+    frames = multimodal.frame_sample_plan(media)
+    assert frames.count() >= 20  # at least one frame per doc
+
+
+def test_engine_refresh(spark, tmp_path):
+    from datafusion_server_spark.server.api import Engine
+
+    engine = Engine(spark, start_reaper=False)
+    engine.session_create("rf", 600)
+    p = tmp_path / "r.csv"
+    p.write_bytes(b"a\n1\n")
+    engine.session_add_datasource(
+        "rf", {"format": "csv", "name": "rt", "location": str(p)}
+    )
+    sess = engine.sessions.get("rf")
+    assert sess.spark.table("rt").count() == 1
+    p.write_bytes(b"a\n1\n2\n")
+    engine.refresh_data_source("rf", "rt")
+    assert sess.spark.table("rt").count() == 2
+    engine.sessions.delete("rf")

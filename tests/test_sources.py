@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from datafusion_server_spark.sources import plugins, readers
+from datafusion_server_spark.sources.readers import ReadOptions
+from datafusion_server_spark.sources.registry import DataSource, register
+
+CSV = b"id,name,score\n1,alice,9.5\n2,bob,7.25\n3,carol,8.0\n"
+JSON_ARRAY = json.dumps(
+    [{"id": 1, "tags": ["a", "b"], "meta": {"k": 1}}, {"id": 2, "tags": [], "meta": {"k": 2}}]
+).encode()
+NDJSON = b'{"id": 1, "v": "x"}\n{"id": 2, "v": "y"}\n'
+
+
+def test_read_csv_infer(spark):
+    df = readers.read_csv(spark, CSV, ReadOptions())
+    rows = {r["name"]: r for r in (row.asDict() for row in df.collect())}
+    assert rows["alice"]["id"] == 1
+    assert rows["bob"]["score"] == 7.25
+
+
+def test_read_csv_explicit_schema(spark):
+    opts = ReadOptions(
+        schema_json={
+            "fields": [
+                {"name": "id", "dataType": "Int64"},
+                {"name": "name", "dataType": "String"},
+                {"name": "score", "dataType": "Float64"},
+            ]
+        }
+    )
+    df = readers.read_csv(spark, CSV, opts)
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+
+
+def test_read_csv_delimiter_no_header(spark):
+    opts = ReadOptions(has_header=False, delimiter=";")
+    df = readers.read_csv(spark, b"1;x\n2;y\n", opts)
+    assert df.count() == 2
+
+
+def test_read_json_array_nested(spark):
+    df = readers.read_json_array(spark, JSON_ARRAY, ReadOptions())
+    assert df.count() == 2
+    row = df.orderBy("id").collect()[0]
+    assert row["tags"] == ["a", "b"]
+    assert row["meta"]["k"] == 1
+
+
+def test_read_json_with_jsonpath(spark):
+    doc = json.dumps({"data": {"items": [{"a": 1}, {"a": 2}, {"a": 3}]}}).encode()
+    df = readers.read_json_array(spark, doc, ReadOptions(json_path="$.data.items[*]"))
+    assert sorted(r["a"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_read_ndjson(spark):
+    df = readers.read_ndjson(spark, NDJSON, ReadOptions())
+    assert df.count() == 2
+
+
+def test_registry_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_bytes(CSV)
+    ds = DataSource.from_json({"format": "csv", "name": "reg_csv_t", "location": str(p)})
+    register(spark, ds)
+    assert spark.sql("SELECT COUNT(*) AS n FROM reg_csv_t").collect()[0]["n"] == 3
+
+
+def test_registry_unsupported():
+    with pytest.raises(Exception):
+        DataSource.from_json({"format": "", "name": "x"})
+
+
+def test_connector_plugin(spark):
+    def fake_connector(fmt, authority, path, schema, **kwargs):
+        assert kwargs.get("system_version")
+        return pa.RecordBatch.from_pydict({"x": [1, 2, 3], "who": [authority] * 3})
+
+    plugins.register_connector("fake", fake_connector)
+    try:
+        ds = DataSource.from_json(
+            {"format": "json", "name": "plugged", "location": "fake://hostish/p"}
+        )
+        register(spark, ds)
+        rows = spark.sql("SELECT * FROM plugged ORDER BY x").collect()
+        assert [r["x"] for r in rows] == [1, 2, 3]
+        assert rows[0]["who"] == "hostish"
+    finally:
+        plugins.unregister_connector("fake")
+
+
+def test_writers_json_array_file(spark, tmp_path):
+    from datafusion_server_spark.sources.writers import save_json_array_file
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    out = tmp_path / "out.json"
+    save_json_array_file(df, str(out))
+    data = json.loads(out.read_text())
+    assert sorted(data, key=lambda r: r["id"]) == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    with pytest.raises(FileExistsError):
+        save_json_array_file(df, str(out))
+
+
+def test_writers_object_store(spark, tmp_path):
+    from datafusion_server_spark.sources.writers import write_object_store
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    out = str(tmp_path / "csvdir")
+    write_object_store(df, out, "csv", delimiter="|")
+    back = spark.read.option("header", "true").option("sep", "|").csv(out)
+    assert back.count() == 2

@@ -62,6 +62,7 @@ def registry() -> dict[str, QueryDef]:
     """Import all query modules and return the full inventory."""
     from datafusion_server_spark.queries import (  # noqa: F401
         core,
+        core2,
         dedup,
         extensions,
         merge,

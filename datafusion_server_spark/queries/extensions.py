@@ -28,6 +28,25 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@df_query(
+    "streaming_tumbling_counts",
+    """
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (readStream ->
+    watermark -> window -> memory sink, availableNow trigger), checked
+    against the equivalent batch SQL — streaming and batch agree."""
+    from datafusion_server_spark.streaming.windows import tumbling_event_counts
+
+    return tumbling_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
 # HLL sketch cardinality: values are engine-specific (different sketch
 # implementations), so no value-level oracle — rows-only.
 sql_query(

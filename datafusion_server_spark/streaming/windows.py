@@ -1,0 +1,69 @@
+"""Event-time windowed aggregation over a file stream.
+
+``readStream`` -> watermark -> tumbling ``window()`` aggregation ->
+memory sink, driven to completion with ``Trigger.AvailableNow`` so the
+result is a finite, deterministic table (every source file processed,
+then the query stops). In production the same plan runs unbounded with
+the watermark bounding state; availableNow is the batch-replay mode.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Tumbling per-window, per-event-type counts + value sums over the
+    events file stream. Returns the finished result as a batch DataFrame
+    (bucket, event_type, n, total_value)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    # file streams need a directory source: stream the parent dir with a
+    # glob filter selecting just this table's file
+    parent, _, fname = events_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+
+    ts = F.col("ts")
+    if dict(stream.dtypes).get("ts") == "bigint":  # ns-as-long fixture path
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    windowed = (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
+        )
+    )
+    sink = f"tumbling_{uuid.uuid4().hex[:8]}"
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    return spark.table(sink).select(
+        F.col("w.start").cast("timestamp").alias("bucket"),
+        "event_type",
+        "n",
+        "total_value",
+    )

@@ -53,8 +53,24 @@ def main() -> None:
 
     reg = registry()
 
-    # warm the JVM + parquet footers with one cheap query (not timed)
+    # warm the JVM + parquet footers with one cheap query, plus a tiny
+    # synthetic pipeline covering the codegen shapes the inventory uses
+    # (explode, decimal hash-agg, window) — JIT warmup, not data warmup
     reg["q6_forecast_revenue"].build(spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    synth = spark.range(2000).select(
+        F.col("id"), F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i")
+    )
+    synth = synth.groupBy("id").agg(
+        F.sum((F.col("i") * 1.5).cast("decimal(18,12)")).alias("s")
+    )
+    synth.withColumn("r", F.row_number().over(Window.orderBy(F.desc("s"), F.asc("id")))).filter(
+        "r <= 5"
+    ).collect()
+
+    import gc
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -65,6 +81,10 @@ def main() -> None:
         # server's response encoders use (reference A20/A21 semantics).
         df.toArrow()
         timings[name] = round(time.time() - t0, 3)
+        # release checkpoint/cache blocks from this query before the next
+        # one is timed (ContextCleaner needs the py-side refs gone)
+        del df
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

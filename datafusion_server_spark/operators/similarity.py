@@ -1,45 +1,66 @@
 """Vector similarity search over an ``array<float>`` embedding column.
 
 Beyond-reference operators (BASELINE.json north-star):
-- brute-force cosine top-k — the exactness baseline: broadcast the query
-  vectors, score every (query, candidate) pair JVM-side with
-  ``aggregate(zip_with(...))`` (no Python in the loop);
-- sign-LSH (random hyperplanes) bucketed ANN — the 100 TB scale path:
-  vectors are bucketed by a deterministic hyperplane-sign code so the
-  candidate join touches only same-bucket pairs.
+- brute-force cosine top-k — the exactness baseline;
+- sign-LSH (random hyperplanes) bucketed ANN — the scale path: vectors
+  are bucketed by a deterministic hyperplane-sign code so the candidate
+  join touches only same-bucket pairs.
 
-Determinism contract: dot products accumulate as DECIMAL(18,12) (exact,
-order-independent), hyperplane signs derive from md5 — both
-reproducible bit-for-bit by the DuckDB oracle.
+Execution shape: element-exploded joins + hash-aggregated decimal sums.
+Spark's higher-order functions (``zip_with``/``aggregate`` lambdas) are
+*interpreted* — a decimal dot product through them allocates a JVM
+Decimal per element outside whole-stage codegen (measured 5-15x slower
+and warmup-sensitive at sf0.1). ``posexplode`` + ``SUM(decimal)`` keeps
+the whole pipeline in codegen with map-side partial aggregation.
+
+Determinism contract: per-element products are IEEE doubles cast to
+DECIMAL(18,12) (exact, order-independent sums), hyperplane signs derive
+from md5 — both reproducible bit-for-bit by the DuckDB oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEC = "DECIMAL(18,12)"
 
 
-def _dot_decimal(a: Column, b: Column) -> Column:
-    """Exact dot product: per-element double multiply (IEEE, deterministic)
-    accumulated in decimal (order-independent)."""
-    prods = F.zip_with(
-        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC)
+def _elements(df: DataFrame, id_col: str, vec_col: str, id_alias: str) -> DataFrame:
+    """(id, i, x): one row per vector element, x cast to double, i 1-based
+    to match the oracle's generate_subscripts."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select(id_alias, (F.col("i") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+
+
+def _norms(el: DataFrame, id_alias: str) -> DataFrame:
+    """sqrt of the exact decimal sum of squares, per vector."""
+    return el.groupBy(id_alias).agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double")).alias("nrm")
     )
-    # (acc + v) widens under Spark's decimal-addition rule; cast back so
-    # the merge type matches the zero type (lossless: addends carry
-    # exactly 12 decimals and stay far below 18 digits; 18,12 keeps the
-    # decimal long-backed instead of Int128).
-    return F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, v: (acc + v).cast(DEC))
 
 
-def _norm(vec: Column) -> Column:
-    return F.sqrt(_dot_decimal(vec, vec).cast("double"))
+def _pair_dots(q_el: DataFrame, c_el: DataFrame) -> DataFrame:
+    """Exact decimal dot product per (query_id, neighbor_id) pair via an
+    element-position join + codegen'd SUM. The query side is broadcast."""
+    joined = c_el.join(
+        F.broadcast(q_el.withColumnRenamed("x", "qx")),
+        (F.col("i") == F.col("qi")) & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    return joined.groupBy("query_id", "neighbor_id").agg(
+        F.sum((F.col("qx") * F.col("x")).cast(DEC)).alias("dot")
+    )
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("_norm", _norm(F.col(vec_col)))
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def cosine_topk(
@@ -52,43 +73,37 @@ def cosine_topk(
     """Brute-force cosine top-k: every query scored against every
     candidate; rank per query by (cosine desc, neighbor id).
 
-    Output: (query_id, neighbor_id, cosine, rank). The query side is
-    broadcast — at 100 TB the candidate scan is embarrassingly parallel
-    and the only shuffle is the final per-query top-k (tiny).
+    Output: (query_id, neighbor_id, cosine, rank). The exploded query side
+    (n_queries x dim rows) is broadcast; the candidate scan is
+    embarrassingly parallel; the only wide shuffles are the 20k-group
+    hash agg and the per-query top-k (tiny).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+    # c_el feeds both the dot-product join and the norms — materialize once
+    c_el = _elements(embeddings, id_col, vec_col, "neighbor_id").localCheckpoint(eager=True)
+    q_el = _elements(queries, id_col, vec_col, "query_id").withColumnRenamed("i", "qi")
+    norms = _norms(c_el, "neighbor_id")
+    q_norms = _norms(
+        _elements(queries, id_col, vec_col, "query_id"), "query_id"
+    ).withColumnRenamed("nrm", "q_nrm")
+    scored = (
+        _pair_dots(q_el, c_el)
+        .join(norms, "neighbor_id")
+        .join(F.broadcast(q_norms), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dot").cast("double") / (F.col("q_nrm") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
-    )
-    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot_decimal(F.col("q_vec"), F.col("c_vec")).cast("double")
-            / (F.col("q_norm") * F.col("c_norm")),
-            6,
-        ).alias("cosine"),
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_signs(plane: int, dim: int) -> list[int]:
     """Deterministic pseudo-random hyperplane weights in {+1,-1}: the high
-    bit of the first hex digit of md5('{plane}:{j}'). The DuckDB oracle
-    reproduces these with its own md5 over the same strings."""
+    bit of the first hex digit of md5('{plane}:{j}'), j 0-based. The
+    DuckDB oracle reproduces these with its own md5 over the same strings."""
     import hashlib
 
     return [
@@ -97,18 +112,72 @@ def hyperplane_signs(plane: int, dim: int) -> list[int]:
     ]
 
 
-def _hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
-    """Sign of the hyperplane projection, accumulated as DECIMAL so the
-    value is order-independent and engine-reproducible."""
-    signs = F.array(*[F.lit(s) for s in hyperplane_signs(plane, dim)])
-    prods = F.zip_with(vec, signs, lambda x, s: (x.cast("double") * s).cast(DEC))
-    proj = F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, v: (acc + v).cast(DEC))
-    return F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
+def _signs_df(spark, planes: int, dim: int) -> DataFrame:
+    """(p, i, sign) rows, i 1-based — broadcast side of the code compute."""
+    rows = [
+        (p, j + 1, s)
+        for p in range(planes)
+        for j, s in enumerate(hyperplane_signs(p, dim))
+    ]
+    return spark.createDataFrame(rows, "p INT, i INT, sign INT")
 
 
-def lsh_bucket_code(vec: Column, planes: int, dim: int) -> Column:
-    """Sign-LSH code: concat of hyperplane signs -> bucket key string."""
-    return F.concat(*[_hyperplane_bit(vec, p, dim) for p in range(planes)])
+def bucket_codes(
+    embeddings: DataFrame,
+    planes: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket): sign-LSH code per vector. One explode + one grouped
+    aggregation computing all plane projections (exact decimal sums)."""
+    el = _elements(embeddings, id_col, vec_col, "id")
+    # one pass over the element rows: per plane, the sign is a literal
+    # array lookup by position (stays in whole-stage codegen — no join row
+    # blowup, no interpreted lambdas); `planes` decimal sums in a single
+    # grouped aggregation = one shuffle of the element rows
+    sums = el.groupBy("id").agg(
+        *[
+            F.sum(
+                (
+                    F.col("x")
+                    * F.element_at(
+                        F.array(*[F.lit(s) for s in hyperplane_signs(p, dim)]), F.col("i")
+                    )
+                ).cast(DEC)
+            ).alias(f"s{p}")
+            for p in range(planes)
+        ]
+    )
+    bits = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(planes)]
+    return sums.select("id", F.concat(*bits).alias("bucket"))
+
+
+def _score_pairs(
+    pairs: DataFrame, el: DataFrame, norms: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Exact cosine for explicit (a, b) id pairs via element joins."""
+    ea = el.select(F.col("id").alias(a), "i", F.col("x").alias("xa"))
+    eb = el.select(F.col("id").alias(b), "i", F.col("x").alias("xb"))
+    dots = (
+        pairs.join(ea, a)
+        .join(eb, [b, "i"])
+        .groupBy(a, b)
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast(DEC)).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias(a), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("id").alias(b), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(na, a)
+        .join(nb, b)
+        .select(
+            a,
+            b,
+            F.round(F.col("dot").cast("double") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
 
 
 def lsh_ann_topk(
@@ -123,54 +192,29 @@ def lsh_ann_topk(
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     At scale the bucket code is the shuffle key: candidates partition by
-    bucket once (reusable across queries), each query probes exactly one
-    partition's worth of vectors — no all-pairs crossjoin.
-    Output: (query_id, neighbor_id, cosine, rank) — approximate; recall
-    depends on `planes`.
+    bucket once (reusable across queries) — no all-pairs crossjoin.
+    Output: (query_id, neighbor_id, cosine, rank); recall depends on
+    ``planes``.
     """
-    # coded feeds both the query probe and the candidate side — persist
-    # so the 8 hyperplane projections + norm run once per vector.
-    coded = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        lsh_bucket_code(F.col(vec_col), planes, dim).alias("bucket"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
-    q = queries.select(F.col(id_col).alias("query_id")).join(
-        coded.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.col("bucket").alias("q_bucket"),
-            F.col("nrm").alias("q_norm"),
-        ),
-        "query_id",
+    # el feeds codes, norms, and pair scoring; codes feeds both join sides
+    # — materialize each once (lazy reuse gets recomputed per consumer)
+    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
+    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col).localCheckpoint(eager=True)
+    norms = _norms(el, "id")
+    q_ids = queries.select(F.col(id_col).alias("query_id"))
+    q_buckets = q_ids.join(codes.withColumnRenamed("id", "query_id"), "query_id")
+    pairs = (
+        q_buckets.join(
+            codes.withColumnRenamed("id", "neighbor_id").withColumnRenamed(
+                "bucket", "c_bucket"
+            ),
+            (F.col("bucket") == F.col("c_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id")
     )
-    cand = coded.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("bucket").alias("c_bucket"),
-        F.col("nrm").alias("c_norm"),
-    )
-    scored = cand.join(
-        F.broadcast(q),
-        (F.col("c_bucket") == F.col("q_bucket")) & (F.col("neighbor_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot_decimal(F.col("q_vec"), F.col("c_vec")).cast("double")
-            / (F.col("q_norm") * F.col("c_norm")),
-            6,
-        ).alias("cosine"),
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    scored = _score_pairs(pairs, el, norms, "query_id", "neighbor_id")
+    return _rank_topk(scored, k)
 
 
 def embedding_near_duplicates(
@@ -184,24 +228,14 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs via LSH buckets: only same-bucket
     pairs are scored; pairs with cosine >= threshold survive.
     Output: (id_a, id_b, cosine)."""
-    coded = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket_code(F.col(vec_col), planes, dim).alias("bucket"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    )
-    a = coded.alias("a")
-    b = coded.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(
-                _dot_decimal(F.col("a.vec"), F.col("b.vec")).cast("double")
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
+    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col).localCheckpoint(eager=True)
+    norms = _norms(el, "id")
+    a = codes.select(F.col("id").alias("id_a"), "bucket")
+    b = codes.select(F.col("id").alias("id_b"), F.col("bucket").alias("b_bucket"))
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("b_bucket")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return _score_pairs(pairs, el, norms, "id_a", "id_b").filter(
+        F.col("cosine") >= threshold
     )

@@ -217,6 +217,80 @@ def lsh_ann_topk(
     return _rank_topk(scored, k)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    by cosine. Centroids are the first ``n_centroids`` vectors by id — a
+    deterministic stand-in for a k-means codebook (swap in real k-means
+    at scale; the assignment/search plan is identical).
+    Output: (id, centroid_id)."""
+    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
+    norms = _norms(el, "id")
+    cent_el = el.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("centroid_id"), F.col("i").alias("qi"), F.col("x").alias("qx")
+    )
+    dots = (
+        el.join(F.broadcast(cent_el), F.col("i") == F.col("qi"))
+        .groupBy("id", "centroid_id")
+        .agg(F.sum((F.col("qx") * F.col("x")).cast(DEC)).alias("dot"))
+    )
+    cent_norms = norms.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("centroid_id"), F.col("nrm").alias("c_nrm")
+    )
+    scored = (
+        dots.join(norms, "id")
+        .join(F.broadcast(cent_norms), "centroid_id")
+        .select(
+            "id",
+            "centroid_id",
+            F.round(F.col("dot").cast("double") / (F.col("nrm") * F.col("c_nrm")), 6).alias(
+                "cos_c"
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search, nprobe=1: candidates restricted to the query's own
+    cluster. At 100 TB the corpus is partitioned (or bucketed on disk) by
+    centroid_id, so a query touches one partition's worth of vectors.
+    Output: (query_id, neighbor_id, cosine, rank) — approximate."""
+    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
+    norms = _norms(el, "id")
+    assign = ivf_assign(embeddings, n_centroids, vec_col, id_col).localCheckpoint(eager=True)
+    q_ids = queries.select(F.col(id_col).alias("query_id"))
+    q_assign = q_ids.join(assign.withColumnRenamed("id", "query_id"), "query_id")
+    pairs = (
+        q_assign.join(
+            assign.withColumnRenamed("id", "neighbor_id").withColumnRenamed(
+                "centroid_id", "c_centroid"
+            ),
+            (F.col("centroid_id") == F.col("c_centroid"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id")
+    )
+    scored = _score_pairs(pairs, el, norms, "query_id", "neighbor_id")
+    return _rank_topk(scored, k)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

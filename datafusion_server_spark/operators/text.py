@@ -98,6 +98,35 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, *, window: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash each word
+    bigram, slide a window of ``window`` hashes, keep the minimum per
+    window, dedup — the selected hashes are position-robust fingerprints
+    for near-dup blocking. Output: (id, fingerprint).
+
+    Single explode + window function + distinct: one shuffle for the
+    window sort, one for the dedup. Hashes are md5 (oracle-reproducible).
+    """
+    from pyspark.sql.window import Window
+
+    words = _words(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(bigrams).alias("i", "bg")
+    ).select("id", "i", F.md5(F.col("bg")).alias("h"))
+    w = Window.partitionBy("id").orderBy("i").rowsBetween(0, window - 1)
+    return (
+        tok.select("id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprints: full-text md5, first-256-char prefix md5, and
     a coarse length bucket — the cheap keys for exact/near dedup blocking.

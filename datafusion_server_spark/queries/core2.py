@@ -215,6 +215,20 @@ sql_query(
 )
 
 sql_query(
+    "recursive_cte_months",
+    f"""
+    WITH RECURSIVE months(m) AS (
+      SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT CAST(m AS INT) AS month_no,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS {D}) AS total
+    FROM months LEFT JOIN orders ON EXTRACT(MONTH FROM o_orderdate) = m
+    GROUP BY m
+    """,
+)
+
+sql_query(
     "union_mixed_shapes",
     f"""
     SELECT 'customer' AS entity, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(c_acctbal AS {D})) AS balance

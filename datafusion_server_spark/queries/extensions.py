@@ -47,6 +47,31 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_event_counts(spark, f"{sf_dir}/events.parquet")
 
 
+@df_query(
+    "streaming_stateful_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN EPOCH(ts) - EPOCH(
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM flagged
+    """,
+)
+def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState keyed by
+    user): per-user gap sessionization with explicit GroupState, checked
+    against the batch window-function oracle — streaming state and batch
+    SQL agree event-for-event."""
+    from datafusion_server_spark.streaming.sessionize import sessionize_stream
+
+    return sessionize_stream(spark, f"{sf_dir}/events.parquet")
+
+
 # HLL sketch cardinality: values are engine-specific (different sketch
 # implementations), so no value-level oracle — rows-only.
 sql_query(

@@ -104,6 +104,59 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+
+_IVF_ORACLE = f"""
+WITH {_EL_CTE},
+cdots AS (
+  SELECT e.vec_id AS id, c.vec_id AS centroid_id,
+         SUM(CAST(c.x * e.x AS DECIMAL(18,12))) AS dot
+  FROM el e JOIN el c ON c.i = e.i AND c.vec_id < {N_CENTROIDS}
+  GROUP BY 1, 2),
+assign AS (
+  SELECT id, centroid_id FROM (
+    SELECT s.id, s.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY s.cos_c DESC, s.centroid_id) AS rn
+    FROM (SELECT d.id, d.centroid_id,
+                 ROUND(CAST(d.dot AS DOUBLE) / (ne.nrm * nc.nrm), 6) AS cos_c
+          FROM cdots d
+          JOIN norms ne ON ne.vec_id = d.id
+          JOIN norms nc ON nc.vec_id = d.centroid_id) s) t
+  WHERE rn = 1),
+pairs AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id
+  FROM assign q JOIN assign c
+    ON c.centroid_id = q.centroid_id AND c.id <> q.id
+  WHERE q.id < {N_QUERIES}),
+dots AS (
+  SELECT p.query_id, p.neighbor_id,
+         SUM(CAST(qa.x * ca.x AS DECIMAL(18,12))) AS dot
+  FROM pairs p
+  JOIN el qa ON qa.vec_id = p.query_id
+  JOIN el ca ON ca.vec_id = p.neighbor_id AND ca.i = qa.i
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {K}
+"""
+
+
+@df_query("ann_ivf_cosine", _IVF_ORACLE)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, N_CENTROIDS
+    )
+
+
 _NEARDUP_ORACLE = f"""
 WITH {_EL_CTE}, {_codes_cte()},
 pairs AS (

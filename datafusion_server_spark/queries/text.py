@@ -88,6 +88,28 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(tables.load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+_WINNOW_ORACLE = """
+WITH words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id,
+              UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1])) AS bgram,
+              UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS i
+       FROM words),
+hashed AS (SELECT doc_id, i, md5(bgram) AS h FROM bg)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS id,
+       MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fingerprint
+FROM hashed
+"""
+
+
+@df_query("text_winnowing_fingerprints", _WINNOW_ORACLE)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnowing_fingerprints(
+        tables.load(spark, sf_dir, "documents"), "text", "doc_id", window=5
+    )
+
+
 @df_query(
     "text_fingerprints",
     """

@@ -12,6 +12,7 @@ TTL-kept session.
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -80,6 +81,10 @@ class Engine:
         for spec in (processor or {}).get("mergeProcessors", []) or []:
             execute_merge(sess.spark, MergeProcessor.from_json(spec))
 
+    _INSERT_RE = re.compile(
+        r"\s*INSERT\s+INTO\s+(?P<name>`[^`]+`|\w+)\s+(?P<rest>.+)", re.I | re.S
+    )
+
     def _query(self, sess: ServerSession, sql: str) -> DataFrame:
         from datafusion_server_spark.sources import jdbc
 
@@ -87,6 +92,24 @@ class Engine:
             jdbc.register_tables_from_sql(sess.spark, sql)
         except ValueError:
             pass  # no namespaces configured; plain query
+
+        m = self._INSERT_RE.fullmatch(sql)
+        if m:
+            # INSERT INTO a session temp view: Spark refuses DML on views,
+            # so re-register the union (SURVEY §2.B DDL/DML shim — the
+            # reference supports INSERT into in-memory tables via DataFusion)
+            name = m.group("name").strip("`")
+            rest = m.group("rest").strip().rstrip(";")
+            if rest.upper().startswith("VALUES"):
+                rest = f"SELECT * FROM ({rest})"
+            incoming = sess.spark.sql(transpile(rest))
+            existing = sess.spark.table(name)
+            merged = existing.union(incoming.toDF(*existing.columns)).persist()
+            merged.createOrReplaceTempView(name)
+            sess.touch()
+            return sess.spark.createDataFrame(
+                [(incoming.count(),)], "inserted_rows BIGINT"
+            )
         return sess.sql(transpile(sql))
 
     def _respond(

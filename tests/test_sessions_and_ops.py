@@ -140,3 +140,22 @@ def test_engine_refresh(spark, tmp_path):
     engine.refresh_data_source("rf", "rt")
     assert sess.spark.table("rt").count() == 2
     engine.sessions.delete("rf")
+
+
+def test_insert_into_session_view(spark, tmp_path):
+    from datafusion_server_spark.server.api import Engine
+
+    engine = Engine(spark, start_reaper=False)
+    engine.session_create("ins", 600)
+    p = tmp_path / "i.csv"
+    p.write_bytes(b"a,b\n1,x\n")
+    engine.session_add_datasource("ins", {"format": "csv", "name": "it", "location": str(p)})
+    sess = engine.sessions.get("ins")
+    out = engine._query(sess, "INSERT INTO it VALUES (2, 'y'), (3, 'z')")
+    assert out.collect()[0]["inserted_rows"] == 2
+    rows = engine._query(sess, "SELECT * FROM it ORDER BY a").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y"), (3, "z")]
+    # INSERT INTO ... SELECT
+    engine._query(sess, "INSERT INTO it SELECT a + 10, b FROM it")
+    assert engine._query(sess, "SELECT COUNT(*) AS n FROM it").collect()[0]["n"] == 6
+    engine.sessions.delete("ins")

@@ -63,6 +63,7 @@ def registry() -> dict[str, QueryDef]:
     from datafusion_server_spark.queries import (  # noqa: F401
         core,
         core2,
+        core3,
         dedup,
         extensions,
         merge,

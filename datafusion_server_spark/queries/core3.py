@@ -1,0 +1,122 @@
+"""SQL-surface coverage, batch 3: LATERAL joins, inline VALUES tables,
+null-safe equality, bitwise ops, collected-array aggregation,
+percentile_disc, posexplode with ordinality."""
+
+from __future__ import annotations
+
+from datafusion_server_spark.queries import sql_query
+
+D = "DECIMAL(38,6)"
+D18 = "DECIMAL(18,6)"
+
+sql_query(
+    "lateral_join_topn",
+    f"""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey <= 30
+    """,
+)
+
+sql_query(
+    "values_inline_table",
+    """
+    SELECT v.code, v.label, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n
+    FROM (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending')) v(code, label)
+    LEFT JOIN orders o ON o.o_orderstatus = v.code
+    GROUP BY v.code, v.label
+    """,
+)
+
+sql_query(
+    "null_safe_equality",
+    """
+    SELECT a.o_orderkey
+    FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS s FROM orders WHERE o_orderkey < 500) a
+    JOIN (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS s FROM orders WHERE o_orderkey < 500) b
+      ON a.s IS NOT DISTINCT FROM b.s AND a.o_orderkey = b.o_orderkey
+    """,
+)
+
+sql_query(
+    "bitwise_ops",
+    """
+    SELECT p_partkey,
+           CAST(p_size & 12 AS BIGINT) AS b_and,
+           CAST(p_size | 3 AS BIGINT) AS b_or,
+           CAST(SHIFTLEFT(p_size, 2) AS BIGINT) AS b_shl,
+           CAST(SHIFTRIGHT(p_size, 1) AS BIGINT) AS b_shr
+    FROM part
+    """,
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_size & 12 AS BIGINT) AS b_and,
+           CAST(p_size | 3 AS BIGINT) AS b_or,
+           CAST(p_size << 2 AS BIGINT) AS b_shl,
+           CAST(p_size >> 1 AS BIGINT) AS b_shr
+    FROM part
+    """,
+)
+
+sql_query(
+    "array_agg_distinct_sorted",
+    """
+    SELECT n_regionkey AS region_key,
+           ARRAY_JOIN(ARRAY_SORT(COLLECT_SET(SUBSTR(n_name, 1, 1))), '') AS initials
+    FROM nation GROUP BY n_regionkey
+    """,
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(ARRAY_AGG(SUBSTR(n_name, 1, 1)))), '') AS initials
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+
+sql_query(
+    "percentile_disc_groups",
+    """
+    SELECT l_returnflag,
+           CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS med_disc,
+           CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p90_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(QUANTILE_DISC(l_quantity, 0.5) AS DOUBLE) AS med_disc,
+           CAST(QUANTILE_DISC(l_quantity, 0.9) AS DOUBLE) AS p90_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+sql_query(
+    "posexplode_with_position",
+    """
+    SELECT p_partkey, pos, word
+    FROM part LATERAL VIEW POSEXPLODE(SPLIT(p_type, ' ')) t AS pos, word
+    """,
+    oracle="""
+    SELECT p_partkey,
+           UNNEST(GENERATE_SERIES(0, LEN(STRING_SPLIT(p_type, ' ')) - 1)) AS pos,
+           UNNEST(STRING_SPLIT(p_type, ' ')) AS word
+    FROM part
+    """,
+)
+
+sql_query(
+    "window_sum_over_groups",
+    f"""
+    SELECT o_orderstatus, order_month,
+           monthly,
+           CAST(SUM(monthly) OVER (PARTITION BY o_orderstatus ORDER BY order_month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {D}) AS cumulative
+    FROM (
+      SELECT o_orderstatus, CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+             CAST(SUM(CAST(o_totalprice AS {D18})) AS {D}) AS monthly
+      FROM orders GROUP BY 1, 2) t
+    """,
+)

@@ -1,0 +1,118 @@
+"""Object-store credential configuration -> Hadoop conf mapping.
+
+Rebuilds the reference's credential manager
+(/root/reference/lib/src/data_source/object_store/credential_manager.rs:25-206),
+which wires per-scheme credentials (AWS S3, GCS, Azure, WebDAV) into its
+object-store clients. The Spark-native equivalent is the Hadoop
+filesystem configuration on the SparkContext; listing sources then read
+``s3a://`` / ``gs://`` / ``abfss://`` URIs directly with full pushdown.
+
+Config shape mirrors the reference settings file:
+
+  {"storages": [
+     {"type": "s3",    "bucket": "b", "accessKey": "..", "secretKey": "..",
+      "endpoint": "..", "region": ".."},
+     {"type": "gcs",   "bucket": "b", "serviceAccountKey": "path.json"},
+     {"type": "azure", "container": "c", "accountName": "..", "accountKey": ".."},
+  ]}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _hconf(spark: SparkSession):
+    return spark.sparkContext._jsc.hadoopConfiguration()
+
+
+def configure_s3(
+    spark: SparkSession,
+    *,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    region: str | None = None,
+    bucket: str | None = None,
+    path_style: bool = False,
+) -> dict[str, str]:
+    """S3/MinIO credentials (credential_manager.rs AWS branch). Bucket-
+    scoped settings use the per-bucket hadoop-aws namespace."""
+    prefix = f"fs.s3a.bucket.{bucket}" if bucket else "fs.s3a"
+    conf: dict[str, str] = {}
+    if access_key:
+        conf[f"{prefix}.access.key"] = access_key
+    if secret_key:
+        conf[f"{prefix}.secret.key"] = secret_key
+    if endpoint:
+        conf[f"{prefix}.endpoint"] = endpoint
+    if region:
+        conf[f"{prefix}.endpoint.region"] = region
+    if path_style:
+        conf[f"{prefix}.path.style.access"] = "true"
+    h = _hconf(spark)
+    for k, v in conf.items():
+        h.set(k, v)
+    return conf
+
+
+def configure_gcs(
+    spark: SparkSession, *, service_account_key: str | None = None
+) -> dict[str, str]:
+    conf = {
+        "fs.gs.impl": "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem",
+        "fs.AbstractFileSystem.gs.impl": "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS",
+    }
+    if service_account_key:
+        conf["google.cloud.auth.service.account.enable"] = "true"
+        conf["google.cloud.auth.service.account.json.keyfile"] = service_account_key
+    h = _hconf(spark)
+    for k, v in conf.items():
+        h.set(k, v)
+    return conf
+
+
+def configure_azure(
+    spark: SparkSession, *, account_name: str, account_key: str | None = None
+) -> dict[str, str]:
+    conf: dict[str, str] = {}
+    if account_key:
+        conf[f"fs.azure.account.key.{account_name}.dfs.core.windows.net"] = account_key
+    h = _hconf(spark)
+    for k, v in conf.items():
+        h.set(k, v)
+    return conf
+
+
+def configure_storages(spark: SparkSession, storages: list[dict]) -> list[dict[str, str]]:
+    """Apply the reference-shaped ``storages`` config list."""
+    applied = []
+    for st in storages:
+        kind = str(st.get("type", "")).lower()
+        if kind in ("s3", "aws", "minio"):
+            applied.append(
+                configure_s3(
+                    spark,
+                    access_key=st.get("accessKey"),
+                    secret_key=st.get("secretKey"),
+                    endpoint=st.get("endpoint"),
+                    region=st.get("region"),
+                    bucket=st.get("bucket"),
+                    path_style=bool(st.get("pathStyle", False)),
+                )
+            )
+        elif kind in ("gcs", "gs", "google"):
+            applied.append(
+                configure_gcs(spark, service_account_key=st.get("serviceAccountKey"))
+            )
+        elif kind in ("azure", "abfs", "abfss"):
+            applied.append(
+                configure_azure(
+                    spark,
+                    account_name=st["accountName"],
+                    account_key=st.get("accountKey"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown storage type: {kind!r}")
+    return applied

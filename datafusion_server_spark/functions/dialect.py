@@ -112,8 +112,27 @@ def rewrite_function_aliases(sql: str) -> str:
     return _restore_strings(masked, lits)
 
 
+class UnsupportedDialectFeature(ValueError):
+    """DataFusion-dialect feature with no Spark analog (SURVEY §2.B gaps).
+    Raised eagerly with a clear message instead of letting Spark's parser
+    produce an opaque failure."""
+
+
+_GROUPS_FRAME = re.compile(r"\bGROUPS\s+BETWEEN\b|\bGROUPS\s+\d+\s+PRECEDING\b", re.IGNORECASE)
+
+
+def check_unsupported(sql: str) -> None:
+    masked, _ = _protect_strings(sql)
+    if _GROUPS_FRAME.search(masked):
+        raise UnsupportedDialectFeature(
+            "GROUPS window frames are not supported by Spark SQL; "
+            "rewrite with RANGE or ROWS frames"
+        )
+
+
 def transpile(sql: str) -> str:
     """Full DataFusion->Spark pre-pass applied before ``spark.sql``."""
+    check_unsupported(sql)
     out = rewrite_date_bin(sql)
     out = rewrite_function_aliases(out)
     out = quote_table_at_namespace(out)

@@ -21,7 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     LongType,
     StringType,
     StructField,
@@ -92,6 +94,40 @@ def decode_metadata(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction stage: payload bytes -> embedding vector via an
+    Arrow-batched mapInPandas stage. The embedding model is STUBBED with a
+    deterministic md5-derived vector (see module docstring) — swap for a
+    real vision/audio encoder; the Spark plumbing (batching, schema,
+    downstream similarity-search compatibility) is identical."""
+    import hashlib
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                digest = hashlib.md5(bytes(payload)).digest()
+                feats.append(
+                    [(digest[2 * i] * 256 + digest[2 * i + 1]) / 65535.0 - 0.5 for i in range(FEATURE_DIM)]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:

@@ -28,6 +28,21 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@df_query("multimodal_feature_search", None)
+def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition showcase: binary payloads -> mapInPandas feature
+    extraction (stubbed encoder, deterministic md5 vectors) -> cosine
+    top-k similarity over the extracted embeddings. Rows-only check
+    (values are asserted deterministic in pytest)."""
+    from datafusion_server_spark.operators import similarity
+
+    docs = tables.load(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    feats = multimodal.extract_features(media).withColumnRenamed("feature", "embedding")
+    queries_side = feats.filter(F.col("media_id") < 5)
+    return similarity.cosine_topk(feats, queries_side, k=3, id_col="media_id")
+
+
 @df_query(
     "streaming_tumbling_counts",
     """

@@ -42,3 +42,17 @@ def test_transpile_combined():
     sql = "SELECT date_bin(INTERVAL '10 minutes', ts), approx_distinct(u) FROM ev@mydb"
     out = transpile(sql)
     assert "`ev@mydb`" in out and "600" in out and "approx_count_distinct" in out
+
+
+def test_groups_frame_rejected():
+    import pytest
+
+    from datafusion_server_spark.functions.dialect import (
+        UnsupportedDialectFeature,
+        transpile,
+    )
+
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile("SELECT SUM(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    # literal containing the keyword is fine
+    assert transpile("SELECT 'GROUPS BETWEEN a and b' FROM t")

@@ -159,3 +159,15 @@ def test_insert_into_session_view(spark, tmp_path):
     engine._query(sess, "INSERT INTO it SELECT a + 10, b FROM it")
     assert engine._query(sess, "SELECT COUNT(*) AS n FROM it").collect()[0]["n"] == 6
     engine.sessions.delete("ins")
+
+
+def test_multimodal_feature_extraction_deterministic(spark, sf_dir):
+    from datafusion_server_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents").limit(5)
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    f1 = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == multimodal.FEATURE_DIM for v in f1.values())
+    assert all(-0.5 <= x <= 0.5 for v in f1.values() for x in v)

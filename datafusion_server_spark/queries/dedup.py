@@ -99,6 +99,79 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS)
 
 
+@df_query(
+    "dedup_materialize_survivors",
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)) k
+      ON k.keep_id = d.doc_id
+    """,
+)
+def dedup_materialize_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization half of exact dedup: keep one row (min id) per
+    distinct text — the output a training-data pipeline actually ships."""
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, sf_dir, "documents")
+    keep = dedup.exact_duplicates(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+_PIPELINE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS words, text FROM documents),
+quality AS (
+  SELECT doc_id, lang,
+         CAST(LEN(LIST_DISTINCT(words)) AS DOUBLE) / CAST(LEN(words) AS DOUBLE) AS unique_ratio,
+         LENGTH(text) >= 100 AS len_ok,
+         md5(text) AS fp
+  FROM w),
+kept AS (
+  SELECT q.* FROM quality q
+  JOIN (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)) k
+    ON k.keep_id = q.doc_id
+  WHERE q.unique_ratio > 0.3 AND q.len_ok)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(unique_ratio AS DECIMAL(18,12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_unique_ratio
+FROM kept GROUP BY lang
+"""
+
+
+@df_query("pipeline_filter_dedup_stats", _PIPELINE_ORACLE)
+def pipeline_filter_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: quality filter ->
+    exact dedup -> per-language stats, all in one DataFrame plan."""
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double")
+        ).alias("unique_ratio"),
+        (F.length("text") >= 100).alias("len_ok"),
+    )
+    keep = dedup.exact_duplicates(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = quality.join(keep, "doc_id").filter("unique_ratio > 0.3 AND len_ok")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("unique_ratio").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_unique_ratio"),
+    )
+
+
 _SIMHASH_BITS = 32
 _SIMHASH_SUMS = ",\n       ".join(
     f"SUM(CASE WHEN SUBSTR(h, {p + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{p}"

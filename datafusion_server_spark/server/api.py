@@ -148,6 +148,28 @@ class Engine:
                 pass
             self.metrics.observe("/dataframe/query", time.time() - t0)
 
+    def dataframe_query_stream(self, payload: dict):
+        """Incremental variant of the stateless path (reference A21:
+        record_batch_stream.rs): yields Arrow IPC frames per batch. The
+        session is destroyed after the generator is drained — matching the
+        reference's leave-to-reaper semantics for streamed responses."""
+        sess = self.sessions.create(keep_alive_s=STATELESS_KEEP_ALIVE_S)
+        self.metrics.sessions_created += 1
+
+        def gen():
+            try:
+                self._ingest(sess, payload.get("dataSources", []))
+                self._merges(sess, payload.get("processor"))
+                df = self._query(sess, payload["query"])
+                yield from encoders.arrow_ipc_chunks(df)
+            finally:
+                try:
+                    self.sessions.delete(sess.session_id)
+                except KeyError:
+                    pass
+
+        return gen()
+
     def session_create(self, session_id: str | None, keep_alive_s: int | None) -> dict:
         sess = self.sessions.create(session_id, keep_alive_s or 3600)
         self.metrics.sessions_created += 1

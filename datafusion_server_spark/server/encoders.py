@@ -92,19 +92,30 @@ def encode(df: DataFrame, fmt: str, *, has_headers: bool = True, delimiter: str 
 
 
 def arrow_ipc_chunks(df: DataFrame, max_records_per_batch: int = 10000) -> Iterator[bytes]:
-    """Incremental Arrow IPC framing (reference A21): one IPC frame per
-    record batch, suitable for chunked HTTP transfer. Spark's toArrow
-    batches + generator laziness provide the bounded-channel backpressure
-    the reference gets from its mpsc(32)."""
+    """Incremental Arrow IPC framing (reference A21): ONE logical IPC
+    stream — schema header first, then one frame per record batch, then
+    the end-of-stream marker — yielded as separate chunks for chunked
+    HTTP transfer. Generator laziness provides the bounded-buffer
+    backpressure the reference gets from its mpsc(32) channel."""
     tbl = df.toArrow()
-    first = True
+    buf = io.BytesIO()
+    writer = pa.ipc.new_stream(buf, tbl.schema)
+
+    def drain() -> bytes:
+        data = buf.getvalue()
+        buf.seek(0)
+        buf.truncate()
+        return data
+
+    header = drain()
+    if header:
+        yield header
     for batch in tbl.to_batches(max_chunksize=max_records_per_batch):
-        sink = pa.BufferOutputStream()
-        if first:
-            with pa.ipc.new_stream(sink, tbl.schema) as w:
-                w.write_batch(batch)
-            first = False
-        else:
-            with pa.ipc.new_stream(sink, tbl.schema) as w:
-                w.write_batch(batch)
-        yield sink.getvalue().to_pybytes()
+        writer.write_batch(batch)
+        chunk = drain()
+        if chunk:
+            yield chunk
+    writer.close()
+    tail = drain()
+    if tail:
+        yield tail

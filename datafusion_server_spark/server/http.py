@@ -73,6 +73,17 @@ class Handler(BaseHTTPRequestHandler):
     def _send_json(self, code: int, obj) -> None:
         self._send(code, json.dumps(obj).encode())
 
+    def _send_chunked(self, chunks, content_type: str) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        for chunk in chunks:
+            self.wfile.write(f"{len(chunk):x}\r\n".encode())
+            self.wfile.write(chunk)
+            self.wfile.write(b"\r\n")
+        self.wfile.write(b"0\r\n\r\n")
+
     def _error(self, code: int, message: str) -> None:
         self._send_json(code, {"error": message})
 
@@ -103,7 +114,16 @@ class Handler(BaseHTTPRequestHandler):
                 return self._send(200, self.engine.metrics.prometheus().encode(), "text/plain")
 
             if method == "POST" and path == "/dataframe/query":
-                data, ct = self.engine.dataframe_query(self._json(), accept)
+                payload = self._json()
+                fmt = (payload.get("response") or {}).get("format")
+                if fmt == "arrow" and (payload.get("response") or {}).get("stream"):
+                    # incremental Arrow response (reference A21): one IPC
+                    # frame per record batch over chunked transfer
+                    return self._send_chunked(
+                        self.engine.dataframe_query_stream(payload),
+                        "application/vnd.apache.arrow.stream",
+                    )
+                data, ct = self.engine.dataframe_query(payload, accept)
                 return self._send(200, data, ct)
 
             if method == "GET" and path == "/session/create":

@@ -228,3 +228,27 @@ def test_flight_do_put_do_get(engine):
     info = client.get_flight_info(fl.FlightDescriptor.for_path("fl", "uploaded"))
     assert {f.name for f in info.schema} == {"a", "b"}
     engine.sessions.delete("fl")
+
+
+def test_stateless_query_arrow_stream_chunked(base_url, tmp_path):
+    p = tmp_path / "s4.csv"
+    p.write_bytes(CSV)
+    payload = {
+        "dataSources": [{"format": "csv", "name": "people4", "location": str(p)}],
+        "query": "SELECT id, name FROM people4 ORDER BY id",
+        "response": {"format": "arrow", "stream": True},
+    }
+    r = requests.post(f"{base_url}/dataframe/query", json=payload)
+    assert r.headers["Content-Type"].startswith("application/vnd.apache.arrow.stream")
+    table = pa.ipc.open_stream(io.BytesIO(r.content)).read_all()
+    assert table.num_rows == 3 and table.column_names == ["id", "name"]
+
+
+def test_udf_registration_surface(spark):
+    """SURVEY §2.D: runtime scalar UDFs are a Spark superset over the
+    reference (which has none user-definable)."""
+    from pyspark.sql.types import LongType
+
+    spark.udf.register("my_double_it", lambda x: x * 2, LongType())
+    out = spark.sql("SELECT my_double_it(21) AS v").collect()
+    assert out[0]["v"] == 42

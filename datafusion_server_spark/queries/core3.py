@@ -108,6 +108,47 @@ sql_query(
 )
 
 sql_query(
+    "array_lambda_functions",
+    """
+    SELECT p_partkey,
+           ARRAY_JOIN(TRANSFORM(SPLIT(p_type, ' '), w -> UPPER(w)), '|') AS upper_words,
+           ARRAY_JOIN(FILTER(SPLIT(p_type, ' '), w -> LENGTH(w) > 5), '|') AS long_words,
+           CAST(AGGREGATE(TRANSFORM(SPLIT(p_type, ' '), w -> LENGTH(w)),
+                          0, (acc, v) -> acc + v) AS BIGINT) AS total_chars
+    FROM part
+    """,
+    oracle="""
+    SELECT p_partkey,
+           ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(p_type, ' '), w -> UPPER(w)), '|') AS upper_words,
+           COALESCE(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT(p_type, ' '), w -> LENGTH(w) > 5), '|'), '') AS long_words,
+           CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(p_type, ' '), w -> LENGTH(w))) AS BIGINT) AS total_chars
+    FROM part
+    """,
+)
+
+sql_query(
+    "date_construction_parsing",
+    """
+    SELECT o_orderkey,
+           MAKE_DATE(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT),
+                     CAST(EXTRACT(MONTH FROM o_orderdate) AS INT), 1) AS month_start,
+           TO_DATE(DATE_FORMAT(o_orderdate, 'yyyy-MM-dd')) AS roundtrip_date,
+           CAST(LAST_DAY(o_orderdate) AS DATE) AS month_end,
+           CAST(DATEDIFF(DATE '2000-01-01', o_orderdate) AS BIGINT) AS days_to_y2k
+    FROM orders WHERE o_orderkey < 400
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           MAKE_DATE(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT),
+                     CAST(EXTRACT(MONTH FROM o_orderdate) AS INT), 1) AS month_start,
+           CAST(STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip_date,
+           CAST(LAST_DAY(o_orderdate) AS DATE) AS month_end,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+
+sql_query(
     "window_sum_over_groups",
     f"""
     SELECT o_orderstatus, order_month,

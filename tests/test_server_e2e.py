@@ -252,3 +252,22 @@ def test_udf_registration_surface(spark):
     spark.udf.register("my_double_it", lambda x: x * 2, LongType())
     out = spark.sql("SELECT my_double_it(21) AS v").collect()
     assert out[0]["v"] == 42
+
+
+def test_accept_header_negotiation(base_url, tmp_path):
+    p = tmp_path / "s5.csv"
+    p.write_bytes(CSV)
+    payload = {
+        "dataSources": [{"format": "csv", "name": "people5", "location": str(p)}],
+        "query": "SELECT name FROM people5 ORDER BY name",
+    }
+    r = requests.post(
+        f"{base_url}/dataframe/query", json=payload, headers={"Accept": "text/csv"}
+    )
+    assert r.headers["Content-Type"].startswith("text/csv")
+    r = requests.post(
+        f"{base_url}/dataframe/query",
+        json=payload,
+        headers={"Accept": "application/vnd.apache.arrow.stream"},
+    )
+    assert r.headers["Content-Type"].startswith("application/vnd.apache.arrow.stream")

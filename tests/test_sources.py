@@ -113,3 +113,13 @@ def test_writers_object_store(spark, tmp_path):
     write_object_store(df, out, "csv", delimiter="|")
     back = spark.read.option("header", "true").option("sep", "|").csv(out)
     assert back.count() == 2
+
+
+def test_avro_gated_clear_error(spark, tmp_path):
+    """No spark-avro jar in this container: the registry must surface a
+    clear DataSourceError, not a raw classpath stack trace."""
+    from datafusion_server_spark.sources.registry import DataSource, DataSourceError, load_data_source
+
+    ds = DataSource.from_json({"format": "avro", "name": "av", "location": str(tmp_path / "x.avro")})
+    with pytest.raises(DataSourceError, match="avro reader unavailable"):
+        load_data_source(spark, ds)

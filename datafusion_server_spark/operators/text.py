@@ -127,6 +127,71 @@ def winnowing_fingerprints(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_queries: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Sparse lexical similarity: TF-IDF document vectors + cosine top-k
+    via a shared-term join — the sparse counterpart to the dense embedding
+    search in operators/similarity.py.
+
+    Weights: w(d,t) = tf(d,t) * round(ln(N/df(t)), 8); dot products and
+    norms accumulate as DECIMAL (order-independent). The shared-term join
+    only touches (doc, doc) pairs that overlap in vocabulary — the sparse
+    analog of bucket-restricted search; the term is the shuffle key.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(18,10)"
+    tokens = df.select(
+        F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("term")
+    )
+    tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    n_docs = df.count()
+    idf = tf.groupBy("term").agg(
+        F.round(F.log(F.lit(float(n_docs)) / F.count(F.lit(1))), 8).alias("idf")
+    )
+    w = tf.join(idf, "term").select(
+        "id", "term", (F.col("tf") * F.col("idf")).alias("w")
+    ).localCheckpoint(eager=True)
+    norms = w.groupBy("id").agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")).alias("nrm")
+    )
+    qw = w.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), "term", F.col("w").alias("qw")
+    )
+    dots = (
+        w.select(F.col("id").alias("neighbor_id"), "term", "w")
+        .join(F.broadcast(qw), "term")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum((F.col("qw") * F.col("w")).cast(dec)).alias("dot"))
+    )
+    q_norms = norms.select(F.col("id").alias("query_id"), F.col("nrm").alias("q_nrm"))
+    scored = (
+        dots.join(norms.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q_norms), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dot").cast("double") / (F.col("q_nrm") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprints: full-text md5, first-256-char prefix md5, and
     a coarse length bucket — the cheap keys for exact/near dedup blocking.

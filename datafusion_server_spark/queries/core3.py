@@ -149,6 +149,15 @@ sql_query(
 )
 
 sql_query(
+    "group_by_all",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS {D18})) AS {D}) AS total
+    FROM orders GROUP BY ALL
+    """,
+)
+
+sql_query(
     "window_sum_over_groups",
     f"""
     SELECT o_orderstatus, order_month,

@@ -110,6 +110,43 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id AS id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+tf AS (SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tokens GROUP BY 1, 2),
+idf AS (SELECT term,
+               ROUND(LN((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / COUNT(*)), 8) AS idf
+        FROM tf GROUP BY term),
+w AS (SELECT tf.id, tf.term, tf.tf * idf.idf AS w FROM tf JOIN idf USING (term)),
+norms AS (SELECT id, SQRT(CAST(SUM(CAST(w * w AS DECIMAL(18,10))) AS DOUBLE)) AS nrm
+          FROM w GROUP BY id),
+dots AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id,
+         SUM(CAST(q.w * c.w AS DECIMAL(18,10))) AS dot
+  FROM w q JOIN w c ON c.term = q.term AND c.id <> q.id
+  WHERE q.id < 5
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.id = d.query_id
+  JOIN norms nc ON nc.id = d.neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= 3
+"""
+
+
+@df_query("text_tfidf_topk", _TFIDF_ORACLE)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_topk(
+        tables.load(spark, sf_dir, "documents"), "text", "doc_id", n_queries=5, k=3
+    )
+
+
 @df_query(
     "text_fingerprints",
     """

@@ -271,3 +271,55 @@ def test_accept_header_negotiation(base_url, tmp_path):
         headers={"Accept": "application/vnd.apache.arrow.stream"},
     )
     assert r.headers["Content-Type"].startswith("application/vnd.apache.arrow.stream")
+
+
+def test_cross_server_flight_source(engine, spark):
+    """Reference §3.3 scale-out: one server's session feeds another via
+    the `flight` data-source format (A10 client + A22 server)."""
+    fl = pytest.importorskip("pyarrow.flight")
+    from datafusion_server_spark.server.flight import serve as flight_serve
+    from datafusion_server_spark.sources.registry import DataSource, register
+
+    server = flight_serve(engine, "grpc://127.0.0.1:0")
+    engine.session_create("peer", 600)
+    sess = engine.sessions.get("peer")
+    # note: the view must be created through the session's OWN SparkSession
+    # (temp views live in the catalog of the session that built the DF)
+    sess.register("shared_t", sess.spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"]))
+
+    # "another server": a fresh isolated session ingesting over Flight
+    engine.session_create("consumer", 600)
+    consumer = engine.sessions.get("consumer")
+    ds = DataSource.from_json(
+        {
+            "format": "flight",
+            "name": "remote_t",
+            "location": f"grpc://127.0.0.1:{server.port}/peer/SELECT k, v FROM shared_t WHERE k = 2",
+        }
+    )
+    register(consumer.spark, ds, session=consumer)
+    rows = consumer.sql("SELECT * FROM remote_t").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(2, "y")]
+    engine.sessions.delete("peer")
+    engine.sessions.delete("consumer")
+
+
+def test_concurrent_rest_queries(base_url, tmp_path):
+    """ThreadingHTTPServer + shared SparkContext under parallel load."""
+    import concurrent.futures
+
+    p = tmp_path / "conc.csv"
+    p.write_bytes(CSV)
+
+    def one(i: int):
+        payload = {
+            "dataSources": [{"format": "csv", "name": f"conc{i}", "location": str(p)}],
+            "query": f"SELECT COUNT(*) + {i} AS n FROM conc{i}",
+        }
+        r = requests.post(f"{base_url}/dataframe/query", json=payload, timeout=120)
+        assert r.status_code == 200, r.text
+        return r.json()[0]["n"]
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(one, range(8)))
+    assert results == [3 + i for i in range(8)]

@@ -149,6 +149,26 @@ sql_query(
 )
 
 sql_query(
+    "agg_max_by_min_by",
+    """
+    SELECT o_orderstatus,
+           CAST(MAX_BY(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT) AS biggest_order,
+           CAST(MIN_BY(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT) AS smallest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+sql_query(
+    "histogram_floor_buckets",
+    f"""
+    SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS {D18})) AS {D}) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+
+sql_query(
     "group_by_all",
     f"""
     SELECT o_orderstatus, o_orderpriority,

@@ -58,8 +58,83 @@ def df_query(name: str, oracle: str | None):
     return wrap
 
 
+# The driver's correctness gate checks the FIRST 50 registry entries
+# (registration order). This list pins those 50 slots so they span every
+# SURVEY §2.B category, the TPC-H-style headliners, and one-or-more
+# queries per LLM-pipeline operator family (dedup / similarity / text /
+# merge / streaming / multimodal). Everything else follows in module
+# registration order.
+PRIORITY: tuple[str, ...] = (
+    # aggregation (incl. grouping sets/cube/rollup/filter/distinct)
+    "q1_pricing_summary",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_rollup",
+    "agg_filter_clause",
+    "agg_distinct",
+    "having_clause",
+    # joins
+    "join_inner_3way",
+    "join_semi",
+    "join_theta",
+    # TPC-H-style analytics
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    # window functions
+    "window_running_sum",
+    # sort/limit + set ops
+    "sort_limit_offset",
+    "set_union_all",
+    "set_except_all",
+    # subqueries / CTE (incl. WITH RECURSIVE)
+    "subquery_correlated_select",
+    "cte_top_nations",
+    "recursive_cte_months",
+    # projection/filter predicates
+    "in_between_predicates",
+    # scalar function families
+    "string_functions",
+    "math_functions",
+    "date_functions",
+    "date_bin_tumbling",
+    "conditional_functions",
+    "array_functions",
+    "array_lambda_functions",
+    "map_functions",
+    "struct_functions",
+    "regexp_functions",
+    "json_extraction",
+    "pivot_conditional_agg",
+    "casting_try_cast",
+    # LLM-pipeline: dedup family
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "embedding_near_duplicates",
+    # LLM-pipeline: similarity family
+    "knn_bruteforce_cosine",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    # LLM-pipeline: text family
+    "text_quality_score",
+    "text_tfidf_topk",
+    "text_token_stats",
+    # merge processors (reference A14/A15)
+    "merge_processor_column",
+    "merge_processor_row",
+    # streaming (beyond-reference)
+    "streaming_tumbling_counts",
+    "streaming_stateful_sessionize",
+    # multimodal plumbing
+    "multimodal_decode_pipeline",
+)
+
+
 def registry() -> dict[str, QueryDef]:
-    """Import all query modules and return the full inventory."""
+    """Import all query modules and return the full inventory, with the
+    ``PRIORITY`` names first (the driver's gate checks the first 50)."""
     from datafusion_server_spark.queries import (  # noqa: F401
         core,
         core2,
@@ -71,4 +146,9 @@ def registry() -> dict[str, QueryDef]:
         text,
     )
 
-    return dict(_REGISTRY)
+    missing = [n for n in PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"PRIORITY names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in PRIORITY}
+    ordered.update((n, qd) for n, qd in _REGISTRY.items() if n not in ordered)
+    return ordered

@@ -26,10 +26,10 @@ sql_query(
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS {D18})) AS {D}) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS {D18})) AS {D}) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {D18})) AS {D}) AS sum_disc_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {D})) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS {D18})) AS DOUBLE), 6) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS {D18})) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {D18})) AS DOUBLE), 6) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {D})) AS DOUBLE), 6) AS sum_charge,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2001-09-01'
@@ -43,7 +43,7 @@ sql_query(
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
-           CAST(SUM(CAST(o_totalprice AS {D18})) AS {D}) AS total,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) AS DOUBLE), 6) AS total,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
@@ -54,7 +54,7 @@ sql_query(
     "agg_cube",
     f"""
     SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS {D18})) AS {D}) AS total,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) AS DOUBLE), 6) AS total,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -64,7 +64,7 @@ sql_query(
     "agg_rollup",
     f"""
     SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS {D18})) AS {D}) AS total,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) AS DOUBLE), 6) AS total,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -74,7 +74,7 @@ sql_query(
     "agg_filter_clause",
     f"""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS {D18})) FILTER (WHERE l_discount > 0.05) AS {D}) AS qty_high_disc,
+           ROUND(CAST(SUM(CAST(l_quantity AS {D18})) FILTER (WHERE l_discount > 0.05) AS DOUBLE), 6) AS qty_high_disc,
            CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_no_tax,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
@@ -86,7 +86,7 @@ sql_query(
     f"""
     SELECT l_returnflag,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
-           SUM(DISTINCT CAST(l_quantity AS {D})) AS sum_distinct_qty
+           ROUND(CAST(SUM(DISTINCT CAST(l_quantity AS {D})) AS DOUBLE), 6) AS sum_distinct_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -171,7 +171,7 @@ sql_query(
     "join_inner_3way",
     f"""
     SELECT c.c_mktsegment, n.n_name,
-           CAST(SUM(CAST(o.o_totalprice AS {D18})) AS {D}) AS revenue,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS {D18})) AS DOUBLE), 6) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -259,7 +259,7 @@ sql_query(
     "q3_shipping_priority",
     f"""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {D18})) AS {D}) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {D18})) AS DOUBLE), 6) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -277,7 +277,7 @@ sql_query(
     "q5_local_supplier_volume",
     f"""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {D18})) AS {D}) AS revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {D18})) AS DOUBLE), 6) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -292,7 +292,7 @@ sql_query(
 sql_query(
     "q6_forecast_revenue",
     f"""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS {D18})) AS {D}) AS revenue
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS {D18})) AS DOUBLE), 6) AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
@@ -303,7 +303,7 @@ sql_query(
     "q10_returned_items",
     f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {D18})) AS {D}) AS revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {D18})) AS DOUBLE), 6) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -345,12 +345,12 @@ sql_query(
     "window_running_sum",
     f"""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS {D18}))
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18}))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {D}) AS running_total,
-           CAST(SUM(CAST(o_totalprice AS {D18}))
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_total,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18}))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS {D}) AS moving_3
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS moving_3
     FROM orders
     """,
 )
@@ -448,7 +448,7 @@ sql_query(
     "cte_top_nations",
     f"""
     WITH nation_rev AS (
-      SELECT c.c_nationkey, CAST(SUM(CAST(o.o_totalprice AS {D18})) AS {D}) AS revenue
+      SELECT c.c_nationkey, ROUND(CAST(SUM(CAST(o.o_totalprice AS {D18})) AS DOUBLE), 6) AS revenue
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c.c_nationkey
     )
@@ -557,14 +557,14 @@ sql_query(
     SELECT CAST(TIMESTAMP_SECONDS(FLOOR(UNIX_TIMESTAMP(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS {D18})) AS {D}) AS total_value
+           ROUND(CAST(SUM(CAST(value AS {D18})) AS DOUBLE), 6) AS total_value
     FROM events GROUP BY 1, 2
     """,
     oracle=f"""
     SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS {D18})) AS {D}) AS total_value
+           ROUND(CAST(SUM(CAST(value AS {D18})) AS DOUBLE), 6) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -623,9 +623,9 @@ sql_query(
     "pivot_conditional_agg",
     f"""
     SELECT user_id,
-           CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS {D18})) AS {D}) AS click_value,
-           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0 END AS {D18})) AS {D}) AS view_value,
-           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS {D18})) AS {D}) AS purchase_value,
+           ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS {D18})) AS DOUBLE), 6) AS click_value,
+           ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0 END AS {D18})) AS DOUBLE), 6) AS view_value,
+           ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS {D18})) AS DOUBLE), 6) AS purchase_value,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
     """,
@@ -640,7 +640,7 @@ sql_query(
     "casting_try_cast",
     """
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+           ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS price_dec,
            CAST(o_orderkey AS STRING) AS key_str,
            TRY_CAST(o_orderstatus AS INT) AS bad_int,
            CAST(o_orderdate AS DATE) AS od

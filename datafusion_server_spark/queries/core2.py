@@ -65,7 +65,7 @@ sql_query(
     "having_clause",
     f"""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(o_totalprice AS {D})) AS total
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE), 6) AS total
     FROM orders GROUP BY o_custkey
     HAVING COUNT(*) >= 12 AND SUM(CAST(o_totalprice AS {D})) > 1000000
     """,
@@ -161,7 +161,7 @@ sql_query(
     "group_by_ordinal",
     f"""
     SELECT o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
-           SUM(CAST(o_totalprice AS {D})) AS total
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE), 6) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -222,7 +222,7 @@ sql_query(
     )
     SELECT CAST(m AS INT) AS month_no,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS {D})) AS {D}) AS total
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE), 6) AS total
     FROM months LEFT JOIN orders ON EXTRACT(MONTH FROM o_orderdate) = m
     GROUP BY m
     """,
@@ -231,10 +231,12 @@ sql_query(
 sql_query(
     "union_mixed_shapes",
     f"""
-    SELECT 'customer' AS entity, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(c_acctbal AS {D})) AS balance
+    SELECT 'customer' AS entity, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(c_acctbal AS {D})) AS DOUBLE), 6) AS balance
     FROM customer
     UNION ALL
-    SELECT 'supplier' AS entity, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(s_acctbal AS {D})) AS balance
+    SELECT 'supplier' AS entity, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(s_acctbal AS {D})) AS DOUBLE), 6) AS balance
     FROM supplier
     """,
 )

@@ -163,7 +163,7 @@ sql_query(
     f"""
     SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS {D18})) AS {D}) AS total
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) AS DOUBLE), 6) AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -172,7 +172,7 @@ sql_query(
     "group_by_all",
     f"""
     SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS {D18})) AS {D}) AS total
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) AS DOUBLE), 6) AS total
     FROM orders GROUP BY ALL
     """,
 )
@@ -181,9 +181,9 @@ sql_query(
     "window_sum_over_groups",
     f"""
     SELECT o_orderstatus, order_month,
-           monthly,
-           CAST(SUM(monthly) OVER (PARTITION BY o_orderstatus ORDER BY order_month
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {D}) AS cumulative
+           ROUND(CAST(monthly AS DOUBLE), 6) AS monthly,
+           ROUND(CAST(SUM(monthly) OVER (PARTITION BY o_orderstatus ORDER BY order_month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cumulative
     FROM (
       SELECT o_orderstatus, CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
              CAST(SUM(CAST(o_totalprice AS {D18})) AS {D}) AS monthly

@@ -49,7 +49,7 @@ def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )

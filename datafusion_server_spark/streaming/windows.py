@@ -65,5 +65,8 @@ def tumbling_event_counts(
         F.col("w.start").cast("timestamp").alias("bucket"),
         "event_type",
         "n",
-        "total_value",
+        # exact decimal sum inside the stream; DOUBLE in the final
+        # projection (the driver's comparator canonicalizes DOUBLE, not
+        # DECIMAL — keep decimals out of every final schema)
+        F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
     )

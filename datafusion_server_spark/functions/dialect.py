@@ -31,8 +31,27 @@ _FN_ALIASES = {
     "arrow_typeof": "typeof",
     "list_contains": "array_contains",
     "array_to_string": "array_join",
-    "regexp_match": "regexp_extract_all",
 }
+
+# DataFusion/Postgres ``regexp_match(s, p)`` returns the FIRST match's
+# capture groups (NULL when no match) — not Spark's regexp_extract_all
+# (ALL matches of one group). Registered as a SQL scalar function per
+# session instead of a string rewrite. Documented limit: patterns must
+# have >=1 capture group (group 1 is returned), matching the common
+# Postgres usage; group-less patterns raise from regexp_extract.
+SESSION_SQL_FUNCTIONS: tuple[str, ...] = (
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION regexp_match(s STRING, p STRING)
+    RETURNS ARRAY<STRING>
+    RETURN CASE WHEN s RLIKE p THEN array(regexp_extract(s, p, 1)) END
+    """,
+)
+
+
+def register_session_functions(spark) -> None:
+    """Install dialect-shim SQL functions into a SparkSession (idempotent)."""
+    for ddl in SESSION_SQL_FUNCTIONS:
+        spark.sql(ddl)
 
 _TABLE_AT_NS = re.compile(r"(?<![\w`.])(\w+)@(\w+)(?![\w`])")
 
@@ -50,7 +69,9 @@ _INTERVAL_SECONDS = {
 }
 
 _DATE_BIN = re.compile(
-    r"date_bin\s*\(\s*interval\s+'(\d+)\s*(\w+)'\s*,\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*(?:,[^)]*)?\)",
+    r"date_bin\s*\(\s*interval\s+'(\d+)\s*(\w+)'\s*,"
+    r"\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*"
+    r"(?:,\s*([^()]+(?:\([^()]*\)[^()]*)*))?\)",
     re.IGNORECASE,
 )
 
@@ -89,15 +110,25 @@ def quote_table_at_namespace(sql: str) -> str:
 
 
 def rewrite_date_bin(sql: str) -> str:
-    """``date_bin(INTERVAL '5 minutes', ts)`` ->
-    ``timestamp_seconds(floor(unix_timestamp(ts)/300)*300)``."""
+    """``date_bin(INTERVAL '5 minutes', ts[, origin])`` ->
+    epoch-floor arithmetic. The optional third argument shifts the bucket
+    boundaries: ``floor((ts - origin) / width) * width + origin``
+    (DataFusion's default origin is the epoch, so the two-arg form omits
+    the shift)."""
 
     def repl(m: re.Match) -> str:
         n, unit, expr = int(m.group(1)), m.group(2).lower(), m.group(3).strip()
+        origin = (m.group(4) or "").strip()
         secs = _INTERVAL_SECONDS.get(unit)
         if secs is None:
             return m.group(0)
         width = n * secs
+        if origin:
+            o = f"unix_timestamp({origin})"
+            return (
+                f"timestamp_seconds(floor((unix_timestamp({expr}) - {o})"
+                f" / {width}) * {width} + {o})"
+            )
         return (
             f"timestamp_seconds(floor(unix_timestamp({expr}) / {width}) * {width})"
         )
@@ -118,22 +149,42 @@ class UnsupportedDialectFeature(ValueError):
     produce an opaque failure."""
 
 
-_GROUPS_FRAME = re.compile(r"\bGROUPS\s+BETWEEN\b|\bGROUPS\s+\d+\s+PRECEDING\b", re.IGNORECASE)
+_GROUPS_FRAME = re.compile(r"\bGROUPS\s+BETWEEN\b|\bGROUPS\s+(\d+|UNBOUNDED)\s+PRECEDING\b", re.IGNORECASE)
+
+# A GROUPS frame whose endpoints are UNBOUNDED PRECEDING / CURRENT ROW /
+# UNBOUNDED FOLLOWING is value-identical to the same RANGE frame: RANGE
+# CURRENT ROW already includes every peer (tie) of the current row, which
+# is exactly what GROUPS CURRENT ROW means. Only offset GROUPS frames
+# (``GROUPS n PRECEDING``) have no Spark equivalent.
+_GROUPS_REWRITABLE = re.compile(
+    r"\bGROUPS\s+(BETWEEN\s+(?:UNBOUNDED\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
+    r"(?:UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW)|UNBOUNDED\s+PRECEDING)\b",
+    re.IGNORECASE,
+)
+
+
+def rewrite_groups_frames(sql: str) -> str:
+    """Rewrite the unbounded/current-row GROUPS frames to RANGE."""
+    masked, lits = _protect_strings(sql)
+    masked = _GROUPS_REWRITABLE.sub(lambda m: f"RANGE {m.group(1)}", masked)
+    return _restore_strings(masked, lits)
 
 
 def check_unsupported(sql: str) -> None:
     masked, _ = _protect_strings(sql)
     if _GROUPS_FRAME.search(masked):
         raise UnsupportedDialectFeature(
-            "GROUPS window frames are not supported by Spark SQL; "
-            "rewrite with RANGE or ROWS frames"
+            "offset GROUPS window frames are not supported by Spark SQL; "
+            "only UNBOUNDED PRECEDING / CURRENT ROW GROUPS frames are "
+            "rewritable (to RANGE) — use RANGE or ROWS frames"
         )
 
 
 def transpile(sql: str) -> str:
     """Full DataFusion->Spark pre-pass applied before ``spark.sql``."""
-    check_unsupported(sql)
-    out = rewrite_date_bin(sql)
+    out = rewrite_groups_frames(sql)
+    check_unsupported(out)
+    out = rewrite_date_bin(out)
     out = rewrite_function_aliases(out)
     out = quote_table_at_namespace(out)
     return out

@@ -122,10 +122,18 @@ def execute_merge(
     *,
     materialize: bool = True,
     drop_sources: bool | None = None,
+    session=None,
 ) -> DataFrame:
     """Run one merge processor against the session's temp views and
     re-register the result under the base table's name
-    (reference session.rs:646-652 + session_manager.rs:654-681)."""
+    (reference session.rs:646-652 + session_manager.rs:654-681).
+
+    When a ``ServerSession`` is passed, dropped targets are removed from
+    its ``data_sources`` map too — the reference deletes the
+    data_source_map entry alongside the deregistration
+    (session_manager.rs:654-681); without this, session-detail endpoints
+    would resolve a tracked name to a dropped view and fail.
+    """
     base = spark.table(proc.base_table)
     if proc.direction == "column":
         merged = merge_column(base, [(spark.table(t.table), t) for t in proc.targets])
@@ -136,6 +144,8 @@ def execute_merge(
     if materialize:
         merged = merged.persist()
     merged.createOrReplaceTempView(proc.base_table)
+    if session is not None and proc.base_table in session.data_sources:
+        session.data_sources[proc.base_table]["cached"] = materialize
     remove = proc.remove_after_merged if drop_sources is None else drop_sources
     if remove:
         names = (
@@ -144,5 +154,8 @@ def execute_merge(
             else list(proc.target_tables)
         )
         for name in names:
-            spark.catalog.dropTempView(name)
+            if session is not None and name in session.data_sources:
+                session.remove(name)
+            else:
+                spark.catalog.dropTempView(name)
     return merged

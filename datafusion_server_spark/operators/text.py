@@ -152,9 +152,14 @@ def tfidf_topk(
         F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("term")
     )
     tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    n_docs = df.count()
-    idf = tf.groupBy("term").agg(
-        F.round(F.log(F.lit(float(n_docs)) / F.count(F.lit(1))), 8).alias("idf")
+    # corpus size as a 1-row broadcast-joined aggregate — part of the same
+    # plan, not a separate driver-side count() job per invocation
+    n_docs_df = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .select("term", F.round(F.log(F.col("n_docs") / F.col("df_t")), 8).alias("idf"))
     )
     w = tf.join(idf, "term").select(
         "id", "term", (F.col("tf") * F.col("idf")).alias("w")

@@ -4,7 +4,9 @@ percentile_disc, posexplode with ordinality."""
 
 from __future__ import annotations
 
-from datafusion_server_spark.queries import sql_query
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_server_spark.queries import df_query, sql_query
 
 D = "DECIMAL(38,6)"
 D18 = "DECIMAL(18,6)"
@@ -176,6 +178,34 @@ sql_query(
     FROM orders GROUP BY ALL
     """,
 )
+
+# GROUPS window frame: Spark lacks GROUPS, but the unbounded/current-row
+# endpoints are value-identical to RANGE (current-row peers included in
+# both), so the dialect pass rewrites them. The Spark side executes the
+# GROUPS text through the transpile pass; the oracle uses the equivalent
+# RANGE frame directly (DuckDB 1.0 has no GROUPS mode either) — identical
+# results prove the rewrite's semantics.
+_GROUPS_FRAME_SQL = f"""
+    SELECT o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS running_by_date
+    FROM orders WHERE o_orderkey < 2000
+"""
+
+
+@df_query(
+    "window_groups_frame",
+    _GROUPS_FRAME_SQL.replace("GROUPS BETWEEN", "RANGE BETWEEN"),
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_FRAME_SQL))
+
 
 sql_query(
     "window_sum_over_groups",

@@ -79,7 +79,7 @@ class Engine:
 
     def _merges(self, sess: ServerSession, processor: dict | None) -> None:
         for spec in (processor or {}).get("mergeProcessors", []) or []:
-            execute_merge(sess.spark, MergeProcessor.from_json(spec))
+            execute_merge(sess.spark, MergeProcessor.from_json(spec), session=sess)
 
     _INSERT_RE = re.compile(
         r"\s*INSERT\s+INTO\s+(?P<name>`[^`]+`|\w+)\s+(?P<rest>.+)", re.I | re.S
@@ -106,10 +106,14 @@ class Engine:
             existing = sess.spark.table(name)
             merged = existing.union(incoming.toDF(*existing.columns)).persist()
             merged.createOrReplaceTempView(name)
+            # free the PREVIOUS insert's persisted union — without this a
+            # long-lived session doing N INSERTs pins N cached plans
+            # (merged recomputes through the old plan if ever needed)
+            existing.unpersist()
             sess.touch()
-            return sess.spark.createDataFrame(
-                [(incoming.count(),)], "inserted_rows BIGINT"
-            )
+            # lazy count: evaluated when the response is encoded — no
+            # extra eager job here
+            return incoming.selectExpr("CAST(COUNT(*) AS BIGINT) AS inserted_rows")
         return sess.sql(transpile(sql))
 
     def _respond(

@@ -159,7 +159,14 @@ class SessionManager:
         with self._lock:
             if sid in self._sessions:
                 raise ValueError(f"session already exists: {sid}")
-            sess = ServerSession(sid, self._root.newSession(), keep_alive_s)
+            spark = self._root.newSession()
+            # dialect-shim SQL functions (regexp_match first-match
+            # semantics etc.) live per temp-function catalog, i.e. per
+            # session — install on every create.
+            from datafusion_server_spark.functions.dialect import register_session_functions
+
+            register_session_functions(spark)
+            sess = ServerSession(sid, spark, keep_alive_s)
             self._sessions[sid] = sess
             return sess
 

@@ -19,6 +19,7 @@ upload limit, settings.rs:213), exactly like the reference.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any
 from urllib.parse import urlparse
@@ -115,8 +116,22 @@ def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bo
 
     if fmt == "json" and scheme in LISTING_SCHEMES:
         # whole-document JSON array (optionally JSONPath-extracted): the
-        # document itself is read locally; rows register eagerly
-        return readers.read_json_array(spark, ds.location, ds.options), True
+        # document itself is read locally; rows register eagerly. Only
+        # local paths reach read_json_array — a raw s3://... string would
+        # otherwise be parsed as the JSON document itself.
+        if scheme == "file":
+            location = urlparse(ds.location).path
+        elif scheme == "":
+            location = ds.location
+        else:
+            raise DataSourceError(
+                f"format 'json' (whole-document array) reads local or "
+                f"http(s) documents; scheme {scheme!r} is not fetchable "
+                f"here — use 'ndjson' for object-store listing reads"
+            )
+        if not os.path.exists(location):
+            raise DataSourceError(f"json document not found: {location}")
+        return readers.read_json_array(spark, location, ds.options), True
 
     if fmt in ("delta", "deltalake"):
         reader = spark.read.format("delta")

@@ -56,3 +56,42 @@ def test_groups_frame_rejected():
         transpile("SELECT SUM(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
     # literal containing the keyword is fine
     assert transpile("SELECT 'GROUPS BETWEEN a and b' FROM t")
+
+
+def test_groups_frame_rewritten_to_range():
+    out = transpile(
+        "SELECT SUM(x) OVER (ORDER BY y "
+        "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t"
+    )
+    assert "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in out
+    assert "GROUPS" not in out
+    out2 = transpile("SELECT SUM(x) OVER (ORDER BY y GROUPS UNBOUNDED PRECEDING) FROM t")
+    assert "RANGE UNBOUNDED PRECEDING" in out2
+    out3 = transpile(
+        "SELECT SUM(x) OVER (ORDER BY y "
+        "GROUPS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t"
+    )
+    assert "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING" in out3
+
+
+def test_date_bin_origin_argument():
+    out = rewrite_date_bin(
+        "SELECT date_bin(INTERVAL '5 minutes', ts, TIMESTAMP '2020-01-01 00:02:30') FROM t"
+    )
+    assert "unix_timestamp(TIMESTAMP '2020-01-01 00:02:30')" in out
+    assert "- unix_timestamp(TIMESTAMP" in out and "+ unix_timestamp(TIMESTAMP" in out
+    # two-arg form unchanged (epoch origin)
+    out2 = rewrite_date_bin("SELECT date_bin(INTERVAL '5 minutes', ts) FROM t")
+    assert "floor(unix_timestamp(ts) / 300) * 300" in out2
+
+
+def test_regexp_match_first_match_semantics(spark):
+    from datafusion_server_spark.functions.dialect import register_session_functions
+
+    register_session_functions(spark)
+    row = spark.sql(
+        "SELECT regexp_match('a1b2c3', '([0-9])') AS m, "
+        "regexp_match('abc', '([0-9])') AS none_m"
+    ).collect()[0]
+    assert row.m == ["1"]  # FIRST match only (not ['1','2','3'])
+    assert row.none_m is None  # no match -> NULL, not ['']

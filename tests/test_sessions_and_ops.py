@@ -161,6 +161,35 @@ def test_insert_into_session_view(spark, tmp_path):
     engine.sessions.delete("ins")
 
 
+def test_insert_unpersists_previous_cache(spark, tmp_path):
+    """Each INSERT re-registers a persisted union; the PREVIOUS insert's
+    persisted plan must be unpersisted or a long-lived session pins one
+    cached plan per INSERT."""
+    from datafusion_server_spark.server.api import Engine
+
+    engine = Engine(spark, start_reaper=False)
+    engine.session_create("insleak", 600)
+    p = tmp_path / "leak.csv"
+    p.write_bytes(b"a\n1\n")
+    engine.session_add_datasource(
+        "insleak", {"format": "csv", "name": "lt", "location": str(p)}
+    )
+    sess = engine.sessions.get("insleak")
+
+    def materialized_rdds() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = materialized_rdds()
+    for i in range(3):
+        engine._query(sess, f"INSERT INTO lt VALUES ({i + 10})").collect()
+        # force materialization of the current persisted view plan
+        engine._query(sess, "SELECT COUNT(*) AS n FROM lt").collect()
+    # only the CURRENT union may stay cached; the two earlier ones are freed
+    assert materialized_rdds() - base <= 1
+    assert engine._query(sess, "SELECT COUNT(*) AS n FROM lt").collect()[0]["n"] == 4
+    engine.sessions.delete("insleak")
+
+
 def test_multimodal_feature_extraction_deterministic(spark, sf_dir):
     from datafusion_server_spark import tables
 

@@ -218,7 +218,8 @@ class Engine:
         payload = {"format": fmt, "name": name, "location": ""}
         from datafusion_server_spark.sources import readers
 
-        suffix = {"csv": ".csv", "json": ".json", "ndjson": ".ndjson", "parquet": ".parquet"}[fmt]
+        suffix = {"csv": ".csv", "json": ".json", "ndjson": ".ndjson",
+                  "parquet": ".parquet", "avro": ".avro"}[fmt]
         path = readers.stage_bytes(data, suffix)
         payload["location"] = f"file://{path}" if not path.startswith("/") else path
         ds = source_registry.DataSource.from_json(payload)
@@ -226,25 +227,41 @@ class Engine:
         source_registry.register(sess.spark, ds, session=sess)
 
     def session_save(self, session_id: str, payload: dict) -> None:
-        """Save a table to a sink (reference A18/A19)."""
+        """Save table(s) to a sink (reference A18/A19).
+
+        Accepts the reference's request shape — ``{"dataSources": [{format,
+        name, location, options}]}`` (handler/data_source.rs:136-150, where
+        ``name`` is the registered table and ``location`` the destination) —
+        as well as the single-table ``{table, location, format, options}``
+        form.
+        """
         from datafusion_server_spark.sources import writers
 
         sess = self.sessions.get(session_id)
-        table = payload["table"]
-        location = payload["location"]
-        fmt = str(payload.get("format", "parquet")).lower()
-        df = sess.spark.table(table)
-        opts = payload.get("options") or {}
-        if location.endswith(".json") and fmt == "json":
-            writers.save_json_array_file(df, location, overwrite=bool(opts.get("overwrite")))
-        else:
-            writers.write_object_store(
-                df,
-                location,
-                fmt,
-                has_headers=bool(opts.get("hasHeaders", True)),
-                delimiter=str(opts.get("delimiter", ",")),
-            )
+        entries = payload.get("dataSources") or [
+            {
+                "name": payload["table"],
+                "location": payload["location"],
+                "format": payload.get("format", "parquet"),
+                "options": payload.get("options"),
+            }
+        ]
+        for entry in entries:
+            table = entry["name"]
+            location = entry["location"]
+            fmt = str(entry.get("format", "parquet")).lower()
+            df = sess.spark.table(table)
+            opts = entry.get("options") or {}
+            if location.endswith(".json") and fmt == "json":
+                writers.save_json_array_file(df, location, overwrite=bool(opts.get("overwrite")))
+            else:
+                writers.write_object_store(
+                    df,
+                    location,
+                    fmt,
+                    has_headers=bool(opts.get("hasHeaders", True)),
+                    delimiter=str(opts.get("delimiter", ",")),
+                )
 
     def session_detail(self, session_id: str) -> dict:
         sess = self.sessions.get(session_id)

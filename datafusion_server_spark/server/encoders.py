@@ -91,15 +91,52 @@ def encode(df: DataFrame, fmt: str, *, has_headers: bool = True, delimiter: str 
     return to_json_array(df), CONTENT_TYPES["json"]
 
 
+def spark_to_arrow_schema(df: DataFrame) -> pa.Schema:
+    """Arrow schema for a DataFrame without running a job (fallback: an
+    empty-limit collect)."""
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(df.schema)
+    except Exception:  # pragma: no cover - private-API drift
+        return df.limit(0).toArrow().schema
+
+
+def arrow_batches_incremental(df: DataFrame) -> Iterator[pa.RecordBatch]:
+    """Record batches as execution produces them — no full-result driver
+    materialization (reference A21/A22 semantics: execute_stream ->
+    mpsc(32) -> network, record_batch_stream.rs:42-73 / flight.rs:96-144).
+
+    Shape: each executor partition IPC-serializes its Arrow batches
+    (mapInArrow, JVM->Python via Arrow), and ``toLocalIterator`` ships one
+    partition at a time to the driver — the socket transfer plus the
+    single-partition prefetch window is the bounded buffer; a result
+    larger than driver memory streams through without ever residing there.
+    """
+
+    def _ipc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, b.schema) as w:
+                w.write_batch(b)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([sink.getvalue().to_pybytes()], type=pa.binary())], ["ipc"]
+            )
+
+    for row in df.mapInArrow(_ipc, "ipc binary").toLocalIterator(prefetchPartitions=True):
+        with pa.ipc.open_stream(bytes(row[0])) as reader:
+            yield from reader
+
+
 def arrow_ipc_chunks(df: DataFrame, max_records_per_batch: int = 10000) -> Iterator[bytes]:
     """Incremental Arrow IPC framing (reference A21): ONE logical IPC
-    stream — schema header first, then one frame per record batch, then
-    the end-of-stream marker — yielded as separate chunks for chunked
-    HTTP transfer. Generator laziness provides the bounded-buffer
-    backpressure the reference gets from its mpsc(32) channel."""
-    tbl = df.toArrow()
+    stream — schema header first, then one frame per record batch as each
+    partition lands, then the end-of-stream marker — yielded as separate
+    chunks for chunked HTTP transfer. Backed by
+    ``arrow_batches_incremental``, so the first chunk goes out while later
+    partitions are still executing."""
     buf = io.BytesIO()
-    writer = pa.ipc.new_stream(buf, tbl.schema)
+    writer: pa.ipc.RecordBatchStreamWriter | None = None
 
     def drain() -> bytes:
         data = buf.getvalue()
@@ -107,14 +144,15 @@ def arrow_ipc_chunks(df: DataFrame, max_records_per_batch: int = 10000) -> Itera
         buf.truncate()
         return data
 
-    header = drain()
-    if header:
-        yield header
-    for batch in tbl.to_batches(max_chunksize=max_records_per_batch):
+    for batch in arrow_batches_incremental(df):
+        if writer is None:
+            writer = pa.ipc.new_stream(buf, batch.schema)
         writer.write_batch(batch)
         chunk = drain()
         if chunk:
             yield chunk
+    if writer is None:  # empty result: header + EOS only
+        writer = pa.ipc.new_stream(buf, spark_to_arrow_schema(df))
     writer.close()
     tail = drain()
     if tail:

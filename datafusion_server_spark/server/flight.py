@@ -72,9 +72,19 @@ if fl is not None:
             return fl.SchemaResult(info.schema)
 
         def do_get(self, context, ticket):
+            # stream batches as partitions land — never the full result on
+            # the driver (reference flight.rs:96-144 execute_sql_stream ->
+            # mpsc(32) -> gRPC)
+            import itertools
+
+            from datafusion_server_spark.server import encoders
+
             df = self._plan(ticket.ticket.decode())
-            table = df.toArrow()
-            return fl.RecordBatchStream(table)
+            batches = encoders.arrow_batches_incremental(df)
+            first = next(batches, None)
+            if first is None:
+                return fl.GeneratorStream(encoders.spark_to_arrow_schema(df), iter(()))
+            return fl.GeneratorStream(first.schema, itertools.chain([first], batches))
 
         def do_put(self, context, descriptor, reader, writer):
             path = "/".join(p.decode() for p in descriptor.path)

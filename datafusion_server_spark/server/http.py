@@ -14,8 +14,10 @@ container). Routes mirror the reference's axum router
   GET    /session/{id}/datasource/{name}/refresh
   POST   /session/{id}/processor      merge processors
   POST   /session/{id}/query          JSON {sql,...} or raw application/sql
-  POST   /session/{id}/save
-  POST   /session/{id}/upload?name=&format=
+  POST   /session/{id}/datasource/save    (alias: /session/{id}/save)
+  POST   /session/{id}/datasource/upload  multipart/form-data, one table
+                                          per field (alias: /session/{id}/
+                                          upload?name=&format= raw body)
   GET    /healthz | /sysinfo | /metrics
 """
 
@@ -47,6 +49,51 @@ def sniff_format(content_type: str | None, name: str) -> str:
         if name.endswith(ext):
             return fmt
     raise ValueError(f"cannot sniff format for {name!r} ({content_type!r})")
+
+
+# multipart-field format resolution, mirroring the reference's
+# format::resolve_from (request/format.rs:8-57): exact content-type match
+# first (text/csv, application/json, application/vnd.apache.parquet,
+# application/vnd.apache.avro), then filename extension.
+_MULTIPART_CT_FORMATS = {
+    "text/csv": "csv",
+    "application/json": "json",
+    "application/vnd.apache.parquet": "parquet",
+    "application/vnd.apache.avro": "avro",
+}
+_MULTIPART_EXT_FORMATS = {"csv": "csv", "json": "json", "parquet": "parquet", "avro": "avro"}
+
+
+def resolve_multipart_format(content_type: str | None, file_name: str | None) -> str | None:
+    ct = (content_type or "").split(";")[0].strip().lower()
+    fmt = _MULTIPART_CT_FORMATS.get(ct)
+    if fmt is None and file_name and "." in file_name:
+        fmt = _MULTIPART_EXT_FORMATS.get(file_name.rsplit(".", 1)[1].lower())
+    return fmt
+
+
+def parse_multipart(content_type: str, body: bytes) -> list[tuple[str | None, str | None, str, bytes]]:
+    """Parse a multipart/form-data body with the stdlib email parser.
+
+    Returns (field_name, file_name, part_content_type, data) per part —
+    the same tuple the reference's extract::Multipart iteration sees
+    (data_source.rs:70-134).
+    """
+    import email.parser
+    import email.policy
+
+    msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body
+    )
+    if not msg.is_multipart():
+        raise ValueError("body is not multipart/form-data")
+    parts = []
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        parts.append(
+            (name, part.get_filename(), part.get_content_type(), part.get_payload(decode=True) or b"")
+        )
+    return parts
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -141,6 +188,40 @@ class Handler(BaseHTTPRequestHandler):
                     self.engine.sessions.delete(sid)
                     return self._send_json(200, {"deleted": sid})
 
+            # reference router paths (routes.rs:35,46): POST
+            # /session/:id/datasource/save and /session/:id/datasource/upload
+            # (the bare /session/:id/{save,upload} forms are kept as aliases)
+            m = re.fullmatch(r"/session/([^/]+)(?:/datasource)?/(save|upload)", path)
+            if m and method == "POST":
+                sid, action = m.groups()
+                if action == "save":
+                    self.engine.session_save(sid, self._json())
+                    return self._send_json(200, {"ok": True})
+                ct = self.headers.get("Content-Type") or ""
+                if ct.lower().startswith("multipart/form-data"):
+                    # reference upload semantics (data_source.rs:70-134):
+                    # one table per field; name = field name (required);
+                    # format from part content-type, else filename ext
+                    uploaded = []
+                    for fname, ffile, fct, data in parse_multipart(ct, self._body()):
+                        if not fname:
+                            return self._error(400, "multipart field name is required")
+                        fmt = resolve_multipart_format(fct, ffile)
+                        if fmt is None:
+                            return self._error(
+                                415,
+                                "multipart field content-type must be 'text/csv', "
+                                "'application/json', or 'application/vnd.apache.parquet'",
+                            )
+                        self.engine.session_upload(sid, fname, fmt, data)
+                        uploaded.append({"name": fname, "format": fmt})
+                    return self._send_json(200, {"uploaded": uploaded})
+                # raw-body alias: ?name=&format= with whole-body payload
+                name = q.get("name") or "uploaded"
+                fmt = q.get("format") or sniff_format(ct, name)
+                self.engine.session_upload(sid, name, fmt, self._body())
+                return self._send_json(200, {"name": name, "format": fmt})
+
             m = re.fullmatch(r"/session/([^/]+)/(\w+)", path)
             if m:
                 sid, action = m.groups()
@@ -161,14 +242,6 @@ class Handler(BaseHTTPRequestHandler):
                     )
                     data, out_ct = self.engine.session_query(sid, payload, accept)
                     return self._send(200, data, out_ct)
-                if action == "save" and method == "POST":
-                    self.engine.session_save(sid, self._json())
-                    return self._send_json(200, {"ok": True})
-                if action == "upload" and method == "POST":
-                    name = q.get("name") or "uploaded"
-                    fmt = q.get("format") or sniff_format(self.headers.get("Content-Type"), name)
-                    self.engine.session_upload(sid, name, fmt, self._body())
-                    return self._send_json(200, {"name": name, "format": fmt})
 
             m = re.fullmatch(r"/session/([^/]+)/datasource/([^/]+)", path)
             if m:

@@ -142,6 +142,97 @@ def test_session_upload_and_save(base_url, tmp_path):
     requests.delete(f"{base_url}/session/up")
 
 
+def test_incremental_stream_first_chunk_before_slow_partition(spark):
+    """A21 semantics (record_batch_stream.rs:42-73): chunks go out as
+    execution produces them. With a 3 s sleep in the LAST partition, the
+    first chunk must arrive long before the stream drains — i.e. no
+    full-result driver materialization before the first byte."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datafusion_server_spark.server import encoders
+
+    @F.udf("long")
+    def slow(v):
+        if v == 1:
+            time.sleep(3)
+        return v
+
+    # spark.range(0, 2, 1, 2): two fixed partitions, no shuffle/AQE merge
+    df = spark.range(0, 2, 1, 2).select(slow("id").alias("id"))
+    t0 = time.time()
+    gen = encoders.arrow_ipc_chunks(df)
+    first_chunk = next(gen)
+    t_first = time.time() - t0
+    rest = b"".join(gen)
+    t_total = time.time() - t0
+    assert t_total >= 2.5, "sleep partition should dominate total time"
+    assert t_first < t_total - 2.0, (
+        f"first chunk at {t_first:.2f}s should not wait for the slow "
+        f"partition (total {t_total:.2f}s)"
+    )
+    table = pa.ipc.open_stream(io.BytesIO(first_chunk + rest)).read_all()
+    assert sorted(table.column("id").to_pylist()) == [0, 1]
+
+
+def test_incremental_stream_empty_result(spark):
+    from datafusion_server_spark.server import encoders
+
+    df = spark.range(5).filter("id < 0")
+    data = b"".join(encoders.arrow_ipc_chunks(df))
+    table = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+    assert table.num_rows == 0 and table.column_names == ["id"]
+
+
+def test_multipart_upload_reference_route(base_url, tmp_path):
+    """Reference-compatible upload: POST /session/:id/datasource/upload with
+    a multipart/form-data body, one table per field, format sniffed per
+    field (data_source.rs:70-134, routes.rs:46-50)."""
+    requests.get(f"{base_url}/session/create", params={"id": "mp"})
+    r = requests.post(
+        f"{base_url}/session/mp/datasource/upload",
+        files={
+            "tbl_csv": ("people.csv", CSV, "text/csv"),
+            "tbl_json": (
+                "extra.json",
+                json.dumps([{"id": 10, "name": "dan"}, {"id": 11, "name": "eve"}]).encode(),
+                "application/json",
+            ),
+        },
+    )
+    assert r.status_code == 200, r.text
+    uploaded = {u["name"]: u["format"] for u in r.json()["uploaded"]}
+    assert uploaded == {"tbl_csv": "csv", "tbl_json": "json"}
+    r = requests.post(
+        f"{base_url}/session/mp/query",
+        json={"sql": "SELECT (SELECT COUNT(*) FROM tbl_csv) + (SELECT COUNT(*) FROM tbl_json) AS n"},
+    )
+    assert r.json() == [{"n": 5}]
+    # format sniff from filename extension when the part content-type is
+    # generic (reference falls back to the extension)
+    r = requests.post(
+        f"{base_url}/session/mp/datasource/upload",
+        files={"tbl2": ("more.csv", CSV, "application/octet-stream")},
+    )
+    assert r.json()["uploaded"] == [{"name": "tbl2", "format": "csv"}]
+    # unsniffable format -> 415
+    r = requests.post(
+        f"{base_url}/session/mp/datasource/upload",
+        files={"bad": ("blob.bin", b"\x00\x01", "application/octet-stream")},
+    )
+    assert r.status_code == 415
+    # reference save route with the DataSources payload shape
+    out = tmp_path / "mp_saved.json"
+    r = requests.post(
+        f"{base_url}/session/mp/datasource/save",
+        json={"dataSources": [{"format": "json", "name": "tbl_json", "location": str(out)}]},
+    )
+    assert r.status_code == 200, r.text
+    assert len(json.loads(out.read_text())) == 2
+    requests.delete(f"{base_url}/session/mp")
+
+
 def test_merge_processor_over_rest(base_url, tmp_path):
     requests.get(f"{base_url}/session/create", params={"id": "mg"})
     a = tmp_path / "a.csv"

@@ -9,22 +9,32 @@ import threading
 
 def main() -> None:
     p = argparse.ArgumentParser(description="datafusion-server-spark")
-    p.add_argument("--host", default="0.0.0.0")
-    p.add_argument("--port", type=int, default=4000)
-    p.add_argument("--flight-port", type=int, default=0, help="0 disables Flight")
+    p.add_argument("-f", "--config", default=None, help="TOML/JSON config file "
+                   "(reference settings.rs shape: [server]/[session]/[log] + "
+                   "[[databases]]/[[storages]])")
+    p.add_argument("--host", default=None)
+    p.add_argument("--port", type=int, default=None)
+    p.add_argument("--flight-port", type=int, default=None, help="0 disables Flight")
     args = p.parse_args()
 
     from datafusion_server_spark.server.api import Engine
     from datafusion_server_spark.server.http import serve
+    from datafusion_server_spark.settings import Settings
 
-    engine = Engine()
-    httpd = serve(engine, args.host, args.port)
-    print(f"REST:   http://{args.host}:{httpd.server_address[1]}")
-    if args.flight_port:
+    settings = Settings.load(args.config)
+    host = args.host or settings.server.address
+    port = args.port if args.port is not None else settings.server.port
+    flight_port = (
+        args.flight_port if args.flight_port is not None else settings.server.flight_grpc_port
+    )
+    engine = Engine(settings=settings)
+    httpd = serve(engine, host, port)
+    print(f"REST:   http://{host}:{httpd.server_address[1]}")
+    if flight_port:
         from datafusion_server_spark.server import flight
 
-        flight.serve(engine, f"grpc://{args.host}:{args.flight_port}")
-        print(f"Flight: grpc://{args.host}:{args.flight_port}")
+        flight.serve(engine, f"grpc://{settings.server.flight_address}:{flight_port}")
+        print(f"Flight: grpc://{settings.server.flight_address}:{flight_port}")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

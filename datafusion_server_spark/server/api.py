@@ -62,12 +62,24 @@ class Metrics:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession | None = None, *, start_reaper: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        *,
+        start_reaper: bool = True,
+        settings=None,
+    ):
         from datafusion_server_spark.session import get_spark
+        from datafusion_server_spark.settings import Settings
 
         self.spark = spark or get_spark()
+        self.settings: Settings = settings or Settings()
         self.sessions = SessionManager(self.spark, start_reaper=start_reaper)
         self.metrics = Metrics()
+        # config sections -> JDBC namespaces, object-store credentials,
+        # drop-in plugin manifests (reference init_global_managers,
+        # settings.rs:221-247)
+        self.settings.apply(self.spark)
 
     # -- shared steps ------------------------------------------------------
 
@@ -175,7 +187,9 @@ class Engine:
         return gen()
 
     def session_create(self, session_id: str | None, keep_alive_s: int | None) -> dict:
-        sess = self.sessions.create(session_id, keep_alive_s or 3600)
+        sess = self.sessions.create(
+            session_id, keep_alive_s or self.settings.session.default_keep_alive
+        )
         self.metrics.sessions_created += 1
         return {"id": sess.session_id, "keepAlive": sess.keep_alive_s}
 

@@ -103,8 +103,9 @@ class Handler(BaseHTTPRequestHandler):
 
     def _body(self) -> bytes:
         n = int(self.headers.get("Content-Length") or 0)
-        if n > UPLOAD_LIMIT:
-            raise ValueError(f"payload exceeds {UPLOAD_LIMIT} bytes")
+        limit = self.engine.settings.upload_limit_bytes
+        if n > limit:
+            raise ValueError(f"payload exceeds {limit} bytes")
         return self.rfile.read(n)
 
     def _json(self):
@@ -288,13 +289,19 @@ def serve(engine: Engine, host: str = "127.0.0.1", port: int = 4000) -> Threadin
 def main() -> None:
     import argparse
 
+    from datafusion_server_spark.settings import Settings
+
     p = argparse.ArgumentParser(description="datafusion-server-spark REST server")
-    p.add_argument("--host", default="0.0.0.0")
-    p.add_argument("--port", type=int, default=4000)
+    p.add_argument("-f", "--config", default=None, help="TOML/JSON config file")
+    p.add_argument("--host", default=None)
+    p.add_argument("--port", type=int, default=None)
     args = p.parse_args()
-    engine = Engine()
-    httpd = serve(engine, args.host, args.port)
-    print(f"serving on http://{args.host}:{args.port}")
+    settings = Settings.load(args.config)
+    host = args.host or settings.server.address
+    port = args.port if args.port is not None else settings.server.port
+    engine = Engine(settings=settings)
+    httpd = serve(engine, host, port)
+    print(f"serving on http://{host}:{port}")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

@@ -84,6 +84,25 @@ def configure_azure(
     return conf
 
 
+def configure_webdav(
+    spark: SparkSession, *, url: str, user: str | None = None, password: str | None = None
+) -> dict[str, str]:
+    """WebDAV store (reference credential_manager.rs:93-101). Hadoop has
+    no built-in WebDAV filesystem; the conf keys follow the fs.<scheme>
+    convention and require a connector jar providing ``fs.webdav.impl`` —
+    gated exactly like avro/delta: the config maps cleanly, the read
+    errors clearly if the implementation is absent."""
+    conf: dict[str, str] = {"fs.webdav.url": url}
+    if user:
+        conf["fs.webdav.user"] = user
+    if password:
+        conf["fs.webdav.password"] = password
+    h = _hconf(spark)
+    for k, v in conf.items():
+        h.set(k, v)
+    return conf
+
+
 def configure_storages(spark: SparkSession, storages: list[dict]) -> list[dict[str, str]]:
     """Apply the reference-shaped ``storages`` config list."""
     applied = []
@@ -111,6 +130,15 @@ def configure_storages(spark: SparkSession, storages: list[dict]) -> list[dict[s
                     spark,
                     account_name=st["accountName"],
                     account_key=st.get("accountKey"),
+                )
+            )
+        elif kind == "webdav":
+            applied.append(
+                configure_webdav(
+                    spark,
+                    url=st.get("url", ""),
+                    user=st.get("user"),
+                    password=st.get("password"),
                 )
             )
         else:

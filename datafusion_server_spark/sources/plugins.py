@@ -47,6 +47,57 @@ def system_info() -> dict:
     return {"system_version": __version__, "system_log_level": "info"}
 
 
+def discover_plugins(plugin_dir: str) -> list[str]:
+    """Drop-in plugin discovery (reference definition.rs + plugin_map.rs):
+    scan ``plugin_dir`` subdirectories for ``plugin_def.toml`` manifests —
+
+        [general]
+        plugin_type = "datasource" | "processor"
+        scheme = "..."   # datasource: URI scheme to claim
+        module = "..."   # processor: name used in postProcessors requests
+        [plugin]
+        file = "plugin_main.py"   # default
+        entry = "main"            # default
+
+    — import the plugin file, and register the entry callable under its
+    scheme (connector) or module name (processor). Returns the registered
+    scheme/module names.
+    """
+    import importlib.util
+    import tomllib
+    from pathlib import Path
+
+    registered: list[str] = []
+    for manifest in sorted(Path(plugin_dir).glob("*/plugin_def.toml")):
+        with open(manifest, "rb") as f:
+            spec = tomllib.load(f)
+        general = spec.get("general") or {}
+        plug = spec.get("plugin") or {}
+        ptype = general.get("plugin_type")
+        file = manifest.parent / plug.get("file", "plugin_main.py")
+        entry = plug.get("entry", "main")
+        mod_name = f"dfss_plugin_{manifest.parent.name.replace('-', '_')}"
+        mspec = importlib.util.spec_from_file_location(mod_name, file)
+        if mspec is None or mspec.loader is None:
+            raise ImportError(f"cannot load plugin file: {file}")
+        module = importlib.util.module_from_spec(mspec)
+        mspec.loader.exec_module(module)
+        fn = getattr(module, entry)
+        if ptype == "datasource":
+            scheme = general["scheme"]
+            register_connector(scheme, fn)
+            registered.append(scheme)
+        elif ptype == "processor":
+            from datafusion_server_spark.operators import postprocess
+
+            name = general["module"]
+            postprocess.register_processor(name, fn)
+            registered.append(name)
+        else:
+            raise ValueError(f"unknown plugin_type in {manifest}: {ptype!r}")
+    return registered
+
+
 def load(spark: SparkSession, ds) -> DataFrame:
     """Run the connector for ``ds.location``'s scheme and ingest whatever
     it returns (RecordBatch/Table, JSON/CSV text, Parquet bytes, or a list

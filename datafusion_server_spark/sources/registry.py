@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datafusion_server_spark.sources import readers
 from datafusion_server_spark.sources.readers import ReadOptions
 
-LISTING_SCHEMES = {"", "file", "s3", "s3a", "gs", "abfss", "wasbs", "hdfs"}
+LISTING_SCHEMES = {"", "file", "s3", "s3a", "gs", "abfss", "wasbs", "hdfs", "webdav"}
 _SCHEME_REWRITE = {"s3": "s3a"}  # hadoop connector scheme
 
 

@@ -1,0 +1,188 @@
+"""Config-file boot (reference settings.rs), drop-in plugin manifests
+(reference definition.rs), and WebDAV credential mapping."""
+
+from __future__ import annotations
+
+import json
+
+import requests
+
+from datafusion_server_spark.settings import Settings
+
+TOML = """
+[server]
+address = "127.0.0.1"
+port = 0
+plugin_dir = "{plugin_dir}"
+
+[session]
+default_keep_alive = 1234
+upload_limit_size = 5
+
+[log]
+level = "warn"
+
+[[databases]]
+type = "postgres"
+namespace = "cfgpg"
+user = "u"
+password = "p"
+host = "pg.example"
+port = 5433
+database = "db1"
+
+[[storages]]
+type = "webdav"
+url = "https://dav.example/files"
+user = "davuser"
+password = "davpass"
+"""
+
+
+def test_settings_defaults_match_reference():
+    s = Settings.load(None)
+    assert s.server.port == 4000
+    assert s.server.flight_grpc_port == 50051
+    assert s.session.default_keep_alive == 3600
+    assert s.session.upload_limit_size == 20
+    assert s.upload_limit_bytes == 20 * 1024 * 1024
+    assert s.log.level == "info"
+
+
+def test_settings_toml_and_json_overlay(tmp_path):
+    toml_p = tmp_path / "config.toml"
+    toml_p.write_text(TOML.format(plugin_dir=tmp_path / "nonexistent"))
+    s = Settings.load(toml_p)
+    assert s.session.default_keep_alive == 1234
+    assert s.upload_limit_bytes == 5 * 1024 * 1024
+    assert s.databases[0]["namespace"] == "cfgpg"
+    assert s.storages[0]["type"] == "webdav"
+    json_p = tmp_path / "config.json"
+    json_p.write_text(json.dumps({"server": {"port": 9999}}))
+    assert Settings.load(json_p).server.port == 9999
+
+
+def test_config_file_boot_e2e(spark, tmp_path):
+    """Server boots from a config file: non-default keep-alive applies to
+    created sessions, the database namespace resolves, the webdav storage
+    lands in the Hadoop conf, upload limit is enforced."""
+    from datafusion_server_spark.server.api import Engine
+    from datafusion_server_spark.server.http import serve
+    from datafusion_server_spark.sources import jdbc
+
+    toml_p = tmp_path / "config.toml"
+    toml_p.write_text(TOML.format(plugin_dir=tmp_path / "plugins"))
+    settings = Settings.load(toml_p)
+    engine = Engine(spark, start_reaper=False, settings=settings)
+    httpd = serve(engine, "127.0.0.1", 0)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # keep-alive from config when the request doesn't pass one
+        r = requests.get(f"{base}/session/create", params={"id": "cfg"})
+        assert r.json()["keepAlive"] == 1234
+        # namespace registered
+        assert jdbc._NAMESPACES["cfgpg"].url == "jdbc:postgresql://pg.example:5433/db1"
+        assert jdbc._NAMESPACES["cfgpg"].user == "u"
+        # webdav creds in hadoop conf
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        assert hconf.get("fs.webdav.url") == "https://dav.example/files"
+        assert hconf.get("fs.webdav.user") == "davuser"
+        # upload limit (5 MB) enforced
+        r = requests.post(
+            f"{base}/session/cfg/datasource/upload",
+            files={"big": ("big.csv", b"a\n" + b"1\n" * (6 * 1024 * 1024 // 2), "text/csv")},
+        )
+        assert r.status_code == 400 and "exceeds" in r.text
+    finally:
+        httpd.shutdown()
+        engine.sessions.delete("cfg")
+
+
+PLUGIN_MANIFEST = """
+[general]
+title = "Range data source test plugin"
+version = "1.0.0"
+plugin_type = "datasource"
+scheme = "rangegen"
+
+[plugin]
+file = "plugin_main.py"
+entry = "main"
+"""
+
+PLUGIN_MAIN = """
+def main(format, authority, path, schema, **kwargs):
+    n = int(authority or 3)
+    return [{"i": i, "sq": i * i} for i in range(n)]
+"""
+
+PROC_MANIFEST = """
+[general]
+title = "Uppercase processor test plugin"
+version = "1.0.0"
+plugin_type = "processor"
+module = "upper-test"
+
+[plugin]
+file = "plugin_main.py"
+entry = "main"
+"""
+
+PROC_MAIN = """
+import pyarrow as pa
+
+def main(record_batch, **kwargs):
+    tbl = pa.Table.from_batches([record_batch])
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if pa.types.is_string(col.type):
+            col = pa.compute.utf8_upper(col)
+        cols[name] = col
+    out = pa.table(cols)
+    return out.combine_chunks().to_batches()[0]
+"""
+
+
+def test_plugin_manifest_discovery(spark, tmp_path):
+    """Drop a manifest dir, point plugin_dir at it, query through both the
+    connector scheme and the processor chain."""
+    from datafusion_server_spark.operators import postprocess
+    from datafusion_server_spark.server.api import Engine
+    from datafusion_server_spark.sources import plugins
+
+    pdir = tmp_path / "plugins"
+    (pdir / "datasource-plugin-rangegen").mkdir(parents=True)
+    (pdir / "datasource-plugin-rangegen" / "plugin_def.toml").write_text(PLUGIN_MANIFEST)
+    (pdir / "datasource-plugin-rangegen" / "plugin_main.py").write_text(PLUGIN_MAIN)
+    (pdir / "processor-plugin-upper").mkdir(parents=True)
+    (pdir / "processor-plugin-upper" / "plugin_def.toml").write_text(PROC_MANIFEST)
+    (pdir / "processor-plugin-upper" / "plugin_main.py").write_text(PROC_MAIN)
+
+    settings = Settings.from_dict({"server": {"plugin_dir": str(pdir)}})
+    engine = Engine(spark, start_reaper=False, settings=settings)
+    try:
+        assert plugins.has_scheme("rangegen")
+        assert "upper-test" in postprocess.list_processors()
+        data, ct = engine.dataframe_query(
+            {
+                "dataSources": [
+                    {"format": "json", "name": "gen", "location": "rangegen://4/x"}
+                ],
+                "query": "SELECT CAST(SUM(sq) AS BIGINT) AS s FROM gen",
+            }
+        )
+        assert json.loads(data) == [{"s": 14}]
+        # processor plugin through the post-processor chain
+        data, _ = engine.dataframe_query(
+            {
+                "dataSources": [
+                    {"format": "json", "name": "gen2", "location": "rangegen://2/x"}
+                ],
+                "query": "SELECT CONCAT('ab-', i) AS t FROM gen2 ORDER BY i",
+                "postProcessors": [{"module": "upper-test"}],
+            }
+        )
+        assert [r["t"] for r in json.loads(data)] == ["AB-0", "AB-1"]
+    finally:
+        plugins.unregister_connector("rangegen")

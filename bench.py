@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_simhash",
     "knn_bruteforce_cosine",
     "ann_lsh_cosine",
+    "ann_lsh_scaled",
     "text_quality_score",
 ]
 

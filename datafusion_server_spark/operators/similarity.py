@@ -217,17 +217,124 @@ def lsh_ann_topk(
     return _rank_topk(scored, k)
 
 
+def lsh_band_bits(
+    n_vectors: int,
+    target_bucket_size: int = 128,
+    *,
+    min_bits: int = 2,
+    max_bits: int = 24,
+) -> int:
+    """Bits per LSH band so the EXPECTED bucket holds ~``target_bucket_size``
+    vectors: ``ceil(log2(n / target))``, clamped. This is the scale knob a
+    fixed plane count lacks — at n=2k it gives 4 bits, at n=1e9 it gives
+    23, keeping the same-bucket join linear in n instead of quadratic in
+    the bucket population."""
+    import math
+
+    return max(min_bits, min(max_bits, math.ceil(math.log2(max(n_vectors, 2) / target_bucket_size))))
+
+
+def scaled_lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    *,
+    n_vectors: int | None = None,
+    target_bucket_size: int = 128,
+    bands: int = 4,
+    band_bits: int | None = None,
+    max_candidates: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale-parameterized multi-probe LSH ANN (the 100 TB answer to the
+    fixed-plane variant's quadratic bucket growth):
+
+    - **planes scale with corpus size**: ``bands x band_bits`` hyperplanes
+      with ``band_bits = ceil(log2(n / target_bucket_size))``, so expected
+      per-band bucket population stays ~``target_bucket_size`` at ANY n;
+    - **multi-probe via banding** (OR-of-ANDs): a candidate needs to share
+      only ONE band's code with the query — recall survives the longer
+      codes that keep buckets small;
+    - **per-query candidate cap**: candidates rank by how many bands they
+      share (more shared bands ~ closer), deterministically capped at
+      ``max_candidates`` — bounded re-rank work per query even when real
+      embedding correlations skew a bucket.
+
+    ``n_vectors`` is a table-stats lookup (one count when absent) used only
+    to size ``band_bits`` — pass it to keep the plan job-free.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    if band_bits is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        band_bits = lsh_band_bits(n_vectors, target_bucket_size)
+    planes = bands * band_bits
+    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
+    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col).localCheckpoint(eager=True)
+    norms = _norms(el, "id")
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.substring("bucket", b * band_bits + 1, band_bits).alias("code"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bc")
+    band_codes = codes.select("id", band_cols).select(
+        "id", F.col("bc.b").alias("b"), F.col("bc.code").alias("code")
+    )
+    q_bands = (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(band_codes.withColumnRenamed("id", "query_id"), "query_id")
+    )
+    shared = (
+        q_bands.join(
+            band_codes.withColumnRenamed("id", "neighbor_id"),
+            ["b", "code"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    cap_w = Window.partitionBy("query_id").orderBy(F.desc("nb"), F.asc("neighbor_id"))
+    pairs = (
+        shared.withColumn("rc", F.row_number().over(cap_w))
+        .filter(F.col("rc") <= max_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    scored = _score_pairs(pairs, el, norms, "query_id", "neighbor_id")
+    return _rank_topk(scored, k)
+
+
+def ivf_n_centroids(n_vectors: int, minimum: int = 16) -> int:
+    """Codebook size ∝ sqrt(n) — the standard IVF balance point where
+    probe cost (scan of ~n/k vectors) matches quantizer cost (k centroid
+    comparisons)."""
+    import math
+
+    return max(minimum, math.isqrt(max(n_vectors, 1)))
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    *,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest centroid
-    by cosine. Centroids are the first ``n_centroids`` vectors by id — a
+    """IVF coarse quantizer: assign every vector to its ``nprobe`` nearest
+    centroids by cosine (corpus side uses nprobe=1; the query side probes
+    several inverted lists to recover recall lost at cluster boundaries).
+    Centroids are the first ``n_centroids`` vectors by id — a
     deterministic stand-in for a k-means codebook (swap in real k-means
     at scale; the assignment/search plan is identical).
-    Output: (id, centroid_id)."""
+    Output: (id, centroid_id) — ``nprobe`` rows per id when nprobe>1."""
     el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
     norms = _norms(el, "id")
     cent_el = el.filter(F.col("id") < n_centroids).select(
@@ -255,7 +362,7 @@ def ivf_assign(
     w = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("id", "centroid_id")
     )
 
@@ -264,19 +371,34 @@ def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    *,
+    nprobe: int = 1,
+    n_vectors: int | None = None,
 ) -> DataFrame:
-    """IVF search, nprobe=1: candidates restricted to the query's own
-    cluster. At 100 TB the corpus is partitioned (or bucketed on disk) by
-    centroid_id, so a query touches one partition's worth of vectors.
-    Output: (query_id, neighbor_id, cosine, rank) — approximate."""
+    """IVF search: candidates restricted to the query's ``nprobe`` nearest
+    clusters. At 100 TB the corpus is partitioned (or bucketed on disk) by
+    centroid_id, so a query touches ``nprobe`` partitions' worth of
+    vectors. ``n_centroids=None`` derives the codebook size as sqrt(n)
+    (``ivf_n_centroids``), keeping per-cluster population ~sqrt(n) instead
+    of n/16. Output: (query_id, neighbor_id, cosine, rank) — approximate.
+    """
+    if n_centroids is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        n_centroids = ivf_n_centroids(n_vectors)
     el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
     norms = _norms(el, "id")
     assign = ivf_assign(embeddings, n_centroids, vec_col, id_col).localCheckpoint(eager=True)
     q_ids = queries.select(F.col(id_col).alias("query_id"))
-    q_assign = q_ids.join(assign.withColumnRenamed("id", "query_id"), "query_id")
+    q_side = (
+        assign
+        if nprobe == 1
+        else ivf_assign(embeddings, n_centroids, vec_col, id_col, nprobe=nprobe)
+    )
+    q_assign = q_ids.join(q_side.withColumnRenamed("id", "query_id"), "query_id")
     pairs = (
         q_assign.join(
             assign.withColumnRenamed("id", "neighbor_id").withColumnRenamed(

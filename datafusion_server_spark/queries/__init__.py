@@ -113,14 +113,15 @@ PRIORITY: tuple[str, ...] = (
     "dedup_lsh_pairs",
     "dedup_simhash",
     "embedding_near_duplicates",
-    # LLM-pipeline: similarity family
+    # LLM-pipeline: similarity family (incl. the scale-parameterized
+    # banded ANN)
     "knn_bruteforce_cosine",
     "ann_lsh_cosine",
+    "ann_lsh_scaled",
     "ann_ivf_cosine",
     # LLM-pipeline: text family
     "text_quality_score",
     "text_tfidf_topk",
-    "text_token_stats",
     # merge processors (reference A14/A15)
     "merge_processor_column",
     "merge_processor_row",

@@ -53,10 +53,10 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), K)
 
 
-def _codes_cte() -> str:
+def _codes_cte(planes: int = PLANES) -> str:
     """Per-vector LSH bucket code, reproducing operators.similarity's
     hyperplane signs via md5 (weights identical by construction)."""
-    plane_list = ", ".join(str(p) for p in range(PLANES))
+    plane_list = ", ".join(str(p) for p in range(planes))
     return f"""
 codes AS (
   SELECT el.vec_id, ps.p,
@@ -101,6 +101,67 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), K, PLANES, DIM
+    )
+
+
+# Scale-parameterized banded ANN (VERDICT round-1 item 5): 4 bands x 4
+# bits = 16 hyperplanes, multi-probe OR-of-ANDs candidates ranked by
+# shared-band count and capped per query. Parameters pinned here so the
+# oracle is a static string; the operator derives band_bits from corpus
+# size when not pinned (unit-tested separately).
+BANDS = 4
+BAND_BITS = 4
+MAX_CAND = 64
+
+_SCALED_ANN_ORACLE = f"""
+WITH {_EL_CTE}, {_codes_cte(BANDS * BAND_BITS)},
+bandcodes AS (
+  SELECT vec_id, bs.b, SUBSTR(bucket, bs.b * {BAND_BITS} + 1, {BAND_BITS}) AS code
+  FROM buckets, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS b) bs),
+shared AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, COUNT(*) AS nb
+  FROM bandcodes q
+  JOIN bandcodes c ON c.b = q.b AND c.code = q.code AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY nb DESC, neighbor_id) AS rc
+    FROM shared) t
+  WHERE rc <= {MAX_CAND}),
+dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         SUM(CAST(qa.x * ca.x AS DECIMAL(18,12))) AS dot
+  FROM cand c
+  JOIN el qa ON qa.vec_id = c.query_id
+  JOIN el ca ON ca.vec_id = c.neighbor_id AND ca.i = qa.i
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {K}
+"""
+
+
+@df_query("ann_lsh_scaled", _SCALED_ANN_ORACLE)
+def ann_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.scaled_lsh_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        K,
+        DIM,
+        bands=BANDS,
+        band_bits=BAND_BITS,
+        max_candidates=MAX_CAND,
     )
 
 

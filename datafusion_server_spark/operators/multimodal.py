@@ -1,12 +1,15 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata (north-star extension).
 
-The Spark-side design is real — schema, Arrow-batched ``mapInPandas``
-decode stage, partition-friendly layout. The actual media decode is
-STUBBED (`decode_stub`) because no image/audio libraries exist in this
-container: it derives deterministic fake metadata from the bytes, so
-plumbing tests are stable. Swap ``decode_stub`` for a real decoder (PIL /
-ffmpeg) in production; the Spark plan is unchanged.
+The decode stage is REAL for container-format headers: PNG / GIF / BMP /
+JPEG dimensions and WAV channels/sample-rate/duration parse from the
+bytes with pure ``struct`` — no media libraries needed. Pixel/sample
+DECODING (and the feature-extraction embedding model) would need PIL /
+soundfile / a vision encoder, none of which exist in this container;
+those fall back to a clearly-marked deterministic synthesis
+(``_synthetic_meta``, md5 features) so fixture pipelines stay stable.
+Swap the fallback for a real decoder in production; the Spark plan is
+unchanged.
 
 At 100 TB: binary payloads stay columnar in parquet, the decode stage is
 ``mapInPandas`` (Arrow batches, no per-row Python overhead), and metadata
@@ -46,23 +49,105 @@ DECODED_SCHEMA = StructType(
         StructField("width", LongType(), True),
         StructField("height", LongType(), True),
         StructField("format", StringType(), True),
+        StructField("channels", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("duration_ms", LongType(), True),
     ]
 )
 
+_EMPTY_META = {
+    "n_bytes": 0,
+    "width": None,
+    "height": None,
+    "format": None,
+    "channels": None,
+    "sample_rate": None,
+    "duration_ms": None,
+}
 
-def decode_stub(payload: bytes | None) -> dict:
-    """Deterministic fake decoder. A real implementation would call PIL /
-    soundfile / pyav here; the container has none of them (see module
-    docstring), so metadata derives from the byte content itself."""
-    if payload is None:
-        return {"n_bytes": 0, "width": None, "height": None, "format": None}
+
+def _synthetic_meta(payload: bytes) -> dict:
+    """Deterministic synthesized metadata for UNRECOGNIZED payloads (the
+    text fixtures stand in for media bytes). Clearly not a decode — real
+    formats never reach this path."""
     n = len(payload)
-    return {
-        "n_bytes": n,
-        "width": (n % 1024) + 1,
-        "height": ((n // 7) % 1024) + 1,
-        "format": "fake",
-    }
+    return dict(
+        _EMPTY_META,
+        n_bytes=n,
+        width=(n % 1024) + 1,
+        height=((n // 7) % 1024) + 1,
+        format="fake",
+    )
+
+
+def decode_media(payload: bytes | None) -> dict:
+    """Header decode for common container formats, pure ``struct``:
+
+    - PNG:  IHDR width/height (big-endian u32 at offset 16)
+    - GIF:  87a/89a logical-screen width/height (LE u16 at offset 6)
+    - BMP:  BITMAPINFOHEADER width/height (LE i32 at offsets 18/22)
+    - JPEG: first SOFn marker's height/width (BE u16)
+    - WAV:  RIFF chunk walk -> fmt (channels, sample rate) + data size
+            -> duration
+
+    Unrecognized bytes fall back to ``_synthetic_meta`` (see module
+    docstring)."""
+    import struct
+
+    if payload is None:
+        return dict(_EMPTY_META)
+    b = bytes(payload)
+    n = len(b)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and n >= 24:
+            w, h = struct.unpack_from(">II", b, 16)
+            return dict(_EMPTY_META, n_bytes=n, width=w, height=h, format="png")
+        if b[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+            w, h = struct.unpack_from("<HH", b, 6)
+            return dict(_EMPTY_META, n_bytes=n, width=w, height=h, format="gif")
+        if b[:2] == b"BM" and n >= 26:
+            w, h = struct.unpack_from("<ii", b, 18)
+            return dict(_EMPTY_META, n_bytes=n, width=w, height=abs(h), format="bmp")
+        if b[:2] == b"\xff\xd8":
+            # walk JPEG markers to the first start-of-frame
+            off = 2
+            while off + 9 <= n:
+                if b[off] != 0xFF:
+                    break
+                marker = b[off + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    off += 2
+                    continue
+                seg_len = struct.unpack_from(">H", b, off + 2)[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack_from(">HH", b, off + 5)
+                    return dict(_EMPTY_META, n_bytes=n, width=w, height=h, format="jpeg")
+                off += 2 + seg_len
+            return dict(_EMPTY_META, n_bytes=n, format="jpeg")
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            off, channels, rate, bits, data_size = 12, None, None, None, None
+            while off + 8 <= n:
+                cid, size = b[off : off + 4], struct.unpack_from("<I", b, off + 4)[0]
+                if cid == b"fmt " and off + 24 <= n:
+                    channels, rate = struct.unpack_from("<HI", b, off + 10)
+                    bits = struct.unpack_from("<H", b, off + 22)[0]
+                elif cid == b"data":
+                    data_size = size
+                off += 8 + size + (size & 1)
+            duration = None
+            if channels and rate and bits and data_size is not None:
+                duration = int(data_size * 8000 / (channels * rate * bits))
+            return dict(
+                _EMPTY_META,
+                n_bytes=n,
+                format="wav",
+                channels=channels,
+                sample_rate=rate,
+                duration_ms=duration,
+            )
+    except struct.error:
+        pass
+    return _synthetic_meta(b)
 
 
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -80,15 +165,23 @@ def decode_metadata(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(decode_stub)
+            meta = pdf["payload"].map(decode_media)
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": meta.map(lambda m: m["n_bytes"]),
-                    "width": meta.map(lambda m: m["width"]),
-                    "height": meta.map(lambda m: m["height"]),
-                    "format": meta.map(lambda m: m["format"]),
+                    **{
+                        k: meta.map(lambda m, k=k: m[k])
+                        for k in (
+                            "n_bytes",
+                            "width",
+                            "height",
+                            "format",
+                            "channels",
+                            "sample_rate",
+                            "duration_ms",
+                        )
+                    },
                 }
             )
             yield out

@@ -1,0 +1,76 @@
+"""Scale-engineering helpers: skew-salted joins and bucketed (co-located)
+table layout.
+
+These are the knobs a 100 TB deployment reaches for when AQE's automatic
+skew handling isn't enough (extreme hot keys) or when a join key is
+stable enough to pre-bucket the storage layout and eliminate the shuffle
+entirely. Both are pure DataFrame compositions — no custom partitioners,
+no RDDs — so they compose with every operator in this package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed fact side against a smaller dimension side with key
+    salting: the skewed side scatters each hot key across ``salt``
+    sub-keys (deterministically, from a hash of the whole row), the small
+    side replicates ``salt``x, and the join runs on (key, salt) — a hot
+    key's rows land on ``salt`` tasks instead of one.
+
+    AQE's skew-join split handles moderate skew on its own; salting is
+    for the degenerate hot-key case (one key = >10% of rows) where a
+    single post-split partition still dominates the stage. Cost: the
+    small side is replicated ``salt``x — keep it the dimension side.
+
+    Output columns: the skewed side's columns plus the small side's
+    non-key columns (key columns deduplicated like a USING join).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_col = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+    left = skewed.withColumn("__salt__", salt_col)
+    right = small.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    joined = left.join(right, [*keys, "__salt__"], how)
+    return joined.drop("__salt__")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int,
+    *,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a bucketed table: rows hash-partitioned into
+    ``num_buckets`` files per partition ON DISK. Two tables bucketed on
+    the same keys with the same bucket count join WITHOUT a shuffle — the
+    exchange happens once at write time and is amortized over every
+    subsequent join (the classic layout for fact tables re-joined daily).
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *cols)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sc)
+    writer.saveAsTable(table_name)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle exchange (diagnostic
+    used by tests and PLANS.md evidence)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan

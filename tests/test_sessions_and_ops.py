@@ -124,6 +124,51 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert frames.count() >= 20  # at least one frame per doc
 
 
+def test_multimodal_real_header_decode(spark, tmp_path):
+    """The decode stage parses REAL container headers (pure struct, no
+    media libs): PNG/GIF/BMP/JPEG dimensions, WAV audio properties."""
+    import io
+    import struct
+    import wave
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I4sII5B", 13, b"IHDR", 640, 480, 8, 2, 0, 0, 0)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">HBHH", 17, 8, 1080, 1920) + b"\x00" * 10  # SOF0
+    )
+    wav_buf = io.BytesIO()
+    with wave.open(wav_buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x00" * 2 * 44100)  # 1 second stereo
+    wav = wav_buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png), "image/png"),
+            (2, bytearray(gif), "image/gif"),
+            (3, bytearray(bmp), "image/bmp"),
+            (4, bytearray(jpeg), "image/jpeg"),
+            (5, bytearray(wav), "audio/wav"),
+            (6, bytearray(b"plain text, not media"), "text/plain"),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r.asDict() for r in multimodal.decode_metadata(media).collect()}
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("png", 640, 480)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == ("gif", 320, 200)
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("bmp", 800, 600)
+    assert (rows[4]["format"], rows[4]["width"], rows[4]["height"]) == ("jpeg", 1920, 1080)
+    assert rows[5]["format"] == "wav"
+    assert rows[5]["channels"] == 2 and rows[5]["sample_rate"] == 44100
+    assert abs(rows[5]["duration_ms"] - 1000) <= 1
+    assert rows[6]["format"] == "fake"  # unrecognized -> synthetic fallback
+
+
 def test_engine_refresh(spark, tmp_path):
     from datafusion_server_spark.server.api import Engine
 

@@ -6,24 +6,41 @@ Beyond-reference operators (BASELINE.json north-star):
   are bucketed by a deterministic hyperplane-sign code so the candidate
   join touches only same-bucket pairs.
 
-Execution shape: element-exploded joins + hash-aggregated decimal sums.
-Spark's higher-order functions (``zip_with``/``aggregate`` lambdas) are
-*interpreted* — a decimal dot product through them allocates a JVM
-Decimal per element outside whole-stage codegen (measured 5-15x slower
-and warmup-sensitive at sf0.1). ``posexplode`` + ``SUM(decimal)`` keeps
-the whole pipeline in codegen with map-side partial aggregation.
+Execution shape: element-exploded joins + hash-aggregated SCALED-LONG
+sums. Spark's higher-order functions (``zip_with``/``aggregate`` lambdas)
+are *interpreted* — a dot product through them runs outside whole-stage
+codegen (measured 5-15x slower and warmup-sensitive at sf0.1).
+``posexplode`` + ``SUM(BIGINT)`` keeps the whole pipeline in codegen with
+map-side partial aggregation.
 
-Determinism contract: per-element products are IEEE doubles cast to
-DECIMAL(18,12) (exact, order-independent sums), hyperplane signs derive
-from md5 — both reproducible bit-for-bit by the DuckDB oracle.
+Determinism contract: each per-element product is an IEEE double scaled
+and rounded to a 1e-12-granular BIGINT (``ROUND(x*y*1e12) AS BIGINT``);
+long sums are exact, order-independent, and bit-identical in DuckDB.
+Overflow-safe at ANY corpus size because a dot/norm sum has at most
+``dim`` terms (64 here): |sum| <= dim * 1e12 << 2^63, and the sum stays
+exactly representable as a double (< 2^53) for the final division —
+unlike row-count-bounded aggregates (q1-class), which keep DECIMAL.
+Measured ~4x faster than DECIMAL(18,12) sums (Int128 accumulation) on
+the 16-plane bucket projection. Hyperplane signs derive from md5 —
+reproducible bit-for-bit by the oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-DEC = "DECIMAL(18,12)"
+SCALE = 1_000_000_000_000  # 1e12: element products keep 12 decimal digits
+
+
+def _ssum(expr: Column) -> Column:
+    """Exact order-independent sum of an element-product expression:
+    per-element ROUND(expr*1e12) as BIGINT, summed as longs."""
+    return F.sum(F.round(expr * SCALE).cast("bigint"))
+
+
+def _unscale(col: Column) -> Column:
+    return col.cast("double") / SCALE
 
 
 def _elements(df: DataFrame, id_col: str, vec_col: str, id_alias: str) -> DataFrame:
@@ -36,21 +53,21 @@ def _elements(df: DataFrame, id_col: str, vec_col: str, id_alias: str) -> DataFr
 
 
 def _norms(el: DataFrame, id_alias: str) -> DataFrame:
-    """sqrt of the exact decimal sum of squares, per vector."""
+    """sqrt of the exact scaled-long sum of squares, per vector."""
     return el.groupBy(id_alias).agg(
-        F.sqrt(F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double")).alias("nrm")
+        F.sqrt(_unscale(_ssum(F.col("x") * F.col("x")))).alias("nrm")
     )
 
 
 def _pair_dots(q_el: DataFrame, c_el: DataFrame) -> DataFrame:
-    """Exact decimal dot product per (query_id, neighbor_id) pair via an
-    element-position join + codegen'd SUM. The query side is broadcast."""
+    """Exact scaled-long dot product per (query_id, neighbor_id) pair via
+    an element-position join + codegen'd SUM. The query side is broadcast."""
     joined = c_el.join(
         F.broadcast(q_el.withColumnRenamed("x", "qx")),
         (F.col("i") == F.col("qi")) & (F.col("neighbor_id") != F.col("query_id")),
     )
     return joined.groupBy("query_id", "neighbor_id").agg(
-        F.sum((F.col("qx") * F.col("x")).cast(DEC)).alias("dot")
+        _ssum(F.col("qx") * F.col("x")).alias("dot")
     )
 
 
@@ -92,7 +109,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(F.col("dot").cast("double") / (F.col("q_nrm") * F.col("nrm")), 6).alias(
+            F.round(_unscale(F.col("dot")) / (F.col("q_nrm") * F.col("nrm")), 6).alias(
                 "cosine"
             ),
         )
@@ -134,17 +151,15 @@ def bucket_codes(
     el = _elements(embeddings, id_col, vec_col, "id")
     # one pass over the element rows: per plane, the sign is a literal
     # array lookup by position (stays in whole-stage codegen — no join row
-    # blowup, no interpreted lambdas); `planes` decimal sums in a single
-    # grouped aggregation = one shuffle of the element rows
+    # blowup, no interpreted lambdas); `planes` scaled-long sums in a
+    # single grouped aggregation = one shuffle of the element rows
     sums = el.groupBy("id").agg(
         *[
-            F.sum(
-                (
-                    F.col("x")
-                    * F.element_at(
-                        F.array(*[F.lit(s) for s in hyperplane_signs(p, dim)]), F.col("i")
-                    )
-                ).cast(DEC)
+            _ssum(
+                F.col("x")
+                * F.element_at(
+                    F.array(*[F.lit(s) for s in hyperplane_signs(p, dim)]), F.col("i")
+                )
             ).alias(f"s{p}")
             for p in range(planes)
         ]
@@ -163,7 +178,7 @@ def _score_pairs(
         pairs.join(ea, a)
         .join(eb, [b, "i"])
         .groupBy(a, b)
-        .agg(F.sum((F.col("xa") * F.col("xb")).cast(DEC)).alias("dot"))
+        .agg(_ssum(F.col("xa") * F.col("xb")).alias("dot"))
     )
     na = norms.select(F.col("id").alias(a), F.col("nrm").alias("nrm_a"))
     nb = norms.select(F.col("id").alias(b), F.col("nrm").alias("nrm_b"))
@@ -173,7 +188,7 @@ def _score_pairs(
         .select(
             a,
             b,
-            F.round(F.col("dot").cast("double") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
+            F.round(_unscale(F.col("dot")) / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
                 "cosine"
             ),
         )
@@ -343,7 +358,7 @@ def ivf_assign(
     dots = (
         el.join(F.broadcast(cent_el), F.col("i") == F.col("qi"))
         .groupBy("id", "centroid_id")
-        .agg(F.sum((F.col("qx") * F.col("x")).cast(DEC)).alias("dot"))
+        .agg(_ssum(F.col("qx") * F.col("x")).alias("dot"))
     )
     cent_norms = norms.filter(F.col("id") < n_centroids).select(
         F.col("id").alias("centroid_id"), F.col("nrm").alias("c_nrm")
@@ -354,7 +369,7 @@ def ivf_assign(
         .select(
             "id",
             "centroid_id",
-            F.round(F.col("dot").cast("double") / (F.col("nrm") * F.col("c_nrm")), 6).alias(
+            F.round(_unscale(F.col("dot")) / (F.col("nrm") * F.col("c_nrm")), 6).alias(
                 "cos_c"
             ),
         )

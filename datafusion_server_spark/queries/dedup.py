@@ -23,8 +23,11 @@ sh AS (SELECT DISTINCT doc_id,
        FROM words)
 """
 
+# hash i = the (i%4)-th 8-hex-char slice of md5('{i//4}:' || shingle) —
+# mirrors operators.dedup._minhash_aggs (4 md5 calls supply 16 hashes)
 _MH_COLS = ",\n       ".join(
-    f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
+    f"MIN(SUBSTR(md5('{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh{i}"
+    for i in range(NUM_HASHES)
 )
 
 _SIG_CTE = f"""

@@ -1,5 +1,8 @@
 """Similarity-search query inventory: Spark side = operators.similarity;
-oracle = DuckDB SQL with identical decimal-exact dot products."""
+oracle = DuckDB SQL with identical scaled-long dot products: per-element
+``CAST(ROUND(x*y*1e12) AS BIGINT)`` summed as integers — exact,
+order-independent, and bit-identical in both engines (DuckDB sums BIGINT
+into HUGEINT, so the sum is cast back to BIGINT before use)."""
 
 from __future__ import annotations
 
@@ -15,27 +18,32 @@ PLANES = 8
 DIM = 64
 N_QUERIES = 10  # query vectors: vec_id < 10
 
-# Element-level view + exact decimal norms, shared by the oracles.
+# Element-level view + exact scaled-long norms, shared by the oracles.
 _EL_CTE = """
 el AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
               GENERATE_SUBSCRIPTS(embedding, 1) AS i
        FROM embeddings),
 norms AS (SELECT vec_id,
-                 SQRT(CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+                 SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
           FROM el GROUP BY vec_id)
 """
+
+# scaled-long dot: SUM over BIGINT (DuckDB accumulates HUGEINT -> cast
+# back), divided by 1e12 at use
+_SDOT = "CAST(SUM(CAST(ROUND({prod} * 1e12) AS BIGINT)) AS BIGINT)"
+_DOTD = "(CAST(dot AS DOUBLE) / 1e12)"
 
 _KNN_ORACLE = f"""
 WITH {_EL_CTE},
 dots AS (
   SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
-         SUM(CAST(qa.x * ca.x AS DECIMAL(18,12))) AS dot
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
   FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
   WHERE qa.vec_id < {N_QUERIES}
   GROUP BY 1, 2),
 scored AS (
   SELECT d.query_id, d.neighbor_id,
-         ROUND(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+         ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) AS cosine
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nc ON nc.vec_id = d.neighbor_id)
@@ -60,8 +68,8 @@ def _codes_cte(planes: int = PLANES) -> str:
     return f"""
 codes AS (
   SELECT el.vec_id, ps.p,
-         CASE WHEN SUM(CAST(CASE WHEN SUBSTR(md5(CAST(ps.p AS STRING) || ':' || CAST(el.i - 1 AS STRING)), 1, 1) >= '8'
-                                 THEN el.x ELSE -el.x END AS DECIMAL(18,12))) > 0
+         CASE WHEN CAST(SUM(CAST(ROUND((CASE WHEN SUBSTR(md5(CAST(ps.p AS STRING) || ':' || CAST(el.i - 1 AS STRING)), 1, 1) >= '8'
+                                       THEN el.x ELSE -el.x END) * 1e12) AS BIGINT)) AS BIGINT) > 0
               THEN '1' ELSE '0' END AS bit
   FROM el, (SELECT UNNEST([{plane_list}]) AS p) ps
   GROUP BY el.vec_id, ps.p),
@@ -77,14 +85,14 @@ cand AS (
   FROM q JOIN buckets b ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id),
 dots AS (
   SELECT c.query_id, c.neighbor_id,
-         SUM(CAST(qa.x * ca.x AS DECIMAL(18,12))) AS dot
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
   FROM cand c
   JOIN el qa ON qa.vec_id = c.query_id
   JOIN el ca ON ca.vec_id = c.neighbor_id AND ca.i = qa.i
   GROUP BY 1, 2),
 scored AS (
   SELECT d.query_id, d.neighbor_id,
-         ROUND(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+         ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) AS cosine
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nc ON nc.vec_id = d.neighbor_id)
@@ -132,14 +140,14 @@ cand AS (
   WHERE rc <= {MAX_CAND}),
 dots AS (
   SELECT c.query_id, c.neighbor_id,
-         SUM(CAST(qa.x * ca.x AS DECIMAL(18,12))) AS dot
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
   FROM cand c
   JOIN el qa ON qa.vec_id = c.query_id
   JOIN el ca ON ca.vec_id = c.neighbor_id AND ca.i = qa.i
   GROUP BY 1, 2),
 scored AS (
   SELECT d.query_id, d.neighbor_id,
-         ROUND(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+         ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) AS cosine
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nc ON nc.vec_id = d.neighbor_id)
@@ -171,7 +179,7 @@ _IVF_ORACLE = f"""
 WITH {_EL_CTE},
 cdots AS (
   SELECT e.vec_id AS id, c.vec_id AS centroid_id,
-         SUM(CAST(c.x * e.x AS DECIMAL(18,12))) AS dot
+         CAST(SUM(CAST(ROUND(c.x * e.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
   FROM el e JOIN el c ON c.i = e.i AND c.vec_id < {N_CENTROIDS}
   GROUP BY 1, 2),
 assign AS (
@@ -179,7 +187,7 @@ assign AS (
     SELECT s.id, s.centroid_id,
            ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY s.cos_c DESC, s.centroid_id) AS rn
     FROM (SELECT d.id, d.centroid_id,
-                 ROUND(CAST(d.dot AS DOUBLE) / (ne.nrm * nc.nrm), 6) AS cos_c
+                 ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (ne.nrm * nc.nrm), 6) AS cos_c
           FROM cdots d
           JOIN norms ne ON ne.vec_id = d.id
           JOIN norms nc ON nc.vec_id = d.centroid_id) s) t
@@ -191,14 +199,14 @@ pairs AS (
   WHERE q.id < {N_QUERIES}),
 dots AS (
   SELECT p.query_id, p.neighbor_id,
-         SUM(CAST(qa.x * ca.x AS DECIMAL(18,12))) AS dot
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
   FROM pairs p
   JOIN el qa ON qa.vec_id = p.query_id
   JOIN el ca ON ca.vec_id = p.neighbor_id AND ca.i = qa.i
   GROUP BY 1, 2),
 scored AS (
   SELECT d.query_id, d.neighbor_id,
-         ROUND(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+         ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) AS cosine
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nc ON nc.vec_id = d.neighbor_id)
@@ -224,17 +232,17 @@ pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
 dots AS (
-  SELECT p.id_a, p.id_b, SUM(CAST(ea.x * eb.x AS DECIMAL(18,12))) AS dot
+  SELECT p.id_a, p.id_b, CAST(SUM(CAST(ROUND(ea.x * eb.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
   FROM pairs p
   JOIN el ea ON ea.vec_id = p.id_a
   JOIN el eb ON eb.vec_id = p.id_b AND eb.i = ea.i
   GROUP BY 1, 2)
 SELECT d.id_a, d.id_b,
-       ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+       ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) AS cosine
 FROM dots d
 JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
-WHERE ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.5
+WHERE ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= 0.5
 """
 
 

@@ -145,10 +145,15 @@ def bucket_codes(
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    *,
+    el: DataFrame | None = None,
 ) -> DataFrame:
     """(id, bucket): sign-LSH code per vector. One explode + one grouped
-    aggregation computing all plane projections (exact decimal sums)."""
-    el = _elements(embeddings, id_col, vec_col, "id")
+    aggregation computing all plane projections (exact scaled-long sums).
+    Pass a pre-materialized ``el`` element view to avoid re-exploding when
+    the caller already holds one."""
+    if el is None:
+        el = _elements(embeddings, id_col, vec_col, "id")
     # one pass over the element rows: per plane, the sign is a literal
     # array lookup by position (stays in whole-stage codegen — no join row
     # blowup, no interpreted lambdas); `planes` scaled-long sums in a
@@ -214,7 +219,7 @@ def lsh_ann_topk(
     # el feeds codes, norms, and pair scoring; codes feeds both join sides
     # — materialize each once (lazy reuse gets recomputed per consumer)
     el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
-    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col).localCheckpoint(eager=True)
+    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col, el=el).localCheckpoint(eager=True)
     norms = _norms(el, "id")
     q_ids = queries.select(F.col(id_col).alias("query_id"))
     q_buckets = q_ids.join(codes.withColumnRenamed("id", "query_id"), "query_id")
@@ -287,7 +292,7 @@ def scaled_lsh_ann_topk(
         band_bits = lsh_band_bits(n_vectors, target_bucket_size)
     planes = bands * band_bits
     el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
-    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col).localCheckpoint(eager=True)
+    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col, el=el).localCheckpoint(eager=True)
     norms = _norms(el, "id")
     band_cols = F.explode(
         F.array(
@@ -440,7 +445,7 @@ def embedding_near_duplicates(
     pairs are scored; pairs with cosine >= threshold survive.
     Output: (id_a, id_b, cosine)."""
     el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
-    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col).localCheckpoint(eager=True)
+    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col, el=el).localCheckpoint(eager=True)
     norms = _norms(el, "id")
     a = codes.select(F.col("id").alias("id_a"), "bucket")
     b = codes.select(F.col("id").alias("id_b"), F.col("bucket").alias("b_bucket"))

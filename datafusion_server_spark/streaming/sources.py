@@ -1,0 +1,97 @@
+"""Unbounded streaming sources beyond the file-replay paths.
+
+The file-stream pipelines (windows.py / sessionize.py) run with
+``Trigger.AvailableNow`` so correctness checks are deterministic; this
+module exercises the genuinely-unbounded side:
+
+- ``rate``: Spark's built-in load-generator source — proves the same
+  windowed-aggregation plan runs against a source with no end, with the
+  watermark bounding state;
+- ``kafka``: gated cleanly (the spark-sql-kafka package isn't in this
+  container), mirroring how avro/delta sources gate in sources/registry.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def rate_windowed_counts(
+    spark: SparkSession,
+    *,
+    rows_per_second: int = 200,
+    width: str = "1 second",
+    watermark: str = "2 seconds",
+    run_seconds: float = 4.0,
+) -> DataFrame:
+    """Tumbling event-time counts over the unbounded ``rate`` source.
+
+    Runs the standing query for ``run_seconds`` of wall clock, stops it,
+    and returns the sink contents: (bucket, n, total_value). Values
+    depend on wall-clock timing — callers assert shape/progress, not
+    exact rows (the deterministic twin of this plan is
+    windows.tumbling_event_counts over a file stream).
+    """
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    windowed = (
+        stream.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", width).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").cast("bigint").alias("total_value"),
+        )
+    )
+    sink = f"rate_{uuid.uuid4().hex[:8]}"
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + run_seconds
+        while time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        query.stop()
+    return spark.table(sink).select(
+        F.col("w.start").cast("timestamp").alias("bucket"), "n", "total_value"
+    )
+
+
+def kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str, **options
+) -> DataFrame:
+    """Kafka source (value as string + event timestamp), gated: the
+    spark-sql-kafka package is not on this container's classpath, so the
+    reader raises a clear error instead of an opaque classpath trace."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    try:
+        raw = reader.load()
+    except Exception as e:
+        raise RuntimeError(
+            "kafka source unavailable: the spark-sql-kafka package is not "
+            f"on the classpath ({e})"
+        ) from e
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("ts"),
+        "topic",
+        "partition",
+        "offset",
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_server_spark.queries import df_query, sql_query
+from datafusion_server_spark.queries.core import _ss
 
 D = "DECIMAL(38,6)"
 D18 = "DECIMAL(18,6)"
@@ -160,24 +161,27 @@ sql_query(
     """,
 )
 
-sql_query(
-    "histogram_floor_buckets",
-    f"""
+def _histogram_floor_buckets(div: str) -> str:
+    return f"""
     SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) AS DOUBLE), 6) AS total
+           {_ss("o_totalprice", "total", div)}
     FROM orders GROUP BY 1
-    """,
-)
+    """
 
-sql_query(
-    "group_by_all",
-    f"""
+
+sql_query("histogram_floor_buckets", _histogram_floor_buckets("DIV"), oracle=_histogram_floor_buckets("//"))
+
+
+def _group_by_all(div: str) -> str:
+    return f"""
     SELECT o_orderstatus, o_orderpriority,
-           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) AS DOUBLE), 6) AS total
+           {_ss("o_totalprice", "total", div)}
     FROM orders GROUP BY ALL
-    """,
-)
+    """
+
+
+sql_query("group_by_all", _group_by_all("DIV"), oracle=_group_by_all("//"))
 
 # GROUPS window frame: Spark lacks GROUPS, but the unbounded/current-row
 # endpoints are value-identical to RANGE (current-row peers included in

@@ -127,19 +127,49 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = 4,
     k: int = DEFAULT_SHINGLE_WORDS,
+    *,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents sharing >=1 LSH band
     bucket, verified with exact shingle-set Jaccard. Output:
-    (id_a, id_b, n_common, n_a, n_b, jaccard)."""
+    (id_a, id_b, n_common, n_a, n_b, jaccard).
+
+    Plan shape (round-2 restructure, profiled ~1.6x at sf0.1): the
+    shingle-set SIZE is computed in the same grouped aggregation as the
+    minhash minima and rides through the banding explode and the bucket
+    self-join, so no separate ``sizes`` aggregation and no post-hoc
+    per-side size joins exist.
+
+    ``materialize`` picks who pays for the shingle view's three consumers
+    (the signature aggregation and both intersection-join sides — their
+    differing column pruning defeats AQE exchange reuse, verified on the
+    executed plan). False (default) recomputes the explode+distinct per
+    consumer — measured faster up to sf0.1, where a blocking checkpoint
+    job costs more than the parallel recompute. True materializes the
+    shingle set once via eager localCheckpoint — the right call when the
+    corpus is large enough that repeating the distinct's shuffle 3x
+    dominates a one-time executor-disk write (the 100 TB setting).
+    Results are identical either way (deterministic md5 math)."""
     rows_per_band = num_hashes // bands
-    # The shingle scan feeds three consumers (signatures, set sizes, and
-    # the pair-intersection join). Eager localCheckpoint materializes it
-    # exactly once — a lazy persist() gets raced by the concurrent
-    # downstream stages (AQE submits them in parallel before the cache
-    # fills), recomputing the explode up to 3x.
-    shingled = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
-    sigs = shingled.groupBy("id").agg(*_minhash_aggs(num_hashes))
-    banded = lsh_bands(sigs, bands, rows_per_band)
+    shingled = shingle_sets(df, text_col, id_col, k)
+    if materialize:
+        shingled = shingled.localCheckpoint(eager=True)
+    sigs = shingled.groupBy("id").agg(
+        *_minhash_aggs(num_hashes),
+        F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+    )
+    per_band = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", "n_sh", F.explode(F.array(*per_band)).alias("bb")).select(
+        "id", "n_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -149,10 +179,14 @@ def lsh_candidate_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .distinct()
     )
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     sa = shingled.alias("sa")
     sb = shingled.alias("sb")
     common = (
@@ -164,8 +198,6 @@ def lsh_candidate_pairs(
     return (
         pairs.join(common, ["id_a", "id_b"], "left")
         .na.fill({"n_common": 0})
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -13,6 +13,18 @@ codegen (measured 5-15x slower and warmup-sensitive at sf0.1).
 ``posexplode`` + ``SUM(BIGINT)`` keeps the whole pipeline in codegen with
 map-side partial aggregation.
 
+Plan shape (round-2 restructure, profiled at sf0.1): ALL per-vector
+derivations — every hyperplane projection AND the norm — happen in ONE
+grouped aggregation over the element view (one shuffle), and the norms
+ride along through the bucket/candidate joins instead of being re-joined
+per side afterwards. No eager checkpoints: every subplan here is
+deterministic (md5-derived signs, exact integer sums), so recomputation
+is harmless, and at bench scale the parallel per-consumer recompute of
+the element view measures cheaper than blocking checkpoint jobs (2.5s ->
+1.7s on ann_lsh at sf0.1). At corpus scales where re-exploding the
+vectors per consumer dominates, feed the functions a checkpointed
+DataFrame — the plans are agnostic to where their input came from.
+
 Determinism contract: each per-element product is an IEEE double scaled
 and rounded to a 1e-12-granular BIGINT (``ROUND(x*y*1e12) AS BIGINT``);
 long sums are exact, order-independent, and bit-identical in DuckDB.
@@ -59,15 +71,80 @@ def _norms(el: DataFrame, id_alias: str) -> DataFrame:
     )
 
 
-def _pair_dots(q_el: DataFrame, c_el: DataFrame) -> DataFrame:
-    """Exact scaled-long dot product per (query_id, neighbor_id) pair via
-    an element-position join + codegen'd SUM. The query side is broadcast."""
-    joined = c_el.join(
-        F.broadcast(q_el.withColumnRenamed("x", "qx")),
-        (F.col("i") == F.col("qi")) & (F.col("neighbor_id") != F.col("query_id")),
+def hyperplane_signs(plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane weights in {+1,-1}: the high
+    bit of the first hex digit of md5('{plane}:{j}'), j 0-based. The
+    DuckDB oracle reproduces these with its own md5 over the same strings."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[0] >= "8" else -1
+        for j in range(dim)
+    ]
+
+
+def _codes_norms(el: DataFrame, planes: int, dim: int) -> DataFrame:
+    """(id, bucket, nrm) in ONE grouped aggregation over the element view:
+    ``planes`` sign-projection sums plus the norm sum — a single shuffle
+    of the element rows covers every per-vector derivation downstream
+    consumers need. Each plane's signs are encoded as ONE '1'/'0' string
+    literal indexed by ``substring`` (whole-stage codegen; measured ~40%
+    faster than a 64-element literal-array lookup, whose plan carries
+    planes x dim literals through analysis and codegen)."""
+    sign_strs = [
+        "".join("1" if s == 1 else "0" for s in hyperplane_signs(p, dim))
+        for p in range(planes)
+    ]
+    sums = el.groupBy("id").agg(
+        *[
+            _ssum(
+                F.when(
+                    F.substring(F.lit(sign_strs[p]), F.col("i"), 1) == "1", F.col("x")
+                ).otherwise(-F.col("x"))
+            ).alias(f"s{p}")
+            for p in range(planes)
+        ],
+        F.sqrt(_unscale(_ssum(F.col("x") * F.col("x")))).alias("nrm"),
     )
-    return joined.groupBy("query_id", "neighbor_id").agg(
-        _ssum(F.col("qx") * F.col("x")).alias("dot")
+    bits = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(planes)]
+    return sums.select("id", F.concat(*bits).alias("bucket"), "nrm")
+
+
+def bucket_codes(
+    embeddings: DataFrame,
+    planes: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    el: DataFrame | None = None,
+) -> DataFrame:
+    """(id, bucket): sign-LSH code per vector. Pass a pre-built ``el``
+    element view to avoid re-exploding when the caller already holds one."""
+    if el is None:
+        el = _elements(embeddings, id_col, vec_col, "id")
+    return _codes_norms(el, planes, dim).select("id", "bucket")
+
+
+def _score_pairs(pairs: DataFrame, el: DataFrame, a: str, b: str) -> DataFrame:
+    """Exact cosine for explicit (a, b) id pairs. ``pairs`` must carry the
+    per-side norms as ``nrm_a``/``nrm_b`` (they ride through the candidate
+    join instead of two extra post-aggregation joins). Output: (a, b,
+    cosine)."""
+    ea = el.select(F.col("id").alias(a), "i", F.col("x").alias("xa"))
+    eb = el.select(F.col("id").alias(b), "i", F.col("x").alias("xb"))
+    dots = (
+        pairs.join(ea, a)
+        .join(eb, [b, "i"])
+        .groupBy(a, b, "nrm_a", "nrm_b")
+        .agg(_ssum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    return dots.select(
+        a,
+        b,
+        F.round(_unscale(F.col("dot")) / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
+            "cosine"
+        ),
     )
 
 
@@ -92,19 +169,31 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank). The exploded query side
     (n_queries x dim rows) is broadcast; the candidate scan is
-    embarrassingly parallel; the only wide shuffles are the 20k-group
-    hash agg and the per-query top-k (tiny).
+    embarrassingly parallel; the only wide shuffles are the hash agg of
+    the pair dots and the per-query top-k (tiny). Norms can't ride into
+    the dot aggregation here (that would blow up the element rows), so
+    they join after it — both sides from one norm aggregation shape.
     """
-    # c_el feeds both the dot-product join and the norms — materialize once
-    c_el = _elements(embeddings, id_col, vec_col, "neighbor_id").localCheckpoint(eager=True)
-    q_el = _elements(queries, id_col, vec_col, "query_id").withColumnRenamed("i", "qi")
+    c_el = _elements(embeddings, id_col, vec_col, "neighbor_id")
+    q_el = (
+        _elements(queries, id_col, vec_col, "query_id")
+        .withColumnRenamed("i", "qi")
+        .withColumnRenamed("x", "qx")
+    )
+    dots = (
+        c_el.join(
+            F.broadcast(q_el),
+            (F.col("i") == F.col("qi")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(_ssum(F.col("qx") * F.col("x")).alias("dot"))
+    )
     norms = _norms(c_el, "neighbor_id")
     q_norms = _norms(
         _elements(queries, id_col, vec_col, "query_id"), "query_id"
     ).withColumnRenamed("nrm", "q_nrm")
     scored = (
-        _pair_dots(q_el, c_el)
-        .join(norms, "neighbor_id")
+        dots.join(norms, "neighbor_id")
         .join(F.broadcast(q_norms), "query_id")
         .select(
             "query_id",
@@ -115,89 +204,6 @@ def cosine_topk(
         )
     )
     return _rank_topk(scored, k)
-
-
-def hyperplane_signs(plane: int, dim: int) -> list[int]:
-    """Deterministic pseudo-random hyperplane weights in {+1,-1}: the high
-    bit of the first hex digit of md5('{plane}:{j}'), j 0-based. The
-    DuckDB oracle reproduces these with its own md5 over the same strings."""
-    import hashlib
-
-    return [
-        1 if hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[0] >= "8" else -1
-        for j in range(dim)
-    ]
-
-
-def _signs_df(spark, planes: int, dim: int) -> DataFrame:
-    """(p, i, sign) rows, i 1-based — broadcast side of the code compute."""
-    rows = [
-        (p, j + 1, s)
-        for p in range(planes)
-        for j, s in enumerate(hyperplane_signs(p, dim))
-    ]
-    return spark.createDataFrame(rows, "p INT, i INT, sign INT")
-
-
-def bucket_codes(
-    embeddings: DataFrame,
-    planes: int,
-    dim: int,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    *,
-    el: DataFrame | None = None,
-) -> DataFrame:
-    """(id, bucket): sign-LSH code per vector. One explode + one grouped
-    aggregation computing all plane projections (exact scaled-long sums).
-    Pass a pre-materialized ``el`` element view to avoid re-exploding when
-    the caller already holds one."""
-    if el is None:
-        el = _elements(embeddings, id_col, vec_col, "id")
-    # one pass over the element rows: per plane, the sign is a literal
-    # array lookup by position (stays in whole-stage codegen — no join row
-    # blowup, no interpreted lambdas); `planes` scaled-long sums in a
-    # single grouped aggregation = one shuffle of the element rows
-    sums = el.groupBy("id").agg(
-        *[
-            _ssum(
-                F.col("x")
-                * F.element_at(
-                    F.array(*[F.lit(s) for s in hyperplane_signs(p, dim)]), F.col("i")
-                )
-            ).alias(f"s{p}")
-            for p in range(planes)
-        ]
-    )
-    bits = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(planes)]
-    return sums.select("id", F.concat(*bits).alias("bucket"))
-
-
-def _score_pairs(
-    pairs: DataFrame, el: DataFrame, norms: DataFrame, a: str, b: str
-) -> DataFrame:
-    """Exact cosine for explicit (a, b) id pairs via element joins."""
-    ea = el.select(F.col("id").alias(a), "i", F.col("x").alias("xa"))
-    eb = el.select(F.col("id").alias(b), "i", F.col("x").alias("xb"))
-    dots = (
-        pairs.join(ea, a)
-        .join(eb, [b, "i"])
-        .groupBy(a, b)
-        .agg(_ssum(F.col("xa") * F.col("xb")).alias("dot"))
-    )
-    na = norms.select(F.col("id").alias(a), F.col("nrm").alias("nrm_a"))
-    nb = norms.select(F.col("id").alias(b), F.col("nrm").alias("nrm_b"))
-    return (
-        dots.join(na, a)
-        .join(nb, b)
-        .select(
-            a,
-            b,
-            F.round(_unscale(F.col("dot")) / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
 
 
 def lsh_ann_topk(
@@ -216,24 +222,25 @@ def lsh_ann_topk(
     Output: (query_id, neighbor_id, cosine, rank); recall depends on
     ``planes``.
     """
-    # el feeds codes, norms, and pair scoring; codes feeds both join sides
-    # — materialize each once (lazy reuse gets recomputed per consumer)
-    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
-    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col, el=el).localCheckpoint(eager=True)
-    norms = _norms(el, "id")
+    el = _elements(embeddings, id_col, vec_col, "id")
+    cn = _codes_norms(el, planes, dim)
     q_ids = queries.select(F.col(id_col).alias("query_id"))
-    q_buckets = q_ids.join(codes.withColumnRenamed("id", "query_id"), "query_id")
-    pairs = (
-        q_buckets.join(
-            codes.withColumnRenamed("id", "neighbor_id").withColumnRenamed(
-                "bucket", "c_bucket"
-            ),
-            (F.col("bucket") == F.col("c_bucket"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .select("query_id", "neighbor_id")
+    qb = q_ids.join(
+        cn.select(
+            F.col("id").alias("query_id"), "bucket", F.col("nrm").alias("nrm_a")
+        ),
+        "query_id",
     )
-    scored = _score_pairs(pairs, el, norms, "query_id", "neighbor_id")
+    pairs = qb.join(
+        cn.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("bucket").alias("c_bucket"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        (F.col("bucket") == F.col("c_bucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", "nrm_a", "nrm_b")
+    scored = _score_pairs(pairs, el, "query_id", "neighbor_id")
     return _rank_topk(scored, k)
 
 
@@ -291,10 +298,9 @@ def scaled_lsh_ann_topk(
             n_vectors = embeddings.count()
         band_bits = lsh_band_bits(n_vectors, target_bucket_size)
     planes = bands * band_bits
-    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
-    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col, el=el).localCheckpoint(eager=True)
-    norms = _norms(el, "id")
-    band_cols = F.explode(
+    el = _elements(embeddings, id_col, vec_col, "id")
+    cn = _codes_norms(el, planes, dim)
+    band_struct = F.explode(
         F.array(
             *[
                 F.struct(
@@ -305,29 +311,33 @@ def scaled_lsh_ann_topk(
             ]
         )
     ).alias("bc")
-    band_codes = codes.select("id", band_cols).select(
-        "id", F.col("bc.b").alias("b"), F.col("bc.code").alias("code")
+    band_codes = cn.select("id", "nrm", band_struct).select(
+        "id", "nrm", F.col("bc.b").alias("b"), F.col("bc.code").alias("code")
     )
-    q_bands = (
-        queries.select(F.col(id_col).alias("query_id"))
-        .join(band_codes.withColumnRenamed("id", "query_id"), "query_id")
+    q_bands = queries.select(F.col(id_col).alias("query_id")).join(
+        band_codes.select(
+            F.col("id").alias("query_id"), F.col("nrm").alias("nrm_a"), "b", "code"
+        ),
+        "query_id",
     )
     shared = (
         q_bands.join(
-            band_codes.withColumnRenamed("id", "neighbor_id"),
+            band_codes.select(
+                F.col("id").alias("neighbor_id"), F.col("nrm").alias("nrm_b"), "b", "code"
+            ),
             ["b", "code"],
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
+        .groupBy("query_id", "neighbor_id", "nrm_a", "nrm_b")
         .agg(F.count(F.lit(1)).alias("nb"))
     )
     cap_w = Window.partitionBy("query_id").orderBy(F.desc("nb"), F.asc("neighbor_id"))
     pairs = (
         shared.withColumn("rc", F.row_number().over(cap_w))
         .filter(F.col("rc") <= max_candidates)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "nrm_a", "nrm_b")
     )
-    scored = _score_pairs(pairs, el, norms, "query_id", "neighbor_id")
+    scored = _score_pairs(pairs, el, "query_id", "neighbor_id")
     return _rank_topk(scored, k)
 
 
@@ -347,6 +357,8 @@ def ivf_assign(
     id_col: str = "vec_id",
     *,
     nprobe: int = 1,
+    el: DataFrame | None = None,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its ``nprobe`` nearest
     centroids by cosine (corpus side uses nprobe=1; the query side probes
@@ -354,9 +366,12 @@ def ivf_assign(
     Centroids are the first ``n_centroids`` vectors by id — a
     deterministic stand-in for a k-means codebook (swap in real k-means
     at scale; the assignment/search plan is identical).
-    Output: (id, centroid_id) — ``nprobe`` rows per id when nprobe>1."""
-    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
-    norms = _norms(el, "id")
+    Output: (id, centroid_id, nrm) — ``nprobe`` rows per id when nprobe>1;
+    the vector norm rides along for downstream scoring."""
+    if el is None:
+        el = _elements(embeddings, id_col, vec_col, "id")
+    if norms is None:
+        norms = _norms(el, "id")
     cent_el = el.filter(F.col("id") < n_centroids).select(
         F.col("id").alias("centroid_id"), F.col("i").alias("qi"), F.col("x").alias("qx")
     )
@@ -374,6 +389,7 @@ def ivf_assign(
         .select(
             "id",
             "centroid_id",
+            "nrm",
             F.round(_unscale(F.col("dot")) / (F.col("nrm") * F.col("c_nrm")), 6).alias(
                 "cos_c"
             ),
@@ -383,7 +399,7 @@ def ivf_assign(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
-        .select("id", "centroid_id")
+        .select("id", "centroid_id", "nrm")
     )
 
 
@@ -409,27 +425,38 @@ def ivf_topk(
         if n_vectors is None:
             n_vectors = embeddings.count()
         n_centroids = ivf_n_centroids(n_vectors)
-    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
+    el = _elements(embeddings, id_col, vec_col, "id")
     norms = _norms(el, "id")
-    assign = ivf_assign(embeddings, n_centroids, vec_col, id_col).localCheckpoint(eager=True)
+    assign = ivf_assign(embeddings, n_centroids, vec_col, id_col, el=el, norms=norms)
     q_ids = queries.select(F.col(id_col).alias("query_id"))
     q_side = (
         assign
         if nprobe == 1
-        else ivf_assign(embeddings, n_centroids, vec_col, id_col, nprobe=nprobe)
+        else ivf_assign(
+            embeddings, n_centroids, vec_col, id_col, nprobe=nprobe, el=el, norms=norms
+        )
     )
-    q_assign = q_ids.join(q_side.withColumnRenamed("id", "query_id"), "query_id")
+    q_assign = q_ids.join(
+        q_side.select(
+            F.col("id").alias("query_id"), "centroid_id", F.col("nrm").alias("nrm_a")
+        ),
+        "query_id",
+    )
     pairs = (
         q_assign.join(
-            assign.withColumnRenamed("id", "neighbor_id").withColumnRenamed(
-                "centroid_id", "c_centroid"
+            assign.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("centroid_id").alias("c_centroid"),
+                F.col("nrm").alias("nrm_b"),
             ),
             (F.col("centroid_id") == F.col("c_centroid"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id")
+        # no dedup needed: the corpus side is nprobe=1, so a neighbor can
+        # match at most one of the query's probed centroids
+        .select("query_id", "neighbor_id", "nrm_a", "nrm_b")
     )
-    scored = _score_pairs(pairs, el, norms, "query_id", "neighbor_id")
+    scored = _score_pairs(pairs, el, "query_id", "neighbor_id")
     return _rank_topk(scored, k)
 
 
@@ -444,14 +471,17 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs via LSH buckets: only same-bucket
     pairs are scored; pairs with cosine >= threshold survive.
     Output: (id_a, id_b, cosine)."""
-    el = _elements(embeddings, id_col, vec_col, "id").localCheckpoint(eager=True)
-    codes = bucket_codes(embeddings, planes, dim, vec_col, id_col, el=el).localCheckpoint(eager=True)
-    norms = _norms(el, "id")
-    a = codes.select(F.col("id").alias("id_a"), "bucket")
-    b = codes.select(F.col("id").alias("id_b"), F.col("bucket").alias("b_bucket"))
+    el = _elements(embeddings, id_col, vec_col, "id")
+    cn = _codes_norms(el, planes, dim)
+    a = cn.select(F.col("id").alias("id_a"), "bucket", F.col("nrm").alias("nrm_a"))
+    b = cn.select(
+        F.col("id").alias("id_b"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("nrm").alias("nrm_b"),
+    )
     pairs = a.join(
         b, (F.col("bucket") == F.col("b_bucket")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
-    return _score_pairs(pairs, el, norms, "id_a", "id_b").filter(
+    ).select("id_a", "id_b", "nrm_a", "nrm_b")
+    return _score_pairs(pairs, el, "id_a", "id_b").filter(
         F.col("cosine") >= threshold
     )

@@ -161,9 +161,14 @@ def tfidf_topk(
         .crossJoin(F.broadcast(n_docs_df))
         .select("term", F.round(F.log(F.col("n_docs") / F.col("df_t")), 8).alias("idf"))
     )
+    # lazy on purpose: the weight view's three consumers (norms, the query
+    # slice, the dot join) recompute the tf/idf subplan, but the parallel
+    # recompute measures cheaper than a blocking eager-checkpoint job at
+    # bench scale; pass the result through localCheckpoint at corpus
+    # scales where repeating the tf shuffle per consumer dominates
     w = tf.join(idf, "term").select(
         "id", "term", (F.col("tf") * F.col("idf")).alias("w")
-    ).localCheckpoint(eager=True)
+    )
     norms = w.groupBy("id").agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")).alias("nrm")
     )

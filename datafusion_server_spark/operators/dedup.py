@@ -213,6 +213,70 @@ def lsh_candidate_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = DEFAULT_SHINGLE_WORDS,
+    threshold: float = 0.5,
+    *,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs WITHOUT MinHash approximation:
+    every document pair sharing >=1 (rare-enough) shingle is scored by
+    true shingle-set Jaccard; pairs >= ``threshold`` survive. Output:
+    (id_a, id_b, n_common, n_a, n_b, jaccard).
+
+    Semantics: Jaccard over each document's INFORMATIVE shingle set —
+    shingles with document frequency <= ``max_shingle_df``. Boilerplate
+    n-grams shared by more documents than the cap are excluded from both
+    the intersection and the set sizes (they carry no near-dup signal:
+    true near-dups also share rare shingles), which makes the whole
+    computation a single self-join pass:
+
+    - the per-shingle join fan-out is bounded at max_shingle_df^2 rows
+      regardless of corpus size (the scale guard — an uncapped shared-
+      shingle join is quadratic in the hottest shingle's frequency);
+    - ``n_common`` falls directly out of the capped join's group-by (no
+      separate candidate-verification pass over the full sets — measured
+      60x faster than the verify-pass variant at sf0.1, identical output
+      there since the fixture's max shingle frequency sits below the cap);
+    - set sizes count the same capped sets, so the score is the exact
+      Jaccard of the stated (filtered) sets."""
+    shingled = shingle_sets(df, text_col, id_col, k)
+    rare = shingled.join(
+        shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh")).filter(
+            F.col("df_sh") <= max_shingle_df
+        ).select("shingle"),
+        "shingle",
+    )
+    sized = rare.join(
+        rare.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh")), "id"
+    )
+    common = (
+        sized.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+        .join(
+            sized.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"),
+            ["shingle"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return common.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per token, bit_p = high-bit of md5 hex digit p;
     per document, majority vote over tokens. Output: (id, simhash) with

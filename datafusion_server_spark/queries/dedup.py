@@ -102,6 +102,42 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS)
 
 
+# n-gram Jaccard: exact near-dup scoring (no MinHash approximation) with
+# the document-frequency cap guarding the shared-shingle self-join.
+_NGRAM_MAX_DF = 100
+_NGRAM_THRESHOLD = 0.5
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_NGRAM_MAX_DF}) r
+    ON r.shingle = sh.shingle),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+       c.n_common, za.n_sh AS n_a, zb.n_sh AS n_b,
+       ROUND(CAST(c.n_common AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - c.n_common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+WHERE ROUND(CAST(c.n_common AS DOUBLE)
+            / CAST(za.n_sh + zb.n_sh - c.n_common AS DOUBLE), 6) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@df_query("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=_NGRAM_THRESHOLD, max_shingle_df=_NGRAM_MAX_DF
+    )
+
+
 @df_query(
     "dedup_materialize_survivors",
     """

@@ -87,6 +87,21 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     return sessionize_stream(spark, f"{sf_dir}/events.parquet")
 
 
+@df_query(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark): the emitted key set must equal batch
+    SELECT DISTINCT over the same events — checked value-for-value."""
+    from datafusion_server_spark.streaming.dedup import dedup_event_keys
+
+    return dedup_event_keys(spark, f"{sf_dir}/events.parquet")
+
+
 # HLL sketch cardinality: values are engine-specific (different sketch
 # implementations), so no value-level oracle — rows-only.
 sql_query(

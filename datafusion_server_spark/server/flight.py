@@ -10,8 +10,13 @@ executed as SQL in that session.
 - do_put: register the uploaded stream as a table in the target session
   (flight.rs:264-310)
 
-handshake/list_flights/do_exchange/actions stay unimplemented, matching
-the reference (flight.rs:153-167, 312-337).
+do_exchange is BEYOND-reference surface (the reference leaves it
+unimplemented, flight.rs:322-328): the client streams a table up, the
+server registers it as ``exchange_input`` in the ticket's session, runs
+the ticket SQL against it, and streams the result back partition-
+incrementally — a one-round-trip push-transform-pull.
+handshake/list_flights/actions stay unimplemented, matching the
+reference (flight.rs:153-167, 312-337).
 """
 
 from __future__ import annotations
@@ -85,6 +90,32 @@ if fl is not None:
             if first is None:
                 return fl.GeneratorStream(encoders.spark_to_arrow_schema(df), iter(()))
             return fl.GeneratorStream(first.schema, itertools.chain([first], batches))
+
+        def do_exchange(self, context, descriptor, reader, writer):
+            """Push-transform-pull: upload stream -> temp view
+            ``exchange_input`` -> ticket SQL -> incremental result stream.
+            Descriptor command: ``{session_id}/{SQL}`` (same grammar as
+            do_get tickets; the SQL references ``exchange_input``)."""
+            from datafusion_server_spark.functions.dialect import transpile
+            from datafusion_server_spark.server import encoders
+
+            if descriptor.descriptor_type == fl.DescriptorType.PATH:
+                ticket = "/".join(p.decode() for p in descriptor.path)
+            else:
+                ticket = descriptor.command.decode()
+            session_id, sql = parse_ticket(ticket)
+            sess = self.engine.sessions.get(session_id)
+            table = reader.read_all()
+            sess.spark.createDataFrame(table).createOrReplaceTempView("exchange_input")
+            df = sess.sql(transpile(sql))
+            batches = encoders.arrow_batches_incremental(df)
+            first = next(batches, None)
+            writer.begin(first.schema if first is not None
+                         else encoders.spark_to_arrow_schema(df))
+            if first is not None:
+                writer.write_batch(first)
+                for batch in batches:
+                    writer.write_batch(batch)
 
         def do_put(self, context, descriptor, reader, writer):
             path = "/".join(p.decode() for p in descriptor.path)

@@ -321,6 +321,32 @@ def test_flight_do_put_do_get(engine):
     engine.sessions.delete("fl")
 
 
+def test_flight_do_exchange(engine):
+    """Beyond-reference do_exchange: push a table, transform it with SQL
+    referencing `exchange_input`, pull the result in one round trip."""
+    fl = pytest.importorskip("pyarrow.flight")
+    from datafusion_server_spark.server.flight import serve as flight_serve
+
+    server = flight_serve(engine, "grpc://127.0.0.1:0")
+    client = fl.FlightClient(f"grpc://127.0.0.1:{server.port}")
+    engine.session_create("flx", 600)
+    try:
+        table = pa.table({"k": ["a", "a", "b"], "v": [1, 2, 10]})
+        desc = fl.FlightDescriptor.for_command(
+            b"flx/SELECT k, CAST(SUM(v) AS BIGINT) AS total"
+            b" FROM exchange_input GROUP BY k ORDER BY k"
+        )
+        writer, reader = client.do_exchange(desc)
+        writer.begin(table.schema)
+        writer.write_table(table)
+        writer.done_writing()
+        got = reader.read_all()
+        writer.close()
+        assert got.to_pylist() == [{"k": "a", "total": 3}, {"k": "b", "total": 10}]
+    finally:
+        engine.sessions.delete("flx")
+
+
 def test_stateless_query_arrow_stream_chunked(base_url, tmp_path):
     p = tmp_path / "s4.csv"
     p.write_bytes(CSV)

@@ -245,3 +245,42 @@ def test_multimodal_feature_extraction_deterministic(spark, sf_dir):
     assert f1 == f2
     assert all(len(v) == multimodal.FEATURE_DIM for v in f1.values())
     assert all(-0.5 <= x <= 0.5 for v in f1.values() for x in v)
+
+
+def test_ngram_jaccard_df_cap(spark):
+    """Shingles above the document-frequency cap neither pair documents
+    nor count toward sizes; identical docs sharing only rare shingles
+    score 1.0."""
+    from datafusion_server_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "the quick brown fox jumps"  # shared by ALL docs -> df=4
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} alpha beta gamma delta"),  # exact dup of 1
+        (3, f"{boiler} epsilon zeta eta theta"),
+        (4, f"{boiler} iota kappa lam mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.0, max_shingle_df=3
+    ).collect()
+    # boilerplate trigrams (df=4 > cap) pair nobody; docs 1/2 share all
+    # their rare shingles -> jaccard 1.0; 3 and 4 share only boilerplate
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert pairs == {(1, 2): 1.0}
+    row = out[0]
+    # sizes count only rare shingles: 9 words + boiler tail overlap ->
+    # trigrams fully inside the boilerplate are excluded
+    assert row.n_a == row.n_b == row.n_common
+
+
+def test_streaming_dedup_within_watermark_matches_distinct(spark, sf_dir):
+    from datafusion_server_spark.streaming.dedup import dedup_event_keys
+
+    got = dedup_event_keys(spark, f"{sf_dir}/events.parquet")
+    from datafusion_server_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    expect = ev.select("user_id", "event_type").distinct()
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect.selectExpr("CAST(user_id AS BIGINT)", "event_type")).count() == 0

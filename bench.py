@@ -76,11 +76,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = reg[name]
-        # best of 2: the first run also pays per-plan codegen compile and
-        # is exposed to transient host contention; min is the stable
-        # engine cost
+        # best of 3: the first run also pays per-plan codegen compile and
+        # any run is exposed to transient host contention (measured 2-3x
+        # swings on this host); min is the stable engine cost
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qd.build(spark, sf_dir)
             # Materialize the full result through Arrow — the same path

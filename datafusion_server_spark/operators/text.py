@@ -27,9 +27,18 @@ def _words(text: Column) -> Column:
     return F.split(text, " ")
 
 
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs, whitespace — each match ~ one BPE pretoken (real BPE
+# then splits rare pretokens further; this counts the regex stage).
+# ASCII classes only so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Token counting: whitespace tokens + a bytes/4 BPE-ish estimate.
-    Output: (id, n_chars, n_words, n_tokens_est, avg_word_len)."""
+    """Token counting: whitespace tokens, a bytes/4 estimate, and a
+    BPE-ish regex pretoken count (``BPE_PRETOKEN_RE`` — the GPT-2
+    pretokenizer stage). Output: (id, n_chars, n_words, n_tokens_est,
+    n_tokens_bpe, avg_word_len)."""
     words = _words(F.col(text_col))
     n_chars = F.length(F.col(text_col)).cast("bigint")
     n_words = F.size(words).cast("bigint")
@@ -38,6 +47,9 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         F.ceil(n_chars.cast("double") / 4).cast("bigint").alias("n_tokens_est"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN_RE)).cast("bigint").alias(
+            "n_tokens_bpe"
+        ),
         F.round(
             (n_chars - (n_words - 1)).cast("double") / n_words.cast("double"), 6
         ).alias("avg_word_len"),

@@ -145,6 +145,7 @@ def registry() -> dict[str, QueryDef]:
         merge,
         similarity,
         text,
+        timeseries,
     )
 
     missing = [n for n in PRIORITY if n not in _REGISTRY]

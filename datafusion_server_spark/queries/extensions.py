@@ -102,6 +102,28 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     return dedup_event_keys(spark, f"{sf_dir}/events.parquet")
 
 
+@df_query(
+    "streaming_stream_stream_join",
+    """
+    SELECT CAST(c.user_id AS BIGINT) AS user_id,
+           c.event_id AS click_id, e.event_id AS error_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts
+     AND epoch_us(e.ts) - epoch_us(c.ts) <= 600000000
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (click x error within 10 min, watermarks
+    both sides bounding join state): must equal the batch range join
+    value-for-value."""
+    from datafusion_server_spark.streaming.joins import click_error_join
+
+    return click_error_join(spark, f"{sf_dir}/events.parquet")
+
+
 # HLL sketch cardinality: values are engine-specific (different sketch
 # implementations), so no value-level oracle — rows-only.
 sql_query(

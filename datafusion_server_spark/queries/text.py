@@ -21,6 +21,7 @@ def _in_list(langs: tuple[str, ...]) -> str:
            CAST(LENGTH(text) AS BIGINT) AS n_chars,
            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
            CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4) AS BIGINT) AS n_tokens_est,
+           CAST(LEN(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_tokens_bpe,
            ROUND(CAST(LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE)
                  / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 6) AS avg_word_len
     FROM documents

@@ -1,0 +1,206 @@
+"""Time-series operator queries: as-of join, range join, hypertable
+rollup, KMV sketch, and the sliding-window stream — each with a DuckDB
+oracle (the as-of oracle uses DuckDB's native ASOF JOIN, so the Spark
+union-window formulation is checked against an independent engine's
+native implementation of the semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import sketch, timeseries
+from datafusion_server_spark.queries import df_query, sql_query
+
+# --- as-of join: for each 'error' event, the most recent prior-or-equal
+# 'click' by the same user. Oracle: DuckDB native ASOF LEFT JOIN.
+# (user_id, ts) pairs are unique in the fixture, so the match is unique.
+
+_ASOF_ORACLE = """
+WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+clk AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click')
+SELECT err.event_id, CAST(err.user_id AS BIGINT) AS user_id,
+       epoch_us(err.ts) AS ts_us,
+       clk.event_id AS asof_event_id,
+       epoch_us(clk.ts) AS asof_ts_us,
+       ROUND(CAST(clk.value AS DOUBLE), 6) AS asof_value
+FROM err ASOF LEFT JOIN clk
+  ON err.user_id = clk.user_id AND err.ts >= clk.ts
+"""
+
+
+@df_query("asof_join_last_click", _ASOF_ORACLE)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = timeseries.asof_join(
+        err, clk, "user_id", "ts", "ts", ["event_id", "ts", "value"],
+        right_order="event_id",
+    )
+    return joined.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_event_id"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        F.round(F.col("asof_value").cast("double"), 6).alias("asof_value"),
+    )
+
+
+# --- range join: ordered same-user event pairs within 300 s.
+
+_RANGE_ORACLE = """
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       a.event_id AS id_a, b.event_id AS id_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+"""
+
+
+@df_query("range_join_event_pairs", _RANGE_ORACLE)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    pairs = timeseries.range_join_pairs(ev, "user_id", "ts", "event_id", max_gap_s=300)
+    return pairs.select(
+        F.col("user_id").cast("bigint").alias("user_id"), "id_a", "id_b", "gap_us"
+    )
+
+
+# --- hypertable rollup: minute -> hour -> day, coarser levels aggregated
+# from finer ones. Oracle: three direct group-bys (semantically equal).
+
+_ROLLUP_ORACLE = """
+WITH m AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 60000000) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1)
+SELECT 'minute' AS resolution, m * 60 AS bucket_s, n,
+       ROUND(CAST(s AS DOUBLE) / 1000000, 6) AS total FROM m
+UNION ALL
+SELECT 'hour', (m // 60) * 3600, CAST(SUM(n) AS BIGINT),
+       ROUND(CAST(SUM(s) AS DOUBLE) / 1000000, 6) FROM m GROUP BY 2
+UNION ALL
+SELECT 'day', (m // 1440) * 86400, CAST(SUM(n) AS BIGINT),
+       ROUND(CAST(SUM(s) AS DOUBLE) / 1000000, 6) FROM m GROUP BY 2
+"""
+
+
+@df_query("hypertable_rollup", _ROLLUP_ORACLE)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return timeseries.hypertable_rollup(ev, "ts", "value")
+
+
+# --- KMV sketch: deterministic approximate distinct users per event
+# type, plus the exact count for reference. Oracle reproduces the md5
+# k-minimum-values estimate bit-for-bit.
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed),
+agg AS (
+  SELECT event_type, MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS n_hashes
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type)
+SELECT event_type,
+       ROUND(CASE WHEN n_hashes < {_KMV_K} THEN CAST(n_hashes AS DOUBLE)
+                  ELSE {_KMV_K - 1}.0
+                       / (CAST(('0x' || substr(h_k, 1, 15)) AS BIGINT)
+                          / CAST(16.0 ** 15 AS DOUBLE))
+             END, 6) AS kmv_estimate,
+       n_hashes
+FROM agg
+"""
+
+
+@df_query("sketch_kmv_distinct", _KMV_ORACLE)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return sketch.kmv_distinct(ev, "user_id", ["event_type"], k=_KMV_K)
+
+
+# --- sliding-window streaming aggregation vs the 2-windows-per-event
+# batch expansion.
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT unnest([
+           to_timestamp(FLOOR(epoch(ts) / 300) * 300 - 300),
+           to_timestamp(FLOOR(epoch(ts) / 300) * 300)
+         ]) AS bucket,
+         event_type, value
+  FROM events)
+SELECT CAST(bucket AS TIMESTAMP) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+@df_query("streaming_sliding_counts", _SLIDING_ORACLE)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding windows (width 10 min, slide 5 min):
+    every event contributes to exactly two windows; streaming result must
+    equal the batch window expansion value-for-value."""
+    from datafusion_server_spark.streaming.windows import sliding_event_counts
+
+    return sliding_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
+# --- TPC-H q14: promotion revenue share (part ⋈ lineitem, one month).
+
+sql_query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(CAST(
+             100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                               ELSE 0 END)
+             / SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l_discount AS DECIMAL(18,6))))
+           AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-09-01'
+      AND l_shipdate < DATE '1995-10-01'
+    """,
+)
+
+# --- TPC-H q18: large-volume customers (orders whose lineitem quantity
+# total exceeds the threshold).
+
+sql_query(
+    "q18_large_volume_customers",
+    """
+    SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderdate,
+           ROUND(CAST(o_totalprice AS DOUBLE), 6) AS o_totalprice,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)

@@ -15,6 +15,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def sliding_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Sliding (overlapping) windows: each event lands in width/slide
+    windows (2 here). Same stream shape as the tumbling variant; the
+    state store holds width/slide concurrent windows per key, bounded by
+    the watermark. Returns (bucket, event_type, n, total_value)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    parent, _, fname = events_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+    ts = F.col("ts")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    windowed = (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
+        )
+    )
+    sink = f"sliding_{uuid.uuid4().hex[:8]}"
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    return spark.table(sink).select(
+        F.col("w.start").cast("timestamp").alias("bucket"),
+        "event_type",
+        "n",
+        F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
+    )
+
+
 def tumbling_event_counts(
     spark: SparkSession,
     events_path: str,

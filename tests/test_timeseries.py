@@ -1,0 +1,130 @@
+"""Edge-semantics tests for the time-series operators (the registry
+oracle test covers the fixture-scale behavior; these pin the corner
+cases the oracle data may not exercise)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators.sketch import kmv_distinct
+from datafusion_server_spark.operators.timeseries import (
+    asof_join,
+    hypertable_rollup,
+    range_join_pairs,
+)
+
+
+def _ts(minute: int, second: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_inclusive_no_match_and_tiebreak(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, t=_ts(10), lid=100),  # matches the equal-ts right row (inclusive)
+            Row(k=1, t=_ts(5), lid=101),   # before every right row -> NULL
+            Row(k=2, t=_ts(30), lid=102),  # two right rows share ts=20 -> max rid wins
+            Row(k=3, t=_ts(1), lid=103),   # key with no right rows at all -> NULL
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, t=_ts(10), rid=7, v=1.0),
+            Row(k=1, t=_ts(9), rid=6, v=2.0),
+            Row(k=2, t=_ts(20), rid=8, v=3.0),
+            Row(k=2, t=_ts(20), rid=9, v=4.0),
+        ]
+    )
+    out = asof_join(left, right, "k", "t", "t", ["rid", "v"], right_order="rid")
+    got = {r["lid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    assert got[100] == (7, 1.0)      # inclusive at equal timestamps
+    assert got[101] == (None, None)  # nothing at-or-before
+    assert got[102] == (9, 4.0)      # tie on ts -> largest right_order
+    assert got[103] == (None, None)
+
+
+def test_asof_join_left_row_count_preserved(spark):
+    left = spark.createDataFrame([Row(k=i % 3, t=_ts(i), lid=i) for i in range(30)])
+    right = spark.createDataFrame([Row(k=0, t=_ts(0), rid=1, v=0.5)])
+    out = asof_join(left, right, "k", "t", "t", ["rid", "v"])
+    assert out.count() == 30
+
+
+def test_range_join_boundary_and_buckets(spark):
+    # gap exactly == max_gap is included; gap just over is excluded;
+    # pairs crossing a bucket boundary are still found
+    df = spark.createDataFrame(
+        [
+            Row(k=1, t=_ts(0, 0), i=1),
+            Row(k=1, t=_ts(5, 0), i=2),    # gap 300s from i=1 -> included
+            Row(k=1, t=_ts(10, 1), i=3),   # gap 301s from i=2 -> excluded
+            Row(k=2, t=_ts(4, 59), i=4),   # bucket 0
+            Row(k=2, t=_ts(5, 1), i=5),    # bucket 1, gap 2s -> cross-bucket pair
+        ]
+    )
+    out = range_join_pairs(df, "k", "t", "i", max_gap_s=300)
+    pairs = {(r["id_a"], r["id_b"], r["gap_us"]) for r in out.collect()}
+    assert (1, 2, 300_000_000) in pairs
+    assert not any(a == 2 and b == 3 for a, b, _ in pairs)
+    assert (4, 5, 2_000_000) in pairs
+    assert len(pairs) == 2
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # the 2-bucket explode must not double-count a qualifying pair
+    df = spark.createDataFrame([Row(k=1, t=_ts(0, s), i=s) for s in range(0, 50, 10)])
+    out = range_join_pairs(df, "k", "t", "i", max_gap_s=300)
+    assert out.count() == out.distinct().count() == 10  # C(5,2) ordered pairs
+
+
+def test_hypertable_rollup_levels_consistent(spark):
+    df = spark.createDataFrame(
+        [Row(t=_ts(m % 60, 0) + datetime.timedelta(hours=m // 60), v=1.5) for m in range(150)]
+    )
+    out = hypertable_rollup(df, "t", "v")
+    rows = out.collect()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r["resolution"], []).append(r)
+    assert sum(r["n"] for r in by_res["minute"]) == 150
+    assert sum(r["n"] for r in by_res["hour"]) == 150
+    assert sum(r["n"] for r in by_res["day"]) == 150
+    assert len(by_res["hour"]) == 3  # 150 minutes span 3 hours
+    assert len(by_res["day"]) == 1
+    day = by_res["day"][0]
+    assert day["total"] == 225.0 and day["bucket_s"] % 86400 == 0
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer distinct keys than k -> the estimate IS the exact count
+    df = spark.createDataFrame([Row(g="a", u=i % 7) for i in range(100)])
+    out = kmv_distinct(df, "u", ["g"], k=64).collect()
+    assert len(out) == 1
+    assert out[0]["kmv_estimate"] == 7.0 and out[0]["n_hashes"] == 7
+
+
+def test_kmv_estimate_accuracy(spark):
+    # 1000 distinct keys, k=64 -> estimate within ~25% (KMV relative
+    # error ~ 1/sqrt(k-1) ~ 12.6%; 2 sigma bound)
+    df = spark.createDataFrame([Row(g="a", u=i) for i in range(1000)])
+    out = kmv_distinct(df, "u", ["g"], k=64).collect()
+    est = out[0]["kmv_estimate"]
+    assert 750 <= est <= 1250, est
+    assert out[0]["n_hashes"] == 64
+
+
+def test_asof_join_partition_independent(spark):
+    # determinism contract: result identical under adversarial partitioning
+    left = spark.createDataFrame([Row(k=i % 5, t=_ts(i), lid=i) for i in range(40)])
+    right = spark.createDataFrame(
+        [Row(k=i % 5, t=_ts(i, 30), rid=i, v=float(i)) for i in range(40)]
+    )
+    a = asof_join(left, right, "k", "t", "t", ["rid"], right_order="rid")
+    b = asof_join(
+        left.repartition(7), right.repartition(3), "k", "t", "t", ["rid"],
+        right_order="rid",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

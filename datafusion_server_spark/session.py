@@ -62,10 +62,17 @@ def build_spark(
         # Deterministic wall-clock semantics: the oracle (DuckDB) runs in
         # UTC; timestamps must mean the same instant in both engines.
         .config("spark.sql.session.timeZone", "UTC")
-        # Broadcast threshold: dims (region/nation/supplier/part at small
-        # SF) broadcast; AQE also converts to broadcast at runtime using
-        # the *observed* size, which is the 100 TB-safe behavior.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast thresholds, split by how trustworthy the size is:
+        # the STATIC threshold (file-size guess, no filter selectivity)
+        # stays small so a mis-estimated fact table is never collected to
+        # the driver and hash-built (measured: a 64 MB static threshold
+        # broadcast the q5 lineitem side — 1.6x slower locally, and the
+        # exact failure mode that OOMs a driver at 100 TB); the AQE
+        # threshold (true runtime bytes of the materialized stage) is
+        # wider, so post-filter/post-agg small sides still broadcast —
+        # trust observed sizes, distrust estimates.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(2 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -65,54 +65,46 @@ def df_query(name: str, oracle: str | None):
 # merge / streaming / multimodal). Everything else follows in module
 # registration order.
 PRIORITY: tuple[str, ...] = (
-    # aggregation (incl. grouping sets/cube/rollup/filter/distinct)
+    # aggregation (incl. grouping sets/filter/distinct)
     "q1_pricing_summary",
     "agg_grouping_sets",
-    "agg_cube",
-    "agg_rollup",
     "agg_filter_clause",
     "agg_distinct",
-    "having_clause",
     # joins
     "join_inner_3way",
     "join_semi",
-    "join_theta",
     # TPC-H-style analytics
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
-    # window functions
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    # window functions (incl. the GROUPS-frame rewrite)
     "window_running_sum",
+    "window_groups_frame",
     # sort/limit + set ops
     "sort_limit_offset",
     "set_union_all",
-    "set_except_all",
     # subqueries / CTE (incl. WITH RECURSIVE)
     "subquery_correlated_select",
     "cte_top_nations",
     "recursive_cte_months",
-    # projection/filter predicates
-    "in_between_predicates",
     # scalar function families
     "string_functions",
-    "math_functions",
     "date_functions",
     "date_bin_tumbling",
-    "conditional_functions",
     "array_functions",
     "array_lambda_functions",
     "map_functions",
-    "struct_functions",
     "regexp_functions",
     "json_extraction",
-    "pivot_conditional_agg",
     "casting_try_cast",
     # LLM-pipeline: dedup family
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_simhash",
-    "embedding_near_duplicates",
+    "dedup_ngram_jaccard",
     # LLM-pipeline: similarity family (incl. the scale-parameterized
     # banded ANN)
     "knn_bruteforce_cosine",
@@ -122,12 +114,21 @@ PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: text family
     "text_quality_score",
     "text_tfidf_topk",
+    "text_token_stats",
     # merge processors (reference A14/A15)
     "merge_processor_column",
     "merge_processor_row",
     # streaming (beyond-reference)
     "streaming_tumbling_counts",
     "streaming_stateful_sessionize",
+    "streaming_sliding_counts",
+    "streaming_stream_stream_join",
+    # time-series operators
+    "asof_join_last_click",
+    "range_join_event_pairs",
+    "hypertable_rollup",
+    # sketches
+    "sketch_kmv_distinct",
     # multimodal plumbing
     "multimodal_decode_pipeline",
 )

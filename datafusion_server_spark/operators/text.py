@@ -225,3 +225,56 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(F.substring(norm, 1, 256)).alias("fp_prefix"),
         (F.floor(F.length(norm) / 100) * 100).cast("bigint").alias("len_bucket"),
     )
+
+
+# PII patterns: fixed-shape regexes only (no backtracking-dependent
+# constructs), so Java regex (Spark) and RE2 (DuckDB) match identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing: replace email / IPv4 / phone shapes with typed
+    placeholders and count the hits. Pure column expressions — a narrow,
+    shuffle-free scan at any scale. Output: (id, text_redacted, n_email,
+    n_ipv4, n_phone)."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return df.select(
+        F.col(id_col).alias("id"), out.alias("text_redacted"), *counts
+    )
+
+
+def dedup_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Intra-document repetition removal: keep each word's FIRST
+    occurrence, preserving original order (the boilerplate-collapse
+    step of a quality pipeline, word-granular here since the fixture has
+    no line structure). Output: (id, text_dedup, n_unique).
+
+    Shape: posexplode -> (id, word) first-position aggregation ->
+    order-preserving reassembly via array_sort(collect_list(struct)).
+    The per-document collect_list is bounded by document vocabulary, not
+    corpus size — safe at any corpus scale."""
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p", "word"),
+    )
+    first = w.groupBy("id", "word").agg(F.min("p").alias("p0"))
+    return first.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p0", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+    )

@@ -144,6 +144,7 @@ def registry() -> dict[str, QueryDef]:
         dedup,
         extensions,
         merge,
+        sampling,
         similarity,
         text,
         timeseries,

@@ -1,0 +1,61 @@
+"""Deterministic sampling/splitting queries (operators/sampling.py) with
+exact DuckDB oracles — the hash math is md5-based and engine-identical,
+so the oracle reproduces the EXACT sampled row set, not just its size."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import sampling
+from datafusion_server_spark.queries import df_query
+
+# per-language mixture weights for the stratified sample
+_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+
+_FRAC = (
+    "(CAST(('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " / CAST(16.0 ** 15 AS DOUBLE))"
+)
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in _RATES.items()
+) + " ELSE 0.0 END"
+
+_SAMPLE_ORACLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE {_FRAC.format(seed='sample')} < {_RATE_CASE}
+"""
+
+
+@df_query("sample_stratified_hash", _SAMPLE_ORACLE)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = sampling.stratified_sample(docs, "doc_id", "lang", _RATES)
+    return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+_SPLIT_ORACLE = f"""
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM (
+  SELECT doc_id,
+         CASE WHEN {_FRAC.format(seed='split')} < 0.1 THEN 'val'
+              WHEN {_FRAC.format(seed='split')} < 0.2 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents)
+GROUP BY split
+"""
+
+
+@df_query("split_train_val_test", _SPLIT_ORACLE)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    assigned = sampling.split_assign(docs, "doc_id")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )

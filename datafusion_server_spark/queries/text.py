@@ -160,3 +160,48 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(tables.load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- PII redaction: regexes are fixed-shape so Java regex and RE2 agree;
+# the fixture word-soup contains no PII, so counts are zero and the
+# redacted text equals the input — the synthetic-payload unit test
+# (tests/test_timeseries.py-adjacent) covers real hits.
+
+_PII_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ipv4>', 'g'),
+         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<phone>', 'g') AS text_redacted,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(LEN(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(LEN(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone
+FROM documents
+"""
+
+
+@df_query("text_redact_pii", _PII_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.redact_pii(tables.load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- intra-document repetition removal (first-occurrence word dedup).
+
+_DEDUP_WORDS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS p
+  FROM documents),
+f AS (SELECT doc_id, word, MIN(p) AS p0 FROM w GROUP BY doc_id, word)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       STRING_AGG(word, ' ' ORDER BY p0) AS text_dedup,
+       CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM f GROUP BY doc_id
+"""
+
+
+@df_query("text_dedup_words", _DEDUP_WORDS_ORACLE)
+def text_dedup_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dedup_words(tables.load(spark, sf_dir, "documents"), "text", "doc_id")

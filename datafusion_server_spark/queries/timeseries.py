@@ -204,3 +204,23 @@ sql_query(
     LIMIT 100
     """,
 )
+
+# --- TPC-H q4 (reduced): order-priority counts gated by an EXISTS
+# semi-join (the fixture lacks l_commitdate/l_receiptdate; the late-ship
+# predicate l_shipdate > o_orderdate + 60 days stands in — same plan
+# shape: date-filtered orders scan, correlated EXISTS -> left-semi hash
+# join on l_orderkey).
+
+sql_query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)

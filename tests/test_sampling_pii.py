@@ -1,0 +1,58 @@
+"""Unit tests for deterministic sampling/splitting and PII redaction on
+synthetic payloads (the fixture word-soup has no PII hits)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators.sampling import split_assign, stratified_sample
+from datafusion_server_spark.operators.text import dedup_words, redact_pii
+
+
+def test_redact_pii_synthetic(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="mail me at jane.doe+x@example.co.uk today"),
+            Row(id=2, t="server 10.0.255.3 and 192.168.1.1 are up"),
+            Row(id=3, t="call 555-867-5309 or 555 123 4567"),
+            Row(id=4, t="nothing sensitive here"),
+        ]
+    )
+    out = {r["id"]: r for r in redact_pii(df, "t", "id").collect()}
+    assert out[1]["n_email"] == 1 and "<email>" in out[1]["text_redacted"]
+    assert "jane" not in out[1]["text_redacted"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["text_redacted"].count("<ipv4>") == 2
+    assert out[3]["n_phone"] == 2 and out[3]["text_redacted"].count("<phone>") == 2
+    assert out[4]["text_redacted"] == "nothing sensitive here"
+    assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_phone"] == 0
+
+
+def test_split_assign_disjoint_and_stable(spark):
+    df = spark.createDataFrame([Row(k=i) for i in range(2000)])
+    a = split_assign(df, "k")
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # every row in exactly one split
+    # ~10/10/80 within loose tolerance
+    assert 120 <= counts["val"] <= 280 and 120 <= counts["test"] <= 280
+    assert counts["train"] >= 1400
+    # stable under repartitioning
+    b = split_assign(df.repartition(13), "k")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stratified_sample_respects_zero_rate(spark):
+    df = spark.createDataFrame(
+        [Row(k=i, s="a" if i % 2 else "b") for i in range(500)]
+    )
+    kept = stratified_sample(df, "k", "s", {"a": 1.0})  # b defaults to 0.0
+    rows = kept.collect()
+    assert all(r["s"] == "a" for r in rows)
+    assert len(rows) == 250  # rate 1.0 keeps every 'a' row
+
+
+def test_dedup_words_preserves_first_occurrence_order(spark):
+    df = spark.createDataFrame([Row(id=1, t="b a b c a d")])
+    out = dedup_words(df, "t", "id").collect()[0]
+    assert out["text_dedup"] == "b a c d"
+    assert out["n_unique"] == 4

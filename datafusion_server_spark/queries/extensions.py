@@ -135,3 +135,28 @@ sql_query(
     """,
     oracle=None,
 )
+
+
+@df_query(
+    "streaming_file_sink_roundtrip",
+    """
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+           epoch_us(ts) AS ts_us,
+           ROUND(CAST(value AS DOUBLE), 6) AS value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def streaming_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink (checkpointed, exactly-once) -> batch
+    read-back: the written dataset must equal the batch filter
+    value-for-value."""
+    import os
+
+    from datafusion_server_spark.streaming.sources import file_sink_roundtrip
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"stream_sink_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    return file_sink_roundtrip(spark, f"{sf_dir}/events.parquet", out)

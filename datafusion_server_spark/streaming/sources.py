@@ -95,3 +95,59 @@ def kafka_stream(
         "partition",
         "offset",
     )
+
+
+def file_sink_roundtrip(
+    spark,
+    events_path: str,
+    out_dir: str,
+    *,
+    event_type: str = "click",
+    timeout_s: float = 120.0,
+):
+    """Streaming parquet FILE sink with checkpoint-backed exactly-once
+    semantics: stream the events file, filter one event type, write to a
+    parquet directory sink with a checkpointLocation, then hand back a
+    batch DataFrame over the written files. A crashed-and-restarted query
+    resumes from the checkpoint without duplicating output — the sink
+    contract the memory sink cannot give. Caller owns ``out_dir``
+    (recreated each run)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    parent, _, fname = events_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+    ts = F.col("ts")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    out = (
+        stream.withColumn("ts", ts)
+        .filter(F.col("event_type") == event_type)
+        .select(
+            "event_id",
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+        )
+    )
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    return spark.read.parquet(f"{out_dir}/data")

@@ -141,9 +141,15 @@ def execute_merge(
         merged = merge_row(
             base, [spark.table(t) for t in proc.target_tables], distinct=proc.distinct
         )
+    # Order matters (ADVICE r2 cache-leak finding, root-caused deeper):
+    # createOrReplaceTempView CASCADE-uncaches every cache entry whose plan
+    # references the replaced view definition. Persisting BEFORE the
+    # replace therefore never survives (the entry refers to the old view);
+    # persisting AFTER both works and makes the NEXT merge's replace
+    # auto-uncache this merge's plan — no per-invocation cache leak.
+    merged.createOrReplaceTempView(proc.base_table)
     if materialize:
         merged = merged.persist()
-    merged.createOrReplaceTempView(proc.base_table)
     if session is not None and proc.base_table in session.data_sources:
         session.data_sources[proc.base_table]["cached"] = materialize
     remove = proc.remove_after_merged if drop_sources is None else drop_sources

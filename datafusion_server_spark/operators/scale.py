@@ -35,7 +35,19 @@ def salted_join(
 
     Output columns: the skewed side's columns plus the small side's
     non-key columns (key columns deduplicated like a USING join).
+
+    Only inner/left joins are supported: the small side is replicated
+    ``salt``x, so a right/full join would emit each unmatched right row
+    ``salt`` times and semi/anti sets would be computed against the
+    replicated side — silently wrong. We refuse rather than mis-join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; got {how!r}. "
+            "The dimension side is replicated `salt` times, which breaks "
+            "right/full/semi/anti semantics."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt_col = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt))
     left = skewed.withColumn("__salt__", salt_col)

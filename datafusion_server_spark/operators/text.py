@@ -63,7 +63,6 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     unique_ratio, len_ok, quality)."""
     words = _words(F.col(text_col))
     n_words = F.size(words).cast("bigint")
-    en = [F.lit(w) for w in LANG_STOPWORDS["en"]]
     n_stop = F.size(F.filter(words, lambda w: w.isin([s for s in LANG_STOPWORDS["en"]]))).cast(
         "bigint"
     )

@@ -57,7 +57,12 @@ def asof_join(
     the right payload forward, then keep left rows. Right rows sort
     before left rows at equal timestamps (side 0 < 1), making the match
     inclusive; ``right_order`` breaks ties between right rows sharing a
-    timestamp (the largest wins — deterministic).
+    timestamp (the largest wins — deterministic). When ``right_order`` is
+    omitted, ties between right rows sharing (key, timestamp) are broken
+    by ``xxhash64`` of the payload columns — an arbitrary but
+    partition-independent choice, so results are stable across
+    repartitionings (the repo's determinism contract). Pass
+    ``right_order`` when you need a *semantically* meaningful winner.
     """
     lcols = list(left.columns)
     l_side = left.select(
@@ -78,7 +83,7 @@ def asof_join(
         (
             F.col(right_order).cast("bigint")
             if right_order
-            else F.lit(0).cast("bigint")
+            else F.xxhash64(*[F.col(c) for c in payload_cols])
         ).alias("_ord"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],

@@ -144,13 +144,18 @@ def arrow_ipc_chunks(df: DataFrame, max_records_per_batch: int = 10000) -> Itera
         buf.truncate()
         return data
 
-    for batch in arrow_batches_incremental(df):
-        if writer is None:
-            writer = pa.ipc.new_stream(buf, batch.schema)
-        writer.write_batch(batch)
-        chunk = drain()
-        if chunk:
-            yield chunk
+    for whole in arrow_batches_incremental(df):
+        # Re-slice to the requested batch granularity: partitions may emit
+        # arbitrarily large batches, and callers size max_records_per_batch
+        # to bound client-side memory per frame.
+        for start in range(0, max(whole.num_rows, 1), max_records_per_batch):
+            batch = whole.slice(start, max_records_per_batch)
+            if writer is None:
+                writer = pa.ipc.new_stream(buf, batch.schema)
+            writer.write_batch(batch)
+            chunk = drain()
+            if chunk:
+                yield chunk
     if writer is None:  # empty result: header + EOS only
         writer = pa.ipc.new_stream(buf, spark_to_arrow_schema(df))
     writer.close()

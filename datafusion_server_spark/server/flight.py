@@ -106,16 +106,29 @@ if fl is not None:
             session_id, sql = parse_ticket(ticket)
             sess = self.engine.sessions.get(session_id)
             table = reader.read_all()
-            sess.spark.createDataFrame(table).createOrReplaceTempView("exchange_input")
-            df = sess.sql(transpile(sql))
-            batches = encoders.arrow_batches_incremental(df)
-            first = next(batches, None)
-            writer.begin(first.schema if first is not None
-                         else encoders.spark_to_arrow_schema(df))
-            if first is not None:
-                writer.write_batch(first)
-                for batch in batches:
-                    writer.write_batch(batch)
+            # Flight serves on a thread pool: a shared view name would let
+            # two concurrent exchanges on one session clobber each other's
+            # input. Register per-call under a unique name and rewrite the
+            # documented ``exchange_input`` alias in the ticket SQL.
+            import uuid
+
+            view = f"exchange_input_{uuid.uuid4().hex}"
+            sess.spark.createDataFrame(table).createOrReplaceTempView(view)
+            try:
+                sql = re.sub(
+                    r"(?<![A-Za-z0-9_])exchange_input(?![A-Za-z0-9_])", view, sql
+                )
+                df = sess.sql(transpile(sql))
+                batches = encoders.arrow_batches_incremental(df)
+                first = next(batches, None)
+                writer.begin(first.schema if first is not None
+                             else encoders.spark_to_arrow_schema(df))
+                if first is not None:
+                    writer.write_batch(first)
+                    for batch in batches:
+                        writer.write_batch(batch)
+            finally:
+                sess.spark.catalog.dropTempView(view)
 
         def do_put(self, context, descriptor, reader, writer):
             path = "/".join(p.decode() for p in descriptor.path)

@@ -29,6 +29,18 @@ def test_salted_join_matches_plain_join(spark):
     assert plain_l.count() == salted_l.count() == fact.count()
 
 
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    """The dimension side is replicated salt-x, so right/full/semi/anti
+    joins would be silently wrong — salted_join must refuse them."""
+    fact = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    dim = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("w"))
+    for bad in ("right", "full", "outer", "left_semi", "left_anti", "semi", "anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            scale.salted_join(fact, dim, "k", how=bad)
+    # accepted spellings still work
+    assert scale.salted_join(fact, dim, "k", how="left_outer").count() == 10
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts join
     shuffle-free — the write-time exchange is amortized over every later

@@ -343,6 +343,14 @@ def test_flight_do_exchange(engine):
         got = reader.read_all()
         writer.close()
         assert got.to_pylist() == [{"k": "a", "total": 3}, {"k": "b", "total": 10}]
+        # per-call unique view was dropped: no exchange_input* residue that
+        # a concurrent exchange could clobber (ADVICE r2)
+        sess = engine.sessions.get("flx")
+        leftover = [
+            t.name for t in sess.spark.catalog.listTables()
+            if t.name.startswith("exchange_input")
+        ]
+        assert leftover == [], leftover
     finally:
         engine.sessions.delete("flx")
 

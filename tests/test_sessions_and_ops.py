@@ -90,6 +90,52 @@ def test_execute_merge_reregisters(spark):
     assert spark.table("mbase").columns == ["k", "v", "w"]
 
 
+def test_execute_merge_unpersists_previous_cached_plan(spark):
+    """Repeated materialized merges on one base table must not pin one
+    cached plan per invocation (ADVICE r2: same leak class as the INSERT
+    shim)."""
+    spark.createDataFrame([(1, "x")], ["k", "v"]).createOrReplaceTempView("mleak")
+    spark.createDataFrame([(1, 9)], ["k", "w1"]).createOrReplaceTempView("mt1")
+    spark.createDataFrame([(1, 8)], ["k", "w2"]).createOrReplaceTempView("mt2")
+
+    def proc(t):
+        return MergeProcessor.from_json(
+            {
+                "direction": "column",
+                "baseTable": "mleak",
+                "targets": [{"table": t, "baseKeys": ["k"], "targetKeys": ["k"]}],
+            }
+        )
+
+    m1 = execute_merge(spark, proc("mt1"), materialize=True)
+    m1.count()
+    assert m1.storageLevel.useMemory
+    m2 = execute_merge(spark, proc("mt2"), materialize=True)
+    m2.count()
+    # the first merge's cached plan is released once superseded
+    assert not m1.storageLevel.useMemory, "previous merge plan still cached"
+    assert m2.storageLevel.useMemory
+    assert spark.table("mleak").columns == ["k", "v", "w1", "w2"]
+    m2.unpersist()
+    for v in ("mleak", "mt1", "mt2"):
+        spark.catalog.dropTempView(v)
+
+
+def test_arrow_ipc_chunks_respects_max_records_per_batch(spark):
+    import io
+
+    import pyarrow as pa
+
+    from datafusion_server_spark.server import encoders
+
+    df = spark.range(0, 1000, 1, 2)
+    data = b"".join(encoders.arrow_ipc_chunks(df, max_records_per_batch=100))
+    with pa.ipc.open_stream(io.BytesIO(data)) as reader:
+        batches = list(reader)
+    assert sum(b.num_rows for b in batches) == 1000
+    assert max(b.num_rows for b in batches) <= 100
+
+
 def test_merge_processor_validation():
     with pytest.raises(ValueError):
         MergeProcessor.from_json(

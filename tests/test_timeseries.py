@@ -128,3 +128,20 @@ def test_asof_join_partition_independent(spark):
         right_order="rid",
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_asof_join_default_tiebreak_partition_independent(spark):
+    """Without right_order, right rows tying on (key, ts) are broken by a
+    payload hash — arbitrary but stable under adversarial repartitioning
+    (the determinism contract ADVICE r2 flagged)."""
+    left = spark.createDataFrame([Row(k=i % 3, t=_ts(i), lid=i) for i in range(30)])
+    # every right timestamp duplicated with different payloads -> ties
+    right = spark.createDataFrame(
+        [Row(k=i % 3, t=_ts(i // 2, 30), rid=i, v=float(i)) for i in range(60)]
+    )
+    a = asof_join(left, right, "k", "t", "t", ["rid", "v"])
+    b = asof_join(
+        left.repartition(11), right.repartition(5).sortWithinPartitions("v"),
+        "k", "t", "t", ["rid", "v"],
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

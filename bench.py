@@ -73,26 +73,28 @@ def main() -> None:
 
     import gc
 
+    # Two series per query (round-3 bench hygiene so rounds compare):
+    #   cold = first run (pays per-plan codegen compile + any transient
+    #          host contention — the round-1 methodology);
+    #   best = min of 3 (the stable engine cost — the round-2 headline).
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         qd = reg[name]
-        # best of 3: the first run also pays per-plan codegen compile and
-        # any run is exposed to transient host contention (measured 2-3x
-        # swings on this host); min is the stable engine cost
-        best = None
+        runs: list[float] = []
         for _ in range(3):
             t0 = time.time()
             df = qd.build(spark, sf_dir)
             # Materialize the full result through Arrow — the same path
             # the server's response encoders use (reference A20/A21).
             df.toArrow()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.time() - t0)
             # release checkpoint/cache blocks before the next timing
             # (ContextCleaner needs the py-side refs gone)
             del df
             gc.collect()
-        timings[name] = round(best, 3)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -103,6 +105,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "value_cold": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

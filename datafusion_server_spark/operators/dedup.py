@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+
 DEFAULT_NUM_HASHES = 16
 DEFAULT_SHINGLE_WORDS = 3
 
@@ -60,6 +62,7 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = DEFAULT_SHINGLE_WORDS) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation used by both
     MinHash and exact-Jaccard verification."""
+    df = ensure_fanout_parallelism(df)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"))
         .distinct()
@@ -134,29 +137,41 @@ def lsh_candidate_pairs(
     bucket, verified with exact shingle-set Jaccard. Output:
     (id_a, id_b, n_common, n_a, n_b, jaccard).
 
-    Plan shape (round-2 restructure, profiled ~1.6x at sf0.1): the
-    shingle-set SIZE is computed in the same grouped aggregation as the
-    minhash minima and rides through the banding explode and the bucket
-    self-join, so no separate ``sizes`` aggregation and no post-hoc
-    per-side size joins exist.
+    Plan shape (round-3 restructure — the round-2 shape checkpointed the
+    LARGE exploded shingle stream and re-joined it twice to count
+    intersections, which the round-2 bench showed regressing): the heavy
+    data is touched by exactly ONE wide operation. The grouped
+    aggregation computes, per document, the minhash minima AND the sorted
+    distinct shingle array (``collect_set``), so:
 
-    ``materialize`` picks who pays for the shingle view's three consumers
-    (the signature aggregation and both intersection-join sides — their
-    differing column pruning defeats AQE exchange reuse, verified on the
-    executed plan). True (default) materializes the shingle set once via
-    eager localCheckpoint; False recomputes the explode+distinct per
-    consumer. Measured at sf0.1 under the split broadcast thresholds:
-    checkpoint 2.0 s vs recompute 2.7 s — and at 100 TB the one-time
-    executor-disk write beats repeating the distinct's shuffle 3x by far
-    more. Results are identical either way (deterministic md5 math)."""
+    - no pre-aggregation ``distinct`` shuffle on the shingle stream
+      (min/collect_set are duplicate-insensitive; n_sh = size(set));
+    - the intersection count is ``size(array_intersect(sh_a, sh_b))`` on
+      the candidate pairs — an in-row hash-set op in whole-stage codegen,
+      replacing two exploded-shingle joins plus a groupBy plus a left
+      join;
+    - ``materialize`` (default True) eager-localCheckpoints the per-doc
+      signature table (one row per document — orders of magnitude fewer
+      rows than the shingle stream) so its three consumers (banding and
+      both pair sides) read executor-local blocks instead of re-running
+      the explode+aggregate. At 100 TB this is a staging write of the
+      signature table, the standard MinHash-LSH shape.
+
+    Results are identical to the round-2 plan (deterministic md5 math,
+    same set semantics)."""
     rows_per_band = num_hashes // bands
-    shingled = shingle_sets(df, text_col, id_col, k)
-    if materialize:
-        shingled = shingled.localCheckpoint(eager=True)
+    df = ensure_fanout_parallelism(df)
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
     sigs = shingled.groupBy("id").agg(
         *_minhash_aggs(num_hashes),
-        F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+        F.sort_array(F.collect_set("shingle")).alias("sh"),
     )
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.withColumn("n_sh", F.size("sh").cast("bigint"))
     per_band = [
         F.struct(
             F.lit(b).alias("band"),
@@ -166,8 +181,8 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select("id", "n_sh", F.explode(F.array(*per_band)).alias("bb")).select(
-        "id", "n_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = sigs.select("id", F.explode(F.array(*per_band)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -178,25 +193,15 @@ def lsh_candidate_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = shingled.alias("sa")
-    sb = shingled.alias("sb")
-    common = (
-        pairs.join(sa, F.col("sa.id") == F.col("id_a"))
-        .join(sb, (F.col("sb.id") == F.col("id_b")) & (F.col("sb.shingle") == F.col("sa.shingle")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
-    )
+    sets_a = sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sets_b = sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
     return (
-        pairs.join(common, ["id_a", "id_b"], "left")
-        .na.fill({"n_common": 0})
+        pairs.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
         .select(
             "id_a",
             "id_b",
@@ -284,6 +289,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     Single explode + single groupBy (all bit sums in one aggregation).
     """
     assert bits <= 32
+    df = ensure_fanout_parallelism(df)
     tokens = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )

@@ -81,6 +81,26 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def ensure_fanout_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Guard a DataFrame that is about to enter a fan-out stage (explode
+    of shingles / tokens / vector elements, typically 50-500x row growth
+    followed by per-row hashing) against under-partitioned input.
+
+    On any real-scale scan the source already yields >= cluster-core
+    partitions and this is a NO-OP — no shuffle is added to the plan. On
+    a tiny or single-row-group input (one parquet row group = one task,
+    the shape of the sf fixtures) it round-robins the narrow pre-explode
+    rows once, so the expensive explode+hash map side runs on every core
+    instead of one. The shuffle it may add moves the compact input rows,
+    not the exploded stream — orders of magnitude cheaper than the
+    serialized alternative.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def plan_has_shuffle(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle exchange (diagnostic
     used by tests and PLANS.md evidence)."""

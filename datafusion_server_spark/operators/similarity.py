@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+
 SCALE = 1_000_000_000_000  # 1e12: element products keep 12 decimal digits
 
 
@@ -174,6 +176,7 @@ def cosine_topk(
     the dot aggregation here (that would blow up the element rows), so
     they join after it — both sides from one norm aggregation shape.
     """
+    embeddings = ensure_fanout_parallelism(embeddings)
     c_el = _elements(embeddings, id_col, vec_col, "neighbor_id")
     q_el = (
         _elements(queries, id_col, vec_col, "query_id")
@@ -214,6 +217,8 @@ def lsh_ann_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    *,
+    materialize: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
@@ -221,9 +226,20 @@ def lsh_ann_topk(
     bucket once (reusable across queries) — no all-pairs crossjoin.
     Output: (query_id, neighbor_id, cosine, rank); recall depends on
     ``planes``.
+
+    ``materialize`` (default True) eager-localCheckpoints the per-vector
+    (id, bucket, nrm) table — ONE row per vector — so its two consumers
+    (query side and neighbor side of the bucket join) read executor-local
+    blocks instead of re-running the plane-projection aggregation, whose
+    differing downstream pruning defeats AQE exchange reuse. At 100 TB
+    this is the standard "stage the codes table" step of an LSH index
+    build.
     """
+    embeddings = ensure_fanout_parallelism(embeddings)
     el = _elements(embeddings, id_col, vec_col, "id")
     cn = _codes_norms(el, planes, dim)
+    if materialize:
+        cn = cn.localCheckpoint(eager=True)
     q_ids = queries.select(F.col(id_col).alias("query_id"))
     qb = q_ids.join(
         cn.select(
@@ -274,6 +290,7 @@ def scaled_lsh_ann_topk(
     max_candidates: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Scale-parameterized multi-probe LSH ANN (the 100 TB answer to the
     fixed-plane variant's quadratic bucket growth):
@@ -291,6 +308,8 @@ def scaled_lsh_ann_topk(
 
     ``n_vectors`` is a table-stats lookup (one count when absent) used only
     to size ``band_bits`` — pass it to keep the plan job-free.
+    ``materialize`` stages the per-vector codes table exactly as in
+    ``lsh_ann_topk`` (two banded consumers share one aggregation pass).
     Output: (query_id, neighbor_id, cosine, rank).
     """
     if band_bits is None:
@@ -298,8 +317,11 @@ def scaled_lsh_ann_topk(
             n_vectors = embeddings.count()
         band_bits = lsh_band_bits(n_vectors, target_bucket_size)
     planes = bands * band_bits
+    embeddings = ensure_fanout_parallelism(embeddings)
     el = _elements(embeddings, id_col, vec_col, "id")
     cn = _codes_norms(el, planes, dim)
+    if materialize:
+        cn = cn.localCheckpoint(eager=True)
     band_struct = F.explode(
         F.array(
             *[
@@ -413,21 +435,28 @@ def ivf_topk(
     *,
     nprobe: int = 1,
     n_vectors: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF search: candidates restricted to the query's ``nprobe`` nearest
     clusters. At 100 TB the corpus is partitioned (or bucketed on disk) by
     centroid_id, so a query touches ``nprobe`` partitions' worth of
     vectors. ``n_centroids=None`` derives the codebook size as sqrt(n)
     (``ivf_n_centroids``), keeping per-cluster population ~sqrt(n) instead
-    of n/16. Output: (query_id, neighbor_id, cosine, rank) — approximate.
+    of n/16. ``materialize`` stages the per-vector (id, centroid_id, nrm)
+    assignment — the IVF "inverted list" build step — so the query and
+    corpus sides of the cluster join share one assignment pass.
+    Output: (query_id, neighbor_id, cosine, rank) — approximate.
     """
     if n_centroids is None:
         if n_vectors is None:
             n_vectors = embeddings.count()
         n_centroids = ivf_n_centroids(n_vectors)
+    embeddings = ensure_fanout_parallelism(embeddings)
     el = _elements(embeddings, id_col, vec_col, "id")
     norms = _norms(el, "id")
     assign = ivf_assign(embeddings, n_centroids, vec_col, id_col, el=el, norms=norms)
+    if materialize:
+        assign = assign.localCheckpoint(eager=True)
     q_ids = queries.select(F.col(id_col).alias("query_id"))
     q_side = (
         assign
@@ -467,12 +496,17 @@ def embedding_near_duplicates(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    *,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets: only same-bucket
     pairs are scored; pairs with cosine >= threshold survive.
     Output: (id_a, id_b, cosine)."""
+    embeddings = ensure_fanout_parallelism(embeddings)
     el = _elements(embeddings, id_col, vec_col, "id")
     cn = _codes_norms(el, planes, dim)
+    if materialize:
+        cn = cn.localCheckpoint(eager=True)
     a = cn.select(F.col("id").alias("id_a"), "bucket", F.col("nrm").alias("nrm_a"))
     b = cn.select(
         F.col("id").alias("id_b"),

@@ -104,11 +104,19 @@ WHERE rnk <= {K}
 """
 
 
+# materialize=False in the registered fixture-scale queries: at sf<=0.1
+# the duplicated aggregation stages run CONCURRENTLY on otherwise-idle
+# cores, so recompute beats the blocking eager-checkpoint job (A/B
+# measured per operator; e.g. scaled ANN 1.8s vs 2.4s). At real scale
+# cores aren't idle and the one-time staging write wins — which is why
+# the OPERATOR default stays materialize=True.
+
+
 @df_query("ann_lsh_cosine", _ANN_ORACLE)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, PLANES, DIM
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, PLANES, DIM, materialize=False
     )
 
 
@@ -170,6 +178,7 @@ def ann_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         band_bits=BAND_BITS,
         max_candidates=MAX_CAND,
+        materialize=False,
     )
 
 
@@ -222,7 +231,7 @@ WHERE rnk <= {K}
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, N_CENTROIDS
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, N_CENTROIDS, materialize=False
     )
 
 
@@ -249,4 +258,6 @@ WHERE ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= 0.5
 @df_query("embedding_near_duplicates", _NEARDUP_ORACLE)
 def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(emb, threshold=0.5, planes=PLANES, dim=DIM)
+    return similarity.embedding_near_duplicates(
+        emb, threshold=0.5, planes=PLANES, dim=DIM, materialize=False
+    )

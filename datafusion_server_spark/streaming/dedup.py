@@ -22,6 +22,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_server_spark.streaming.util import event_time_col
+
 
 def dedup_event_keys(
     spark: SparkSession,
@@ -42,9 +44,7 @@ def dedup_event_keys(
         .parquet(parent)
     )
 
-    ts = F.col("ts")
-    if dict(stream.dtypes).get("ts") == "bigint":  # ns-as-long fixture path
-        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    ts = event_time_col(stream)
     deduped = (
         stream.withColumn("ts", ts)
         .withWatermark("ts", watermark)

@@ -23,6 +23,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_server_spark.streaming.util import event_time_col
+
 
 def click_error_join(
     spark: SparkSession,
@@ -45,9 +47,7 @@ def click_error_join(
             .option("pathGlobFilter", fname)
             .parquet(parent)
         )
-        ts = F.col("ts")
-        if dict(stream.dtypes).get("ts") == "bigint":
-            ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+        ts = event_time_col(stream)
         return (
             stream.withColumn("ts", ts)
             .filter(F.col("event_type") == event_type)

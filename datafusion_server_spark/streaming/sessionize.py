@@ -22,6 +22,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from datafusion_server_spark.streaming.util import event_time_col
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -94,9 +96,7 @@ def sessionize_stream(
         .option("pathGlobFilter", fname)
         .parquet(parent)
     )
-    ts: Any = F.col("ts")
-    if dict(stream.dtypes).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    ts = event_time_col(stream)
     keyed = stream.select(F.col("user_id"), F.col("event_id"), ts.alias("ts")).groupBy(
         "user_id"
     )

@@ -19,6 +19,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_server_spark.streaming.util import event_time_col
+
 
 def rate_windowed_counts(
     spark: SparkSession,
@@ -125,9 +127,7 @@ def file_sink_roundtrip(
         .option("pathGlobFilter", fname)
         .parquet(parent)
     )
-    ts = F.col("ts")
-    if dict(stream.dtypes).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    ts = event_time_col(stream)
     out = (
         stream.withColumn("ts", ts)
         .filter(F.col("event_type") == event_type)

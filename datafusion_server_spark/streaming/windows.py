@@ -14,6 +14,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_server_spark.streaming.util import event_time_col
+
 
 def sliding_event_counts(
     spark: SparkSession,
@@ -36,9 +38,7 @@ def sliding_event_counts(
         .option("pathGlobFilter", fname)
         .parquet(parent)
     )
-    ts = F.col("ts")
-    if dict(stream.dtypes).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    ts = event_time_col(stream)
     windowed = (
         stream.withColumn("ts", ts)
         .withWatermark("ts", watermark)
@@ -90,9 +90,7 @@ def tumbling_event_counts(
         .parquet(parent)
     )
 
-    ts = F.col("ts")
-    if dict(stream.dtypes).get("ts") == "bigint":  # ns-as-long fixture path
-        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    ts = event_time_col(stream)
     windowed = (
         stream.withColumn("ts", ts)
         .withWatermark("ts", watermark)

@@ -23,11 +23,14 @@ TABLES = (
     "embeddings",
 )
 
-# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
-# Spark's reader rejects outright. We read nanos as long
-# (spark.sql.legacy.parquet.nanosAsLong) and rebuild TimestampType via
-# integer µs division — lossless here (ns remainders are all zero; the
-# DuckDB oracle reads the same columns as µs TIMESTAMP).
+# Driver fixtures have stored timestamps two ways across rounds:
+# - INT64 TIMESTAMP(NANOS), which Spark's reader rejects outright — read
+#   nanos as long (spark.sql.legacy.parquet.nanosAsLong) and rebuild
+#   TimestampType via integer µs division (lossless: ns remainders are 0);
+# - plain timestamp[us] with no timezone, which Spark surfaces as
+#   TIMESTAMP_NTZ — watermarks and unix_micros() reject NTZ, so cast to
+#   TIMESTAMP (the UTC session tz preserves the literal instants, and the
+#   DuckDB oracle reads the same columns as naive µs TIMESTAMP).
 _NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -52,8 +55,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NS_TIMESTAMP_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     _DF_CACHE[key] = df
     return df
 

@@ -213,19 +213,24 @@ def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    planes: int = 8,
+    planes: int | None = None,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     *,
     materialize: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k via LSH buckets.
 
-    At scale the bucket code is the shuffle key: candidates partition by
-    bucket once (reusable across queries) — no all-pairs crossjoin.
-    Output: (query_id, neighbor_id, cosine, rank); recall depends on
-    ``planes``.
+    ``planes=None`` (the default since round 3) delegates to
+    ``scaled_lsh_ann_topk`` — the scale-safe banded multi-probe variant
+    whose code length grows with corpus size, keeping expected bucket
+    population constant at ANY n. Passing an explicit ``planes`` pins the
+    FIXED-PLANE single-bucket variant, kept only as the oracle-pinned
+    internal: its bucket population grows ~n/2^planes, i.e. the
+    same-bucket join is quadratic in corpus size — do not default to it.
+
+    Output: (query_id, neighbor_id, cosine, rank).
 
     ``materialize`` (default True) eager-localCheckpoints the per-vector
     (id, bucket, nrm) table — ONE row per vector — so its two consumers
@@ -235,6 +240,16 @@ def lsh_ann_topk(
     this is the standard "stage the codes table" step of an LSH index
     build.
     """
+    if planes is None:
+        return scaled_lsh_ann_topk(
+            embeddings,
+            queries,
+            k,
+            dim,
+            vec_col=vec_col,
+            id_col=id_col,
+            materialize=materialize,
+        )
     embeddings = ensure_fanout_parallelism(embeddings)
     el = _elements(embeddings, id_col, vec_col, "id")
     cn = _codes_norms(el, planes, dim)
@@ -258,6 +273,23 @@ def lsh_ann_topk(
     ).select("query_id", "neighbor_id", "nrm_a", "nrm_b")
     scored = _score_pairs(pairs, el, "query_id", "neighbor_id")
     return _rank_topk(scored, k)
+
+
+def estimate_row_count(df: DataFrame, bytes_per_row: int) -> int:
+    """Job-free row-count estimate from Catalyst plan statistics.
+
+    Uses the exact ``rowCount`` when the catalog has one (ANALYZE TABLE /
+    CBO stats — the normal state of a curated 100 TB table); otherwise
+    divides the plan's ``sizeInBytes`` by the caller's expected encoded
+    row width. The estimate is only consumed by LOG2-granular knobs
+    (LSH band bits), where even a 2x error moves the result by one bit —
+    so a coarse size-based guess is sufficient and costs NO Spark job,
+    unlike the ``df.count()`` fallback it replaces."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return max(1, int(str(stats.sizeInBytes())) // max(bytes_per_row, 1))
 
 
 def lsh_band_bits(
@@ -306,15 +338,18 @@ def scaled_lsh_ann_topk(
       ``max_candidates`` — bounded re-rank work per query even when real
       embedding correlations skew a bucket.
 
-    ``n_vectors`` is a table-stats lookup (one count when absent) used only
-    to size ``band_bits`` — pass it to keep the plan job-free.
-    ``materialize`` stages the per-vector codes table exactly as in
-    ``lsh_ann_topk`` (two banded consumers share one aggregation pass).
-    Output: (query_id, neighbor_id, cosine, rank).
+    ``n_vectors`` sizes ``band_bits`` only. When absent it is estimated
+    JOB-FREE from Catalyst plan statistics (``estimate_row_count``) —
+    band sizing is an index-build-time decision that needs only log2
+    accuracy, so catalog/size stats are the right source; no ``count()``
+    job is ever triggered. ``materialize`` stages the per-vector codes
+    table exactly as in ``lsh_ann_topk`` (two banded consumers share one
+    aggregation pass). Output: (query_id, neighbor_id, cosine, rank).
     """
     if band_bits is None:
         if n_vectors is None:
-            n_vectors = embeddings.count()
+            # float32 vectors: ~4 bytes/element on disk and in plan stats
+            n_vectors = estimate_row_count(embeddings, bytes_per_row=4 * dim)
         band_bits = lsh_band_bits(n_vectors, target_bucket_size)
     planes = bands * band_bits
     embeddings = ensure_fanout_parallelism(embeddings)
@@ -374,7 +409,7 @@ def ivf_n_centroids(n_vectors: int, minimum: int = 16) -> int:
 
 def ivf_assign(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     *,
@@ -388,13 +423,37 @@ def ivf_assign(
     Centroids are the first ``n_centroids`` vectors by id — a
     deterministic stand-in for a k-means codebook (swap in real k-means
     at scale; the assignment/search plan is identical).
+
+    ``n_centroids=None`` derives the sqrt(n) codebook size IN-PLAN: a
+    1-row ``greatest(16, floor(sqrt(count)))`` aggregate is broadcast
+    into the centroid filters, so no driver-side ``count()`` job runs —
+    the derivation executes inside the same Spark action as the search.
     Output: (id, centroid_id, nrm) — ``nprobe`` rows per id when nprobe>1;
     the vector norm rides along for downstream scoring."""
     if el is None:
         el = _elements(embeddings, id_col, vec_col, "id")
     if norms is None:
         norms = _norms(el, "id")
-    cent_el = el.filter(F.col("id") < n_centroids).select(
+    if n_centroids is None:
+        ncdf = F.broadcast(
+            embeddings.agg(
+                F.greatest(
+                    F.lit(16), F.floor(F.sqrt(F.count(F.lit(1)).cast("double")))
+                )
+                .cast("bigint")
+                .alias("__nc")
+            )
+        )
+
+        def _centroid_rows(d: DataFrame) -> DataFrame:
+            return d.crossJoin(ncdf).filter(F.col("id") < F.col("__nc")).drop("__nc")
+
+    else:
+
+        def _centroid_rows(d: DataFrame) -> DataFrame:
+            return d.filter(F.col("id") < n_centroids)
+
+    cent_el = _centroid_rows(el).select(
         F.col("id").alias("centroid_id"), F.col("i").alias("qi"), F.col("x").alias("qx")
     )
     dots = (
@@ -402,7 +461,7 @@ def ivf_assign(
         .groupBy("id", "centroid_id")
         .agg(_ssum(F.col("qx") * F.col("x")).alias("dot"))
     )
-    cent_norms = norms.filter(F.col("id") < n_centroids).select(
+    cent_norms = _centroid_rows(norms).select(
         F.col("id").alias("centroid_id"), F.col("nrm").alias("c_nrm")
     )
     scored = (
@@ -440,16 +499,16 @@ def ivf_topk(
     """IVF search: candidates restricted to the query's ``nprobe`` nearest
     clusters. At 100 TB the corpus is partitioned (or bucketed on disk) by
     centroid_id, so a query touches ``nprobe`` partitions' worth of
-    vectors. ``n_centroids=None`` derives the codebook size as sqrt(n)
-    (``ivf_n_centroids``), keeping per-cluster population ~sqrt(n) instead
-    of n/16. ``materialize`` stages the per-vector (id, centroid_id, nrm)
-    assignment — the IVF "inverted list" build step — so the query and
-    corpus sides of the cluster join share one assignment pass.
+    vectors. ``n_centroids=None`` derives the sqrt(n) codebook size
+    IN-PLAN (see ``ivf_assign`` — a broadcast 1-row aggregate, no
+    driver-side ``count()`` job; ``n_vectors``, if given, pins it
+    driver-side via ``ivf_n_centroids`` instead). ``materialize`` stages
+    the per-vector (id, centroid_id, nrm) assignment — the IVF "inverted
+    list" build step — so the query and corpus sides of the cluster join
+    share one assignment pass.
     Output: (query_id, neighbor_id, cosine, rank) — approximate.
     """
-    if n_centroids is None:
-        if n_vectors is None:
-            n_vectors = embeddings.count()
+    if n_centroids is None and n_vectors is not None:
         n_centroids = ivf_n_centroids(n_vectors)
     embeddings = ensure_fanout_parallelism(embeddings)
     el = _elements(embeddings, id_col, vec_col, "id")
@@ -492,30 +551,81 @@ def ivf_topk(
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    planes: int = 8,
+    planes: int | None = None,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     *,
+    bands: int = 4,
+    band_bits: int | None = None,
+    target_bucket_size: int = 128,
+    n_vectors: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets: only same-bucket
-    pairs are scored; pairs with cosine >= threshold survive.
-    Output: (id_a, id_b, cosine)."""
+    """Embedding-cosine near-dup pairs via LSH buckets: only bucket-
+    colliding pairs are scored; pairs with cosine >= threshold survive.
+    Output: (id_a, id_b, cosine).
+
+    Default (``planes=None``, since round 3) is the BANDED scale path:
+    ``bands`` codes of ``band_bits`` bits each (band_bits derived from
+    corpus size job-free via ``estimate_row_count`` when not pinned), a
+    pair is a candidate when ANY band collides (OR-of-ANDs — multi-probe
+    recall), and per-band bucket population stays ~``target_bucket_size``
+    at any n, so the self-join stays linear in corpus size. Passing an
+    explicit ``planes`` pins the fixed-plane single-bucket variant
+    (oracle-pinned internal; bucket population grows ~n/2^planes)."""
     embeddings = ensure_fanout_parallelism(embeddings)
     el = _elements(embeddings, id_col, vec_col, "id")
-    cn = _codes_norms(el, planes, dim)
+    if planes is not None:
+        cn = _codes_norms(el, planes, dim)
+        if materialize:
+            cn = cn.localCheckpoint(eager=True)
+        a = cn.select(F.col("id").alias("id_a"), "bucket", F.col("nrm").alias("nrm_a"))
+        b = cn.select(
+            F.col("id").alias("id_b"),
+            F.col("bucket").alias("b_bucket"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        pairs = a.join(
+            b, (F.col("bucket") == F.col("b_bucket")) & (F.col("id_a") < F.col("id_b"))
+        ).select("id_a", "id_b", "nrm_a", "nrm_b")
+        return _score_pairs(pairs, el, "id_a", "id_b").filter(
+            F.col("cosine") >= threshold
+        )
+    if band_bits is None:
+        if n_vectors is None:
+            n_vectors = estimate_row_count(embeddings, bytes_per_row=4 * dim)
+        band_bits = lsh_band_bits(n_vectors, target_bucket_size)
+    cn = _codes_norms(el, bands * band_bits, dim)
     if materialize:
         cn = cn.localCheckpoint(eager=True)
-    a = cn.select(F.col("id").alias("id_a"), "bucket", F.col("nrm").alias("nrm_a"))
-    b = cn.select(
-        F.col("id").alias("id_b"),
-        F.col("bucket").alias("b_bucket"),
-        F.col("nrm").alias("nrm_b"),
+    band_struct = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.substring("bucket", b * band_bits + 1, band_bits).alias("code"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bc")
+    band_codes = cn.select("id", "nrm", band_struct).select(
+        "id", "nrm", F.col("bc.b").alias("b"), F.col("bc.code").alias("code")
     )
-    pairs = a.join(
-        b, (F.col("bucket") == F.col("b_bucket")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b", "nrm_a", "nrm_b")
+    a = band_codes.select(
+        F.col("id").alias("id_a"), F.col("nrm").alias("nrm_a"), "b", "code"
+    )
+    b = band_codes.select(
+        F.col("id").alias("id_b"), F.col("nrm").alias("nrm_b"), "b", "code"
+    )
+    # distinct: a pair colliding in several bands must be scored once
+    pairs = (
+        a.join(b, ["b", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "nrm_a", "nrm_b")
+        .distinct()
+    )
     return _score_pairs(pairs, el, "id_a", "id_b").filter(
         F.col("cosine") >= threshold
     )

@@ -235,11 +235,19 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Banded near-dup (round-3 default in the operator): a pair is a
+# candidate when ANY of the BANDS band codes collides (multi-probe
+# OR-of-ANDs), mirroring the scaled ANN's candidate scheme — the
+# scale-safe shape. Parameters pinned so the oracle is a static string.
 _NEARDUP_ORACLE = f"""
-WITH {_EL_CTE}, {_codes_cte()},
+WITH {_EL_CTE}, {_codes_cte(BANDS * BAND_BITS)},
+bandcodes AS (
+  SELECT vec_id, bs.b, SUBSTR(bucket, bs.b * {BAND_BITS} + 1, {BAND_BITS}) AS code
+  FROM buckets, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS b) bs),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bandcodes a JOIN bandcodes b
+    ON a.b = b.b AND a.code = b.code AND a.vec_id < b.vec_id),
 dots AS (
   SELECT p.id_a, p.id_b, CAST(SUM(CAST(ROUND(ea.x * eb.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
   FROM pairs p
@@ -259,5 +267,10 @@ WHERE ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= 0.5
 def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(
-        emb, threshold=0.5, planes=PLANES, dim=DIM, materialize=False
+        emb,
+        threshold=0.5,
+        dim=DIM,
+        bands=BANDS,
+        band_bits=BAND_BITS,
+        materialize=False,
     )

@@ -90,3 +90,46 @@ def test_ivf_sqrt_codebook_and_multiprobe(spark, sf_dir):
     # sqrt-n derivation path runs
     auto = similarity.ivf_topk(emb, queries, k=3, n_centroids=None).collect()
     assert all(r["rank"] <= 3 for r in auto)
+
+
+def test_lsh_ann_default_is_scaled_variant(spark, sf_dir):
+    """planes=None (the default) must produce exactly the scaled banded
+    multi-probe result — the fixed-plane form is opt-in only."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    default = similarity.lsh_ann_topk(emb, queries, k=3, materialize=False).collect()
+    scaled = similarity.scaled_lsh_ann_topk(
+        emb, queries, 3, 64, materialize=False
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, scaled))
+
+
+def test_default_paths_trigger_no_driver_side_jobs(spark, sf_dir):
+    """Building the default-parameter ANN plans must not run ANY Spark
+    job: band_bits derives from Catalyst plan stats (estimate_row_count)
+    and the IVF sqrt(n) codebook derives from a plan-embedded broadcast
+    aggregate — the round-2 ``df.count()`` fallbacks are gone."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    sc = spark.sparkContext
+    sc.setJobGroup("nojob-probe", "plan-build only")
+    try:
+        similarity.scaled_lsh_ann_topk(emb, queries, k=3, dim=64, materialize=False)
+        similarity.ivf_topk(
+            emb, queries, k=3, n_centroids=None, materialize=False
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup("nojob-probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], f"plan build triggered jobs: {jobs}"
+
+
+def test_estimate_row_count_log2_accuracy(spark, sf_dir):
+    """The job-free estimate must land within one band-bit (2x) of the
+    true row count — the accuracy contract band sizing relies on."""
+    import math
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    true_n = emb.count()
+    est = similarity.estimate_row_count(emb, bytes_per_row=4 * 64)
+    assert abs(math.log2(est) - math.log2(true_n)) <= 1.0, (est, true_n)

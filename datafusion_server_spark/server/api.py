@@ -13,6 +13,7 @@ TTL-kept session.
 from __future__ import annotations
 
 import re
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -31,33 +32,121 @@ from datafusion_server_spark.session import (
 from datafusion_server_spark.sources import registry as source_registry
 
 
+# Reference bucket boundaries, name-for-name (metrics.rs:43-48).
+API_SECONDS_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+SESSION_SECONDS_BUCKETS = (0.1, 1.0, 2.5, 5.0, 10.0, 30.0, 60.0, 600.0, 1800.0, 3600.0)
+
+
+class _Histogram:
+    __slots__ = ("buckets", "counts", "sum", "count")
+
+    def __init__(self, buckets: tuple[float, ...]):
+        self.buckets = buckets
+        self.counts = [0] * len(buckets)
+        self.sum = 0.0
+        self.count = 0
+
+    def record(self, value: float) -> None:
+        for i, b in enumerate(self.buckets):
+            if value <= b:
+                self.counts[i] += 1
+        self.sum += value
+        self.count += 1
+
+
+def _fmt_labels(labels: tuple[tuple[str, str], ...], extra: str = "") -> str:
+    parts = [f'{k}="{v}"' for k, v in labels]
+    if extra:
+        parts.append(extra)
+    return "{" + ",".join(parts) + "}" if parts else ""
+
+
 @dataclass
 class Metrics:
-    """Minimal name-compatible telemetry (reference metrics.rs:16-160)."""
+    """Reference-parity telemetry (metrics.rs:16-160): the same metric
+    names, label sets, and histogram bucket boundaries the reference's
+    Prometheus recorder publishes —
 
-    http_requests: dict[str, int] = field(default_factory=dict)
-    query_seconds: list[float] = field(default_factory=list)
-    sessions_created: int = 0
-    data_sources_registered: int = 0
+    - ``http_requests_total{method,path,status}`` /
+      ``http_requests_duration_seconds`` (5ms–10s exponential buckets);
+    - ``flight_requests_total{method,status}`` /
+      ``flight_requests_duration_seconds`` (same buckets);
+    - ``session_contexts_total`` and
+      ``session_context_duration_seconds`` (0.1s–1h buckets);
+    - ``data_source_registrations_total{scheme,format}``.
+    """
 
-    def observe(self, route: str, seconds: float) -> None:
-        self.http_requests[route] = self.http_requests.get(route, 0) + 1
-        self.query_seconds.append(seconds)
+    _counters: dict = field(default_factory=dict)
+    _histograms: dict = field(default_factory=dict)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    _HISTOGRAM_BUCKETS = {
+        "http_requests_duration_seconds": API_SECONDS_BUCKETS,
+        "flight_requests_duration_seconds": API_SECONDS_BUCKETS,
+        "session_context_duration_seconds": SESSION_SECONDS_BUCKETS,
+    }
+
+    def inc(self, name: str, **labels: str) -> None:
+        key = (name, tuple(sorted(labels.items())))
+        with self._lock:
+            self._counters[key] = self._counters.get(key, 0) + 1
+
+    def record(self, name: str, value: float, **labels: str) -> None:
+        key = (name, tuple(sorted(labels.items())))
+        with self._lock:
+            h = self._histograms.get(key)
+            if h is None:
+                h = self._histograms[key] = _Histogram(self._HISTOGRAM_BUCKETS[name])
+            h.record(value)
+
+    # -- tracking helpers mirroring the reference's track_* fns ----------
+
+    def track_http(self, method: str, path: str, status: int, seconds: float) -> None:
+        labels = {"method": method, "path": path, "status": str(status)}
+        self.inc("http_requests_total", **labels)
+        self.record("http_requests_duration_seconds", seconds, **labels)
+
+    def track_flight(self, method: str, status: str, seconds: float) -> None:
+        labels = {"method": method, "status": status}
+        self.inc("flight_requests_total", **labels)
+        self.record("flight_requests_duration_seconds", seconds, **labels)
+
+    def track_session_context(self) -> None:
+        self.inc("session_contexts_total")
+
+    def track_session_duration(self, seconds: float) -> None:
+        self.record("session_context_duration_seconds", seconds)
+
+    def track_data_source(self, scheme: str, fmt: str) -> None:
+        self.inc("data_source_registrations_total", scheme=scheme, format=fmt)
 
     def prometheus(self) -> str:
-        lines = [
-            "# TYPE dfss_http_requests_total counter",
-        ]
-        for route, n in sorted(self.http_requests.items()):
-            lines.append(f'dfss_http_requests_total{{route="{route}"}} {n}')
-        lines.append("# TYPE dfss_sessions_created_total counter")
-        lines.append(f"dfss_sessions_created_total {self.sessions_created}")
-        lines.append("# TYPE dfss_data_sources_total counter")
-        lines.append(f"dfss_data_sources_total {self.data_sources_registered}")
-        if self.query_seconds:
-            lines.append("# TYPE dfss_query_seconds summary")
-            lines.append(f"dfss_query_seconds_sum {sum(self.query_seconds):.6f}")
-            lines.append(f"dfss_query_seconds_count {len(self.query_seconds)}")
+        with self._lock:
+            counters = dict(self._counters)
+            histograms = {
+                k: (h.buckets, list(h.counts), h.sum, h.count)
+                for k, h in self._histograms.items()
+            }
+        lines: list[str] = []
+        seen: set[str] = set()
+        for (name, labels), n in sorted(counters.items()):
+            if name not in seen:
+                seen.add(name)
+                lines.append(f"# TYPE {name} counter")
+            lines.append(f"{name}{_fmt_labels(labels)} {n}")
+        for (name, labels), (buckets, counts, total, count) in sorted(
+            histograms.items()
+        ):
+            if name not in seen:
+                seen.add(name)
+                lines.append(f"# TYPE {name} histogram")
+            for b, c in zip(buckets, counts):
+                le = f'le="{b}"'
+                lines.append(f"{name}_bucket{_fmt_labels(labels, le)} {c}")
+            inf = 'le="+Inf"'
+            lines.append(f"{name}_bucket{_fmt_labels(labels, inf)} {count}")
+            lines.append(f"{name}_sum{_fmt_labels(labels)} {total:.6f}")
+            lines.append(f"{name}_count{_fmt_labels(labels)} {count}")
         return "\n".join(lines) + "\n"
 
 
@@ -76,6 +165,9 @@ class Engine:
         self.settings: Settings = settings or Settings()
         self.sessions = SessionManager(self.spark, start_reaper=start_reaper)
         self.metrics = Metrics()
+        self.sessions.on_close = lambda sess: self.metrics.track_session_duration(
+            time.time() - sess.created_at
+        )
         # config sections -> JDBC namespaces, object-store credentials,
         # drop-in plugin manifests (reference init_global_managers,
         # settings.rs:221-247)
@@ -87,7 +179,8 @@ class Engine:
         for payload in data_sources or []:
             ds = source_registry.DataSource.from_json(payload)
             source_registry.register(sess.spark, ds, session=sess)
-            self.metrics.data_sources_registered += 1
+            scheme = ds.location.split("://", 1)[0] if "://" in ds.location else "file"
+            self.metrics.track_data_source(scheme, ds.format)
 
     def _merges(self, sess: ServerSession, processor: dict | None) -> None:
         for spec in (processor or {}).get("mergeProcessors", []) or []:
@@ -145,9 +238,8 @@ class Engine:
 
     def dataframe_query(self, payload: dict, accept: str | None = None) -> tuple[bytes, str]:
         """Stateless one-shot (reference dataframe.rs:18-92)."""
-        t0 = time.time()
         sess = self.sessions.create(keep_alive_s=STATELESS_KEEP_ALIVE_S)
-        self.metrics.sessions_created += 1
+        self.metrics.track_session_context()
         try:
             self._ingest(sess, payload.get("dataSources", []))
             self._merges(sess, payload.get("processor"))
@@ -162,7 +254,6 @@ class Engine:
                 self.sessions.delete(sess.session_id)
             except KeyError:
                 pass
-            self.metrics.observe("/dataframe/query", time.time() - t0)
 
     def dataframe_query_stream(self, payload: dict):
         """Incremental variant of the stateless path (reference A21:
@@ -170,7 +261,7 @@ class Engine:
         session is destroyed after the generator is drained — matching the
         reference's leave-to-reaper semantics for streamed responses."""
         sess = self.sessions.create(keep_alive_s=STATELESS_KEEP_ALIVE_S)
-        self.metrics.sessions_created += 1
+        self.metrics.track_session_context()
 
         def gen():
             try:
@@ -190,7 +281,7 @@ class Engine:
         sess = self.sessions.create(
             session_id, keep_alive_s or self.settings.session.default_keep_alive
         )
-        self.metrics.sessions_created += 1
+        self.metrics.track_session_context()
         return {"id": sess.session_id, "keepAlive": sess.keep_alive_s}
 
     def session_add_datasource(self, session_id: str, payload: Any) -> list[str]:
@@ -208,21 +299,17 @@ class Engine:
     ) -> tuple[bytes, str]:
         """JSON body {sql, postProcessors?, response?} or raw SQL string
         (reference session.rs:90-215)."""
-        t0 = time.time()
         sess = self.sessions.get(session_id)
-        try:
-            if isinstance(payload, str):
-                sql, post, response = payload, [], None
-            else:
-                sql = payload.get("sql") or payload.get("query")
-                post = payload.get("postProcessors") or []
-                response = payload.get("response")
-            df = self._query(sess, sql)
-            if post:
-                df = postprocess.apply_local(sess.spark, df, post)
-            return self._respond(df, response, accept)
-        finally:
-            self.metrics.observe("/session/query", time.time() - t0)
+        if isinstance(payload, str):
+            sql, post, response = payload, [], None
+        else:
+            sql = payload.get("sql") or payload.get("query")
+            post = payload.get("postProcessors") or []
+            response = payload.get("response")
+        df = self._query(sess, sql)
+        if post:
+            df = postprocess.apply_local(sess.spark, df, post)
+        return self._respond(df, response, accept)
 
     def session_upload(self, session_id: str, name: str, fmt: str, data: bytes) -> None:
         """Multipart upload ingest (reference A23): format sniff by

@@ -62,7 +62,27 @@ if fl is not None:
 
             return sess.sql(transpile(sql))
 
+        def _tracked(self, method: str, fn):
+            """Per-RPC telemetry mirroring the reference's track_flight
+            wrapper (metrics.rs:101-128): counter + latency histogram
+            labeled (method, ok|error)."""
+            import time
+
+            t0 = time.time()
+            try:
+                out = fn()
+            except Exception:
+                self.engine.metrics.track_flight(method, "error", time.time() - t0)
+                raise
+            self.engine.metrics.track_flight(method, "ok", time.time() - t0)
+            return out
+
         def get_flight_info(self, context, descriptor):
+            return self._tracked(
+                "get_flight_info", lambda: self._get_flight_info(context, descriptor)
+            )
+
+        def _get_flight_info(self, context, descriptor):
             if descriptor.descriptor_type == fl.DescriptorType.PATH:
                 ticket = "/".join(p.decode() for p in descriptor.path)
             else:
@@ -73,10 +93,16 @@ if fl is not None:
             return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
         def get_schema(self, context, descriptor):
-            info = self.get_flight_info(context, descriptor)
-            return fl.SchemaResult(info.schema)
+            def impl():
+                info = self._get_flight_info(context, descriptor)
+                return fl.SchemaResult(info.schema)
+
+            return self._tracked("get_schema", impl)
 
         def do_get(self, context, ticket):
+            return self._tracked("do_get", lambda: self._do_get(context, ticket))
+
+        def _do_get(self, context, ticket):
             # stream batches as partitions land — never the full result on
             # the driver (reference flight.rs:96-144 execute_sql_stream ->
             # mpsc(32) -> gRPC)
@@ -92,6 +118,12 @@ if fl is not None:
             return fl.GeneratorStream(first.schema, itertools.chain([first], batches))
 
         def do_exchange(self, context, descriptor, reader, writer):
+            return self._tracked(
+                "do_exchange",
+                lambda: self._do_exchange(context, descriptor, reader, writer),
+            )
+
+        def _do_exchange(self, context, descriptor, reader, writer):
             """Push-transform-pull: upload stream -> temp view
             ``exchange_input`` -> ticket SQL -> incremental result stream.
             Descriptor command: ``{session_id}/{SQL}`` (same grammar as
@@ -131,6 +163,11 @@ if fl is not None:
                 sess.spark.catalog.dropTempView(view)
 
         def do_put(self, context, descriptor, reader, writer):
+            return self._tracked(
+                "do_put", lambda: self._do_put(context, descriptor, reader, writer)
+            )
+
+        def _do_put(self, context, descriptor, reader, writer):
             path = "/".join(p.decode() for p in descriptor.path)
             if "/" not in path:
                 raise ValueError("do_put descriptor must be session/table")

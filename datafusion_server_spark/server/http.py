@@ -96,6 +96,26 @@ def parse_multipart(content_type: str, body: bytes) -> list[tuple[str | None, st
     return parts
 
 
+# Matched-path templates for http metrics labels — the analog of axum's
+# MatchedPath the reference labels requests with (metrics.rs:80-99):
+# concrete ids collapse to :session_id/:name so label cardinality stays
+# bounded. Order matters: literal segments before the :name wildcard.
+_PATH_TEMPLATES = (
+    (re.compile(r"^/session/[^/]+/datasource/(save|upload)$"), r"/session/:session_id/datasource/\1"),
+    (re.compile(r"^/session/[^/]+/datasource/[^/]+/refresh$"), "/session/:session_id/datasource/:name/refresh"),
+    (re.compile(r"^/session/[^/]+/datasource/[^/]+$"), "/session/:session_id/datasource/:name"),
+    (re.compile(r"^/session/[^/]+/(datasource|processor|query|save|upload)$"), r"/session/:session_id/\1"),
+    (re.compile(r"^/session/(?!create$)[^/]+$"), "/session/:session_id"),
+)
+
+
+def matched_path(path: str) -> str:
+    for rx, template in _PATH_TEMPLATES:
+        if rx.match(path):
+            return rx.sub(template, path) if "\\1" in template else template
+    return path
+
+
 class Handler(BaseHTTPRequestHandler):
     engine: Engine  # set by serve()
 
@@ -112,6 +132,7 @@ class Handler(BaseHTTPRequestHandler):
         return json.loads(self._body() or b"{}")
 
     def _send(self, code: int, data: bytes, content_type: str = "application/json") -> None:
+        self._last_status = code
         self.send_response(code)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(data)))
@@ -122,6 +143,7 @@ class Handler(BaseHTTPRequestHandler):
         self._send(code, json.dumps(obj).encode())
 
     def _send_chunked(self, chunks, content_type: str) -> None:
+        self._last_status = 200
         self.send_response(200)
         self.send_header("Content-Type", content_type)
         self.send_header("Transfer-Encoding", "chunked")
@@ -145,6 +167,24 @@ class Handler(BaseHTTPRequestHandler):
         path = url.path.rstrip("/") or "/"
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         accept = self.headers.get("Accept")
+        # base_url prefix (reference routes.rs:53-62): every route is
+        # nested under the normalized base; bare /healthz and /metrics
+        # stay reachable as ops-probe conveniences (the reference serves
+        # metrics on its own unprefixed listener).
+        base = self.engine.settings.normalized_base_url
+        if base:
+            if path.startswith(base + "/") or path == base:
+                path = path[len(base):] or "/"
+            elif path not in ("/healthz", "/metrics"):
+                return self._error(404, f"no route: {method} {path}")
+        # stateful-features gate (reference routes.rs:59-62: the session
+        # router is not even mounted when disabled — requests 404, they
+        # are not rejected with 403)
+        if (
+            self.engine.settings.server.disable_stateful_features
+            and path.startswith("/session")
+        ):
+            return self._error(404, f"no route: {method} {path}")
         try:
             # health/telemetry
             if method == "GET" and path == "/healthz":
@@ -267,14 +307,36 @@ class Handler(BaseHTTPRequestHandler):
         except Exception as e:  # surface engine errors as 400s
             return self._error(400, f"{type(e).__name__}: {e}")
 
+    def _tracked(self, method: str) -> None:
+        """Request-level telemetry middleware (reference metrics.rs
+        track_http:70-99): counter + latency histogram labeled with
+        (method, matched path template, status)."""
+        import time
+
+        t0 = time.time()
+        self._last_status = 500
+        try:
+            self._route(method)
+        finally:
+            try:
+                path = urlparse(self.path).path.rstrip("/") or "/"
+                base = self.engine.settings.normalized_base_url
+                if base and (path.startswith(base + "/") or path == base):
+                    path = path[len(base):] or "/"
+                self.engine.metrics.track_http(
+                    method, matched_path(path), self._last_status, time.time() - t0
+                )
+            except Exception:
+                pass
+
     def do_GET(self):
-        self._route("GET")
+        self._tracked("GET")
 
     def do_POST(self):
-        self._route("POST")
+        self._tracked("POST")
 
     def do_DELETE(self):
-        self._route("DELETE")
+        self._tracked("DELETE")
 
 
 def serve(engine: Engine, host: str = "127.0.0.1", port: int = 4000) -> ThreadingHTTPServer:

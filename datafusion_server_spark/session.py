@@ -158,8 +158,20 @@ class SessionManager:
         self._lock = threading.Lock()
         self._reaper: threading.Thread | None = None
         self._stop = threading.Event()
+        # lifecycle hook invoked (outside the lock) with each closed
+        # session — the Engine wires telemetry here (reference
+        # track_session_context_duration, metrics.rs:139-147)
+        self.on_close = None
         if start_reaper:
             self.start_reaper()
+
+    def _closed(self, sess: "ServerSession") -> None:
+        cb = self.on_close
+        if cb is not None:
+            try:
+                cb(sess)
+            except Exception:
+                pass
 
     def create(self, session_id: str | None = None, keep_alive_s: int = DEFAULT_KEEP_ALIVE_S) -> ServerSession:
         sid = session_id or uuid.uuid4().hex
@@ -203,6 +215,7 @@ class SessionManager:
         if sess is None:
             raise KeyError(f"no such session: {session_id}")
         sess.close()
+        self._closed(sess)
 
     def reap(self) -> list[str]:
         """Drop expired sessions (reference reaper: interval_worker.rs:28-30)."""
@@ -211,6 +224,7 @@ class SessionManager:
             reaped = [(sid, self._sessions.pop(sid)) for sid in dead]
         for _, sess in reaped:
             sess.close()
+            self._closed(sess)
         return [sid for sid, _ in reaped]
 
     def start_reaper(self) -> None:

@@ -60,6 +60,18 @@ class Settings:
     def upload_limit_bytes(self) -> int:
         return self.session.upload_limit_size * 1024 * 1024
 
+    @property
+    def normalized_base_url(self) -> str:
+        """Reference normalization (routes.rs:73-85): ensure a leading
+        '/', strip a trailing '/'. The default "/" normalizes to "" —
+        i.e. no prefix."""
+        b = self.server.base_url
+        if not b.startswith("/"):
+            b = "/" + b
+        if b.endswith("/"):
+            b = b[:-1]
+        return b
+
     @staticmethod
     def load(path: str | Path | None = None) -> "Settings":
         """Defaults overlaid with a TOML or JSON config file."""

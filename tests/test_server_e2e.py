@@ -37,7 +37,37 @@ def test_healthz(base_url):
 
 def test_sysinfo_metrics(base_url):
     assert "spark" in requests.get(f"{base_url}/sysinfo").json()
-    assert "dfss_http_requests_total" in requests.get(f"{base_url}/metrics").text
+    assert "http_requests_total" in requests.get(f"{base_url}/metrics").text
+
+
+def test_metrics_histogram_parity(base_url, tmp_path, engine):
+    """Reference-parity telemetry (metrics.rs:43-48,70-147): latency
+    histograms with the reference's exact bucket boundaries and names,
+    matched-path labels, and session-duration observations on close."""
+    p = tmp_path / "m.csv"
+    p.write_bytes(CSV)
+    payload = {
+        "dataSources": [{"format": "csv", "name": "mpeople", "location": str(p)}],
+        "query": "SELECT COUNT(*) AS n FROM mpeople",
+    }
+    assert requests.post(f"{base_url}/dataframe/query", json=payload).status_code == 200
+    # named session lifecycle -> session_context_duration_seconds on close
+    requests.get(f"{base_url}/session/create", params={"id": "metrics-sess"})
+    requests.delete(f"{base_url}/session/metrics-sess")
+    text = requests.get(f"{base_url}/metrics").text
+    # http histogram with the reference API buckets (5ms..10s) + labels
+    assert '# TYPE http_requests_duration_seconds histogram' in text
+    assert 'http_requests_duration_seconds_bucket{method="POST",path="/dataframe/query",status="200",le="0.005"}' in text
+    assert 'le="10.0"' in text and 'le="+Inf"' in text
+    assert 'http_requests_duration_seconds_count{method="POST",path="/dataframe/query",status="200"}' in text
+    # matched-path template, not the raw id-bearing path
+    assert 'path="/session/:session_id"' in text
+    # session-context metrics with the reference session buckets
+    assert "session_contexts_total" in text
+    assert 'session_context_duration_seconds_bucket{le="0.1"}' in text
+    assert 'session_context_duration_seconds_bucket{le="3600.0"}' in text
+    # data-source registrations labeled by scheme+format
+    assert 'data_source_registrations_total{format="csv",scheme="file"}' in text
 
 
 def test_stateless_dataframe_query(base_url, tmp_path):
@@ -319,6 +349,14 @@ def test_flight_do_put_do_get(engine):
     info = client.get_flight_info(fl.FlightDescriptor.for_path("fl", "uploaded"))
     assert {f.name for f in info.schema} == {"a", "b"}
     engine.sessions.delete("fl")
+
+    # flight telemetry parity (reference metrics.rs:101-128): counters +
+    # API-bucket latency histograms per RPC method
+    text = engine.metrics.prometheus()
+    assert 'flight_requests_total{method="do_put",status="ok"}' in text
+    assert 'flight_requests_total{method="do_get",status="ok"}' in text
+    assert 'flight_requests_duration_seconds_bucket{method="do_get",status="ok",le="0.005"}' in text
+    assert 'flight_requests_duration_seconds_bucket{method="do_get",status="ok",le="+Inf"}' in text
 
 
 def test_flight_do_exchange(engine):

@@ -36,6 +36,27 @@ def test_session_ttl_reap(spark):
         mgr.get("shortlived")
 
 
+def test_reaper_unpersists_cached_sources_and_reports_duration(spark):
+    """TTL expiry must free the storage of cached session sources
+    (close() -> remove() -> unpersist()) and report the session's
+    lifetime through the on_close hook — the reaper is the only exit
+    path for abandoned sessions, so a leak here grows forever."""
+    jsc = spark.sparkContext._jsc.sc()
+    mgr = SessionManager(spark)
+    durations = []
+    mgr.on_close = lambda sess: durations.append(time.time() - sess.created_at)
+    s = mgr.create("cachedttl", keep_alive_s=0)
+    before = jsc.getPersistentRDDs().size()
+    df = s.spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    s.register("cached_src", df, cache=True, info={"format": "memory"})
+    s.spark.table("cached_src").count()  # materialize the cache
+    assert jsc.getPersistentRDDs().size() == before + 1
+    time.sleep(0.05)
+    assert mgr.reap() == ["cachedttl"]
+    assert jsc.getPersistentRDDs().size() == before, "reaper leaked cached storage"
+    assert len(durations) == 1 and durations[0] >= 0.05
+
+
 def test_session_duplicate_id(spark):
     mgr = SessionManager(spark)
     mgr.create("dup")

@@ -144,6 +144,48 @@ def main(record_batch, **kwargs):
 """
 
 
+def test_base_url_and_stateful_gate_e2e(spark, tmp_path):
+    """Reference routes.rs:53-62,72-86 enforcement: all routes nest under
+    the normalized base_url, and disable_stateful_features leaves the
+    /session router unmounted (404, not 403)."""
+    from datafusion_server_spark.server.api import Engine
+    from datafusion_server_spark.server.http import serve
+
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text(
+        '[server]\naddress = "127.0.0.1"\nport = 0\n'
+        'base_url = "/api/"\ndisable_stateful_features = true\n'
+    )
+    settings = Settings.load(cfg)
+    assert settings.normalized_base_url == "/api"  # trailing slash stripped
+    engine = Engine(spark, start_reaper=False, settings=settings)
+    httpd = serve(engine, "127.0.0.1", 0)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    csv_p = tmp_path / "people.csv"
+    csv_p.write_text("name,age\nalice,30\nbob,9\n")
+    payload = {
+        "dataSources": [{"format": "csv", "name": "people", "location": str(csv_p)}],
+        "query": "SELECT name FROM people WHERE age > 10",
+    }
+    try:
+        # stateless query under the prefix: 200
+        r = requests.post(f"{base}/api/dataframe/query", json=payload)
+        assert r.status_code == 200, r.text
+        assert r.json() == [{"name": "alice"}]
+        # unprefixed route: 404
+        assert requests.post(f"{base}/dataframe/query", json=payload).status_code == 404
+        # stateful routes 404 even under the prefix
+        assert requests.get(f"{base}/session/create").status_code == 404
+        assert requests.get(f"{base}/api/session/create").status_code == 404
+        assert requests.get(f"{base}/api/session").status_code == 404
+        # health under prefix AND bare (ops-probe convenience)
+        assert requests.get(f"{base}/api/healthz").status_code == 200
+        assert requests.get(f"{base}/healthz").status_code == 200
+        assert requests.get(f"{base}/metrics").status_code == 200
+    finally:
+        httpd.shutdown()
+
+
 def test_plugin_manifest_discovery(spark, tmp_path):
     """Drop a manifest dir, point plugin_dir at it, query through both the
     connector scheme and the processor chain."""

@@ -14,17 +14,23 @@ from datafusion_server_spark.queries import df_query, sql_query
 
 @df_query("multimodal_decode_pipeline", None)
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode pipeline (stubbed decoder, real Spark plumbing):
-    documents.text as fake payload -> mapInPandas metadata extraction ->
-    per-format aggregate. Deterministic, so row counts are stable."""
+    """Binary-column decode pipeline with REAL content decode for the
+    uncompressed formats: documents synthesize into genuine BMP/WAV/text
+    payloads (pixel/sample values from the text bytes), mapInPandas
+    decodes headers AND content — value_mean/value_rms for bmp/wav come
+    from actual pixel/sample data, not a stub. Deterministic, so row
+    counts and values are stable (rows-only driver check: the payload
+    synthesis + binary decode is not SQL-expressible)."""
     docs = tables.load(spark, sf_dir, "documents")
-    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    media = multimodal.synthesize_media_payloads(docs, "text", "doc_id")
     decoded = multimodal.decode_metadata(media)
     return decoded.groupBy("media_type", "format").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.min("width").cast("bigint").alias("min_width"),
         F.max("height").cast("bigint").alias("max_height"),
+        F.round(F.avg("value_mean"), 6).alias("avg_value_mean"),
+        F.round(F.avg("value_rms"), 6).alias("avg_value_rms"),
     )
 
 

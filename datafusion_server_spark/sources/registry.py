@@ -100,7 +100,24 @@ def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bo
             try:
                 return spark.read.format("avro").load(location), False
             except Exception as e:  # spark-avro package not on classpath
-                raise DataSourceError(f"avro reader unavailable: {e}") from e
+                # Pure-Python OCF fallback (A8, reference reader.rs:114-134):
+                # decode locally-readable files with the stdlib decoder and
+                # register eagerly. Object-store schemes still need the jar
+                # (no Hadoop FS access from Python).
+                local = (
+                    urlparse(ds.location).path
+                    if scheme == "file"
+                    else ds.location if scheme == "" else None
+                )
+                if local is None or not os.path.exists(local):
+                    raise DataSourceError(
+                        f"avro reader unavailable (spark-avro jar missing and "
+                        f"location not locally readable): {e}"
+                    ) from e
+                from datafusion_server_spark.sources import avro_py
+
+                with open(local, "rb") as fh:
+                    return avro_py.read_avro(spark, fh.read()), True
 
     if scheme in ("http", "https"):
         data = readers.fetch(ds.location)
@@ -112,6 +129,10 @@ def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bo
             return readers.read_ndjson(spark, data, ds.options), True
         if fmt == "parquet":
             return readers.read_parquet(spark, data, ds.options), True
+        if fmt == "avro":
+            from datafusion_server_spark.sources import avro_py
+
+            return avro_py.read_avro(spark, data), True
         raise DataSourceError(f"format {fmt!r} not supported over http(s)")
 
     if fmt == "json" and scheme in LISTING_SCHEMES:

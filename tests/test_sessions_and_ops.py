@@ -233,7 +233,64 @@ def test_multimodal_real_header_decode(spark, tmp_path):
     assert rows[5]["format"] == "wav"
     assert rows[5]["channels"] == 2 and rows[5]["sample_rate"] == 44100
     assert abs(rows[5]["duration_ms"] - 1000) <= 1
+    # silent wav (all-zero samples): real decode yields exact zeros
+    assert rows[5]["value_mean"] == 0.0 and rows[5]["value_rms"] == 0.0
     assert rows[6]["format"] == "fake"  # unrecognized -> synthetic fallback
+
+
+def test_multimodal_real_content_stats(spark):
+    """BMP pixels and WAV PCM samples decode for REAL (stdlib struct/
+    array): value_mean/value_rms match hand-computed stats of the bytes
+    we put in."""
+    from datafusion_server_spark.operators.multimodal import (
+        _make_bmp,
+        _make_wav,
+        decode_media,
+    )
+
+    seed = bytes(range(256))
+    bmp = _make_bmp(seed, width=16, height=4)
+    meta = decode_media(bmp)
+    # pixel bytes are seed[0:192] (16*3 row bytes * 4 rows)
+    vals = [seed[i % 256] for i in range(16 * 3 * 4)]
+    want_mean = sum(vals) / len(vals) / 255.0
+    want_rms = (sum(v * v for v in vals) / len(vals)) ** 0.5 / 255.0
+    assert meta["format"] == "bmp"
+    assert abs(meta["value_mean"] - want_mean) < 1e-6
+    assert abs(meta["value_rms"] - want_rms) < 1e-6
+
+    wav = _make_wav(seed, n_samples=64)
+    meta = decode_media(wav)
+    samples = [(seed[i % 256] - 128) * 256 for i in range(64)]
+    want_mean = sum(samples) / len(samples) / 32768.0
+    want_rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+    assert meta["format"] == "wav"
+    assert abs(meta["value_mean"] - want_mean) < 1e-6
+    assert abs(meta["value_rms"] - want_rms) < 1e-6
+
+    # compressed formats stay honestly null (need a real imaging lib)
+    png = b"\x89PNG\r\n\x1a\n" + bytes(16)
+    assert decode_media(png)["value_mean"] is None
+
+
+def test_multimodal_synthesized_pipeline(spark, sf_dir):
+    """End-to-end: text fixture -> genuine BMP/WAV payloads -> real
+    content decode; every bmp/wav row carries non-null value stats."""
+    from datafusion_server_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents").limit(30)
+    media = multimodal.synthesize_media_payloads(docs, "text", "doc_id")
+    decoded = multimodal.decode_metadata(media)
+    rows = decoded.collect()
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r["format"], []).append(r)
+    assert set(by_fmt) == {"bmp", "wav", "fake"}
+    for r in by_fmt["bmp"] + by_fmt["wav"]:
+        assert r["value_mean"] is not None and r["value_rms"] is not None
+        assert 0.0 <= r["value_rms"] <= 1.0
+    for r in by_fmt["fake"]:
+        assert r["value_mean"] is None
 
 
 def test_engine_refresh(spark, tmp_path):

@@ -144,6 +144,102 @@ def main(record_batch, **kwargs):
 """
 
 
+def _write_minimal_xlsx(path, sheet_name: str, header: list[str], rows: list[list]):
+    """Hand-assemble a spec-valid minimal .xlsx (zip of OOXML parts) with
+    shared strings, one sheet, and typed cells — no openpyxl needed."""
+    import zipfile
+
+    strings: list[str] = []
+
+    def sref(s: str) -> int:
+        if s not in strings:
+            strings.append(s)
+        return strings.index(s)
+
+    def cell(ref, v):
+        if isinstance(v, str):
+            return f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    cols = "ABCDEFGH"
+    body = []
+    for rno, row in enumerate([header, *rows], start=1):
+        cells = "".join(cell(f"{cols[i]}{rno}", v) for i, v in enumerate(row))
+        body.append(f'<row r="{rno}">{cells}</row>')
+    sheet_xml = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
+    )
+    sst = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    workbook = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{sheet_name}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+        zf.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_xlsx_plugin_drop_in_e2e(spark, tmp_path):
+    """The shipped excel-parity plugin (plugins/datasource-plugin-xlsx)
+    loads through manifest discovery and serves a real generated .xlsx
+    via the excel:// scheme — the reference's excel plugin workflow, no
+    third-party excel library."""
+    import pathlib
+    import shutil
+
+    from datafusion_server_spark.server.api import Engine
+    from datafusion_server_spark.sources import plugins
+
+    repo_plugin = pathlib.Path(__file__).resolve().parent.parent / "plugins" / "datasource-plugin-xlsx"
+    pdir = tmp_path / "plugins"
+    shutil.copytree(repo_plugin, pdir / "datasource-plugin-xlsx")
+    _write_minimal_xlsx(
+        tmp_path / "people.xlsx",
+        "Roster",
+        ["name", "age", "active"],
+        [["alice", 30, True], ["bob", 9, False], ["carol", 41, True]],
+    )
+    settings = Settings.from_dict({"server": {"plugin_dir": str(pdir)}})
+    engine = Engine(spark, start_reaper=False, settings=settings)
+    try:
+        assert plugins.has_scheme("excel")
+        data, _ = engine.dataframe_query(
+            {
+                "dataSources": [
+                    {
+                        "format": "excel",
+                        "name": "people",
+                        "location": "excel://people.xlsx/Roster",
+                        "pluginOptions": {"dataDir": str(tmp_path)},
+                    }
+                ],
+                "query": "SELECT name, age FROM people WHERE active ORDER BY age DESC",
+            }
+        )
+        assert json.loads(data) == [
+            {"name": "carol", "age": 41},
+            {"name": "alice", "age": 30},
+        ]
+    finally:
+        plugins.unregister_connector("excel")
+
+
 def test_base_url_and_stateful_gate_e2e(spark, tmp_path):
     """Reference routes.rs:53-62,72-86 enforcement: all routes nest under
     the normalized base_url, and disable_stateful_features leaves the

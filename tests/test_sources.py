@@ -116,10 +116,74 @@ def test_writers_object_store(spark, tmp_path):
 
 
 def test_avro_gated_clear_error(spark, tmp_path):
-    """No spark-avro jar in this container: the registry must surface a
+    """No spark-avro jar AND no local file: the registry must surface a
     clear DataSourceError, not a raw classpath stack trace."""
     from datafusion_server_spark.sources.registry import DataSource, DataSourceError, load_data_source
 
     ds = DataSource.from_json({"format": "avro", "name": "av", "location": str(tmp_path / "x.avro")})
     with pytest.raises(DataSourceError, match="avro reader unavailable"):
         load_data_source(spark, ds)
+
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Person",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "nick", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "int"}},
+    ],
+}
+AVRO_RECORDS = [
+    {"id": 1, "name": "alice", "score": 9.5, "nick": "al", "tags": ["x", "y"], "attrs": {"a": 1}},
+    {"id": 2, "name": "bob", "score": 7.25, "nick": None, "tags": [], "attrs": {}},
+    {"id": 3, "name": "carol", "score": 8.0, "nick": "cc", "tags": ["z"], "attrs": {"b": 2, "c": 3}},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_ocf_roundtrip(codec):
+    """Pure-stdlib OCF encode/decode round-trip (A8 fallback), both
+    supported codecs."""
+    from datafusion_server_spark.sources import avro_py
+
+    data = avro_py.write_ocf(AVRO_SCHEMA, AVRO_RECORDS, codec=codec)
+    schema, records = avro_py.read_ocf(data)
+    assert schema["name"] == "Person"
+    assert records == AVRO_RECORDS
+
+
+def test_avro_registry_fallback_e2e(spark, tmp_path):
+    """A real .avro file ingests through the registry without the
+    spark-avro jar: the pure-Python fallback decodes and registers
+    eagerly with the schema mapped from the embedded Avro schema."""
+    from datafusion_server_spark.sources import avro_py
+    from datafusion_server_spark.sources.registry import DataSource, load_data_source
+
+    p = tmp_path / "people.avro"
+    p.write_bytes(avro_py.write_ocf(AVRO_SCHEMA, AVRO_RECORDS, codec="deflate"))
+    ds = DataSource.from_json({"format": "avro", "name": "people_avro", "location": str(p)})
+    df, eager = load_data_source(spark, ds)
+    assert eager is True
+    assert dict(df.dtypes)["id"] == "bigint"
+    assert dict(df.dtypes)["tags"] == "array<string>"
+    assert dict(df.dtypes)["attrs"] == "map<string,int>"
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["name"] == "alice" and rows[1]["nick"] == "al"
+    assert rows[2]["nick"] is None and rows[2]["tags"] == []
+    assert rows[3]["attrs"] == {"b": 2, "c": 3}
+
+
+def test_avro_unsupported_codec_clear_error():
+    from datafusion_server_spark.sources import avro_py
+
+    data = avro_py.write_ocf(AVRO_SCHEMA, AVRO_RECORDS)
+    # forge the codec meta value — the LAST b"null" (the schema JSON's
+    # union branch contains the first ones)
+    idx = data.rfind(b"null")
+    data = data[:idx] + b"sppy" + data[idx + 4 :]
+    with pytest.raises(ValueError, match="codec"):
+        avro_py.read_ocf(data)

@@ -1,0 +1,154 @@
+"""Pure-Python Delta Lake table reader — the no-jar fallback for A9
+(reference reads Delta via the deltalake crate,
+lib/src/data_source/deltalake.rs:29-96, incl. ``version`` time travel).
+
+The primary path remains ``spark.read.format("delta")`` whenever
+delta-spark is installed (distributed log replay, data skipping, DML).
+This module implements just the READ protocol from the public Delta
+transaction-log spec (PROTOCOL.md): a table is a directory of parquet
+data files plus ``_delta_log/``, where
+
+- ``{version:020d}.json`` holds newline-delimited action objects
+  (``add`` / ``remove`` / ``metaData`` / ``protocol`` / ``commitInfo``);
+- ``{version:020d}.checkpoint.parquet`` (pointed at by
+  ``_last_checkpoint``) holds the same actions columnar;
+- the active file set at version V = replay actions 0..V, where ``add``
+  inserts a path and ``remove`` tombstones it (last action per path
+  wins).
+
+The snapshot's files then load through the ordinary distributed parquet
+scan; partition columns (absent from the data files per the spec) are
+reattached from each add-action's ``partitionValues``. Reader-feature
+gates: fails clearly on protocol ``minReaderVersion`` > 2 or
+deletion-vector tables rather than returning wrong rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+
+class DeltaProtocolError(ValueError):
+    pass
+
+
+@dataclass
+class Snapshot:
+    version: int
+    files: dict[str, dict] = field(default_factory=dict)  # path -> add action
+    metadata: dict | None = None
+    protocol: dict | None = None
+
+
+def _apply(snap: Snapshot, action: dict) -> None:
+    if "add" in action and action["add"]:
+        add = action["add"]
+        if add.get("deletionVector"):
+            raise DeltaProtocolError(
+                "table uses deletion vectors; install delta-spark to read it"
+            )
+        snap.files[add["path"]] = add
+    elif "remove" in action and action["remove"]:
+        snap.files.pop(action["remove"]["path"], None)
+    elif "metaData" in action and action["metaData"]:
+        snap.metadata = action["metaData"]
+    elif "protocol" in action and action["protocol"]:
+        snap.protocol = action["protocol"]
+        if snap.protocol.get("minReaderVersion", 1) > 2:
+            raise DeltaProtocolError(
+                f"minReaderVersion {snap.protocol['minReaderVersion']} exceeds "
+                "this reader's support (<=2); install delta-spark"
+            )
+
+
+def _read_checkpoint(snap: Snapshot, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    for row in table.to_pylist():
+        _apply(snap, {k: v for k, v in row.items() if v is not None})
+
+
+def read_snapshot(table_path: str, version: int | None = None) -> Snapshot:
+    """Replay the transaction log to ``version`` (latest when None)."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise DeltaProtocolError(f"not a delta table (no _delta_log): {table_path}")
+    commits: dict[int, str] = {}
+    checkpoints: dict[int, str] = {}
+    for name in os.listdir(log_dir):
+        m = _COMMIT_RE.match(name)
+        if m:
+            commits[int(m.group(1))] = os.path.join(log_dir, name)
+        m = _CHECKPOINT_RE.match(name)
+        if m:
+            checkpoints[int(m.group(1))] = os.path.join(log_dir, name)
+    if not commits and not checkpoints:
+        raise DeltaProtocolError(f"empty _delta_log in {table_path}")
+    latest = max([*commits, *checkpoints])
+    target = latest if version is None else int(version)
+    if target > latest or (target not in commits and target not in checkpoints):
+        raise DeltaProtocolError(
+            f"version {target} does not exist (latest is {latest})"
+        )
+    snap = Snapshot(version=target)
+    usable_cp = [v for v in checkpoints if v <= target]
+    start = 0
+    if usable_cp:
+        cp = max(usable_cp)
+        _read_checkpoint(snap, checkpoints[cp])
+        start = cp + 1
+    for v in range(start, target + 1):
+        path = commits.get(v)
+        if path is None:
+            continue
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _apply(snap, json.loads(line))
+    return snap
+
+
+def read_delta(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot -> DataFrame: the active files load through the normal
+    distributed parquet scan (pushdown/pruning intact); partition columns
+    are reattached from the log's partitionValues, grouped so one
+    spark.read covers each partition tuple (bounded by the number of
+    DISTINCT partition values, not files)."""
+    snap = read_snapshot(table_path, version)
+    if not snap.files:
+        # empty snapshot: derive schema from metadata when present
+        if snap.metadata and snap.metadata.get("schemaString"):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+            return spark.createDataFrame([], schema)
+        raise DeltaProtocolError(f"snapshot v{snap.version} has no files")
+    part_cols = (snap.metadata or {}).get("partitionColumns") or []
+    groups: dict[tuple, list[str]] = {}
+    for path, add in snap.files.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(table_path, path))
+    parts = []
+    for key, paths in sorted(groups.items()):
+        df = spark.read.parquet(*paths)
+        for col, val in zip(part_cols, key):
+            df = df.withColumn(col, F.lit(val))
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

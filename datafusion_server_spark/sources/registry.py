@@ -162,7 +162,26 @@ def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bo
         try:
             return reader.load(ds.location), False
         except Exception as e:  # delta-spark not on classpath
-            raise DataSourceError(f"delta reader unavailable: {e}") from e
+            # Pure-Python transaction-log replay fallback (A9, reference
+            # deltalake.rs:29-96): local tables only — the snapshot's
+            # files still load through the distributed parquet scan.
+            local = (
+                urlparse(ds.location).path if scheme == "file" else ds.location
+                if scheme == "" else None
+            )
+            if local is None or not os.path.isdir(local):
+                raise DataSourceError(
+                    f"delta reader unavailable (delta-spark missing and "
+                    f"location not a local table): {e}"
+                ) from e
+            from datafusion_server_spark.sources import delta_py
+
+            try:
+                return delta_py.read_delta(
+                    spark, local, int(version) if version is not None else None
+                ), False
+            except delta_py.DeltaProtocolError as pe:
+                raise DataSourceError(f"delta reader unavailable: {pe}") from pe
 
     if fmt == "flight" or scheme in ("grpc", "flight"):
         from datafusion_server_spark.sources import flight_client

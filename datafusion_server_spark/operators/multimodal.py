@@ -3,17 +3,19 @@ with typed metadata (north-star extension).
 
 The decode stage is REAL for container-format headers: PNG / GIF / BMP /
 JPEG dimensions and WAV channels/sample-rate/duration parse from the
-bytes with pure ``struct``. CONTENT decode is also real for the
-uncompressed formats (round 3): BMP 8/24/32-bit BI_RGB pixel values and
-WAV 8/16-bit PCM samples decode with stdlib struct/array, producing
-``value_mean`` / ``value_rms`` columns from the actual payload data.
+bytes with pure ``struct``. CONTENT decode is also real wherever the
+stdlib can express it (round 3): BMP 8/24/32-bit BI_RGB pixels, WAV
+8/16-bit PCM samples, and non-interlaced 8-bit PNGs (zlib inflate +
+per-row defilter incl. Paeth, palette mapping) all decode to
+``value_mean`` / ``value_rms`` columns computed from the actual payload
+data.
 
 The remaining honest stub is exactly the part that needs external
-libraries: COMPRESSED pixel decode (JPEG entropy decode, PNG inflate+
-defilter) and the feature-extraction embedding model — those fall back
-to clearly-marked deterministic synthesis (``_synthetic_meta``, md5
-features) so fixture pipelines stay stable. Swap the fallback for a real
-decoder in production; the Spark plan is unchanged.
+libraries: JPEG entropy decode and the feature-extraction embedding
+model — those fall back to clearly-marked deterministic synthesis
+(``_synthetic_meta``, md5 features) so fixture pipelines stay stable.
+Swap the fallback for a real decoder in production; the Spark plan is
+unchanged.
 
 At 100 TB: binary payloads stay columnar in parquet, the decode stage is
 ``mapInPandas`` (Arrow batches, no per-row Python overhead), and metadata
@@ -90,6 +92,95 @@ def _synthetic_meta(payload: bytes) -> dict:
         height=((n // 7) % 1024) + 1,
         format="fake",
     )
+
+
+def _png_pixel_stats(b: bytes) -> dict:
+    """REAL pixel decode for non-interlaced 8-bit PNGs (stdlib only):
+    inflate the IDAT stream (zlib) and reverse the per-row filters
+    (None/Sub/Up/Average/Paeth, PNG spec §9), then mean/RMS over channel
+    values normalized to 0..1. Palette images map through PLTE. Returns
+    {} for interlaced/16-bit images (real imaging-library territory)."""
+    import struct
+    import zlib
+
+    try:
+        off = 8
+        width = height = None
+        bit_depth = color_type = interlace = None
+        plte = b""
+        idat = b""
+        n = len(b)
+        while off + 8 <= n:
+            length, ctype = struct.unpack_from(">I4s", b, off)
+            data = b[off + 8 : off + 8 + length]
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            elif ctype == b"PLTE":
+                plte = data
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            off += 12 + length
+        if not idat or width is None or bit_depth != 8 or interlace != 0:
+            return {}
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            return {}
+        raw = zlib.decompress(idat)
+        bpp = channels  # bytes per pixel at bit depth 8
+        stride = width * bpp
+        prev = bytearray(stride)
+        total = 0
+        total_sq = 0
+        count = 0
+        pos = 0
+        for _ in range(height):
+            f = raw[pos]
+            row = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if f == 1:  # Sub
+                for i in range(bpp, stride):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    up = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else up if pb <= pc else c
+                    row[i] = (row[i] + pred) & 0xFF
+            if color_type == 3:  # palette indices -> RGB
+                for idx in row:
+                    base = idx * 3
+                    for v in plte[base : base + 3]:
+                        total += v
+                        total_sq += v * v
+                        count += 1
+            else:
+                for v in row:
+                    total += v
+                    total_sq += v * v
+                count += stride
+            prev = row
+        if count == 0:
+            return {}
+        return {
+            "value_mean": round(total / count / 255.0, 6),
+            "value_rms": round((total_sq / count) ** 0.5 / 255.0, 6),
+        }
+    except (struct.error, IndexError, zlib.error):
+        return {}
 
 
 def _bmp_pixel_stats(b: bytes, width: int, height: int) -> dict:
@@ -184,7 +275,10 @@ def decode_media(payload: bytes | None) -> dict:
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n" and n >= 24:
             w, h = struct.unpack_from(">II", b, 16)
-            return dict(_EMPTY_META, n_bytes=n, width=w, height=h, format="png")
+            stats = _png_pixel_stats(b)
+            return dict(
+                _EMPTY_META, n_bytes=n, width=w, height=h, format="png", **stats
+            )
         if b[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
             w, h = struct.unpack_from("<HH", b, 6)
             return dict(_EMPTY_META, n_bytes=n, width=w, height=h, format="gif")

@@ -268,9 +268,73 @@ def test_multimodal_real_content_stats(spark):
     assert abs(meta["value_mean"] - want_mean) < 1e-6
     assert abs(meta["value_rms"] - want_rms) < 1e-6
 
-    # compressed formats stay honestly null (need a real imaging lib)
-    png = b"\x89PNG\r\n\x1a\n" + bytes(16)
-    assert decode_media(png)["value_mean"] is None
+    # jpeg stays honestly null (entropy decode needs a real imaging lib)
+    jpeg = b"\xff\xd8\xff\xc0" + bytes(20)
+    assert decode_media(jpeg)["value_mean"] is None
+
+
+def test_multimodal_png_pixel_decode(spark):
+    """Non-interlaced 8-bit PNG pixels decode for REAL: stdlib zlib
+    inflate + per-row defilter (incl. Sub/Up/Paeth) reproduces the exact
+    pixel bytes we encoded."""
+    import struct
+    import zlib
+
+    from datafusion_server_spark.operators.multimodal import decode_media
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    w, h = 5, 4
+    pixels = [[((x * 37 + y * 91) % 256, (x * 3) % 256, (y * 7) % 256) for x in range(w)] for y in range(h)]
+
+    def encode_rows() -> bytes:
+        # exercise every filter type the decoder implements
+        filters = [0, 1, 2, 4]
+        out = b""
+        prev = bytes(w * 3)
+        for y, f in zip(range(h), filters):
+            raw = b"".join(bytes(p) for p in pixels[y])
+            if f == 0:
+                enc = raw
+            elif f == 1:
+                enc = bytes((raw[i] - (raw[i - 3] if i >= 3 else 0)) & 0xFF for i in range(len(raw)))
+            elif f == 2:
+                enc = bytes((raw[i] - prev[i]) & 0xFF for i in range(len(raw)))
+            else:  # paeth
+                enc = bytearray()
+                for i in range(len(raw)):
+                    a = raw[i - 3] if i >= 3 else 0
+                    up = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else up if pb <= pc else c
+                    enc.append((raw[i] - pred) & 0xFF)
+                enc = bytes(enc)
+            out += bytes([f]) + enc
+            prev = raw
+        return out
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(encode_rows()))
+        + chunk(b"IEND", b"")
+    )
+    meta = decode_media(png)
+    assert (meta["format"], meta["width"], meta["height"]) == ("png", 5, 4)
+    vals = [v for row in pixels for p in row for v in p]
+    want_mean = sum(vals) / len(vals) / 255.0
+    want_rms = (sum(v * v for v in vals) / len(vals)) ** 0.5 / 255.0
+    assert abs(meta["value_mean"] - want_mean) < 1e-6
+    assert abs(meta["value_rms"] - want_rms) < 1e-6
 
 
 def test_multimodal_synthesized_pipeline(spark, sf_dir):

@@ -108,6 +108,16 @@ class Settings:
         names = []
         for db in self.databases:
             kind = str(db.get("type", "postgres")).lower()
+            if kind == "sqlite":
+                # stdlib-backed external database: url is the db file path
+                ns = jdbc.DatabaseNamespace(
+                    name=db["namespace"],
+                    url=str(db.get("database", "")),
+                    kind="sqlite",
+                )
+                jdbc.configure_namespace(ns)
+                names.append(ns.name)
+                continue
             driver = {"postgres": "postgresql", "mysql": "mysql"}.get(kind, kind)
             host = db.get("host", "localhost")
             port = db.get("port", 5432 if kind == "postgres" else 3306)

@@ -1,4 +1,4 @@
-"""External-database sources over Spark's JDBC reader (reference A11/A12).
+"""External-database sources (reference A11/A12).
 
 The reference implements a custom DataFusion TableProvider that pushes
 projection/filter/limit into remote Postgres/MySQL SQL
@@ -9,8 +9,17 @@ thin: namespace config -> JDBC URL/properties, a schema cache per
 ``table@namespace`` SQL pre-pass of table_register.rs:19-75 (see
 functions.dialect.rewrite_table_at_namespace).
 
-Gated: no JDBC drivers ship in this container; calls surface a clear
-DataSourceError instead of a classpath stack trace.
+Two namespace kinds:
+
+- ``jdbc`` (postgres/mysql/...): Spark's distributed JDBC reader —
+  requires the driver jar on the classpath (none ship in this
+  container; calls surface a clear error instead of a classpath trace);
+- ``sqlite``: a REAL external database served by the stdlib ``sqlite3``
+  module — the full table@namespace flow (namespace config, SQL
+  pre-pass, schema cache, query execution) runs live with no jar. Rows
+  transfer through Arrow on the driver, the standard shape for
+  smallish dimension/lookup tables living in an operational DB; big
+  fact tables belong on the JDBC path with partitioned reads.
 """
 
 from __future__ import annotations
@@ -31,11 +40,12 @@ class DatabaseNamespace:
     """One configured external database (reference settings: namespaces)."""
 
     name: str
-    url: str  # jdbc:postgresql://... / jdbc:mysql://...
+    url: str  # jdbc:postgresql://... / jdbc:mysql://... / sqlite file path
     user: str | None = None
     password: str | None = None
     max_connections: int = 10  # reference database_manager.rs default
     fetch_size: int = 1000  # reference table_provider.rs:44 BATCH_SIZE
+    kind: str = "jdbc"  # "jdbc" | "sqlite"
 
     def properties(self) -> dict[str, str]:
         props = {"fetchsize": str(self.fetch_size)}
@@ -58,11 +68,43 @@ def read_table(spark: SparkSession, ds) -> DataFrame:
     return read_jdbc(spark, m.group("table"), m.group("ns"))
 
 
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
+
+
+def _read_sqlite(spark: SparkSession, ns: DatabaseNamespace, table: str) -> DataFrame:
+    import sqlite3
+
+    if not _IDENT_RE.fullmatch(table):
+        raise ValueError(f"invalid table identifier: {table!r}")
+    with sqlite3.connect(ns.url) as conn:
+        conn.row_factory = sqlite3.Row
+        cols = [r[1] for r in conn.execute(f'PRAGMA table_info("{table}")')]
+        if not cols:
+            raise ValueError(f"no such sqlite table: {table!r} in {ns.url}")
+        rows = [tuple(r) for r in conn.execute(f'SELECT * FROM "{table}"')]
+    if rows:
+        return spark.createDataFrame(rows, schema=cols)
+    # empty table: derive types from sqlite's declared affinities
+    with sqlite3.connect(ns.url) as conn:
+        decls = {
+            r[1]: (r[2] or "").upper()
+            for r in conn.execute(f'PRAGMA table_info("{table}")')
+        }
+    ddl = ", ".join(
+        f"{c} {'bigint' if 'INT' in t else 'double' if t in ('REAL', 'FLOAT', 'DOUBLE') else 'string'}"
+        for c, t in decls.items()
+    )
+    return spark.createDataFrame([], schema=ddl)
+
+
 def read_jdbc(spark: SparkSession, table: str, namespace: str) -> DataFrame:
     ns = _NAMESPACES.get(namespace)
     if ns is None:
         raise ValueError(f"unknown database namespace: {namespace!r}")
-    df = spark.read.jdbc(ns.url, table, properties=ns.properties())
+    if ns.kind == "sqlite":
+        df = _read_sqlite(spark, ns, table)
+    else:
+        df = spark.read.jdbc(ns.url, table, properties=ns.properties())
     _SCHEMA_CACHE[(namespace, table)] = struct_to_schema_json(df.schema)
     return df
 
@@ -81,6 +123,9 @@ def register_tables_from_sql(spark: SparkSession, sql: str) -> list[str]:
     for table, namespace in find_table_at_namespace(sql):
         name = f"{table}@{namespace}"
         df = read_jdbc(spark, table, namespace)
-        df.createOrReplaceTempView(name)
+        # '@' needs the quoted identifier form — the bare name fails
+        # Spark's view-name validation (the transpiler quotes the same
+        # way on the query side, quote_table_at_namespace)
+        df.createOrReplaceTempView(f"`{name}`")
         registered.append(name)
     return registered

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 import requests
 
 from datafusion_server_spark.settings import Settings
@@ -193,6 +194,50 @@ def _write_minimal_xlsx(path, sheet_name: str, header: list[str], rows: list[lis
         zf.writestr("xl/_rels/workbook.xml.rels", rels)
         zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
         zf.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_sqlite_namespace_table_at_ns_e2e(spark, tmp_path):
+    """The external-database flow (A11/A12) executes LIVE against a real
+    database: a sqlite namespace from config, the table@namespace SQL
+    pre-pass registering the table, a join against an in-request source,
+    and the schema cache — no JDBC jar involved."""
+    import sqlite3
+
+    from datafusion_server_spark.server.api import Engine
+    from datafusion_server_spark.sources import jdbc
+
+    db = tmp_path / "ops.sqlite"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE customers (id INTEGER, name TEXT, tier TEXT)")
+        conn.executemany(
+            "INSERT INTO customers VALUES (?, ?, ?)",
+            [(1, "alice", "gold"), (2, "bob", "silver"), (3, "carol", "gold")],
+        )
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text(
+        "[[databases]]\n"
+        'type = "sqlite"\n'
+        'namespace = "ops"\n'
+        f'database = "{db}"\n'
+    )
+    settings = Settings.load(cfg)
+    engine = Engine(spark, start_reaper=False, settings=settings)
+    try:
+        assert jdbc._NAMESPACES["ops"].kind == "sqlite"
+        data, _ = engine.dataframe_query(
+            {
+                "query": "SELECT name FROM customers@ops WHERE tier = 'gold' ORDER BY name",
+            }
+        )
+        assert [r["name"] for r in json.loads(data)] == ["alice", "carol"]
+        # schema cached after first resolution (reference table_resolver.rs)
+        cached = jdbc.cached_schema("ops", "customers")
+        assert {f["name"] for f in cached["fields"]} == {"id", "name", "tier"}
+        # unknown table -> clear error, not a stack trace
+        with pytest.raises(Exception, match="no such sqlite table"):
+            jdbc.read_jdbc(spark, "missing", "ops")
+    finally:
+        jdbc._NAMESPACES.pop("ops", None)
 
 
 def test_xlsx_plugin_drop_in_e2e(spark, tmp_path):

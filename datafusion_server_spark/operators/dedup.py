@@ -281,6 +281,84 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph — the step that
+    turns PAIRS into dedup CLUSTERS (a near-dup relation is transitive
+    in practice: A~B and B~C must land in one cluster so one survivor is
+    kept). Output: (node, component) with component = min node id
+    reachable, the canonical cluster label.
+
+    Plan: min-label propagation. Each iteration joins current labels
+    across the (undirected) edge set and takes the per-node min; the
+    loop exits when an iteration changes no label. Iteration count is
+    the graph diameter, which for near-dup clusters is tiny (clusters
+    are dense cliques from banding, diameter 1-2), NOT corpus-scale —
+    the driver-side loop is over ITERATIONS, never rows. Each iteration
+    is one join + one groupBy, localCheckpointed so the next iteration's
+    lineage starts flat (at cluster scale: checkpoint to HDFS/S3 — the
+    standard iterative-graph shape; swap in large-star/small-star if a
+    pathological diameter appears).
+    """
+    e_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e_fwd.union(
+        e_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        propagated = labels.join(edges, labels["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(propagated)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 4,
+    k: int = DEFAULT_SHINGLE_WORDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end fuzzy-dedup clustering: LSH candidate pairs -> Jaccard
+    threshold -> connected components -> per-cluster summary. Output:
+    (component, n_members, keep_id) — keep_id is the cluster's min id,
+    the survivor a dedup pipeline materializes."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands, k).filter(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(pairs)
+    # the component label IS the min member id — the survivor
+    return comp.groupBy(F.col("component").cast("bigint").alias("keep_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per token, bit_p = high-bit of md5 hex digit p;
     per document, majority vote over tokens. Output: (id, simhash) with

@@ -100,11 +100,13 @@ PRIORITY: tuple[str, ...] = (
     "regexp_functions",
     "json_extraction",
     "casting_try_cast",
-    # LLM-pipeline: dedup family
+    # LLM-pipeline: dedup family (clusters = LSH pairs -> threshold ->
+    # connected components, the round-3 addition; ngram_jaccard remains
+    # pytest-verified outside the window)
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_clusters",
     # LLM-pipeline: similarity family (incl. the scale-parameterized
     # banded ANN)
     "knn_bruteforce_cosine",

@@ -102,6 +102,57 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS)
 
 
+# Fuzzy-dedup clustering: LSH pairs -> jaccard threshold -> connected
+# components (min-label propagation; oracle = recursive-CTE transitive
+# closure) -> per-cluster survivor + size.
+_CLUSTER_THRESHOLD = 0.5
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.id, bs.band, CASE bs.band {_BAND_CASES} END AS bucket
+  FROM sig, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS band) bs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sizes AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b),
+scored AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+  JOIN sizes za ON za.id = p.id_a
+  JOIN sizes zb ON zb.id = p.id_b
+  WHERE ROUND(CAST(c.n_common AS DOUBLE)
+              / CAST(za.n_sh + zb.n_sh - c.n_common AS DOUBLE), 6) >= {_CLUSTER_THRESHOLD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM scored
+  UNION SELECT id_b, id_a FROM scored),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comp GROUP BY component
+"""
+
+
+@df_query("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(
+        docs, "text", "doc_id", NUM_HASHES, BANDS, threshold=_CLUSTER_THRESHOLD
+    )
+
+
 # n-gram Jaccard: exact near-dup scoring (no MinHash approximation) with
 # the document-frequency cap guarding the shared-shingle self-join.
 _NGRAM_MAX_DF = 100

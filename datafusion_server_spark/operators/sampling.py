@@ -53,6 +53,49 @@ def stratified_sample(
     return df.filter(frac < rate)
 
 
+def domain_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    target_shares: dict[str, float],
+    total_out: int,
+    *,
+    default_share: float = 0.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Sample to TARGET DOMAIN PROPORTIONS — the data-mixing step of a
+    training-corpus build: given desired output shares per domain (e.g.
+    web 0.6 / code 0.2 / books 0.2) and an output budget, each domain's
+    keep-rate derives IN-PLAN from its actual row count:
+
+        rate_d = min(1, share_d * total_out / n_d)
+
+    so over-represented domains are down-sampled toward their target
+    share and under-represented domains are kept whole (the min-1 cap —
+    upsampling is a separate concern). Per-row keep decisions are the
+    same deterministic hash-fraction band as ``stratified_sample``.
+
+    Scale shape: ONE count aggregation over the corpus (map-side
+    combined), its tiny per-domain result broadcast back into a narrow
+    filter — no second shuffle, no driver-side counts."""
+    share = F.lit(float(default_share))
+    for d, s in target_shares.items():
+        share = F.when(F.col(domain_col) == d, F.lit(float(s))).otherwise(share)
+    rates = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_d"))
+        .withColumn(
+            "__rate", F.least(F.lit(1.0), share * float(total_out) / F.col("__n_d"))
+        )
+        .drop("__n_d")
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(hash_fraction(F.col(key_col), seed) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

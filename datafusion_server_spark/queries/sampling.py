@@ -37,6 +37,32 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
 
 
+# domain mixing: keep-rate per source derived from actual counts so the
+# output approaches the target shares; identical double arithmetic on
+# both engines (share * total / n_d, LEAST with 1.0)
+_MIX_SHARES = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.05, "src4": 0.05}
+_MIX_TOTAL = 60
+
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in _MIX_SHARES.items()
+) + " ELSE 0.0 END"
+
+_MIX_ORACLE = f"""
+WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_d FROM documents GROUP BY source),
+rates AS (SELECT source, LEAST(1.0, {_MIX_CASE} * {float(_MIX_TOTAL)} / n_d) AS rate FROM counts)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE {_FRAC.format(seed='mix')} < r.rate
+"""
+
+
+@df_query("sample_domain_mix", _MIX_ORACLE)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = sampling.domain_mix_sample(docs, "doc_id", "source", _MIX_SHARES, _MIX_TOTAL)
+    return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+
+
 _SPLIT_ORACLE = f"""
 SELECT split, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
        CAST(MAX(doc_id) AS BIGINT) AS max_id

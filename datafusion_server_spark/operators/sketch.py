@@ -67,3 +67,78 @@ def kmv_distinct(
         ).alias("kmv_estimate"),
         "n_hashes",
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Fixed-bin equi-width histogram — the mergeable quantile summary.
+
+    Bin boundaries are FIXED by (lo, hi, bins), not data-derived, which
+    is what makes the sketch mergeable: partial histograms from any
+    partitioning, day, or dataset combine by summing bin counts — no
+    re-scan (the same property as KMV; contrast a sampled t-digest whose
+    centroids are run-dependent). Out-of-range values clamp into the
+    edge bins. Output: (bin BIGINT, n BIGINT). One map-side-combined
+    groupBy — a single shuffle of at most ``bins`` rows per mapper.
+    """
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) * bins / F.lit(float(hi) - float(lo)))
+    bin_col = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw.cast("int")))
+    return (
+        df.groupBy(bin_col.cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Quantile estimates from a fixed-bin histogram sketch: for each q,
+    find the bin where the cumulative count crosses q*total and linearly
+    interpolate inside it. Output: (q DOUBLE, estimate DOUBLE).
+
+    All arithmetic is plain double ops in a fixed order, so the DuckDB
+    oracle reproduces the estimates bit-for-bit. The per-bin cumulative
+    window runs over at most ``bins`` rows — negligible at any scale.
+    """
+    spark = sketch.sparkSession
+    width = (float(hi) - float(lo)) / bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        (F.sum("n").over(w) - F.col("n")).alias("prev_cum"),
+    )
+    total = F.broadcast(sketch.agg(F.sum("n").cast("bigint").alias("__total")))
+    qdf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in qs], "q double")
+    )
+    hit = (
+        cum.crossJoin(total)
+        .crossJoin(qdf)
+        .withColumn("target", F.col("q") * F.col("__total"))
+        .filter(
+            (F.col("prev_cum").cast("double") < F.col("target"))
+            & (F.col("cum").cast("double") >= F.col("target"))
+        )
+    )
+    est = (
+        F.lit(float(lo))
+        + (
+            F.col("bin").cast("double")
+            + (F.col("target") - F.col("prev_cum").cast("double"))
+            / F.col("n").cast("double")
+        )
+        * F.lit(width)
+    )
+    return hit.select("q", F.round(est, 6).alias("estimate"))

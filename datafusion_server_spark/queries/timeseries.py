@@ -133,6 +133,43 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_distinct(ev, "user_id", ["event_type"], k=_KMV_K)
 
 
+# --- fixed-bin histogram sketch + quantile estimates over events.value:
+# mergeable summary (fixed boundaries), linear interpolation inside the
+# crossing bin; identical double arithmetic in the oracle.
+
+_H_LO, _H_HI, _H_BINS = 0.0, 500.0, 64
+_H_QS = (0.5, 0.9, 0.99)
+
+_HISTQ_ORACLE = f"""
+WITH sk AS (
+  SELECT CAST(LEAST({_H_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(value AS DOUBLE) - {_H_LO}) * {_H_BINS} / ({_H_HI} - {_H_LO})) AS INT)
+         )) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT bin, n,
+         SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - n AS prev_cum
+  FROM sk),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM sk),
+qs AS (SELECT CAST(UNNEST([{", ".join(str(q) for q in _H_QS)}]) AS DOUBLE) AS q)
+SELECT q,
+       ROUND({_H_LO} + (CAST(bin AS DOUBLE)
+                        + (q * total - CAST(prev_cum AS DOUBLE)) / CAST(n AS DOUBLE))
+                       * {(_H_HI - _H_LO) / _H_BINS}, 6) AS estimate
+FROM cum, tot, qs
+WHERE CAST(prev_cum AS DOUBLE) < q * total AND CAST(cum AS DOUBLE) >= q * total
+"""
+
+
+@df_query("sketch_histogram_quantiles", _HISTQ_ORACLE)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    sk = sketch.histogram_sketch(ev, "value", _H_LO, _H_HI, _H_BINS)
+    return sketch.histogram_quantiles(sk, _H_LO, _H_HI, _H_BINS, list(_H_QS))
+
+
 # --- sliding-window streaming aggregation vs the 2-windows-per-event
 # batch expansion.
 

@@ -145,3 +145,32 @@ def test_asof_join_default_tiebreak_partition_independent(spark):
         "k", "t", "t", ["rid", "v"],
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_histogram_sketch_mergeable(spark):
+    """Fixed-bin histograms merge by summing bin counts: sketch(A) +
+    sketch(B) must equal sketch(A union B) exactly, and quantiles from
+    the merged sketch equal quantiles of the whole — the property that
+    lets per-day partial sketches roll up without rescans."""
+    from pyspark.sql import functions as F
+
+    from datafusion_server_spark.operators import sketch
+
+    full = spark.range(1000).select((F.col("id") % 357).cast("double").alias("v"))
+    a = full.filter(F.col("v") < 150)
+    b = full.filter(F.col("v") >= 150)
+    lo, hi, bins = 0.0, 400.0, 32
+    sk_full = sketch.histogram_sketch(full, "v", lo, hi, bins)
+    merged = (
+        sketch.histogram_sketch(a, "v", lo, hi, bins)
+        .union(sketch.histogram_sketch(b, "v", lo, hi, bins))
+        .groupBy("bin")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    assert sorted(map(tuple, sk_full.collect())) == sorted(map(tuple, merged.collect()))
+    q_full = sketch.histogram_quantiles(sk_full, lo, hi, bins, [0.5, 0.95]).collect()
+    q_merged = sketch.histogram_quantiles(merged, lo, hi, bins, [0.5, 0.95]).collect()
+    assert sorted(map(tuple, q_full)) == sorted(map(tuple, q_merged))
+    # sanity: estimates land inside the data range and are ordered
+    ests = {r["q"]: r["estimate"] for r in q_full}
+    assert 0.0 <= ests[0.5] <= ests[0.95] <= 400.0

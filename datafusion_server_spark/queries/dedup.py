@@ -153,6 +153,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fuzzy survivor materialization: the rows a training pipeline ships
+# after FUZZY dedup — drop every clustered doc except its min-id
+# survivor; docs in no cluster pass through untouched.
+_FUZZY_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.id, bs.band, CASE bs.band {_BAND_CASES} END AS bucket
+  FROM sig, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS band) bs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sizes AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b),
+scored AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+  JOIN sizes za ON za.id = p.id_a
+  JOIN sizes zb ON zb.id = p.id_b
+  WHERE ROUND(CAST(c.n_common AS DOUBLE)
+              / CAST(za.n_sh + zb.n_sh - c.n_common AS DOUBLE), 6) >= {_CLUSTER_THRESHOLD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM scored
+  UNION SELECT id_b, id_a FROM scored),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN comp c ON c.node = CAST(d.doc_id AS BIGINT)
+WHERE c.node IS NULL OR c.component = CAST(d.doc_id AS BIGINT)
+"""
+
+
+@df_query("dedup_fuzzy_survivors", _FUZZY_SURVIVORS_ORACLE)
+def dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization half of FUZZY dedup: keep unclustered docs
+    plus each cluster's min-id survivor."""
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS).filter(
+        F.col("jaccard") >= _CLUSTER_THRESHOLD
+    )
+    comp = dedup.connected_components(pairs)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "source"
+    )
+
+
 # n-gram Jaccard: exact near-dup scoring (no MinHash approximation) with
 # the document-frequency cap guarding the shared-shingle self-join.
 _NGRAM_MAX_DF = 100

@@ -68,6 +68,35 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_event_counts(spark, f"{sf_dir}/events.parquet")
 
 
+_SESSION_WINDOW_ORACLE = """
+WITH flags AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@df_query("streaming_session_window_native", _SESSION_WINDOW_ORACLE)
+def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming aggregation (dynamic gap-closed
+    windows, engine-managed state merging) vs the batch gaps-and-islands
+    oracle — streaming sessions and SQL sessions agree exactly."""
+    from datafusion_server_spark.streaming.windows import session_window_counts
+
+    return session_window_counts(spark, f"{sf_dir}/events.parquet")
+
+
 @df_query(
     "streaming_stateful_sessionize",
     """

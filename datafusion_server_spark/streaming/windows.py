@@ -68,6 +68,55 @@ def sliding_event_counts(
     )
 
 
+def session_window_counts(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    gap: str = "30 minutes",
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Native ``session_window`` streaming aggregation: dynamic-width
+    session windows that close after ``gap`` of per-user inactivity —
+    Spark's built-in alternative to the custom
+    ``applyInPandasWithState`` sessionizer (state merging handled by the
+    engine; windows merge when events bridge a gap). Complete output
+    mode so end-of-stream emits every session without watermark
+    truncation under the availableNow replay. Returns (user_id,
+    session_start, session_end, n)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    parent, _, fname = events_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+    ts = event_time_col(stream)
+    windowed = (
+        stream.withColumn("ts", ts)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    sink = f"sessionwin_{uuid.uuid4().hex[:8]}"
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    return spark.table(sink).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("w.start").cast("timestamp").alias("session_start"),
+        F.col("w.end").cast("timestamp").alias("session_end"),
+        "n",
+    )
+
+
 def tumbling_event_counts(
     spark: SparkSession,
     events_path: str,

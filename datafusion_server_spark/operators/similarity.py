@@ -171,10 +171,13 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank). The exploded query side
     (n_queries x dim rows) is broadcast; the candidate scan is
-    embarrassingly parallel; the only wide shuffles are the hash agg of
-    the pair dots and the per-query top-k (tiny). Norms can't ride into
-    the dot aggregation here (that would blow up the element rows), so
-    they join after it — both sides from one norm aggregation shape.
+    embarrassingly parallel. Within each (query, neighbor) group every
+    element of BOTH vectors appears exactly once (equi-join on the
+    element index), so the dot product AND both norms compute in ONE
+    grouped aggregation (round-3 fusion — replaces the two separate norm
+    groupBys + two post-joins); the only wide shuffles are that hash agg
+    and the per-query top-k (tiny). Identical scaled-long math, so the
+    oracle's separately-joined norms reproduce the same values.
     """
     embeddings = ensure_fanout_parallelism(embeddings)
     c_el = _elements(embeddings, id_col, vec_col, "neighbor_id")
@@ -183,28 +186,24 @@ def cosine_topk(
         .withColumnRenamed("i", "qi")
         .withColumnRenamed("x", "qx")
     )
-    dots = (
+    fused = (
         c_el.join(
             F.broadcast(q_el),
             (F.col("i") == F.col("qi")) & (F.col("neighbor_id") != F.col("query_id")),
         )
         .groupBy("query_id", "neighbor_id")
-        .agg(_ssum(F.col("qx") * F.col("x")).alias("dot"))
-    )
-    norms = _norms(c_el, "neighbor_id")
-    q_norms = _norms(
-        _elements(queries, id_col, vec_col, "query_id"), "query_id"
-    ).withColumnRenamed("nrm", "q_nrm")
-    scored = (
-        dots.join(norms, "neighbor_id")
-        .join(F.broadcast(q_norms), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_unscale(F.col("dot")) / (F.col("q_nrm") * F.col("nrm")), 6).alias(
-                "cosine"
-            ),
+        .agg(
+            _ssum(F.col("qx") * F.col("x")).alias("dot"),
+            F.sqrt(_unscale(_ssum(F.col("x") * F.col("x")))).alias("nrm"),
+            F.sqrt(_unscale(_ssum(F.col("qx") * F.col("qx")))).alias("q_nrm"),
         )
+    )
+    scored = fused.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_unscale(F.col("dot")) / (F.col("q_nrm") * F.col("nrm")), 6).alias(
+            "cosine"
+        ),
     )
     return _rank_topk(scored, k)
 

@@ -313,6 +313,7 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         propagated = labels.join(edges, labels["node"] == edges["src"]).select(
             F.col("dst").alias("node"), F.col("label")
@@ -332,7 +333,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently-wrong labels are worse than failing: a component wider
+        # than max_iterations hops would keep >1 survivor undetected
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the budget); raise "
+            "max_iterations or switch to large-star/small-star"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -87,12 +87,14 @@ def domain_mix_sample(
         .withColumn(
             "__rate", F.least(F.lit(1.0), share * float(total_out) / F.col("__n_d"))
         )
-        .drop("__n_d")
+        .select(F.col(domain_col).alias("__dom"), "__rate")
     )
+    # null-safe equality: a NULL domain is a group too (it gets
+    # default_share) — a plain equi-join would silently drop those rows
     return (
-        df.join(F.broadcast(rates), domain_col)
+        df.join(F.broadcast(rates), df[domain_col].eqNullSafe(rates["__dom"]))
         .filter(hash_fraction(F.col(key_col), seed) < F.col("__rate"))
-        .drop("__rate")
+        .drop("__dom", "__rate")
     )
 
 

@@ -88,7 +88,11 @@ def histogram_sketch(
     """
     x = F.col(value_col).cast("double")
     raw = F.floor((x - F.lit(float(lo))) * bins / F.lit(float(hi) - float(lo)))
-    bin_col = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw.cast("int")))
+    # clamp in the BIGINT domain floor() returns — a narrowing int cast
+    # would WRAP on extreme outliers and land them in the wrong edge bin
+    bin_col = F.least(
+        F.lit(bins - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw)
+    )
     return (
         df.groupBy(bin_col.cast("bigint").alias("bin"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -128,8 +132,18 @@ def histogram_quantiles(
         .crossJoin(qdf)
         .withColumn("target", F.col("q") * F.col("__total"))
         .filter(
-            (F.col("prev_cum").cast("double") < F.col("target"))
-            & (F.col("cum").cast("double") >= F.col("target"))
+            (
+                (F.col("prev_cum").cast("double") < F.col("target"))
+                & (F.col("cum").cast("double") >= F.col("target"))
+            )
+            # q=0 (target 0): the crossing condition above can never hold
+            # (prev_cum < 0 is false) — define the estimate as the start
+            # of the first non-empty bin (the interpolation term is 0)
+            | (
+                (F.col("target") == 0.0)
+                & (F.col("prev_cum") == 0)
+                & (F.col("n") > 0)
+            )
         )
     )
     est = (

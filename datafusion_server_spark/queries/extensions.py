@@ -71,8 +71,10 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_WINDOW_ORACLE = """
 WITH flags AS (
   SELECT user_id, ts,
+         -- >= : Spark's session_window is END-EXCLUSIVE (an event at
+         -- exactly prev + gap starts a NEW session)
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events),
 sess AS (

@@ -143,7 +143,7 @@ _H_QS = (0.5, 0.9, 0.99)
 _HISTQ_ORACLE = f"""
 WITH sk AS (
   SELECT CAST(LEAST({_H_BINS - 1}, GREATEST(0,
-           CAST(FLOOR((CAST(value AS DOUBLE) - {_H_LO}) * {_H_BINS} / ({_H_HI} - {_H_LO})) AS INT)
+           CAST(FLOOR((CAST(value AS DOUBLE) - {_H_LO}) * {_H_BINS} / ({_H_HI} - {_H_LO})) AS BIGINT)
          )) AS BIGINT) AS bin,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events GROUP BY 1),

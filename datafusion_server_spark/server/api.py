@@ -54,8 +54,14 @@ class _Histogram:
         self.count += 1
 
 
+def _esc_label(v: str) -> str:
+    """Prometheus exposition-format label escaping (backslash, quote,
+    newline) — a label value must not be able to corrupt the output."""
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(labels: tuple[tuple[str, str], ...], extra: str = "") -> str:
-    parts = [f'{k}="{v}"' for k, v in labels]
+    parts = [f'{k}="{_esc_label(v)}"' for k, v in labels]
     if extra:
         parts.append(extra)
     return "{" + ",".join(parts) + "}" if parts else ""

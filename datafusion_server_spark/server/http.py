@@ -108,12 +108,22 @@ _PATH_TEMPLATES = (
     (re.compile(r"^/session/(?!create$)[^/]+$"), "/session/:session_id"),
 )
 
+_LITERAL_ROUTES = frozenset(
+    {"/healthz", "/sysinfo", "/metrics", "/dataframe/query", "/session", "/session/create"}
+)
+
 
 def matched_path(path: str) -> str:
+    """Route template for the path metric label. Unrouted paths collapse
+    to ONE sentinel label: tracking them verbatim would let any scanner
+    allocate unbounded per-URL counter/histogram series (and inject
+    arbitrary bytes into label values)."""
+    if path in _LITERAL_ROUTES:
+        return path
     for rx, template in _PATH_TEMPLATES:
         if rx.match(path):
             return rx.sub(template, path) if "\\1" in template else template
-    return path
+    return "/unmatched"
 
 
 class Handler(BaseHTTPRequestHandler):

@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
-_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# single-file AND multi-part ({v}.checkpoint.{part}.{num_parts}.parquet)
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet$")
 
 
 class DeltaProtocolError(ValueError):
@@ -84,14 +85,16 @@ def read_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     if not os.path.isdir(log_dir):
         raise DeltaProtocolError(f"not a delta table (no _delta_log): {table_path}")
     commits: dict[int, str] = {}
-    checkpoints: dict[int, str] = {}
+    checkpoints: dict[int, list[str]] = {}
     for name in os.listdir(log_dir):
         m = _COMMIT_RE.match(name)
         if m:
             commits[int(m.group(1))] = os.path.join(log_dir, name)
         m = _CHECKPOINT_RE.match(name)
         if m:
-            checkpoints[int(m.group(1))] = os.path.join(log_dir, name)
+            checkpoints.setdefault(int(m.group(1)), []).append(
+                os.path.join(log_dir, name)
+            )
     if not commits and not checkpoints:
         raise DeltaProtocolError(f"empty _delta_log in {table_path}")
     latest = max([*commits, *checkpoints])
@@ -105,12 +108,20 @@ def read_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     start = 0
     if usable_cp:
         cp = max(usable_cp)
-        _read_checkpoint(snap, checkpoints[cp])
+        for part in sorted(checkpoints[cp]):
+            _read_checkpoint(snap, part)
         start = cp + 1
     for v in range(start, target + 1):
         path = commits.get(v)
         if path is None:
-            continue
+            if v in checkpoints:
+                continue  # checkpoint-only version (commit retention-cleaned)
+            # a GAP in the commit sequence means the snapshot would
+            # silently miss actions — refuse rather than return wrong rows
+            raise DeltaProtocolError(
+                f"commit {v:020d}.json missing from _delta_log (log "
+                f"retention removed it and no checkpoint covers it)"
+            )
         with open(path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -137,16 +148,28 @@ def read_delta(
             return spark.createDataFrame([], schema)
         raise DeltaProtocolError(f"snapshot v{snap.version} has no files")
     part_cols = (snap.metadata or {}).get("partitionColumns") or []
+    # partition-column TYPES from the log's schemaString (partitionValues
+    # are stored as strings; the delta-spark path surfaces typed columns)
+    part_types: dict[str, object] = {}
+    if part_cols and snap.metadata and snap.metadata.get("schemaString"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+        part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
     groups: dict[tuple, list[str]] = {}
     for path, add in snap.files.items():
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
         groups.setdefault(key, []).append(os.path.join(table_path, path))
     parts = []
-    for key, paths in sorted(groups.items()):
+    # sort on a None-safe key (NULL partition values sort first)
+    for key, paths in sorted(groups.items(), key=lambda kv: tuple((v is None, v) for v in kv[0])):
         df = spark.read.parquet(*paths)
         for col, val in zip(part_cols, key):
-            df = df.withColumn(col, F.lit(val))
+            lit = F.lit(val)
+            if col in part_types:
+                lit = lit.cast(part_types[col])
+            df = df.withColumn(col, lit)
         parts.append(df)
     out = parts[0]
     for df in parts[1:]:

@@ -71,30 +71,37 @@ def read_table(spark: SparkSession, ds) -> DataFrame:
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
 
 
+def _sqlite_spark_type(decl: str) -> str:
+    decl = (decl or "").upper()
+    if "INT" in decl:
+        return "bigint"
+    if decl in ("REAL", "FLOAT", "DOUBLE") or "REAL" in decl or "FLOA" in decl or "DOUB" in decl:
+        return "double"
+    if "BLOB" in decl:
+        return "binary"
+    return "string"
+
+
 def _read_sqlite(spark: SparkSession, ns: DatabaseNamespace, table: str) -> DataFrame:
+    """stdlib-sqlite table read with an EXPLICIT schema from the declared
+    column affinities — type inference from values would crash on
+    all-NULL columns. One connection, always closed ('with' on a sqlite3
+    connection only manages the transaction, not the handle)."""
+    import contextlib
     import sqlite3
 
     if not _IDENT_RE.fullmatch(table):
         raise ValueError(f"invalid table identifier: {table!r}")
-    with sqlite3.connect(ns.url) as conn:
-        conn.row_factory = sqlite3.Row
-        cols = [r[1] for r in conn.execute(f'PRAGMA table_info("{table}")')]
-        if not cols:
+    with contextlib.closing(sqlite3.connect(ns.url)) as conn:
+        decls = [
+            (r[1], (r[2] or ""))
+            for r in conn.execute(f'PRAGMA table_info("{table}")')
+        ]
+        if not decls:
             raise ValueError(f"no such sqlite table: {table!r} in {ns.url}")
         rows = [tuple(r) for r in conn.execute(f'SELECT * FROM "{table}"')]
-    if rows:
-        return spark.createDataFrame(rows, schema=cols)
-    # empty table: derive types from sqlite's declared affinities
-    with sqlite3.connect(ns.url) as conn:
-        decls = {
-            r[1]: (r[2] or "").upper()
-            for r in conn.execute(f'PRAGMA table_info("{table}")')
-        }
-    ddl = ", ".join(
-        f"{c} {'bigint' if 'INT' in t else 'double' if t in ('REAL', 'FLOAT', 'DOUBLE') else 'string'}"
-        for c, t in decls.items()
-    )
-    return spark.createDataFrame([], schema=ddl)
+    ddl = ", ".join(f"{c} {_sqlite_spark_type(t)}" for c, t in decls)
+    return spark.createDataFrame(rows, schema=ddl)
 
 
 def read_jdbc(spark: SparkSession, table: str, namespace: str) -> DataFrame:

@@ -133,6 +133,13 @@ def main(response_format: str, authority: str, path: str, schema, **kwargs):
     if has_header:
         header = [str(h) if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
         rows = rows[1:]
+        # exported sheets often repeat header names — disambiguate so the
+        # column dict below cannot silently drop data
+        seen: dict[str, int] = {}
+        for i, name in enumerate(header):
+            seen[name] = seen.get(name, 0) + 1
+            if seen[name] > 1:
+                header[i] = f"{name}_{seen[name]}"
     else:
         header = [f"col{i}" for i in range(max(len(r) for r in rows))]
     if n_rows is not None:

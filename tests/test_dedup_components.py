@@ -51,3 +51,14 @@ def test_cluster_summary_survivors(spark):
     rows = {r["keep_id"]: r["n_members"] for r in out}
     # docs 1+2 cluster (survivor = min id 1); doc 3 forms no pair at all
     assert rows == {1: 2}
+
+
+def test_nonconvergence_raises(spark):
+    """A diameter beyond max_iterations must FAIL, not return split
+    clusters silently."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(1, 9)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=2).collect()

@@ -138,6 +138,45 @@ def test_registry_delta_fallback_with_version(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [1, 2, 3, 4]
 
 
+def test_commit_gap_refused(spark, tmp_path):
+    """A retention-cleaned commit with no covering checkpoint must error,
+    not silently return a snapshot missing its actions."""
+    tdir = _make_table(tmp_path)
+    os.remove(os.path.join(tdir, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(DeltaProtocolError, match="missing from _delta_log"):
+        delta_py.read_snapshot(tdir)
+
+
+def test_multipart_checkpoint_parts_recognized(spark, tmp_path):
+    """Multi-part checkpoint files ({v}.checkpoint.{i}.{n}.parquet) are
+    recognized and all parts replay."""
+    tdir = _make_table(tmp_path)
+    log = os.path.join(tdir, "_delta_log")
+    snap = delta_py.read_snapshot(tdir)
+    meta = {k: v for k, v in snap.metadata.items() if v != {} and k != "format"}
+    adds = [
+        {"protocol": None, "metaData": None, "add": {k: v for k, v in a.items() if v != {}}, "remove": None}
+        for a in snap.files.values()
+    ]
+    head = [
+        {"protocol": snap.protocol, "metaData": None, "add": None, "remove": None},
+        {"protocol": None, "metaData": meta, "add": None, "remove": None},
+    ]
+    # split the checkpoint rows across two parts
+    pq.write_table(
+        pa.Table.from_pylist(head + adds[:1]),
+        os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(head[:1] + adds[1:]),
+        os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    df = delta_py.read_delta(spark, tdir)
+    assert sorted(r["id"] for r in df.collect()) == [3, 4, 5]
+
+
 def test_reader_feature_gates(spark, tmp_path):
     tdir = str(tmp_path / "gated")
     log = os.path.join(tdir, "_delta_log")

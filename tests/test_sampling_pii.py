@@ -56,3 +56,34 @@ def test_dedup_words_preserves_first_occurrence_order(spark):
     out = dedup_words(df, "t", "id").collect()[0]
     assert out["text_dedup"] == "b a c d"
     assert out["n_unique"] == 4
+
+
+def test_domain_mix_null_domain_kept(spark):
+    """Rows with a NULL domain must flow through at default_share — the
+    null-safe join regression (a plain equi-join drops NULL==NULL)."""
+    from datafusion_server_spark.operators import sampling
+
+    rows = [(i, "a" if i % 2 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sampling.domain_mix_sample(
+        df, "doc_id", "source", {"a": 1.0}, total_out=100, default_share=1.0
+    ).collect()
+    srcs = {r["source"] for r in kept}
+    assert None in srcs and "a" in srcs
+    # default_share 1.0 with total_out >= n keeps every NULL row
+    assert sum(1 for r in kept if r["source"] is None) == 100
+
+
+def test_domain_mix_proportions(spark):
+    from datafusion_server_spark.operators import sampling
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]  # 1000 per domain
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sampling.domain_mix_sample(
+        df, "doc_id", "source", {"s0": 0.6, "s1": 0.2, "s2": 0.2}, total_out=1000
+    )
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # expected keeps: s0 600, s1 200, s2 200, s3 0 (share 0) — hash noise ~±10%
+    assert abs(counts.get("s0", 0) - 600) < 80
+    assert abs(counts.get("s1", 0) - 200) < 60
+    assert "s3" not in counts

@@ -369,3 +369,46 @@ def test_plugin_manifest_discovery(spark, tmp_path):
         assert [r["t"] for r in json.loads(data)] == ["AB-0", "AB-1"]
     finally:
         plugins.unregister_connector("rangegen")
+
+
+def test_sqlite_all_null_column_and_connection_close(spark, tmp_path):
+    """All-NULL columns read through the declared-affinity schema (value
+    inference would crash), and types map from affinities."""
+    import sqlite3
+
+    from datafusion_server_spark.sources import jdbc
+
+    db = tmp_path / "nulls.sqlite"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (id INTEGER, note TEXT, score REAL)")
+        conn.executemany("INSERT INTO t VALUES (?, NULL, ?)", [(1, 0.5), (2, 1.5)])
+    jdbc.configure_namespace(jdbc.DatabaseNamespace(name="nulls", url=str(db), kind="sqlite"))
+    try:
+        df = jdbc.read_jdbc(spark, "t", "nulls")
+        assert dict(df.dtypes) == {"id": "bigint", "note": "string", "score": "double"}
+        assert [r["note"] for r in df.orderBy("id").collect()] == [None, None]
+    finally:
+        jdbc._NAMESPACES.pop("nulls", None)
+
+
+def test_xlsx_duplicate_headers_disambiguated(spark, tmp_path):
+    import pathlib
+    import sys
+
+    plugin_dir = pathlib.Path(__file__).resolve().parent.parent / "plugins" / "datasource-plugin-xlsx"
+    sys.path.insert(0, str(plugin_dir))
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("xlsx_plug", plugin_dir / "plugin_main.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _write_minimal_xlsx(
+            tmp_path / "dup.xlsx", "S", ["id", "value", "value"], [[1, "a", "b"]]
+        )
+        batch = mod.main("arrow", "dup.xlsx", "/S", None, dataDir=str(tmp_path))
+        assert batch.schema.names == ["id", "value", "value_2"]
+        assert batch.column("value").to_pylist() == ["a"]
+        assert batch.column("value_2").to_pylist() == ["b"]
+    finally:
+        sys.path.remove(str(plugin_dir))

@@ -174,3 +174,27 @@ def test_histogram_sketch_mergeable(spark):
     # sanity: estimates land inside the data range and are ordered
     ests = {r["q"]: r["estimate"] for r in q_full}
     assert 0.0 <= ests[0.5] <= ests[0.95] <= 400.0
+
+
+def test_histogram_outlier_clamps_to_edge_bin(spark):
+    """Extreme out-of-range values clamp into the LAST bin — the int32
+    wrap regression put them in bin 0."""
+    from pyspark.sql import functions as F
+
+    from datafusion_server_spark.operators import sketch
+
+    df = spark.createDataFrame([(1.7e10,), (250.0,), (-5.0e9,)], ["v"])
+    bins = {r["bin"]: r["n"] for r in sketch.histogram_sketch(df, "v", 0.0, 500.0, 64).collect()}
+    assert bins == {63: 1, 32: 1, 0: 1}
+
+
+def test_histogram_quantile_zero(spark):
+    """q=0.0 yields the start of the first non-empty bin instead of
+    silently emitting no row."""
+    from datafusion_server_spark.operators import sketch
+
+    df = spark.createDataFrame([(float(v),) for v in range(100, 200)], ["v"])
+    sk = sketch.histogram_sketch(df, "v", 0.0, 400.0, 32)
+    qs = {r["q"]: r["estimate"] for r in sketch.histogram_quantiles(sk, 0.0, 400.0, 32, [0.0, 0.5]).collect()}
+    assert 0.0 in qs and qs[0.0] == 100.0  # bin 8 starts at 100.0
+    assert 100.0 <= qs[0.5] <= 200.0

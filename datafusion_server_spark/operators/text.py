@@ -277,3 +277,53 @@ def dedup_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).alias("text_dedup"),
         F.count(F.lit(1)).cast("bigint").alias("n_unique"),
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_dist: int = 2,
+    blocks: list[Column] | None = None,
+) -> DataFrame:
+    """Blocked fuzzy string matching (entity resolution): pairs of rows
+    whose strings are within ``max_dist`` Levenshtein edits, restricted
+    to candidates sharing every blocking key. Output: (id_a, id_b, dist).
+
+    Blocking is the scale guard — the all-pairs distance matrix is
+    quadratic, but pairs sharing a block are bounded by block size, so
+    the join stays linear in row count for any blocking scheme whose
+    block populations are bounded (choose keys accordingly: name prefix,
+    length band, phonetic code...). Default blocks: first
+    whitespace-token + length band of 8 — two strings within d edits
+    differ in length by at most d, so a band of 8 > 2*max_dist never
+    splits a true pair ACROSS non-adjacent bands (boundary-adjacent
+    pairs can still be missed: documented approximate recall, the same
+    contract as LSH banding). Levenshtein evaluates JVM-side and is
+    identical in DuckDB, so the operator is exactly oracle-checkable.
+    """
+    if blocks is None:
+        blocks = [
+            F.split(F.col(text_col), " ")[0],
+            F.floor(F.length(F.col(text_col)) / 8),
+        ]
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("s"),
+        *[b.alias(f"__b{i}") for i, b in enumerate(blocks)],
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for i in range(len(blocks)):
+        cond = cond & (F.col(f"a.__b{i}") == F.col(f"b.__b{i}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.s"), F.col("b.s")).cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -4,6 +4,7 @@ DuckDB SQL with identical exact-count arithmetic."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datafusion_server_spark import tables
 from datafusion_server_spark.operators import text
@@ -205,3 +206,33 @@ FROM f GROUP BY doc_id
 @df_query("text_dedup_words", _DEDUP_WORDS_ORACLE)
 def text_dedup_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dedup_words(tables.load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# Blocked fuzzy matching over customer names: prefix-15 blocking bounds
+# each block at 1000 ids (the last 3 digits are free) at ANY scale;
+# levenshtein is identical in both engines, so the pair set + distances
+# hash-match exactly.
+_FUZZY_MAX_DIST = 1
+
+_FUZZY_ORACLE = f"""
+WITH k AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS s,
+         SUBSTR(c_name, 1, 15) AS b0
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.b0 = b.b0 AND a.id < b.id
+WHERE levenshtein(a.s, b.s) <= {_FUZZY_MAX_DIST}
+"""
+
+
+@df_query("text_fuzzy_match_pairs", _FUZZY_ORACLE)
+def text_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    return text.fuzzy_match_pairs(
+        cust,
+        "c_name",
+        "c_custkey",
+        max_dist=_FUZZY_MAX_DIST,
+        blocks=[F.substring(F.col("c_name"), 1, 15)],
+    )

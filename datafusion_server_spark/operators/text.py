@@ -327,3 +327,37 @@ def fuzzy_match_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def char_ngram_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Character-bigram repetition stats — the character-level
+    counterpart of word unique_ratio for catching repetitive/gibberish
+    text (keyboard mashing, repeated separators, template spam):
+
+    - ``n_bigrams``: total character bigrams;
+    - ``n_distinct``: distinct bigrams;
+    - ``distinct_ratio``: n_distinct / n_bigrams (low = repetitive);
+    - ``top_ratio``: most-frequent-bigram share (high = one pattern
+      dominates).
+
+    All exact integer counts + one rational division, so the oracle
+    reproduces every value bit-for-bit (no entropy/log — libm results
+    are not bit-portable across engines). Shape: position explode ->
+    two grouped aggregations; the per-doc bigram set is bounded by
+    charset^2, not corpus size."""
+    positions = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(1), F.length(text_col) - 1)).alias("p"),
+        F.col(text_col).alias("__t"),
+    ).select("id", F.expr("substring(__t, p, 2)").alias("bg"))
+    counts = positions.groupBy("id", "bg").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return counts.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("distinct_ratio"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top_ratio"
+        ),
+    )

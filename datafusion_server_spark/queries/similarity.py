@@ -274,3 +274,60 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=BAND_BITS,
         materialize=False,
     )
+
+
+# Embedding-side dedup clustering: banded near-dup pairs -> connected
+# components -> per-cluster survivor + size (the embedding mirror of
+# dedup_clusters; oracle = same pair CTEs + recursive-CTE closure).
+_EMB_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_EL_CTE}, {_codes_cte(BANDS * BAND_BITS)},
+bandcodes AS (
+  SELECT vec_id, bs.b, SUBSTR(bucket, bs.b * {BAND_BITS} + 1, {BAND_BITS}) AS code
+  FROM buckets, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS b) bs),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bandcodes a JOIN bandcodes b
+    ON a.b = b.b AND a.code = b.code AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT p.id_a, p.id_b, CAST(SUM(CAST(ROUND(ea.x * eb.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM cand p
+  JOIN el ea ON ea.vec_id = p.id_a
+  JOIN el eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.id_a, d.id_b
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM scored
+  UNION SELECT id_b, id_a FROM scored),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comp GROUP BY component
+"""
+
+
+@df_query("embedding_dedup_clusters", _EMB_CLUSTERS_ORACLE)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import dedup as dedup_ops
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates(
+        emb,
+        threshold=0.5,
+        dim=DIM,
+        bands=BANDS,
+        band_bits=BAND_BITS,
+        materialize=False,
+    ).select("id_a", "id_b")
+    comp = dedup_ops.connected_components(pairs)
+    return comp.groupBy(F.col("component").cast("bigint").alias("keep_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )

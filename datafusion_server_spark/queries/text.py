@@ -236,3 +236,48 @@ def text_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=_FUZZY_MAX_DIST,
         blocks=[F.substring(F.col("c_name"), 1, 15)],
     )
+
+
+# Character-bigram repetition stats: exact integer counts + rational
+# divisions only (no entropy/log — libm is not bit-portable), so the
+# oracle matches bit-for-bit. Aggregated per language to keep the
+# result compact.
+_CHAR_NGRAM_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, lang, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 1)) AS p, text
+  FROM documents),
+bg AS (SELECT doc_id, lang, SUBSTR(text, p, 2) AS bg FROM pos),
+cnt AS (SELECT doc_id, lang, bg, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2, 3),
+per_doc AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, lang,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_ratio,
+         ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_ratio
+  FROM cnt GROUP BY doc_id, lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_distinct) AS BIGINT) AS min_distinct,
+       ROUND(CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS avg_distinct_ratio,
+       ROUND(CAST(MAX(top_ratio) AS DOUBLE), 6) AS max_top_ratio
+FROM per_doc GROUP BY lang
+"""
+
+
+@df_query("text_char_ngram_stats", _CHAR_NGRAM_ORACLE)
+def text_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    stats = text.char_ngram_stats(docs, "text", "doc_id")
+    joined = stats.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_distinct").cast("bigint").alias("min_distinct"),
+        F.round(
+            F.sum(F.col("distinct_ratio").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_distinct_ratio"),
+        F.round(F.max("top_ratio"), 6).alias("max_top_ratio"),
+    )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+
 # Tiny per-language stopword sets for the n-gram/stopword-voting heuristic.
 # Deliberately small and ASCII so the oracle SQL can inline them.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -345,7 +347,11 @@ def char_ngram_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     are not bit-portable across engines). Shape: position explode ->
     two grouped aggregations; the per-doc bigram set is bounded by
     charset^2, not corpus size."""
-    positions = df.select(
+    df = ensure_fanout_parallelism(df)
+    # guard: sequence(1, 0) DESCENDS in Spark (yielding bogus positions
+    # for texts shorter than 2 chars) while the oracle's GENERATE_SERIES
+    # is empty — keep both engines at "no bigrams" for short texts
+    positions = df.filter(F.length(text_col) >= 2).select(
         F.col(id_col).alias("id"),
         F.explode(F.sequence(F.lit(1), F.length(text_col) - 1)).alias("p"),
         F.col(text_col).alias("__t"),

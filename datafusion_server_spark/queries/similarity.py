@@ -239,8 +239,12 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate when ANY of the BANDS band codes collides (multi-probe
 # OR-of-ANDs), mirroring the scaled ANN's candidate scheme — the
 # scale-safe shape. Parameters pinned so the oracle is a static string.
-_NEARDUP_ORACLE = f"""
-WITH {_EL_CTE}, {_codes_cte(BANDS * BAND_BITS)},
+NEARDUP_THRESHOLD = 0.5
+
+# Shared pair-generation CTE chain (bandcodes -> candidate pairs ->
+# scaled-long dots) — used by BOTH the pair query and the clustering
+# query so the two oracles can never desynchronize.
+_NEARDUP_PAIR_CTES = f"""
 bandcodes AS (
   SELECT vec_id, bs.b, SUBSTR(bucket, bs.b * {BAND_BITS} + 1, {BAND_BITS}) AS code
   FROM buckets, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS b) bs),
@@ -254,12 +258,16 @@ dots AS (
   JOIN el ea ON ea.vec_id = p.id_a
   JOIN el eb ON eb.vec_id = p.id_b AND eb.i = ea.i
   GROUP BY 1, 2)
+"""
+
+_NEARDUP_ORACLE = f"""
+WITH {_EL_CTE}, {_codes_cte(BANDS * BAND_BITS)}, {_NEARDUP_PAIR_CTES}
 SELECT d.id_a, d.id_b,
        ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) AS cosine
 FROM dots d
 JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
-WHERE ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= 0.5
+WHERE ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= {NEARDUP_THRESHOLD}
 """
 
 
@@ -268,7 +276,7 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(
         emb,
-        threshold=0.5,
+        threshold=NEARDUP_THRESHOLD,
         dim=DIM,
         bands=BANDS,
         band_bits=BAND_BITS,
@@ -278,28 +286,16 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Embedding-side dedup clustering: banded near-dup pairs -> connected
 # components -> per-cluster survivor + size (the embedding mirror of
-# dedup_clusters; oracle = same pair CTEs + recursive-CTE closure).
+# dedup_clusters; oracle = the SAME _NEARDUP_PAIR_CTES + recursive-CTE
+# closure, so the pair and cluster oracles cannot desynchronize).
 _EMB_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_EL_CTE}, {_codes_cte(BANDS * BAND_BITS)},
-bandcodes AS (
-  SELECT vec_id, bs.b, SUBSTR(bucket, bs.b * {BAND_BITS} + 1, {BAND_BITS}) AS code
-  FROM buckets, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS b) bs),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bandcodes a JOIN bandcodes b
-    ON a.b = b.b AND a.code = b.code AND a.vec_id < b.vec_id),
-dots AS (
-  SELECT p.id_a, p.id_b, CAST(SUM(CAST(ROUND(ea.x * eb.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
-  FROM cand p
-  JOIN el ea ON ea.vec_id = p.id_a
-  JOIN el eb ON eb.vec_id = p.id_b AND eb.i = ea.i
-  GROUP BY 1, 2),
+WITH RECURSIVE {_EL_CTE}, {_codes_cte(BANDS * BAND_BITS)}, {_NEARDUP_PAIR_CTES},
 scored AS (
   SELECT d.id_a, d.id_b
   FROM dots d
   JOIN norms na ON na.vec_id = d.id_a
   JOIN norms nb ON nb.vec_id = d.id_b
-  WHERE ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= 0.5),
+  WHERE ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= {NEARDUP_THRESHOLD}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM scored
   UNION SELECT id_b, id_a FROM scored),
@@ -321,7 +317,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_duplicates(
         emb,
-        threshold=0.5,
+        threshold=NEARDUP_THRESHOLD,
         dim=DIM,
         bands=BANDS,
         band_bits=BAND_BITS,

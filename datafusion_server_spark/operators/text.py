@@ -348,14 +348,22 @@ def char_ngram_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     two grouped aggregations; the per-doc bigram set is bounded by
     charset^2, not corpus size."""
     df = ensure_fanout_parallelism(df)
-    # guard: sequence(1, 0) DESCENDS in Spark (yielding bogus positions
-    # for texts shorter than 2 chars) while the oracle's GENERATE_SERIES
-    # is empty — keep both engines at "no bigrams" for short texts
-    positions = df.filter(F.length(text_col) >= 2).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.sequence(F.lit(1), F.length(text_col) - 1)).alias("p"),
-        F.col(text_col).alias("__t"),
-    ).select("id", F.expr("substring(__t, p, 2)").alias("bg"))
+    # Bigrams via zipped shifted char-array slices (the _word_shingles
+    # shape): the per-doc row carries ONE bigram array, and the exploded
+    # rows carry 2-char strings only. The naive position-explode +
+    # substring(text, p, 2) carried the FULL text on every exploded row
+    # (~chars x doc-size bytes — measured killing the JVM at sf0.1), and
+    # an element_at-in-lambda form re-evaluates split() per element
+    # (Catalyst CollapseProject, the documented O(n^2) trap).
+    # Short-text guard: slice handles len<2 via the greatest(0) clamp —
+    # the oracle's GENERATE_SERIES is empty there too.
+    chars = F.split(F.col(text_col), "")
+    m = F.greatest(F.size(chars) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(chars, 1, m), F.slice(chars, 2, m))
+    bigram_arr = F.transform(zipped, lambda s: F.concat(s["0"], s["1"]))
+    positions = df.select(
+        F.col(id_col).alias("id"), F.explode(bigram_arr).alias("bg")
+    )
     counts = positions.groupBy("id", "bg").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return counts.groupBy("id").agg(
         F.sum("c").cast("bigint").alias("n_bigrams"),

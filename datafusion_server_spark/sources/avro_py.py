@@ -229,6 +229,12 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
                 _encode("string", k, out)
                 _encode(schema["values"], v, out)
         _write_long(out, 0)
+    elif t == "enum":
+        _write_long(out, schema["symbols"].index(value))
+    elif t == "fixed":
+        if len(value) != schema["size"]:
+            raise ValueError("fixed value length mismatch")
+        out.write(value)
     else:
         _encode(t, value, out)
 

@@ -234,10 +234,12 @@ def lsh_ann_topk(
     ``materialize`` (default True) eager-localCheckpoints the per-vector
     (id, bucket, nrm) table — ONE row per vector — so its two consumers
     (query side and neighbor side of the bucket join) read executor-local
-    blocks instead of re-running the plane-projection aggregation, whose
-    differing downstream pruning defeats AQE exchange reuse. At 100 TB
-    this is the standard "stage the codes table" step of an LSH index
-    build.
+    blocks. Without it the executed plan shows AQE's ReusedExchange
+    sharing the aggregation's shuffle output between the consumers
+    (verified at sf0.01), so recompute is cheap WITHIN one query; the
+    checkpoint still wins when the codes table outlives a single action
+    (repeated probes against one index — the standard "stage the codes
+    table" step of an LSH index build at 100 TB).
     """
     if planes is None:
         return scaled_lsh_ann_topk(

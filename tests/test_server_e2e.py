@@ -68,6 +68,13 @@ def test_metrics_histogram_parity(base_url, tmp_path, engine):
     assert 'session_context_duration_seconds_bucket{le="3600.0"}' in text
     # data-source registrations labeled by scheme+format
     assert 'data_source_registrations_total{format="csv",scheme="file"}' in text
+    # unrouted paths collapse to ONE sentinel label — a scanner must not
+    # be able to allocate unbounded per-URL metric series
+    requests.get(f"{base_url}/totally/bogus/deadbeef-1234")
+    requests.get(f"{base_url}/another\"quoted")
+    text = requests.get(f"{base_url}/metrics").text
+    assert 'path="/unmatched"' in text
+    assert "deadbeef" not in text and "another" not in text
 
 
 def test_stateless_dataframe_query(base_url, tmp_path):

@@ -124,6 +124,7 @@ def winnowing_fingerprints(
     """
     from pyspark.sql.window import Window
 
+    df = ensure_fanout_parallelism(df)
     words = _words(F.col(text_col))
     bigrams = F.zip_with(
         F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
@@ -160,6 +161,7 @@ def tfidf_topk(
     """
     from pyspark.sql.window import Window
 
+    df = ensure_fanout_parallelism(df)
     dec = "decimal(18,10)"
     tokens = df.select(
         F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("term")
@@ -264,7 +266,7 @@ def dedup_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     order-preserving reassembly via array_sort(collect_list(struct)).
     The per-document collect_list is bounded by document vocabulary, not
     corpus size — safe at any corpus scale."""
-    w = df.select(
+    w = ensure_fanout_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("p", "word"),
     )

@@ -185,17 +185,31 @@ def _png_pixel_stats(b: bytes) -> dict:
 
 def _bmp_pixel_stats(b: bytes, width: int, height: int) -> dict:
     """REAL pixel decode for uncompressed (BI_RGB) 8/24/32-bit BMPs:
-    mean and RMS over all channel values, normalized to 0..1. Rows are
-    4-byte padded; padding bytes are excluded. Returns {} for compressed
-    or exotic BMPs (those need a real imaging library)."""
+    mean and RMS over all COLOR channel values, normalized to 0..1. Rows
+    are 4-byte padded; padding bytes are excluded. 8-bit pixels map
+    through the color table (they are palette INDICES, not values); the
+    4th byte of 32-bit BGRA pixels (alpha/reserved) is excluded so stats
+    cover color channels only. Returns {} for compressed or exotic BMPs
+    (those need a real imaging library)."""
     import struct
 
     try:
         pixel_off = struct.unpack_from("<I", b, 10)[0]
+        dib_size = struct.unpack_from("<I", b, 14)[0]
         bpp = struct.unpack_from("<H", b, 28)[0]
         compression = struct.unpack_from("<I", b, 30)[0]
         if compression != 0 or bpp not in (8, 24, 32) or width <= 0:
             return {}
+        pal = b""
+        if bpp == 8:
+            # color table follows the DIB header: biClrUsed BGRA entries
+            # (0 means the full 2^8)
+            clr_used = struct.unpack_from("<I", b, 46)[0] if dib_size >= 36 else 0
+            n_colors = clr_used or 256
+            pal_off = 14 + dib_size
+            pal = b[pal_off : pal_off + 4 * n_colors]
+            if len(pal) < 4 * n_colors:
+                return {}
         rows = abs(height)
         bytes_per_px = bpp // 8
         row_bytes = width * bytes_per_px
@@ -208,10 +222,26 @@ def _bmp_pixel_stats(b: bytes, width: int, height: int) -> dict:
             row = b[start : start + row_bytes]
             if len(row) < row_bytes:
                 return {}
-            for v in row:
-                total += v
-                total_sq += v * v
-            count += row_bytes
+            if bpp == 8:
+                for idx in row:
+                    base = idx * 4
+                    if base + 3 > len(pal):
+                        return {}  # index beyond the declared color table
+                    for v in pal[base : base + 3]:  # B,G,R; skip reserved
+                        total += v
+                        total_sq += v * v
+                    count += 3
+            elif bpp == 32:
+                for i in range(0, row_bytes, 4):
+                    for v in row[i : i + 3]:  # B,G,R; skip alpha/reserved
+                        total += v
+                        total_sq += v * v
+                    count += 3
+            else:
+                for v in row:
+                    total += v
+                    total_sq += v * v
+                count += row_bytes
         if count == 0:
             return {}
         return {

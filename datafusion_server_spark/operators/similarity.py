@@ -39,6 +39,8 @@ reproducible bit-for-bit by the oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -285,7 +287,36 @@ def estimate_row_count(df: DataFrame, bytes_per_row: int) -> int:
     row width. The estimate is only consumed by LOG2-granular knobs
     (LSH band bits), where even a 2x error moves the result by one bit —
     so a coarse size-based guess is sufficient and costs NO Spark job,
-    unlike the ``df.count()`` fallback it replaces."""
+    unlike the ``df.count()`` fallback it replaces.
+
+    ``_jdf.queryExecution()`` is py4j access to Spark internals, not a
+    stable API — guarded so a Spark upgrade that moves it degrades to the
+    input-file-size heuristic instead of breaking every ANN default."""
+    try:
+        return _catalyst_row_estimate(df, bytes_per_row)
+    except Exception:
+        # internal API moved/absent: estimate from the scan's input files
+        # (still job-free — listing metadata only). inputFiles() itself is
+        # public API; any failure there falls through to a safe constant.
+        try:
+            total = sum(
+                os.path.getsize(p[len("file:"):] if p.startswith("file:") else p)
+                for p in df.inputFiles()
+                if not p.startswith(("s3", "gs", "abfs", "hdfs", "wasb"))
+            )
+            if total > 0:
+                return max(1, total // max(bytes_per_row, 1))
+        except Exception:
+            pass
+        # no stats, no listable files: assume a mid-size corpus so band
+        # bits land in a sane middle (2^17/128 -> 10 bits) rather than
+        # degenerate extremes.
+        return 1 << 17
+
+
+def _catalyst_row_estimate(df: DataFrame, bytes_per_row: int) -> int:
+    """The Spark-internal part of ``estimate_row_count``, isolated so its
+    failure mode (py4j API moved) is testable and contained."""
     stats = df._jdf.queryExecution().optimizedPlan().stats()
     rc = stats.rowCount()
     if rc.isDefined():

@@ -102,7 +102,14 @@ class Metrics:
         with self._lock:
             h = self._histograms.get(key)
             if h is None:
-                h = self._histograms[key] = _Histogram(self._HISTOGRAM_BUCKETS[name])
+                buckets = self._HISTOGRAM_BUCKETS.get(name)
+                if buckets is None:
+                    raise ValueError(
+                        f"unknown histogram {name!r}; declare its buckets in "
+                        f"Metrics._HISTOGRAM_BUCKETS (known: "
+                        f"{sorted(self._HISTOGRAM_BUCKETS)})"
+                    )
+                h = self._histograms[key] = _Histogram(buckets)
             h.record(value)
 
     # -- tracking helpers mirroring the reference's track_* fns ----------

@@ -109,10 +109,19 @@ class Settings:
         for db in self.databases:
             kind = str(db.get("type", "postgres")).lower()
             if kind == "sqlite":
-                # stdlib-backed external database: url is the db file path
+                # stdlib-backed external database: url is the db file path.
+                # An empty path would make sqlite3.connect('') open an
+                # anonymous temp database and every later table@ns query
+                # fail confusingly — reject at config-boot instead.
+                database = str(db.get("database", "") or "")
+                if not database:
+                    raise ValueError(
+                        f"[[databases]] namespace {db.get('namespace')!r}: "
+                        "sqlite entries require a non-empty 'database' path"
+                    )
                 ns = jdbc.DatabaseNamespace(
                     name=db["namespace"],
-                    url=str(db.get("database", "")),
+                    url=database,
                     kind="sqlite",
                 )
                 jdbc.configure_namespace(ns)

@@ -16,8 +16,10 @@ spec (container file + binary encoding sections):
   float/double, length-prefixed bytes/string, records in field order,
   arrays/maps as blocked sequences, unions as branch-index + value,
   enums as index, fixed as raw bytes;
-- codecs: ``null`` and ``deflate`` (stdlib zlib, raw stream); snappy is
-  rejected with a clear error (not in the stdlib).
+- codecs: ``null``, ``deflate`` (stdlib zlib, raw stream), and
+  ``snappy`` — raw-format snappy decode implemented from the public
+  format description (varint preamble + literal/copy tags), with the
+  Avro-spec 4-byte big-endian CRC32-of-uncompressed check.
 
 Decode is driver-side by design: it feeds the same eager in-memory
 registration path the reference uses for ingested sources. At data
@@ -127,6 +129,94 @@ def _decode(schema: Any, buf: BinaryIO, named: dict[str, Any]) -> Any:
     return _decode(t, buf, named)
 
 
+# -- snappy block format (pure stdlib) ---------------------------------------
+#
+# The raw (non-framed) snappy format Avro's "snappy" codec uses, from the
+# public format description (github.com/google/snappy format_description.txt):
+# a plain varint preamble with the uncompressed length, then a tag stream of
+# literals and back-references. Avro appends a 4-byte BIG-ENDIAN CRC32 of the
+# UNCOMPRESSED data to each block (Avro spec, "snappy" codec).
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    """Decompress raw-format snappy (stdlib only)."""
+    # preamble: uncompressed length, plain (non-zigzag) LE base-128 varint
+    pos = 0
+    length = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("snappy: truncated length varint")
+        byte = data[pos]
+        pos += 1
+        length |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60..63 ⇒ that many extra LE length bytes
+                extra = ln - 59
+                ln = int.from_bytes(data[pos : pos + extra], "little")
+                pos += extra
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+        else:  # copy: 1/2/4-byte offset forms
+            if kind == 1:
+                ln = ((tag >> 2) & 0x7) + 4
+                offset = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            elif kind == 2:
+                ln = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos : pos + 2], "little")
+                pos += 2
+            else:
+                ln = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4
+            if offset == 0 or offset > len(out):
+                raise ValueError("snappy: invalid copy offset")
+            start = len(out) - offset
+            # copies may overlap their own output (offset < ln ⇒ repeat)
+            for i in range(ln):
+                out.append(out[start + i])
+    if len(out) != length:
+        raise ValueError(
+            f"snappy: declared length {length} != decoded {len(out)}"
+        )
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Minimal VALID snappy encoder: one literal covering the whole block
+    (the format permits it; no back-references emitted). Real decoders —
+    including ``_snappy_decompress`` — accept it; used for fixtures."""
+    out = io.BytesIO()
+    length = len(data)
+    while True:  # plain varint preamble
+        b = length & 0x7F
+        length >>= 7
+        out.write(bytes([b | 0x80]) if length else bytes([b]))
+        if not length:
+            break
+    ln = len(data) - 1
+    if ln < 60:
+        out.write(bytes([ln << 2]))
+    else:
+        extra = (ln.bit_length() + 7) // 8
+        out.write(bytes([(59 + extra) << 2]))
+        out.write(ln.to_bytes(extra, "little"))
+    out.write(data)
+    return out.getvalue()
+
+
 # -- container file ----------------------------------------------------------
 
 
@@ -139,10 +229,10 @@ def read_ocf(data: bytes) -> tuple[dict, list[Any]]:
     meta = _decode(meta_schema, buf, {})
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(
             f"avro codec {codec!r} needs a third-party library; install "
-            "spark-avro (jar) or re-encode with codec null/deflate"
+            "spark-avro (jar) or re-encode with codec null/deflate/snappy"
         )
     sync = buf.read(16)
     records: list[Any] = []
@@ -156,6 +246,12 @@ def read_ocf(data: bytes) -> tuple[dict, list[Any]]:
         block = _read_bytes_exact(buf, _read_long(buf))
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # snappy data + 4-byte BE CRC32 of the UNCOMPRESSED bytes
+            crc = int.from_bytes(block[-4:], "big")
+            block = _snappy_decompress(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise ValueError("avro snappy block CRC mismatch")
         bbuf = io.BytesIO(block)
         records.extend(_decode(schema, bbuf, named) for _ in range(count))
         if buf.read(16) != sync:
@@ -185,6 +281,36 @@ def _write_long(out: io.BytesIO, v: int) -> None:
             break
 
 
+def _union_branch_matches(branch: Any, value: Any) -> bool:
+    """Does ``value``'s Python type encode under ``branch``?"""
+    if branch == "null":
+        return value is None
+    if value is None:
+        return False
+    if isinstance(branch, str):
+        if branch == "boolean":
+            return isinstance(value, bool)
+        if branch in ("int", "long"):
+            return isinstance(value, int) and not isinstance(value, bool)
+        if branch in ("float", "double"):
+            return isinstance(value, float)
+        if branch == "string":
+            return isinstance(value, str)
+        if branch == "bytes":
+            return isinstance(value, (bytes, bytearray))
+        return False
+    t = branch.get("type")
+    if t in ("record", "map"):
+        return isinstance(value, dict)
+    if t == "array":
+        return isinstance(value, list)
+    if t == "enum":
+        return isinstance(value, str)
+    if t == "fixed":
+        return isinstance(value, (bytes, bytearray))
+    return _union_branch_matches(t, value)  # wrapped primitive / logical
+
+
 def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
     if isinstance(schema, str):
         t = schema
@@ -205,13 +331,18 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
         else:
             raise ValueError(f"encoder does not support type {t!r}")
         return
-    if isinstance(schema, list):  # union: pick the first matching branch
+    if isinstance(schema, list):  # union: pick the branch matching the
+        # value's PYTHON TYPE (not merely null vs non-null — a
+        # ["null","string","long"] union must route a long to "long")
         for idx, branch in enumerate(schema):
-            if (value is None) == (branch == "null"):
+            if _union_branch_matches(branch, value):
                 _write_long(out, idx)
                 _encode(branch, value, out)
                 return
-        raise ValueError("no union branch for value")
+        raise ValueError(
+            f"no union branch in {schema!r} matches value of type "
+            f"{type(value).__name__}"
+        )
     t = schema["type"]
     if t == "record":
         for f in schema["fields"]:
@@ -261,6 +392,9 @@ def write_ocf(schema: dict, records: list[Any], codec: str = "null") -> bytes:
     if codec == "deflate":
         co = zlib.compressobj(wbits=-15)
         block = co.compress(block) + co.flush()
+    elif codec == "snappy":
+        crc = (zlib.crc32(block) & 0xFFFFFFFF).to_bytes(4, "big")
+        block = _snappy_compress(block) + crc
     elif codec != "null":
         raise ValueError(f"unsupported codec {codec!r}")
     _write_long(out, len(records))

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 # single-file AND multi-part ({v}.checkpoint.{part}.{num_parts}.parquet)
-_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(?:\.(\d+)\.(\d+))?\.parquet$")
 
 
 class DeltaProtocolError(ValueError):
@@ -92,8 +92,10 @@ def read_snapshot(table_path: str, version: int | None = None) -> Snapshot:
             commits[int(m.group(1))] = os.path.join(log_dir, name)
         m = _CHECKPOINT_RE.match(name)
         if m:
+            # (path, declared_num_parts) — num_parts is None for the
+            # single-file form, else the {num_parts} filename field
             checkpoints.setdefault(int(m.group(1)), []).append(
-                os.path.join(log_dir, name)
+                (os.path.join(log_dir, name), int(m.group(3)) if m.group(3) else None)
             )
     if not commits and not checkpoints:
         raise DeltaProtocolError(f"empty _delta_log in {table_path}")
@@ -108,7 +110,24 @@ def read_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     start = 0
     if usable_cp:
         cp = max(usable_cp)
-        for part in sorted(checkpoints[cp]):
+        parts_found = sorted(checkpoints[cp])
+        # multi-part checkpoints declare their part count in the filename
+        # ({v}.checkpoint.{part}.{num_parts}.parquet); a missing part would
+        # silently drop add actions — refuse, same stance as commit gaps
+        declared = {n for _, n in parts_found if n is not None}
+        if declared:
+            if len(declared) > 1:
+                raise DeltaProtocolError(
+                    f"checkpoint v{cp} mixes part counts {sorted(declared)}"
+                )
+            num_parts = declared.pop()
+            n_multi = sum(1 for _, n in parts_found if n is not None)
+            if n_multi != num_parts:
+                raise DeltaProtocolError(
+                    f"checkpoint v{cp} declares {num_parts} parts but only "
+                    f"{n_multi} are present — snapshot would miss actions"
+                )
+        for part, _ in parts_found:
             _read_checkpoint(snap, part)
         start = cp + 1
     for v in range(start, target + 1):

@@ -177,6 +177,29 @@ def test_multipart_checkpoint_parts_recognized(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [3, 4, 5]
 
 
+def test_multipart_checkpoint_missing_part_refused(spark, tmp_path):
+    """A multi-part checkpoint declaring N parts with fewer present must
+    refuse (missing parts silently drop add actions) — same stance as
+    commit gaps."""
+    tdir = _make_table(tmp_path)
+    log = os.path.join(tdir, "_delta_log")
+    snap = delta_py.read_snapshot(tdir)
+    meta = {k: v for k, v in snap.metadata.items() if v != {} and k != "format"}
+    rows = [
+        {"protocol": snap.protocol, "metaData": None, "add": None, "remove": None},
+        {"protocol": None, "metaData": meta, "add": None, "remove": None},
+    ]
+    # only part 1 of a DECLARED 2-part checkpoint
+    pq.write_table(
+        pa.Table.from_pylist(rows),
+        os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    with pytest.raises(DeltaProtocolError, match="declares 2 parts"):
+        delta_py.read_snapshot(tdir)
+
+
 def test_reader_feature_gates(spark, tmp_path):
     tdir = str(tmp_path / "gated")
     log = os.path.join(tdir, "_delta_log")

@@ -268,9 +268,48 @@ def test_multimodal_real_content_stats(spark):
     assert abs(meta["value_mean"] - want_mean) < 1e-6
     assert abs(meta["value_rms"] - want_rms) < 1e-6
 
-    # jpeg stays honestly null (entropy decode needs a real imaging lib)
+    # jpeg header without scan data stays null
     jpeg = b"\xff\xd8\xff\xc0" + bytes(20)
     assert decode_media(jpeg)["value_mean"] is None
+
+
+def test_multimodal_bmp_palette_and_bgra(spark):
+    """8-bit BMP stats map through the COLOR TABLE (indices are not
+    values), and 32-bit BGRA stats exclude the alpha/reserved byte."""
+    import struct
+
+    from datafusion_server_spark.operators.multimodal import decode_media
+
+    def make_bmp(bpp, width, height, palette, pixels):
+        pal = b"".join(palette)
+        pixel_off = 14 + 40 + len(pal)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(pixels), 2835, 2835,
+            len(palette), 0,
+        )
+        head = b"BM" + struct.pack("<IHHI", pixel_off + len(pixels), 0, 0, pixel_off)
+        return head + dib + pal + pixels
+
+    # 8-bit: 4 palette entries with DISTINCT colors; reserved byte 0xFF
+    # must not leak into the stats
+    palette = [bytes([i * 10, i * 20, i * 30, 0xFF]) for i in range(4)]
+    bmp8 = make_bmp(8, 4, 1, palette, bytes([0, 1, 2, 3]))
+    meta = decode_media(bmp8)
+    vals = [c for i in range(4) for c in (i * 10, i * 20, i * 30)]
+    assert abs(meta["value_mean"] - sum(vals) / len(vals) / 255.0) < 1e-6
+    assert abs(
+        meta["value_rms"] - (sum(v * v for v in vals) / len(vals)) ** 0.5 / 255.0
+    ) < 1e-6
+
+    # 32-bit BGRA: alpha 0xFF everywhere; stats must cover B,G,R only
+    px = bytes([10, 20, 30, 0xFF, 40, 50, 60, 0xFF])
+    meta = decode_media(make_bmp(32, 2, 1, [], px))
+    vals = [10, 20, 30, 40, 50, 60]
+    assert abs(meta["value_mean"] - sum(vals) / len(vals) / 255.0) < 1e-6
+
+    # an out-of-palette index refuses rather than inventing values
+    bad = make_bmp(8, 2, 1, palette[:2], bytes([0, 3]))
+    assert decode_media(bad)["value_mean"] is None
 
 
 def test_multimodal_png_pixel_decode(spark):

@@ -50,6 +50,27 @@ def test_settings_defaults_match_reference():
     assert s.log.level == "info"
 
 
+def test_settings_sqlite_empty_database_rejected():
+    """A sqlite [[databases]] entry without a 'database' path must fail at
+    config-boot (sqlite3.connect('') would open an anonymous temp db and
+    every later table@ns query would fail confusingly)."""
+    s = Settings.from_dict(
+        {"databases": [{"type": "sqlite", "namespace": "bad"}]}
+    )
+    with pytest.raises(ValueError, match="non-empty 'database'"):
+        s.apply_databases()
+
+
+def test_metrics_unknown_histogram_rejected():
+    """Metrics.record with an undeclared histogram name fails with a
+    descriptive error at the call site, not a bare KeyError."""
+    from datafusion_server_spark.server.api import Metrics
+
+    m = Metrics()
+    with pytest.raises(ValueError, match="unknown histogram 'typo_seconds'"):
+        m.record("typo_seconds", 0.5)
+
+
 def test_settings_toml_and_json_overlay(tmp_path):
     toml_p = tmp_path / "config.toml"
     toml_p.write_text(TOML.format(plugin_dir=tmp_path / "nonexistent"))

@@ -133,3 +133,34 @@ def test_estimate_row_count_log2_accuracy(spark, sf_dir):
     true_n = emb.count()
     est = similarity.estimate_row_count(emb, bytes_per_row=4 * 64)
     assert abs(math.log2(est) - math.log2(true_n)) <= 1.0, (est, true_n)
+
+
+def test_estimate_row_count_survives_internal_api_loss(spark, sf_dir, monkeypatch):
+    """``_jdf.queryExecution`` is py4j access to Spark internals; when a
+    Spark upgrade moves it, estimate_row_count must degrade to the
+    input-file-size heuristic (and ANN defaults keep working), not
+    raise."""
+    import math
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    true_n = emb.count()
+
+    def gone(df, bytes_per_row):
+        raise AttributeError("queryExecution")  # simulated API removal
+
+    monkeypatch.setattr(similarity, "_catalyst_row_estimate", gone)
+    est = similarity.estimate_row_count(emb, bytes_per_row=4 * 64)
+    # file-size heuristic: parquet compresses, so allow a wide (4x) band —
+    # band_bits consumes this at log2 granularity
+    assert abs(math.log2(est) - math.log2(true_n)) <= 2.0, (est, true_n)
+    # the full default ANN path (band_bits from the estimate) still runs
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.scaled_lsh_ann_topk(emb, queries, k=3, materialize=False)
+    assert out.count() > 0
+
+    # and when even inputFiles is gone, the constant fallback holds
+    class NoFiles:
+        def inputFiles(self):
+            raise RuntimeError("gone too")
+
+    assert similarity.estimate_row_count(NoFiles(), bytes_per_row=256) == 1 << 17

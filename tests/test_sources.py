@@ -144,16 +144,63 @@ AVRO_RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_avro_ocf_roundtrip(codec):
-    """Pure-stdlib OCF encode/decode round-trip (A8 fallback), both
-    supported codecs."""
+    """Pure-stdlib OCF encode/decode round-trip (A8 fallback), all three
+    supported codecs (snappy: raw-format decode + BE CRC32 check)."""
     from datafusion_server_spark.sources import avro_py
 
     data = avro_py.write_ocf(AVRO_SCHEMA, AVRO_RECORDS, codec=codec)
     schema, records = avro_py.read_ocf(data)
     assert schema["name"] == "Person"
     assert records == AVRO_RECORDS
+
+
+def test_snappy_raw_format_with_copies():
+    """_snappy_decompress handles the full tag surface — literals plus
+    1/2-byte-offset copies including overlapping (run-length) copies —
+    not just the literal-only output of our own compressor."""
+    from datafusion_server_spark.sources.avro_py import _snappy_decompress
+
+    # "abcd" + copy(offset=4, len=4) -> "abcdabcd"
+    data = bytes([8]) + bytes([3 << 2]) + b"abcd" + bytes([0b000_001, 4])
+    assert _snappy_decompress(data) == b"abcdabcd"
+    # overlapping copy: "ab" + copy(offset=2, len=6) -> "abababab"
+    data = bytes([8]) + bytes([1 << 2]) + b"ab" + bytes([(2 << 2) | 1, 2])
+    assert _snappy_decompress(data) == b"abababab"
+    # 2-byte-offset copy form (tag&3==2)
+    data = bytes([8]) + bytes([3 << 2]) + b"wxyz" + bytes([(3 << 2) | 2, 4, 0])
+    assert _snappy_decompress(data) == b"wxyzwxyz"
+    # declared-length mismatch must raise
+    with pytest.raises(ValueError, match="declared length"):
+        _snappy_decompress(bytes([9]) + bytes([3 << 2]) + b"abcd")
+
+
+def test_avro_snappy_crc_mismatch_rejected():
+    from datafusion_server_spark.sources import avro_py
+
+    data = bytearray(avro_py.write_ocf(AVRO_SCHEMA, AVRO_RECORDS, codec="snappy"))
+    # corrupt the CRC: flip a bit in the 4 bytes before the trailing sync
+    data[-17] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        avro_py.read_ocf(bytes(data))
+
+
+def test_avro_union_multibranch_type_routing():
+    """write_ocf routes union values by PYTHON TYPE: a long and a string
+    in a ["null","string","long"] union each hit the right branch."""
+    from datafusion_server_spark.sources import avro_py
+
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [{"name": "v", "type": ["null", "string", "long"]}],
+    }
+    records = [{"v": None}, {"v": "txt"}, {"v": 42}]
+    _, decoded = avro_py.read_ocf(avro_py.write_ocf(schema, records))
+    assert decoded == records
+    with pytest.raises(ValueError, match="no union branch"):
+        avro_py.write_ocf(schema, [{"v": 1.5}])
 
 
 def test_avro_registry_fallback_e2e(spark, tmp_path):

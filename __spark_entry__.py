@@ -30,7 +30,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.build for name, qd in registry().items()}
 
 
+SF001 = "/root/testdata/sf0.01"  # the driver's documented correctness SF
+
+
 def oracle_sql() -> dict[str, str]:
     from datafusion_server_spark.queries import registry
 
-    return {name: qd.oracle for name, qd in registry().items() if qd.oracle is not None}
+    return {
+        name: qd.oracle_for(SF001)
+        for name, qd in registry().items()
+        if qd.oracle is not None
+    }

@@ -40,6 +40,16 @@ HEADLINE = [
     "text_quality_score",
 ]
 
+# Queries benched on a NON-DEFAULT operator code path, with the twin
+# query that runs the operator default. The pinned variant is the
+# fixture-scale winner (idle cores beat a blocking checkpoint at
+# sf<=0.1); the default (materialize=True, staged signatures) is what a
+# default-API user gets and what wins at real scale. Both are reported.
+VARIANTS = {
+    "ann_lsh_cosine": ("materialize=False (pinned)", "ann_lsh_cosine_materialized"),
+    "ann_lsh_scaled": ("materialize=False (pinned)", "ann_lsh_scaled_materialized"),
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +106,21 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 
+    # time the operator-default twins of the pinned-variant queries
+    # (reported separately; not part of the headline total)
+    default_variant: dict[str, float] = {}
+    for name, (_, twin) in VARIANTS.items():
+        qd = reg[twin]
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            df = qd.build(spark, sf_dir)
+            df.toArrow()
+            runs.append(time.time() - t0)
+            del df
+            gc.collect()
+        default_variant[name] = round(min(runs), 3)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -107,6 +132,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "value_cold": round(sum(cold.values()), 3),
+                "variants": {n: v[0] for n, v in VARIANTS.items()},
+                "queries_default_variant": default_variant,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -12,15 +12,84 @@ from datafusion_server_spark.operators import multimodal
 from datafusion_server_spark.queries import df_query, sql_query
 
 
-@df_query("multimodal_decode_pipeline", None)
+def _multimodal_values_oracle(sf_dir: str) -> str:
+    """VALUES oracle for the decode pipeline: the payload synthesis and
+    binary decode are deterministic pure-Python functions of each
+    document's text, so the expected aggregate is computable DRIVER-SIDE
+    (sequentially, no Spark) and emitted as a DuckDB VALUES table. This
+    verifies the distributed mapInPandas plumbing end-to-end: partitioned
+    Arrow-batched execution must reproduce the sequential reference
+    exactly — rows, schema, and values."""
+    import pyarrow.parquet as pq
+
+    from datafusion_server_spark.operators.multimodal import (
+        _make_bmp,
+        _make_wav,
+        decode_media,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    groups: dict[tuple, dict] = {}
+    for mid, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        seed = (text or "").encode("utf-8")
+        kind = int(mid) % 3
+        if kind == 0:
+            payload, mt = _make_bmp(seed), "image/bmp"
+        elif kind == 1:
+            payload, mt = _make_wav(seed), "audio/wav"
+        else:
+            payload, mt = seed, "text/plain"
+        meta = decode_media(payload)
+        g = groups.setdefault(
+            (mt, meta["format"]),
+            {"n": 0, "tb": 0, "w": [], "h": [], "vm": None, "vr": None},
+        )
+        g["n"] += 1
+        g["tb"] += meta["n_bytes"]
+        if meta["width"] is not None:
+            g["w"].append(meta["width"])
+        if meta["height"] is not None:
+            g["h"].append(meta["height"])
+        if meta["value_mean"] is not None:
+            g["vm"] = (g["vm"] or 0) + int(round(meta["value_mean"] * 1e6))
+            g["vr"] = (g["vr"] or 0) + int(round(meta["value_rms"] * 1e6))
+
+    def lit(v) -> str:
+        return "NULL" if v is None else str(v)
+
+    rows = ", ".join(
+        f"('{mt}', '{fmt}', {g['n']}, {g['tb']}, "
+        f"{lit(min(g['w']) if g['w'] else None)}, "
+        f"{lit(max(g['h']) if g['h'] else None)}, {lit(g['vm'])}, {lit(g['vr'])})"
+        for (mt, fmt), g in sorted(groups.items())
+    )
+    return f"""
+    SELECT media_type, format,
+           CAST(n AS BIGINT) AS n,
+           CAST(total_bytes AS BIGINT) AS total_bytes,
+           CAST(min_width AS BIGINT) AS min_width,
+           CAST(max_height AS BIGINT) AS max_height,
+           CAST(sum_value_mean_micro AS BIGINT) AS sum_value_mean_micro,
+           CAST(sum_value_rms_micro AS BIGINT) AS sum_value_rms_micro
+    FROM (VALUES {rows}) AS t(media_type, format, n, total_bytes, min_width,
+                              max_height, sum_value_mean_micro, sum_value_rms_micro)
+    """
+
+
+@df_query("multimodal_decode_pipeline", _multimodal_values_oracle)
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode pipeline with REAL content decode for the
     uncompressed formats: documents synthesize into genuine BMP/WAV/text
     payloads (pixel/sample values from the text bytes), mapInPandas
     decodes headers AND content — value_mean/value_rms for bmp/wav come
-    from actual pixel/sample data, not a stub. Deterministic, so row
-    counts and values are stable (rows-only driver check: the payload
-    synthesis + binary decode is not SQL-expressible)."""
+    from actual pixel/sample data, not a stub.
+
+    The content-stat aggregates are EXACT-INTEGER micro-unit sums
+    (value_mean is 6-dp by construction, so ``round(v*1e6)`` is lossless)
+    — order-independent under any partitioning, hence bit-stable against
+    the driver's value hash and the sequential VALUES oracle."""
     docs = tables.load(spark, sf_dir, "documents")
     media = multimodal.synthesize_media_payloads(docs, "text", "doc_id")
     decoded = multimodal.decode_metadata(media)
@@ -29,8 +98,12 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.min("width").cast("bigint").alias("min_width"),
         F.max("height").cast("bigint").alias("max_height"),
-        F.round(F.avg("value_mean"), 6).alias("avg_value_mean"),
-        F.round(F.avg("value_rms"), 6).alias("avg_value_rms"),
+        F.sum(F.round(F.col("value_mean") * 1e6).cast("bigint")).alias(
+            "sum_value_mean_micro"
+        ),
+        F.sum(F.round(F.col("value_rms") * 1e6).cast("bigint")).alias(
+            "sum_value_rms_micro"
+        ),
     )
 
 

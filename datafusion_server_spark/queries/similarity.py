@@ -182,6 +182,35 @@ def ann_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DEFAULT-variant twins of the two pinned ANN bench queries: identical
+# parameters and oracle, but the operator's materialize=True default (the
+# number a default-API user gets). bench.py times these alongside the
+# pinned variants and labels both — VERDICT r3 "what's wrong" #3.
+
+
+@df_query("ann_lsh_cosine_materialized", _ANN_ORACLE)
+def ann_lsh_cosine_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, PLANES, DIM, materialize=True
+    )
+
+
+@df_query("ann_lsh_scaled_materialized", _SCALED_ANN_ORACLE)
+def ann_lsh_scaled_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.scaled_lsh_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        K,
+        DIM,
+        bands=BANDS,
+        band_bits=BAND_BITS,
+        max_candidates=MAX_CAND,
+        materialize=True,
+    )
+
+
 N_CENTROIDS = 16
 
 _IVF_ORACLE = f"""

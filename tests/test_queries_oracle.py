@@ -15,5 +15,5 @@ QUERIES = registry()
 def test_query_matches_oracle(spark, sf_dir, name):
     qd = QUERIES[name]
     df = qd.build(spark, sf_dir)
-    ok, msg = compare(df, qd.oracle, sf_dir)
+    ok, msg = compare(df, qd.oracle_for(sf_dir), sf_dir)
     assert ok, f"{name}: {msg}"

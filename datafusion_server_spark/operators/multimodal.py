@@ -3,19 +3,18 @@ with typed metadata (north-star extension).
 
 The decode stage is REAL for container-format headers: PNG / GIF / BMP /
 JPEG dimensions and WAV channels/sample-rate/duration parse from the
-bytes with pure ``struct``. CONTENT decode is also real wherever the
-stdlib can express it (round 3): BMP 8/24/32-bit BI_RGB pixels, WAV
-8/16-bit PCM samples, and non-interlaced 8-bit PNGs (zlib inflate +
-per-row defilter incl. Paeth, palette mapping) all decode to
-``value_mean`` / ``value_rms`` columns computed from the actual payload
-data.
+bytes with pure ``struct``. CONTENT decode is also real for every
+format the stdlib can express: BMP 8/24/32-bit BI_RGB pixels (palette
+mapped, alpha excluded), WAV 8/16-bit PCM samples, non-interlaced 8-bit
+PNGs (zlib inflate + per-row defilter incl. Paeth, palette mapping), and
+— round 4 — baseline JPEGs via the pure-stdlib huffman+IDCT decoder in
+``operators/jpeg_py.py``. All produce ``value_mean`` / ``value_rms``
+columns computed from actual payload data.
 
-The remaining honest stub is exactly the part that needs external
-libraries: JPEG entropy decode and the feature-extraction embedding
-model — those fall back to clearly-marked deterministic synthesis
-(``_synthetic_meta``, md5 features) so fixture pipelines stay stable.
-Swap the fallback for a real decoder in production; the Spark plan is
-unchanged.
+The one remaining honest stub is the feature-extraction EMBEDDING MODEL
+(``extract_features``): no vision/audio encoder exists in the stdlib, so
+it ships a clearly-marked deterministic md5-derived vector. Swap it for
+a real encoder in production; the Spark plan is unchanged.
 
 At 100 TB: binary payloads stay columnar in parquet, the decode stage is
 ``mapInPandas`` (Arrow batches, no per-row Python overhead), and metadata
@@ -59,9 +58,10 @@ DECODED_SCHEMA = StructType(
         StructField("channels", LongType(), True),
         StructField("sample_rate", LongType(), True),
         StructField("duration_ms", LongType(), True),
-        # real content stats for the uncompressed formats (BMP pixels
-        # normalized 0..1, WAV PCM samples normalized -1..1); NULL where
-        # content decode needs an external library (JPEG/PNG)
+        # real content stats (image pixels normalized 0..1, WAV PCM
+        # samples normalized -1..1); NULL only where the stream is
+        # undecodable without external libs (progressive JPEG,
+        # interlaced/16-bit PNG, compressed BMP)
         StructField("value_mean", DoubleType(), True),
         StructField("value_rms", DoubleType(), True),
     ]
@@ -252,6 +252,35 @@ def _bmp_pixel_stats(b: bytes, width: int, height: int) -> dict:
         return {}
 
 
+def _jpeg_pixel_stats(b: bytes) -> dict:
+    """REAL pixel decode for baseline (SOF0) JPEGs via the pure-stdlib
+    huffman+IDCT decoder (operators/jpeg_py.py): mean/RMS over all
+    decoded channel values normalized to 0..1. Progressive/arithmetic
+    streams return {} (honest, not wrong values)."""
+    import struct
+
+    from datafusion_server_spark.operators import jpeg_py
+
+    try:
+        _, _, planes = jpeg_py.decode_baseline(b)
+    except (jpeg_py.JpegError, IndexError, struct.error):
+        return {}
+    total = 0
+    total_sq = 0
+    count = 0
+    for plane in planes:
+        for v in plane:
+            total += v
+            total_sq += v * v
+        count += len(plane)
+    if count == 0:
+        return {}
+    return {
+        "value_mean": round(total / count / 255.0, 6),
+        "value_rms": round((total_sq / count) ** 0.5 / 255.0, 6),
+    }
+
+
 def _wav_sample_stats(data: bytes, audio_fmt: int | None, bits: int | None) -> dict:
     """REAL sample decode for PCM 8/16-bit WAV data chunks: mean and RMS
     over all samples normalized to -1..1 (8-bit PCM is unsigned, offset
@@ -331,7 +360,14 @@ def decode_media(payload: bytes | None) -> dict:
                 seg_len = struct.unpack_from(">H", b, off + 2)[0]
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     h, w = struct.unpack_from(">HH", b, off + 5)
-                    return dict(_EMPTY_META, n_bytes=n, width=w, height=h, format="jpeg")
+                    return dict(
+                        _EMPTY_META,
+                        n_bytes=n,
+                        width=w,
+                        height=h,
+                        format="jpeg",
+                        **_jpeg_pixel_stats(b),
+                    )
                 off += 2 + seg_len
             return dict(_EMPTY_META, n_bytes=n, format="jpeg")
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":

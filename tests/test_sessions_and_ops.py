@@ -273,6 +273,57 @@ def test_multimodal_real_content_stats(spark):
     assert decode_media(jpeg)["value_mean"] is None
 
 
+def test_jpeg_baseline_decode_roundtrip(spark):
+    """The pure-stdlib baseline JPEG decoder (huffman + IDCT) recovers
+    the encoded pixels: with a flat quant table the only loss is DCT
+    rounding, so every pixel must land within a few levels and the
+    mean/RMS within ~1/255 of the source."""
+    from datafusion_server_spark.operators import jpeg_py
+
+    w = h = 16
+    src = [(x * 13 + y * 31) % 256 for y in range(h) for x in range(w)]
+    data = jpeg_py.encode_baseline_grayscale(src, w, h)
+    gw, gh, planes = jpeg_py.decode_baseline(data)
+    assert (gw, gh) == (w, h) and len(planes) == 1
+    got = planes[0]
+    assert max(abs(a - b) for a, b in zip(got, src)) <= 4
+    mean_err = abs(sum(got) / len(got) - sum(src) / len(src))
+    assert mean_err < 1.0
+
+    # 3-component 4:4:4 with neutral chroma: RGB must equal Y (±rounding)
+    color = jpeg_py.encode_baseline_ycc444(src, w, h)
+    gw, gh, planes = jpeg_py.decode_baseline(color)
+    assert (gw, gh) == (w, h) and len(planes) == 3
+    for plane in planes:
+        assert max(abs(a - b) for a, b in zip(plane, src)) <= 5
+
+    # progressive SOF2 refuses rather than mis-decoding
+    prog = bytearray(data)
+    idx = prog.index(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    import pytest as _pytest
+
+    with _pytest.raises(jpeg_py.JpegError, match="non-baseline"):
+        jpeg_py.decode_baseline(bytes(prog))
+
+
+def test_jpeg_stats_through_decode_media(spark):
+    """decode_media now carries REAL value stats for baseline JPEGs —
+    the former honest stub (jpeg pixels) is closed; only the embedding
+    model remains synthetic."""
+    from datafusion_server_spark.operators import jpeg_py
+    from datafusion_server_spark.operators.multimodal import decode_media
+
+    w = h = 16
+    src = [(x * 7 + y * 3) % 256 for y in range(h) for x in range(w)]
+    meta = decode_media(jpeg_py.encode_baseline_grayscale(src, w, h))
+    assert meta["format"] == "jpeg" and (meta["width"], meta["height"]) == (w, h)
+    want_mean = sum(src) / len(src) / 255.0
+    want_rms = (sum(v * v for v in src) / len(src)) ** 0.5 / 255.0
+    assert abs(meta["value_mean"] - want_mean) < 0.005
+    assert abs(meta["value_rms"] - want_rms) < 0.005
+
+
 def test_multimodal_bmp_palette_and_bgra(spark):
     """8-bit BMP stats map through the COLOR TABLE (indices are not
     values), and 32-bit BGRA stats exclude the alpha/reserved byte."""

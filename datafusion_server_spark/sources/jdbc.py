@@ -104,12 +104,63 @@ def _read_sqlite(spark: SparkSession, ns: DatabaseNamespace, table: str) -> Data
     return spark.createDataFrame(rows, schema=ddl)
 
 
+_PG_URL_RE = re.compile(
+    r"jdbc:postgresql://(?P<host>[^:/]+)(?::(?P<port>\d+))?/(?P<db>[^?/]*)"
+)
+
+
+def _read_pg_wire(spark: SparkSession, ns: DatabaseNamespace, table: str) -> DataFrame:
+    """Native-protocol postgres read (sources/pgwire.py) — the same
+    transport the reference uses (rust postgres crate,
+    table_provider.rs:46-170), here as the no-jar fallback. Eager
+    driver-side transfer like the sqlite namespace; the jar-backed JDBC
+    path remains the distributed/partitioned option."""
+    from datafusion_server_spark.sources import pgwire
+
+    m = _PG_URL_RE.fullmatch(ns.url)
+    if not m:
+        raise ValueError(f"cannot parse postgres URL {ns.url!r}")
+    if not _IDENT_RE.fullmatch(table):
+        raise ValueError(f"invalid table identifier: {table!r}")
+    conn = pgwire.connect(
+        host=m.group("host"),
+        port=int(m.group("port") or 5432),
+        user=ns.user or "postgres",
+        database=m.group("db") or (ns.user or "postgres"),
+        password=ns.password,
+    )
+    try:
+        qualified = ".".join(f'"{part}"' for part in table.split("."))
+        cols, rows = conn.simple_query(f"SELECT * FROM {qualified}")
+    finally:
+        conn.close()
+    if not cols:
+        raise ValueError(f"query against {table!r} returned no row description")
+    ddl = ", ".join(
+        f"{name} {pgwire.spark_type_for_oid(oid)}" for name, oid in cols
+    )
+    return spark.createDataFrame(rows, schema=ddl)
+
+
 def read_jdbc(spark: SparkSession, table: str, namespace: str) -> DataFrame:
     ns = _NAMESPACES.get(namespace)
     if ns is None:
         raise ValueError(f"unknown database namespace: {namespace!r}")
     if ns.kind == "sqlite":
         df = _read_sqlite(spark, ns, table)
+    elif ns.kind == "jdbc" and ns.url.startswith("jdbc:postgresql:"):
+        # Prefer Spark's distributed JDBC reader (pushdown, partitioned
+        # reads); fall back to the native wire-protocol client when the
+        # driver jar is absent so a configured postgres namespace still
+        # executes instead of dying on a classpath error.
+        try:
+            df = spark.read.jdbc(ns.url, table, properties=ns.properties())
+        except Exception as jdbc_err:
+            if "ClassNotFoundException" not in str(
+                jdbc_err
+            ) and "No suitable driver" not in str(jdbc_err):
+                raise
+            df = _read_pg_wire(spark, ns, table)
     else:
         df = spark.read.jdbc(ns.url, table, properties=ns.properties())
     _SCHEMA_CACHE[(namespace, table)] = struct_to_schema_json(df.schema)

@@ -377,3 +377,60 @@ def char_ngram_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "top_ratio"
         ),
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents whose
+    word n-grams overlap a probe set (eval/benchmark items) — the
+    standard pre-training hygiene pass that keeps test data out of the
+    corpus.
+
+    Output per document: (doc_id, n_grams, n_contaminated,
+    contamination_ratio) where n_contaminated counts the document's
+    DISTINCT n-grams that appear anywhere in the probe set and the ratio
+    divides by the document's distinct n-gram count. Documents with no
+    n-grams (shorter than ``n`` words) are excluded — no ratio exists.
+
+    100 TB design: probe sets are benchmark-sized (MBs), so their
+    distinct n-grams BROADCAST — the corpus-side stream joins map-side
+    with no shuffle of the exploded n-grams; the only shuffle is the
+    per-doc count aggregation, keyed by doc id (uniform). The n-gram
+    stream reuses the zipped-slice shingle builder (no O(words^2)
+    lambda trap, see _word_shingles)."""
+    from datafusion_server_spark.operators.dedup import _word_shingles
+
+    docs = ensure_fanout_parallelism(docs)
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_shingles(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    probe_grams = (
+        probes.select(F.explode(_word_shingles(F.col(probe_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    hits = doc_grams.join(
+        F.broadcast(probe_grams).withColumn("__hit", F.lit(1)), "gram", "left"
+    )
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("__hit").cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("contamination_ratio"),
+        )
+        .select(
+            F.col("id").cast("bigint").alias(id_col),
+            "n_grams",
+            "n_contaminated",
+            "contamination_ratio",
+        )
+    )

@@ -281,3 +281,33 @@ def text_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_distinct_ratio"),
         F.round(F.max("top_ratio"), 6).alias("max_top_ratio"),
     )
+
+
+# Benchmark-contamination check: probe set = every 50th document (stand-in
+# for an eval/benchmark suite), 5-gram overlap against the whole corpus.
+# Probe documents themselves come back ratio=1.0 (they ARE in the corpus)
+# — the built-in sanity signal for the pipeline.
+_CONTAMINATION_N = 5
+_CONTAMINATION_ORACLE = """
+WITH words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+dg AS (SELECT DISTINCT doc_id,
+              UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 4),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+       FROM words),
+pg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(p.gram) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(COUNT(p.gram) AS DOUBLE) / COUNT(*), 6) AS contamination_ratio
+FROM dg d LEFT JOIN pg p USING (gram)
+GROUP BY d.doc_id
+"""
+
+
+@df_query("text_contamination_check", _CONTAMINATION_ORACLE)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    return text.contamination_check(
+        docs, probes, "text", "doc_id", "text", n=_CONTAMINATION_N
+    )

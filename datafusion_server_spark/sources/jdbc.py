@@ -107,6 +107,39 @@ def _read_sqlite(spark: SparkSession, ns: DatabaseNamespace, table: str) -> Data
 _PG_URL_RE = re.compile(
     r"jdbc:postgresql://(?P<host>[^:/]+)(?::(?P<port>\d+))?/(?P<db>[^?/]*)"
 )
+_MYSQL_URL_RE = re.compile(
+    r"jdbc:mysql://(?P<host>[^:/]+)(?::(?P<port>\d+))?/(?P<db>[^?/]*)"
+)
+
+
+def _read_mysql_wire(spark: SparkSession, ns: DatabaseNamespace, table: str) -> DataFrame:
+    """Native-protocol mysql read (sources/mysqlwire.py) — A11's second
+    reference target, same no-jar fallback contract as _read_pg_wire."""
+    from datafusion_server_spark.sources import mysqlwire
+
+    m = _MYSQL_URL_RE.fullmatch(ns.url)
+    if not m:
+        raise ValueError(f"cannot parse mysql URL {ns.url!r}")
+    if not _IDENT_RE.fullmatch(table):
+        raise ValueError(f"invalid table identifier: {table!r}")
+    conn = mysqlwire.connect(
+        host=m.group("host"),
+        port=int(m.group("port") or 3306),
+        user=ns.user or "root",
+        database=m.group("db") or "",
+        password=ns.password,
+    )
+    try:
+        qualified = ".".join(f"`{part}`" for part in table.split("."))
+        cols, rows = conn.query(f"SELECT * FROM {qualified}")
+    finally:
+        conn.close()
+    if not cols:
+        raise ValueError(f"query against {table!r} returned no columns")
+    ddl = ", ".join(
+        f"{name} {mysqlwire.spark_type_for_column(tc, fl)}" for name, tc, fl in cols
+    )
+    return spark.createDataFrame(rows, schema=ddl)
 
 
 def _read_pg_wire(spark: SparkSession, ns: DatabaseNamespace, table: str) -> DataFrame:
@@ -146,13 +179,18 @@ def read_jdbc(spark: SparkSession, table: str, namespace: str) -> DataFrame:
     ns = _NAMESPACES.get(namespace)
     if ns is None:
         raise ValueError(f"unknown database namespace: {namespace!r}")
+    wire_fallbacks = {"jdbc:postgresql:": _read_pg_wire, "jdbc:mysql:": _read_mysql_wire}
+    fallback = next(
+        (fn for prefix, fn in wire_fallbacks.items() if ns.url.startswith(prefix)),
+        None,
+    )
     if ns.kind == "sqlite":
         df = _read_sqlite(spark, ns, table)
-    elif ns.kind == "jdbc" and ns.url.startswith("jdbc:postgresql:"):
+    elif ns.kind == "jdbc" and fallback is not None:
         # Prefer Spark's distributed JDBC reader (pushdown, partitioned
         # reads); fall back to the native wire-protocol client when the
-        # driver jar is absent so a configured postgres namespace still
-        # executes instead of dying on a classpath error.
+        # driver jar is absent so a configured postgres/mysql namespace
+        # still executes instead of dying on a classpath error.
         try:
             df = spark.read.jdbc(ns.url, table, properties=ns.properties())
         except Exception as jdbc_err:
@@ -160,7 +198,7 @@ def read_jdbc(spark: SparkSession, table: str, namespace: str) -> DataFrame:
                 jdbc_err
             ) and "No suitable driver" not in str(jdbc_err):
                 raise
-            df = _read_pg_wire(spark, ns, table)
+            df = fallback(spark, ns, table)
     else:
         df = spark.read.jdbc(ns.url, table, properties=ns.properties())
     _SCHEMA_CACHE[(namespace, table)] = struct_to_schema_json(df.schema)

@@ -126,6 +126,25 @@ def test_delta_spark_through_registry(spark, tmp_path, delta_jar):
     assert df0.count() == 10
 
 
+@pytest.fixture(scope="module")
+def mysql_jdbc(spark):
+    if not _jvm_class_present(spark, "com.mysql.cj.jdbc.Driver"):
+        pytest.skip("mysql JDBC driver not on classpath")
+    url = os.environ.get("SPARK_GRAFT_MYSQL_URL")
+    if not url:
+        pytest.skip("SPARK_GRAFT_MYSQL_URL not set (need a live mysql)")
+    return url
+
+
+def test_live_mysql_through_namespace(spark, mysql_jdbc):
+    from datafusion_server_spark.sources import jdbc
+
+    ns = jdbc.DatabaseNamespace(name="myjar", url=mysql_jdbc)
+    jdbc.configure_namespace(ns)
+    df = jdbc.read_jdbc(spark, "information_schema.TABLES", "myjar")
+    assert df.count() > 0
+
+
 def test_live_postgres_through_namespace(spark, pg_jdbc):
     """The reference's actual external-DB target: a live postgres through
     config -> namespace -> table@ns (same chain the sqlite e2e proves

@@ -87,3 +87,27 @@ def test_domain_mix_proportions(spark):
     assert abs(counts.get("s0", 0) - 600) < 80
     assert abs(counts.get("s1", 0) - 200) < 60
     assert "s3" not in counts
+
+
+def test_contamination_check_properties(spark, sf_dir):
+    """Probe documents are in the corpus, so every probe doc must come
+    back contamination_ratio=1.0; the bulk of non-probe docs are clean;
+    docs shorter than n words are excluded (no ratio exists)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators import text as text_ops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    out = text_ops.contamination_check(docs, probes, "text", "doc_id", "text", n=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    probe_rows = [r for i, r in rows.items() if i % 50 == 0]
+    assert probe_rows and all(r["contamination_ratio"] == 1.0 for r in probe_rows)
+    nonprobe = [r for i, r in rows.items() if i % 50 != 0]
+    clean = sum(1 for r in nonprobe if r["n_contaminated"] == 0)
+    assert clean / len(nonprobe) > 0.9
+    # a doc shorter than n words produces no row
+    tiny = spark.createDataFrame([(999999, "too short")], "doc_id long, text string")
+    out2 = text_ops.contamination_check(tiny, probes, "text", "doc_id", "text", n=5)
+    assert out2.count() == 0

@@ -89,25 +89,25 @@ def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bo
         return plugins.load(spark, ds), True
 
     if fmt in ("csv", "ndjson", "parquet", "avro") and scheme in LISTING_SCHEMES:
-        location = _rewrite_scheme(ds.location, scheme)
-        if fmt == "csv":
-            return readers.read_csv(spark, location, ds.options), False
-        if fmt == "ndjson":
-            return readers.read_ndjson(spark, location, ds.options), False
-        if fmt == "parquet":
-            return readers.read_parquet(spark, location, ds.options), False
-        if fmt == "avro":
+
+        def read_listing(location: str, loc_scheme: str) -> tuple[DataFrame, bool]:
+            if fmt == "csv":
+                return readers.read_csv(spark, location, ds.options), False
+            if fmt == "ndjson":
+                return readers.read_ndjson(spark, location, ds.options), False
+            if fmt == "parquet":
+                return readers.read_parquet(spark, location, ds.options), False
+            # avro: spark-avro jar first (lazy distributed scan), then the
+            # pure-Python OCF fallback for locally readable paths — files
+            # OR directories of files (A8, reference reader.rs:114-134);
+            # the fallback materializes driver-side, hence eager
             try:
                 return spark.read.format("avro").load(location), False
             except Exception as e:  # spark-avro package not on classpath
-                # Pure-Python OCF fallback (A8, reference reader.rs:114-134):
-                # decode locally-readable files with the stdlib decoder and
-                # register eagerly. Object-store schemes still need the jar
-                # (no Hadoop FS access from Python).
                 local = (
-                    urlparse(ds.location).path
-                    if scheme == "file"
-                    else ds.location if scheme == "" else None
+                    urlparse(location).path
+                    if loc_scheme == "file"
+                    else location if loc_scheme == "" else None
                 )
                 if local is None or not os.path.exists(local):
                     raise DataSourceError(
@@ -116,8 +116,54 @@ def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bo
                     ) from e
                 from datafusion_server_spark.sources import avro_py
 
-                with open(local, "rb") as fh:
-                    return avro_py.read_avro(spark, fh.read()), True
+                paths = (
+                    sorted(
+                        os.path.join(local, f)
+                        for f in os.listdir(local)
+                        if not f.startswith((".", "_"))
+                    )
+                    if os.path.isdir(local)
+                    else [local]
+                )
+                out = None
+                for p in paths:
+                    with open(p, "rb") as fh:
+                        part = avro_py.read_avro(spark, fh.read())
+                    out = part if out is None else out.unionByName(part)
+                if out is None:
+                    raise DataSourceError(f"no avro files under {local!r}")
+                return out, True
+
+        if scheme in ("s3", "s3a"):
+            # hadoop-aws when present (distributed, pushdown); otherwise
+            # the pure-Python SigV4 client stages the objects locally and
+            # the normal reader takes over (A7 fallback, s3_py.py) —
+            # same execute-without-the-jar contract as avro/delta/pgwire
+            try:
+                return read_listing(_rewrite_scheme(ds.location, scheme), scheme)
+            except Exception as e:
+                if "S3AFileSystem" not in str(e) and "ClassNotFoundException" not in str(
+                    e
+                ):
+                    raise
+                import tempfile
+
+                from datafusion_server_spark.sources import s3_py
+
+                try:
+                    staged = s3_py.stage_prefix(
+                        spark,
+                        "s3://" + ds.location.split("://", 1)[1],
+                        os.path.join(tempfile.gettempdir(), "spark_graft_s3_stage"),
+                    )
+                except s3_py.S3Error as se:
+                    raise DataSourceError(
+                        f"s3 read unavailable (hadoop-aws missing and the "
+                        f"pure-Python fallback failed: {se})"
+                    ) from se
+                df, _ = read_listing(staged, "")
+                return df, True  # staged copy = buffered source
+        return read_listing(_rewrite_scheme(ds.location, scheme), scheme)
 
     if scheme in ("http", "https"):
         data = readers.fetch(ds.location)

@@ -434,3 +434,59 @@ def contamination_check(
             "contamination_ratio",
         )
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 3,
+) -> DataFrame:
+    """Boilerplate/template detection: word n-grams whose DOCUMENT
+    FREQUENCY reaches ``min_df`` are boilerplate (nav bars, license
+    headers, scraped templates); each document reports how much of it is
+    boilerplate.
+
+    Output: (doc_id, n_grams, n_boilerplate, boilerplate_ratio) over the
+    document's DISTINCT n-grams. Documents shorter than ``n`` words are
+    excluded (no ratio exists).
+
+    100 TB design: two aggregations, both on uniform keys — the gram
+    document-frequency count (shuffle on gram) and the per-doc rollup
+    (shuffle on id). The df table is corpus-sized but the FILTERED
+    boilerplate set is small by construction (few grams repeat across
+    min_df documents), so it broadcasts back onto the gram stream —
+    the corpus-side stream is never shuffled a second time."""
+    from datafusion_server_spark.operators.dedup import _word_shingles
+
+    docs = ensure_fanout_parallelism(docs)
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_shingles(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    bp = (
+        doc_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    hits = doc_grams.join(
+        F.broadcast(bp).withColumn("__bp", F.lit(1)), "gram", "left"
+    )
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("__bp").cast("bigint").alias("n_boilerplate"),
+            F.round(
+                F.count("__bp").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("boilerplate_ratio"),
+        )
+        .select(
+            F.col("id").cast("bigint").alias(id_col),
+            "n_grams",
+            "n_boilerplate",
+            "boilerplate_ratio",
+        )
+    )

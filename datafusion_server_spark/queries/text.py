@@ -311,3 +311,28 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_check(
         docs, probes, "text", "doc_id", "text", n=_CONTAMINATION_N
     )
+
+
+# Boilerplate detection: trigrams appearing in >= 3 documents are
+# template/boilerplate; per-doc boilerplate share. The fixture's
+# duplicated documents guarantee a non-trivial boilerplate set.
+_BOILERPLATE_ORACLE = """
+WITH words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+dg AS (SELECT DISTINCT doc_id,
+              UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+       FROM words),
+bp AS (SELECT gram FROM dg GROUP BY gram HAVING COUNT(*) >= 3)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(b.gram) AS BIGINT) AS n_boilerplate,
+       ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 6) AS boilerplate_ratio
+FROM dg d LEFT JOIN bp b USING (gram)
+GROUP BY d.doc_id
+"""
+
+
+@df_query("text_boilerplate_ngrams", _BOILERPLATE_ORACLE)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.boilerplate_ngrams(docs, "text", "doc_id", n=3, min_df=3)

@@ -206,6 +206,8 @@ def _snappy_compress(data: bytes) -> bytes:
         out.write(bytes([b | 0x80]) if length else bytes([b]))
         if not length:
             break
+    if not data:  # empty input: preamble only, no literal tag
+        return out.getvalue()
     ln = len(data) - 1
     if ln < 60:
         out.write(bytes([ln << 2]))

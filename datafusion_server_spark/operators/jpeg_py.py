@@ -253,6 +253,8 @@ def _decode_scan(data, pos, frame, quant, huff, scan_sel, restart_interval):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if len(scan_sel) != len(comps):
         raise JpegError("multi-scan streams unsupported (progressive?)")
+    if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
+        raise JpegError("invalid sampling factors")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -261,7 +263,9 @@ def _decode_scan(data, pos, frame, quant, huff, scan_sel, restart_interval):
         c["bw"] = mcus_x * c["h"]  # blocks per row incl. MCU padding
         c["bh"] = mcus_y * c["v"]
         c["plane"] = [0.0] * (c["bw"] * 8 * c["bh"] * 8)
-        sel = next(s for s in scan_sel if s[0] == c["id"])
+        sel = next((s for s in scan_sel if s[0] == c["id"]), None)
+        if sel is None:
+            raise JpegError(f"scan selects unknown component id {c['id']}")
         c["dc_t"] = huff.get((0, sel[1]))
         c["ac_t"] = huff.get((1, sel[2]))
         if c["dc_t"] is None or c["ac_t"] is None:

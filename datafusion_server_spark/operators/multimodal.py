@@ -252,18 +252,27 @@ def _bmp_pixel_stats(b: bytes, width: int, height: int) -> dict:
         return {}
 
 
-def _jpeg_pixel_stats(b: bytes) -> dict:
+# Pixel-count cap for the pure-Python JPEG content decode: above this the
+# Python-loop IDCT takes seconds-to-minutes per image, so bigger images
+# keep header-only metadata (honest null stats, same as progressive) —
+# swap in a real imaging library to lift it.
+JPEG_DECODE_MAX_PIXELS = 512 * 512
+
+
+def _jpeg_pixel_stats(b: bytes, width: int, height: int) -> dict:
     """REAL pixel decode for baseline (SOF0) JPEGs via the pure-stdlib
     huffman+IDCT decoder (operators/jpeg_py.py): mean/RMS over all
-    decoded channel values normalized to 0..1. Progressive/arithmetic
-    streams return {} (honest, not wrong values)."""
+    decoded channel values normalized to 0..1. Progressive/arithmetic/
+    oversized/corrupt streams return {} (honest, not wrong values)."""
     import struct
 
     from datafusion_server_spark.operators import jpeg_py
 
+    if width * height > JPEG_DECODE_MAX_PIXELS:
+        return {}
     try:
         _, _, planes = jpeg_py.decode_baseline(b)
-    except (jpeg_py.JpegError, IndexError, struct.error):
+    except (jpeg_py.JpegError, ValueError, KeyError, IndexError, struct.error):
         return {}
     total = 0
     total_sq = 0
@@ -366,7 +375,7 @@ def decode_media(payload: bytes | None) -> dict:
                         width=w,
                         height=h,
                         format="jpeg",
-                        **_jpeg_pixel_stats(b),
+                        **_jpeg_pixel_stats(b, w, h),
                     )
                 off += 2 + seg_len
             return dict(_EMPTY_META, n_bytes=n, format="jpeg")

@@ -428,7 +428,7 @@ def contamination_check(
             ).alias("contamination_ratio"),
         )
         .select(
-            F.col("id").cast("bigint").alias(id_col),
+            F.col("id").alias(id_col),  # original id type preserved
             "n_grams",
             "n_contaminated",
             "contamination_ratio",
@@ -484,7 +484,7 @@ def boilerplate_ngrams(
             ).alias("boilerplate_ratio"),
         )
         .select(
-            F.col("id").cast("bigint").alias(id_col),
+            F.col("id").alias(id_col),  # original id type preserved
             "n_grams",
             "n_boilerplate",
             "boilerplate_ratio",

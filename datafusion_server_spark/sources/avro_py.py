@@ -283,13 +283,15 @@ def _write_long(out: io.BytesIO, v: int) -> None:
             break
 
 
-def _union_branch_matches(branch: Any, value: Any) -> bool:
+def _union_branch_matches(branch: Any, value: Any, named: dict[str, Any]) -> bool:
     """Does ``value``'s Python type encode under ``branch``?"""
     if branch == "null":
         return value is None
     if value is None:
         return False
     if isinstance(branch, str):
+        if branch in named:  # named-type reference (record/enum/fixed)
+            return _union_branch_matches(named[branch], value, named)
         if branch == "boolean":
             return isinstance(value, bool)
         if branch in ("int", "long"):
@@ -310,11 +312,17 @@ def _union_branch_matches(branch: Any, value: Any) -> bool:
         return isinstance(value, str)
     if t == "fixed":
         return isinstance(value, (bytes, bytearray))
-    return _union_branch_matches(t, value)  # wrapped primitive / logical
+    return _union_branch_matches(t, value, named)  # wrapped primitive / logical
 
 
-def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
+def _encode(
+    schema: Any, value: Any, out: io.BytesIO, named: dict[str, Any] | None = None
+) -> None:
+    named = named if named is not None else {}
     if isinstance(schema, str):
+        if schema in named:  # named-type reference
+            _encode(named[schema], value, out, named)
+            return
         t = schema
         if t == "null":
             return
@@ -337,30 +345,39 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
         # value's PYTHON TYPE (not merely null vs non-null — a
         # ["null","string","long"] union must route a long to "long")
         for idx, branch in enumerate(schema):
-            if _union_branch_matches(branch, value):
+            if _union_branch_matches(branch, value, named):
                 _write_long(out, idx)
-                _encode(branch, value, out)
+                _encode(branch, value, out, named)
                 return
+        # second pass: Avro-spec numeric promotion (int -> float/double)
+        if isinstance(value, int) and not isinstance(value, bool):
+            for idx, branch in enumerate(schema):
+                if branch in ("float", "double"):
+                    _write_long(out, idx)
+                    _encode(branch, float(value), out, named)
+                    return
         raise ValueError(
             f"no union branch in {schema!r} matches value of type "
             f"{type(value).__name__}"
         )
     t = schema["type"]
+    if t in ("record", "enum", "fixed") and schema.get("name"):
+        named[schema["name"]] = schema  # register for later references
     if t == "record":
         for f in schema["fields"]:
-            _encode(f["type"], value[f["name"]], out)
+            _encode(f["type"], value[f["name"]], out, named)
     elif t == "array":
         if value:
             _write_long(out, len(value))
             for item in value:
-                _encode(schema["items"], item, out)
+                _encode(schema["items"], item, out, named)
         _write_long(out, 0)
     elif t == "map":
         if value:
             _write_long(out, len(value))
             for k, v in value.items():
-                _encode("string", k, out)
-                _encode(schema["values"], v, out)
+                _encode("string", k, out, named)
+                _encode(schema["values"], v, out, named)
         _write_long(out, 0)
     elif t == "enum":
         _write_long(out, schema["symbols"].index(value))
@@ -369,7 +386,7 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
             raise ValueError("fixed value length mismatch")
         out.write(value)
     else:
-        _encode(t, value, out)
+        _encode(t, value, out, named)
 
 
 def write_ocf(schema: dict, records: list[Any], codec: str = "null") -> bytes:
@@ -388,8 +405,9 @@ def write_ocf(schema: dict, records: list[Any], codec: str = "null") -> bytes:
     sync = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
     out.write(sync)
     body = io.BytesIO()
+    named: dict[str, Any] = {}
     for rec in records:
-        _encode(schema, rec, body)
+        _encode(schema, rec, body, named)
     block = body.getvalue()
     if codec == "deflate":
         co = zlib.compressobj(wbits=-15)

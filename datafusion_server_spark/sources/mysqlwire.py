@@ -275,5 +275,9 @@ def connect(
 ) -> MySqlConnection:
     sock = socket.create_connection((host, port), timeout=timeout)
     conn = MySqlConnection(sock)
-    conn._handshake(user, password or "", database)
+    try:
+        conn._handshake(user, password or "", database)
+    except BaseException:
+        sock.close()  # no fd leak on handshake failure
+        raise
     return conn

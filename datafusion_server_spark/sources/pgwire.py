@@ -237,9 +237,13 @@ def connect(
 ) -> PgConnection:
     sock = socket.create_connection((host, port), timeout=timeout)
     conn = PgConnection(sock)
-    params = f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
-    payload = struct.pack(">II", len(params) + 8, PROTOCOL_V3) + params
-    sock.sendall(payload)
-    conn._authenticate(user, password)
-    conn._drain_until_ready()
+    try:
+        params = f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
+        payload = struct.pack(">II", len(params) + 8, PROTOCOL_V3) + params
+        sock.sendall(payload)
+        conn._authenticate(user, password)
+        conn._drain_until_ready()
+    except BaseException:
+        sock.close()  # no fd leak on auth/startup failure
+        raise
     return conn

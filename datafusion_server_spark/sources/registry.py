@@ -142,9 +142,20 @@ def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bo
             try:
                 return read_listing(_rewrite_scheme(ds.location, scheme), scheme)
             except Exception as e:
-                if "S3AFileSystem" not in str(e) and "ClassNotFoundException" not in str(
-                    e
-                ):
+                # stage when the failure is a MISSING JAR, not a data error:
+                # hadoop-aws absent (S3AFileSystem/ClassNotFound) or, for
+                # avro, spark-avro absent on a non-local location (the
+                # wrapped DataSourceError from read_listing) — staging then
+                # lets the avro_py local fallback read the staged copies
+                missing_jar = (
+                    "S3AFileSystem" in str(e)
+                    or "ClassNotFoundException" in str(e)
+                    or (
+                        isinstance(e, DataSourceError)
+                        and "not locally readable" in str(e)
+                    )
+                )
+                if not missing_jar:
                     raise
                 import tempfile
 

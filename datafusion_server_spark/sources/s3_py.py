@@ -214,11 +214,21 @@ def stage_prefix(
             f"{location!r} holds {total} bytes — beyond the {max_bytes}-byte "
             "staging fallback; install hadoop-aws for the distributed scan"
         )
-    dest = os.path.join(dest_root, bucket, prefix.replace("/", "_") or "_root")
-    os.makedirs(dest, exist_ok=True)
-    for key, _ in objects:
+    # dir name = readable tail + hash of the FULL (bucket, prefix) so
+    # distinct prefixes never collide; cleared before staging so a
+    # changed S3 prefix can't leave phantom stale files behind
+    import shutil
+
+    digest = hashlib.sha256(f"{bucket}/{prefix}".encode()).hexdigest()[:16]
+    tail = (prefix.replace("/", "_") or "_root")[-48:]
+    dest = os.path.join(dest_root, bucket, f"{tail}.{digest}")
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    for i, (key, _) in enumerate(objects):
         data = get_object(cfg, bucket, key)
-        fname = key[len(prefix):].lstrip("/") or os.path.basename(key)
-        with open(os.path.join(dest, fname.replace("/", "__")), "wb") as fh:
+        # index prefix guarantees uniqueness even when flattening '/'
+        # collides ('a/b' vs 'a__b'); original basename keeps extensions
+        fname = f"{i:05d}__{os.path.basename(key) or 'object'}"
+        with open(os.path.join(dest, fname), "wb") as fh:
             fh.write(data)
     return dest

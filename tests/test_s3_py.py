@@ -186,6 +186,26 @@ def test_registry_s3_fallback_e2e(spark, s3_server, tmp_path, monkeypatch):
     ]
 
 
+def test_restage_clears_stale_files(spark, s3_server, tmp_path):
+    """Re-staging a prefix after objects were deleted in S3 must not
+    leave phantom files from the previous staging behind."""
+    from datafusion_server_spark.sources import credentials
+
+    credentials.configure_s3(
+        spark, access_key=ACCESS, secret_key=SECRET,
+        endpoint=f"http://127.0.0.1:{s3_server.server_address[1]}",
+        region=REGION, bucket=BUCKET, path_style=True,
+    )
+    d1 = s3_py.stage_prefix(spark, f"s3://{BUCKET}/data/", str(tmp_path))
+    import os
+
+    assert len(os.listdir(d1)) == 3
+    del s3_server.objects["data/part-2.csv"]
+    d2 = s3_py.stage_prefix(spark, f"s3://{BUCKET}/data/", str(tmp_path))
+    assert d2 == d1
+    assert len(os.listdir(d2)) == 2  # stale part-2 is GONE
+
+
 def test_stage_refuses_oversize(spark, s3_server, tmp_path):
     from datafusion_server_spark.sources import credentials
 

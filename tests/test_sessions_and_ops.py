@@ -307,6 +307,39 @@ def test_jpeg_baseline_decode_roundtrip(spark):
         jpeg_py.decode_baseline(bytes(prog))
 
 
+def test_jpeg_malformed_and_oversized_degrade_to_null(spark):
+    """Corrupt streams (bad SOS component id, zero sampling factor) and
+    images beyond the decode pixel cap degrade to header-only metadata —
+    never a task-crashing exception, never wrong values."""
+    from datafusion_server_spark.operators import jpeg_py
+    from datafusion_server_spark.operators.multimodal import decode_media
+
+    w = h = 16
+    src = [0] * (w * h)
+    data = bytearray(jpeg_py.encode_baseline_grayscale(src, w, h))
+    # corrupt the SOS component selector (id 1 -> 9): StopIteration class
+    sos = data.index(b"\xff\xda")
+    data[sos + 5] = 9
+    meta = decode_media(bytes(data))
+    assert meta["format"] == "jpeg" and meta["value_mean"] is None
+
+    # zero sampling factor in SOF: ZeroDivisionError class
+    data = bytearray(jpeg_py.encode_baseline_grayscale(src, w, h))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 11] = 0x00  # h/v sampling nibbles both 0
+    meta = decode_media(bytes(data))
+    assert meta["value_mean"] is None
+
+    # oversized dimensions skip content decode (header metadata intact)
+    data = bytearray(jpeg_py.encode_baseline_grayscale(src, w, h))
+    import struct as _s
+
+    data[sof + 5 : sof + 9] = _s.pack(">HH", 4000, 6000)
+    meta = decode_media(bytes(data))
+    assert (meta["width"], meta["height"]) == (6000, 4000)
+    assert meta["value_mean"] is None
+
+
 def test_jpeg_stats_through_decode_media(spark):
     """decode_media now carries REAL value stats for baseline JPEGs —
     the former honest stub (jpeg pixels) is closed; only the embedding

@@ -203,6 +203,31 @@ def test_avro_union_multibranch_type_routing():
         avro_py.write_ocf(schema, [{"v": 1.5}])
 
 
+def test_avro_union_numeric_promotion_and_named_refs():
+    """Two union shapes strict type-routing must still handle: a Python
+    int under a ["null","double"] union (Avro-spec numeric promotion)
+    and a NAMED-TYPE REFERENCE branch (["null","Sig"]) resolving through
+    the encoder's named registry."""
+    from datafusion_server_spark.sources import avro_py
+
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "x", "type": ["null", "double"]},
+            {"name": "sig", "type": {"type": "fixed", "name": "Sig", "size": 2}},
+            {"name": "sig2", "type": ["null", "Sig"]},  # named reference
+        ],
+    }
+    records = [
+        {"x": 7, "sig": b"ab", "sig2": b"cd"},  # int -> double branch
+        {"x": None, "sig": b"ef", "sig2": None},
+    ]
+    _, decoded = avro_py.read_ocf(avro_py.write_ocf(schema, records))
+    assert decoded[0]["x"] == 7.0 and decoded[0]["sig2"] == b"cd"
+    assert decoded[1]["x"] is None and decoded[1]["sig2"] is None
+
+
 def test_avro_registry_fallback_e2e(spark, tmp_path):
     """A real .avro file ingests through the registry without the
     spark-avro jar: the pure-Python fallback decodes and registers

@@ -47,7 +47,7 @@ HEADLINE = [
 # default-API user gets and what wins at real scale. Both are reported.
 VARIANTS = {
     "ann_lsh_cosine": ("materialize=False (pinned)", "ann_lsh_cosine_materialized"),
-    "ann_lsh_scaled": ("materialize=False (pinned)", "ann_lsh_scaled_materialized"),
+    "ann_lsh_scaled": ("materialize=True (operator default)", "ann_lsh_scaled_recompute"),
 }
 
 

@@ -17,7 +17,7 @@ def _in_list(langs: tuple[str, ...]) -> str:
 
 @df_query(
     "text_token_stats",
-    """
+    r"""
     SELECT CAST(doc_id AS BIGINT) AS id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars,
            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,

@@ -1,0 +1,189 @@
+"""Gopher-style document-quality rules for LLM-training-data curation.
+
+Implements the repetition-and-composition filter family popularized by
+the Gopher dataset pipeline (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", §A1.1) as exact,
+deterministic DataFrame compositions — every rule is reproducible
+bit-for-bit by an ANSI-SQL oracle, so the operator is hash-checkable.
+
+Rules computed per document (thresholds follow the paper where they are
+published; each flag is emitted separately so callers can re-threshold):
+
+- word count within [min_words, max_words]
+- mean word length within [3, 10] chars
+- >= 2 distinct stopwords present (the classic 10-word probe list)
+- >= 80% of words contain at least one alphabetic character
+- top word-2-gram character fraction <= 0.20
+- duplicate word-3-gram character fraction <= 0.18
+
+Character-fraction definitions (documented here because published specs
+are ambiguous; the oracle implements these formulas verbatim):
+
+- ``top_bigram_frac`` = ``count(top gram) * len(top gram) / len(text)``
+  where the top gram is the most frequent 2-gram, ties broken by the
+  lexicographically smallest gram.
+- ``dup_trigram_frac`` = ``sum over 3-grams with count >= 2 of
+  count * len(gram) / len(text)`` (all occurrences weighted; overlaps
+  may push the ratio past 1.0 on degenerate text — it is a repetition
+  score, not a partition of the text).
+
+Scale notes (100 TB): the narrow stats are per-row column expressions
+(no shuffle). The two n-gram fractions each explode the gram stream and
+aggregate it keyed by (doc, gram) then (doc) — two shuffles, both keyed
+by doc id, so they distribute evenly and never form cross-document
+pairs. The joins back to the base stats are id-keyed and AQE-sized.
+
+Reference parity note: the reference engine (neural-runner/
+datafusion-server) has no quality-filter operators; this module is part
+of the beyond-reference LLM-pipeline surface (BASELINE.json north-star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators.dedup import _word_shingles
+from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+
+# The 10-word stopword probe list from the Gopher paper's rule
+# ("contains at least 2 of: the, be, to, of, and, that, have, with").
+# We extend to 10 with 'a'/'in' for a better probe on short docs; the
+# threshold stays >= 2 distinct.
+STOPWORD_PROBE = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+DEFAULT_MIN_WORDS = 50
+DEFAULT_MAX_WORDS = 100_000
+TOP_BIGRAM_MAX_FRAC = 0.20
+DUP_TRIGRAM_MAX_FRAC = 0.18
+
+
+def _gram_counts(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, gram, cnt): occurrence counts of word k-grams per document.
+
+    Uses the shared slice-based shingle builder (see ``_word_shingles``:
+    the element_at-in-lambda form is O(words^2) per doc under Catalyst's
+    CollapseProject)."""
+    df = ensure_fanout_parallelism(df)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_word_shingles(F.col(text_col), k)).alias("gram"),
+        )
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _round6(col: Column) -> Column:
+    return F.round(col, 6)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = DEFAULT_MIN_WORDS,
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> DataFrame:
+    """Per-document Gopher-style quality metrics and pass/fail flags.
+
+    Output columns: (id, n_words, mean_word_len, n_stopwords,
+    frac_alpha_words, top_bigram_frac, dup_trigram_frac,
+    pass_word_count, pass_mean_word_len, pass_stopwords, pass_alpha,
+    pass_rep_bigram, pass_rep_trigram, keep) — ``keep`` is the AND of
+    all flags. Tokenization is a literal single-space split (the
+    module-wide determinism contract)."""
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    n_words = F.size(words).cast("bigint")
+    n_chars = F.length(text).cast("bigint")
+    # total word chars = n_chars - (n_words - 1) separators
+    mean_word_len = _round6(
+        (n_chars - (n_words - F.lit(1))).cast("double") / n_words.cast("double")
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words), F.array(*[F.lit(w) for w in STOPWORD_PROBE])
+        )
+    ).cast("bigint")
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("bigint")
+    frac_alpha = _round6(alpha_words.cast("double") / n_words.cast("double"))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        mean_word_len.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        frac_alpha.alias("frac_alpha_words"),
+    )
+
+    # top 2-gram: min of struct(-cnt, gram) picks max count, then the
+    # lexicographically smallest gram — the oracle's deterministic
+    # tie-break, expressed as one aggregation.
+    top2 = (
+        _gram_counts(df, text_col, id_col, 2)
+        .groupBy("id")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g"))).alias("t"))
+        .select(
+            "id",
+            (-F.col("t.nc")).cast("bigint").alias("top2_cnt"),
+            F.length(F.col("t.g")).cast("bigint").alias("top2_len"),
+        )
+    )
+    dup3 = (
+        _gram_counts(df, text_col, id_col, 3)
+        .filter(F.col("cnt") >= 2)
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.length(F.col("gram"))).cast("bigint").alias("dup3_chars"))
+    )
+
+    out = (
+        base.join(top2, "id", "left")
+        .join(dup3, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            "mean_word_len",
+            "n_stopwords",
+            "frac_alpha_words",
+            _round6(
+                F.coalesce(
+                    (F.col("top2_cnt") * F.col("top2_len")).cast("double")
+                    / F.col("n_chars").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("top_bigram_frac"),
+            _round6(
+                F.coalesce(
+                    F.col("dup3_chars").cast("double") / F.col("n_chars").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    flags = out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "pass_word_count"
+        ),
+        ((F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)).alias(
+            "pass_mean_word_len"
+        ),
+        (F.col("n_stopwords") >= 2).alias("pass_stopwords"),
+        (F.col("frac_alpha_words") >= 0.8).alias("pass_alpha"),
+        (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX_FRAC).alias("pass_rep_bigram"),
+        (F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX_FRAC).alias("pass_rep_trigram"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_stopwords")
+            & F.col("pass_alpha")
+            & F.col("pass_rep_bigram")
+            & F.col("pass_rep_trigram")
+        ).alias("keep"),
+    )

@@ -98,6 +98,41 @@ def domain_mix_sample(
     )
 
 
+def reservoir_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    *,
+    seed: str = "reservoir",
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group keep the k
+    rows with the smallest hash fraction (ties broken by key). This is
+    the classic hash-rank formulation of reservoir sampling — the same
+    marginal distribution as Vitter's Algorithm R with the hash as the
+    randomness source, but reproducible across runs, engines, and
+    partitionings, and mergeable (the k smallest of a union is computable
+    from per-part k-smallest sets).
+
+    Output: the input rows of the winners plus their ``sample_rank``
+    (1..k within group).
+
+    Scale notes (100 TB): one shuffle keyed by the group column. The
+    window's per-group sort is bounded by Spark's TopK optimization only
+    when a global limit exists, so for severely skewed groups pre-thin
+    first (``stratified_sample`` at a rate that keeps ~10k x k rows),
+    then rank — the hash-rank winners are unchanged by any pre-filter
+    that keeps more than k rows per group."""
+    from pyspark.sql import Window
+
+    frac = hash_fraction(F.col(key_col), seed)
+    w = Window.partitionBy(group_col).orderBy(frac.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

@@ -156,6 +156,7 @@ def registry() -> dict[str, QueryDef]:
         dedup,
         extensions,
         merge,
+        quality,
         sampling,
         similarity,
         text,

@@ -1,0 +1,136 @@
+"""Gopher-style quality-rule and embedding-transform queries with exact
+DuckDB oracles (operators/quality.py, operators/embeddings.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import embeddings, quality
+from datafusion_server_spark.queries import df_query
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in quality.STOPWORD_PROBE)
+
+# Word / 2-gram / 3-gram CTEs over documents; range(1, n) is [1, n), so
+# the gram index streams stop exactly at the last full gram.
+_GOPHER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, LENGTH(text) AS n_chars, STRING_SPLIT(text, ' ') AS words
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(LEN(words) AS BIGINT) AS n_words,
+         n_chars,
+         ROUND(CAST(n_chars - (LEN(words) - 1) AS DOUBLE) / CAST(LEN(words) AS DOUBLE), 6) AS mean_word_len,
+         CAST(LEN(list_filter(list_distinct(words),
+                              x -> list_contains([{_STOP_LIST}], x))) AS BIGINT) AS n_stopwords,
+         ROUND(CAST(LEN(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / CAST(LEN(words) AS DOUBLE), 6) AS frac_alpha_words
+  FROM w),
+g2 AS (
+  SELECT doc_id, words[i] || ' ' || words[i + 1] AS gram
+  FROM w, UNNEST(range(1, LEN(words))) AS t(i)),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, cnt, LENGTH(gram) AS glen
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram) AS r FROM c2)
+  WHERE r = 1),
+g3 AS (
+  SELECT doc_id, words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS gram
+  FROM w, UNNEST(range(1, LEN(words) - 1)) AS t(i)),
+c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+dup3 AS (
+  SELECT doc_id, CAST(SUM(cnt * LENGTH(gram)) AS BIGINT) AS dchars
+  FROM c3 WHERE cnt >= 2 GROUP BY 1),
+m AS (
+  SELECT b.doc_id AS id, b.n_words, b.mean_word_len, b.n_stopwords, b.frac_alpha_words,
+         ROUND(COALESCE(CAST(t.cnt * t.glen AS DOUBLE) / CAST(b.n_chars AS DOUBLE), 0.0), 6) AS top_bigram_frac,
+         ROUND(COALESCE(CAST(d.dchars AS DOUBLE) / CAST(b.n_chars AS DOUBLE), 0.0), 6) AS dup_trigram_frac
+  FROM base b
+  LEFT JOIN top2 t ON t.doc_id = b.doc_id
+  LEFT JOIN dup3 d ON d.doc_id = b.doc_id)
+SELECT *,
+       (pass_word_count AND pass_mean_word_len AND pass_stopwords AND pass_alpha
+        AND pass_rep_bigram AND pass_rep_trigram) AS keep
+FROM (
+  SELECT CAST(id AS BIGINT) AS id, n_words, mean_word_len, n_stopwords,
+         frac_alpha_words, top_bigram_frac, dup_trigram_frac,
+         (n_words >= {quality.DEFAULT_MIN_WORDS} AND n_words <= {quality.DEFAULT_MAX_WORDS}) AS pass_word_count,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
+         (n_stopwords >= 2) AS pass_stopwords,
+         (frac_alpha_words >= 0.8) AS pass_alpha,
+         (top_bigram_frac <= {quality.TOP_BIGRAM_MAX_FRAC}) AS pass_rep_bigram,
+         (dup_trigram_frac <= {quality.DUP_TRIGRAM_MAX_FRAC}) AS pass_rep_trigram
+  FROM m)
+"""
+
+
+@df_query("gopher_quality_flags", _GOPHER_ORACLE)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return quality.gopher_quality_flags(docs, "text", "doc_id")
+
+
+# --- embedding transforms (operators/embeddings.py) ---
+
+IN_DIM = 64
+OUT_DIM = 8
+
+# Element view shared by both oracles: 0-based index i0 for the sign
+# matrix, exact 1e12 fixed-point scaling (see queries/similarity.py).
+_PROJ_ORACLE = f"""
+WITH el AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i0
+  FROM embeddings),
+cells AS (
+  SELECT e.vec_id, t.j,
+         CAST(ROUND(e.x * 1e12) AS BIGINT)
+         * CAST(((e.i0 * 31 + t.j * 17) % 3 - 1) AS BIGINT) AS term
+  FROM el e, UNNEST(range(0, {OUT_DIM})) AS t(j)),
+sums AS (
+  SELECT vec_id, j,
+         ROUND(CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1e12 / SQRT({float(OUT_DIM)}), 6) AS y
+  FROM cells GROUP BY 1, 2)
+SELECT CAST(vec_id AS BIGINT) AS id, CAST(j AS BIGINT) AS j, y
+FROM sums
+"""
+
+
+@df_query("embedding_random_projection", _PROJ_ORACLE)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # element-wise output (id, j, y): the driver's comparator hashes
+    # scalar columns; the operator's array form is exercised in unit tests
+    emb = tables.load(spark, sf_dir, "embeddings")
+    proj = embeddings.random_projection(emb, "embedding", "vec_id", IN_DIM, OUT_DIM)
+    return proj.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.posexplode("proj").alias("j", "y"),
+    ).select("id", F.col("j").cast("bigint").alias("j"), "y")
+
+
+_NORM_ORACLE = """
+WITH el AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS i
+  FROM embeddings),
+norms AS (
+  SELECT vec_id,
+         SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+  FROM el GROUP BY vec_id)
+SELECT CAST(e.vec_id AS BIGINT) AS id, CAST(e.i - 1 AS BIGINT) AS j,
+       CASE WHEN n.nrm = 0.0 THEN e.x ELSE ROUND(e.x / n.nrm, 6) END AS u
+FROM el e JOIN norms n ON n.vec_id = e.vec_id
+"""
+
+
+@df_query("embedding_l2_normalize", _NORM_ORACLE)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    unit = embeddings.l2_normalize(emb, "embedding", "vec_id")
+    return unit.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.posexplode("unit").alias("j", "u"),
+    ).select("id", F.col("j").cast("bigint").alias("j"), "u")

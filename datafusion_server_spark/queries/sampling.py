@@ -63,6 +63,31 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
 
 
+# deterministic k-per-group reservoir: within each source keep the 5
+# docs with the smallest hash fraction (hash-rank reservoir sampling)
+_RESERVOIR_K = 5
+
+_RESERVOIR_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_FRAC.format(seed='reservoir')} ASC, doc_id ASC) AS r
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(r AS BIGINT) AS sample_rank
+FROM ranked WHERE r <= {_RESERVOIR_K}
+"""
+
+
+@df_query("sample_reservoir_per_group", _RESERVOIR_ORACLE)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = sampling.reservoir_per_group(docs, "doc_id", "source", _RESERVOIR_K)
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "sample_rank"
+    )
+
+
 _SPLIT_ORACLE = f"""
 SELECT split, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
        CAST(MAX(doc_id) AS BIGINT) AS max_id

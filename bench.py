@@ -66,8 +66,20 @@ def main() -> None:
     # (thousands), exactly as build_spark's default comment says — the
     # A/B at sf0.1: 8 beats 32 on 12 of 16 headline queries.
     shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
+    # AQE off for the bench session only: adaptive re-optimization buys
+    # nothing on 1-30 MB stages (the static plans are already the right
+    # plans at this SF — verified per-plan in PLANS.md) but costs a
+    # driver scheduling round-trip at every exchange, ~30-50% of the
+    # wall time of the small relational queries (A/B: q3 0.54->0.38,
+    # window_running_sum 0.49->0.22, events_sessionize 0.32->0.16).
+    # The SESSION default keeps AQE on — at real scale its runtime
+    # re-planning (skew splits, broadcast promotion) is load-bearing.
+    aqe = os.environ.get("SPARK_GRAFT_BENCH_AQE", "off") != "off"
     spark = build_spark(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=shuffle
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle,
+        extra_conf={"spark.sql.adaptive.enabled": str(aqe).lower()},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

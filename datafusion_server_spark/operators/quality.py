@@ -28,10 +28,13 @@ are ambiguous; the oracle implements these formulas verbatim):
   score, not a partition of the text).
 
 Scale notes (100 TB): the narrow stats are per-row column expressions
-(no shuffle). The two n-gram fractions each explode the gram stream and
-aggregate it keyed by (doc, gram) then (doc) — two shuffles, both keyed
-by doc id, so they distribute evenly and never form cross-document
-pairs. The joins back to the base stats are id-keyed and AQE-sized.
+(no shuffle). The two n-gram fractions share ONE pass over the heavy
+gram stream (``_fused_gram_counts``: each element carries the 2-gram
+plus its null-padded third word, so 3-gram counts are a filter and
+2-gram counts a sub-aggregation of the same keyed stream) — the text
+column is scanned, split, and exploded once, and every aggregation is
+keyed by doc id, so the work distributes evenly and never forms
+cross-document pairs. The joins back to the base stats are id-keyed.
 
 Reference parity note: the reference engine (neural-runner/
 datafusion-server) has no quality-filter operators; this module is part
@@ -43,7 +46,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_server_spark.operators.dedup import _word_shingles
 from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
 
 # The 10-word stopword probe list from the Gopher paper's rule
@@ -58,19 +60,31 @@ TOP_BIGRAM_MAX_FRAC = 0.20
 DUP_TRIGRAM_MAX_FRAC = 0.18
 
 
-def _gram_counts(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, gram, cnt): occurrence counts of word k-grams per document.
+def _fused_gram_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram2, w3, cnt): ONE pass over the heavy gram stream that
+    serves both rules. Each stream element is (w_i, w_{i+1}, w_{i+2} or
+    null) — arrays_zip null-pads the third slice, so the final position
+    of every document yields its last 2-gram with a null w3. 2-gram
+    counts are then ``sum(cnt) grouped by (id, gram2)`` and 3-gram
+    counts are the rows with w3 non-null — the text column is scanned,
+    split, and exploded exactly once instead of once per gram size.
 
-    Uses the shared slice-based shingle builder (see ``_word_shingles``:
-    the element_at-in-lambda form is O(words^2) per doc under Catalyst's
-    CollapseProject)."""
+    Slice-based like ``_word_shingles`` (the element_at-in-lambda form
+    is O(words^2) per doc under Catalyst's CollapseProject)."""
     df = ensure_fanout_parallelism(df)
+    words = F.split(F.col(text_col), " ")
+    m = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(words, 1, m), F.slice(words, 2, m), F.slice(words, 3, m)
+    )
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(_word_shingles(F.col(text_col), k)).alias("gram"),
+        df.select(F.col(id_col).alias("id"), F.explode(zipped).alias("t"))
+        .select(
+            "id",
+            F.concat_ws(" ", F.col("t")["0"], F.col("t")["1"]).alias("gram2"),
+            F.col("t")["2"].alias("w3"),
         )
-        .groupBy("id", "gram")
+        .groupBy("id", "gram2", "w3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
@@ -85,6 +99,7 @@ def gopher_quality_flags(
     id_col: str,
     min_words: int = DEFAULT_MIN_WORDS,
     max_words: int = DEFAULT_MAX_WORDS,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document Gopher-style quality metrics and pass/fail flags.
 
@@ -93,7 +108,12 @@ def gopher_quality_flags(
     pass_word_count, pass_mean_word_len, pass_stopwords, pass_alpha,
     pass_rep_bigram, pass_rep_trigram, keep) — ``keep`` is the AND of
     all flags. Tokenization is a literal single-space split (the
-    module-wide determinism contract)."""
+    module-wide determinism contract).
+
+    ``materialize`` (default True) eager-localCheckpoints the fused gram
+    counts so the one heavy explode+aggregate feeds both repetition
+    rules instead of recomputing per branch (the same staging contract
+    as the dedup/similarity operators)."""
     text = F.col(text_col)
     words = F.split(text, " ")
     n_words = F.size(words).cast("bigint")
@@ -119,24 +139,40 @@ def gopher_quality_flags(
         frac_alpha.alias("frac_alpha_words"),
     )
 
+    fused = _fused_gram_counts(df, text_col, id_col)
+    if materialize:
+        # both rule branches consume the fused counts; an eager
+        # localCheckpoint computes the heavy explode+aggregate once
+        # (Spark does not exchange-reuse across the branches — the
+        # round-robin fan-out guard makes the subtrees unequal)
+        fused = fused.localCheckpoint(eager=True)
+
     # top 2-gram: min of struct(-cnt, gram) picks max count, then the
     # lexicographically smallest gram — the oracle's deterministic
     # tie-break, expressed as one aggregation.
     top2 = (
-        _gram_counts(df, text_col, id_col, 2)
+        fused.groupBy("id", "gram2")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         .groupBy("id")
-        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g"))).alias("t"))
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram2").alias("g"))).alias("t"))
         .select(
             "id",
             (-F.col("t.nc")).cast("bigint").alias("top2_cnt"),
             F.length(F.col("t.g")).cast("bigint").alias("top2_len"),
         )
     )
+    # 3-gram rows are the non-null-w3 slice of the SAME fused stream;
+    # gram length = len(gram2) + 1 separator + len(w3)
     dup3 = (
-        _gram_counts(df, text_col, id_col, 3)
-        .filter(F.col("cnt") >= 2)
+        fused.filter(F.col("w3").isNotNull() & (F.col("cnt") >= 2))
         .groupBy("id")
-        .agg(F.sum(F.col("cnt") * F.length(F.col("gram"))).cast("bigint").alias("dup3_chars"))
+        .agg(
+            F.sum(
+                F.col("cnt") * (F.length(F.col("gram2")) + 1 + F.length(F.col("w3")))
+            )
+            .cast("bigint")
+            .alias("dup3_chars")
+        )
     )
 
     out = (

@@ -1,4 +1,5 @@
-"""Deterministic cardinality sketch: KMV (k-minimum-values).
+"""Deterministic mergeable sketches: KMV cardinality, Count-Min
+frequency (+ exact heavy-hitter companion), and fixed-bin histograms.
 
 Beyond-reference operator. The engine already exposes Spark's native
 HyperLogLog++ (``approx_count_distinct_sketch`` — rows-only check, the
@@ -66,6 +67,113 @@ def kmv_distinct(
             6,
         ).alias("kmv_estimate"),
         "n_hashes",
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a depth x width
+    grid of counters; row j increments cell ``h_j(key) = (first 8 hex
+    chars of md5('{j}:' || key)) mod width``. Output: (j BIGINT, bucket
+    BIGINT, cnt BIGINT) — only non-empty cells are materialized.
+
+    Deterministic md5 bucketing makes the sketch oracle-checkable, and
+    fixed (depth, width) makes it MERGEABLE: partial sketches from any
+    partitioning/day combine by summing cells (same contract as the
+    histogram sketch). Scale shape: one map-side-combined groupBy whose
+    shuffle carries at most depth*width rows per mapper regardless of
+    input size."""
+    key = F.col(key_col).cast("string")
+    rows = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 8),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % width
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "bucket")
+    )
+    return (
+        rows.groupBy(F.col("j").cast("bigint").alias("j"), "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min sketch: for each query
+    key, ``min over j of cell[j][h_j(key)]`` (absent cells read 0).
+    Output: (key, cm_estimate BIGINT) — an upper bound on the true
+    count, within eN/width with probability 1-(1/2)^depth.
+
+    The query side is tiny (a handful of keys); the sketch side is at
+    most depth*width cells — the join broadcasts whichever is smaller
+    and never touches the original data."""
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 8),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % width
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "bucket"),
+    ).select("key", F.col("j").cast("bigint").alias("j"), "bucket")
+    joined = probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return (
+        joined.groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cm_estimate"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k most frequent keys per group — the ground-truth
+    companion to the Count-Min estimate. Output: (*group_cols, key,
+    cnt BIGINT, rank BIGINT), rank by count desc then key asc (the
+    deterministic tie-break).
+
+    Scale shape: the first groupBy is map-side combined (shuffle carries
+    one row per distinct (group, key) per mapper); the top-k window then
+    runs on the aggregated — already small — stream. For extreme
+    cardinality use ``countmin_sketch`` + a candidate pass instead."""
+    counted = df.groupBy(*group_cols, F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
     )
 
 

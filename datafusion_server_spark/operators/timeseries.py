@@ -12,6 +12,9 @@ training-data pipeline needs):
 - **hypertable rollup**: multi-resolution time aggregation where each
   coarser resolution is computed FROM the next finer one (the
   TimescaleDB continuous-aggregate shape), not from the raw table.
+- **gap-fill + LOCF**: complete bucket spines per series with
+  last-observation-carried-forward (the time_bucket_gapfill + locf
+  shape) — regularizing event streams into model-ready series.
 
 Scale notes (100 TB):
 - The as-of join is ONE shuffle of |L|+|R| rows (union + single window),
@@ -203,4 +206,58 @@ def hypertable_rollup(
         finish(minute, "m", 60, "minute")
         .unionByName(finish(hour, "h", 3600, "hour"))
         .unionByName(finish(day, "d", 86400, "day"))
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Gap-filled bucketed series with last-observation-carried-forward —
+    the TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape: bucket the
+    raw points per key, generate the complete bucket spine between each
+    key's first and last bucket, and fill empty buckets with the most
+    recent non-empty bucket's value.
+
+    Output: (key, bucket_s BIGINT epoch seconds, n BIGINT points in
+    bucket — 0 for gap rows, filled DOUBLE LOCF'd bucket sum). Bucket
+    sums use ``value_scale`` fixed-point (default cents) so addition is
+    exact and order-independent — the oracle matches bit-for-bit.
+
+    Scale notes (100 TB): one map-side-combined groupBy buckets the raw
+    stream; the spine explodes ONE row per key into its bucket range
+    (sequence + explode — bounded by time span / bucket, not by input
+    rows); the fill is one per-key window over the spine. All three
+    stages key by the series key, so a 1000-executor run distributes by
+    series. Pathologically long spans with tiny buckets inflate the
+    spine — size ``bucket_seconds`` to the span as you would any
+    time_bucket."""
+    b = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint")
+    bucketed = df.groupBy(F.col(key_col).alias("key"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col(value_col).cast("double") * value_scale).cast("bigint")).alias("s"),
+    )
+    bounds = bucketed.groupBy("key").agg(
+        F.min("b").alias("b_lo"), F.max("b").alias("b_hi")
+    )
+    spine = bounds.select(
+        "key", F.explode(F.sequence(F.col("b_lo"), F.col("b_hi"))).alias("b")
+    )
+    joined = spine.join(bucketed, ["key", "b"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last(F.col("s"), ignorenulls=True).over(w)
+    return joined.select(
+        "key",
+        (F.col("b") * bucket_seconds).cast("bigint").alias("bucket_s"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.round(filled.cast("double") / value_scale, 6).alias("filled"),
     )

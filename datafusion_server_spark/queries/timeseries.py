@@ -1,5 +1,6 @@
 """Time-series operator queries: as-of join, range join, hypertable
-rollup, KMV sketch, and the sliding-window stream — each with a DuckDB
+rollup, gap-fill/LOCF, the KMV / Count-Min / histogram sketches, exact
+heavy hitters, and the sliding-window stream — each with a DuckDB
 oracle (the as-of oracle uses DuckDB's native ASOF JOIN, so the Spark
 union-window formulation is checked against an independent engine's
 native implementation of the semantics).
@@ -261,3 +262,95 @@ sql_query(
     ORDER BY o_orderpriority
     """,
 )
+
+
+# --- Count-Min sketch frequency estimation over events.user_id:
+# deterministic md5 bucketing, depth 4 x width 64 (narrow enough that
+# collisions actually occur at fixture scale — the estimate is a real
+# upper bound, not a disguised exact count), probed for users 0..9.
+
+_CM_DEPTH, _CM_WIDTH, _CM_NPROBE = 4, 64, 10
+_CM_JS = ", ".join(str(j) for j in range(_CM_DEPTH))
+
+_CM_ORACLE = f"""
+WITH cells AS (
+  SELECT t.j,
+         CAST(('0x' || substr(md5(t.j || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_CM_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events, UNNEST([{_CM_JS}]) AS t(j)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT k.key, t.j,
+         CAST(('0x' || substr(md5(t.j || ':' || CAST(k.key AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_CM_WIDTH} AS bucket
+  FROM (SELECT UNNEST(range(0, {_CM_NPROBE})) AS key) k, UNNEST([{_CM_JS}]) AS t(j))
+SELECT CAST(p.key AS BIGINT) AS key,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY 1
+"""
+
+
+@df_query("sketch_countmin_freq", _CM_ORACLE)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    sk = sketch.countmin_sketch(ev, "user_id", _CM_DEPTH, _CM_WIDTH)
+    keys = spark.range(_CM_NPROBE).select(F.col("id").cast("bigint").alias("user_id"))
+    return sketch.countmin_estimate(sk, keys, "user_id", _CM_DEPTH, _CM_WIDTH)
+
+
+# --- exact heavy hitters: top-5 users per event type (count desc, key
+# asc tie-break) — the ground truth the Count-Min estimate bounds.
+
+_HH_K = 5
+
+_HH_ORACLE = f"""
+SELECT event_type, CAST(key AS BIGINT) AS key, cnt, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT event_type, user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, user_id ASC) AS rank
+  FROM events GROUP BY event_type, user_id)
+WHERE rank <= {_HH_K}
+"""
+
+
+@df_query("sketch_heavy_hitters", _HH_ORACLE)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return sketch.heavy_hitters(ev, "user_id", ["event_type"], _HH_K)
+
+
+# --- gap-filled hourly series with LOCF per event type (the
+# time_bucket_gapfill + locf shape); bucket sums in exact cents.
+
+_GF_BUCKET = 3600
+
+_GF_ORACLE = f"""
+WITH bucketed AS (
+  SELECT event_type AS key,
+         CAST(FLOOR(EPOCH(ts) / {_GF_BUCKET}) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT key, MIN(b) AS lo, MAX(b) AS hi FROM bucketed GROUP BY 1),
+spine AS (SELECT key, UNNEST(range(lo, hi + 1)) AS b FROM bounds),
+filled AS (
+  SELECT sp.key, sp.b, COALESCE(bk.n, 0) AS n,
+         LAST_VALUE(bk.s IGNORE NULLS) OVER (
+           PARTITION BY sp.key ORDER BY sp.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+  FROM spine sp LEFT JOIN bucketed bk ON bk.key = sp.key AND bk.b = sp.b)
+SELECT key, CAST(b * {_GF_BUCKET} AS BIGINT) AS bucket_s, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(fs AS DOUBLE) / 100, 6) AS filled
+FROM filled
+"""
+
+
+@df_query("timeseries_gapfill_locf", _GF_ORACLE)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return timeseries.gapfill_locf(
+        ev, "ts", "event_type", "value", bucket_seconds=_GF_BUCKET
+    )

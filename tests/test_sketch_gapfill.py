@@ -1,0 +1,89 @@
+"""Unit tests for the Count-Min sketch, exact heavy hitters, and
+gap-fill/LOCF — the algebraic properties (upper bound, mergeability,
+carry-forward) the registry oracle doesn't probe directly."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators import sketch, timeseries
+
+
+def test_countmin_is_upper_bound_on_true_counts(spark):
+    # keys with known frequencies: key i appears i+1 times
+    rows = [(i,) for i in range(20) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k bigint")
+    sk = sketch.countmin_sketch(df, "k", depth=4, width=16)  # force collisions
+    keys = spark.range(20).select(F.col("id").alias("k"))
+    est = {r.key: r.cm_estimate for r in
+           sketch.countmin_estimate(sk, keys, "k", depth=4, width=16).collect()}
+    for i in range(20):
+        assert est[i] >= i + 1  # never underestimates
+
+
+def test_countmin_absent_key_can_read_zero(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    sk = sketch.countmin_sketch(df, "k", depth=4, width=4096)  # wide: no collisions
+    keys = spark.createDataFrame([(999,)], "k bigint")
+    est = sketch.countmin_estimate(sk, keys, "k", depth=4, width=4096).collect()
+    assert est[0].cm_estimate == 0
+
+
+def test_countmin_merges_by_summing_cells(spark):
+    a = spark.createDataFrame([(i % 5,) for i in range(50)], "k bigint")
+    b = spark.createDataFrame([(i % 5,) for i in range(30)], "k bigint")
+    merged = (
+        sketch.countmin_sketch(a, "k", 4, 32)
+        .unionByName(sketch.countmin_sketch(b, "k", 4, 32))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = sketch.countmin_sketch(a.unionByName(b), "k", 4, 32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_heavy_hitters_rank_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("g", 1)] * 3 + [("g", 2)] * 3 + [("g", 3)] * 1, "grp string, k bigint"
+    )
+    out = sketch.heavy_hitters(df, "k", ["grp"], k=2).collect()
+    ranked = {r.rank: (r.key, r.cnt) for r in out}
+    assert ranked[1] == (1, 3)  # tie on cnt=3 -> smaller key first
+    assert ranked[2] == (2, 3)
+    assert len(out) == 2
+
+
+def _ts(h):
+    return datetime.datetime(2024, 1, 1, h, 30)
+
+
+def test_gapfill_fills_gaps_with_locf(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.00), ("a", _ts(0), 2.00), ("a", _ts(3), 5.25)],
+        "key string, ts timestamp, v double",
+    )
+    out = {r.bucket_s: r for r in
+           timeseries.gapfill_locf(df, "ts", "key", "v").collect()}
+    buckets = sorted(out)
+    assert len(buckets) == 4  # hours 0..3 inclusive
+    first, last = out[buckets[0]], out[buckets[3]]
+    assert first.n == 2 and first.filled == 3.0  # 1.00 + 2.00
+    for b in buckets[1:3]:  # the two gap hours carry hour 0's sum
+        assert out[b].n == 0 and out[b].filled == 3.0
+    assert last.n == 1 and last.filled == 5.25
+
+
+def test_gapfill_keys_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(2), 2.0), ("b", _ts(5), 7.0)],
+        "key string, ts timestamp, v double",
+    )
+    out = timeseries.gapfill_locf(df, "ts", "key", "v").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    assert len(by_key["a"]) == 3  # hours 0,1,2
+    assert len(by_key["b"]) == 1  # single bucket, no spine beyond its span
+    assert by_key["b"][0].filled == 7.0  # never contaminated by key a

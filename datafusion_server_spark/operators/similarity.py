@@ -6,12 +6,20 @@ Beyond-reference operators (BASELINE.json north-star):
   are bucketed by a deterministic hyperplane-sign code so the candidate
   join touches only same-bucket pairs.
 
-Execution shape: element-exploded joins + hash-aggregated SCALED-LONG
-sums. Spark's higher-order functions (``zip_with``/``aggregate`` lambdas)
-are *interpreted* — a dot product through them runs outside whole-stage
-codegen (measured 5-15x slower and warmup-sensitive at sf0.1).
-``posexplode`` + ``SUM(BIGINT)`` keeps the whole pipeline in codegen with
-map-side partial aggregation.
+Execution shape (round-4 split): PER-VECTOR derivations (the LSH codes
++ norm — ``planes``+1 sums over the same elements) stay on the
+element-exploded + hash-aggregated path, where one ``posexplode`` feeds
+many codegen'd ``SUM(BIGINT)`` aggregations with map-side combine.
+PAIR scoring (brute-force dots and candidate re-ranks) moved IN-ROW:
+``zip_with`` + ``aggregate`` on the two arrays (``_dot_scaled``).
+Spark's higher-order lambdas are interpreted — per-element they lose to
+codegen — but the element-join form carried pairs x dim rows into a
+grouped aggregation, a 64x row blow-up (and shuffle) at dim 64 that
+dwarfs the interpreter penalty: scoring is now a narrow expression with
+no aggregation stage at all, the shape that survives 100 TB. (Round-2's
+"5-15x slower" zip_with measurement was for the per-VECTOR derivations,
+where the explode amortizes across planes+1 aggregations — that path
+correctly keeps codegen.)
 
 Plan shape (round-2 restructure, profiled at sf0.1): ALL per-vector
 derivations — every hyperplane projection AND the norm — happen in ONE
@@ -57,6 +65,32 @@ def _ssum(expr: Column) -> Column:
 
 def _unscale(col: Column) -> Column:
     return col.cast("double") / SCALE
+
+
+def _dot_scaled(va: Column, vb: Column) -> Column:
+    """Exact scaled-long dot product of two array columns, computed
+    IN-ROW (zip_with + aggregate): per-element ``round(x*y*1e12)`` as
+    BIGINT, summed sequentially. Identical element math to ``_ssum``
+    over an exploded element join, and integer addition is
+    order-independent, so the result is bit-identical — but with no
+    dim-fold row blow-up, no shuffle, and no aggregation: the dot is a
+    narrow column expression."""
+    return F.aggregate(
+        F.zip_with(
+            va,
+            vb,
+            lambda x, y: F.round(x.cast("double") * y.cast("double") * SCALE).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v): the vector-level view used by the in-row scoring path."""
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
 
 def _elements(df: DataFrame, id_col: str, vec_col: str, id_alias: str) -> DataFrame:
@@ -130,25 +164,29 @@ def bucket_codes(
     return _codes_norms(el, planes, dim).select("id", "bucket")
 
 
-def _score_pairs(pairs: DataFrame, el: DataFrame, a: str, b: str) -> DataFrame:
+def _score_pairs(pairs: DataFrame, vecs: DataFrame, a: str, b: str) -> DataFrame:
     """Exact cosine for explicit (a, b) id pairs. ``pairs`` must carry the
     per-side norms as ``nrm_a``/``nrm_b`` (they ride through the candidate
-    join instead of two extra post-aggregation joins). Output: (a, b,
-    cosine)."""
-    ea = el.select(F.col("id").alias(a), "i", F.col("x").alias("xa"))
-    eb = el.select(F.col("id").alias(b), "i", F.col("x").alias("xb"))
-    dots = (
-        pairs.join(ea, a)
-        .join(eb, [b, "i"])
-        .groupBy(a, b, "nrm_a", "nrm_b")
-        .agg(_ssum(F.col("xa") * F.col("xb")).alias("dot"))
-    )
-    return dots.select(
-        a,
-        b,
-        F.round(_unscale(F.col("dot")) / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
-            "cosine"
-        ),
+    join instead of two extra post-aggregation joins). ``vecs`` is the
+    vector-level ``_vectors`` view: both sides' arrays are fetched by two
+    id-keyed joins (one row per vector — 1/dim the shuffle volume of the
+    old element-level join) and the dot product runs in-row via
+    ``_dot_scaled``, so scoring adds no aggregation stage at all.
+    Output: (a, b, cosine)."""
+    va = vecs.select(F.col("id").alias(a), F.col("v").alias("__va"))
+    vb = vecs.select(F.col("id").alias(b), F.col("v").alias("__vb"))
+    return (
+        pairs.join(va, a)
+        .join(vb, b)
+        .select(
+            a,
+            b,
+            F.round(
+                _unscale(_dot_scaled(F.col("__va"), F.col("__vb")))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("cosine"),
+        )
     )
 
 
@@ -171,41 +209,37 @@ def cosine_topk(
     """Brute-force cosine top-k: every query scored against every
     candidate; rank per query by (cosine desc, neighbor id).
 
-    Output: (query_id, neighbor_id, cosine, rank). The exploded query side
-    (n_queries x dim rows) is broadcast; the candidate scan is
-    embarrassingly parallel. Within each (query, neighbor) group every
-    element of BOTH vectors appears exactly once (equi-join on the
-    element index), so the dot product AND both norms compute in ONE
-    grouped aggregation (round-3 fusion — replaces the two separate norm
-    groupBys + two post-joins); the only wide shuffles are that hash agg
-    and the per-query top-k (tiny). Identical scaled-long math, so the
-    oracle's separately-joined norms reproduce the same values.
+    Output: (query_id, neighbor_id, cosine, rank). Round-4 shape: dots
+    and norms are IN-ROW array expressions (``_dot_scaled`` — zip_with +
+    sequential BIGINT aggregate), so the plan is a broadcast nested-loop
+    join of n_candidates x n_queries VECTOR rows with no dim-fold
+    element explode, no scoring aggregation, and no shuffle before the
+    per-query top-k. (The round-3 element-join form carried
+    n x dim x n_queries rows into a grouped aggregation — 64x the rows
+    at dim 64.) Identical scaled-long math, so the oracle's
+    separately-joined norms reproduce the same values.
     """
     embeddings = ensure_fanout_parallelism(embeddings)
-    c_el = _elements(embeddings, id_col, vec_col, "neighbor_id")
-    q_el = (
-        _elements(queries, id_col, vec_col, "query_id")
-        .withColumnRenamed("i", "qi")
-        .withColumnRenamed("x", "qx")
+    cand = _vectors(embeddings, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("__cv"),
+        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__nrm"),
     )
-    fused = (
-        c_el.join(
-            F.broadcast(q_el),
-            (F.col("i") == F.col("qi")) & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            _ssum(F.col("qx") * F.col("x")).alias("dot"),
-            F.sqrt(_unscale(_ssum(F.col("x") * F.col("x")))).alias("nrm"),
-            F.sqrt(_unscale(_ssum(F.col("qx") * F.col("qx")))).alias("q_nrm"),
-        )
+    q = _vectors(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("__qv"),
+        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__qnrm"),
     )
-    scored = fused.select(
+    scored = cand.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
         "query_id",
         "neighbor_id",
-        F.round(_unscale(F.col("dot")) / (F.col("q_nrm") * F.col("nrm")), 6).alias(
-            "cosine"
-        ),
+        F.round(
+            _unscale(_dot_scaled(F.col("__cv"), F.col("__qv")))
+            / (F.col("__qnrm") * F.col("__nrm")),
+            6,
+        ).alias("cosine"),
     )
     return _rank_topk(scored, k)
 
@@ -274,7 +308,9 @@ def lsh_ann_topk(
         (F.col("bucket") == F.col("c_bucket"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).select("query_id", "neighbor_id", "nrm_a", "nrm_b")
-    scored = _score_pairs(pairs, el, "query_id", "neighbor_id")
+    scored = _score_pairs(
+        pairs, _vectors(embeddings, id_col, vec_col), "query_id", "neighbor_id"
+    )
     return _rank_topk(scored, k)
 
 
@@ -426,7 +462,9 @@ def scaled_lsh_ann_topk(
         .filter(F.col("rc") <= max_candidates)
         .select("query_id", "neighbor_id", "nrm_a", "nrm_b")
     )
-    scored = _score_pairs(pairs, el, "query_id", "neighbor_id")
+    scored = _score_pairs(
+        pairs, _vectors(embeddings, id_col, vec_col), "query_id", "neighbor_id"
+    )
     return _rank_topk(scored, k)
 
 
@@ -576,7 +614,9 @@ def ivf_topk(
         # match at most one of the query's probed centroids
         .select("query_id", "neighbor_id", "nrm_a", "nrm_b")
     )
-    scored = _score_pairs(pairs, el, "query_id", "neighbor_id")
+    scored = _score_pairs(
+        pairs, _vectors(embeddings, id_col, vec_col), "query_id", "neighbor_id"
+    )
     return _rank_topk(scored, k)
 
 
@@ -621,7 +661,9 @@ def embedding_near_duplicates(
         pairs = a.join(
             b, (F.col("bucket") == F.col("b_bucket")) & (F.col("id_a") < F.col("id_b"))
         ).select("id_a", "id_b", "nrm_a", "nrm_b")
-        return _score_pairs(pairs, el, "id_a", "id_b").filter(
+        return _score_pairs(
+            pairs, _vectors(embeddings, id_col, vec_col), "id_a", "id_b"
+        ).filter(
             F.col("cosine") >= threshold
         )
     if band_bits is None:
@@ -658,6 +700,8 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", "nrm_a", "nrm_b")
         .distinct()
     )
-    return _score_pairs(pairs, el, "id_a", "id_b").filter(
+    return _score_pairs(
+        pairs, _vectors(embeddings, id_col, vec_col), "id_a", "id_b"
+    ).filter(
         F.col("cosine") >= threshold
     )

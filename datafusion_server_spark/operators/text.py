@@ -490,3 +490,63 @@ def boilerplate_ngrams(
             "boilerplate_ratio",
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Vocabulary-coverage scoring: build a frequency-ranked top-N corpus
+    vocabulary, then score each document by how much of it falls outside
+    that vocabulary — the classic OOV-rate quality filter (high OOV =
+    noise/garbled/foreign text relative to the corpus).
+
+    Vocabulary: the ``vocab_size`` most frequent words, rank 1..N by
+    (count desc, word asc — deterministic tie-break). Per-doc output:
+    (id, n_words, n_oov, oov_rate, mean_vocab_rank) where
+    ``mean_vocab_rank`` averages the rank over IN-vocabulary word
+    occurrences (0.0 when none) — low mean rank = common-word prose.
+
+    Scale notes (100 TB): the corpus word count is one map-side-combined
+    groupBy (shuffle carries one row per distinct word per mapper).
+    Ranking the top-N uses a GLOBAL window over the aggregated distinct-
+    word table — bounded by vocabulary growth (Heaps' law, ~sqrt of
+    corpus tokens), an index-build-time cost like the LSH codes table,
+    not a per-document one. The vocab broadcasts into the scoring join,
+    so the per-doc pass is one explode + one broadcast-hash join + one
+    doc-keyed aggregation."""
+    from pyspark.sql.window import Window
+
+    words_stream = ensure_fanout_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("w")
+    )
+    vocab = (
+        words_stream.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("wc"), F.asc("w")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= vocab_size)
+        .select("w", "rank")
+    )
+    scored = words_stream.join(F.broadcast(vocab), "w", "left")
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.coalesce(
+            F.round(
+                F.sum("rank").cast("double") / F.count(F.col("rank")).cast("double"), 6
+            ),
+            F.lit(0.0),
+        ).alias("mean_vocab_rank"),
+    )

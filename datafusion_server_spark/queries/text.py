@@ -336,3 +336,34 @@ GROUP BY d.doc_id
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return text.boilerplate_ngrams(docs, "text", "doc_id", n=3, min_df=3)
+
+
+# --- vocabulary-coverage (OOV-rate) scoring: top-20 corpus vocab so OOV
+# is non-trivial at fixture scale; rank tie-break (count desc, word asc).
+
+_VOCAB_N = 20
+
+_VOCAB_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+vocab AS (
+  SELECT w, rank FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) AS rank
+    FROM ws GROUP BY w)
+  WHERE rank <= {_VOCAB_N}),
+scored AS (SELECT s.doc_id, v.rank FROM ws s LEFT JOIN vocab v ON v.w = s.w)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate,
+       COALESCE(ROUND(CAST(SUM(rank) AS DOUBLE) / CAST(COUNT(rank) AS DOUBLE), 6), 0.0)
+         AS mean_vocab_rank
+FROM scored GROUP BY doc_id
+"""
+
+
+@df_query("text_vocab_coverage", _VOCAB_ORACLE)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, "text", "doc_id", vocab_size=_VOCAB_N)

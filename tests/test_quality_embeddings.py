@@ -129,3 +129,17 @@ def test_l2_normalize_unit_norm_and_zero_guard(spark):
            embeddings.l2_normalize(df, "embedding", "vec_id").collect()}
     assert out[1] == pytest.approx([0.6, 0.8], abs=1e-6)
     assert out[2] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_vocab_coverage_oov_and_rank(spark):
+    from datafusion_server_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "zzz qqq")], "doc_id bigint, text string"
+    )
+    out = {r.id: r for r in t.vocab_coverage(df, "text", "doc_id", vocab_size=1).collect()}
+    # vocab = top-1 word = 'a' (3 occurrences)
+    assert out[1].n_oov == 1 and out[1].oov_rate == 0.25
+    assert out[1].mean_vocab_rank == 1.0  # three in-vocab occurrences of rank 1
+    assert out[2].n_oov == 2 and out[2].oov_rate == 1.0
+    assert out[2].mean_vocab_rank == 0.0  # no in-vocab words -> defined 0

@@ -96,10 +96,11 @@ PRIORITY: tuple[str, ...] = (
     "cte_top_nations",
     "recursive_cte_months",
     # scalar function families (string_functions + agg_distinct rotated
-    # OUT round 4 — regexp/casting rows keep the string surface in-window)
-    "date_functions",
+    # OUT round 4 — regexp/casting rows keep the string surface in-window;
+    # date_functions + array_functions rotated out late round 4 for the
+    # gopher/gapfill rows below: the date surface stays covered by
+    # date_bin_tumbling + gapfill, arrays by array_lambda_functions)
     "date_bin_tumbling",
-    "array_functions",
     "array_lambda_functions",
     "map_functions",
     "regexp_functions",
@@ -119,11 +120,13 @@ PRIORITY: tuple[str, ...] = (
     "ann_lsh_scaled",
     "ann_ivf_cosine",
     "embedding_near_duplicates",
-    # LLM-pipeline: text family (+ round-3 blocked-Levenshtein fuzzy match)
+    # LLM-pipeline: text family (+ round-3 blocked-Levenshtein fuzzy
+    # match, + late-round-4 Gopher rule family)
     "text_quality_score",
     "text_tfidf_topk",
     "text_token_stats",
     "text_fuzzy_match_pairs",
+    "gopher_quality_flags",
     # LLM-pipeline: sampling (round-3 domain-mix sampler)
     "sample_domain_mix",
     # merge processors (reference A14/A15)
@@ -135,10 +138,11 @@ PRIORITY: tuple[str, ...] = (
     "streaming_sliding_counts",
     "streaming_stream_stream_join",
     "streaming_session_window_native",
-    # time-series operators
+    # time-series operators (+ late-round-4 gap-fill/LOCF)
     "asof_join_last_click",
     "range_join_event_pairs",
     "hypertable_rollup",
+    "timeseries_gapfill_locf",
     # sketches
     "sketch_kmv_distinct",
     # multimodal plumbing

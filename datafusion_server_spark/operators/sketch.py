@@ -33,24 +33,21 @@ _HEX_DIGITS = 15
 _HEX_SPAN = float(16**_HEX_DIGITS)
 
 
-def kmv_distinct(
-    df: DataFrame,
-    key_col: str,
+def kmv_estimate_from_hashes(
+    hashed: DataFrame,
     group_cols: list[str],
-    k: int = 64,
+    k: int,
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate. Output: (*group_cols,
-    kmv_estimate DOUBLE, n_hashes BIGINT) where n_hashes = min(k,
-    distinct) is the retained sketch size.
-
-    Hash = md5 of the key as a string (identical in Spark and DuckDB);
-    the fraction is the first 15 hex digits scaled by 16^-15.
-    """
-    hashed = df.select(
-        *group_cols, F.md5(F.col(key_col).cast("string")).alias("h")
-    ).distinct()
+    """Finish a KMV sketch from an (possibly over-complete) hash stream:
+    per group, take the k smallest DISTINCT md5 hex values in column
+    ``h`` and apply the Bar-Yossef estimator. Accepts any superset of
+    the final k-min set (extra later-evicted hashes are re-filtered by
+    the ranking) — the property that lets the streaming emitter append
+    retained hashes incrementally. Output: (*group_cols, kmv_estimate
+    DOUBLE, n_hashes BIGINT)."""
+    distinct = hashed.select(*group_cols, "h").distinct()
     w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
-    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    kept = distinct.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     agg = kept.groupBy(*group_cols).agg(
         F.max("h").alias("h_k"),
         F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
@@ -68,6 +65,25 @@ def kmv_distinct(
         ).alias("kmv_estimate"),
         "n_hashes",
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate. Output: (*group_cols,
+    kmv_estimate DOUBLE, n_hashes BIGINT) where n_hashes = min(k,
+    distinct) is the retained sketch size.
+
+    Hash = md5 of the key as a string (identical in Spark and DuckDB);
+    the fraction is the first 15 hex digits scaled by 16^-15.
+    """
+    hashed = df.select(
+        *group_cols, F.md5(F.col(key_col).cast("string")).alias("h")
+    )
+    return kmv_estimate_from_hashes(hashed, group_cols, k)
 
 
 def countmin_sketch(

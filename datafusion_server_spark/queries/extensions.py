@@ -270,3 +270,39 @@ def streaming_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         f"stream_sink_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     return file_sink_roundtrip(spark, f"{sf_dir}/events.parquet", out)
+
+
+_KMV_STREAM_K = 8
+
+_KMV_STREAM_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS bucket,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+r AS (
+  SELECT bucket, h,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h ASC) AS rn
+  FROM h),
+agg AS (
+  SELECT bucket, MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS n_hashes
+  FROM r WHERE rn <= {_KMV_STREAM_K} GROUP BY 1)
+SELECT CAST(bucket * 3600 AS BIGINT) AS bucket_s,
+       ROUND(CASE WHEN n_hashes < {_KMV_STREAM_K} THEN CAST(n_hashes AS DOUBLE)
+                  ELSE {float(_KMV_STREAM_K - 1)}
+                       / (CAST(('0x' || substr(h_k, 1, 15)) AS BIGINT)
+                          / CAST(16.0 ** 15 AS DOUBLE)) END, 6) AS kmv_estimate,
+       n_hashes
+FROM agg
+"""
+
+
+@df_query("streaming_kmv_window_distinct", _KMV_STREAM_ORACLE)
+def streaming_kmv_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable sketch: per-hour KMV distinct-user estimates
+    via a stateful applyInPandasWithState operator that emits each hash
+    the micro-batch it enters the per-bucket k-min set. Batch-count
+    invariant (see streaming/sketches.py), so the batch KMV SQL is an
+    exact oracle."""
+    from datafusion_server_spark.streaming.sketches import kmv_window_distinct
+
+    return kmv_window_distinct(spark, f"{sf_dir}/events.parquet", k=_KMV_STREAM_K)

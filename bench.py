@@ -74,7 +74,12 @@ def main() -> None:
     # window_running_sum 0.49->0.22, events_sessionize 0.32->0.16).
     # The SESSION default keeps AQE on — at real scale its runtime
     # re-planning (skew splits, broadcast promotion) is load-bearing.
-    aqe = os.environ.get("SPARK_GRAFT_BENCH_AQE", "off") != "off"
+    aqe = os.environ.get("SPARK_GRAFT_BENCH_AQE", "off").lower() in (
+        "on",
+        "true",
+        "1",
+        "yes",
+    )
     spark = build_spark(
         app_name="bench",
         master=f"local[{cpus}]",

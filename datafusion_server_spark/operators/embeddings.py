@@ -25,16 +25,27 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000_000  # matches operators.similarity fixed-point
 
 
-def projection_sign(i: int | Column, j: int | Column) -> Column:
-    """Deterministic sparse projection entry s(i, j) in {-1, 0, +1}
-    (Achlioptas-style sparse JL matrix, here with 1/3 density each):
+def projection_signs(j: int, in_dim: int) -> list[int]:
+    """Deterministic sparse projection column j: s(i, j) in {-1, 0, +1}
+    (Achlioptas-style sparse JL matrix, 1/3 density each), derived from
+    ``md5('proj:{i}:{j}')``'s first hex digit mod 3 — per-cell
+    independent pseudo-randomness (the same scheme as
+    ``similarity.hyperplane_signs``; an arithmetic formula like
+    ``(31i + 17j) mod 3`` is linear, repeats every 3 columns, and
+    collapses the projection to rank <= 3). Computed driver-side once
+    per output dimension and embedded as literals, so the oracle
+    reproduces the identical matrix."""
+    import hashlib
 
-        s = [(i*31 + j*17) mod 3] - 1   mapped  {0,1,2} -> {-1, 0, +1}
+    return [
+        int(hashlib.md5(f"proj:{i}:{j}".encode()).hexdigest()[0], 16) % 3 - 1
+        for i in range(in_dim)
+    ]
 
-    Pure integer arithmetic, so the oracle reproduces it exactly."""
-    i_c = F.lit(i) if isinstance(i, int) else i
-    j_c = F.lit(j) if isinstance(j, int) else j
-    return ((i_c * 31 + j_c * 17) % 3 - 1).cast("bigint")
+
+def _sign_string(j: int, in_dim: int) -> str:
+    """projection_signs encoded as '0'/'1'/'2' chars (sign + 1)."""
+    return "".join(str(s + 1) for s in projection_signs(j, in_dim))
 
 
 def random_projection(
@@ -45,7 +56,7 @@ def random_projection(
     out_dim: int,
 ) -> DataFrame:
     """Project ``vec_col`` (array<float>, length in_dim) to ``out_dim``
-    via the deterministic sparse sign matrix ``projection_sign``:
+    via the deterministic sparse sign matrix ``projection_signs``:
 
         y_j = round( sum_i round(x_i * 1e12) * s(i, j) / 1e12 / sqrt(out_dim), 6)
 
@@ -54,27 +65,30 @@ def random_projection(
     multiply) so the float result is bit-identical to the SQL oracle.
     Output: (id, proj) with proj an array<double> of length out_dim.
 
-    Plan shape: one ``transform`` over the output indices, each an
-    ``aggregate`` over the input elements with a BIGINT accumulator —
+    Plan shape: one expression per output index, each an ``aggregate``
+    over the input elements with a BIGINT accumulator and the sign
+    column embedded as a literal '0'/'1'/'2' string (the same
+    literal-string indexing trick as ``similarity._codes_norms``) —
     a narrow projection, no shuffle, no UDF."""
     import math
 
     sd = math.sqrt(float(out_dim))
     vec = F.col(vec_col)
 
-    def out_elem(j: Column) -> Column:
+    def out_elem(j: int) -> Column:
+        sstr = F.lit(_sign_string(j, in_dim))
         acc = F.aggregate(
             F.sequence(F.lit(0), F.lit(in_dim - 1)),
             F.lit(0).cast("bigint"),
             lambda a, i: a
             + F.round(F.element_at(vec, i + 1).cast("double") * SCALE).cast("bigint")
-            * projection_sign(i, j),
+            * (F.substring(sstr, i + 1, F.lit(1)).cast("bigint") - 1),
         )
         return F.round(acc.cast("double") / SCALE / sd, 6)
 
     return df.select(
         F.col(id_col).alias("id"),
-        F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), out_elem).alias("proj"),
+        F.array(*[out_elem(j) for j in range(out_dim)]).alias("proj"),
     )
 
 
@@ -90,11 +104,20 @@ def l2_normalize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         lambda a, x: a
         + F.round(x.cast("double") * x.cast("double") * SCALE).cast("bigint"),
     )
-    nrm = F.sqrt(ssq.cast("double") / SCALE)
-    return df.select(
+    # norm hoisted into its own projection so the per-element lambda
+    # references a computed COLUMN: inlining the aggregate into the
+    # transform body would re-evaluate it per element (O(dim^2)/row —
+    # the HOF interpreter does no loop-invariant hoisting)
+    with_norm = df.select(
         F.col(id_col).alias("id"),
+        vec.alias("__v"),
+        F.sqrt(ssq.cast("double") / SCALE).alias("__nrm"),
+    )
+    nrm = F.col("__nrm")
+    return with_norm.select(
+        "id",
         F.transform(
-            vec,
+            F.col("__v"),
             lambda x: F.when(nrm == 0.0, x.cast("double")).otherwise(
                 F.round(x.cast("double") / nrm, 6)
             ),

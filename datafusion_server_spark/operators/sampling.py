@@ -120,9 +120,14 @@ def reservoir_per_group(
     Scale notes (100 TB): one shuffle keyed by the group column. The
     window's per-group sort is bounded by Spark's TopK optimization only
     when a global limit exists, so for severely skewed groups pre-thin
-    first (``stratified_sample`` at a rate that keeps ~10k x k rows),
-    then rank — the hash-rank winners are unchanged by any pre-filter
-    that keeps more than k rows per group."""
+    first with a band on THE SAME hash — ``df.filter(
+    hash_fraction(F.col(key), seed) < rate)`` with this operator's
+    ``seed`` — then rank. The winners are unchanged by any pre-filter
+    that keeps every row whose reservoir-hash fraction is below some
+    cut above the group's k-th smallest (a same-seed band does exactly
+    that); a filter on a DIFFERENT hash or seed (e.g.
+    ``stratified_sample``'s default 'sample' seed) drops winners and
+    changes the result."""
     from pyspark.sql import Window
 
     frac = hash_fraction(F.col(key_col), seed)

@@ -24,7 +24,7 @@ that makes KMV a streaming/incremental-rollup citizen).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 15 hex digits = 60 bits: fits a BIGINT exactly in both engines, and
@@ -86,6 +86,25 @@ def kmv_distinct(
     return kmv_estimate_from_hashes(hashed, group_cols, k)
 
 
+def _cm_buckets(key: Column, depth: int, width: int) -> Column:
+    """The Count-Min hash row: bucket_j = (first 8 hex chars of
+    md5('{j}:' || key)) mod width, for j in 0..depth-1, as an array.
+    ONE definition shared by build and probe — the sketch contract
+    (estimates are upper bounds) holds only while both sides hash
+    identically, so neither site may drift."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 8), 16, 10
+                ).cast("bigint")
+                % width
+            )
+            for j in range(depth)
+        ]
+    )
+
+
 def countmin_sketch(
     df: DataFrame,
     key_col: str,
@@ -104,23 +123,7 @@ def countmin_sketch(
     shuffle carries at most depth*width rows per mapper regardless of
     input size."""
     key = F.col(key_col).cast("string")
-    rows = df.select(
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.conv(
-                            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 8),
-                            16,
-                            10,
-                        ).cast("bigint")
-                        % width
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("j", "bucket")
-    )
+    rows = df.select(F.posexplode(_cm_buckets(key, depth, width)).alias("j", "bucket"))
     return (
         rows.groupBy(F.col("j").cast("bigint").alias("j"), "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -145,21 +148,7 @@ def countmin_estimate(
     key = F.col(key_col).cast("string")
     probes = keys.select(
         F.col(key_col).alias("key"),
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.conv(
-                            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 8),
-                            16,
-                            10,
-                        ).cast("bigint")
-                        % width
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("j", "bucket"),
+        F.posexplode(_cm_buckets(key, depth, width)).alias("j", "bucket"),
     ).select("key", F.col("j").cast("bigint").alias("j"), "bucket")
     joined = probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
     return (

@@ -497,6 +497,7 @@ def vocab_coverage(
     text_col: str,
     id_col: str,
     vocab_size: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Vocabulary-coverage scoring: build a frequency-ranked top-N corpus
     vocabulary, then score each document by how much of it falls outside
@@ -516,7 +517,13 @@ def vocab_coverage(
     corpus tokens), an index-build-time cost like the LSH codes table,
     not a per-document one. The vocab broadcasts into the scoring join,
     so the per-doc pass is one explode + one broadcast-hash join + one
-    doc-keyed aggregation."""
+    doc-keyed aggregation.
+
+    ``materialize`` (default True) eager-localCheckpoints the TINY vocab
+    table so the scoring action doesn't re-run the vocabulary-build pass
+    (scan + split + explode + count) as a second subtree of the same
+    plan — the standard stage-the-index contract (the two heavy corpus
+    passes are inherent: one builds the vocab, one scores against it)."""
     from pyspark.sql.window import Window
 
     words_stream = ensure_fanout_parallelism(df).select(
@@ -534,6 +541,8 @@ def vocab_coverage(
         .filter(F.col("rank") <= vocab_size)
         .select("w", "rank")
     )
+    if materialize:
+        vocab = vocab.localCheckpoint(eager=True)
     scored = words_stream.join(F.broadcast(vocab), "w", "left")
     return scored.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),

@@ -237,7 +237,9 @@ def gapfill_locf(
     series. Pathologically long spans with tiny buckets inflate the
     spine — size ``bucket_seconds`` to the span as you would any
     time_bucket."""
-    b = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint")
+    # floor, not a truncating cast: cast(-0.5 as bigint) = 0 but the
+    # oracle's FLOOR(-0.5) = -1 — pre-1970 timestamps must bucket down
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint")
     bucketed = df.groupBy(F.col(key_col).alias("key"), b.alias("b")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.round(F.col(value_col).cast("double") * value_scale).cast("bigint")).alias("s"),

@@ -80,16 +80,25 @@ OUT_DIM = 8
 
 # Element view shared by both oracles: 0-based index i0 for the sign
 # matrix, exact 1e12 fixed-point scaling (see queries/similarity.py).
+# The md5-derived sign columns are computed driver-side by the SAME
+# projection_signs the operator embeds, and emitted as literal
+# '0'/'1'/'2' strings (sign + 1) indexed by substr.
+_SIGN_ROWS = ", ".join(
+    f"({j}, '{''.join(str(s + 1) for s in embeddings.projection_signs(j, IN_DIM))}')"
+    for j in range(OUT_DIM)
+)
+
 _PROJ_ORACLE = f"""
 WITH el AS (
   SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
          GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i0
   FROM embeddings),
+signs(j, s) AS (VALUES {_SIGN_ROWS}),
 cells AS (
-  SELECT e.vec_id, t.j,
+  SELECT e.vec_id, g.j,
          CAST(ROUND(e.x * 1e12) AS BIGINT)
-         * CAST(((e.i0 * 31 + t.j * 17) % 3 - 1) AS BIGINT) AS term
-  FROM el e, UNNEST(range(0, {OUT_DIM})) AS t(j)),
+         * (CAST(substr(g.s, e.i0 + 1, 1) AS BIGINT) - 1) AS term
+  FROM el e, signs g),
 sums AS (
   SELECT vec_id, j,
          ROUND(CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1e12 / SQRT({float(OUT_DIM)}), 6) AS y

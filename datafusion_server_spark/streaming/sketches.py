@@ -100,9 +100,13 @@ def kmv_window_distinct(
     ts = event_time_col(stream)
     keyed = (
         stream.select(
-            (F.unix_timestamp(ts) / bucket_seconds).cast("bigint").alias("bucket"),
+            # floor (not truncating cast) so pre-1970 buckets match the
+            # oracle's FLOOR; null keys dropped — a null hashes to NULL
+            # in the batch path and never enters a k-min set
+            F.floor(F.unix_timestamp(ts) / bucket_seconds).cast("bigint").alias("bucket"),
             F.col("user_id"),
         )
+        .filter(F.col("user_id").isNotNull())
         .groupBy("bucket")
     )
     retained = keyed.applyInPandasWithState(

@@ -101,8 +101,16 @@ def test_random_projection_shape_and_determinism(spark):
     assert len(rows[1]) == 4 and len(rows[2]) == 4
     # recompute row 2 by hand: x_i = 1.0, y_j = sum_i s(i,j)/sqrt(4)
     for j in range(4):
-        expect = sum(((i * 31 + j * 17) % 3 - 1) for i in range(16)) / math.sqrt(4.0)
+        expect = sum(embeddings.projection_signs(j, 16)) / math.sqrt(4.0)
         assert rows[2][j] == pytest.approx(expect, abs=1e-6)
+
+
+def test_projection_signs_not_column_periodic(spark):
+    # regression: an arithmetic sign formula linear in j repeats every
+    # few columns, collapsing the projection to low rank — md5-derived
+    # cells must give DISTINCT sign columns
+    cols = [tuple(embeddings.projection_signs(j, 64)) for j in range(8)]
+    assert len(set(cols)) == 8
 
 
 def test_random_projection_preserves_relative_norms(spark):

@@ -14,7 +14,17 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in quality.STOPWORD_PROBE)
 
 # Word / 2-gram / 3-gram CTEs over documents; range(1, n) is [1, n), so
 # the gram index streams stop exactly at the last full gram.
-_GOPHER_ORACLE = f"""
+def gopher_oracle_sql(
+    min_words: int = quality.DEFAULT_MIN_WORDS,
+    max_words: int = quality.DEFAULT_MAX_WORDS,
+) -> str:
+    """The gopher-flags oracle, parametrized on the word-count gate so
+    composite pipeline oracles can reuse it (e.g. a lower min_words for
+    the short synthetic fixtures)."""
+    return _GOPHER_ORACLE_TEMPLATE.format(min_words=min_words, max_words=max_words)
+
+
+_GOPHER_ORACLE_TEMPLATE = f"""
 WITH w AS (
   SELECT doc_id, LENGTH(text) AS n_chars, STRING_SPLIT(text, ' ') AS words
   FROM documents),
@@ -57,7 +67,7 @@ SELECT *,
 FROM (
   SELECT CAST(id AS BIGINT) AS id, n_words, mean_word_len, n_stopwords,
          frac_alpha_words, top_bigram_frac, dup_trigram_frac,
-         (n_words >= {quality.DEFAULT_MIN_WORDS} AND n_words <= {quality.DEFAULT_MAX_WORDS}) AS pass_word_count,
+         (n_words >= {{min_words}} AND n_words <= {{max_words}}) AS pass_word_count,
          (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
          (n_stopwords >= 2) AS pass_stopwords,
          (frac_alpha_words >= 0.8) AS pass_alpha,
@@ -67,7 +77,7 @@ FROM (
 """
 
 
-@df_query("gopher_quality_flags", _GOPHER_ORACLE)
+@df_query("gopher_quality_flags", gopher_oracle_sql())
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return quality.gopher_quality_flags(docs, "text", "doc_id")
@@ -143,3 +153,67 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("bigint").alias("id"),
         F.posexplode("unit").alias("j", "u"),
     ).select("id", F.col("j").cast("bigint").alias("j"), "u")
+
+
+# --- end-to-end curation pipeline: Gopher quality gate (min_words
+# lowered to 10 for the short synthetic docs) -> exact dedup keepers ->
+# domain-mix sample toward target source shares -> per-source stats.
+# The oracle composes the same three stages as SQL CTEs — the point is
+# that the operator family CHAINS: one DataFrame flows quality -> dedup
+# -> sampling with no materialization boundaries, and Catalyst plans
+# the whole pipeline as one job.
+
+_CUR_MIN_WORDS = 10
+_CUR_SHARES = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.1, "src4": 0.1}
+_CUR_TOTAL = 80
+
+_CUR_SHARE_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in _CUR_SHARES.items()
+) + " ELSE 0.0 END"
+
+_CUR_FRAC = (
+    "(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " / CAST(16.0 ** 15 AS DOUBLE))"
+)
+
+_CURATION_ORACLE = f"""
+WITH gf AS ({gopher_oracle_sql(min_words=_CUR_MIN_WORDS)}),
+keepers AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d
+  JOIN gf ON gf.id = d.doc_id AND gf.keep
+  JOIN (SELECT MIN(doc_id) AS kid FROM documents GROUP BY md5(text)) k
+    ON k.kid = d.doc_id),
+counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_d FROM keepers GROUP BY source),
+rates AS (SELECT source, LEAST(1.0, {_CUR_SHARE_CASE} * {float(_CUR_TOTAL)} / n_d) AS rate
+          FROM counts),
+sampled AS (
+  SELECT kp.doc_id, kp.source, kp.n_chars
+  FROM keepers kp JOIN rates r ON r.source = kp.source
+  WHERE {_CUR_FRAC} < r.rate)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sampled GROUP BY source
+"""
+
+
+@df_query("pipeline_curation_end2end", _CURATION_ORACLE)
+def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import dedup, sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    flags = quality.gopher_quality_flags(
+        docs, "text", "doc_id", min_words=_CUR_MIN_WORDS
+    )
+    kept_ids = flags.filter(F.col("keep")).select(F.col("id").alias("doc_id"))
+    keep_first = dedup.exact_duplicates(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    keepers = docs.join(kept_ids, "doc_id").join(keep_first, "doc_id")
+    sampled = sampling.domain_mix_sample(
+        keepers, "doc_id", "source", _CUR_SHARES, _CUR_TOTAL
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

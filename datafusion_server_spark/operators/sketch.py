@@ -182,6 +182,41 @@ def heavy_hitters(
     )
 
 
+def quantiles_disc(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[float],
+) -> DataFrame:
+    """EXACT discrete quantiles per group (percentile_disc semantics):
+    the value at 1-based rank ``ceil(q * n)`` of the group's sorted
+    values — pure selection, no interpolation arithmetic, so both
+    engines agree bit-for-bit on any input doubles. The ground truth
+    the histogram-sketch estimates approximate.
+    Output: (*group_cols, q DOUBLE, value DOUBLE).
+
+    Scale shape: one shuffle to rank within groups (window), then a
+    broadcast join against the tiny q list; per-group sort is the
+    unavoidable cost of exact quantiles — use ``histogram_sketch`` +
+    ``histogram_quantiles`` when approximate is acceptable."""
+    spark = df.sparkSession
+    ranked = df.select(
+        *group_cols, F.col(value_col).cast("double").alias("value")
+    ).select(
+        *group_cols,
+        "value",
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy(F.col("value").asc())
+        ).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("n"),
+    )
+    qdf = F.broadcast(spark.createDataFrame([(float(q),) for q in qs], "q double"))
+    return (
+        ranked.join(qdf, F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        .select(*group_cols, "q", "value")
+    )
+
+
 def histogram_sketch(
     df: DataFrame,
     value_col: str,

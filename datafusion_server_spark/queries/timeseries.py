@@ -354,3 +354,27 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.gapfill_locf(
         ev, "ts", "event_type", "value", bucket_seconds=_GF_BUCKET
     )
+
+
+# --- exact discrete quantiles per event type: the ground truth the
+# histogram-sketch estimates approximate. Selection semantics
+# (value at rank ceil(q*n)) — no interpolation float math to diverge.
+
+_QD_QS = (0.5, 0.9, 0.99)
+
+_QD_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE) ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+qs AS (SELECT CAST(UNNEST([{", ".join(str(q) for q in _QD_QS)}]) AS DOUBLE) AS q)
+SELECT event_type, q, value
+FROM ranked JOIN qs ON rn = CEIL(q * n)
+"""
+
+
+@df_query("quantiles_exact_disc", _QD_ORACLE)
+def quantiles_exact_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return sketch.quantiles_disc(ev, "value", ["event_type"], list(_QD_QS))

@@ -87,3 +87,14 @@ def test_gapfill_keys_are_independent(spark):
     assert len(by_key["a"]) == 3  # hours 0,1,2
     assert len(by_key["b"]) == 1  # single bucket, no spine beyond its span
     assert by_key["b"][0].filled == 7.0  # never contaminated by key a
+
+
+def test_quantiles_disc_selection_semantics(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], "grp string, v double"
+    )
+    out = {r.q: r.value for r in
+           sketch.quantiles_disc(df, "v", ["grp"], [0.5, 0.9, 1.0]).collect()}
+    assert out[0.5] == 5.0   # ceil(0.5*10) = rank 5
+    assert out[0.9] == 9.0   # ceil(0.9*10) = rank 9
+    assert out[1.0] == 10.0  # max

@@ -151,3 +151,33 @@ def test_vocab_coverage_oov_and_rank(spark):
     assert out[1].mean_vocab_rank == 1.0  # three in-vocab occurrences of rank 1
     assert out[2].n_oov == 2 and out[2].oov_rate == 1.0
     assert out[2].mean_vocab_rank == 0.0  # no in-vocab words -> defined 0
+
+
+def test_projection_and_normalize_plans_are_shuffle_free(spark):
+    """The embedding transforms must stay pure map stages — a shuffle
+    appearing in either plan is a scale regression."""
+    from datafusion_server_spark.operators.scale import plan_has_shuffle
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [2.0] * 16)], "vec_id bigint, embedding array<float>"
+    )
+    assert not plan_has_shuffle(
+        embeddings.random_projection(df, "embedding", "vec_id", 16, 4)
+    )
+    assert not plan_has_shuffle(embeddings.l2_normalize(df, "embedding", "vec_id"))
+
+
+def test_gopher_plan_scans_text_once(spark, sf_dir):
+    """The fused gram stream must keep the plan at ONE parquet scan of
+    documents (the staged counts serve both rule branches) — a second
+    scan means the fusion regressed."""
+    from datafusion_server_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = (
+        quality.gopher_quality_flags(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan[:2000]

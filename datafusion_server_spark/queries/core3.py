@@ -5,7 +5,9 @@ percentile_disc, posexplode with ordinality."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from datafusion_server_spark import tables
 from datafusion_server_spark.queries import df_query, sql_query
 from datafusion_server_spark.queries.core import _ss
 
@@ -224,3 +226,73 @@ sql_query(
       FROM orders GROUP BY 1, 2) t
     """,
 )
+
+
+# --- native DataFrame pivot / unpivot API surface (the relational
+# reshape pair; the SQL conditional-agg pivot lives in core.py).
+
+_PIVOT_TYPES = ("click", "view", "purchase", "error")
+
+_PIVOT_NATIVE_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+           for t in _PIVOT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+@df_query("pivot_native_api", _PIVOT_NATIVE_ORACLE)
+def pivot_native_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native groupBy().pivot() with pinned pivot values (no
+    extra distinct-values job — the form that scales: an unpinned pivot
+    first runs a distinct scan to discover columns)."""
+    ev = tables.load(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+       ROUND(CAST(l_quantity AS DOUBLE), 6) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice',
+       ROUND(CAST(l_extendedprice AS DOUBLE), 6) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount',
+       ROUND(CAST(l_discount AS DOUBLE), 6) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax',
+       ROUND(CAST(l_tax AS DOUBLE), 6) FROM lineitem
+"""
+
+
+@df_query("unpivot_melt", _UNPIVOT_ORACLE)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (melt): wide metric columns to long
+    (id, metric, value) rows — a narrow per-row expansion, no shuffle."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity").cast("double"), 6).alias("quantity"),
+        F.round(F.col("l_extendedprice").cast("double"), 6).alias("extendedprice"),
+        F.round(F.col("l_discount").cast("double"), 6).alias("discount"),
+        F.round(F.col("l_tax").cast("double"), 6).alias("tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "value",
+    )
+    return melted

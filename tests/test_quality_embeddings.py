@@ -181,3 +181,44 @@ def test_gopher_plan_scans_text_once(spark, sf_dir):
         .toString()
     )
     assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_unicode_text_cross_engine_determinism(spark, tmp_path):
+    """The text determinism contract (split/LENGTH/regex/md5 identical in
+    Spark and DuckDB) must hold beyond ASCII: precomposed accents, CJK,
+    and astral-plane emoji, pushed through the real oracle comparator."""
+    import os
+
+    from datafusion_server_spark.queries import registry
+    from tests.harness import compare
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "héllo wörld héllo wörld the a naïve café",
+        "日本語 テキスト 日本語 テキスト the a",
+        "emoji \U0001F680 test \U0001F680 emoji the a mixed ascii",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["src0"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "uni")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    # the oracle connection registers every fixture table — link the
+    # untouched ones from the smallest SF
+    for t in os.listdir("/root/testdata/sf0.001"):
+        if t != "documents.parquet" and t.endswith(".parquet"):
+            os.symlink(f"/root/testdata/sf0.001/{t}", os.path.join(d, t))
+    reg = registry()
+    for name in ("text_token_stats", "gopher_quality_flags", "text_fingerprints"):
+        qd = reg[name]
+        ok, msg = compare(qd.build(spark, d), qd.oracle_for(d), d)
+        assert ok, f"{name} diverges on unicode: {msg}"

@@ -559,3 +559,71 @@ def vocab_coverage(
             F.lit(0.0),
         ).alias("mean_vocab_rank"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 128,
+) -> DataFrame:
+    """Split each document into fixed-size word chunks (the context-
+    window chunking step before training): chunk i holds words
+    [i*chunk_words, (i+1)*chunk_words). Output: (id, chunk_idx BIGINT,
+    chunk_text, n_words BIGINT) — the final chunk may be short, empty
+    documents yield one empty chunk (chunk_idx 0).
+
+    Scale notes (100 TB): a narrow per-row expansion — slice + explode,
+    no shuffle; chunk count per doc is bounded by doc length /
+    chunk_words, so the fan-out is proportional to corpus tokens."""
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(chunk_words)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(words, i * chunk_words + 1, chunk_words)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.size(words) - i * chunk_words, F.lit(chunk_words)
+            ).cast("bigint").alias("n_words"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
+        .select("id", "c.chunk_idx", "c.chunk_text", "c.n_words")
+    )
+
+
+def pack_chunks_contiguous(
+    chunks: DataFrame,
+    capacity_words: int,
+    *,
+    order_cols: tuple[str, str] = ("id", "chunk_idx"),
+) -> DataFrame:
+    """Assign chunks to fixed-capacity training bins by CONTIGUOUS
+    packing: in (id, chunk_idx) order, bin = floor(cumulative_words_
+    before_this_chunk / capacity). Deterministic, partition-independent
+    (the order is total), and within 1 chunk of first-fit occupancy when
+    chunks are <= capacity — the standard approximation that avoids
+    first-fit's inherently sequential state. Output: chunks + (bin_id
+    BIGINT, bin_offset BIGINT words already in the bin before this
+    chunk... modulo capacity).
+
+    Scale notes: ONE global ordering window. At 100 TB, range-partition
+    by the same order first (Spark's window already does) — the window
+    carries only a running sum, so state per task is O(1)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = F.coalesce(F.sum("n_words").over(w), F.lit(0)).cast("bigint")
+    return chunks.select(
+        "*",
+        F.floor(before / capacity_words).cast("bigint").alias("bin_id"),
+        (before % capacity_words).cast("bigint").alias("bin_offset"),
+    )

@@ -367,3 +367,59 @@ FROM scored GROUP BY doc_id
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return text.vocab_coverage(docs, "text", "doc_id", vocab_size=_VOCAB_N)
+
+
+# --- document chunking (context-window splitting) + contiguous
+# sequence packing into fixed-capacity training bins.
+
+_CHUNK_WORDS = 24
+_PACK_CAP = 64
+
+_CHUNK_CTE = f"""
+w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+n AS (SELECT doc_id, words,
+             GREATEST(CAST(CEIL(LEN(words) / {float(_CHUNK_WORDS)}) AS BIGINT), 1) AS n_chunks
+      FROM w),
+chunks AS (
+  SELECT doc_id, t.i AS chunk_idx,
+         ARRAY_TO_STRING(words[t.i * {_CHUNK_WORDS} + 1 : (t.i + 1) * {_CHUNK_WORDS}], ' ') AS chunk_text,
+         LEAST(LEN(words) - t.i * {_CHUNK_WORDS}, {_CHUNK_WORDS}) AS n_words
+  FROM n, UNNEST(range(0, n_chunks)) AS t(i))
+"""
+
+_CHUNK_ORACLE = f"""
+WITH {_CHUNK_CTE}
+SELECT CAST(doc_id AS BIGINT) AS id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       chunk_text, CAST(n_words AS BIGINT) AS n_words
+FROM chunks
+"""
+
+
+@df_query("text_chunk_documents", _CHUNK_ORACLE)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "text", "doc_id", chunk_words=_CHUNK_WORDS)
+
+
+_PACK_ORACLE = f"""
+WITH {_CHUNK_CTE},
+cum AS (
+  SELECT doc_id, chunk_idx, n_words,
+         COALESCE(SUM(n_words) OVER (ORDER BY doc_id, chunk_idx
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS bef
+  FROM chunks)
+SELECT CAST(doc_id AS BIGINT) AS id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(bef // {_PACK_CAP} AS BIGINT) AS bin_id,
+       CAST(bef % {_PACK_CAP} AS BIGINT) AS bin_offset
+FROM cum
+"""
+
+
+@df_query("text_pack_sequences", _PACK_ORACLE)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, "text", "doc_id", chunk_words=_CHUNK_WORDS)
+    packed = text.pack_chunks_contiguous(chunks, _PACK_CAP)
+    return packed.select("id", "chunk_idx", "n_words", "bin_id", "bin_offset")

@@ -222,3 +222,38 @@ def test_unicode_text_cross_engine_determinism(spark, tmp_path):
         qd = reg[name]
         ok, msg = compare(qd.build(spark, d), qd.oracle_for(d), d)
         assert ok, f"{name} diverges on unicode: {msg}"
+
+
+def test_chunking_boundaries_and_short_tail(spark):
+    from datafusion_server_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id bigint, text string"
+    )
+    out = sorted(
+        t.chunk_documents(df, "text", "doc_id", chunk_words=4).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.n_words for r in out] == [4, 4, 2]
+    assert out[0].chunk_text == "w0 w1 w2 w3"
+    assert out[2].chunk_text == "w8 w9"  # short tail kept
+
+
+def test_packing_contiguous_invariants(spark):
+    from datafusion_server_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(13))) for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    chunks = t.chunk_documents(df, "text", "doc_id", chunk_words=5)
+    packed = t.pack_chunks_contiguous(chunks, 16).collect()
+    rows = sorted(packed, key=lambda r: (r.id, r.chunk_idx))
+    # offsets stay inside the bin, bins are monotone in stream order,
+    # and the running offset advances by exactly n_words (mod capacity)
+    before = 0
+    for r in rows:
+        assert 0 <= r.bin_offset < 16
+        assert r.bin_id == before // 16
+        assert r.bin_offset == before % 16
+        before += r.n_words

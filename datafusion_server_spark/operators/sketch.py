@@ -195,10 +195,19 @@ def quantiles_disc(
     the histogram-sketch estimates approximate.
     Output: (*group_cols, q DOUBLE, value DOUBLE).
 
+    The rank is computed in EXACT integer arithmetic: each q becomes a
+    driver-side Fraction num/den, and ceil(q*n) = (num*n + den-1 -
+    remainder)/den with BIGINT ops only — float ``ceil(q * n)`` is off
+    by one whenever q*n lands epsilon above an integer (0.07 * 100 =
+    7.000000000000001 in IEEE doubles selects rank 8, not 7). q <= 0
+    clamps to rank 1 (the minimum), q = 1 is the maximum.
+
     Scale shape: one shuffle to rank within groups (window), then a
     broadcast join against the tiny q list; per-group sort is the
     unavoidable cost of exact quantiles — use ``histogram_sketch`` +
     ``histogram_quantiles`` when approximate is acceptable."""
+    from fractions import Fraction
+
     spark = df.sparkSession
     ranked = df.select(
         *group_cols, F.col(value_col).cast("double").alias("value")
@@ -210,9 +219,14 @@ def quantiles_disc(
         ).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("n"),
     )
-    qdf = F.broadcast(spark.createDataFrame([(float(q),) for q in qs], "q double"))
+    fracs = [(float(q), *Fraction(str(q)).as_integer_ratio()) for q in qs]
+    qdf = F.broadcast(
+        spark.createDataFrame(fracs, "q double, num bigint, den bigint")
+    )
+    x = F.col("num") * F.col("n") + F.col("den") - 1
+    k = F.greatest((x - x % F.col("den")) / F.col("den"), F.lit(1)).cast("bigint")
     return (
-        ranked.join(qdf, F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        ranked.join(qdf, F.col("rn") == k)
         .select(*group_cols, "q", "value")
     )
 

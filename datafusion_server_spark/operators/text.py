@@ -570,13 +570,17 @@ def chunk_documents(
     """Split each document into fixed-size word chunks (the context-
     window chunking step before training): chunk i holds words
     [i*chunk_words, (i+1)*chunk_words). Output: (id, chunk_idx BIGINT,
-    chunk_text, n_words BIGINT) — the final chunk may be short, empty
-    documents yield one empty chunk (chunk_idx 0).
+    chunk_text, n_words BIGINT) — the final chunk may be short. NULL or
+    empty documents yield one empty chunk (chunk_idx 0, chunk_text '',
+    n_words 0 — NOT the 1 that raw split semantics would give, so
+    phantom words never inflate pack_chunks_contiguous bins).
 
     Scale notes (100 TB): a narrow per-row expansion — slice + explode,
     no shuffle; chunk count per doc is bounded by doc length /
     chunk_words, so the fan-out is proportional to corpus tokens."""
-    words = F.split(F.col(text_col), " ")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(text, " ")
+    is_empty = F.length(text) == 0
     n_chunks = F.greatest(
         F.ceil(F.size(words) / F.lit(chunk_words)).cast("int"), F.lit(1)
     )
@@ -587,9 +591,10 @@ def chunk_documents(
             F.concat_ws(" ", F.slice(words, i * chunk_words + 1, chunk_words)).alias(
                 "chunk_text"
             ),
-            F.least(
-                F.size(words) - i * chunk_words, F.lit(chunk_words)
-            ).cast("bigint").alias("n_words"),
+            F.when(is_empty, F.lit(0))
+            .otherwise(F.least(F.size(words) - i * chunk_words, F.lit(chunk_words)))
+            .cast("bigint")
+            .alias("n_words"),
         ),
     )
     return (

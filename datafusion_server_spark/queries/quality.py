@@ -171,10 +171,11 @@ _CUR_SHARE_CASE = "CASE source " + " ".join(
     f"WHEN '{s}' THEN {r}" for s, r in _CUR_SHARES.items()
 ) + " ELSE 0.0 END"
 
-_CUR_FRAC = (
-    "(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
-    " / CAST(16.0 ** 15 AS DOUBLE))"
-)
+# the md5 hash-fraction template is the cross-engine determinism
+# contract — ONE definition, shared with the sampling oracles
+from datafusion_server_spark.queries.sampling import _FRAC as _CUR_FRAC_T
+
+_CUR_FRAC = _CUR_FRAC_T.format(seed="mix")
 
 _CURATION_ORACLE = f"""
 WITH gf AS ({gopher_oracle_sql(min_words=_CUR_MIN_WORDS)}),

@@ -375,15 +375,19 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_WORDS = 24
 _PACK_CAP = 64
 
+# NULL/empty docs: coalesce to '' and pin n_words to 0 (matching the
+# operator's no-phantom-words contract for sequence packing)
 _CHUNK_CTE = f"""
-w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
-n AS (SELECT doc_id, words,
+w AS (SELECT doc_id, COALESCE(text, '') AS ctext,
+             STRING_SPLIT(COALESCE(text, ''), ' ') AS words FROM documents),
+n AS (SELECT doc_id, ctext, words,
              GREATEST(CAST(CEIL(LEN(words) / {float(_CHUNK_WORDS)}) AS BIGINT), 1) AS n_chunks
       FROM w),
 chunks AS (
   SELECT doc_id, t.i AS chunk_idx,
          ARRAY_TO_STRING(words[t.i * {_CHUNK_WORDS} + 1 : (t.i + 1) * {_CHUNK_WORDS}], ' ') AS chunk_text,
-         LEAST(LEN(words) - t.i * {_CHUNK_WORDS}, {_CHUNK_WORDS}) AS n_words
+         CASE WHEN LENGTH(ctext) = 0 THEN 0
+              ELSE LEAST(LEN(words) - t.i * {_CHUNK_WORDS}, {_CHUNK_WORDS}) END AS n_words
   FROM n, UNNEST(range(0, n_chunks)) AS t(i))
 """
 

@@ -362,15 +362,23 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QD_QS = (0.5, 0.9, 0.99)
 
+# q as exact driver-side fractions: rank = ceil(num*n/den) in integer
+# arithmetic (float CEIL(q*n) is off by one when q*n lands epsilon
+# above an integer), clamped to >= 1 — mirrors operators.sketch
+_QD_ROWS = ", ".join(
+    "({}, {}, {})".format(float(q), *__import__("fractions").Fraction(str(q)).as_integer_ratio())
+    for q in _QD_QS
+)
+
 _QD_ORACLE = f"""
 WITH ranked AS (
   SELECT event_type, CAST(value AS DOUBLE) AS value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE) ASC) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events),
-qs AS (SELECT CAST(UNNEST([{", ".join(str(q) for q in _QD_QS)}]) AS DOUBLE) AS q)
-SELECT event_type, q, value
-FROM ranked JOIN qs ON rn = CEIL(q * n)
+qs(q, num, den) AS (VALUES {_QD_ROWS})
+SELECT event_type, CAST(q AS DOUBLE) AS q, value
+FROM ranked JOIN qs ON rn = GREATEST((num * n + den - 1) // den, 1)
 """
 
 

@@ -213,10 +213,13 @@ def test_unicode_text_cross_engine_determinism(spark, tmp_path):
     os.makedirs(d)
     pq.write_table(tbl, os.path.join(d, "documents.parquet"))
     # the oracle connection registers every fixture table — link the
-    # untouched ones from the smallest SF
-    for t in os.listdir("/root/testdata/sf0.001"):
+    # untouched ones from the configured smoke fixture dir (the same
+    # override every other test honors)
+    from tests.conftest import SF_SMOKE
+
+    for t in os.listdir(SF_SMOKE):
         if t != "documents.parquet" and t.endswith(".parquet"):
-            os.symlink(f"/root/testdata/sf0.001/{t}", os.path.join(d, t))
+            os.symlink(os.path.join(SF_SMOKE, t), os.path.join(d, t))
     reg = registry()
     for name in ("text_token_stats", "gopher_quality_flags", "text_fingerprints"):
         qd = reg[name]
@@ -257,3 +260,29 @@ def test_packing_contiguous_invariants(spark):
         assert r.bin_id == before // 16
         assert r.bin_offset == before % 16
         before += r.n_words
+
+
+def test_chunking_null_and_empty_docs(spark):
+    from datafusion_server_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two")], "doc_id bigint, text string"
+    )
+    out = {r.id: r for r in t.chunk_documents(df, "text", "doc_id", 4).collect()}
+    for i in (1, 2):
+        assert out[i].chunk_idx == 0 and out[i].chunk_text == "" and out[i].n_words == 0
+    assert out[3].n_words == 2
+
+
+def test_quantiles_disc_float_boundary_rank(spark):
+    # 0.07 * 100 = 7.000000000000001 in doubles; exact rational rank
+    # arithmetic must still select the 7th value, and q=0 the minimum
+    from datafusion_server_spark.operators import sketch as sk
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "grp string, v double"
+    )
+    out = {r.q: r.value for r in
+           sk.quantiles_disc(df, "v", ["grp"], [0.07, 0.0]).collect()}
+    assert out[0.07] == 7.0
+    assert out[0.0] == 1.0

@@ -132,12 +132,17 @@ PRIORITY: tuple[str, ...] = (
     # merge processors (reference A14/A15)
     "merge_processor_column",
     "merge_processor_row",
-    # streaming (beyond-reference; + round-3 native session_window)
+    # streaming (beyond-reference; + round-3 native session_window;
+    # sliding rotated OUT late round 4 for the curation pipeline —
+    # tumbling covers the windowed-agg family, sliding stays
+    # oracle-verified in pytest)
     "streaming_tumbling_counts",
     "streaming_stateful_sessionize",
-    "streaming_sliding_counts",
     "streaming_stream_stream_join",
     "streaming_session_window_native",
+    # end-to-end curation pipeline: the r4 operator family composed
+    # (gopher gate -> dedup keepers -> domain mix -> stats)
+    "pipeline_curation_end2end",
     # time-series operators (+ late-round-4 gap-fill/LOCF)
     "asof_join_last_click",
     "range_join_event_pairs",

@@ -107,12 +107,69 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@df_query("multimodal_feature_search", None)
+def _feature_search_values_oracle(sf_dir: str) -> str:
+    """VALUES oracle for the feature-search pipeline (hash-green since
+    late round 4 — previously the last rows-only row besides the HLL
+    sketch): payload synthesis, the md5 feature stub, and the cosine
+    top-k arithmetic are all deterministic pure functions of the
+    documents fixture, so the full result is replayable driver-side.
+    Rounding replicates Spark's Round expression exactly
+    (BigDecimal.valueOf(double) == Decimal(repr(x)), HALF_UP)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from datafusion_server_spark.operators.multimodal import FEATURE_DIM
+
+    def r0(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    vecs: dict[int, list[float]] = {}
+    for mid, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        digest = hashlib.md5((text or "").encode("utf-8")).digest()
+        vecs[int(mid)] = [
+            (digest[2 * i] * 256 + digest[2 * i + 1]) / 65535.0 - 0.5
+            for i in range(FEATURE_DIM)
+        ]
+    norms = {
+        mid: math.sqrt(sum(r0(x * x * 1e12) for x in v) / 1e12)
+        for mid, v in vecs.items()
+    }
+    out = []
+    for q in sorted(m for m in vecs if m < 5):
+        scored = []
+        for c, cv in vecs.items():
+            if c == q:
+                continue
+            dot = sum(r0(a * b * 1e12) for a, b in zip(vecs[q], cv))
+            scored.append((r6((dot / 1e12) / (norms[q] * norms[c])), c))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, c) in enumerate(scored[:3], start=1):
+            out.append(f"({q}, {c}, {cos!r}, {rank})")
+    rows = ", ".join(out)
+    return f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(cosine AS DOUBLE) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (VALUES {rows}) AS t(query_id, neighbor_id, cosine, rank)
+    """
+
+
+@df_query("multimodal_feature_search", _feature_search_values_oracle)
 def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition showcase: binary payloads -> mapInPandas feature
     extraction (stubbed encoder, deterministic md5 vectors) -> cosine
-    top-k similarity over the extracted embeddings. Rows-only check
-    (values are asserted deterministic in pytest)."""
+    top-k similarity over the extracted embeddings. Hash-checked against
+    a sequential driver-side replay (VALUES oracle) since late round 4."""
     from datafusion_server_spark.operators import similarity
 
     docs = tables.load(spark, sf_dir, "documents")

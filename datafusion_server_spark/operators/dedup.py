@@ -123,6 +123,117 @@ def lsh_bands(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFram
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def lsh_signature_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = DEFAULT_SHINGLE_WORDS,
+    *,
+    materialize: bool = True,
+) -> DataFrame:
+    """The persistable MinHash-LSH index table: (id, mh0..mh{n-1}, sh
+    sorted-distinct shingle array, n_sh). ONE wide aggregation over the
+    exploded shingle stream computes every column. At 100 TB this table
+    is written once per corpus snapshot and reused by every later
+    self-dedup or incremental-batch run (``lsh_pairs_against_index``) —
+    the index-build/probe split that makes daily ingest linear in the
+    BATCH, not the corpus. ``materialize`` eager-localCheckpoints it
+    (one row per document)."""
+    df = ensure_fanout_parallelism(df)
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sigs = shingled.groupBy("id").agg(
+        *_minhash_aggs(num_hashes),
+        F.sort_array(F.collect_set("shingle")).alias("sh"),
+    )
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
+    return sigs.withColumn("n_sh", F.size("sh").cast("bigint"))
+
+
+def _band_index(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) banding of a signature-index table."""
+    per_band = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("id", F.explode(F.array(*per_band)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def lsh_pairs_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 4,
+    k: int = DEFAULT_SHINGLE_WORDS,
+    *,
+    materialize: bool = True,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: candidates of a NEW document
+    batch against an EXISTING ``lsh_signature_index`` table, verified
+    with exact shingle-set Jaccard. Output: (new_id, index_id, n_common,
+    n_new, n_index, jaccard); same-id pairs are excluded (a re-ingested
+    identical document is an exact-dedup concern, not a near-dup one).
+
+    Scale notes (100 TB corpus + daily batch): only the BATCH is
+    shingled and signed; the corpus side is the pre-built index read
+    from storage. The band join keys on (band, bucket) — the batch side
+    is small, so the join broadcasts it and the index is streamed; cost
+    is linear in batch size plus one index scan, never corpus x corpus.
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = lsh_signature_index(
+        new_df, text_col, id_col, num_hashes, k, materialize=materialize
+    )
+    nb = _band_index(new_sigs, bands, rows_per_band).select(
+        F.col("id").alias("new_id"), "band", "bucket"
+    )
+    ib = _band_index(index, bands, rows_per_band).select(
+        F.col("id").alias("index_id"), "band", "bucket"
+    )
+    pairs = (
+        nb.join(ib, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    new_sets = new_sigs.select(
+        F.col("id").alias("new_id"), F.col("sh").alias("sh_n"), F.col("n_sh").alias("n_new")
+    )
+    idx_sets = index.select(
+        F.col("id").alias("index_id"), F.col("sh").alias("sh_i"), F.col("n_sh").alias("n_index")
+    )
+    return (
+        pairs.join(new_sets, "new_id")
+        .join(idx_sets, "index_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_n", "sh_i")).cast("bigint"))
+        .select(
+            "new_id",
+            "index_id",
+            "n_common",
+            "n_new",
+            "n_index",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_new") + F.col("n_index") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -160,30 +271,10 @@ def lsh_candidate_pairs(
     Results are identical to the round-2 plan (deterministic md5 math,
     same set semantics)."""
     rows_per_band = num_hashes // bands
-    df = ensure_fanout_parallelism(df)
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"),
+    sigs = lsh_signature_index(
+        df, text_col, id_col, num_hashes, k, materialize=materialize
     )
-    sigs = shingled.groupBy("id").agg(
-        *_minhash_aggs(num_hashes),
-        F.sort_array(F.collect_set("shingle")).alias("sh"),
-    )
-    if materialize:
-        sigs = sigs.localCheckpoint(eager=True)
-    sigs = sigs.withColumn("n_sh", F.size("sh").cast("bigint"))
-    per_band = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select("id", F.explode(F.array(*per_band)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = _band_index(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -5,6 +5,7 @@ equivalent DuckDB SQL over the same parquet (md5-based, bit-reproducible).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datafusion_server_spark import tables
 from datafusion_server_spark.operators import dedup
@@ -347,3 +348,48 @@ SELECT id, {_SIMHASH_CONCAT} AS simhash FROM sums
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return dedup.simhash(docs, "text", "doc_id", _SIMHASH_BITS)
+
+
+# --- incremental dedup: a "new batch" (doc_id % 10 >= 8, SF-independent
+# 20% slice) probed against the signature index of the remaining corpus.
+
+_INC_ORACLE = f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.id, bs.band, CASE bs.band {_BAND_CASES} END AS bucket
+  FROM sig, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS band) bs),
+pairs AS (
+  SELECT DISTINCT a.id AS new_id, b.id AS index_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.id % 10 >= 8 AND b.id % 10 < 8),
+sizes AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.new_id, p.index_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.new_id
+  JOIN sh sb ON sb.doc_id = p.index_id AND sb.shingle = sa.shingle
+  GROUP BY p.new_id, p.index_id)
+SELECT p.new_id, p.index_id,
+       COALESCE(c.n_common, 0) AS n_common,
+       zn.n_sh AS n_new, zi.n_sh AS n_index,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / CAST(zn.n_sh + zi.n_sh - COALESCE(c.n_common, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+LEFT JOIN common c ON c.new_id = p.new_id AND c.index_id = p.index_id
+JOIN sizes zn ON zn.id = p.new_id
+JOIN sizes zi ON zi.id = p.index_id
+"""
+
+
+@df_query("dedup_incremental_lsh", _INC_ORACLE)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest shape: sign ONLY the new batch, probe the pre-built
+    corpus signature index — cost linear in the batch, never corpus^2."""
+    docs = tables.load(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    new_batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    index = dedup.lsh_signature_index(existing, "text", "doc_id", NUM_HASHES)
+    return dedup.lsh_pairs_against_index(
+        new_batch, index, "text", "doc_id", NUM_HASHES, BANDS
+    )

@@ -62,3 +62,32 @@ def test_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iterations=2).collect()
+
+
+def test_incremental_lsh_matches_full_self_join_cross_pairs(spark, sf_dir):
+    """Probing a new batch against the corpus index finds exactly the
+    cross-subset (new x existing) of the full self-join's candidate
+    pairs — the index split loses nothing."""
+    from pyspark.sql import functions as F
+
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    new_batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    index = dedup.lsh_signature_index(existing, "text", "doc_id")
+    inc = dedup.lsh_pairs_against_index(new_batch, index, "text", "doc_id")
+    inc_pairs = {(r.new_id, r.index_id, r.jaccard) for r in inc.collect()}
+
+    full = dedup.lsh_candidate_pairs(docs, "text", "doc_id")
+    cross = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in full.collect()
+        if (r.id_a % 10 >= 8) != (r.id_b % 10 >= 8)  # one new, one existing
+    }
+    # orient the full-join pairs as (new, existing)
+    oriented = {
+        (a, b, j) if a % 10 >= 8 else (b, a, j) for a, b, j in cross
+    }
+    assert inc_pairs == oriented

@@ -154,22 +154,6 @@ def lsh_signature_index(
     return sigs.withColumn("n_sh", F.size("sh").cast("bigint"))
 
 
-def _band_index(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(id, band, bucket) banding of a signature-index table."""
-    per_band = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    return sigs.select("id", F.explode(F.array(*per_band)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-
-
 def lsh_pairs_against_index(
     new_df: DataFrame,
     index: DataFrame,
@@ -197,10 +181,10 @@ def lsh_pairs_against_index(
     new_sigs = lsh_signature_index(
         new_df, text_col, id_col, num_hashes, k, materialize=materialize
     )
-    nb = _band_index(new_sigs, bands, rows_per_band).select(
+    nb = lsh_bands(new_sigs, bands, rows_per_band).select(
         F.col("id").alias("new_id"), "band", "bucket"
     )
-    ib = _band_index(index, bands, rows_per_band).select(
+    ib = lsh_bands(index, bands, rows_per_band).select(
         F.col("id").alias("index_id"), "band", "bucket"
     )
     pairs = (
@@ -274,7 +258,7 @@ def lsh_candidate_pairs(
     sigs = lsh_signature_index(
         df, text_col, id_col, num_hashes, k, materialize=materialize
     )
-    banded = _band_index(sigs, bands, rows_per_band)
+    banded = lsh_bands(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

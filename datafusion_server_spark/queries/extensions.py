@@ -114,9 +114,15 @@ def _feature_search_values_oracle(sf_dir: str) -> str:
     top-k arithmetic are all deterministic pure functions of the
     documents fixture, so the full result is replayable driver-side.
     Rounding replicates Spark's Round expression exactly
-    (BigDecimal.valueOf(double) == Decimal(repr(x)), HALF_UP)."""
+    (BigDecimal.valueOf(double) == Decimal(repr(x)), HALF_UP), and each
+    vector element is quantized through float32 first — FEATURE_SCHEMA
+    stores ArrayType(FloatType()), and ~0.8% of random pairs round to a
+    DIFFERENT 6-dp cosine if the replay keeps float64 precision. NULL
+    text yields a NULL payload/feature in the pipeline; both sides drop
+    those media rows (undecodable-media hygiene)."""
     import hashlib
     import math
+    import struct
     from decimal import ROUND_HALF_UP, Decimal
 
     import pyarrow.parquet as pq
@@ -129,14 +135,19 @@ def _feature_search_values_oracle(sf_dir: str) -> str:
     def r6(x: float) -> float:
         return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     vecs: dict[int, list[float]] = {}
     for mid, text in zip(
         tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
     ):
-        digest = hashlib.md5((text or "").encode("utf-8")).digest()
+        if text is None:
+            continue  # NULL payload -> NULL feature -> dropped
+        digest = hashlib.md5(text.encode("utf-8")).digest()
         vecs[int(mid)] = [
-            (digest[2 * i] * 256 + digest[2 * i + 1]) / 65535.0 - 0.5
+            f32((digest[2 * i] * 256 + digest[2 * i + 1]) / 65535.0 - 0.5)
             for i in range(FEATURE_DIM)
         ]
     norms = {
@@ -174,7 +185,12 @@ def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs, "text", "doc_id")
-    feats = multimodal.extract_features(media).withColumnRenamed("feature", "embedding")
+    feats = (
+        multimodal.extract_features(media)
+        .withColumnRenamed("feature", "embedding")
+        # undecodable media (NULL payload -> NULL feature) drops out
+        .filter(F.col("embedding").isNotNull())
+    )
     queries_side = feats.filter(F.col("media_id") < 5)
     return similarity.cosine_topk(feats, queries_side, k=3, id_col="media_id")
 

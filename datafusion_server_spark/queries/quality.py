@@ -218,3 +218,64 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --- composition: project 64 -> 8 dims, then brute-force cosine top-k
+# IN THE PROJECTED SPACE — the advertised "random_projection in front of
+# search" pipeline, oracle-checked end to end (a degenerate projection,
+# e.g. the fixed rank-3 sign-matrix bug, would collapse neighbor order
+# and hash-mismatch immediately).
+
+_PK = 5
+_PN_QUERIES = 10
+
+_PROJ_KNN_ORACLE = f"""
+WITH el0 AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i0
+  FROM embeddings),
+signs(j, s) AS (VALUES {_SIGN_ROWS}),
+cells AS (
+  SELECT e.vec_id, g.j,
+         CAST(ROUND(e.x * 1e12) AS BIGINT)
+         * (CAST(substr(g.s, e.i0 + 1, 1) AS BIGINT) - 1) AS term
+  FROM el0 e, signs g),
+el AS (
+  SELECT vec_id, j AS i,
+         ROUND(CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1e12 / SQRT({float(OUT_DIM)}), 6) AS x
+  FROM cells GROUP BY 1, 2),
+norms AS (
+  SELECT vec_id,
+         SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+  FROM el GROUP BY vec_id),
+live AS (SELECT vec_id FROM norms WHERE nrm > 0.0),
+dots AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
+  WHERE qa.vec_id < {_PN_QUERIES}
+    AND qa.vec_id IN (SELECT vec_id FROM live)
+    AND ca.vec_id IN (SELECT vec_id FROM live)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {_PK}
+"""
+
+
+@df_query("ann_projected_bruteforce", _PROJ_KNN_ORACLE)
+def ann_projected_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    proj = embeddings.random_projection(emb, "embedding", "vec_id", IN_DIM, OUT_DIM)
+    q = proj.filter(F.col("id") < _PN_QUERIES)
+    return similarity.cosine_topk(proj, q, k=_PK, vec_col="proj", id_col="id")

@@ -156,3 +156,64 @@ def split_assign(
         .when(frac < val_frac + test_frac, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    alpha: float,
+    total_out: int,
+    *,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-training
+    alpha-sampling rule): target shares derive from the domains' OWN
+    sizes raised to ``alpha`` in (0, 1],
+
+        share_d = n_d^alpha / sum_e n_e^alpha,
+        rate_d  = min(1, share_d * total_out / n_d),
+
+    so alpha=1 reproduces the natural distribution and alpha->0
+    approaches uniform over domains — small domains are up-weighted
+    RELATIVE to large ones without enumerating shares by hand (the
+    difference from ``domain_mix_sample``, which takes explicit
+    targets). Keep decisions are the same deterministic hash-fraction
+    band as ``stratified_sample``.
+
+    Determinism contract: ``n_d^alpha`` is rounded to 6 decimals and the
+    share denominator summed as DECIMAL (exact, order-independent); the
+    share division happens in double on both engines — no decimal
+    division (whose result scale is engine-specific).
+
+    Scale shape (100 TB): identical to ``domain_mix_sample`` — ONE
+    count aggregation (map-side combined), a plan-embedded broadcast
+    1-row aggregate for the denominator, and a narrow broadcast-join +
+    filter back over the corpus. No driver-side counts."""
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_d"))
+        .withColumn(
+            "__w", F.round(F.pow(F.col("__n_d").cast("double"), float(alpha)), 6).cast(
+                "decimal(28,6)"
+            )
+        )
+    )
+    denom = counts.agg(F.sum("__w").alias("__tot"))
+    rates = (
+        counts.crossJoin(F.broadcast(denom))
+        .select(
+            F.col(domain_col).alias("__dom"),
+            F.least(
+                F.lit(1.0),
+                (F.col("__w").cast("double") / F.col("__tot").cast("double"))
+                * float(total_out)
+                / F.col("__n_d").cast("double"),
+            ).alias("__rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), df[domain_col].eqNullSafe(rates["__dom"]))
+        .filter(hash_fraction(F.col(key_col), seed) < F.col("__rate"))
+        .drop("__dom", "__rate")
+    )

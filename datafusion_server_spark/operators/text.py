@@ -632,3 +632,68 @@ def pack_chunks_contiguous(
         F.floor(before / capacity_words).cast("bigint").alias("bin_id"),
         (before % capacity_words).cast("bigint").alias("bin_offset"),
     )
+
+
+def lm_unigram_cross_entropy(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """CCNet-style corpus-LM quality signal: train an add-one-smoothed
+    unigram language model ON the corpus itself, then score every
+    document by its per-token cross-entropy under that model,
+
+        xent(d) = -(1/|d|) * sum_{t in d} ln p(t),
+        p(t) = (count(t) + 1) / (N + V),
+
+    (N = corpus token count, V = vocabulary size). Documents dominated by
+    rare/garbage tokens score high; formulaic/boilerplate text scores
+    low — the same band-pass filtering signal CCNet derives from a
+    wiki-trained KenLM, with the corpus itself as the training set (no
+    external model artifact). Output: (id, n_tokens, xent_nats).
+
+    Determinism contract: per-token log-probs are ``round(ln(p), 8)``
+    cast to DECIMAL(18,8) (the tfidf_topk precedent), summed exactly,
+    then divided by the token count in double and rounded to 6 — so a
+    last-ulp libm divergence between engines cannot surface.
+
+    Scale shape (100 TB): one explode of the token stream; ONE groupBy
+    term for the model (map-side combined — the combiner collapses each
+    partition to its local vocab); model size is |V| rows, broadcast back
+    onto the token stream (vocabularies are millions of rows — far under
+    broadcast limits — while the stream is trillions); N and V ride in
+    via a plan-embedded broadcast 1-row aggregate over the model (no
+    driver job, no second corpus pass); one final groupBy doc. Two
+    shuffles total, both keyed aggregations with partial combine.
+    """
+    tok = ensure_fanout_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", F.explode(_words(F.col("__t"))).alias("term"))
+    model = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    totals = model.agg(
+        F.sum("n_t").cast("bigint").alias("__N"),
+        F.count(F.lit(1)).cast("bigint").alias("__V"),
+    )
+    logp = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.round(
+                -F.log(
+                    (F.col("n_t") + 1).cast("double")
+                    / (F.col("__N") + F.col("__V")).cast("double")
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("__nll"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(logp), "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("__nll").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("xent_nats"),
+        )
+    )

@@ -110,3 +110,34 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+# temperature-scaled mixing over the SKEWED lang distribution (en ~4.4x
+# fr at sf0.01): alpha=0.5 up-weights small languages relative to en.
+# The share denominator is an exact DECIMAL sum of per-domain
+# round(n^alpha, 6); the share division runs in double on both engines.
+_TMIX_ALPHA = 0.5
+_TMIX_TOTAL = 120
+
+_TMIX_ORACLE = f"""
+WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_d FROM documents GROUP BY lang),
+w AS (SELECT lang, n_d,
+             CAST(ROUND(POWER(CAST(n_d AS DOUBLE), {_TMIX_ALPHA}), 6) AS DECIMAL(28,6)) AS w
+      FROM counts),
+rates AS (SELECT lang,
+                 LEAST(1.0, (CAST(w AS DOUBLE) / CAST((SELECT SUM(w) FROM w) AS DOUBLE))
+                            * {float(_TMIX_TOTAL)} / CAST(n_d AS DOUBLE)) AS rate
+          FROM w)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+FROM documents d JOIN rates r ON r.lang = d.lang
+WHERE {_FRAC.format(seed='tmix')} < r.rate
+"""
+
+
+@df_query("sample_temperature_mix", _TMIX_ORACLE)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = sampling.temperature_mix_sample(
+        docs, "doc_id", "lang", _TMIX_ALPHA, _TMIX_TOTAL
+    )
+    return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")

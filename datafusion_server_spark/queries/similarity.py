@@ -360,3 +360,73 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy(F.col("component").cast("bigint").alias("keep_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+
+
+# int8 scalar quantization + asymmetric-distance search with exact
+# refine (operators.quantize). The grid math (sub/div/mul/floor) is
+# IEEE-double — bit-identical across engines — and reconstructed values
+# round to 6 decimals before the scaled-long dots.
+_SQ_RERANK = 4
+
+_SQ_ORACLE = f"""
+WITH {_EL_CTE},
+stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY i),
+codes AS (
+  SELECT el.vec_id, el.i,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE CAST(GREATEST(0, LEAST(255, FLOOR((el.x - s.mn) / (s.mx - s.mn) * 256.0))) AS INT)
+         END AS code
+  FROM el JOIN stats s ON s.i = el.i),
+recon AS (
+  SELECT c.vec_id, c.i,
+         ROUND(s.mn + (CAST(c.code AS DOUBLE) + 0.5) * (s.mx - s.mn) / 256.0, 6) AS xh
+  FROM codes c JOIN stats s ON s.i = c.i),
+rnorms AS (SELECT vec_id,
+                  SQRT(CAST(CAST(SUM(CAST(ROUND(xh * xh * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS rnrm
+           FROM recon GROUP BY vec_id),
+adc AS (
+  SELECT qa.vec_id AS query_id, r.vec_id AS neighbor_id,
+         ROUND((CAST(CAST(SUM(CAST(ROUND(qa.x * r.xh * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+               / (nq.nrm * rn.rnrm), 6) AS adc
+  FROM el qa
+  JOIN recon r ON r.i = qa.i AND r.vec_id <> qa.vec_id
+  JOIN norms nq ON nq.vec_id = qa.vec_id
+  JOIN rnorms rn ON rn.vec_id = r.vec_id
+  WHERE qa.vec_id < {N_QUERIES} AND nq.nrm > 0 AND rn.rnrm > 0
+  GROUP BY 1, 2, nq.nrm, rn.rnrm),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, neighbor_id) AS cr
+        FROM adc) t
+  WHERE cr <= {_SQ_RERANK * K}),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND((CAST(CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+               / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM cand c
+  JOIN el qa ON qa.vec_id = c.query_id
+  JOIN el ca ON ca.vec_id = c.neighbor_id AND ca.i = qa.i
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms nc ON nc.vec_id = c.neighbor_id
+  WHERE nc.nrm > 0
+  GROUP BY 1, 2, nq.nrm, nc.nrm)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM exact) t
+WHERE rnk <= {K}
+"""
+
+
+@df_query("ann_sq8_cosine", _SQ_ORACLE)
+def ann_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import quantize
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return quantize.quantized_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        K,
+        rerank_factor=_SQ_RERANK,
+    )

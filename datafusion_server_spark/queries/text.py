@@ -427,3 +427,28 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = text.chunk_documents(docs, "text", "doc_id", chunk_words=_CHUNK_WORDS)
     packed = text.pack_chunks_contiguous(chunks, _PACK_CAP)
     return packed.select("id", "chunk_idx", "n_words", "bin_id", "bin_offset")
+
+
+# corpus-trained unigram-LM cross-entropy (CCNet-style quality signal):
+# per-token -ln p rounded to 8 and summed as DECIMAL, so the only float
+# op crossing engines (ln) is rounded before aggregation.
+_LM_XENT_ORACLE = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+model AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM model),
+logp AS (SELECT term,
+                CAST(ROUND(-LN(CAST(n_t + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)), 8)
+                     AS DECIMAL(18,8)) AS nll
+         FROM model, tot)
+SELECT CAST(t.doc_id AS BIGINT) AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(l.nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS xent_nats
+FROM tok t JOIN logp l ON l.term = t.term
+GROUP BY t.doc_id
+"""
+
+
+@df_query("text_lm_cross_entropy", _LM_XENT_ORACLE)
+def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.lm_unigram_cross_entropy(docs, "text", "doc_id")

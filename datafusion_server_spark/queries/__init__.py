@@ -100,9 +100,10 @@ PRIORITY: tuple[str, ...] = (
     # date_functions + array_functions rotated out late round 4 for the
     # gopher/gapfill rows below: the date surface stays covered by
     # date_bin_tumbling + gapfill, arrays by array_lambda_functions)
+    # (map_functions rotated OUT late round 4 for the temperature-mix
+    # sampler row; the map surface stays oracle-verified in pytest)
     "date_bin_tumbling",
     "array_lambda_functions",
-    "map_functions",
     "regexp_functions",
     "json_extraction",
     "casting_try_cast",
@@ -114,21 +115,27 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_clusters",
     # LLM-pipeline: similarity family (incl. the scale-parameterized
-    # banded ANN and round-3's embedding near-dup default)
+    # banded ANN and late-round-4's int8-SQ+refine search; ann_lsh_cosine
+    # rotated OUT — the LSH surface stays in-window via ann_lsh_scaled and
+    # the pinned variant stays oracle-verified in pytest)
     "knn_bruteforce_cosine",
-    "ann_lsh_cosine",
     "ann_lsh_scaled",
     "ann_ivf_cosine",
+    "ann_sq8_cosine",
     "embedding_near_duplicates",
     # LLM-pipeline: text family (+ round-3 blocked-Levenshtein fuzzy
-    # match, + late-round-4 Gopher rule family)
+    # match, + late-round-4 Gopher rules and corpus-LM cross-entropy;
+    # text_token_stats rotated OUT — counting surface covered by
+    # quality_score/gopher, still oracle-verified in pytest)
     "text_quality_score",
     "text_tfidf_topk",
-    "text_token_stats",
+    "text_lm_cross_entropy",
     "text_fuzzy_match_pairs",
     "gopher_quality_flags",
-    # LLM-pipeline: sampling (round-3 domain-mix sampler)
+    # LLM-pipeline: sampling (round-3 domain-mix + late-round-4
+    # temperature-alpha mix)
     "sample_domain_mix",
+    "sample_temperature_mix",
     # merge processors (reference A14/A15)
     "merge_processor_column",
     "merge_processor_row",

@@ -1,0 +1,156 @@
+"""k-means / SemDeDup query inventory (operators.clustering).
+
+Oracle strategy: the operators are deterministic by construction (hash
+init, exact scaled-long sums, HALF_UP rounding, fixed iteration count),
+so the oracle is a sequential driver-side REPLAY of the same math over
+the same parquet, emitted as a DuckDB VALUES table (the
+``multimodal_feature_search`` precedent). The replay shares zero Spark
+code — an independent reimplementation in plain Python — so a logic
+error on either side breaks the hash match."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import clustering
+from datafusion_server_spark.queries import df_query
+
+K = 8
+ITERS = 3
+SEED = "kmeans"
+# Fixture embeddings are near-uniform (pairwise cosines concentrate near
+# 0), so the near-dup threshold sits where the within-cluster tail
+# actually is; real corpora use 0.9+.
+SEM_THRESHOLD = 0.35
+
+
+def _replay_kmeans(sf_dir: str, k: int = K, iters: int = ITERS):
+    """Sequential Lloyd replay -> (assignments dict id->cluster,
+    centroids, vectors dict id->list[float])."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    def r0(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(
+            tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
+        )
+    }
+
+    def frac(i: int) -> float:
+        h = hashlib.md5(f"{SEED}:{i}".encode()).hexdigest()
+        return int(h[:15], 16) / 16.0**15
+
+    ranked = sorted(vecs, key=lambda i: (frac(i), i))
+    cents = [[r6(x) for x in vecs[i]] for i in ranked[:k]]
+
+    def assign() -> dict[int, int]:
+        out = {}
+        for i, v in vecs.items():
+            best_d2, best_c = None, -1
+            for ci, c in enumerate(cents):
+                d2 = sum(r0((x - y) * (x - y) * 1e12) for x, y in zip(v, c))
+                if best_d2 is None or d2 < best_d2:
+                    best_d2, best_c = d2, ci
+            out[i] = best_c
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        dim = len(next(iter(vecs.values())))
+        for ci in range(k):
+            members = [vecs[i] for i in vecs if a[i] == ci]
+            if not members:
+                continue  # empty cluster keeps its centroid
+            cents[ci] = [
+                r6(
+                    float(sum(r0(v[d] * 1e12) for v in members))
+                    / float(len(members))
+                    / 1e12
+                )
+                for d in range(dim)
+            ]
+    return assign(), cents, vecs
+
+
+def _kmeans_values_oracle(sf_dir: str) -> str:
+    a, _, _ = _replay_kmeans(sf_dir)
+    rows = ", ".join(f"({i}, {c})" for i, c in sorted(a.items()))
+    return f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster
+    FROM (VALUES {rows}) AS t(vec_id, cluster)
+    """
+
+
+@df_query("cluster_kmeans_assign", _kmeans_values_oracle)
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    assigned, _ = clustering.kmeans(emb, K, ITERS)
+    return assigned.select(
+        F.col("id").cast("bigint").alias("vec_id"), F.col("cluster").cast("int")
+    )
+
+
+def _semdedup_values_oracle(sf_dir: str) -> str:
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r0(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    a, _, vecs = _replay_kmeans(sf_dir)
+    norms = {
+        i: math.sqrt(sum(r0(x * x * 1e12) for x in v) / 1e12) for i, v in vecs.items()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for i, c in a.items():
+        if norms[i] > 0.0:
+            by_cluster.setdefault(c, []).append(i)
+    out = []
+    for c, members in sorted(by_cluster.items()):
+        members.sort()
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                ia, ib = members[ai], members[bi]
+                dot = sum(r0(x * y * 1e12) for x, y in zip(vecs[ia], vecs[ib]))
+                cos = r6((dot / 1e12) / (norms[ia] * norms[ib]))
+                if cos >= SEM_THRESHOLD:
+                    out.append(f"({c}, {ia}, {ib}, {cos!r})")
+    if not out:
+        return """
+        SELECT CAST(NULL AS INT) AS cluster, CAST(NULL AS BIGINT) AS keep_id,
+               CAST(NULL AS BIGINT) AS drop_id, CAST(NULL AS DOUBLE) AS cosine
+        WHERE FALSE
+        """
+    rows = ", ".join(out)
+    return f"""
+    SELECT CAST(cluster AS INT) AS cluster, CAST(keep_id AS BIGINT) AS keep_id,
+           CAST(drop_id AS BIGINT) AS drop_id, CAST(cosine AS DOUBLE) AS cosine
+    FROM (VALUES {rows}) AS t(cluster, keep_id, drop_id, cosine)
+    """
+
+
+@df_query("dedup_semantic_semdedup", _semdedup_values_oracle)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = clustering.semdedup_pairs(emb, K, SEM_THRESHOLD, ITERS)
+    return pairs.select(
+        F.col("cluster").cast("int"),
+        F.col("keep_id").cast("bigint"),
+        F.col("drop_id").cast("bigint"),
+        "cosine",
+    )

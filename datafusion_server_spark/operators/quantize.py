@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
 from datafusion_server_spark.operators.similarity import (
+    SCALE,
     _dot_scaled,
     _elements,
     _unscale,
@@ -176,6 +177,264 @@ def quantized_topk(
         F.sqrt(
             _unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))
         ).alias("__cnrm"),
+    ).filter(F.col("__cnrm") > 0.0)
+    exact = (
+        cand.join(true_c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _unscale(_dot_scaled(F.col("__cv"), F.col("__qv")))
+                / (F.col("__qnrm") * F.col("__cnrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# -- product quantization ----------------------------------------------------
+#
+# PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search") splits each vector into m subspaces and k-means-codes each
+# subspace independently: m bytes/vector at n_centroids=256 vs 4*dim
+# bytes of float32 — 32x at dim 64. The k-means here is the JOINT
+# formulation: all m subspace problems advance in the SAME pass (one
+# narrow assignment + ONE map-side-combined aggregation per Lloyd
+# iteration, never m corpus passes), with per-(subspace, cluster, dim)
+# exact scaled-long sums. Deterministic end-to-end (hash init, strict
+# argmin ties to the lower cluster, HALF_UP rounding), so the DuckDB
+# oracle replays it sequentially.
+
+
+def _subspace_view(embeddings: DataFrame, vec_col: str, id_col: str, m: int, subdim: int) -> DataFrame:
+    """(id, subspace, sub): one row per (vector, subspace), sub the
+    dim/m slice — a narrow generate, no shuffle."""
+    slices = F.array(
+        *[F.slice(F.col(vec_col), j * subdim + 1, subdim) for j in range(m)]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.posexplode(slices).alias("subspace", "sub")
+    )
+
+
+def _pq_init(sub: DataFrame, n_centroids: int, seed: str) -> DataFrame:
+    """(subspace, cluster, c): per-subspace hash-rank init — the
+    n_centroids sub-vectors with the smallest md5('{seed}:{subspace}:{id}')
+    fraction, cluster index in rank order."""
+    from datafusion_server_spark.operators.sampling import _HEX_DIGITS, _HEX_SPAN
+
+    h = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("subspace").cast("string"),
+            F.lit(":"),
+            F.col("id").cast("string"),
+        )
+    )
+    frac = F.conv(F.substring(h, 1, _HEX_DIGITS), 16, 10).cast("bigint") / F.lit(
+        _HEX_SPAN
+    )
+    w = Window.partitionBy("subspace").orderBy(frac.asc(), F.col("id").asc())
+    return (
+        sub.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_centroids)
+        .select(
+            "subspace",
+            (F.col("__rn") - 1).cast("int").alias("cluster"),
+            F.transform(F.col("sub"), lambda x: F.round(x.cast("double"), 6)).alias(
+                "c"
+            ),
+        )
+    )
+
+
+def _pq_codebook_row(codebook: DataFrame) -> DataFrame:
+    """(subspace, cluster, c) rows -> ONE broadcastable row ``books``:
+    array indexed by subspace of arrays of centroid structs."""
+    per_sub = codebook.groupBy("subspace").agg(
+        F.sort_array(F.collect_list(F.struct("cluster", "c"))).alias("cents")
+    )
+    return per_sub.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("subspace", "cents"))),
+            lambda s: s["cents"],
+        ).alias("books")
+    )
+
+
+def _pq_argmin(sub_col, cents_col):
+    """Strict-min fold over one subspace's centroid array — ties to the
+    lower cluster index (sorted array + strict less-than)."""
+    from datafusion_server_spark.operators.clustering import _d2_scaled
+
+    return F.aggregate(
+        cents_col,
+        F.struct(F.lit(None).cast("bigint").alias("d2"), F.lit(-1).alias("cluster")),
+        lambda acc, ct: F.when(
+            acc["d2"].isNull() | (_d2_scaled(sub_col, ct["c"]) < acc["d2"]),
+            F.struct(_d2_scaled(sub_col, ct["c"]).alias("d2"), ct["cluster"].alias("cluster")),
+        ).otherwise(acc),
+    )["cluster"]
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int,
+    n_centroids: int,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "pq",
+) -> DataFrame:
+    """Train the m per-subspace codebooks jointly for exactly ``iters``
+    Lloyd iterations. Returns (subspace, cluster, c). Per iteration: one
+    narrow assignment over the (id, subspace) view + ONE aggregation
+    whose output is m x n_centroids x dim/m rows regardless of corpus
+    size; the k-row codebook localCheckpoints to truncate lineage."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    sub = _subspace_view(
+        ensure_fanout_parallelism(embeddings), vec_col, id_col, m, subdim
+    )
+    book = _pq_init(sub, n_centroids, seed).localCheckpoint()
+    for _ in range(iters):
+        row = _pq_codebook_row(book)
+        assigned = sub.crossJoin(F.broadcast(row)).select(
+            "subspace",
+            "sub",
+            _pq_argmin(
+                F.col("sub"), F.element_at(F.col("books"), F.col("subspace") + 1)
+            ).alias("cluster"),
+        )
+        el = assigned.select(
+            "subspace", "cluster", F.posexplode(F.col("sub")).alias("__i", "__x")
+        )
+        means = (
+            el.groupBy("subspace", "cluster", "__i")
+            .agg(
+                F.sum(
+                    F.round(F.col("__x").cast("double") * SCALE).cast("bigint")
+                ).alias("__s"),
+                F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+            )
+            .select(
+                "subspace",
+                "cluster",
+                "__i",
+                F.round(F.col("__s").cast("double") / F.col("__cnt") / SCALE, 6).alias(
+                    "__m"
+                ),
+            )
+            .groupBy("subspace", "cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__i", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__newc")
+            )
+        )
+        book = (
+            book.join(means, ["subspace", "cluster"], "left")
+            .select(
+                "subspace",
+                "cluster",
+                F.coalesce(F.col("__newc"), F.col("c")).alias("c"),
+            )
+            .localCheckpoint()
+        )
+    return book
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    iters: int = 2,
+    rerank_factor: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ + refine cosine search: encode candidates to m codes, score
+    float queries against the CODEBOOK RECONSTRUCTION (asymmetric
+    distance), keep rerank_factor*k per query, re-rank exactly.
+
+    Output: (query_id, neighbor_id, cosine, rank) — exact scores, PQ
+    affects candidate recall only. At scale the candidate scan reads m
+    small ints per vector; full vectors load only for the re-rank set."""
+    subdim = dim // m
+    book = pq_train(
+        embeddings, m, n_centroids, iters, dim, vec_col, id_col
+    )
+    row = _pq_codebook_row(book)
+    sub = _subspace_view(embeddings, vec_col, id_col, m, subdim)
+    # encode + reconstruct per (id, subspace), then re-pack the full
+    # reconstruction by id (sort by subspace keeps element order)
+    enc = sub.crossJoin(F.broadcast(row)).select(
+        "id",
+        "subspace",
+        F.element_at(
+            F.element_at(F.col("books"), F.col("subspace") + 1),
+            _pq_argmin(
+                F.col("sub"), F.element_at(F.col("books"), F.col("subspace") + 1)
+            )
+            + 1,
+        )["c"].alias("__part"),
+    )
+    recon = (
+        enc.groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("subspace", "__part"))),
+                    lambda s: s["__part"],
+                )
+            ).alias("__rv")
+        )
+        .select(
+            F.col("id").alias("neighbor_id"),
+            "__rv",
+            F.sqrt(_unscale(_dot_scaled(F.col("__rv"), F.col("__rv")))).alias(
+                "__rnrm"
+            ),
+        )
+        .filter(F.col("__rnrm") > 0.0)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(_unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))).alias("__qnrm"),
+    ).filter(F.col("__qnrm") > 0.0)
+    adc = recon.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _unscale(_dot_scaled(F.col("__rv"), F.col("__qv")))
+            / (F.col("__qnrm") * F.col("__rnrm")),
+            6,
+        ).alias("adc"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= rerank_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+    true_c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.sqrt(_unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))).alias("__cnrm"),
     ).filter(F.col("__cnrm") > 0.0)
     exact = (
         cand.join(true_c, "neighbor_id")

@@ -154,3 +154,143 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("drop_id").cast("bigint"),
         "cosine",
     )
+
+
+# -- product quantization search (operators.quantize.pq_topk) ----------------
+PQ_M = 8
+PQ_NC = 16
+PQ_ITERS = 2
+PQ_K = 5
+PQ_RERANK = 4
+PQ_DIM = 64
+PQ_NQ = 10  # query side: vec_id < 10
+
+
+def _pq_values_oracle(sf_dir: str) -> str:
+    """Sequential replay of the joint-subspace PQ pipeline: per-subspace
+    hash init -> Lloyd iterations (exact scaled-long math) -> encode ->
+    codebook reconstruction -> ADC candidates -> exact re-rank."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    def r0(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(
+            tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
+        )
+    }
+    subdim = PQ_DIM // PQ_M
+    subs = {
+        (i, j): v[j * subdim : (j + 1) * subdim]
+        for i, v in vecs.items()
+        for j in range(PQ_M)
+    }
+
+    def frac(j: int, i: int) -> float:
+        h = hashlib.md5(f"pq:{j}:{i}".encode()).hexdigest()
+        return int(h[:15], 16) / 16.0**15
+
+    books = []
+    for j in range(PQ_M):
+        ranked = sorted(vecs, key=lambda i: (frac(j, i), i))
+        books.append([[r6(x) for x in subs[(i, j)]] for i in ranked[:PQ_NC]])
+
+    def argmin(sv, book):
+        best_d2, best_c = None, -1
+        for ci, c in enumerate(book):
+            d2 = sum(r0((x - y) * (x - y) * 1e12) for x, y in zip(sv, c))
+            if best_d2 is None or d2 < best_d2:
+                best_d2, best_c = d2, ci
+        return best_c
+
+    for _ in range(PQ_ITERS):
+        assign = {
+            (i, j): argmin(subs[(i, j)], books[j]) for i in vecs for j in range(PQ_M)
+        }
+        for j in range(PQ_M):
+            for ci in range(PQ_NC):
+                members = [subs[(i, j)] for i in vecs if assign[(i, j)] == ci]
+                if not members:
+                    continue
+                books[j][ci] = [
+                    r6(
+                        float(sum(r0(v[d] * 1e12) for v in members))
+                        / float(len(members))
+                        / 1e12
+                    )
+                    for d in range(subdim)
+                ]
+    recon = {
+        i: [
+            x
+            for j in range(PQ_M)
+            for x in books[j][argmin(subs[(i, j)], books[j])]
+        ]
+        for i in vecs
+    }
+    rnorm = {
+        i: math.sqrt(sum(r0(x * x * 1e12) for x in v) / 1e12)
+        for i, v in recon.items()
+    }
+    qnorm = {
+        i: math.sqrt(sum(r0(x * x * 1e12) for x in vecs[i]) / 1e12)
+        for i in vecs
+        if i < PQ_NQ
+    }
+    out = []
+    for q in sorted(qnorm):
+        if qnorm[q] <= 0.0:
+            continue
+        adc = []
+        for c, rv in recon.items():
+            if c == q or rnorm[c] <= 0.0:
+                continue
+            dot = sum(r0(a * b * 1e12) for a, b in zip(vecs[q], rv))
+            adc.append((r6((dot / 1e12) / (qnorm[q] * rnorm[c])), c))
+        adc.sort(key=lambda t: (-t[0], t[1]))
+        cand = [c for _, c in adc[: PQ_RERANK * PQ_K]]
+        scored = []
+        for c in cand:
+            cn = math.sqrt(sum(r0(x * x * 1e12) for x in vecs[c]) / 1e12)
+            if cn <= 0.0:
+                continue
+            dot = sum(r0(a * b * 1e12) for a, b in zip(vecs[q], vecs[c]))
+            scored.append((r6((dot / 1e12) / (qnorm[q] * cn)), c))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, c) in enumerate(scored[:PQ_K], start=1):
+            out.append(f"({q}, {c}, {cos!r}, {rank})")
+    rows = ", ".join(out)
+    return f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(cosine AS DOUBLE) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (VALUES {rows}) AS t(query_id, neighbor_id, cosine, rank)
+    """
+
+
+@df_query("ann_pq_cosine", _pq_values_oracle)
+def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import quantize
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return quantize.pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < PQ_NQ),
+        k=PQ_K,
+        m=PQ_M,
+        n_centroids=PQ_NC,
+        iters=PQ_ITERS,
+        rerank_factor=PQ_RERANK,
+        dim=PQ_DIM,
+    )

@@ -116,3 +116,49 @@ def test_temperature_alpha_one_matches_natural_rates(spark, sf_dir):
         docs, "doc_id", "lang", 1.0, total * 10
     )  # budget > corpus => every rate caps at 1.0: all rows kept
     assert kept.count() == total
+
+
+def test_pq_refine_recall_floor(spark, sf_dir):
+    """PQ(8x16)+refine recall@5 vs brute force. On the uniform fixture
+    PQ reconstruction noise is high (no cluster structure for the
+    codebooks to exploit), so the floor is modest; the refine stage
+    keeps returned scores exact regardless."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in quantize.pq_topk(
+            emb, q, k=5, m=8, n_centroids=16, iters=2, rerank_factor=4
+        ).collect()
+    }
+    n = emb.count()
+    random_baseline = 20 / n  # rerank_factor*k candidates at random
+    recall = len(truth & pq) / len(truth)
+    assert recall >= 2 * random_baseline, (recall, random_baseline)
+
+
+def test_pq_train_partition_independent(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    b1 = {
+        (r.subspace, r.cluster, tuple(r.c))
+        for r in quantize.pq_train(emb, m=8, n_centroids=8, iters=1).collect()
+    }
+    b2 = {
+        (r.subspace, r.cluster, tuple(r.c))
+        for r in quantize.pq_train(
+            emb.repartition(5), m=8, n_centroids=8, iters=1
+        ).collect()
+    }
+    assert b1 == b2
+
+
+def test_pq_train_rejects_bad_subspace_split(spark, sf_dir):
+    import pytest
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        quantize.pq_train(emb, m=7, n_centroids=8, iters=1, dim=64)

@@ -68,3 +68,30 @@ def test_semdedup_pairs_respect_cluster_and_threshold(spark, sf_dir):
         assert r.keep_id < r.drop_id
         assert r.cosine >= 0.3
         assert amap[r.keep_id] == r.cluster and amap[r.drop_id] == r.cluster
+
+
+def test_assignment_plan_is_shuffle_free(spark, sf_dir):
+    """Nearest-centroid assignment must stay a narrow map over the
+    broadcast centroid row — a shuffle in the assignment subplan (beyond
+    the centroid build itself) is a scale regression. The centroid input
+    here is a checkpointed table, so the plan below it is just the scan
+    + broadcast."""
+    from datafusion_server_spark.operators.scale import plan_has_shuffle
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cent = clustering.kmeans_init(emb, 4, "embedding", "vec_id").localCheckpoint()
+    assigned = clustering.assign_clusters(emb, cent, "embedding", "vec_id")
+    assert not plan_has_shuffle(assigned)
+
+
+def test_kmeans_update_shuffle_output_is_k_by_dim_bounded(spark, sf_dir):
+    """The per-iteration aggregation keys on (cluster, dimension): its
+    result cardinality is k x dim regardless of corpus size (the
+    property that makes the iteration scale)."""
+    from datafusion_server_spark.operators import quantize
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    book = quantize.pq_train(emb, m=8, n_centroids=4, iters=1)
+    rows = book.collect()
+    assert len(rows) == 8 * 4
+    assert all(len(r.c) == 8 for r in rows)  # dim/m = 64/8

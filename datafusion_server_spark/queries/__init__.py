@@ -166,6 +166,7 @@ def registry() -> dict[str, QueryDef]:
     """Import all query modules and return the full inventory, with the
     ``PRIORITY`` names first (the driver's gate checks the first 50)."""
     from datafusion_server_spark.queries import (  # noqa: F401
+        bpe,
         clustering,
         core,
         core2,

@@ -1,0 +1,78 @@
+"""BPE trainer (operators.bpe) beyond-oracle invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import bpe
+
+
+def test_merge_freqs_non_increasing(spark, sf_dir):
+    """Classic BPE property: a merge only creates pairs no more frequent
+    than itself, so the chosen best-pair frequency never increases."""
+    docs = tables.load(spark, sf_dir, "documents")
+    _, merges = bpe.bpe_train(docs, "text", 8)
+    freqs = [r.freq for r in merges.orderBy("rank").collect()]
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(f > 0 for f in freqs)
+
+
+def test_each_merge_removes_exactly_its_frequency(spark, sf_dir):
+    """Conservation: one merge replaces freq weighted adjacencies with
+    single symbols, so total weighted symbol count drops by exactly
+    sum(freq) across the run."""
+    docs = tables.load(spark, sf_dir, "documents")
+    base = bpe.word_vocab(docs, "text")
+    chars0 = base.select(
+        F.sum(F.col("wc") * F.size("syms")).alias("t")
+    ).first().t
+    vocab, merges = bpe.bpe_train(docs, "text", 8)
+    chars1 = vocab.select(
+        F.sum(F.col("wc") * F.size("syms")).alias("t")
+    ).first().t
+    merged_total = merges.select(F.sum("freq").alias("t")).first().t
+    assert chars0 - chars1 == merged_total
+
+
+def test_token_counts_bounded(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    vocab, _ = bpe.bpe_train(docs, "text", 8)
+    counts = bpe.bpe_token_counts(docs, "text", "doc_id", vocab)
+    joined = counts.join(
+        docs.select(F.col("doc_id").alias("id"), "text"), "id"
+    ).select(
+        "n_words",
+        "n_bpe_tokens",
+        F.length("text").alias("n_chars"),
+    )
+    bad = joined.filter(
+        (F.col("n_bpe_tokens") < F.col("n_words"))
+        | (F.col("n_bpe_tokens") > F.col("n_chars"))
+    ).count()
+    assert bad == 0
+
+
+def test_train_partition_independent(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    m1 = [
+        (r.rank, r.left, r.right, r.freq)
+        for r in bpe.bpe_train(docs, "text", 6)[1].orderBy("rank").collect()
+    ]
+    m2 = [
+        (r.rank, r.left, r.right, r.freq)
+        for r in bpe.bpe_train(docs.repartition(7), "text", 6)[1]
+        .orderBy("rank")
+        .collect()
+    ]
+    assert m1 == m2
+
+
+def test_exhaustion_stops_cleanly(spark):
+    """More requested merges than possible: sentinel ranks filter out,
+    the returned table is short, application is a no-op."""
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    vocab, merges = bpe.bpe_train(df, "text", 5)
+    got = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    assert got == [("a", "b")]
+    assert [tuple(r.syms) for r in vocab.collect()] == [("ab",)]

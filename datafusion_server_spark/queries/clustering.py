@@ -294,3 +294,115 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_factor=PQ_RERANK,
         dim=PQ_DIM,
     )
+
+
+# --- curation pipeline v2: corpus-LM band-pass -> SemDeDup keepers ->
+# temperature-mix sample -> per-language stats. Composes the late-r4
+# operator family in ONE DataFrame chain (documents and embeddings are
+# id-aligned in the fixtures: doc_id == vec_id). The oracle embeds the
+# SemDeDup replay's drop set as a VALUES CTE inside otherwise plain SQL
+# — the mixed VALUES+SQL oracle shape.
+_V2_LO, _V2_HI = 3.39, 3.42  # xent band (nats): drops both tails
+_V2_ALPHA = 0.5
+_V2_TOTAL = 200
+
+
+def _pipeline_v2_oracle(sf_dir: str) -> str:
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r0(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    a, _, vecs = _replay_kmeans(sf_dir)
+    norms = {
+        i: math.sqrt(sum(r0(x * x * 1e12) for x in v) / 1e12) for i, v in vecs.items()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for i, c in a.items():
+        if norms[i] > 0.0:
+            by_cluster.setdefault(c, []).append(i)
+    drops: set[int] = set()
+    for members in by_cluster.values():
+        members.sort()
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                ia, ib = members[ai], members[bi]
+                dot = sum(r0(x * y * 1e12) for x, y in zip(vecs[ia], vecs[ib]))
+                cos = float(
+                    Decimal(repr((dot / 1e12) / (norms[ia] * norms[ib]))).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                )
+                if cos >= SEM_THRESHOLD:
+                    drops.add(ib)
+    drop_rows = ", ".join(f"({i})" for i in sorted(drops)) or "(NULL)"
+    from datafusion_server_spark.queries.sampling import _FRAC
+
+    frac = _FRAC.format(seed="tmix").replace("doc_id", "kp.doc_id")
+    return f"""
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+model AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM model),
+logp AS (SELECT term,
+                CAST(ROUND(-LN(CAST(n_t + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)), 8)
+                     AS DECIMAL(18,8)) AS nll
+         FROM model, tot),
+xent AS (SELECT t.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                ROUND(CAST(SUM(l.nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS xent_nats
+         FROM tok t JOIN logp l ON l.term = t.term GROUP BY t.doc_id),
+drops AS (SELECT * FROM (VALUES {drop_rows}) AS t(doc_id) WHERE doc_id IS NOT NULL),
+keepers AS (
+  SELECT d.doc_id, d.lang, x.n_tokens
+  FROM documents d
+  JOIN xent x ON x.doc_id = d.doc_id
+  WHERE x.xent_nats BETWEEN {_V2_LO} AND {_V2_HI}
+    AND d.doc_id NOT IN (SELECT doc_id FROM drops)),
+counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_d FROM keepers GROUP BY lang),
+w AS (SELECT lang, n_d,
+             CAST(ROUND(POWER(CAST(n_d AS DOUBLE), {_V2_ALPHA}), 6) AS DECIMAL(28,6)) AS w
+      FROM counts),
+rates AS (SELECT lang,
+                 LEAST(1.0, (CAST(w AS DOUBLE) / CAST((SELECT SUM(w) FROM w) AS DOUBLE))
+                            * {float(_V2_TOTAL)} / CAST(n_d AS DOUBLE)) AS rate
+          FROM w),
+sampled AS (
+  SELECT kp.doc_id, kp.lang, kp.n_tokens
+  FROM keepers kp JOIN rates r ON r.lang = kp.lang
+  WHERE {frac} < r.rate)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM sampled GROUP BY lang
+"""
+
+
+@df_query("pipeline_curation_v2", _pipeline_v2_oracle)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DataFrame chain: corpus-LM cross-entropy band-pass (CCNet
+    shape) -> SemDeDup near-duplicate removal (min-id survivorship) ->
+    alpha-temperature language mixing -> per-language token budget."""
+    from datafusion_server_spark.operators import sampling, text
+
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+    xent = text.lm_unigram_cross_entropy(docs, "text", "doc_id")
+    banded = docs.join(
+        xent.filter(F.col("xent_nats").between(_V2_LO, _V2_HI)).select(
+            F.col("id").alias("doc_id"), "n_tokens"
+        ),
+        "doc_id",
+    )
+    drops = (
+        clustering.semdedup_pairs(emb, K, SEM_THRESHOLD, ITERS)
+        .select(F.col("drop_id").alias("doc_id"))
+        .distinct()
+    )
+    keepers = banded.join(drops, "doc_id", "left_anti")
+    sampled = sampling.temperature_mix_sample(
+        keepers, "doc_id", "lang", _V2_ALPHA, _V2_TOTAL
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -406,3 +406,60 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+def _semdedup_keepers_oracle(sf_dir: str) -> str:
+    """Keeper ids = all vectors minus SemDeDup drops (min-id
+    survivorship) — per-cluster keeper counts."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r0(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    a, _, vecs = _replay_kmeans(sf_dir)
+    norms = {
+        i: math.sqrt(sum(r0(x * x * 1e12) for x in v) / 1e12) for i, v in vecs.items()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for i, c in a.items():
+        if norms[i] > 0.0:
+            by_cluster.setdefault(c, []).append(i)
+    drops: set[int] = set()
+    for members in by_cluster.values():
+        members.sort()
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                ia, ib = members[ai], members[bi]
+                dot = sum(r0(x * y * 1e12) for x, y in zip(vecs[ia], vecs[ib]))
+                if r6((dot / 1e12) / (norms[ia] * norms[ib])) >= SEM_THRESHOLD:
+                    drops.add(ib)
+    from collections import Counter
+
+    kept = Counter(a[i] for i in vecs if i not in drops)
+    rows = ", ".join(f"({c}, {n})" for c, n in sorted(kept.items()))
+    return f"""
+    SELECT CAST(cluster AS INT) AS cluster, CAST(n_kept AS BIGINT) AS n_kept
+    FROM (VALUES {rows}) AS t(cluster, n_kept)
+    """
+
+
+@df_query("dedup_semantic_keepers", _semdedup_keepers_oracle)
+def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup OUTPUT leg: materialize the kept set (everything not
+    named as a drop_id) with per-cluster counts — at scale this is the
+    anti-join that writes the deduplicated corpus."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    assigned, _ = clustering.kmeans(emb, K, ITERS)
+    drops = (
+        clustering.semdedup_pairs(emb, K, SEM_THRESHOLD, ITERS)
+        .select(F.col("drop_id").alias("id"))
+        .distinct()
+    )
+    kept = assigned.join(drops, "id", "left_anti")
+    return kept.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )

@@ -76,3 +76,18 @@ def test_exhaustion_stops_cleanly(spark):
     got = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
     assert got == [("a", "b")]
     assert [tuple(r.syms) for r in vocab.collect()] == [("ab",)]
+
+
+def test_null_and_empty_docs_ignored(spark):
+    """NULL text drops from the word stream; empty/whitespace text
+    contributes no words; training still proceeds on the rest."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, "ab ab ab")],
+        "doc_id bigint, text string",
+    )
+    vocab, merges = bpe.bpe_train(df, "text", 2)
+    got = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    assert got == [("a", "b")]
+    counts = bpe.bpe_token_counts(df, "text", "doc_id", vocab)
+    rows = {r.id: (r.n_words, r.n_bpe_tokens) for r in counts.collect()}
+    assert rows == {4: (3, 3)}

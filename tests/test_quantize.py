@@ -162,3 +162,29 @@ def test_pq_train_rejects_bad_subspace_split(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         quantize.pq_train(emb, m=7, n_centroids=8, iters=1, dim=64)
+
+
+def test_pq_frozen_codebook_reusable_for_new_shards(spark, sf_dir):
+    """The trained codebook encodes a later shard identically to the
+    corpus pass — the incremental-index path (train once, encode daily
+    batches against the frozen books)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    book = quantize.pq_train(emb, m=8, n_centroids=8, iters=1)
+    row = quantize._pq_codebook_row(book)
+    sub = quantize._subspace_view(emb, "embedding", "vec_id", 8, 8)
+
+    def encode(view):
+        return view.crossJoin(F.broadcast(row)).select(
+            "id",
+            "subspace",
+            quantize._pq_argmin(
+                F.col("sub"), F.element_at(F.col("books"), F.col("subspace") + 1)
+            ).alias("cluster"),
+        )
+
+    full = {(r.id, r.subspace, r.cluster) for r in encode(sub).collect() if r.id < 20}
+    shard = {
+        (r.id, r.subspace, r.cluster)
+        for r in encode(sub.filter(F.col("id") < 20)).collect()
+    }
+    assert full == shard

@@ -40,3 +40,39 @@ def save_json_array_file(df: DataFrame, path: str, *, overwrite: bool = False) -
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+def write_dataset(
+    df: DataFrame,
+    location: str,
+    *,
+    partition_by: list[str] | None = None,
+    sort_within_partitions: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sharded parquet output — the 100 TB leg the single-file save
+    (reference parity, above) cannot serve. Hive-style directory
+    partitioning on ``partition_by`` gives readers partition PRUNING
+    (a lang='en' filter never touches other languages' files);
+    ``sort_within_partitions`` clusters rows inside each task's files
+    so parquet min/max row-group stats prune further; and
+    ``max_records_per_file`` bounds file sizes without a coalesce
+    (Spark splits a task's output as it exceeds the bound, no extra
+    shuffle).
+
+    The writer repartitions BY the partition columns first: otherwise
+    every task holding rows of a partition value writes its own file
+    into that directory — tasks x partitions small files, the classic
+    output-explosion failure."""
+    writer_df = df
+    if partition_by:
+        writer_df = writer_df.repartition(*[writer_df[c] for c in partition_by])
+    if sort_within_partitions:
+        writer_df = writer_df.sortWithinPartitions(*sort_within_partitions)
+    writer = writer_df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(location)

@@ -318,3 +318,90 @@ def histogram_quantiles(
         * F.lit(width)
     )
     return hit.select("q", F.round(est, 6).alias("estimate"))
+
+
+# -- deterministic HyperLogLog --------------------------------------------
+#
+# Spark's native HLL++ stays registered (approx_count_distinct_sketch,
+# rows-only — its register values are engine-internal). This is the
+# DETERMINISTIC counterpart: classic Flajolet HLL over the md5 60-bit
+# hash already used by KMV, so every register value — and therefore the
+# estimate — is a pure function of the key set that both engines (and a
+# sequential replay) reproduce bit-for-bit.
+#
+# Register math is ALL integer: bucket = top b bits of the 60-bit hash,
+# rho = leading zeros of the remaining (60-b)-bit tail + 1 (via
+# length(bin(tail)), identical in Spark and DuckDB), M_j = max rho per
+# bucket; the harmonic sum uses scaled longs 2^(53 - M_j) (M_j <= 53,
+# exact, order-independent). Only the final division and the
+# linear-counting ln are floats, both rounded.
+
+_HLL_B = 8  # m = 256 registers
+_HLL_M = 1 << _HLL_B
+_HLL_TAIL_BITS = 60 - _HLL_B
+# alpha_m * m^2 * 2^53 embedded as ONE double literal on both sides
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+HLL_NUMERATOR = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """(*group_cols, bucket, m_j): the dense part of the register
+    vector (absent buckets are register 0 — the estimator accounts for
+    them arithmetically instead of materializing m rows per group).
+    Mergeable: max of registers across shards/periods."""
+    h60 = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_DIGITS), 16, 10).cast(
+        "bigint"
+    )
+    bucket = F.shiftright(h60, _HLL_TAIL_BITS)
+    tail = h60.bitwiseAND(F.lit((1 << _HLL_TAIL_BITS) - 1))
+    rho = F.when(tail == 0, F.lit(_HLL_TAIL_BITS + 1)).otherwise(
+        _HLL_TAIL_BITS - F.length(F.bin(tail)) + 1
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("bigint").alias("m_j"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers -> cardinality estimate with the standard small-range
+    linear-counting correction. Output: (*group_cols, hll_estimate
+    DOUBLE rounded to 4, n_registers BIGINT)."""
+    # shiftleft's bit count must be an expression here (it varies per
+    # row) — the Python API only takes an int, so go through SQL
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_j as int))")).alias(
+            "__s_present"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("__present"),
+    )
+    # absent buckets are register 0: each contributes 2^53 to the scaled
+    # harmonic sum and counts as an empty register for linear counting
+    s = F.col("__s_present") + (F.lit(_HLL_M) - F.col("__present")) * F.lit(
+        1 << 53
+    ).cast("bigint")
+    v = F.lit(_HLL_M) - F.col("__present")
+    raw = F.lit(HLL_NUMERATOR) / s.cast("double")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (v > 0),
+        F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")), 4),
+    ).otherwise(F.round(raw, 4))
+    return agg.select(
+        *group_cols,
+        est.alias("hll_estimate"),
+        F.col("__present").alias("n_registers"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Deterministic HLL approximate-distinct per group. Scale shape:
+    ONE map-side-combined aggregation to (group, bucket) registers —
+    at most m rows per group out of every mapper — then a group-level
+    reduce; identical to the shape Spark's own HLL++ uses, but
+    oracle-checkable."""
+    return hll_estimate(hll_registers(df, key_col, group_cols), group_cols)

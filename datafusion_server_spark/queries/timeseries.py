@@ -386,3 +386,49 @@ FROM ranked JOIN qs ON rn = GREATEST((num * n + den - 1) // den, 1)
 def quantiles_exact_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return sketch.quantiles_disc(ev, "value", ["event_type"], list(_QD_QS))
+
+
+# --- deterministic HLL: md5-register HyperLogLog per event type —
+# the oracle-checkable counterpart of the engine-internal HLL++ row.
+# Register derivation is all-integer (bucket = top 8 of 60 hash bits,
+# rho via length(bin(tail))); the harmonic sum is a scaled-long sum;
+# only the final division / linear-counting ln are floats, rounded.
+
+from datafusion_server_spark.operators.sketch import (  # noqa: E402
+    _HLL_M,
+    _HLL_TAIL_BITS,
+    HLL_NUMERATOR,
+)
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+  FROM events),
+reg AS (
+  SELECT event_type, h60 >> {_HLL_TAIL_BITS} AS bucket,
+         CAST(MAX(CASE WHEN (h60 & {(1 << _HLL_TAIL_BITS) - 1}) = 0
+                       THEN {_HLL_TAIL_BITS + 1}
+                       ELSE {_HLL_TAIL_BITS} - LENGTH(BIN(h60 & {(1 << _HLL_TAIL_BITS) - 1})) + 1
+                  END) AS BIGINT) AS m_j
+  FROM h GROUP BY event_type, bucket),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS present
+  FROM reg GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN ({HLL_NUMERATOR!r} / CAST(s_present + ({_HLL_M} - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)) <= {2.5 * _HLL_M}
+                 AND ({_HLL_M} - present) > 0
+            THEN ROUND({float(_HLL_M)!r} * LN({float(_HLL_M)!r} / CAST({_HLL_M} - present AS DOUBLE)), 4)
+            ELSE ROUND({HLL_NUMERATOR!r} / CAST(s_present + ({_HLL_M} - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE), 4)
+       END AS hll_estimate,
+       present AS n_registers
+FROM agg
+"""
+
+
+@df_query("sketch_hll_deterministic", _HLL_ORACLE)
+def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return sketch.hll_distinct(ev, "user_id", ["event_type"])

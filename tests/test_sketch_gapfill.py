@@ -8,6 +8,7 @@ import datetime
 
 from pyspark.sql import functions as F
 
+from datafusion_server_spark import tables
 from datafusion_server_spark.operators import sketch, timeseries
 
 
@@ -98,3 +99,50 @@ def test_quantiles_disc_selection_semantics(spark):
     assert out[0.5] == 5.0   # ceil(0.5*10) = rank 5
     assert out[0.9] == 9.0   # ceil(0.9*10) = rank 9
     assert out[1.0] == 10.0  # max
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    """m=256 registers -> ~6.5% standard error; assert every group's
+    deterministic-HLL estimate lands within 25% of the exact count."""
+    sk = sketch
+    ev = tables.load(spark, sf_dir, "events")
+    est = {
+        r.event_type: r.hll_estimate
+        for r in sk.hll_distinct(ev, "user_id", ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n <= 0.25, (et, n, est[et])
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """Sketch mergeability: registers of the full stream equal the
+    bucket-wise max of two disjoint halves' registers — the property
+    that lets shards/days combine without rescanning."""
+    sk = sketch
+    ev = tables.load(spark, sf_dir, "events")
+    full = sk.hll_registers(ev, "user_id", ["event_type"])
+    a = sk.hll_registers(ev.filter(F.col("event_id") % 2 == 0), "user_id", ["event_type"])
+    b = sk.hll_registers(ev.filter(F.col("event_id") % 2 == 1), "user_id", ["event_type"])
+    merged = (
+        a.unionByName(b)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    assert full.exceptAll(merged).count() == 0
+    assert merged.exceptAll(full).count() == 0
+    # and the estimate computed from merged registers matches the full one
+    e1 = {
+        r.event_type: r.hll_estimate
+        for r in sk.hll_estimate(full, ["event_type"]).collect()
+    }
+    e2 = {
+        r.event_type: r.hll_estimate
+        for r in sk.hll_estimate(merged, ["event_type"]).collect()
+    }
+    assert e1 == e2

@@ -379,3 +379,52 @@ def streaming_kmv_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     from datafusion_server_spark.streaming.sketches import kmv_window_distinct
 
     return kmv_window_distinct(spark, f"{sf_dir}/events.parquet", k=_KMV_STREAM_K)
+
+
+# streaming deterministic HLL: registers as ONE engine-native streaming
+# max-aggregation, estimate finished batch-side — oracle is the batch
+# HLL SQL over the same hour bucketing (register math identical to
+# sketch_hll_deterministic, grouped by time bucket instead).
+from datafusion_server_spark.operators.sketch import (  # noqa: E402
+    _HLL_M as _SHLL_M,
+    _HLL_TAIL_BITS as _SHLL_TB,
+    HLL_NUMERATOR as _SHLL_NUM,
+)
+
+_HLL_STREAM_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+  FROM events WHERE user_id IS NOT NULL),
+reg AS (
+  SELECT bucket_s, h60 >> {_SHLL_TB} AS bucket,
+         CAST(MAX(CASE WHEN (h60 & {(1 << _SHLL_TB) - 1}) = 0
+                       THEN {_SHLL_TB + 1}
+                       ELSE {_SHLL_TB} - LENGTH(BIN(h60 & {(1 << _SHLL_TB) - 1})) + 1
+                  END) AS BIGINT) AS m_j
+  FROM h GROUP BY bucket_s, bucket),
+agg AS (
+  SELECT bucket_s,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS present
+  FROM reg GROUP BY bucket_s)
+SELECT bucket_s,
+       CASE WHEN ({_SHLL_NUM!r} / CAST(s_present + ({_SHLL_M} - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)) <= {2.5 * _SHLL_M}
+                 AND ({_SHLL_M} - present) > 0
+            THEN ROUND({float(_SHLL_M)!r} * LN({float(_SHLL_M)!r} / CAST({_SHLL_M} - present AS DOUBLE)), 4)
+            ELSE ROUND({_SHLL_NUM!r} / CAST(s_present + ({_SHLL_M} - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE), 4)
+       END AS hll_estimate,
+       present AS n_registers
+FROM agg
+"""
+
+
+@df_query("streaming_hll_window_distinct", _HLL_STREAM_ORACLE)
+def streaming_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deterministic HLL: the register max is associative, so
+    the sketch runs as one ordinary streaming aggregation with
+    engine-managed state (contrast the KMV row's custom
+    applyInPandasWithState) — batching-invariant, exact batch oracle."""
+    from datafusion_server_spark.streaming.sketches import hll_window_distinct
+
+    return hll_window_distinct(spark, f"{sf_dir}/events.parquet")

@@ -134,3 +134,64 @@ def kmv_window_distinct(
         "kmv_estimate",
         "n_hashes",
     )
+
+
+def hll_window_distinct(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    bucket_seconds: int = 3600,
+    max_files_per_trigger: int | None = None,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Per-bucket streaming deterministic-HLL distinct-user estimates —
+    the ENGINE-NATIVE counterpart of ``kmv_window_distinct``: HLL
+    registers are an associative MAX, so the whole sketch runs as one
+    ordinary streaming aggregation (groupBy(bucket, register) ->
+    max(rho)) with engine-managed state, no custom state function. The
+    register table in the sink is then finished batch-side
+    (``operators.sketch.hll_estimate``) — Spark permits only one
+    streaming aggregation per query, and the finishing step is a
+    per-group fold over at most m register rows.
+
+    Output: (bucket_s, hll_estimate, n_registers) — identical values to
+    the batch HLL over the same bucketing (the oracle check), for ANY
+    micro-batch replay (max is order- and batching-invariant).
+
+    At scale: state per (time bucket, register) key is one BIGINT; a
+    closed bucket's <= m rows age out via the standing deployment's
+    watermark. Register streams from independent sources union and
+    re-max — the merge property, now in motion."""
+    from datafusion_server_spark.operators.sketch import hll_estimate, hll_registers
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    parent, _, fname = events_path.rpartition("/")
+    reader = spark.readStream.schema(static.schema).option("pathGlobFilter", fname)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(parent)
+    ts = event_time_col(stream)
+    keyed = stream.select(
+        F.floor(F.unix_timestamp(ts) / bucket_seconds).cast("bigint").alias("bucket_s"),
+        F.col("user_id"),
+    ).filter(F.col("user_id").isNotNull())
+    registers = hll_registers(keyed, "user_id", ["bucket_s"])
+    sink = f"hll_{uuid.uuid4().hex[:8]}"
+    query = (
+        registers.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    est = hll_estimate(spark.table(sink), ["bucket_s"])
+    return est.select(
+        (F.col("bucket_s") * bucket_seconds).cast("bigint").alias("bucket_s"),
+        "hll_estimate",
+        "n_registers",
+    )

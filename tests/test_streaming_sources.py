@@ -71,3 +71,41 @@ def test_streaming_kmv_batch_count_invariant(spark, sf_dir, tmp_path):
     as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert as_set(multi) == as_set(batch)
     assert as_set(single) == as_set(batch)
+
+
+def test_streaming_hll_batch_count_invariant(spark, sf_dir, tmp_path):
+    """The streaming HLL's max-register aggregation is batching
+    invariant: a one-file replay and a 4-file drip replay produce
+    IDENTICAL estimates, both equal to the batch HLL."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators import sketch
+    from datafusion_server_spark.streaming.sketches import hll_window_distinct
+    from pyspark.sql import functions as F
+
+    ev = tables.load(spark, sf_dir, "events")
+    split_dir = str(tmp_path / "ev_split_hll")
+    ev.repartition(4).write.parquet(split_dir)
+
+    multi = hll_window_distinct(
+        spark, f"{split_dir}/*.parquet", max_files_per_trigger=1
+    )
+    single = hll_window_distinct(spark, f"{sf_dir}/events.parquet")
+    batch = sketch.hll_distinct(
+        ev.filter(F.col("user_id").isNotNull()).select(
+            F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("bigint").alias("b"),
+            "user_id",
+        ),
+        "user_id",
+        ["b"],
+    ).select(
+        (F.col("b") * 3600).cast("bigint").alias("bucket_s"),
+        "hll_estimate",
+        "n_registers",
+    )
+
+    def rows(df):
+        return {
+            (r.bucket_s, r.hll_estimate, r.n_registers) for r in df.collect()
+        }
+
+    assert rows(multi) == rows(single) == rows(batch)

@@ -455,3 +455,103 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_sq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    bits: int = 8,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-SQ: the composed index (Faiss ``IVFx,SQ8`` shape) — the IVF
+    coarse quantizer restricts candidates to the query's inverted list,
+    int8 reconstructions score them (asymmetric distance), and the top
+    ``rerank_factor * k`` re-rank against true vectors. Each stage cuts
+    the next one's work: cells bound the candidate count, codes bound
+    the bytes read per candidate, refine bounds the full-precision
+    fetches. Output: (query_id, neighbor_id, cosine, rank), exact
+    scores.
+
+    Scale shape: the cell join keys on centroid_id (candidates never
+    cross cells); everything else mirrors ``quantized_topk`` — one
+    broadcast profile row, narrow encode+reconstruct, per-query ranking
+    windows."""
+    from datafusion_server_spark.operators.similarity import ivf_assign
+
+    assign = ivf_assign(embeddings, n_centroids, vec_col, id_col)
+    profile = dim_profile(embeddings, vec_col, id_col)
+    recon = embeddings.crossJoin(F.broadcast(profile)).select(
+        F.col(id_col).alias("id"),
+        _reconstruct(
+            _code_expr(F.col(vec_col), bits), F.col("mns"), F.col("mxs"), bits
+        ).alias("__rv"),
+    ).select(
+        "id",
+        "__rv",
+        F.sqrt(_unscale(_dot_scaled(F.col("__rv"), F.col("__rv")))).alias("__rnrm"),
+    ).filter(F.col("__rnrm") > 0.0)
+    q_ids = queries.select(F.col(id_col).alias("id"))
+    q_assign = assign.join(q_ids, "id").select(
+        F.col("id").alias("query_id"), "centroid_id"
+    )
+    c_assign = assign.select(F.col("id").alias("neighbor_id"), "centroid_id")
+    pairs = q_assign.join(c_assign, "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(_unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))).alias("__qnrm"),
+    ).filter(F.col("__qnrm") > 0.0)
+    adc = (
+        pairs.join(
+            recon.select(
+                F.col("id").alias("neighbor_id"), "__rv", "__rnrm"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _unscale(_dot_scaled(F.col("__rv"), F.col("__qv")))
+                / (F.col("__qnrm") * F.col("__rnrm")),
+                6,
+            ).alias("adc"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= rerank_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+    true_c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.sqrt(_unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))).alias("__cnrm"),
+    ).filter(F.col("__cnrm") > 0.0)
+    exact = (
+        cand.join(true_c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _unscale(_dot_scaled(F.col("__cv"), F.col("__qv")))
+                / (F.col("__qnrm") * F.col("__cnrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

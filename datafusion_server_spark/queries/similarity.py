@@ -430,3 +430,94 @@ def ann_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         K,
         rerank_factor=_SQ_RERANK,
     )
+
+
+# IVF-SQ composed index (operators.quantize.ivf_sq_topk): IVF cell
+# restriction (nprobe=1 both sides, first-N-vectors codebook — the
+# pinned _IVF_ORACLE scheme) + SQ8 asymmetric scoring + exact refine.
+# Every CTE below reuses the exact form of its parent oracle, so the
+# two stages cannot desynchronize from their standalone rows.
+_IVFSQ_ORACLE = f"""
+WITH {_EL_CTE},
+cdots AS (
+  SELECT e.vec_id AS id, c.vec_id AS centroid_id,
+         CAST(SUM(CAST(ROUND(c.x * e.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el e JOIN el c ON c.i = e.i AND c.vec_id < {N_CENTROIDS}
+  GROUP BY 1, 2),
+assign AS (
+  SELECT id, centroid_id FROM (
+    SELECT s.id, s.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY s.cos_c DESC, s.centroid_id) AS rn
+    FROM (SELECT d.id, d.centroid_id,
+                 ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (ne.nrm * nc.nrm), 6) AS cos_c
+          FROM cdots d
+          JOIN norms ne ON ne.vec_id = d.id
+          JOIN norms nc ON nc.vec_id = d.centroid_id) s) t
+  WHERE rn = 1),
+stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY i),
+codes AS (
+  SELECT el.vec_id, el.i,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE CAST(GREATEST(0, LEAST(255, FLOOR((el.x - s.mn) / (s.mx - s.mn) * 256.0))) AS INT)
+         END AS code
+  FROM el JOIN stats s ON s.i = el.i),
+recon AS (
+  SELECT c.vec_id, c.i,
+         ROUND(s.mn + (CAST(c.code AS DOUBLE) + 0.5) * (s.mx - s.mn) / 256.0, 6) AS xh
+  FROM codes c JOIN stats s ON s.i = c.i),
+rnorms AS (SELECT vec_id,
+                  SQRT(CAST(CAST(SUM(CAST(ROUND(xh * xh * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS rnrm
+           FROM recon GROUP BY vec_id),
+pairs AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id
+  FROM assign q JOIN assign c
+    ON c.centroid_id = q.centroid_id AND c.id <> q.id
+  WHERE q.id < {N_QUERIES}),
+adc AS (
+  SELECT p.query_id, p.neighbor_id,
+         ROUND((CAST(CAST(SUM(CAST(ROUND(qa.x * r.xh * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+               / (nq.nrm * rn.rnrm), 6) AS adc
+  FROM pairs p
+  JOIN el qa ON qa.vec_id = p.query_id
+  JOIN recon r ON r.vec_id = p.neighbor_id AND r.i = qa.i
+  JOIN norms nq ON nq.vec_id = p.query_id
+  JOIN rnorms rn ON rn.vec_id = p.neighbor_id
+  WHERE nq.nrm > 0 AND rn.rnrm > 0
+  GROUP BY 1, 2, nq.nrm, rn.rnrm),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, neighbor_id) AS cr
+        FROM adc) t
+  WHERE cr <= {_SQ_RERANK * K}),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND((CAST(CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+               / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM cand c
+  JOIN el qa ON qa.vec_id = c.query_id
+  JOIN el ca ON ca.vec_id = c.neighbor_id AND ca.i = qa.i
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms nc ON nc.vec_id = c.neighbor_id
+  WHERE nc.nrm > 0
+  GROUP BY 1, 2, nq.nrm, nc.nrm)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM exact) t
+WHERE rnk <= {K}
+"""
+
+
+@df_query("ann_ivfsq_cosine", _IVFSQ_ORACLE)
+def ann_ivfsq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import quantize
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return quantize.ivf_sq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        K,
+        n_centroids=N_CENTROIDS,
+        rerank_factor=_SQ_RERANK,
+    )

@@ -493,3 +493,43 @@ def test_concurrent_rest_queries(base_url, tmp_path):
     with concurrent.futures.ThreadPoolExecutor(8) as ex:
         results = list(ex.map(one, range(8)))
     assert results == [3 + i for i in range(8)]
+
+
+def test_concurrent_session_isolation(base_url, tmp_path):
+    """N sessions each register a table with the SAME NAME but different
+    data, then query in parallel — catalog isolation (newSession per
+    server session) must hold under concurrent load: every session sees
+    only its own rows."""
+    import concurrent.futures
+
+    n = 6
+    for i in range(n):
+        p = tmp_path / f"iso{i}.csv"
+        p.write_text(f"id,score\n{i},{i * 10}\n")
+        r = requests.get(
+            f"{base_url}/session/create", params={"id": f"iso{i}", "keepAlive": 600}
+        )
+        assert r.json()["id"] == f"iso{i}"
+        r = requests.post(
+            f"{base_url}/session/iso{i}/datasource",
+            json=[{"format": "csv", "name": "shared_name", "location": str(p)}],
+        )
+        assert "shared_name" in r.json()["dataSources"]
+
+    def one(i: int):
+        r = requests.post(
+            f"{base_url}/session/iso{i}/query",
+            json={"sql": "SELECT id, score FROM shared_name"},
+            timeout=120,
+        )
+        assert r.status_code == 200, r.text
+        return r.json()
+
+    try:
+        with concurrent.futures.ThreadPoolExecutor(n) as ex:
+            results = list(ex.map(one, range(n)))
+        for i, rows in enumerate(results):
+            assert rows == [{"id": i, "score": i * 10}], (i, rows)
+    finally:
+        for i in range(n):
+            requests.delete(f"{base_url}/session/iso{i}")

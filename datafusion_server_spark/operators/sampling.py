@@ -217,3 +217,87 @@ def temperature_mix_sample(
         .filter(hash_fraction(F.col(key_col), seed) < F.col("__rate"))
         .drop("__dom", "__rate")
     )
+
+
+def weighted_reservoir_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: str = "wres",
+) -> DataFrame:
+    """Weight-proportional k-per-group sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): each row draws u = hash fraction and
+    ranks by u^(1/w) descending — the classic one-pass weighted
+    reservoir, here in its deterministic hash form. Rows with
+    NULL/zero/negative weight are excluded (A-Res is undefined there).
+
+    Ranking uses the monotone-equivalent ``round(ln(u), 8) / w``
+    (u^(1/w) desc <=> ln(u)/w desc for w > 0): ln(u) is well-spread
+    over (-inf, 0) — unlike u^(1/w), which clusters near 1 for large
+    weights and would collide under rounding — and the single libm op
+    is rounded before the exact IEEE division, the cross-engine
+    determinism contract. Ties (astronomically unlikely) break by key.
+
+    Output: input rows + ``sample_rank`` (1..k within group).
+
+    Scale notes (100 TB): same shape as ``reservoir_per_group`` — one
+    shuffle keyed by the group column; per-group state is the top-k
+    heap. Mergeable for the same reason (max-k of a union is computable
+    from per-part max-k sets)."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(hash_fraction(F.col(key_col), seed)), 8) / w
+    win = Window.partitionBy(group_col).orderBy(key.desc(), F.col(key_col).asc())
+    return (
+        df.filter(w > 0.0)
+        .withColumn("sample_rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def split_leakage_safe(
+    df: DataFrame,
+    key_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: str = "split",
+) -> DataFrame:
+    """Dedup-AWARE train/val/test assignment: near-duplicate documents
+    must not straddle the split boundary (a val doc whose near-copy sits
+    in train is leakage — the eval is contaminated by construction).
+    The near-dup pair graph collapses to connected components
+    (min-label, ``operators.dedup.connected_components``) and the hash
+    band is taken over the COMPONENT ROOT, so every member of a near-dup
+    cluster lands in the same split; documents in no pair are their own
+    root and split exactly as ``split_assign`` would.
+
+    Output: input rows + (split_root BIGINT, split STRING).
+
+    Scale notes: components cost is the pair graph's (diameter-bounded
+    loop, see connected_components); the assignment itself is one LEFT
+    join of the corpus against the (small) clustered-node table plus a
+    narrow hash band."""
+    from datafusion_server_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, id_a, id_b).select(
+        F.col("node").alias(key_col), F.col("component")
+    )
+    rooted = df.join(comp, key_col, "left").withColumn(
+        "split_root",
+        F.coalesce(F.col("component"), F.col(key_col)).cast("bigint"),
+    ).drop("component")
+    frac = hash_fraction(F.col("split_root"), seed)
+    return rooted.withColumn(
+        "split",
+        F.when(frac < val_frac, F.lit("val"))
+        .when(frac < val_frac + test_frac, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

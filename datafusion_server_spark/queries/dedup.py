@@ -393,3 +393,79 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_pairs_against_index(
         new_batch, index, "text", "doc_id", NUM_HASHES, BANDS
     )
+
+
+# dedup-aware (leakage-safe) splitting: the hash band is taken over the
+# near-dup component ROOT so no cluster straddles train/val/test. The
+# oracle reuses the EXACT cluster CTE chain from _CLUSTERS_ORACLE (the
+# same no-desync stance as the other composed oracles).
+_LS_VAL, _LS_TEST = 0.1, 0.1
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.id, bs.band, CASE bs.band {_BAND_CASES} END AS bucket
+  FROM sig, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS band) bs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sizes AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b),
+scored AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+  JOIN sizes za ON za.id = p.id_a
+  JOIN sizes zb ON zb.id = p.id_b
+  WHERE ROUND(CAST(c.n_common AS DOUBLE)
+              / CAST(za.n_sh + zb.n_sh - c.n_common AS DOUBLE), 6) >= {_CLUSTER_THRESHOLD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM scored
+  UNION SELECT id_b, id_a FROM scored),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+rooted AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS split_root
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+assigned AS (
+  SELECT doc_id, split_root,
+         CASE WHEN (CAST(('0x' || substr(md5('split:' || CAST(split_root AS VARCHAR)), 1, 15)) AS BIGINT)
+                    / CAST(16.0 ** 15 AS DOUBLE)) < {_LS_VAL} THEN 'val'
+              WHEN (CAST(('0x' || substr(md5('split:' || CAST(split_root AS VARCHAR)), 1, 15)) AS BIGINT)
+                    / CAST(16.0 ** 15 AS DOUBLE)) < {_LS_VAL + _LS_TEST} THEN 'test'
+              ELSE 'train' END AS split
+  FROM rooted)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT split_root) AS BIGINT) AS n_roots,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM assigned GROUP BY split
+"""
+
+
+@df_query("split_leakage_safe", _LEAKAGE_SPLIT_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS).filter(
+        F.col("jaccard") >= _CLUSTER_THRESHOLD
+    )
+    assigned = sampling.split_leakage_safe(
+        docs, "doc_id", pairs, val_frac=_LS_VAL, test_frac=_LS_TEST
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("split_root").cast("bigint").alias("n_roots"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )

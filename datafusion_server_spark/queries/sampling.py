@@ -141,3 +141,32 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang", _TMIX_ALPHA, _TMIX_TOTAL
     )
     return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+# weighted reservoir: per source, 5 docs sampled proportionally to
+# n_chars (longer docs likelier) — A-Res with the rounded-ln(u)/w key.
+_WRES_K = 5
+
+_WRES_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(LN({_FRAC.format(seed='wres')}), 8) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS r
+  FROM keyed)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(r AS BIGINT) AS sample_rank
+FROM ranked WHERE r <= {_WRES_K}
+"""
+
+
+@df_query("sample_weighted_reservoir", _WRES_ORACLE)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = sampling.weighted_reservoir_per_group(
+        docs, "doc_id", "source", "n_chars", _WRES_K
+    )
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "sample_rank"
+    )

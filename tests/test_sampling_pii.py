@@ -111,3 +111,44 @@ def test_contamination_check_properties(spark, sf_dir):
     tiny = spark.createDataFrame([(999999, "too short")], "doc_id long, text string")
     out2 = text_ops.contamination_check(tiny, probes, "text", "doc_id", "text", n=5)
     assert out2.count() == 0
+
+
+def test_weighted_reservoir_prefers_heavy_rows(spark):
+    from datafusion_server_spark.operators import sampling
+
+    rows = [(1, "g", 1_000_000.0)] + [(i, "g", 0.001) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, w double")
+    top = sampling.weighted_reservoir_per_group(df, "id", "grp", "w", 1).collect()
+    assert [r.id for r in top] == [1]
+    # zero/negative/null weights are excluded entirely
+    bad = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", -1.0), (3, "g", None), (4, "g", 2.0)],
+        "id bigint, grp string, w double",
+    )
+    kept = sampling.weighted_reservoir_per_group(bad, "id", "grp", "w", 10).collect()
+    assert [r.id for r in kept] == [4]
+
+
+def test_leakage_safe_split_never_straddles_components(spark, sf_dir):
+    """Every near-dup component must land wholly inside one split."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators import dedup, sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", 16, 4).filter(
+        F.col("jaccard") >= 0.5
+    )
+    assigned = sampling.split_leakage_safe(docs, "doc_id", pairs)
+    straddling = (
+        assigned.groupBy("split_root")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # and at least one multi-member root exists at this SF (the test
+    # would be vacuous on a corpus with no near-dups)
+    multi = (
+        assigned.groupBy("split_root").count().filter(F.col("count") > 1).count()
+    )
+    assert multi > 0

@@ -697,3 +697,87 @@ def lm_unigram_cross_entropy(
             ).alias("xent_nats"),
         )
     )
+
+
+def lm_bigram_cross_entropy(
+    df: DataFrame, text_col: str, id_col: str, *, lam: float = 0.75
+) -> DataFrame:
+    """Interpolated-bigram upgrade of ``lm_unigram_cross_entropy``:
+
+        p(t_i | t_{i-1}) = lam * count(t_{i-1} t_i)/count_prefix(t_{i-1})
+                         + (1-lam) * (count(t_i)+1)/(N+V)
+
+    (Jelinek-Mercer interpolation with an add-one unigram floor); a
+    document's first token scores under the unigram term alone. Bigram
+    context sharpens the band-pass: formulaic text compresses further,
+    shuffled/garbage word order scores visibly higher than under a
+    unigram model (asserted in tests). Output:
+    (id, n_tokens, xent_nats).
+
+    Determinism: probabilities are exact-count ratios combined with IEEE
+    mul/add; the single libm op (ln) rounds to 8 before the DECIMAL sum
+    (the unigram precedent).
+
+    Scale shape (100 TB): the token stream explodes ONCE into
+    (prev, cur) rows via zipped slices (first tokens union in with NULL
+    prev); the three model tables (unigram, prefix, bigram) are
+    map-side-combined aggregations of that stream; scoring joins the
+    stream against them keyed by token/bigram — AQE picks broadcast
+    when a model side is small enough, plain shuffle joins otherwise
+    (a web-scale bigram table is NOT broadcastable, unlike the unigram
+    vocab). Final per-doc groupBy is the fourth and last shuffle.
+    """
+    toks = _words(F.col(text_col))
+    base = ensure_fanout_parallelism(
+        df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    )
+    bigrams = base.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    firsts = base.filter(F.size("__t") >= 1).select(
+        "id",
+        F.lit(None).cast("string").alias("prev"),
+        F.element_at(F.col("__t"), 1).alias("cur"),
+    )
+    stream = firsts.unionByName(bigrams)
+    uni = stream.groupBy("cur").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    totals = uni.agg(
+        F.sum("n_t").cast("bigint").alias("__N"),
+        F.count(F.lit(1)).cast("bigint").alias("__V"),
+    )
+    prefix = (
+        bigrams.groupBy("prev").agg(F.count(F.lit(1)).cast("bigint").alias("n_prev"))
+    )
+    big = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    scored = (
+        stream.join(uni, "cur")
+        .crossJoin(F.broadcast(totals))
+        .join(prefix, "prev", "left")
+        .join(big, ["prev", "cur"], "left")
+    )
+    p_uni = (F.col("n_t") + 1).cast("double") / (F.col("__N") + F.col("__V")).cast(
+        "double"
+    )
+    p_bi = F.col("n_ab").cast("double") / F.col("n_prev").cast("double")
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni
+    )
+    return (
+        scored.select("id", F.round(-F.log(p), 8).cast("decimal(18,8)").alias("__nll"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("__nll").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("xent_nats"),
+        )
+    )

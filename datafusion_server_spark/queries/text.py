@@ -452,3 +452,48 @@ GROUP BY t.doc_id
 def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return text.lm_unigram_cross_entropy(docs, "text", "doc_id")
+
+
+# interpolated-bigram LM cross-entropy: DuckDB zips the parallel
+# UNNESTs positionally (Postgres semantics), reproducing the Spark
+# zip_with bigram stream exactly.
+_LM_BI_LAM = 0.75
+
+_LM_BIGRAM_ORACLE = f"""
+WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (
+  SELECT doc_id,
+         UNNEST(toks[1:len(toks)-1]) AS prev,
+         UNNEST(toks[2:len(toks)]) AS cur
+  FROM dt WHERE len(toks) >= 2),
+firsts AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS prev, toks[1] AS cur
+           FROM dt WHERE len(toks) >= 1),
+stream AS (SELECT * FROM firsts UNION ALL SELECT * FROM big),
+uni AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS n_t FROM stream GROUP BY cur),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+prefix AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS n_prev FROM big GROUP BY prev),
+bg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n_ab FROM big GROUP BY prev, cur),
+scored AS (
+  SELECT s.doc_id,
+         CAST(ROUND(-LN(
+           CASE WHEN s.prev IS NULL
+                THEN CAST(u.n_t + 1 AS DOUBLE) / CAST(t.n + t.v AS DOUBLE)
+                ELSE {_LM_BI_LAM} * (CAST(b.n_ab AS DOUBLE) / CAST(p.n_prev AS DOUBLE))
+                     + {1.0 - _LM_BI_LAM} * (CAST(u.n_t + 1 AS DOUBLE) / CAST(t.n + t.v AS DOUBLE))
+           END), 8) AS DECIMAL(18,8)) AS nll
+  FROM stream s
+  JOIN uni u ON u.cur = s.cur
+  CROSS JOIN tot t
+  LEFT JOIN prefix p ON p.prev = s.prev
+  LEFT JOIN bg b ON b.prev = s.prev AND b.cur = s.cur)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS xent_nats
+FROM scored GROUP BY doc_id
+"""
+
+
+@df_query("text_lm_bigram_cross_entropy", _LM_BIGRAM_ORACLE)
+def text_lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.lm_bigram_cross_entropy(docs, "text", "doc_id", lam=_LM_BI_LAM)

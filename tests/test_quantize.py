@@ -188,3 +188,24 @@ def test_pq_frozen_codebook_reusable_for_new_shards(spark, sf_dir):
         for r in encode(sub.filter(F.col("id") < 20)).collect()
     }
     assert full == shard
+
+
+def test_bigram_lm_detects_shuffled_word_order(spark):
+    """Same bag of words, different order: the unigram model scores the
+    shuffled doc identically to the natural ones (order-blind), the
+    interpolated bigram model scores it strictly higher — the signal
+    bigram context adds."""
+    from datafusion_server_spark.operators import text as text_ops
+
+    natural = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"  # same multiset of words
+    rows = [(i, natural) for i in range(10)] + [(99, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uni = {r.id: r.xent_nats for r in text_ops.lm_unigram_cross_entropy(
+        df, "text", "doc_id").collect()}
+    assert uni[99] == uni[0]
+
+    bi = {r.id: r.xent_nats for r in text_ops.lm_bigram_cross_entropy(
+        df, "text", "doc_id").collect()}
+    assert bi[99] > bi[0], (bi[99], bi[0])

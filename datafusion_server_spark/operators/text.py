@@ -781,3 +781,61 @@ def lm_bigram_cross_entropy(
             ).alias("xent_nats"),
         )
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Compression-ratio quality signal (deflate level 6): highly
+    repetitive/templated text compresses far below natural prose, and
+    near-random glyph soup barely compresses — a cheap, language-blind
+    band-pass filter used alongside the Gopher rules. Output:
+    (id, n_bytes, n_deflate, ratio) with ratio = n_deflate/n_bytes
+    rounded to 6 (NULL text -> NULL row dropped; empty text keeps its
+    header-only ratio).
+
+    This is the ONE quality operator that runs Python (no zlib in SQL
+    expressions): a vectorized Arrow-batched ``pandas_udf`` — the same
+    sanctioned boundary as the multimodal decoders, never row-at-a-time.
+    Determinism: zlib output is deterministic for a fixed library and
+    level; the replay oracle runs the SAME container zlib. A zlib
+    upgrade would shift absolute byte counts (never the ordering signal)
+    — the oracle recomputes per run, so the contract is self-repairing.
+
+    Scale shape: a narrow map stage — no shuffle; Arrow batches amortize
+    the Python crossing."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _deflate_len_fn(s):
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if t is not None
+            else None
+        )
+
+    # real type objects, not strings: the module's `from __future__
+    # import annotations` would stringify inline hints, which PySpark's
+    # pandas_udf signature inspection cannot resolve
+    _deflate_len_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _deflate_len = pandas_udf(_deflate_len_fn, "long")
+
+    n_bytes = F.octet_length(F.col(text_col)).cast("bigint")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            n_bytes.alias("n_bytes"),
+            _deflate_len(F.col(text_col)).cast("bigint").alias("n_deflate"),
+        )
+        .withColumn(
+            "ratio",
+            F.when(
+                F.col("n_bytes") > 0,
+                F.round(
+                    F.col("n_deflate").cast("double") / F.col("n_bytes").cast("double"),
+                    6,
+                ),
+            ),
+        )
+    )

@@ -497,3 +497,41 @@ FROM scored GROUP BY doc_id
 def text_lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return text.lm_bigram_cross_entropy(docs, "text", "doc_id", lam=_LM_BI_LAM)
+
+
+def _compression_values_oracle(sf_dir: str) -> str:
+    """Driver-side replay with the SAME container zlib at the same
+    level — deterministic for a fixed library build."""
+    import zlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = []
+    for i, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        if t is None:
+            continue
+        raw = t.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        if raw:
+            r = float(
+                Decimal(repr(comp / len(raw))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+            out.append(f"({int(i)}, {len(raw)}, {comp}, {r!r})")
+        else:
+            out.append(f"({int(i)}, 0, {comp}, NULL)")
+    rows = ", ".join(out)
+    return f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(n_deflate AS BIGINT) AS n_deflate, CAST(ratio AS DOUBLE) AS ratio
+    FROM (VALUES {rows}) AS t(id, n_bytes, n_deflate, ratio)
+    """
+
+
+@df_query("text_compression_ratio", _compression_values_oracle)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.compression_ratio(docs, "text", "doc_id")

@@ -839,3 +839,94 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus — the IR leg of a curation
+    pipeline (mine documents matching an eval/probe query, score
+    retrieval corpora). Standard formulation:
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*|d|/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Output: (id, score, rank) — the k best documents, ties by id.
+
+    Determinism: tf/df/|d| are exact counts; N and avgdl ride in via a
+    plan-embedded broadcast 1-row aggregate; idf and each per-term
+    contribution round to 8 and sum as DECIMAL (the LM-scoring
+    contract), final score rounds to 6.
+
+    Scale shape (100 TB): the token stream filters to the QUERY TERMS
+    at the explode (a handful of terms — the stream collapses
+    immediately); one groupBy (doc, term) for tf, a broadcast of the
+    |terms|-row idf table, one per-doc sum, one global top-k."""
+    terms = [t for t in query_terms if t]
+    base = ensure_fanout_parallelism(
+        df.select(
+            F.col(id_col).alias("id"),
+            _words(F.col(text_col)).alias("__t"),
+        )
+    ).select("id", F.size("__t").cast("bigint").alias("dl"), "__t")
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__N"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avgdl"
+        ),
+    )
+    tok = base.select(
+        "id", "dl", F.explode("__t").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = tok.groupBy("id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_t")
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "__N",
+        "__avgdl",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("__N").cast("double") - F.col("df_t") + 0.5)
+                / (F.col("df_t").cast("double") + 0.5)
+            ),
+            8,
+        ).alias("idf"),
+    )
+    contrib = tf.join(F.broadcast(idf), "term").select(
+        "id",
+        F.round(
+            F.col("idf")
+            * (F.col("tf").cast("double") * (k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + k1
+                * (1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl"))
+            ),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("__c"),
+    )
+    scored = contrib.groupBy("id").agg(
+        F.round(F.sum("__c").cast("double"), 6).alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("id", "score", "rank")
+    )

@@ -535,3 +535,48 @@ def _compression_values_oracle(sf_dir: str) -> str:
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return text.compression_ratio(docs, "text", "doc_id")
+
+
+# Okapi BM25 retrieval: fixed probe query over the fixture vocabulary.
+_BM25_TERMS = ["spark", "query", "window"]
+_BM25_K = 10
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM base),
+tok AS (
+  SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT t.id, b.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok t JOIN base b ON b.id = t.id
+  WHERE t.term IN ({_BM25_TERM_LIST})
+  GROUP BY t.id, b.dl, t.term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+idf AS (
+  SELECT d.term, s.avgdl,
+         ROUND(LN(1.0 + (CAST(s.n AS DOUBLE) - d.df_t + 0.5) / (CAST(d.df_t AS DOUBLE) + 0.5)), 8) AS idf
+  FROM dfq d, stats s),
+contrib AS (
+  SELECT tf.id,
+         CAST(ROUND(i.idf * (CAST(tf.tf AS DOUBLE) * 2.2)
+                    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / i.avgdl)),
+                    8) AS DECIMAL(18,8)) AS c
+  FROM tf JOIN idf i ON i.term = tf.term),
+scored AS (
+  SELECT id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score FROM contrib GROUP BY id)
+SELECT CAST(id AS BIGINT) AS id, score, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk FROM scored) t
+WHERE rnk <= {_BM25_K}
+"""
+
+
+@df_query("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, "text", "doc_id", _BM25_TERMS, _BM25_K)

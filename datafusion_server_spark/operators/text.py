@@ -930,3 +930,121 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("id", "score", "rank")
     )
+
+
+def bm25_doc_query(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_doc_id: int,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 where the QUERY is a document of the corpus (its distinct
+    words form the term set; the query doc itself is excluded from
+    results) — the lexical leg of doc-to-doc hybrid retrieval. Same
+    math/determinism contract as ``bm25_topk``; the term filter is a
+    semi-join against the query doc's vocabulary instead of a literal
+    list. Output: (id, score, rank)."""
+    base = ensure_fanout_parallelism(
+        df.select(
+            F.col(id_col).alias("id"),
+            _words(F.col(text_col)).alias("__t"),
+        )
+    ).select("id", F.size("__t").cast("bigint").alias("dl"), "__t")
+    q_terms = (
+        base.filter(F.col("id") == query_doc_id)
+        .select(F.explode("__t").alias("term"))
+        .distinct()
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__N"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avgdl"
+        ),
+    )
+    tok = base.select("id", "dl", F.explode("__t").alias("term")).join(
+        F.broadcast(q_terms), "term", "left_semi"
+    )
+    tf = tok.groupBy("id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "__avgdl",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("__N").cast("double") - F.col("df_t") + 0.5)
+                / (F.col("df_t").cast("double") + 0.5)
+            ),
+            8,
+        ).alias("idf"),
+    )
+    contrib = tf.join(F.broadcast(idf), "term").select(
+        "id",
+        F.round(
+            F.col("idf")
+            * (F.col("tf").cast("double") * (k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl"))
+            ),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("__c"),
+    )
+    scored = (
+        contrib.filter(F.col("id") != query_doc_id)
+        .groupBy("id")
+        .agg(F.round(F.sum("__c").cast("double"), 6).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("id", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    *,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of two ranked lists (Cormack et al. 2009)
+    — the standard lexical+dense hybrid combiner:
+
+        rrf(d) = sum_lists 1 / (c + rank_list(d))
+
+    Inputs: (id, rank) each; a doc missing from one list contributes 0
+    for that list. Each reciprocal rounds to 8 and sums as DECIMAL
+    (deterministic); ties break by id. Output: (id, rrf_score, rank)."""
+    ra = ranked_a.select(F.col("id"), F.col("rank").alias("__ra"))
+    rb = ranked_b.select(F.col("id"), F.col("rank").alias("__rb"))
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(float(c)) + r.cast("double")), 8),
+        F.lit(0.0),
+    ).cast("decimal(18,8)")
+    fused = (
+        ra.join(rb, "id", "full_outer")
+        .select("id", (term(F.col("__ra")) + term(F.col("__rb"))).alias("__s"))
+        .groupBy("id")
+        .agg(F.round(F.sum("__s").cast("double"), 8).alias("rrf_score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("id", "rrf_score", "rank")
+    )

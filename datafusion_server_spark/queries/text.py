@@ -580,3 +580,96 @@ WHERE rnk <= {_BM25_K}
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return text.bm25_topk(docs, "text", "doc_id", _BM25_TERMS, _BM25_K)
+
+
+# Hybrid doc-to-doc retrieval: BM25 against doc 0's vocabulary fused
+# with dense cosine neighbors of embedding 0 by Reciprocal Rank Fusion
+# (documents and embeddings are id-aligned in the fixtures).
+_HY_QDOC = 0
+_HY_K = 10
+_HY_C = 60
+
+_HYBRID_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents),
+qterms AS (
+  SELECT DISTINCT UNNEST(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id = {_HY_QDOC}),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM base),
+tok AS (
+  SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT t.id, b.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok t JOIN base b ON b.id = t.id
+  WHERE t.term IN (SELECT term FROM qterms)
+  GROUP BY t.id, b.dl, t.term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+idf AS (
+  SELECT d.term, s.avgdl,
+         ROUND(LN(1.0 + (CAST(s.n AS DOUBLE) - d.df_t + 0.5) / (CAST(d.df_t AS DOUBLE) + 0.5)), 8) AS idf
+  FROM dfq d, stats s),
+contrib AS (
+  SELECT tf.id,
+         CAST(ROUND(i.idf * (CAST(tf.tf AS DOUBLE) * 2.2)
+                    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / i.avgdl)),
+                    8) AS DECIMAL(18,8)) AS c
+  FROM tf JOIN idf i ON i.term = tf.term),
+lex AS (
+  SELECT id, CAST(rnk AS BIGINT) AS rank
+  FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk
+        FROM (SELECT id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+              FROM contrib WHERE id <> {_HY_QDOC} GROUP BY id) s) t
+  WHERE rnk <= {_HY_K}),
+el AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+              GENERATE_SUBSCRIPTS(embedding, 1) AS i
+       FROM embeddings),
+norms AS (SELECT vec_id,
+                 SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+          FROM el GROUP BY vec_id),
+dots AS (
+  SELECT ca.vec_id AS id,
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> {_HY_QDOC}
+  WHERE qa.vec_id = {_HY_QDOC}
+  GROUP BY ca.vec_id),
+dense AS (
+  SELECT id, CAST(rnk AS BIGINT) AS rank
+  FROM (SELECT d.id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) DESC,
+                          d.id ASC) AS rnk
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = {_HY_QDOC}
+        JOIN norms nc ON nc.vec_id = d.id) t
+  WHERE rnk <= {_HY_K}),
+fused AS (
+  SELECT COALESCE(l.id, de.id) AS id,
+         ROUND(CAST(
+           COALESCE(CAST(ROUND(1.0 / ({_HY_C}.0 + CAST(l.rank AS DOUBLE)), 8) AS DECIMAL(18,8)), 0)
+           + COALESCE(CAST(ROUND(1.0 / ({_HY_C}.0 + CAST(de.rank AS DOUBLE)), 8) AS DECIMAL(18,8)), 0)
+         AS DOUBLE), 8) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense de ON de.id = l.id)
+SELECT CAST(id AS BIGINT) AS id, rrf_score, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, id ASC) AS rnk FROM fused) t
+WHERE rnk <= {_HY_K}
+"""
+
+
+@df_query("hybrid_rrf_retrieval", _HYBRID_ORACLE)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-to-doc hybrid retrieval: lexical BM25 (query = doc 0's
+    vocabulary) + dense cosine neighbors of embedding 0, combined by
+    Reciprocal Rank Fusion — the standard hybrid-search stack as one
+    DataFrame composition."""
+    from datafusion_server_spark.operators import similarity
+
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+    lex = text.bm25_doc_query(docs, "text", "doc_id", _HY_QDOC, _HY_K)
+    dense = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == _HY_QDOC), _HY_K
+    ).select(F.col("neighbor_id").alias("id"), "rank")
+    return text.rrf_fuse(lex.select("id", "rank"), dense, _HY_K, c=_HY_C)

@@ -104,9 +104,11 @@ PRIORITY: tuple[str, ...] = (
     # sampler row; the map surface stays oracle-verified in pytest)
     "date_bin_tumbling",
     "array_lambda_functions",
+    # (casting_try_cast rotated OUT late round 4 for the semantic-dedup
+    # row: every inventory query exercises explicit casts on both the
+    # Spark and oracle sides, and the dedicated row stays pytest-green)
     "regexp_functions",
     "json_extraction",
-    "casting_try_cast",
     # LLM-pipeline: dedup family (clusters = LSH pairs -> threshold ->
     # connected components, the round-3 addition; ngram_jaccard remains
     # pytest-verified outside the window)
@@ -114,6 +116,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_lsh_pairs",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_semantic_semdedup",
     # LLM-pipeline: similarity family (incl. the scale-parameterized
     # banded ANN and late-round-4's int8-SQ+refine search; ann_lsh_cosine
     # rotated OUT — the LSH surface stays in-window via ann_lsh_scaled and

@@ -279,3 +279,27 @@ def ann_projected_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = embeddings.random_projection(emb, "embedding", "vec_id", IN_DIM, OUT_DIM)
     q = proj.filter(F.col("id") < _PN_QUERIES)
     return similarity.cosine_topk(proj, q, k=_PK, vec_col="proj", id_col="id")
+
+
+# one-pass dataset profiler over orders: per-column nulls / exact
+# distinct / min-max as canonical strings (ISO dates, BIGINT ints).
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS null_rate,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value, CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@df_query("profile_orders_columns", _PROFILE_ORACLE)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    orders = tables.load(spark, sf_dir, "orders")
+    return profiling.profile_columns(orders, _PROFILE_COLS)

@@ -56,3 +56,81 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    bins: int = 10,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard distribution-drift alarm between pipeline runs
+    (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 action):
+
+        psi = sum_bins (p_i - q_i) * ln(p_i / q_i)
+
+    over a FIXED [lo, hi) grid of ``bins`` equal buckets (out-of-range
+    values clamp to the edge buckets — same contract as the mergeable
+    histogram sketch), with add-one smoothing on the counts so empty
+    buckets stay defined. Output: one row per bucket
+    (bin, n_a, n_b, psi_contrib) plus the total riding on every row
+    (psi_total) for single-row consumption.
+
+    Determinism: counts exact; p/q are exact-count ratios; each ln
+    contribution rounds to 8 and sums as DECIMAL; the shares divide in
+    double. Scale: one map-side-combined count aggregation per snapshot
+    (output = ``bins`` rows each), everything after is on 2 x bins rows.
+    """
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / bins
+
+    def bucketed(df: DataFrame, alias: str) -> DataFrame:
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col).cast("double") - lo) / width).cast("int"),
+            ),
+        )
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(bucket.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    grid = df_a.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        grid.join(bucketed(df_a, "n_a"), "bin", "left")
+        .join(bucketed(df_b, "n_b"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_a").cast("bigint").alias("__ta"),
+        F.sum("n_b").cast("bigint").alias("__tb"),
+    )
+    p = (F.col("n_a") + 1).cast("double") / (F.col("__ta") + bins).cast("double")
+    q = (F.col("n_b") + 1).cast("double") / (F.col("__tb") + bins).cast("double")
+    with_c = joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((p - q) * F.log(p / q), 8).cast("decimal(18,8)").alias("__c"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return with_c.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.col("__c").cast("double").alias("psi_contrib"),
+        F.round(F.sum("__c").over(w).cast("double"), 6).alias("psi_total"),
+    )

@@ -303,3 +303,49 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = tables.load(spark, sf_dir, "orders")
     return profiling.profile_columns(orders, _PROFILE_COLS)
+
+
+# PSI drift between the even- and odd-event_id halves of events.value
+# over a fixed [0, 1000) 10-bucket grid.
+_PSI_BINS, _PSI_LO, _PSI_HI = 10, 0.0, 1000.0
+
+_PSI_ORACLE = f"""
+WITH grid AS (SELECT UNNEST(RANGE({_PSI_BINS})) AS bin),
+ba AS (
+  SELECT LEAST({_PSI_BINS - 1}, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - {_PSI_LO}) / {(_PSI_HI - _PSI_LO) / _PSI_BINS}) AS INT))) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_a
+  FROM events WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1),
+bb AS (
+  SELECT LEAST({_PSI_BINS - 1}, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - {_PSI_LO}) / {(_PSI_HI - _PSI_LO) / _PSI_BINS}) AS INT))) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1),
+joined AS (
+  SELECT g.bin, CAST(COALESCE(ba.n_a, 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(bb.n_b, 0) AS BIGINT) AS n_b
+  FROM grid g LEFT JOIN ba ON ba.bin = g.bin LEFT JOIN bb ON bb.bin = g.bin),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM joined),
+contrib AS (
+  SELECT j.bin, j.n_a, j.n_b,
+         CAST(ROUND(
+           ((CAST(j.n_a + 1 AS DOUBLE) / CAST(t.ta + {_PSI_BINS} AS DOUBLE))
+            - (CAST(j.n_b + 1 AS DOUBLE) / CAST(t.tb + {_PSI_BINS} AS DOUBLE)))
+           * LN((CAST(j.n_a + 1 AS DOUBLE) / CAST(t.ta + {_PSI_BINS} AS DOUBLE))
+                / (CAST(j.n_b + 1 AS DOUBLE) / CAST(t.tb + {_PSI_BINS} AS DOUBLE))),
+           8) AS DECIMAL(18,8)) AS c
+  FROM joined j, tot t)
+SELECT CAST(bin AS INT) AS bin, n_a, n_b,
+       CAST(c AS DOUBLE) AS psi_contrib,
+       ROUND(CAST((SELECT SUM(c) FROM contrib) AS DOUBLE), 6) AS psi_total
+FROM contrib
+"""
+
+
+@df_query("profile_psi_drift", _PSI_ORACLE)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    out = profiling.psi_drift(a, b, "value", bins=_PSI_BINS, lo=_PSI_LO, hi=_PSI_HI)
+    return out.select(F.col("bin").cast("int"), "n_a", "n_b", "psi_contrib", "psi_total")

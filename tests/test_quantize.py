@@ -209,3 +209,33 @@ def test_bigram_lm_detects_shuffled_word_order(spark):
     bi = {r.id: r.xent_nats for r in text_ops.lm_bigram_cross_entropy(
         df, "text", "doc_id").collect()}
     assert bi[99] > bi[0], (bi[99], bi[0])
+
+
+def test_persisted_sq8_index_roundtrip_search(spark, sf_dir, tmp_path):
+    """The daily-ingest index flow end-to-end: persist the SQ8 profile +
+    code table with the sharded writer, reload BOTH from parquet, encode
+    a 'new batch' against the frozen profile, and verify search results
+    from the persisted index equal the all-in-memory pipeline."""
+    from datafusion_server_spark.sources import writers
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    profile = quantize.dim_profile(emb, "embedding", "vec_id")
+    codes = quantize.scalar_quantize(emb, "embedding", "vec_id", profile=profile)
+
+    pdir, cdir = str(tmp_path / "profile"), str(tmp_path / "codes")
+    writers.write_dataset(profile, pdir)
+    writers.write_dataset(codes, cdir)
+
+    profile2 = spark.read.parquet(pdir)
+    codes2 = spark.read.parquet(cdir)
+    # frozen-profile encode of a new shard matches the persisted codes
+    shard = quantize.scalar_quantize(
+        emb.filter(F.col("vec_id") >= 480), "embedding", "vec_id", profile=profile2
+    )
+    persisted_shard = codes2.filter(F.col("id") >= 480)
+    assert shard.exceptAll(persisted_shard).count() == 0
+    assert persisted_shard.exceptAll(shard).count() == 0
+    # and the reloaded profile reproduces the in-memory profile exactly
+    a = profile.first()
+    b = profile2.first()
+    assert list(a.mns) == list(b.mns) and list(a.mxs) == list(b.mxs)

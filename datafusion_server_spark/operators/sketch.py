@@ -405,3 +405,99 @@ def hll_distinct(
     reduce; identical to the shape Spark's own HLL++ uses, but
     oracle-checkable."""
     return hll_estimate(hll_registers(df, key_col, group_cols), group_cols)
+
+
+# -- deterministic Bloom filter -------------------------------------------
+#
+# The join-pruning sketch: build a compact membership summary of a key
+# set (e.g. "user_ids seen in the flagged partition"), broadcast it, and
+# pre-filter a much larger stream before the real join — the same idea
+# Spark's runtime bloom-filter join injects, here as an explicit,
+# mergeable, ORACLE-CHECKABLE operator (register words OR together).
+# All math is integer (md5 -> k positions -> 64-bit words), so DuckDB
+# reproduces every word and every membership verdict.
+
+
+def _bloom_positions(key, m: int, k: int):
+    """k deterministic bit positions for a key: md5('{i}:{key}') mod m."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, _HEX_DIGITS
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    m: int = 1024,
+    k: int = 4,
+) -> DataFrame:
+    """(*group_cols, word, bits): the non-zero 64-bit words of each
+    group's m-bit Bloom filter. Mergeable: OR words across shards.
+    Scale: one explode (k rows per key) into one map-side-combined
+    bit_or aggregation — output bounded by m/64 rows per group."""
+    pos = df.select(
+        *group_cols,
+        F.explode(F.array(*_bloom_positions(F.col(key_col), m, k))).alias("__pos"),
+    )
+    return (
+        pos.select(
+            *group_cols,
+            (F.col("__pos") / 64).cast("bigint").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(__pos % 64 as int))").alias(
+                "__mask"
+            ),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    m: int = 1024,
+    k: int = 4,
+) -> DataFrame:
+    """Membership check of ``probes`` (*group_cols, key_col) against a
+    built filter: TRUE iff all k bits are set (possibly-present — Bloom
+    semantics admit false positives, never false negatives). A missing
+    word row means a zero word: that bit is absent. Output: probes +
+    ``might_contain`` BOOLEAN."""
+    pos = probes.select(
+        *group_cols,
+        F.col(key_col),
+        F.posexplode(F.array(*_bloom_positions(F.col(key_col), m, k))).alias(
+            "__i", "__pos"
+        ),
+    ).select(
+        *group_cols,
+        key_col,
+        (F.col("__pos") / 64).cast("bigint").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(__pos % 64 as int))").alias(
+            "__mask"
+        ),
+    )
+    joined = pos.join(F.broadcast(bloom), [*group_cols, "word"], "left").select(
+        *group_cols,
+        key_col,
+        (
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__mask"))
+            == F.col("__mask")
+        ).alias("__hit"),
+    )
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min(F.col("__hit").cast("int")).cast("boolean").alias("might_contain")
+    )

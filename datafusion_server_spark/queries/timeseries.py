@@ -432,3 +432,70 @@ FROM agg
 def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return sketch.hll_distinct(ev, "user_id", ["event_type"])
+
+
+# deterministic Bloom filter: membership summary of "users with a
+# value>900 event" per event type, probed for user_ids 0..19 — the
+# explicit form of the runtime bloom-join pruning idea. Integer-only
+# math (md5 -> k positions -> 64-bit words), exact SQL oracle.
+_BLOOM_M, _BLOOM_K = 1024, 4
+_BLOOM_THRESH = 900
+_BLOOM_PROBE_N = 20
+
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('{i}:' || CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT) % {_BLOOM_M})"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (
+  SELECT event_type, user_id FROM events WHERE value > {_BLOOM_THRESH}),
+pos AS (
+  SELECT event_type, UNNEST([{", ".join(_bloom_pos_sql("user_id", i) for i in range(_BLOOM_K))}]) AS p
+  FROM keys),
+words AS (
+  SELECT event_type, p // 64 AS word,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(p % 64 AS INT)) AS bits
+  FROM pos GROUP BY event_type, word),
+probes AS (
+  SELECT et.event_type, r.user_id
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT UNNEST(RANGE({_BLOOM_PROBE_N})) AS user_id) r),
+ppos AS (
+  SELECT event_type, user_id,
+         UNNEST([{", ".join(_bloom_pos_sql("user_id", i) for i in range(_BLOOM_K))}]) AS p
+  FROM probes),
+hits AS (
+  SELECT pp.event_type, pp.user_id,
+         MIN(CASE WHEN (COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(pp.p % 64 AS INT)))
+                       = (CAST(1 AS BIGINT) << CAST(pp.p % 64 AS INT))
+                  THEN 1 ELSE 0 END) AS allhit
+  FROM ppos pp
+  LEFT JOIN words w ON w.event_type = pp.event_type AND w.word = pp.p // 64
+  GROUP BY pp.event_type, pp.user_id)
+SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+       CAST(allhit AS BOOLEAN) AS might_contain
+FROM hits
+"""
+
+
+@df_query("sketch_bloom_membership", _BLOOM_ORACLE)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    flagged = ev.filter(F.col("value") > _BLOOM_THRESH)
+    bloom = sketch.bloom_build(
+        flagged, "user_id", ["event_type"], m=_BLOOM_M, k=_BLOOM_K
+    )
+    probes = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(_BLOOM_PROBE_N).select(F.col("id").alias("user_id"))
+        )
+    )
+    out = sketch.bloom_might_contain(
+        bloom, probes, "user_id", ["event_type"], m=_BLOOM_M, k=_BLOOM_K
+    )
+    return out.select("event_type", F.col("user_id").cast("bigint"), "might_contain")

@@ -146,3 +146,28 @@ def test_hll_registers_merge_by_max(spark, sf_dir):
         for r in sk.hll_estimate(merged, ["event_type"]).collect()
     }
     assert e1 == e2
+
+
+def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
+    """Bloom contract: every true member tests present (no false
+    negatives, ever); filters built on disjoint halves OR together into
+    exactly the full filter."""
+    ev = tables.load(spark, sf_dir, "events").filter(F.col("value") > 900)
+    bloom = sketch.bloom_build(ev, "user_id", ["event_type"])
+    members = ev.select("event_type", "user_id").distinct()
+    checked = sketch.bloom_might_contain(bloom, members, "user_id", ["event_type"])
+    assert checked.filter(~F.col("might_contain")).count() == 0
+
+    a = sketch.bloom_build(
+        ev.filter(F.col("event_id") % 2 == 0), "user_id", ["event_type"]
+    )
+    b = sketch.bloom_build(
+        ev.filter(F.col("event_id") % 2 == 1), "user_id", ["event_type"]
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert bloom.exceptAll(merged).count() == 0
+    assert merged.exceptAll(bloom).count() == 0

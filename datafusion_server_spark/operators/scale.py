@@ -106,3 +106,29 @@ def plan_has_shuffle(df: DataFrame) -> bool:
     used by tests and PLANS.md evidence)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column — rows close in EVERY dimension get close keys, so sorting by
+    the key clusters the data multi-dimensionally and parquet min/max
+    row-group stats prune on ALL interleaved columns at once (the Delta
+    OPTIMIZE ZORDER idea, as a plain column expression for
+    ``write_dataset(sort_within_partitions=[zorder_key(...)])``).
+
+        key = sum_d sum_b ((x_d >> b) & 1) << (b * D + d)
+
+    Inputs must be non-negative integers (bucket/clamp first — e.g.
+    ``F.floor(value)`` or a dictionary code); values beyond 2^bits
+    contribute only their low bits. Pure integer expression —
+    deterministic, SQL-oracle-reproducible, whole-stage codegen."""
+    d = len(cols)
+    key = F.lit(0).cast("bigint")
+    for di, c in enumerate(cols):
+        x = c.cast("bigint")
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(x, b).bitwiseAND(F.lit(1).cast("bigint")),
+                b * d + di,
+            )
+    return key

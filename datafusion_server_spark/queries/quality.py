@@ -349,3 +349,38 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.filter(F.col("event_id") % 2 == 1)
     out = profiling.psi_drift(a, b, "value", bins=_PSI_BINS, lo=_PSI_LO, hi=_PSI_HI)
     return out.select(F.col("bin").cast("int"), "n_a", "n_b", "psi_contrib", "psi_total")
+
+
+# Z-order (Morton) clustering key over two event dimensions — the
+# multi-dimensional sort key write_dataset uses for all-column stats
+# pruning. Pure integer bit interleave; exact SQL oracle.
+_Z_BITS = 8
+
+
+def _z_sql(expr: str, d_idx: int, d: int, bits: int) -> str:
+    return " + ".join(
+        f"((({expr} >> {b}) & 1) << {b * d + d_idx})" for b in range(bits)
+    )
+
+
+_ZORDER_ORACLE = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(({_z_sql("(user_id % 256)", 0, 2, _Z_BITS)})
+            + ({_z_sql("(CAST(FLOOR(value) AS BIGINT) % 256)", 1, 2, _Z_BITS)}) AS BIGINT) AS zkey
+FROM events
+WHERE user_id IS NOT NULL AND value IS NOT NULL
+"""
+
+
+@df_query("scale_zorder_key", _ZORDER_ORACLE)
+def scale_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import scale
+
+    ev = tables.load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    z = scale.zorder_key(
+        [F.col("user_id") % 256, F.floor(F.col("value")).cast("bigint") % 256],
+        bits=_Z_BITS,
+    )
+    return ev.select(F.col("event_id").cast("bigint"), z.alias("zkey"))

@@ -467,3 +467,92 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     )
     bit_cols = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)]
     return sums.select("id", F.concat(*bit_cols).alias("simhash"))
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = DEFAULT_SHINGLE_WORDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT threshold set-similarity join by PREFIX FILTERING (the
+    PPJoin/AllPairs family, Bayardo et al. 2007 / Xiao et al. 2008) —
+    the lossless upgrade of both approximations in this family: unlike
+    LSH it misses nothing, and unlike ``ngram_jaccard_pairs`` it needs
+    no df cap to stay sub-quadratic.
+
+    The bound: order every document's shingle set by GLOBAL document
+    frequency ascending (rarest first, ties lexicographic) and keep only
+    the first ``|s| - ceil(t * |s|) + 1`` shingles as its PREFIX. Any
+    pair with Jaccard >= t must overlap in >= ceil(t * |s|) shingles of
+    EITHER set, so skipping more than |s| - ceil(t*|s|) shingles of one
+    set cannot leave enough overlap — two qualifying sets MUST share a
+    prefix shingle. Candidates therefore come from a self-join of the
+    (much smaller, rare-token-heavy) prefix stream only; exact Jaccard
+    verification runs on candidates alone. Output: (id_a, id_b,
+    n_common, n_a, n_b, jaccard) with jaccard >= threshold — PROVABLY
+    identical to the all-pairs join (asserted in tests).
+
+    Scale shape (100 TB): one df aggregation; one per-doc window to rank
+    shingles (keyed by doc); the candidate self-join keys on PREFIX
+    shingles, whose global frequencies are the corpus's LOWEST — the
+    frequency-ascending order is precisely what keeps the join fan-out
+    small; verification is one shared-shingle count over candidate pairs
+    (semi-join-restricted), not the corpus."""
+    from pyspark.sql.window import Window
+
+    shingled = shingle_sets(df, text_col, id_col, k)
+    dfreq = shingled.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    sized = shingled.join(
+        shingled.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh")),
+        "id",
+    )
+    ranked = (
+        sized.join(dfreq, "shingle")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("__df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1
+    ).select("id", "n_sh", "shingle")
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+            ),
+            "shingle",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    sh_a = shingled.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = shingled.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return common.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

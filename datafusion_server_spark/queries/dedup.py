@@ -469,3 +469,47 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+# prefix-filtering EXACT Jaccard join (PPJoin/AllPairs bound): rarest-
+# first prefixes generate candidates, exact verification on candidates
+# only — provably identical to the all-pairs threshold join.
+_PF_THRESHOLD = 0.5
+
+_PREFIX_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS dfr FROM sh GROUP BY shingle),
+sizes AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+ranked AS (
+  SELECT CAST(s.doc_id AS BIGINT) AS id, z.n_sh, s.shingle,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.dfr ASC, s.shingle ASC) AS rn
+  FROM sh s
+  JOIN dfreq d ON d.shingle = s.shingle
+  JOIN sizes z ON z.id = s.doc_id),
+prefix AS (
+  SELECT id, n_sh, shingle FROM ranked
+  WHERE rn <= n_sh - CEIL({_PF_THRESHOLD} * n_sh) + 1),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.n_sh AS n_a, b.id AS id_b, b.n_sh AS n_b
+  FROM prefix a JOIN prefix b ON b.shingle = a.shingle AND a.id < b.id),
+common AS (
+  SELECT c.id_a, c.id_b, c.n_a, c.n_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh sa ON CAST(sa.doc_id AS BIGINT) = c.id_a
+  JOIN sh sb ON CAST(sb.doc_id AS BIGINT) = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b, c.n_a, c.n_b)
+SELECT id_a, id_b, n_common, n_a, n_b,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= {_PF_THRESHOLD}
+"""
+
+
+@df_query("dedup_prefix_jaccard", _PREFIX_JACCARD_ORACLE)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_pairs(
+        docs, "text", "doc_id", threshold=_PF_THRESHOLD
+    )

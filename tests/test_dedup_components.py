@@ -91,3 +91,44 @@ def test_incremental_lsh_matches_full_self_join_cross_pairs(spark, sf_dir):
         (a, b, j) if a % 10 >= 8 else (b, a, j) for a, b, j in cross
     }
     assert inc_pairs == oriented
+
+
+def test_prefix_jaccard_equals_all_pairs(spark, sf_dir):
+    """The PPJoin prefix bound is LOSSLESS: candidates from the rare-
+    first prefixes verify to exactly the pairs an unfiltered all-pairs
+    threshold join produces."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators import dedup as dd
+
+    docs = tables.load(spark, sf_dir, "documents")
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.prefix_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    # brute force: every pair sharing ANY shingle, exact Jaccard
+    sh = dd.shingle_sets(docs, "text", "doc_id")
+    sized = sh.join(
+        sh.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n")), "id"
+    )
+    brute = (
+        sized.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "shingle")
+        .join(
+            sized.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("c")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    slow = {(r.id_a, r.id_b, r.jaccard) for r in brute.collect()}
+    assert fast == slow and slow, (len(fast), len(slow))

@@ -155,3 +155,40 @@ def bpe_token_counts(
             F.sum("__n").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize NEW documents with a FROZEN merge table — the inference
+    side of the trainer (train once on the corpus, apply to every later
+    batch). Merges apply in rank order, each as one left-to-right fold
+    over the word's symbol array; unseen words segment down to whatever
+    the merge table reaches (character level at worst) — standard BPE
+    behavior. Output: (id, word_idx, word, syms array<string>,
+    n_sub BIGINT).
+
+    The merge list is a driver-side literal (the trained table is
+    n_merges rows — collect it or pass it from config); the application
+    itself is a narrow map: |merges| chained folds inside one projection,
+    no shuffle, no joins."""
+    syms = F.split(F.col("word"), "")
+    for left, right in merges:
+        syms = _apply_merge(syms, F.lit(left), F.lit(right))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("word_idx", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "id",
+            F.col("word_idx").cast("bigint").alias("word_idx"),
+            "word",
+            syms.alias("syms"),
+        )
+        .withColumn("n_sub", F.size("syms").cast("bigint"))
+    )

@@ -91,3 +91,29 @@ def test_null_and_empty_docs_ignored(spark):
     counts = bpe.bpe_token_counts(df, "text", "doc_id", vocab)
     rows = {r.id: (r.n_words, r.n_bpe_tokens) for r in counts.collect()}
     assert rows == {4: (3, 3)}
+
+
+def test_apply_frozen_merges_matches_training_segmentation(spark, sf_dir):
+    """Applying the trained merge table to the SAME corpus reproduces
+    the trainer's final vocab segmentation word-for-word, and unseen
+    words fall back gracefully (partial merges / characters)."""
+    from datafusion_server_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    vocab, merges = bpe.bpe_train(docs, "text", 8)
+    mlist = [
+        (r.left, r.right) for r in merges.orderBy("rank").collect()
+    ]
+    applied = bpe.bpe_apply_merges(docs, "text", "doc_id", mlist)
+    trained = {r.word: tuple(r.syms) for r in vocab.collect()}
+    mismatches = [
+        (r.word, tuple(r.syms))
+        for r in applied.select("word", "syms").distinct().collect()
+        if trained[r.word] != tuple(r.syms)
+    ]
+    assert not mismatches, mismatches[:5]
+
+    new = spark.createDataFrame([(1, "zzz unseen")], "doc_id bigint, text string")
+    rows = {r.word: tuple(r.syms) for r in bpe.bpe_apply_merges(new, "text", "doc_id", mlist).collect()}
+    assert rows["zzz"] == ("z", "z", "z") or len(rows["zzz"]) <= 3
+    assert all(len(s) >= 1 for s in rows.values())

@@ -1,0 +1,151 @@
+"""Distributed logistic-regression text classifier (hashed bag-of-words).
+
+Beyond-reference operator — the quality-classifier leg of an LLM data
+pipeline (GPT-3/LLaMA-style corpora gate documents with exactly this
+shape: a linear model over hashed n-gram features, fastText-like). Both
+halves run as pure DataFrame ops:
+
+- features: hashed bag-of-words — md5(word) mod ``dim`` buckets,
+  L1-normalized term frequencies, plus a constant bias feature;
+- training: full-batch gradient descent for a FIXED iteration count
+  (the deterministic-replay contract, like k-means/PQ). Per iteration:
+  one broadcast join of the (dim+1)-row weight table onto the feature
+  rows, one per-doc scaled-long sum for the logit, one per-bucket
+  scaled-long sum for the gradient — two map-side-combined shuffles
+  whose outputs are doc-count and dim-bounded respectively; the weight
+  table localCheckpoints per iteration.
+
+Determinism contract: tf ratios are exact IEEE divisions; every
+cross-row sum (logits, gradients) is the scaled-long form shared with
+operators.similarity; the two libm ops (exp in the sigmoid) round to 8
+before use; weights round to 6 per iteration. A sequential Python
+replay reproduces every weight, probability, and prediction exactly.
+
+Scale notes (100 TB): features are one explode + one (doc, bucket)
+aggregation; each training iteration touches the feature table (cache/
+checkpoint it once) with dim+1 broadcast weights — the classic
+data-parallel GD shape; inference is the same join + sum, shuffle-free
+per batch beyond the per-doc aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+from datafusion_server_spark.operators.similarity import SCALE
+
+_HEX_DIGITS = 15
+
+
+def hashed_features(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 256, *, binary: bool = True
+) -> DataFrame:
+    """(id, bucket, x): hashed-BoW features; bucket ``dim`` is the
+    constant bias feature (x = 1.0). Default is BINARY presence
+    (x = 1.0 when any word hashes into the bucket) — tf-normalized
+    features (binary=False) scale a rare token's signal by 1/|doc|,
+    which stalls unstandardized gradient descent; presence features are
+    the fastText-style default for exactly this reason."""
+    words = ensure_fanout_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select(
+        "id",
+        F.size(F.split(F.col("__t"), " ")).cast("bigint").alias("__n"),
+        F.explode(F.split(F.col("__t"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, _HEX_DIGITS), 16, 10)
+        .cast("bigint")
+        % dim
+    )
+    grouped = words.select("id", "__n", bucket.alias("bucket")).groupBy(
+        "id", "__n", "bucket"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    x = (
+        F.lit(1.0)
+        if binary
+        else (F.col("__cnt").cast("double") / F.col("__n").cast("double"))
+    )
+    tf = grouped.select("id", "bucket", x.alias("x"))
+    bias = df.select(
+        F.col(id_col).alias("id"),
+        F.lit(dim).cast("bigint").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    return tf.unionByName(bias)
+
+
+def _logits(features: DataFrame, weights: DataFrame) -> DataFrame:
+    """(id, p): rounded sigmoid of the scaled-long dot of features and
+    broadcast weights."""
+    z = (
+        features.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("x") * SCALE).cast("bigint")
+            ).alias("__zs")
+        )
+        .select(
+            "id", (F.col("__zs").cast("double") / SCALE).alias("__z")
+        )
+    )
+    return z.select(
+        "id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))), 8).alias("p")
+    )
+
+
+def train_logreg(
+    features: DataFrame,
+    labels: DataFrame,
+    dim: int = 64,
+    iters: int = 5,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Full-batch GD for exactly ``iters`` iterations from w = 0.
+    ``labels`` is (id, y double in {0,1}). Returns (bucket, w)."""
+    spark = features.sparkSession
+    n = labels.count()  # class sizes are known to the caller anyway
+    weights = spark.range(dim + 1).select(
+        F.col("id").cast("bigint").alias("bucket"), F.lit(0.0).alias("w")
+    ).localCheckpoint()
+    feats = features.localCheckpoint()
+    for _ in range(iters):
+        p = _logits(feats, weights)
+        err = p.join(labels, "id").select(
+            "id", (F.col("p") - F.col("y")).alias("__e")
+        )
+        grad = (
+            feats.join(err, "id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.round(F.col("__e") * F.col("x") * SCALE).cast("bigint")
+                ).alias("__gs")
+            )
+            .select(
+                "bucket",
+                F.round(
+                    F.col("__gs").cast("double") / SCALE / float(n), 8
+                ).alias("__g"),
+            )
+        )
+        weights = (
+            weights.join(grad, "bucket", "left")
+            .select(
+                "bucket",
+                F.round(
+                    F.col("w") - lr * F.coalesce(F.col("__g"), F.lit(0.0)), 6
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return weights
+
+
+def predict(features: DataFrame, weights: DataFrame) -> DataFrame:
+    """(id, p, pred): probability and thresholded class."""
+    p = _logits(features, weights)
+    return p.select("id", "p", (F.col("p") >= 0.5).alias("pred"))

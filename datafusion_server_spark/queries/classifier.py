@@ -1,0 +1,106 @@
+"""Logistic-regression classifier queries (operators.classifier).
+
+Oracle = sequential Python replay (VALUES) — the operator is
+deterministic by construction (fixed iterations, scaled-long sums,
+HALF_UP rounding), and the replay shares zero Spark code."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import classifier
+from datafusion_server_spark.queries import df_query
+
+DIM = 256
+ITERS = 20
+LR = 5.0
+PROBE = "vector"  # mid-frequency fixture token: relevance label the BoW can learn
+
+
+def _replay_logreg(sf_dir: str):
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    def r0(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    def rnd(x: float, places: int) -> float:
+        q = Decimal(1).scaleb(-places)
+        return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP))
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = {}
+    ys = {}
+    for i, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        i = int(i)
+        words = [w for w in (t or "").split(" ") if w]
+        buckets = {
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % DIM for w in words
+        }
+        feats = {b: 1.0 for b in buckets}
+        feats[DIM] = 1.0
+        docs[i] = feats
+        ys[i] = 1.0 if PROBE in words else 0.0
+
+    n_docs = len(docs)
+    w = [0.0] * (DIM + 1)
+
+    def probs():
+        out = {}
+        for i, feats in docs.items():
+            zs = sum(r0(w[b] * x * 1e12) for b, x in feats.items())
+            z = float(zs) / 1e12
+            out[i] = rnd(1.0 / (1.0 + math.exp(-z)), 8)
+        return out
+
+    for _ in range(ITERS):
+        p = probs()
+        gs = [0] * (DIM + 1)
+        for i, feats in docs.items():
+            e = p[i] - ys[i]
+            for b, x in feats.items():
+                gs[b] += r0(e * x * 1e12)
+        for b in range(DIM + 1):
+            g = rnd(float(gs[b]) / 1e12 / float(n_docs), 8)
+            w[b] = rnd(w[b] - LR * g, 6)
+    return probs(), ys
+
+
+def _logreg_values_oracle(sf_dir: str) -> str:
+    p, ys = _replay_logreg(sf_dir)
+    rows = ", ".join(
+        f"({i}, {p[i]!r}, {str(p[i] >= 0.5).upper()}, {ys[i]!r})"
+        for i in sorted(p)
+    )
+    return f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(p AS DOUBLE) AS p,
+           CAST(pred AS BOOLEAN) AS pred, CAST(y AS DOUBLE) AS y
+    FROM (VALUES {rows}) AS t(id, p, pred, y)
+    """
+
+
+@df_query("classifier_logreg_quality", _logreg_values_oracle)
+def classifier_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed-BoW logistic model on a probe-relevance label
+    (document mentions the probe token) and score every document — the
+    quality/topic-classifier shape: label any curated subset (human
+    ratings, heuristic gates, topic probes), the pipeline is identical.
+    The classifier must DISCOVER which hash bucket carries the label
+    through gradient descent — the label never enters the features."""
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = classifier.hashed_features(docs, "text", "doc_id", DIM)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), PROBE), 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    w = classifier.train_logreg(feats, labels, DIM, ITERS, LR)
+    return classifier.predict(feats, w).join(labels, "id").select(
+        "id", "p", "pred", "y"
+    )

@@ -1,0 +1,66 @@
+"""Logistic-regression classifier (operators.classifier) properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import classifier
+
+DIM = 256
+PROBE = "vector"
+
+
+def _setup(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = classifier.hashed_features(docs, "text", "doc_id", DIM)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), PROBE), 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    return docs, feats, labels
+
+
+def test_training_beats_majority_baseline(spark, sf_dir):
+    """Gradient descent must DISCOVER the probe token's hash bucket:
+    accuracy strictly above always-predict-majority (measured 0.99+ at
+    both smoke SFs with lr=5, 20 iters)."""
+    _, feats, labels = _setup(spark, sf_dir)
+    w = classifier.train_logreg(feats, labels, DIM, iters=20, lr=5.0)
+    scored = classifier.predict(feats, w).join(labels, "id")
+    n = scored.count()
+    correct = scored.filter(F.col("pred").cast("double") == F.col("y")).count()
+    majority = scored.groupBy("y").count().agg(F.max("count")).first()[0]
+    assert correct / n > majority / n + 0.05, (correct, majority, n)
+
+
+def test_training_loss_decreases(spark, sf_dir):
+    """Training must reduce full-batch log-loss end-to-end (a large
+    fixed step is NOT per-iteration monotone — only the trained-vs-
+    untrained comparison is guaranteed-stable to assert)."""
+    _, feats, labels = _setup(spark, sf_dir)
+
+    def loss(iters):
+        w = classifier.train_logreg(feats, labels, DIM, iters=iters, lr=5.0)
+        s = classifier.predict(feats, w).join(labels, "id")
+        eps = 1e-9
+        return s.select(
+            F.avg(
+                -(
+                    F.col("y") * F.log(F.col("p") + eps)
+                    + (1 - F.col("y")) * F.log(1 - F.col("p") + eps)
+                )
+            ).alias("l")
+        ).first().l
+
+    assert loss(20) < loss(0)
+
+
+def test_training_partition_independent(spark, sf_dir):
+    docs, feats, labels = _setup(spark, sf_dir)
+    w1 = {r.bucket: r.w for r in classifier.train_logreg(feats, labels, DIM, 2, 5.0).collect()}
+    feats7 = classifier.hashed_features(docs.repartition(7), "text", "doc_id", DIM)
+    w2 = {r.bucket: r.w for r in classifier.train_logreg(feats7, labels, DIM, 2, 5.0).collect()}
+    assert w1 == w2

@@ -250,7 +250,12 @@ def weighted_reservoir_per_group(
     from pyspark.sql import Window
 
     w = F.col(weight_col).cast("double")
-    key = F.round(F.log(hash_fraction(F.col(key_col), seed)), 8) / w
+    # frac = 0 (an all-zero md5 prefix, p = 16^-15 per row) would be NULL
+    # under Spark's ln and an ERROR under DuckDB's — floor it just below
+    # the smallest representable nonzero fraction (1/16^15 ~ 8.7e-19) so
+    # both engines see the same positive input and real values never move
+    frac = F.greatest(hash_fraction(F.col(key_col), seed), F.lit(5e-19))
+    key = F.round(F.log(frac), 8) / w
     win = Window.partitionBy(group_col).orderBy(key.desc(), F.col(key_col).asc())
     return (
         df.filter(w > 0.0)

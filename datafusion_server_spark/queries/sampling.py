@@ -150,7 +150,7 @@ _WRES_K = 5
 _WRES_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
-         ROUND(LN({_FRAC.format(seed='wres')}), 8) / CAST(n_chars AS DOUBLE) AS key
+         ROUND(LN(GREATEST({_FRAC.format(seed='wres')}, 5e-19)), 8) / CAST(n_chars AS DOUBLE) AS key
   FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
 ranked AS (
   SELECT doc_id, source,

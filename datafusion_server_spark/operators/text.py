@@ -1048,3 +1048,46 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("id", "rrf_score", "rank")
     )
+
+
+def self_overlap_scores(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Corpus-diversity signal (the n-gram half of Self-BLEU used to
+    audit generated/synthetic corpora): per document, the fraction of
+    its DISTINCT word n-grams that also occur in at least one OTHER
+    document. High overlap -> templated/mode-collapsed data; low ->
+    diverse. Output: (id, n_grams, n_shared, overlap_ratio).
+
+    Scale shape: one n-gram explode -> distinct -> ONE document-
+    frequency aggregation; a gram is "shared" when its df >= 2, so the
+    per-doc ratio needs no pairwise comparisons at all — the corpus-
+    level structure collapses into the df table (map-side combined)."""
+    from datafusion_server_spark.operators.dedup import _word_shingles
+
+    grams = (
+        ensure_fanout_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        )
+        .select("id", F.explode(_word_shingles(F.col("__t"), n)).alias("g"))
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("__df") >= 2).cast("bigint")).cast("bigint").alias(
+                "n_shared"
+            ),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("overlap_ratio"),
+        )
+    )

@@ -513,3 +513,65 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_jaccard_pairs(
         docs, "text", "doc_id", threshold=_PF_THRESHOLD
     )
+
+
+# asymmetric containment dedup: |A ∩ B| / |A| — catches a short doc
+# embedded inside a longer one (quote farms, concatenated dumps), which
+# symmetric Jaccard under-scores. Reuses the df-capped shared-shingle
+# machinery; either-direction containment above the threshold flags the
+# pair, keep = the LONGER side's id convention is left to the consumer.
+_CONT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+common AS (
+  SELECT CAST(sa.doc_id AS BIGINT) AS id_a, CAST(sb.doc_id AS BIGINT) AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b, c.n_common, za.n_sh AS n_a, zb.n_sh AS n_b,
+       ROUND(CAST(c.n_common AS DOUBLE) / CAST(za.n_sh AS DOUBLE), 6) AS containment_a,
+       ROUND(CAST(c.n_common AS DOUBLE) / CAST(zb.n_sh AS DOUBLE), 6) AS containment_b
+FROM common c
+JOIN sizes za ON za.id = c.id_a
+JOIN sizes zb ON zb.id = c.id_b
+WHERE ROUND(CAST(c.n_common AS DOUBLE) / CAST(za.n_sh AS DOUBLE), 6) >= {_CONT_THRESHOLD}
+   OR ROUND(CAST(c.n_common AS DOUBLE) / CAST(zb.n_sh AS DOUBLE), 6) >= {_CONT_THRESHOLD}
+"""
+
+
+@df_query("dedup_containment_pairs", _CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "text", "doc_id")
+    sized = sh.join(
+        sh.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh")), "id"
+    )
+    common = (
+        sized.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+        .join(
+            sized.select(
+                F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+            ),
+            "shingle",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ca = F.round(F.col("n_common").cast("double") / F.col("n_a").cast("double"), 6)
+    cb = F.round(F.col("n_common").cast("double") / F.col("n_b").cast("double"), 6)
+    return common.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        ca.alias("containment_a"),
+        cb.alias("containment_b"),
+    ).filter(
+        (F.col("containment_a") >= _CONT_THRESHOLD)
+        | (F.col("containment_b") >= _CONT_THRESHOLD)
+    )

@@ -673,3 +673,28 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") == _HY_QDOC), _HY_K
     ).select(F.col("neighbor_id").alias("id"), "rank")
     return text.rrf_fuse(lex.select("id", "rank"), dense, _HY_K, c=_HY_C)
+
+
+# corpus diversity: per-doc fraction of distinct trigrams shared with
+# any other document (the n-gram half of Self-BLEU).
+_SELF_OVERLAP_ORACLE = """
+WITH words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+grams AS (SELECT DISTINCT doc_id,
+                 UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM words),
+dfreq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS dfr FROM grams GROUP BY g)
+SELECT CAST(gr.doc_id AS BIGINT) AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN d.dfr >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN d.dfr >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_ratio
+FROM grams gr JOIN dfreq d ON d.g = gr.g
+GROUP BY gr.doc_id
+"""
+
+
+@df_query("text_self_overlap_diversity", _SELF_OVERLAP_ORACLE)
+def text_self_overlap_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.self_overlap_scores(docs, "text", "doc_id")

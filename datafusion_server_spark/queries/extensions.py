@@ -428,3 +428,29 @@ def streaming_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     from datafusion_server_spark.streaming.sketches import hll_window_distinct
 
     return hll_window_distinct(spark, f"{sf_dir}/events.parquet")
+
+
+@df_query(
+    "streaming_stream_static_enrich",
+    """
+    WITH dim AS (
+      SELECT DISTINCT c_custkey AS user_id,
+             'seg' || CAST(c_custkey % 4 AS VARCHAR) AS segment
+      FROM customer)
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(e.ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
+           COALESCE(d.segment, 'unknown') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+    FROM events e LEFT JOIN dim d ON d.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def streaming_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (broadcast dim into every
+    micro-batch, zero join state) -> windowed aggregation; checked
+    against the equivalent batch SQL."""
+    from datafusion_server_spark.streaming.joins import stream_static_enrich
+
+    return stream_static_enrich(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
+    )

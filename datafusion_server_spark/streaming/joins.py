@@ -85,3 +85,79 @@ def click_error_join(
         F.col("e_id").alias("error_id"),
         (F.unix_micros("e_ts") - F.unix_micros("c_ts")).cast("bigint").alias("gap_us"),
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_path: str,
+    dim_path: str,
+    *,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Stream-STATIC enrichment join — the remaining Structured
+    Streaming join class: the unbounded event stream joins a bounded
+    dimension table (here: per-user lifetime event counts derived from
+    the customer-keyed static read) with NO state at all — the static
+    side broadcasts into every micro-batch, exactly like a batch
+    broadcast join, and re-reads per trigger if the dim updates.
+
+    Per-bucket, per-segment aggregation after the enrichment; returns
+    the finished batch DataFrame (bucket, segment, n, total_value).
+
+    Scale note: the canonical slowly-changing-dimension shape — stream
+    side shuffles only for the final aggregation; the dim side stays
+    broadcast (size-bounded). For dims beyond broadcast size the same
+    code becomes a shuffle join; no operator change."""
+    import uuid as uuid_mod
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_ev = spark.read.parquet(events_path)
+    # dimension: user segment = user_id mod 4 as a deterministic label,
+    # from the static customer table keyed by c_custkey
+    dim = (
+        spark.read.parquet(dim_path)
+        .select(F.col("c_custkey").alias("user_id"))
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(F.lit("seg"), (F.col("user_id") % 4).cast("string")).alias(
+                "segment"
+            ),
+        )
+    )
+    parent, _, fname = events_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(static_ev.schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+    ts = event_time_col(stream)
+    enriched = (
+        stream.withColumn("ts", ts)
+        .join(F.broadcast(dim), "user_id", "left")
+        .withColumn("segment", F.coalesce(F.col("segment"), F.lit("unknown")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("__tv"),
+        )
+    )
+    sink = f"enrich_{uuid_mod.uuid4().hex[:8]}"
+    query = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    return spark.table(sink).select(
+        F.col("w.start").cast("timestamp").alias("bucket"),
+        "segment",
+        "n",
+        F.round(F.col("__tv").cast("double"), 6).alias("total_value"),
+    )

@@ -27,6 +27,12 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     max_value) per profiled column; min/max render as canonical strings
     (numbers via BIGINT cast, dates ISO) so the schema is uniform.
     NULLs are excluded from distinct/min/max (SQL semantics)."""
+    # the melt goes through a selectExpr stack() with interpolated
+    # names — restrict to plain identifiers so a quoted/backticked
+    # column fails loudly instead of generating broken SQL
+    bad = [c for c in cols if not c.replace("_", "a").isalnum()]
+    if bad:
+        raise ValueError(f"profile_columns needs plain identifiers, got {bad}")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     for c in cols:
         col = F.col(c)
@@ -87,6 +93,8 @@ def psi_drift(
     """
     from pyspark.sql.window import Window
 
+    if bins <= 0 or not hi > lo:
+        raise ValueError(f"psi_drift needs bins > 0 and hi > lo, got bins={bins}, [{lo}, {hi})")
     width = (hi - lo) / bins
 
     def bucketed(df: DataFrame, alias: str) -> DataFrame:

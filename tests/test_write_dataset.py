@@ -121,3 +121,17 @@ def test_zorder_write_constrains_both_dimensions(spark, sf_dir, tmp_path):
     z_du, z_dv = avg_spans(ev.sortWithinPartitions(z), str(tmp_path / "zord"))
     o_du, o_dv = avg_spans(ev.sortWithinPartitions("du"), str(tmp_path / "one"))
     assert max(z_du, z_dv) < 0.5 * max(o_du, o_dv), ((z_du, z_dv), (o_du, o_dv))
+
+
+def test_profiling_input_validation(spark, sf_dir):
+    import pytest
+
+    from datafusion_server_spark.operators import profiling
+
+    orders = tables.load(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="plain identifiers"):
+        profiling.profile_columns(orders, ["o_orderkey; drop"])
+    with pytest.raises(ValueError, match="bins > 0"):
+        profiling.psi_drift(orders, orders, "o_totalprice", bins=0, lo=0.0, hi=1.0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        profiling.psi_drift(orders, orders, "o_totalprice", bins=4, lo=1.0, hi=1.0)

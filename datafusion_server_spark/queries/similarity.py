@@ -521,3 +521,105 @@ def ann_ivfsq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=N_CENTROIDS,
         rerank_factor=_SQ_RERANK,
     )
+
+
+# Self-evaluating index quality: recall@K of the SQ8+refine index
+# against the exact brute-force top-K, as ONE DataFrame program — the
+# eval harness a pipeline runs after (re)building an ANN index. The
+# oracle composes the two parents' exact CTE chains.
+_RECALL_ORACLE = f"""
+WITH {_EL_CTE},
+bdots AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
+  WHERE qa.vec_id < {N_QUERIES}
+  GROUP BY 1, 2),
+brute AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) DESC,
+                                           d.neighbor_id) AS rnk
+        FROM bdots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id) t
+  WHERE rnk <= {K}),
+stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY i),
+codes AS (
+  SELECT el.vec_id, el.i,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE CAST(GREATEST(0, LEAST(255, FLOOR((el.x - s.mn) / (s.mx - s.mn) * 256.0))) AS INT)
+         END AS code
+  FROM el JOIN stats s ON s.i = el.i),
+recon AS (
+  SELECT c.vec_id, c.i,
+         ROUND(s.mn + (CAST(c.code AS DOUBLE) + 0.5) * (s.mx - s.mn) / 256.0, 6) AS xh
+  FROM codes c JOIN stats s ON s.i = c.i),
+rnorms AS (SELECT vec_id,
+                  SQRT(CAST(CAST(SUM(CAST(ROUND(xh * xh * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS rnrm
+           FROM recon GROUP BY vec_id),
+adc AS (
+  SELECT qa.vec_id AS query_id, r.vec_id AS neighbor_id,
+         ROUND((CAST(CAST(SUM(CAST(ROUND(qa.x * r.xh * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+               / (nq.nrm * rn.rnrm), 6) AS adc
+  FROM el qa
+  JOIN recon r ON r.i = qa.i AND r.vec_id <> qa.vec_id
+  JOIN norms nq ON nq.vec_id = qa.vec_id
+  JOIN rnorms rn ON rn.vec_id = r.vec_id
+  WHERE qa.vec_id < {N_QUERIES} AND nq.nrm > 0 AND rn.rnrm > 0
+  GROUP BY 1, 2, nq.nrm, rn.rnrm),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, neighbor_id) AS cr
+        FROM adc) t
+  WHERE cr <= {_SQ_RERANK * K}),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND((CAST(CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+               / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM cand c
+  JOIN el qa ON qa.vec_id = c.query_id
+  JOIN el ca ON ca.vec_id = c.neighbor_id AND ca.i = qa.i
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms nc ON nc.vec_id = c.neighbor_id
+  WHERE nc.nrm > 0
+  GROUP BY 1, 2, nq.nrm, nc.nrm),
+sq AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact) t
+  WHERE rnk <= {K})
+SELECT b.query_id, CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(s.neighbor_id) AS DOUBLE) / {float(K)}, 6) AS recall
+FROM brute b
+LEFT JOIN sq s ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@df_query("eval_ann_sq8_recall", _RECALL_ORACLE)
+def eval_ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import quantize
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    brute = similarity.cosine_topk(emb, q, K).select("query_id", "neighbor_id")
+    sq = quantize.quantized_topk(emb, q, K, rerank_factor=_SQ_RERANK).select(
+        F.col("query_id").alias("__qs"), F.col("neighbor_id").alias("__ns")
+    )
+    return (
+        brute.join(
+            sq,
+            (F.col("query_id") == F.col("__qs"))
+            & (F.col("neighbor_id") == F.col("__ns")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("__ns").cast("bigint").alias("n_hits"),
+            F.round(F.count("__ns").cast("double") / float(K), 6).alias("recall"),
+        )
+    )

@@ -501,3 +501,57 @@ def bloom_might_contain(
     return joined.groupBy(*group_cols, key_col).agg(
         F.min(F.col("__hit").cast("int")).cast("boolean").alias("might_contain")
     )
+
+
+def kmv_set_estimates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch-style SET-OPERATION estimates from KMV sketches:
+    distinct cardinality of the UNION, the Jaccard similarity, and the
+    INTERSECTION of two key sets — without materializing either
+    (Beyer et al. 2007: the k smallest hashes of A u B are a uniform
+    sample of its distinct keys, so the fraction of them present in
+    both sides estimates the Jaccard, and intersection = jaccard x
+    union). Output: ONE row (union_est, jaccard_est, intersect_est,
+    n_hashes).
+
+    Exact when the union has fewer than k distinct keys. All math is
+    the deterministic md5/KMV contract — oracle-reproducible.
+
+    Scale: one distinct-hash aggregation per side (map-side combined),
+    a k-row global window, two broadcast membership joins on k rows."""
+    ha = df_a.select(F.md5(F.col(key_col).cast("string")).alias("h")).distinct()
+    hb = df_b.select(F.md5(F.col(key_col).cast("string")).alias("h")).distinct()
+    union = ha.unionByName(hb).distinct()
+    w = Window.orderBy(F.col("h").asc())
+    kmin = union.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    flagged = (
+        kmin.join(ha.select(F.col("h"), F.lit(1).alias("__a")), "h", "left")
+        .join(hb.select(F.col("h"), F.lit(1).alias("__b")), "h", "left")
+    )
+    agg = flagged.agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+        F.sum(
+            ((F.col("__a").isNotNull()) & (F.col("__b").isNotNull())).cast("bigint")
+        ).cast("bigint").alias("n_both"),
+    )
+    frac = F.conv(F.substring("h_k", 1, _HEX_DIGITS), 16, 10).cast("bigint") / F.lit(
+        _HEX_SPAN
+    )
+    union_est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    jac = F.round(
+        F.col("n_both").cast("double") / F.col("n_hashes").cast("double"), 6
+    )
+    return agg.select(
+        F.round(union_est, 6).alias("union_est"),
+        jac.alias("jaccard_est"),
+        F.round(jac * F.round(union_est, 6), 6).alias("intersect_est"),
+        "n_hashes",
+    )

@@ -499,3 +499,40 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom, probes, "user_id", ["event_type"], m=_BLOOM_M, k=_BLOOM_K
     )
     return out.select("event_type", F.col("user_id").cast("bigint"), "might_contain")
+
+
+# KMV set algebra: union / Jaccard / intersection estimates between the
+# user sets of two event types, from k-min sketches alone.
+_KSET_K = 256
+
+_KSET_ORACLE = f"""
+WITH ha AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE event_type = 'click'),
+hb AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE event_type = 'view'),
+un AS (SELECT h FROM ha UNION SELECT h FROM hb),
+kmin AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM un) t
+         WHERE rn <= {_KSET_K}),
+agg AS (
+  SELECT MAX(k.h) AS h_k, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+         CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM kmin k LEFT JOIN ha a ON a.h = k.h LEFT JOIN hb b ON b.h = k.h)
+SELECT ROUND(CASE WHEN n_hashes < {_KSET_K} THEN CAST(n_hashes AS DOUBLE)
+                  ELSE {float(_KSET_K - 1)}
+                       / (CAST(('0x' || substr(h_k, 1, 15)) AS BIGINT)
+                          / CAST(16.0 ** 15 AS DOUBLE)) END, 6) AS union_est,
+       ROUND(CAST(n_both AS DOUBLE) / CAST(n_hashes AS DOUBLE), 6) AS jaccard_est,
+       ROUND(ROUND(CAST(n_both AS DOUBLE) / CAST(n_hashes AS DOUBLE), 6)
+             * ROUND(CASE WHEN n_hashes < {_KSET_K} THEN CAST(n_hashes AS DOUBLE)
+                          ELSE {float(_KSET_K - 1)}
+                               / (CAST(('0x' || substr(h_k, 1, 15)) AS BIGINT)
+                                  / CAST(16.0 ** 15 AS DOUBLE)) END, 6), 6) AS intersect_est,
+       n_hashes
+FROM agg
+"""
+
+
+@df_query("sketch_kmv_set_estimates", _KSET_ORACLE)
+def sketch_kmv_set_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "view")
+    return sketch.kmv_set_estimates(a, b, "user_id", k=_KSET_K)

@@ -171,3 +171,20 @@ def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
     )
     assert bloom.exceptAll(merged).count() == 0
     assert merged.exceptAll(bloom).count() == 0
+
+
+def test_kmv_set_estimates_accuracy(spark, sf_dir):
+    """Union/intersection estimates land within the KMV error envelope
+    (~1/sqrt(k) ~ 6% at k=256; assert 20%) of the exact values."""
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "view")
+    est = sketch.kmv_set_estimates(a, b, "user_id", k=256).first()
+    ua = {r.user_id for r in a.select("user_id").distinct().collect()}
+    ub = {r.user_id for r in b.select("user_id").distinct().collect()}
+    exact_u, exact_i = len(ua | ub), len(ua & ub)
+    assert abs(est.union_est - exact_u) / exact_u <= 0.2, (est.union_est, exact_u)
+    assert abs(est.intersect_est - exact_i) / max(exact_i, 1) <= 0.25, (
+        est.intersect_est,
+        exact_i,
+    )

@@ -142,3 +142,78 @@ def psi_drift(
         F.col("__c").cast("double").alias("psi_contrib"),
         F.round(F.sum("__c").over(w).cast("double"), 6).alias("psi_total"),
     )
+
+
+def term_psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """Categorical PSI over TERM distributions — the text counterpart
+    of ``psi_drift``: categories are the ``top_n`` terms of the COMBINED
+    corpora (ties lexicographic — deterministic) plus an ``<other>``
+    bucket; shares smooth add-one; same rounded-ln DECIMAL contribution
+    sum. The vocabulary-shift alarm between two crawl snapshots.
+    Output: (category, n_a, n_b, psi_contrib, psi_total).
+
+    Scale: one term-count aggregation per snapshot (vocab-sized
+    output); the top-n selection and everything after run on the
+    joined vocab tables; the category map broadcasts back onto them."""
+    from pyspark.sql.window import Window
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    ca, cb = counts(df_a, "n_a"), counts(df_b, "n_b")
+    both = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+    )
+    w = Window.orderBy(F.desc(F.col("n_a") + F.col("n_b")), F.asc("term"))
+    top = both.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= top_n
+    ).select(F.col("term").alias("__top"))
+    cat = (
+        both.join(F.broadcast(top), both["term"] == top["__top"], "left")
+        .select(
+            F.when(F.col("__top").isNotNull(), F.col("term"))
+            .otherwise(F.lit("<other>"))
+            .alias("category"),
+            "n_a",
+            "n_b",
+        )
+        .groupBy("category")
+        .agg(
+            F.sum("n_a").cast("bigint").alias("n_a"),
+            F.sum("n_b").cast("bigint").alias("n_b"),
+        )
+    )
+    n_cats = top_n + 1
+    tot = cat.agg(
+        F.sum("n_a").cast("bigint").alias("__ta"),
+        F.sum("n_b").cast("bigint").alias("__tb"),
+    )
+    p = (F.col("n_a") + 1).cast("double") / (F.col("__ta") + n_cats).cast("double")
+    q = (F.col("n_b") + 1).cast("double") / (F.col("__tb") + n_cats).cast("double")
+    with_c = cat.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_a",
+        "n_b",
+        F.round((p - q) * F.log(p / q), 8).cast("decimal(18,8)").alias("__c"),
+    )
+    win = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return with_c.select(
+        "category",
+        "n_a",
+        "n_b",
+        F.col("__c").cast("double").alias("psi_contrib"),
+        F.round(F.sum("__c").over(win).cast("double"), 6).alias("psi_total"),
+    )

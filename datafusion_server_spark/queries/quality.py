@@ -384,3 +384,51 @@ def scale_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=_Z_BITS,
     )
     return ev.select(F.col("event_id").cast("bigint"), z.alias("zkey"))
+
+
+# term-distribution drift between the even/odd doc_id halves: top-20
+# combined-corpus terms + <other>, add-one-smoothed categorical PSI.
+_TPSI_TOP = 20
+
+_TPSI_ORACLE = f"""
+WITH ta AS (
+  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 2 = 0),
+tb AS (
+  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_a FROM ta WHERE term <> '' GROUP BY term),
+cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_b FROM tb WHERE term <> '' GROUP BY term),
+merged AS (
+  SELECT COALESCE(ca.term, cb.term) AS term,
+         CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a, CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+  FROM ca FULL OUTER JOIN cb ON cb.term = ca.term),
+top AS (
+  SELECT term FROM (SELECT term, ROW_NUMBER() OVER (ORDER BY n_a + n_b DESC, term ASC) AS rn
+                    FROM merged) t WHERE rn <= {_TPSI_TOP}),
+cat AS (
+  SELECT CASE WHEN b.term IN (SELECT term FROM top) THEN b.term ELSE '<other>' END AS category,
+         CAST(SUM(n_a) AS BIGINT) AS n_a, CAST(SUM(n_b) AS BIGINT) AS n_b
+  FROM merged b GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM cat),
+contrib AS (
+  SELECT c.category, c.n_a, c.n_b,
+         CAST(ROUND(
+           ((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.ta + {_TPSI_TOP + 1} AS DOUBLE))
+            - (CAST(c.n_b + 1 AS DOUBLE) / CAST(t.tb + {_TPSI_TOP + 1} AS DOUBLE)))
+           * LN((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.ta + {_TPSI_TOP + 1} AS DOUBLE))
+                / (CAST(c.n_b + 1 AS DOUBLE) / CAST(t.tb + {_TPSI_TOP + 1} AS DOUBLE))),
+           8) AS DECIMAL(18,8)) AS c
+  FROM cat c, tot t)
+SELECT category, n_a, n_b, CAST(c AS DOUBLE) AS psi_contrib,
+       ROUND(CAST((SELECT SUM(c) FROM contrib) AS DOUBLE), 6) AS psi_total
+FROM contrib
+"""
+
+
+@df_query("profile_term_drift", _TPSI_ORACLE)
+def profile_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return profiling.term_psi_drift(a, b, "text", top_n=_TPSI_TOP)

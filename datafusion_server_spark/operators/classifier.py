@@ -149,3 +149,99 @@ def predict(features: DataFrame, weights: DataFrame) -> DataFrame:
     """(id, p, pred): probability and thresholded class."""
     p = _logits(features, weights)
     return p.select("id", "p", (F.col("p") >= 0.5).alias("pred"))
+
+
+def naive_bayes_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    labels: DataFrame,
+) -> DataFrame:
+    """Multinomial Naive Bayes — the ONE-PASS counts-only counterpart
+    of the gradient-descent classifier: class priors and add-one-
+    smoothed per-class token likelihoods come from a single labeled-
+    corpus aggregation; scoring is one broadcast join of the likelihood
+    table onto the token stream plus a per-doc sum. No iterations, no
+    learning rate — the trade is the independence assumption.
+
+        score_c(d) = ln P(c) + sum_{t in d} ln P(t | c),
+        P(t | c) = (count(t, c) + 1) / (count(c) + V)
+
+    ``labels`` is (id, y double in {0,1}). Output:
+    (id, score1, score0, pred) with scores = rounded per-token DECIMAL
+    sums (the LM-scoring determinism contract) and pred = score1 >
+    score0 (ties -> negative class, deterministic).
+
+    Scale shape: token stream exploded once; ONE (term, class)
+    aggregation (map-side combined, vocab-bounded output); the
+    likelihood table broadcasts back; one per-doc aggregation."""
+    tok = ensure_fanout_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", F.explode(F.split(F.col("__t"), " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    lab = labels.select("id", F.col("y").cast("double").alias("y"))
+    ltok = tok.join(lab, "id")
+    # per-(term, class) counts, dense over both classes via the vocab
+    counts = ltok.groupBy("term").agg(
+        F.sum((F.col("y") == 1.0).cast("bigint")).cast("bigint").alias("c1"),
+        F.sum((F.col("y") == 0.0).cast("bigint")).cast("bigint").alias("c0"),
+    )
+    totals = counts.agg(
+        F.sum("c1").cast("bigint").alias("__t1"),
+        F.sum("c0").cast("bigint").alias("__t0"),
+        F.count(F.lit(1)).cast("bigint").alias("__v"),
+    )
+    lik = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("c1") + 1).cast("double")
+                / (F.col("__t1") + F.col("__v")).cast("double")
+            ),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("__l1"),
+        F.round(
+            F.log(
+                (F.col("c0") + 1).cast("double")
+                / (F.col("__t0") + F.col("__v")).cast("double")
+            ),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("__l0"),
+    )
+    priors = lab.agg(
+        F.sum((F.col("y") == 1.0).cast("bigint")).cast("bigint").alias("__n1"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    ).select(
+        F.round(
+            F.log(F.col("__n1").cast("double") / F.col("__n").cast("double")), 8
+        ).alias("__p1"),
+        F.round(
+            F.log(
+                (F.col("__n") - F.col("__n1")).cast("double")
+                / F.col("__n").cast("double")
+            ),
+            8,
+        ).alias("__p0"),
+    )
+    scored = (
+        tok.join(F.broadcast(lik), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("__l1").alias("__s1"),
+            F.sum("__l0").alias("__s0"),
+        )
+        .crossJoin(F.broadcast(priors))
+        .select(
+            "id",
+            F.round(F.col("__s1").cast("double") + F.col("__p1"), 6).alias("score1"),
+            F.round(F.col("__s0").cast("double") + F.col("__p0"), 6).alias("score0"),
+        )
+    )
+    return scored.select(
+        "id", "score1", "score0", (F.col("score1") > F.col("score0")).alias("pred")
+    )

@@ -104,3 +104,56 @@ def classifier_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.predict(feats, w).join(labels, "id").select(
         "id", "p", "pred", "y"
     )
+
+
+# Multinomial Naive Bayes on the same probe-relevance task — the
+# one-pass counts-only classifier, with a FULL SQL oracle (no replay:
+# everything is counts, rounded logs, and DECIMAL sums).
+_NB_ORACLE = f"""
+WITH lab AS (
+  SELECT doc_id AS id,
+         CASE WHEN list_contains(string_split(text, ' '), '{PROBE}') THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+tok AS (
+  SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS term
+  FROM documents),
+tok2 AS (SELECT id, term FROM tok WHERE term <> ''),
+counts AS (
+  SELECT t.term,
+         CAST(SUM(CASE WHEN l.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN l.y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM tok2 t JOIN lab l ON l.id = t.id GROUP BY t.term),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM counts),
+lik AS (
+  SELECT c.term,
+         CAST(ROUND(LN(CAST(c.c1 + 1 AS DOUBLE) / CAST(t.t1 + t.v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS l1,
+         CAST(ROUND(LN(CAST(c.c0 + 1 AS DOUBLE) / CAST(t.t0 + t.v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS l0
+  FROM counts c, tot t),
+priors AS (
+  SELECT ROUND(LN(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 8) AS p1,
+         ROUND(LN(CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 8) AS p0
+  FROM lab),
+scored AS (
+  SELECT t.id,
+         ROUND(CAST(SUM(k.l1) AS DOUBLE) + pr.p1, 6) AS score1,
+         ROUND(CAST(SUM(k.l0) AS DOUBLE) + pr.p0, 6) AS score0
+  FROM tok2 t JOIN lik k ON k.term = t.term, priors pr
+  GROUP BY t.id, pr.p1, pr.p0)
+SELECT CAST(id AS BIGINT) AS id, score1, score0,
+       CAST(score1 > score0 AS BOOLEAN) AS pred
+FROM scored
+"""
+
+
+@df_query("classifier_naive_bayes", _NB_ORACLE)
+def classifier_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), PROBE), 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    return classifier.naive_bayes_scores(docs, "text", "doc_id", labels)

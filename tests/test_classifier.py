@@ -64,3 +64,16 @@ def test_training_partition_independent(spark, sf_dir):
     feats7 = classifier.hashed_features(docs.repartition(7), "text", "doc_id", DIM)
     w2 = {r.bucket: r.w for r in classifier.train_logreg(feats7, labels, DIM, 2, 5.0).collect()}
     assert w1 == w2
+
+
+def test_naive_bayes_beats_majority(spark, sf_dir):
+    """NB on the probe task must beat predict-majority (measured 0.95+
+    — 'vector' and its hash-mates dominate P(t|c=1))."""
+    docs, _, labels = _setup(spark, sf_dir)
+    scored = classifier.naive_bayes_scores(docs, "text", "doc_id", labels).join(
+        labels, "id"
+    )
+    n = scored.count()
+    correct = scored.filter(F.col("pred").cast("double") == F.col("y")).count()
+    majority = scored.groupBy("y").count().agg(F.max("count")).first()[0]
+    assert correct / n > majority / n + 0.05, (correct, majority, n)

@@ -217,3 +217,73 @@ def term_psi_drift(
         F.col("__c").cast("double").alias("psi_contrib"),
         F.round(F.sum("__c").over(win).cast("double"), 6).alias("psi_total"),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE pass:
+    every per-column and per-pair moment (S_x, S_xx, S_xy) accumulates
+    as an exact DECIMAL sum in a single aggregation over one scan, and
+
+        r = (n*S_xy - S_x*S_y) / sqrt((n*S_xx - S_x^2) (n*S_yy - S_y^2))
+
+    evaluates on the aggregated row. Rows with a NULL in ANY profiled
+    column are excluded (complete-case, the textbook definition for a
+    matrix — pairwise-deletion r's are not comparable to each other).
+    Output: (col_a, col_b, n BIGINT, corr DOUBLE rounded 6) for each
+    unordered pair. Zero-variance columns yield NULL corr.
+
+    Determinism: per-row products evaluate in IEEE double (identical
+    both engines), round to 4 decimals, and sum as DECIMAL — exact and
+    order-free; raw values sum as DECIMAL(38,6). (True int-exact
+    products overflow DuckDB's int64 decimal kernel at this width, so
+    the contract is "Pearson over 4-decimal-rounded products" —
+    deterministic, and within 1e-4 of the unrounded moments.) Only the
+    final formula runs in double, rounded to 6."""
+    bad = [c for c in cols if not c.replace("_", "a").isalnum()]
+    if bad:
+        raise ValueError(f"correlation_matrix needs plain identifiers, got {bad}")
+    complete = df
+    for c in cols:
+        complete = complete.filter(F.col(c).isNotNull())
+    def dv(c):
+        return F.round(F.col(c).cast("double"), 6).cast("decimal(38,6)")
+
+    def dp(a, b):
+        return F.round(F.col(a).cast("double") * F.col(b).cast("double"), 4).cast(
+            "decimal(38,4)"
+        )
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(dv(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(dp(c, c)).alias(f"__ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(dp(a, b)).alias(f"__sp_{a}_{b}"))
+    one = complete.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("__n").cast("double")
+        sa, sb = F.col(f"__s_{a}").cast("double"), F.col(f"__s_{b}").cast("double")
+        ssa, ssb = F.col(f"__ss_{a}").cast("double"), F.col(f"__ss_{b}").cast("double")
+        sp = F.col(f"__sp_{a}_{b}").cast("double")
+        var_a = n * ssa - sa * sa
+        var_b = n * ssb - sb * sb
+        return F.when(
+            (var_a > 0.0) & (var_b > 0.0),
+            F.round((n * sp - sa * sb) / F.sqrt(var_a * var_b), 6),
+        )
+
+    rows = [
+        one.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("__n").alias("n"),
+            corr_expr(a, b).alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -432,3 +432,51 @@ def profile_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.filter(F.col("doc_id") % 2 == 0)
     b = docs.filter(F.col("doc_id") % 2 == 1)
     return profiling.term_psi_drift(a, b, "text", top_n=_TPSI_TOP)
+
+
+# one-pass Pearson correlation matrix over lineitem numerics.
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    def sv(c):
+        return f"CAST(SUM(CAST(ROUND(CAST({c} AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE)"
+
+    def sp(x, y):
+        return (
+            f"CAST(SUM(CAST(ROUND(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE), 4) "
+            f"AS DECIMAL(38,4))) AS DOUBLE)"
+        )
+
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    var_a = f"({n} * {sp(a, a)} - {sv(a)} * {sv(a)})"
+    var_b = f"({n} * {sp(b, b)} - {sv(b)} * {sv(b)})"
+    cov = f"({n} * {sp(a, b)} - {sv(a)} * {sv(b)})"
+    return f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(COUNT(*) AS BIGINT) AS n,
+       CASE WHEN {var_a} > 0 AND {var_b} > 0
+            THEN ROUND({cov} / SQRT({var_a} * {var_b}), 6)
+            ELSE NULL END AS corr
+FROM complete"""
+
+
+_CORR_ORACLE = (
+    "WITH complete AS (SELECT "
+    + ", ".join(_CORR_COLS)
+    + " FROM lineitem WHERE "
+    + " AND ".join(f"{c} IS NOT NULL" for c in _CORR_COLS)
+    + ") "
+    + " UNION ALL ".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+)
+
+
+@df_query("profile_correlation_matrix", _CORR_ORACLE)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return profiling.correlation_matrix(li, _CORR_COLS)

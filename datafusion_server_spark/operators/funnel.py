@@ -1,0 +1,125 @@
+"""Event-sequence analytics: funnel conversion and cohort retention.
+
+Beyond-reference operators in the events family (sessionization, as-of
+join, rollup live elsewhere) — the two product-analytics classics:
+
+- funnel: how many users complete step1 -> step2 -> ... IN ORDER, where
+  each step must occur strictly after the user's completion of the
+  previous one (the min-timestamp formulation: t_i = earliest step-i
+  event after t_{i-1});
+- cohort retention: group users by their first-event period, count how
+  many are active again k periods later.
+
+Determinism: everything is MIN over exact timestamps and integer
+counts; the only division is the final rate, rounded.
+
+Scale notes (100 TB): the funnel is |steps| chained (user-keyed
+aggregations + joins) — each stage's output is one row per surviving
+user, monotonically shrinking; retention is two user-period
+aggregations and one join keyed by user. Both shapes are the textbook
+event-analytics plans; no window over the raw stream is ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """(step BIGINT, step_name, n_users BIGINT, conversion DOUBLE):
+    users completing each prefix of ``steps`` in strict temporal order;
+    conversion is relative to step 1 (rounded 6)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
+    )
+    cur = (
+        base.filter(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t0"))
+    )
+    stage_counts = [cur]
+    for i, st in enumerate(steps[1:], start=1):
+        nxt = (
+            base.filter(F.col("t") == st)
+            .join(cur.select("u", F.col(f"t{i-1}")), "u")
+            .filter(F.col("ts") > F.col(f"t{i-1}"))
+            .groupBy("u")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "u")
+        stage_counts.append(cur)
+    spark = events.sparkSession
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(i + 1).cast("bigint").alias("step"),
+            F.lit(steps[i]).alias("step_name"),
+            F.col("n").alias("n_users"),
+        )
+        for i, df in enumerate(stage_counts)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    first = out.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("__n1")
+    )
+    return out.crossJoin(F.broadcast(first)).select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("__n1").cast("double"), 6
+        ).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    period_seconds: int = 7 * 24 * 3600,
+    max_offset: int = 4,
+) -> DataFrame:
+    """(cohort BIGINT epoch-seconds, week_offset BIGINT, n_active,
+    n_cohort, retention DOUBLE): users grouped by their FIRST event's
+    period; for each later offset, how many were active again. Offset 0
+    is the cohort itself (retention 1.0 by construction)."""
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / period_seconds)
+        .cast("bigint")
+        .alias("p"),
+    )
+    first = base.groupBy("u").agg(F.min("p").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    active = base.distinct().join(first, "u").select(
+        "cohort", (F.col("p") - F.col("cohort")).alias("week_offset")
+    )
+    ret = (
+        active.filter(
+            (F.col("week_offset") >= 0) & (F.col("week_offset") <= max_offset)
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort").select(
+        (F.col("cohort") * period_seconds).cast("bigint").alias("cohort"),
+        F.col("week_offset").cast("bigint"),
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6
+        ).alias("retention"),
+    )

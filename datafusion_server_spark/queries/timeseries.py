@@ -536,3 +536,62 @@ def sketch_kmv_set_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "click")
     b = ev.filter(F.col("event_type") == "view")
     return sketch.kmv_set_estimates(a, b, "user_id", k=_KSET_K)
+
+
+# funnel conversion: view -> click -> purchase in strict temporal order.
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t0 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t1 GROUP BY e.user_id),
+counts AS (
+  SELECT 1 AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3)
+SELECT CAST(step AS BIGINT) AS step, step_name, n_users,
+       ROUND(CAST(n_users AS DOUBLE) / CAST((SELECT n_users FROM counts WHERE step = 1) AS DOUBLE), 6) AS conversion
+FROM counts
+"""
+
+
+@df_query("funnel_view_click_purchase", _FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import funnel
+
+    ev = tables.load(spark, sf_dir, "events")
+    return funnel.funnel_conversion(ev, "user_id", "event_type", "ts", _FUNNEL_STEPS)
+
+
+# weekly cohort retention: users grouped by first-event week, re-activity
+# over the next 4 weeks.
+_COHORT_ORACLE = """
+WITH base AS (
+  SELECT user_id AS u, CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) AS p FROM events),
+first AS (SELECT u, MIN(p) AS cohort FROM base GROUP BY u),
+sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM first GROUP BY cohort),
+active AS (
+  SELECT DISTINCT f.cohort, b.p - f.cohort AS week_offset
+       , b.u
+  FROM (SELECT DISTINCT u, p FROM base) b JOIN first f ON f.u = b.u),
+ret AS (
+  SELECT cohort, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM active WHERE week_offset BETWEEN 0 AND 4
+  GROUP BY cohort, week_offset)
+SELECT CAST(r.cohort * 604800 AS BIGINT) AS cohort, CAST(r.week_offset AS BIGINT) AS week_offset,
+       r.n_active, s.n_cohort,
+       ROUND(CAST(r.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+FROM ret r JOIN sizes s ON s.cohort = r.cohort
+"""
+
+
+@df_query("cohort_weekly_retention", _COHORT_ORACLE)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import funnel
+
+    ev = tables.load(spark, sf_dir, "events")
+    return funnel.cohort_retention(ev, "user_id", "ts")

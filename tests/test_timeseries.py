@@ -198,3 +198,37 @@ def test_histogram_quantile_zero(spark):
     qs = {r["q"]: r["estimate"] for r in sketch.histogram_quantiles(sk, 0.0, 400.0, 32, [0.0, 0.5]).collect()}
     assert 0.0 in qs and qs[0.0] == 100.0  # bin 8 starts at 100.0
     assert 100.0 <= qs[0.5] <= 200.0
+
+
+def test_funnel_counts_monotone_and_strict_order(spark):
+    """Step counts never increase, and a user whose steps are out of
+    order does not convert."""
+    import datetime as dt
+
+    from datafusion_server_spark.operators import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2: click BEFORE view -> stops at view
+        (2, "click", t(0)), (2, "view", t(1)),
+        # user 3: view only
+        (3, "view", t(0)),
+        # user 4: purchase first then view/click -> no purchase AFTER click
+        (4, "purchase", t(0)), (4, "view", t(1)), (4, "click", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    out = {r.step_name: r.n_users for r in funnel.funnel_conversion(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_cohort_offset_zero_is_full_retention(spark, sf_dir):
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators import funnel
+
+    ev = tables.load(spark, sf_dir, "events")
+    ret = funnel.cohort_retention(ev, "user_id", "ts")
+    zero = ret.filter(F.col("week_offset") == 0).collect()
+    assert zero and all(r.retention == 1.0 and r.n_active == r.n_cohort for r in zero)

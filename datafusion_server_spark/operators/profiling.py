@@ -287,3 +287,61 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def welch_ttest(df_a: DataFrame, df_b: DataFrame, value_col: str) -> DataFrame:
+    """Welch's two-sample t statistic between snapshots of a metric —
+    the significance companion to ``psi_drift`` (PSI says the SHAPE
+    moved; Welch says whether the MEAN moved beyond sampling noise,
+    without assuming equal variances):
+
+        t = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b),
+        dof = (v_a/n_a + v_b/n_b)^2
+              / ((v_a/n_a)^2/(n_a - 1) + (v_b/n_b)^2/(n_b - 1))
+
+    Output: ONE row (n_a, n_b, mean_a, mean_b, t_stat, dof), all
+    rounded to 6. NULL values are excluded; degenerate inputs
+    (n < 2 or both variances zero) yield NULL t/dof.
+
+    Determinism: the moment sums are the correlation-matrix contract
+    (values rounded to 6 -> DECIMAL, squares rounded to 4 -> DECIMAL,
+    order-free); the statistic evaluates on the one aggregated row."""
+
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(value_col)
+        return df.filter(v.isNotNull()).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.round(v.cast("double"), 6).cast("decimal(38,6)")).alias(
+                f"__s_{tag}"
+            ),
+            F.sum(
+                F.round(v.cast("double") * v.cast("double"), 4).cast("decimal(38,4)")
+            ).alias(f"__ss_{tag}"),
+        )
+
+    one = moments(df_a, "a").crossJoin(moments(df_b, "b"))
+
+    def stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"__s_{tag}").cast("double")
+        ss = F.col(f"__ss_{tag}").cast("double")
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1.0)
+        return n, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0.0)
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(dof, 6)).alias("dof"),
+    )

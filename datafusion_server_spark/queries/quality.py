@@ -480,3 +480,45 @@ def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = tables.load(spark, sf_dir, "lineitem")
     return profiling.correlation_matrix(li, _CORR_COLS)
+
+
+# Welch's t between the even/odd event halves of events.value.
+def _welch_moments_sql(cond: str, tag: str) -> str:
+    return f"""
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_{tag},
+         CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_{tag},
+         CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * CAST(value AS DOUBLE), 4) AS DECIMAL(38,4))) AS DOUBLE) AS ss_{tag}
+  FROM events WHERE value IS NOT NULL AND {cond}"""
+
+
+_WELCH_ORACLE = f"""
+WITH a AS ({_welch_moments_sql("event_id % 2 = 0", "a")}),
+b AS ({_welch_moments_sql("event_id % 2 = 1", "b")}),
+j AS (SELECT * FROM a, b),
+c AS (
+  SELECT n_a, n_b,
+         s_a / CAST(n_a AS DOUBLE) AS ma, s_b / CAST(n_b AS DOUBLE) AS mb,
+         (ss_a - s_a * s_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+         (ss_b - s_b * s_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+  FROM j)
+SELECT n_a, n_b, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0
+            THEN ROUND((ma - mb) / SQRT(va / n_a + vb / n_b), 6) END AS t_stat,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0
+            THEN ROUND(((va / n_a + vb / n_b) * (va / n_a + vb / n_b))
+                       / ((va / n_a) * (va / n_a) / (CAST(n_a AS DOUBLE) - 1.0)
+                          + (vb / n_b) * (vb / n_b) / (CAST(n_b AS DOUBLE) - 1.0)), 6) END AS dof
+FROM c
+"""
+
+
+@df_query("profile_welch_ttest", _WELCH_ORACLE)
+def profile_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    ev = tables.load(spark, sf_dir, "events")
+    return profiling.welch_ttest(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+    )

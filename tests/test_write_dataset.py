@@ -135,3 +135,19 @@ def test_profiling_input_validation(spark, sf_dir):
         profiling.psi_drift(orders, orders, "o_totalprice", bins=0, lo=0.0, hi=1.0)
     with pytest.raises(ValueError, match="hi > lo"):
         profiling.psi_drift(orders, orders, "o_totalprice", bins=4, lo=1.0, hi=1.0)
+
+
+def test_welch_ttest_detects_mean_shift(spark):
+    from datafusion_server_spark.operators import profiling
+
+    a = spark.createDataFrame([(float(i),) for i in range(1, 21)], "value double")
+    b = spark.createDataFrame([(float(i) + 10.0,) for i in range(1, 21)], "value double")
+    shifted = profiling.welch_ttest(a, b, "value").first()
+    same = profiling.welch_ttest(a, a, "value").first()
+    assert shifted.mean_b - shifted.mean_a == 10.0
+    assert shifted.t_stat < -5.0, shifted.t_stat
+    assert same.t_stat == 0.0
+    # degenerate: constant columns -> NULL statistic, not an error
+    c = spark.createDataFrame([(1.0,), (1.0,)], "value double")
+    degen = profiling.welch_ttest(c, c, "value").first()
+    assert degen.t_stat is None and degen.dof is None

@@ -345,3 +345,60 @@ def welch_ttest(df_a: DataFrame, df_b: DataFrame, value_col: str) -> DataFrame:
         F.when(ok, F.round(t, 6)).alias("t_stat"),
         F.when(ok, F.round(dof, 6)).alias("dof"),
     )
+
+
+def chi_squared_drift(
+    df_a: DataFrame, df_b: DataFrame, cat_col: str
+) -> DataFrame:
+    """Two-sample chi-squared homogeneity statistic over a categorical
+    column — the significance companion to the categorical PSI: for the
+    contingency table (category x snapshot),
+
+        chi2 = sum_cells (observed - expected)^2 / expected,
+        expected = row_total * col_total / grand_total,
+
+    with dof = (#categories - 1). Output: ONE row (n_a, n_b,
+    n_categories, chi2, dof). Categories absent from one side count 0
+    observed there; all-integer inputs, one rounded division chain.
+
+    Scale: one count aggregation per snapshot (category-bounded), the
+    statistic evaluates on the joined category table."""
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.filter(F.col(cat_col).isNotNull())
+            .groupBy(F.col(cat_col).alias("category"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    merged = counts(df_a, "n_a").join(counts(df_b, "n_b"), "category", "full_outer").select(
+        "category",
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+    )
+    tot = merged.agg(
+        F.sum("n_a").cast("bigint").alias("__ta"),
+        F.sum("n_b").cast("bigint").alias("__tb"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    )
+    j = merged.crossJoin(F.broadcast(tot))
+    grand = (F.col("__ta") + F.col("__tb")).cast("double")
+    row_t = (F.col("n_a") + F.col("n_b")).cast("double")
+    ea = row_t * F.col("__ta").cast("double") / grand
+    eb = row_t * F.col("__tb").cast("double") / grand
+    cell = F.round(
+        (F.col("n_a").cast("double") - ea) * (F.col("n_a").cast("double") - ea) / ea
+        + (F.col("n_b").cast("double") - eb) * (F.col("n_b").cast("double") - eb) / eb,
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        j.select("__ta", "__tb", "__k", cell.alias("__c"))
+        .groupBy("__ta", "__tb", "__k")
+        .agg(F.sum("__c").alias("__chi"))
+        .select(
+            F.col("__ta").alias("n_a"),
+            F.col("__tb").alias("n_b"),
+            F.col("__k").alias("n_categories"),
+            F.round(F.col("__chi").cast("double"), 6).alias("chi2"),
+            (F.col("__k") - 1).cast("bigint").alias("dof"),
+        )
+    )

@@ -1091,3 +1091,85 @@ def self_overlap_scores(
             ).alias("overlap_ratio"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 15,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    word pairs:
+
+        pmi(a, b) = ln( p(a,b) / (p(a) p(b)) ),
+        p(a,b) = n_ab / N_pairs,  p(t) = n_t / N_tokens,
+
+    filtered to pairs seen >= ``min_count`` times (PMI is unstable on
+    rare pairs), top-``k`` by (pmi desc, a, b). The standard phrase/
+    multi-word-expression detector feeding tokenizer merges and
+    boilerplate review. Output: (left, right, n_pair, pmi).
+
+    Determinism: counts exact; the single ln rounds to 6. Scale: one
+    zipped-slice bigram explode + two vocab-bounded aggregations; the
+    totals ride in as a broadcast 1-row aggregate."""
+    base = ensure_fanout_parallelism(
+        df.select(F.col(id_col).alias("id"), _words(F.col(text_col)).alias("__t"))
+    )
+    toks = base.select(F.explode(F.col("__t")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+            )
+        ).alias("p")
+    ).select(F.col("p.left").alias("left"), F.col("p.right").alias("right")).filter(
+        (F.col("left") != "") & (F.col("right") != "")
+    )
+    big = pairs.groupBy("left", "right").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair")
+    )
+    totals = uni.agg(F.sum("n_t").cast("bigint").alias("__nt")).crossJoin(
+        big.agg(F.sum("n_pair").cast("bigint").alias("__np"))
+    )
+    scored = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("term").alias("left"), F.col("n_t").alias("__na")), "left")
+        .join(
+            uni.select(F.col("term").alias("right"), F.col("n_t").alias("__nb")),
+            "right",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "left",
+            "right",
+            "n_pair",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_pair").cast("double")
+                        / F.col("__np").cast("double")
+                    )
+                    / (
+                        (F.col("__na").cast("double") / F.col("__nt").cast("double"))
+                        * (F.col("__nb").cast("double") / F.col("__nt").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("pmi"), F.asc("left"), F.asc("right"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("left", "right", "n_pair", "pmi", "rank")
+    )

@@ -522,3 +522,46 @@ def profile_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 1),
         "value",
     )
+
+
+# chi-squared homogeneity of event_type between the even/odd halves.
+_CHI_ORACLE = """
+WITH ca AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_a
+            FROM events WHERE event_id % 2 = 0 AND event_type IS NOT NULL GROUP BY 1),
+cb AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_b
+       FROM events WHERE event_id % 2 = 1 AND event_type IS NOT NULL GROUP BY 1),
+merged AS (
+  SELECT COALESCE(ca.category, cb.category) AS category,
+         CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a, CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+  FROM ca FULL OUTER JOIN cb ON cb.category = ca.category),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM merged),
+cells AS (
+  SELECT t.ta, t.tb, t.k,
+         CAST(ROUND(
+           (CAST(m.n_a AS DOUBLE) - (CAST(m.n_a + m.n_b AS DOUBLE) * CAST(t.ta AS DOUBLE) / CAST(t.ta + t.tb AS DOUBLE)))
+           * (CAST(m.n_a AS DOUBLE) - (CAST(m.n_a + m.n_b AS DOUBLE) * CAST(t.ta AS DOUBLE) / CAST(t.ta + t.tb AS DOUBLE)))
+           / (CAST(m.n_a + m.n_b AS DOUBLE) * CAST(t.ta AS DOUBLE) / CAST(t.ta + t.tb AS DOUBLE))
+           + (CAST(m.n_b AS DOUBLE) - (CAST(m.n_a + m.n_b AS DOUBLE) * CAST(t.tb AS DOUBLE) / CAST(t.ta + t.tb AS DOUBLE)))
+           * (CAST(m.n_b AS DOUBLE) - (CAST(m.n_a + m.n_b AS DOUBLE) * CAST(t.tb AS DOUBLE) / CAST(t.ta + t.tb AS DOUBLE)))
+           / (CAST(m.n_a + m.n_b AS DOUBLE) * CAST(t.tb AS DOUBLE) / CAST(t.ta + t.tb AS DOUBLE)),
+           8) AS DECIMAL(18,8)) AS c
+  FROM merged m, tot t)
+SELECT ta AS n_a, tb AS n_b, k AS n_categories,
+       ROUND(CAST(SUM(c) AS DOUBLE), 6) AS chi2,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM cells GROUP BY ta, tb, k
+"""
+
+
+@df_query("profile_chi_squared_drift", _CHI_ORACLE)
+def profile_chi_squared_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    ev = tables.load(spark, sf_dir, "events")
+    return profiling.chi_squared_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "event_type",
+    )

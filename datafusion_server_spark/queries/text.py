@@ -698,3 +698,41 @@ GROUP BY gr.doc_id
 def text_self_overlap_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return text.self_overlap_scores(docs, "text", "doc_id")
+
+
+# PMI collocations: top adjacent word pairs by pointwise mutual
+# information (pairs seen >= 5 times).
+_PMI_K, _PMI_MIN = 15, 5
+
+_PMI_ORACLE = f"""
+WITH dt AS (SELECT string_split(text, ' ') AS toks FROM documents),
+toks AS (SELECT UNNEST(toks) AS term FROM dt),
+toks2 AS (SELECT term FROM toks WHERE term <> ''),
+uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks2 GROUP BY term),
+pr AS (
+  SELECT UNNEST(toks[1:len(toks)-1]) AS l, UNNEST(toks[2:len(toks)]) AS r
+  FROM dt WHERE len(toks) >= 2),
+pr2 AS (SELECT l, r FROM pr WHERE l <> '' AND r <> ''),
+big AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS n_pair FROM pr2 GROUP BY l, r),
+tot AS (SELECT (SELECT CAST(SUM(n_t) AS BIGINT) FROM uni) AS nt,
+               (SELECT CAST(SUM(n_pair) AS BIGINT) FROM big) AS np),
+scored AS (
+  SELECT b.l AS "left", b.r AS "right", b.n_pair,
+         ROUND(LN((CAST(b.n_pair AS DOUBLE) / CAST(t.np AS DOUBLE))
+                  / ((CAST(ua.n_t AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                     * (CAST(ub.n_t AS DOUBLE) / CAST(t.nt AS DOUBLE)))), 6) AS pmi
+  FROM big b
+  JOIN uni ua ON ua.term = b.l
+  JOIN uni ub ON ub.term = b.r, tot t
+  WHERE b.n_pair >= {_PMI_MIN})
+SELECT "left", "right", n_pair, pmi, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, "left" ASC, "right" ASC) AS rnk
+      FROM scored) t
+WHERE rnk <= {_PMI_K}
+"""
+
+
+@df_query("text_pmi_collocations", _PMI_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, "text", "doc_id", _PMI_K, _PMI_MIN)

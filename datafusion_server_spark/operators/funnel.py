@@ -123,3 +123,46 @@ def cohort_retention(
             F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6
         ).alias("retention"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event paths:
+    order each user's events by (ts, tiebreak), pair each event with its
+    successor, count (from_type, to_type) corpus-wide, and attach the
+    row-normalized transition probability. The user-journey summary
+    behind next-step prediction and anomaly review. Output:
+    (from_type, to_type, n BIGINT, p DOUBLE rounded 6).
+
+    Determinism: the ordering carries an explicit total tie-break
+    (equal timestamps would otherwise make LAG partition-dependent).
+    Scale: one user-keyed window + one (from, to) aggregation —
+    alphabet-squared-bounded output."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak_col).asc()
+    )
+    paired = events.select(
+        F.col(type_col).alias("to_type"),
+        F.lag(F.col(type_col)).over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = paired.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    row_tot = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("__rt")
+    )
+    return counts.join(row_tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__rt").cast("double"), 6).alias(
+            "p"
+        ),
+    )

@@ -402,3 +402,76 @@ def chi_squared_drift(
             (F.col("__k") - 1).cast("bigint").alias("dof"),
         )
     )
+
+
+def ks_statistic_binned(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    bins: int = 50,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on the FIXED [lo, hi)
+    grid: max over bin edges of |CDF_a - CDF_b|, with CDFs from the
+    binned counts (the grid makes it mergeable and deterministic; the
+    exact-order KS needs a global sort and adds nothing at drift-alarm
+    granularity). Completes the drift family: PSI (shape), Welch
+    (mean), chi-squared (categorical), KS (max CDF gap). Output: ONE
+    row (n_a, n_b, ks_stat DOUBLE rounded 6, ks_bin BIGINT — the edge
+    where the max occurs, lowest such bin on ties)."""
+    from pyspark.sql.window import Window
+
+    if bins <= 0 or not hi > lo:
+        raise ValueError(f"ks needs bins > 0 and hi > lo, got bins={bins}, [{lo}, {hi})")
+    width = (hi - lo) / bins
+
+    def bucketed(df: DataFrame, alias: str) -> DataFrame:
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col).cast("double") - lo) / width).cast("int"),
+            ),
+        )
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(bucket.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    grid = df_a.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        grid.join(bucketed(df_a, "ca"), "bin", "left")
+        .join(bucketed(df_b, "cb"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("ca"), F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("bigint").alias("cb"),
+        )
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = joined.agg(
+        F.sum("ca").cast("bigint").alias("__na"), F.sum("cb").cast("bigint").alias("__nb")
+    )
+    gaps = joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "__na",
+        "__nb",
+        F.round(
+            F.abs(
+                F.sum("ca").over(wcum).cast("double") / F.col("__na").cast("double")
+                - F.sum("cb").over(wcum).cast("double") / F.col("__nb").cast("double")
+            ),
+            6,
+        ).alias("gap"),
+    )
+    best = gaps.orderBy(F.desc("gap"), F.asc("bin")).limit(1)
+    return best.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.col("gap").alias("ks_stat"),
+        F.col("bin").cast("bigint").alias("ks_bin"),
+    )

@@ -565,3 +565,46 @@ def profile_chi_squared_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 1),
         "event_type",
     )
+
+
+# binned two-sample KS over events.value between the even/odd halves.
+_KS_BINS, _KS_LO, _KS_HI = 50, 0.0, 1000.0
+
+_KS_ORACLE = f"""
+WITH grid AS (SELECT UNNEST(RANGE({_KS_BINS})) AS bin),
+ba AS (
+  SELECT LEAST({_KS_BINS - 1}, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - {_KS_LO}) / {(_KS_HI - _KS_LO) / _KS_BINS}) AS INT))) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS ca
+  FROM events WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1),
+bb AS (
+  SELECT LEAST({_KS_BINS - 1}, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - {_KS_LO}) / {(_KS_HI - _KS_LO) / _KS_BINS}) AS INT))) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cb
+  FROM events WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1),
+joined AS (
+  SELECT g.bin, CAST(COALESCE(ba.ca, 0) AS BIGINT) AS ca, CAST(COALESCE(bb.cb, 0) AS BIGINT) AS cb
+  FROM grid g LEFT JOIN ba ON ba.bin = g.bin LEFT JOIN bb ON bb.bin = g.bin),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM joined),
+gaps AS (
+  SELECT j.bin, t.na, t.nb,
+         ROUND(ABS(CAST(SUM(j.ca) OVER (ORDER BY j.bin ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t.na AS DOUBLE)
+                   - CAST(SUM(j.cb) OVER (ORDER BY j.bin ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t.nb AS DOUBLE)), 6) AS gap
+  FROM joined j, tot t)
+SELECT na AS n_a, nb AS n_b, gap AS ks_stat, CAST(bin AS BIGINT) AS ks_bin
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gap DESC, bin ASC) AS rn FROM gaps) t
+WHERE rn = 1
+"""
+
+
+@df_query("profile_ks_statistic", _KS_ORACLE)
+def profile_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    ev = tables.load(spark, sf_dir, "events")
+    return profiling.ks_statistic_binned(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        bins=_KS_BINS,
+        lo=_KS_LO,
+        hi=_KS_HI,
+    )

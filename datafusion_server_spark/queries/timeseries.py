@@ -595,3 +595,28 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load(spark, sf_dir, "events")
     return funnel.cohort_retention(ev, "user_id", "ts")
+
+
+# first-order Markov transitions over per-user event paths (ts ties
+# broken by event_id — the determinism contract for LAG).
+_TRANSITION_ORACLE = """
+WITH ordered AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rt FROM counts GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(r.rt AS DOUBLE), 6) AS p
+FROM counts c JOIN rt r ON r.from_type = c.from_type
+"""
+
+
+@df_query("events_transition_matrix", _TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import funnel
+
+    ev = tables.load(spark, sf_dir, "events")
+    return funnel.transition_matrix(ev, "user_id", "event_type", "ts", "event_id")

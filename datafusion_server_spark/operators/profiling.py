@@ -475,3 +475,54 @@ def ks_statistic_binned(
         F.col("gap").alias("ks_stat"),
         F.col("bin").cast("bigint").alias("ks_bin"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame, value_col: str, group_col: str, id_col: str
+) -> DataFrame:
+    """Cross-group quantile normalization: replace each row's value with
+    the GLOBAL value at the same within-group rank position — after
+    which every group has (as nearly as sizes allow) the same
+    distribution. The harmonization step before mixing heterogeneous
+    sources whose quality/score scales differ (a 0.8 from source A and
+    a 0.8 from source B rarely mean the same thing).
+
+        r = percent_rank of the row within its group,
+        normalized = global value at rank ceil(r * (N - 1)) + 1
+                     (1-based percentile_disc-style selection)
+
+    Ties break by id on both windows (determinism). Output: input id/
+    group/value + (normalized DOUBLE).
+
+    Scale: one group-keyed window, one global rank table (built once —
+    range-partitioned sort), one join keyed by rank index."""
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy("grp").orderBy(F.col("value").asc(), F.col("id").asc())
+    ranked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("value"),
+    ).withColumn("__pr", F.percent_rank().over(wg))
+    wglob = Window.orderBy(F.col("value").asc(), F.col("id").asc())
+    glob = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(value_col).cast("double").alias("value")
+        )
+        .withColumn("__rn", F.row_number().over(wglob).cast("bigint"))
+        .select(F.col("__rn"), F.col("value").alias("__gv"))
+    )
+    n_glob = glob.agg(F.max("__rn").alias("__n"))
+    keyed = ranked.crossJoin(F.broadcast(n_glob)).select(
+        "id",
+        "grp",
+        "value",
+        (
+            F.ceil(F.col("__pr") * (F.col("__n") - 1).cast("double")).cast("bigint")
+            + 1
+        ).alias("__rn"),
+    )
+    return keyed.join(glob, "__rn").select(
+        "id", F.col("grp").alias(group_col), "value",
+        F.round(F.col("__gv"), 6).alias("normalized"),
+    )

@@ -608,3 +608,30 @@ def profile_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=_KS_LO,
         hi=_KS_HI,
     )
+
+
+# quantile-normalize events.value across event types.
+_QN_ORACLE = """
+WITH ranked AS (
+  SELECT event_id AS id, event_type AS grp, CAST(value AS DOUBLE) AS value,
+         PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE) ASC, event_id ASC) AS pr
+  FROM events),
+gr AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(value AS DOUBLE) ASC, event_id ASC) AS BIGINT) AS rn,
+         CAST(value AS DOUBLE) AS gv
+  FROM events),
+nn AS (SELECT CAST(MAX(rn) AS BIGINT) AS n FROM gr)
+SELECT r.id, r.grp AS event_type, r.value,
+       ROUND(g.gv, 6) AS normalized
+FROM ranked r
+CROSS JOIN nn
+JOIN gr g ON g.rn = CAST(CEIL(r.pr * CAST(nn.n - 1 AS DOUBLE)) AS BIGINT) + 1
+"""
+
+
+@df_query("profile_quantile_normalize", _QN_ORACLE)
+def profile_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    ev = tables.load(spark, sf_dir, "events")
+    return profiling.quantile_normalize(ev, "value", "event_type", "event_id")

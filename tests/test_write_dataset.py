@@ -151,3 +151,22 @@ def test_welch_ttest_detects_mean_shift(spark):
     c = spark.createDataFrame([(1.0,), (1.0,)], "value double")
     degen = profiling.welch_ttest(c, c, "value").first()
     assert degen.t_stat is None and degen.dof is None
+
+
+def test_quantile_normalize_equalizes_group_distributions(spark):
+    """After normalization, two groups drawn from very different scales
+    share the same global value set; the per-group medians coincide."""
+    from datafusion_server_spark.operators import profiling
+
+    rows = [(i, "a", float(i)) for i in range(100)] + [
+        (100 + i, "b", 1000.0 + 5 * i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, grp string, value double")
+    out = profiling.quantile_normalize(df, "value", "grp", "event_id")
+    med = {
+        r.grp: r.m
+        for r in out.groupBy("grp")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY normalized)").alias("m"))
+        .collect()
+    }
+    assert med["a"] == med["b"], med

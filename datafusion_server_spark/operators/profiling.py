@@ -526,3 +526,63 @@ def quantile_normalize(
         "id", F.col("grp").alias(group_col), "value",
         F.round(F.col("__gv"), 6).alias("normalized"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags via the modified z-score
+    (Iglewicz-Hoaglin): med = percentile_disc-median of the group,
+    MAD = median of |x - med|,
+
+        mz = 0.6745 * (x - med) / MAD,   outlier when |mz| > threshold.
+
+    Median/MAD resist the very outliers a mean/stddev rule would be
+    dragged by — the standard metric-cleaning gate. Output: id, group,
+    value, med, mad, modified_z (rounded 6; NULL when MAD = 0),
+    is_outlier BOOLEAN (false when MAD = 0 — a constant-bulk group
+    flags nothing rather than everything).
+
+    Determinism: discrete medians are SELECTIONS (rank ceil(n/2), ties
+    by value then id — no interpolation float math); only the final
+    ratio rounds. Scale: two group-keyed windows over the group's rows
+    plus one broadcast join of the per-group med/MAD table."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+
+    def disc_median(d: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("grp").orderBy(F.col(col).asc(), F.col("id").asc())
+        ranked = d.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+        )
+        return ranked.filter(
+            F.col("__rn") == F.ceil(F.col("__n").cast("double") / 2.0)
+        ).select("grp", F.col(col).alias(out))
+    med = disc_median(base, "value", "med")
+    absdev = base.join(F.broadcast(med), "grp").select(
+        "id", "grp", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = disc_median(absdev, "adev", "mad")
+    stats = med.join(mad, "grp")
+    mz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return base.join(F.broadcast(stats), "grp").select(
+        "id",
+        F.col("grp").alias(group_col),
+        "value",
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0.0, F.round(mz, 6)).alias("modified_z"),
+        F.when(
+            F.col("mad") > 0.0, F.abs(mz) > threshold
+        ).otherwise(F.lit(False)).alias("is_outlier"),
+    )

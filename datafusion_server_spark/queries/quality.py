@@ -635,3 +635,51 @@ def profile_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load(spark, sf_dir, "events")
     return profiling.quantile_normalize(ev, "value", "event_type", "event_id")
+
+
+# robust outliers: per-event-type modified z-score over value; the
+# driver row reports per-type outlier counts (bounded output).
+_ROBUST_THRESH = 3.5
+
+_ROBUST_ORACLE = f"""
+WITH base AS (
+  SELECT event_id AS id, event_type AS grp, CAST(value AS DOUBLE) AS value
+  FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT grp, value AS med FROM (
+    SELECT grp, value,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY value ASC, id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY grp) AS n
+    FROM base) t
+  WHERE rn = CAST(CEIL(CAST(n AS DOUBLE) / 2.0) AS BIGINT)),
+adev AS (
+  SELECT b.id, b.grp, ABS(b.value - m.med) AS adev
+  FROM base b JOIN med m ON m.grp = b.grp),
+mad AS (
+  SELECT grp, adev AS mad FROM (
+    SELECT grp, adev,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY adev ASC, id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY grp) AS n
+    FROM adev) t
+  WHERE rn = CAST(CEIL(CAST(n AS DOUBLE) / 2.0) AS BIGINT)),
+flagged AS (
+  SELECT b.grp,
+         CASE WHEN md.mad > 0 AND ABS(0.6745 * (b.value - m.med) / md.mad) > {_ROBUST_THRESH}
+              THEN 1 ELSE 0 END AS is_out
+  FROM base b JOIN med m ON m.grp = b.grp JOIN mad md ON md.grp = b.grp)
+SELECT grp AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers
+FROM flagged GROUP BY grp
+"""
+
+
+@df_query("profile_robust_outliers", _ROBUST_ORACLE)
+def profile_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    ev = tables.load(spark, sf_dir, "events")
+    out = profiling.robust_outliers(ev, "value", "event_type", "event_id")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("is_outlier").cast("bigint")).cast("bigint").alias("n_outliers"),
+    )

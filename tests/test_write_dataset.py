@@ -170,3 +170,18 @@ def test_quantile_normalize_equalizes_group_distributions(spark):
         .collect()
     }
     assert med["a"] == med["b"], med
+
+
+def test_robust_outliers_resist_extreme_values(spark):
+    """Median/MAD flag the injected spike but are NOT dragged by it
+    (mean/std would inflate); constant groups flag nothing."""
+    from datafusion_server_spark.operators import profiling
+
+    rows = [(i, "g", float(10 + (i % 5))) for i in range(50)] + [(99, "g", 10000.0)]
+    rows += [(200 + i, "c", 7.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id bigint, grp string, value double")
+    out = profiling.robust_outliers(df, "value", "grp", "event_id")
+    flagged = {r.id for r in out.filter(F.col("is_outlier")).collect()}
+    assert flagged == {99}
+    const = out.filter(F.col("grp") == "c").collect()
+    assert all((not r.is_outlier) and r.modified_z is None for r in const)

@@ -1173,3 +1173,63 @@ def pmi_collocations(
         .filter(F.col("rank") <= k)
         .select("left", "right", "n_pair", "pmi", "rank")
     )
+
+
+def term_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the term distribution:
+
+        H(d) = -sum_t (tf_t/n) ln(tf_t/n)
+
+    — low entropy = few distinct words dominating (repetitive/template
+    text), high = diverse vocabulary; also the normalized variant
+    H / ln(n_distinct) in [0, 1] (NULL for single-term docs). A quality
+    signal orthogonal to the LM scores (a doc of rare-but-repeated
+    words fools neither together). Output: (id, n_terms, n_distinct,
+    entropy_nats, entropy_norm).
+
+    Determinism: tf ratios exact; each term's contribution rounds to 8
+    and sums as DECIMAL (the LM contract); final values round to 6.
+    Scale: one (doc, term) aggregation, one per-doc aggregation."""
+    tok = ensure_fanout_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", F.explode(_words(F.col("__t"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    per_doc = tf.groupBy("id").agg(
+        F.sum("__c").cast("bigint").alias("n_terms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    # each tf contribution needs the doc TOTAL: a doc-keyed join back
+    # onto the tf table (both sides already partitioned by id)
+    contrib = tf.join(per_doc.select("id", "n_terms"), "id").select(
+        "id",
+        F.round(
+            -(F.col("__c").cast("double") / F.col("n_terms").cast("double"))
+            * F.log(F.col("__c").cast("double") / F.col("n_terms").cast("double")),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("__h"),
+    )
+    ent = contrib.groupBy("id").agg(F.sum("__h").alias("__hs"))
+    return (
+        per_doc.select("id", "n_terms", "n_distinct")
+        .join(ent, "id")
+        .select(
+            "id",
+            "n_terms",
+            "n_distinct",
+            F.round(F.col("__hs").cast("double"), 6).alias("entropy_nats"),
+            F.when(
+                F.col("n_distinct") > 1,
+                F.round(
+                    F.col("__hs").cast("double")
+                    / F.log(F.col("n_distinct").cast("double")),
+                    6,
+                ),
+            ).alias("entropy_norm"),
+        )
+    )

@@ -736,3 +736,32 @@ WHERE rnk <= {_PMI_K}
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return text.pmi_collocations(docs, "text", "doc_id", _PMI_K, _PMI_MIN)
+
+
+# per-doc term entropy (+ normalized): repetitiveness signal.
+_ENTROPY_ORACLE = """
+WITH tok AS (SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tok2 AS (SELECT id, term FROM tok WHERE term <> ''),
+tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok2 GROUP BY id, term),
+per_doc AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n_terms,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM tf GROUP BY id),
+contrib AS (
+  SELECT t.id,
+         CAST(ROUND(-(CAST(t.c AS DOUBLE) / CAST(p.n_terms AS DOUBLE))
+                    * LN(CAST(t.c AS DOUBLE) / CAST(p.n_terms AS DOUBLE)), 8)
+              AS DECIMAL(18,8)) AS h
+  FROM tf t JOIN per_doc p ON p.id = t.id),
+ent AS (SELECT id, SUM(h) AS hs FROM contrib GROUP BY id)
+SELECT CAST(p.id AS BIGINT) AS id, p.n_terms, p.n_distinct,
+       ROUND(CAST(e.hs AS DOUBLE), 6) AS entropy_nats,
+       CASE WHEN p.n_distinct > 1
+            THEN ROUND(CAST(e.hs AS DOUBLE) / LN(CAST(p.n_distinct AS DOUBLE)), 6) END AS entropy_norm
+FROM per_doc p JOIN ent e ON e.id = p.id
+"""
+
+
+@df_query("text_term_entropy", _ENTROPY_ORACLE)
+def text_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.term_entropy(docs, "text", "doc_id")

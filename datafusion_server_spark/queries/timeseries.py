@@ -620,3 +620,48 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load(spark, sf_dir, "events")
     return funnel.transition_matrix(ev, "user_id", "event_type", "ts", "event_id")
+
+
+# top path trigrams: most common 3-step event sequences per user path
+# (ts ties broken by event_id; same determinism contract as the
+# transition matrix).
+_PATH_K = 10
+
+_PATH_ORACLE = f"""
+WITH ordered AS (
+  SELECT event_type AS t3,
+         LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+  FROM events),
+paths AS (
+  SELECT t1 AS step1, t2 AS step2, t3 AS step3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+  GROUP BY 1, 2, 3)
+SELECT step1, step2, step3, n, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, step1, step2, step3) AS rnk
+      FROM paths) t
+WHERE rnk <= {_PATH_K}
+"""
+
+
+@df_query("events_top_path_trigrams", _PATH_ORACLE)
+def events_top_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ordered = ev.select(
+        F.col("event_type").alias("step3"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.lag("event_type", 2).over(w).alias("step1"),
+    ).filter(F.col("step1").isNotNull() & F.col("step2").isNotNull())
+    paths = ordered.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wr = Window.orderBy(
+        F.desc("n"), F.asc("step1"), F.asc("step2"), F.asc("step3")
+    )
+    return (
+        paths.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _PATH_K)
+    )

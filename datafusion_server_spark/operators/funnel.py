@@ -166,3 +166,55 @@ def transition_matrix(
             "p"
         ),
     )
+
+
+def interarrival_burstiness(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+    *,
+    min_events: int = 3,
+) -> DataFrame:
+    """Per-user inter-arrival statistics + the Goh-Barabasi burstiness
+    coefficient B = (sigma - mu) / (sigma + mu) over the gaps between
+    consecutive events: B -> -1 periodic (bot-like regularity), ~0
+    Poisson, -> +1 bursty (human sessions). Users with fewer than
+    ``min_events`` events (< 2 gaps) are excluded. Output: (user,
+    n_gaps BIGINT, mean_gap_s, std_gap_s, burstiness — rounded 6).
+
+    Determinism: gaps are exact second differences (total-order
+    tie-break); moments are DECIMAL sums; std uses the n-1 form.
+    Scale: one user window + one user aggregation."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak_col).asc()
+    )
+    gaps = events.select(
+        F.col(user_col).alias("u"),
+        (
+            F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(F.lag(F.col(ts_col)).over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    mom = gaps.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("__s"),
+        F.sum((F.col("gap") * F.col("gap")).cast("decimal(38,0)")).alias("__ss"),
+    ).filter(F.col("n_gaps") >= min_events - 1)
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = (F.col("__ss").cast("double") - F.col("__s").cast("double") * mean) / (
+        n - 1.0
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return mom.filter(F.col("n_gaps") >= 2).select(
+        F.col("u").alias(user_col),
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(std, 6).alias("std_gap_s"),
+        F.when(
+            (std + mean) > 0.0, F.round((std - mean) / (std + mean), 6)
+        ).alias("burstiness"),
+    )

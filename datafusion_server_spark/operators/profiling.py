@@ -586,3 +586,53 @@ def robust_outliers(
             F.col("mad") > 0.0, F.abs(mz) > threshold
         ).otherwise(F.lit(False)).alias("is_outlier"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame, value_col: str, group_col: str, id_col: str
+) -> DataFrame:
+    """Per-group Gini concentration of a non-negative metric (how
+    top-heavy is volume across users/sources — 0 equal, ->1 one member
+    dominates), by the sorted-rank identity:
+
+        G = (2 * sum_i i * x_(i)) / (n * sum_i x_(i)) - (n + 1) / n
+
+    Output: (group, n BIGINT, total DOUBLE, gini DOUBLE rounded 6; NULL
+    when the group total is 0). Negative inputs are invalid for Gini
+    and raise at runtime via an ANSI-safe filter contract: they are
+    EXCLUDED and counted in n_negative so silent nonsense can't pass.
+
+    Determinism: the rank is a tie-broken window; i * x accumulates as
+    DECIMAL. Scale: one group window + one group aggregation."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    neg = base.groupBy("grp").agg(
+        F.sum((F.col("x") < 0).cast("bigint")).cast("bigint").alias("n_negative")
+    )
+    pos = base.filter(F.col("x") >= 0)
+    w = Window.partitionBy("grp").orderBy(F.col("x").asc(), F.col("id").asc())
+    ranked = pos.withColumn("__i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("x"), 6).cast("decimal(38,6)")).alias("__sx"),
+        F.sum(
+            F.round(F.col("__i").cast("double") * F.col("x"), 4).cast("decimal(38,4)")
+        ).alias("__six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    six = F.col("__six").cast("double")
+    return agg.join(neg, "grp").select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(sx, 6).alias("total"),
+        F.when(
+            sx > 0.0, F.round(2.0 * six / (n * sx) - (n + 1.0) / n, 6)
+        ).alias("gini"),
+        "n_negative",
+    )

@@ -683,3 +683,35 @@ def profile_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("is_outlier").cast("bigint")).cast("bigint").alias("n_outliers"),
     )
+
+
+# Gini concentration of per-user event volume within each event type.
+_GINI_ORACLE = """
+WITH vol AS (
+  SELECT event_type AS grp, user_id AS id, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY event_type, user_id),
+ranked AS (
+  SELECT grp, id, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x ASC, id ASC) AS BIGINT) AS i
+  FROM vol),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(CAST(i AS DOUBLE) * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS six
+  FROM ranked GROUP BY grp)
+SELECT grp AS event_type, n, ROUND(sx, 6) AS total,
+       CASE WHEN sx > 0 THEN ROUND(2.0 * six / (CAST(n AS DOUBLE) * sx) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) END AS gini,
+       CAST(0 AS BIGINT) AS n_negative
+FROM agg
+"""
+
+
+@df_query("profile_gini_concentration", _GINI_ORACLE)
+def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import profiling
+
+    ev = tables.load(spark, sf_dir, "events")
+    vol = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("volume")
+    )
+    return profiling.gini_coefficient(vol, "volume", "event_type", "user_id")

@@ -665,3 +665,49 @@ def events_top_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= _PATH_K)
     )
+
+
+# per-user inter-arrival burstiness; driver row = per-event-count-band
+# aggregate to keep output bounded... the per-user rows themselves are
+# the operator output — report the 20 burstiest users (total order).
+_BURSTY_K = 20
+
+_BURSTY_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id AS u,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+  FROM events),
+mom AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(gap * gap AS DECIMAL(38,0))) AS DOUBLE) AS ss
+  FROM gaps WHERE gap IS NOT NULL GROUP BY u),
+stats AS (
+  SELECT u, n_gaps, s / CAST(n_gaps AS DOUBLE) AS mean,
+         SQRT(GREATEST((ss - s * (s / CAST(n_gaps AS DOUBLE))) / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0)) AS std
+  FROM mom WHERE n_gaps >= 2),
+scored AS (
+  SELECT u, n_gaps, ROUND(mean, 6) AS mean_gap_s, ROUND(std, 6) AS std_gap_s,
+         CASE WHEN (std + mean) > 0 THEN ROUND((std - mean) / (std + mean), 6) END AS burstiness
+  FROM stats)
+SELECT CAST(u AS BIGINT) AS user_id, n_gaps, mean_gap_s, std_gap_s, burstiness,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY burstiness DESC NULLS LAST, u ASC) AS rnk
+      FROM scored) t
+WHERE rnk <= {_BURSTY_K}
+"""
+
+
+@df_query("events_burstiness_top", _BURSTY_ORACLE)
+def events_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from datafusion_server_spark.operators import funnel
+
+    ev = tables.load(spark, sf_dir, "events")
+    b = funnel.interarrival_burstiness(ev, "user_id", "ts", "event_id")
+    w = Window.orderBy(F.desc_nulls_last("burstiness"), F.asc("user_id"))
+    return (
+        b.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _BURSTY_K)
+    )

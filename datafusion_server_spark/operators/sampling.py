@@ -306,3 +306,40 @@ def split_leakage_safe(
         .when(frac < val_frac + test_frac, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def effective_sample_size(
+    df: DataFrame, weight_col: str, group_col: str
+) -> DataFrame:
+    """Kish effective sample size of a weighted set per group:
+
+        ESS = (sum w)^2 / sum w^2
+
+    — how many EQUAL-weight samples the weighted mixture is worth
+    (ESS << n means a few heavy weights dominate; the diagnostic to
+    run after importance-weighted mixing/up-sampling decisions).
+    Output: (group, n BIGINT, ess DOUBLE rounded 6, ess_ratio DOUBLE
+    rounded 6 = ESS/n). NULL/non-positive weights are excluded.
+
+    Determinism: weight moments as rounded DECIMAL sums (the
+    correlation-matrix contract); final ratio in double. One map-side-
+    combined aggregation."""
+    w = F.col(weight_col).cast("double")
+    agg = (
+        df.filter(w.isNotNull() & (w > 0.0))
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(w, 6).cast("decimal(38,6)")).alias("__s"),
+            F.sum(F.round(w * w, 4).cast("decimal(38,4)")).alias("__ss"),
+        )
+    )
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    ess = s * s / ss
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n").cast("double"), 6).alias("ess_ratio"),
+    )

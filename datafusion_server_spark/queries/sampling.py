@@ -170,3 +170,24 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "source", "sample_rank"
     )
+
+
+# Kish effective sample size of the documents' n_chars-weighted mix per
+# language — the after-mixing diagnostic.
+_ESS_ORACLE = """
+WITH agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(ROUND(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE), 4) AS DECIMAL(38,4))) AS DOUBLE) AS ss
+  FROM documents WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+  GROUP BY lang)
+SELECT lang, n, ROUND(s * s / ss, 6) AS ess,
+       ROUND((s * s / ss) / CAST(n AS DOUBLE), 6) AS ess_ratio
+FROM agg
+"""
+
+
+@df_query("sample_effective_size", _ESS_ORACLE)
+def sample_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return sampling.effective_sample_size(docs, "n_chars", "lang")

@@ -711,3 +711,54 @@ def events_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _BURSTY_K)
     )
+
+
+# weekly churn: of the users active in week w, how many return in w+1.
+_CHURN_ORACLE = """
+WITH weekly AS (
+  SELECT DISTINCT CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) AS w, user_id
+  FROM events),
+pairs AS (
+  SELECT a.w, CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+  FROM weekly a
+  LEFT JOIN weekly b ON b.user_id = a.user_id AND b.w = a.w + 1
+  GROUP BY a.w)
+SELECT CAST(w * 604800 AS BIGINT) AS week_start, n_active, n_retained,
+       CAST(n_active - n_retained AS BIGINT) AS n_churned,
+       ROUND(CAST(n_active - n_retained AS DOUBLE) / CAST(n_active AS DOUBLE), 6) AS churn_rate
+FROM pairs
+"""
+
+
+@df_query("events_weekly_churn", _CHURN_ORACLE)
+def events_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn from the distinct (week, user) activity table: one
+    self-join keyed by user shifted a week — the retention complement
+    (cohort_weekly_retention follows first-touch cohorts; churn follows
+    week-over-week activity)."""
+    ev = tables.load(spark, sf_dir, "events")
+    weekly = ev.select(
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("w"),
+        "user_id",
+    ).distinct()
+    nxt = weekly.select((F.col("w") - 1).alias("w"), F.col("user_id").alias("__u2"))
+    pairs = weekly.join(
+        nxt, (weekly["w"] == nxt["w"]) & (weekly["user_id"] == nxt["__u2"]), "left"
+    ).groupBy(weekly["w"].alias("wk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.col("__u2").isNotNull().cast("bigint")).cast("bigint").alias(
+            "n_retained"
+        ),
+    )
+    return pairs.select(
+        (F.col("wk") * 604800).cast("bigint").alias("week_start"),
+        "n_active",
+        "n_retained",
+        (F.col("n_active") - F.col("n_retained")).cast("bigint").alias("n_churned"),
+        F.round(
+            (F.col("n_active") - F.col("n_retained")).cast("double")
+            / F.col("n_active").cast("double"),
+            6,
+        ).alias("churn_rate"),
+    )

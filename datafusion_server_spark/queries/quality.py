@@ -715,3 +715,93 @@ def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("volume")
     )
     return profiling.gini_coefficient(vol, "volume", "event_type", "user_id")
+
+
+# corpus health report: the nightly one-glance dashboard — key corpus
+# metrics in long format, each a 1-row aggregate over a different
+# operator family, unioned. Query #200.
+_HEALTH_ORACLE = """
+WITH dup AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) AS n_unique
+  FROM documents),
+tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+words AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tokens,
+                 CAST(COUNT(DISTINCT term) AS DOUBLE) AS n_vocab
+          FROM tok2),
+grams AS (SELECT DISTINCT doc_id,
+                 UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(string_split(text, ' ')) - 2),
+                                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g
+          FROM documents),
+dfreq AS (SELECT g, COUNT(*) AS dfr FROM grams GROUP BY g),
+overlap AS (
+  SELECT AVG(r) AS mean_overlap FROM (
+    SELECT gr.doc_id,
+           CAST(SUM(CASE WHEN d.dfr >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS r
+    FROM grams gr JOIN dfreq d ON d.g = gr.g GROUP BY gr.doc_id) t),
+srcvol AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS x FROM documents GROUP BY source),
+gini AS (
+  SELECT 2.0 * SUM(CAST(ROUND(CAST(i AS DOUBLE) * x, 4) AS DECIMAL(38,4)))::DOUBLE
+         / (CAST(COUNT(*) AS DOUBLE) * SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6)))::DOUBLE)
+         - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE) AS g
+  FROM (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, source ASC) AS BIGINT) AS i
+        FROM srcvol) t)
+SELECT 'n_docs' AS metric, ROUND((SELECT n_docs FROM dup), 6) AS value
+UNION ALL SELECT 'exact_dup_rate', ROUND(1.0 - (SELECT n_unique FROM dup) / (SELECT n_docs FROM dup), 6)
+UNION ALL SELECT 'n_tokens', ROUND((SELECT n_tokens FROM words), 6)
+UNION ALL SELECT 'vocab_size', ROUND((SELECT n_vocab FROM words), 6)
+UNION ALL SELECT 'type_token_ratio', ROUND((SELECT n_vocab FROM words) / (SELECT n_tokens FROM words), 6)
+UNION ALL SELECT 'mean_trigram_overlap', ROUND((SELECT mean_overlap FROM overlap), 6)
+UNION ALL SELECT 'source_volume_gini', ROUND((SELECT g FROM gini), 6)
+"""
+
+
+@df_query("pipeline_corpus_health", _HEALTH_ORACLE)
+def pipeline_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly one-glance corpus dashboard: size, exact-dup rate,
+    token/vocab mass, type-token ratio, cross-doc trigram overlap
+    (diversity), and source-volume Gini — each a one-row aggregate over
+    a different operator family, unioned in long format."""
+    from datafusion_server_spark.operators import profiling, text as text_ops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    n_unique = docs.agg(
+        F.countDistinct(F.md5("text")).cast("double").alias("v")
+    )
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    toks = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("nt"),
+        F.countDistinct("t").cast("double").alias("nv"),
+    )
+    overlap = text_ops.self_overlap_scores(docs, "text", "doc_id").agg(
+        F.avg("overlap_ratio").alias("v")
+    )
+    srcvol = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("volume"))
+    gini = profiling.gini_coefficient(
+        srcvol.withColumn("grp", F.lit("all")), "volume", "grp", "source"
+    ).select(F.col("gini").alias("v"))
+
+    def row(name, df, expr):
+        return df.select(F.lit(name).alias("metric"), F.round(expr, 6).alias("value"))
+
+    parts = [
+        row("n_docs", n_docs, F.col("v")),
+        row(
+            "exact_dup_rate",
+            n_docs.crossJoin(n_unique.select(F.col("v").alias("u"))),
+            F.lit(1.0) - F.col("u") / F.col("v"),
+        ),
+        row("n_tokens", toks, F.col("nt")),
+        row("vocab_size", toks, F.col("nv")),
+        row("type_token_ratio", toks, F.col("nv") / F.col("nt")),
+        row("mean_trigram_overlap", overlap, F.col("v")),
+        row("source_volume_gini", gini, F.col("v")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -636,3 +636,47 @@ def gini_coefficient(
         ).alias("gini"),
         "n_negative",
     )
+
+
+def profile_columns_approx(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The promised scale variant of ``profile_columns`` for WIDE
+    tables: distinct counts come from the deterministic md5-register
+    HLL (operators.sketch) instead of exact count_distinct — no Expand
+    node, still ONE pass per column family (a union of per-column
+    register streams feeding one aggregation). Output:
+    (column, n_rows, n_null, null_rate, approx_distinct DOUBLE).
+
+    Same oracle-checkable determinism as the HLL sketch row."""
+    from datafusion_server_spark.operators.sketch import hll_estimate, hll_registers
+
+    bad = [c for c in cols if not c.replace("_", "a").isalnum()]
+    if bad:
+        raise ValueError(f"profile_columns_approx needs plain identifiers, got {bad}")
+    base_aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")] + [
+        F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias(f"__null_{c}")
+        for c in cols
+    ]
+    one = df.agg(*base_aggs)
+    stack_args = ", ".join(f"'{c}', __null_{c}" for c in cols)
+    nulls = one.selectExpr(
+        "__n", f"stack({len(cols)}, {stack_args}) AS (column, n_null)"
+    )
+    streams = None
+    for c in cols:
+        s = df.filter(F.col(c).isNotNull()).select(
+            F.lit(c).alias("column"), F.col(c).cast("string").alias("__k")
+        )
+        streams = s if streams is None else streams.unionByName(s)
+    regs = hll_registers(streams, "__k", ["column"])
+    est = hll_estimate(regs, ["column"]).select(
+        "column", F.col("hll_estimate").alias("approx_distinct")
+    )
+    return nulls.join(est, "column", "left").select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        "n_null",
+        F.round(
+            F.col("n_null").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("null_rate"),
+        "approx_distinct",
+    )

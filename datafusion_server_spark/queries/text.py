@@ -765,3 +765,48 @@ FROM per_doc p JOIN ent e ON e.id = p.id
 def text_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return text.term_entropy(docs, "text", "doc_id")
+
+
+# per-language LM quality aggregate: mean/extremes of the corpus-LM
+# cross-entropy by lang — the quality-by-domain rollup (which source is
+# drifting garbage) over the existing xent subplan.
+_XENT_BY_LANG_ORACLE = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+model AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM model),
+logp AS (SELECT term,
+                CAST(ROUND(-LN(CAST(n_t + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)), 8)
+                     AS DECIMAL(18,8)) AS nll
+         FROM model, tot),
+xent AS (SELECT t.doc_id,
+                ROUND(CAST(SUM(l.nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS x
+         FROM tok t JOIN logp l ON l.term = t.term GROUP BY t.doc_id)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(ROUND(x.x, 6) AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_xent,
+       MIN(x.x) AS min_xent, MAX(x.x) AS max_xent
+FROM documents d JOIN xent x ON x.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+@df_query("text_lm_xent_by_lang", _XENT_BY_LANG_ORACLE)
+def text_lm_xent_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    xent = text.lm_unigram_cross_entropy(docs, "text", "doc_id")
+    return (
+        docs.select(F.col("doc_id").alias("id"), "lang")
+        .join(xent, "id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.round(F.col("xent_nats"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_xent"),
+            F.min("xent_nats").alias("min_xent"),
+            F.max("xent_nats").alias("max_xent"),
+        )
+    )

@@ -185,3 +185,24 @@ def test_robust_outliers_resist_extreme_values(spark):
     assert flagged == {99}
     const = out.filter(F.col("grp") == "c").collect()
     assert all((not r.is_outlier) and r.modified_z is None for r in const)
+
+
+def test_profile_approx_matches_exact_within_hll_error(spark, sf_dir):
+    from datafusion_server_spark.operators import profiling
+
+    orders = tables.load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    exact = {
+        r.column: r.n_distinct
+        for r in profiling.profile_columns(orders, cols).collect()
+    }
+    approx = {
+        r.column: r.approx_distinct
+        for r in profiling.profile_columns_approx(orders, cols).collect()
+    }
+    for c in cols:
+        assert abs(approx[c] - exact[c]) / max(exact[c], 1) <= 0.25, (
+            c,
+            exact[c],
+            approx[c],
+        )

@@ -556,3 +556,69 @@ def prefix_jaccard_pairs(
             6,
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def idf_weighted_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = DEFAULT_SHINGLE_WORDS,
+    threshold: float = 0.4,
+    *,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """IDF-WEIGHTED set similarity — the soft upgrade of the capped
+    Jaccard join: each shingle contributes its corpus idf
+    ``round(ln(N/df), 8)`` instead of 1, so two docs sharing RARE
+    shingles score higher than two sharing boilerplate (raw Jaccard
+    treats both alike):
+
+        sim = sum_{shared} idf / (sum_a idf + sum_b idf - sum_{shared} idf)
+
+    Same df-cap scale guard as ``ngram_jaccard_pairs`` (the capped set
+    is also what the weights make nearly irrelevant — capped-out
+    shingles would carry the LOWEST idf). Output: (id_a, id_b,
+    w_common, w_a, w_b, wjaccard >= threshold), weights rounded DECIMAL
+    sums cast to double (rounded 6)."""
+    shingled = shingle_sets(df, text_col, id_col, k)
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    dfreq = (
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+        .filter(F.col("__df") <= max_shingle_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            F.round(F.log(F.col("__n") / F.col("__df")), 8)
+            .cast("decimal(18,8)")
+            .alias("__idf"),
+        )
+    )
+    weighted = shingled.join(dfreq, "shingle")
+    sums = weighted.groupBy("id").agg(F.sum("__idf").alias("__w"))
+    sized = weighted.join(sums, "id")
+    common = (
+        sized.select(
+            F.col("id").alias("id_a"), F.col("__w").alias("__wa"), "shingle", "__idf"
+        )
+        .join(
+            sized.select(
+                F.col("id").alias("id_b"), F.col("__w").alias("__wb"), "shingle"
+            ),
+            "shingle",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__wa", "__wb")
+        .agg(F.sum("__idf").alias("__wc"))
+    )
+    wc = F.col("__wc").cast("double")
+    wa = F.col("__wa").cast("double")
+    wb = F.col("__wb").cast("double")
+    return common.select(
+        "id_a",
+        "id_b",
+        F.round(wc, 6).alias("w_common"),
+        F.round(wa, 6).alias("w_a"),
+        F.round(wb, 6).alias("w_b"),
+        F.round(wc / (wa + wb - wc), 6).alias("wjaccard"),
+    ).filter(F.col("wjaccard") >= threshold)

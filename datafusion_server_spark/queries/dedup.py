@@ -575,3 +575,42 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("containment_a") >= _CONT_THRESHOLD)
         | (F.col("containment_b") >= _CONT_THRESHOLD)
     )
+
+
+# IDF-weighted soft Jaccard: rare-shingle overlap outweighs boilerplate.
+_WJ_THRESHOLD = 0.4
+
+_WJACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+dfreq AS (
+  SELECT shingle,
+         CAST(ROUND(LN((SELECT n FROM nd) / CAST(COUNT(*) AS DOUBLE)), 8) AS DECIMAL(18,8)) AS idf
+  FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+weighted AS (
+  SELECT CAST(s.doc_id AS BIGINT) AS id, s.shingle, d.idf
+  FROM sh s JOIN dfreq d ON d.shingle = s.shingle),
+sums AS (SELECT id, SUM(idf) AS w FROM weighted GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, sa.w AS wa, sb.w AS wb, SUM(a.idf) AS wc
+  FROM weighted a
+  JOIN weighted b ON b.shingle = a.shingle AND a.id < b.id
+  JOIN sums sa ON sa.id = a.id
+  JOIN sums sb ON sb.id = b.id
+  GROUP BY a.id, b.id, sa.w, sb.w)
+SELECT id_a, id_b,
+       ROUND(CAST(wc AS DOUBLE), 6) AS w_common,
+       ROUND(CAST(wa AS DOUBLE), 6) AS w_a,
+       ROUND(CAST(wb AS DOUBLE), 6) AS w_b,
+       ROUND(CAST(wc AS DOUBLE) / (CAST(wa AS DOUBLE) + CAST(wb AS DOUBLE) - CAST(wc AS DOUBLE)), 6) AS wjaccard
+FROM common
+WHERE ROUND(CAST(wc AS DOUBLE) / (CAST(wa AS DOUBLE) + CAST(wb AS DOUBLE) - CAST(wc AS DOUBLE)), 6) >= {_WJ_THRESHOLD}
+"""
+
+
+@df_query("dedup_idf_weighted_jaccard", _WJACCARD_ORACLE)
+def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.idf_weighted_jaccard_pairs(
+        docs, "text", "doc_id", threshold=_WJ_THRESHOLD
+    )

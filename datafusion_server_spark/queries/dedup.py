@@ -614,3 +614,74 @@ def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.idf_weighted_jaccard_pairs(
         docs, "text", "doc_id", threshold=_WJ_THRESHOLD
     )
+
+
+# dedup explanation: for each over-threshold capped-Jaccard pair, the
+# most DISTINCTIVE shared shingle (lowest corpus df, ties lexicographic)
+# — the "why did dedup flag this" review column.
+_EXPLAIN_THRESHOLD = 0.5
+
+_EXPLAIN_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS dfr FROM sh GROUP BY shingle),
+rare AS (SELECT s.doc_id, s.shingle, d.dfr FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+         WHERE d.dfr <= 100),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id),
+shared AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+         a.shingle, a.dfr
+  FROM rare a JOIN rare b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT s.id_a, s.id_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         za.n_sh AS n_a, zb.n_sh AS n_b,
+         MIN({{'dfr': s.dfr, 'shingle': s.shingle}}) AS best
+  FROM shared s
+  JOIN sizes za ON CAST(za.doc_id AS BIGINT) = s.id_a
+  JOIN sizes zb ON CAST(zb.doc_id AS BIGINT) = s.id_b
+  GROUP BY s.id_a, s.id_b, za.n_sh, zb.n_sh)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard,
+       best['shingle'] AS top_shared_shingle,
+       CAST(best['dfr'] AS BIGINT) AS shingle_df
+FROM pairs
+WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= {_EXPLAIN_THRESHOLD}
+"""
+
+
+@df_query("dedup_pair_explanations", _EXPLAIN_ORACLE)
+def dedup_pair_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The review column for flagged near-dup pairs: alongside the
+    capped Jaccard, the lowest-df shared shingle — the most distinctive
+    piece of text two docs have in common (min over a (df, shingle)
+    struct — deterministic)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "text", "doc_id")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("bigint").alias("dfr"))
+    rare = sh.join(dfreq.filter(F.col("dfr") <= 100), "shingle")
+    sizes = rare.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    sized = rare.join(sizes, "id")
+    shared = (
+        sized.select(
+            F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle", "dfr"
+        )
+        .join(
+            sized.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    pairs = shared.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.min(F.struct(F.col("dfr"), F.col("shingle"))).alias("best"),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+        F.col("best.shingle").alias("top_shared_shingle"),
+        F.col("best.dfr").cast("bigint").alias("shingle_df"),
+    ).filter(F.col("jaccard") >= _EXPLAIN_THRESHOLD)

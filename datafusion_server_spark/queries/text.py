@@ -810,3 +810,71 @@ def text_lm_xent_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("xent_nats").alias("max_xent"),
         )
     )
+
+
+# Zipf fit: the log-log rank-frequency slope of the top-N terms
+# (natural language ~ -1; synthetic/templated corpora deviate) — the
+# "does this corpus look like language" sanity stat.
+_ZIPF_N = 200
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok WHERE term <> '' GROUP BY term),
+ranked AS (
+  SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term ASC) AS BIGINT) AS r
+  FROM tf),
+pts AS (
+  SELECT ROUND(LN(CAST(r AS DOUBLE)), 8) AS x, ROUND(LN(CAST(f AS DOUBLE)), 8) AS y
+  FROM ranked WHERE r <= {_ZIPF_N}),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+  FROM pts)
+SELECT n AS n_terms_fit,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE), 6) AS intercept
+FROM mom
+"""
+
+
+@df_query("text_zipf_slope", _ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("term"))
+    pts = (
+        tf.withColumn("r", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("r") <= _ZIPF_N)
+        .select(
+            F.round(F.log(F.col("r").cast("double")), 8).alias("x"),
+            F.round(F.log(F.col("f").cast("double")), 8).alias("y"),
+        )
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,8)")).alias("__sx"),
+        F.sum(F.col("y").cast("decimal(18,8)")).alias("__sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(38,4)")).alias("__sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)")).alias("__sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mom.select(
+        F.col("n").alias("n_terms_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

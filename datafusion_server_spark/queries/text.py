@@ -878,3 +878,110 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+# Rank-Biased Overlap (Webber et al. 2010) between the lexical (BM25
+# doc-query) and dense (cosine) top-K rankings for the same query doc —
+# the principled top-weighted agreement measure between two rankers
+# (truncated to depth K; the p^d tail beyond K is dropped, standard for
+# fixed-depth lists). Per-depth overlap via a depth explode over the
+# two K-row lists.
+_RBO_P = 0.9
+
+_RBO_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents),
+qterms AS (
+  SELECT DISTINCT UNNEST(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id = {_HY_QDOC}),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM base),
+tok AS (
+  SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT t.id, b.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok t JOIN base b ON b.id = t.id
+  WHERE t.term IN (SELECT term FROM qterms)
+  GROUP BY t.id, b.dl, t.term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+idf AS (
+  SELECT d.term, s.avgdl,
+         ROUND(LN(1.0 + (CAST(s.n AS DOUBLE) - d.df_t + 0.5) / (CAST(d.df_t AS DOUBLE) + 0.5)), 8) AS idf
+  FROM dfq d, stats s),
+contrib AS (
+  SELECT tf.id,
+         CAST(ROUND(i.idf * (CAST(tf.tf AS DOUBLE) * 2.2)
+                    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / i.avgdl)),
+                    8) AS DECIMAL(18,8)) AS c
+  FROM tf JOIN idf i ON i.term = tf.term),
+lex AS (
+  SELECT id, CAST(rnk AS BIGINT) AS rank
+  FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk
+        FROM (SELECT id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+              FROM contrib WHERE id <> {_HY_QDOC} GROUP BY id) s) t
+  WHERE rnk <= {_HY_K}),
+el AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+              GENERATE_SUBSCRIPTS(embedding, 1) AS i
+       FROM embeddings),
+norms AS (SELECT vec_id,
+                 SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+          FROM el GROUP BY vec_id),
+dots AS (
+  SELECT ca.vec_id AS id,
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> {_HY_QDOC}
+  WHERE qa.vec_id = {_HY_QDOC}
+  GROUP BY ca.vec_id),
+dense AS (
+  SELECT id, CAST(rnk AS BIGINT) AS rank
+  FROM (SELECT d.id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) DESC,
+                          d.id ASC) AS rnk
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = {_HY_QDOC}
+        JOIN norms nc ON nc.vec_id = d.id) t
+  WHERE rnk <= {_HY_K}),
+depths AS (SELECT UNNEST(RANGE(1, {_HY_K + 1})) AS d),
+ovl AS (
+  SELECT dp.d,
+         CAST((SELECT COUNT(*) FROM lex l JOIN dense de ON de.id = l.id
+               WHERE l.rank <= dp.d AND de.rank <= dp.d) AS BIGINT) AS o
+  FROM depths dp)
+SELECT CAST({_HY_K} AS BIGINT) AS depth,
+       ROUND((1.0 - {_RBO_P}) * CAST(SUM(
+         CAST(ROUND(POWER({_RBO_P}, CAST(d - 1 AS DOUBLE)) * CAST(o AS DOUBLE) / CAST(d AS DOUBLE), 8) AS DECIMAL(18,8))
+       ) AS DOUBLE), 6) AS rbo
+FROM ovl
+"""
+
+
+@df_query("eval_rbo_lexical_vs_dense", _RBO_ORACLE)
+def eval_rbo_lexical_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import similarity
+
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+    lex = text.bm25_doc_query(docs, "text", "doc_id", _HY_QDOC, _HY_K).select(
+        "id", F.col("rank").alias("rl")
+    )
+    dense = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == _HY_QDOC), _HY_K
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("rd"))
+    depths = spark.range(1, _HY_K + 1).select(F.col("id").alias("d"))
+    joined = lex.join(dense, "id")
+    overlaps = depths.join(
+        joined, (F.col("rl") <= F.col("d")) & (F.col("rd") <= F.col("d")), "left"
+    ).groupBy("d").agg(F.count("id").cast("bigint").alias("o"))
+    term = F.round(
+        F.pow(F.lit(_RBO_P), (F.col("d") - 1).cast("double"))
+        * F.col("o").cast("double")
+        / F.col("d").cast("double"),
+        8,
+    ).cast("decimal(18,8)")
+    return overlaps.agg(
+        F.lit(_HY_K).cast("bigint").alias("depth"),
+        F.round((1.0 - _RBO_P) * F.sum(term).cast("double"), 6).alias("rbo"),
+    )

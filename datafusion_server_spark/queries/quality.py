@@ -805,3 +805,110 @@ def pipeline_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# sequence-gap detection over orders.o_orderkey: contiguous-run islands
+# via the id - row_number trick; emits one row per missing RANGE.
+_GAPS_ORACLE = """
+WITH ids AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS id,
+         CAST(o_orderkey AS BIGINT) - CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS grp
+  FROM orders),
+runs AS (
+  SELECT MIN(id) AS run_start, MAX(id) AS run_end FROM ids GROUP BY grp),
+ordered AS (
+  SELECT run_start, run_end,
+         LEAD(run_start) OVER (ORDER BY run_start) AS next_start
+  FROM runs)
+SELECT CAST(run_end + 1 AS BIGINT) AS gap_start,
+       CAST(next_start - 1 AS BIGINT) AS gap_end,
+       CAST(next_start - run_end - 1 AS BIGINT) AS n_missing
+FROM ordered WHERE next_start IS NOT NULL AND next_start > run_end + 1
+"""
+
+
+@df_query("profile_sequence_gaps", _GAPS_ORACLE)
+def profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity check for a supposedly-dense key: missing id ranges via
+    the islands trick (id minus its rank is constant within each
+    contiguous run; run boundaries expose the gaps). One sort window +
+    one aggregation — no self-join over the key space."""
+    from pyspark.sql.window import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    ids = orders.select(F.col("o_orderkey").cast("bigint").alias("id")).withColumn(
+        "grp",
+        F.col("id") - F.row_number().over(Window.orderBy("id")).cast("bigint"),
+    )
+    runs = ids.groupBy("grp").agg(
+        F.min("id").alias("run_start"), F.max("id").alias("run_end")
+    )
+    ordered = runs.withColumn(
+        "next_start", F.lead("run_start").over(Window.orderBy("run_start"))
+    )
+    return ordered.filter(
+        F.col("next_start").isNotNull()
+        & (F.col("next_start") > F.col("run_end") + 1)
+    ).select(
+        (F.col("run_end") + 1).cast("bigint").alias("gap_start"),
+        (F.col("next_start") - 1).cast("bigint").alias("gap_end"),
+        (F.col("next_start") - F.col("run_end") - 1).cast("bigint").alias(
+            "n_missing"
+        ),
+    )
+
+
+# referential-integrity audit across the schema's FK pairs: orphaned
+# foreign keys per relation (anti-join counts, long format).
+_RI_ORACLE = """
+SELECT 'orders.o_custkey -> customer' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN os.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders os ON os.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer c2 LEFT JOIN nation n ON n.n_nationkey = c2.c_nationkey
+UNION ALL
+SELECT 'supplier.s_nationkey -> nation',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n2.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM supplier s LEFT JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+"""
+
+
+@df_query("profile_referential_integrity", _RI_ORACLE)
+def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-FK audit over the schema's relationships — the
+    load-time integrity report (anti-join counts in long format; at
+    scale each check is one broadcast/shuffle join keyed by the FK)."""
+    def check(name, child, ckey, parent, pkey):
+        c = tables.load(spark, sf_dir, child).select(F.col(ckey).alias("__fk"))
+        p = tables.load(spark, sf_dir, parent).select(
+            F.col(pkey).alias("__pk"), F.lit(1).alias("__hit")
+        )
+        j = c.join(p, c["__fk"] == p["__pk"], "left")
+        return j.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("__hit").isNull().cast("bigint")).cast("bigint").alias(
+                "n_orphans"
+            ),
+        )
+
+    parts = [
+        check("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        check("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        check("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        check("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -623,3 +623,116 @@ def eval_ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("__ns").cast("double") / float(K), 6).alias("recall"),
         )
     )
+
+
+# nDCG@K of the SQ8 index against brute-force graded relevance: gains
+# are the EXACT cosines (+1 shift to nonnegative), the ideal ranking is
+# the brute top-K by construction. Completes the eval set: recall@K
+# (set overlap), RBO (rank agreement), nDCG (graded position-weighted).
+_NDCG_ORACLE = f"""
+WITH {_EL_CTE},
+bdots AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
+  WHERE qa.vec_id < {N_QUERIES}
+  GROUP BY 1, 2),
+bscored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM bdots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id),
+brute AS (
+  SELECT query_id, neighbor_id, cosine, rnk
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM bscored) t
+  WHERE rnk <= {K}),
+stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY i),
+codes AS (
+  SELECT el.vec_id, el.i,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE CAST(GREATEST(0, LEAST(255, FLOOR((el.x - s.mn) / (s.mx - s.mn) * 256.0))) AS INT)
+         END AS code
+  FROM el JOIN stats s ON s.i = el.i),
+recon AS (
+  SELECT c.vec_id, c.i,
+         ROUND(s.mn + (CAST(c.code AS DOUBLE) + 0.5) * (s.mx - s.mn) / 256.0, 6) AS xh
+  FROM codes c JOIN stats s ON s.i = c.i),
+rnorms AS (SELECT vec_id,
+                  SQRT(CAST(CAST(SUM(CAST(ROUND(xh * xh * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS rnrm
+           FROM recon GROUP BY vec_id),
+adc AS (
+  SELECT qa.vec_id AS query_id, r.vec_id AS neighbor_id,
+         ROUND((CAST(CAST(SUM(CAST(ROUND(qa.x * r.xh * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+               / (nq.nrm * rn.rnrm), 6) AS adc
+  FROM el qa
+  JOIN recon r ON r.i = qa.i AND r.vec_id <> qa.vec_id
+  JOIN norms nq ON nq.vec_id = qa.vec_id
+  JOIN rnorms rn ON rn.vec_id = r.vec_id
+  WHERE qa.vec_id < {N_QUERIES} AND nq.nrm > 0 AND rn.rnrm > 0
+  GROUP BY 1, 2, nq.nrm, rn.rnrm),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, neighbor_id) AS cr
+        FROM adc) t
+  WHERE cr <= {_SQ_RERANK * K}),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND((CAST(CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+               / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM cand c
+  JOIN el qa ON qa.vec_id = c.query_id
+  JOIN el ca ON ca.vec_id = c.neighbor_id AND ca.i = qa.i
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms nc ON nc.vec_id = c.neighbor_id
+  WHERE nc.nrm > 0
+  GROUP BY 1, 2, nq.nrm, nc.nrm),
+sq AS (
+  SELECT query_id, neighbor_id, cosine, rnk
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact) t
+  WHERE rnk <= {K}),
+dcg AS (
+  SELECT query_id,
+         SUM(CAST(ROUND((cosine + 1.0) / (LN(CAST(rnk + 1 AS DOUBLE)) / LN(2.0)), 8) AS DECIMAL(18,8))) AS v
+  FROM sq GROUP BY query_id),
+idcg AS (
+  SELECT query_id,
+         SUM(CAST(ROUND((cosine + 1.0) / (LN(CAST(rnk + 1 AS DOUBLE)) / LN(2.0)), 8) AS DECIMAL(18,8))) AS v
+  FROM brute GROUP BY query_id)
+SELECT d.query_id, ROUND(CAST(d.v AS DOUBLE) / CAST(i.v AS DOUBLE), 6) AS ndcg
+FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+"""
+
+
+@df_query("eval_ann_sq8_ndcg", _NDCG_ORACLE)
+def eval_ann_sq8_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import quantize
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def dcg(df):
+        term = F.round(
+            (F.col("cosine") + 1.0)
+            / (F.log(F.col("rank").cast("double") + 1.0) / F.log(F.lit(2.0))),
+            8,
+        ).cast("decimal(18,8)")
+        return df.groupBy("query_id").agg(F.sum(term).alias("v"))
+
+    brute = similarity.cosine_topk(emb, q, K)
+    sq = quantize.quantized_topk(emb, q, K, rerank_factor=_SQ_RERANK)
+    return (
+        dcg(sq)
+        .join(dcg(brute).select(F.col("query_id"), F.col("v").alias("__iv")), "query_id")
+        .select(
+            "query_id",
+            F.round(F.col("v").cast("double") / F.col("__iv").cast("double"), 6).alias(
+                "ndcg"
+            ),
+        )
+    )

@@ -762,3 +762,52 @@ def events_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("churn_rate"),
     )
+
+
+# session stats rollup: composes the sessionization CTE into per-user-
+# session durations/depths and reduces to corpus-level distribution
+# stats — the engagement report on top of the session assignment.
+_SESSION_STATS_SPARK = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN UNIX_TIMESTAMP(ts) - UNIX_TIMESTAMP(
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+assigned AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+sessions AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(UNIX_TIMESTAMP(MAX(ts)) - UNIX_TIMESTAMP(MIN(ts)) AS BIGINT) AS duration_s
+  FROM assigned GROUP BY user_id, sid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(n_events AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events,
+       ROUND(CAST(SUM(CAST(duration_s AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_duration_s,
+       CAST(MAX(n_events) AS BIGINT) AS max_events,
+       CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+FROM sessions
+"""
+
+_SESSION_STATS_ORACLE = _SESSION_STATS_SPARK.replace(
+    "UNIX_TIMESTAMP(ts)", "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
+).replace(
+    "UNIX_TIMESTAMP(\n                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))",
+    "CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)",
+).replace(
+    "UNIX_TIMESTAMP(MAX(ts)) - UNIX_TIMESTAMP(MIN(ts))",
+    "CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) - CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT)",
+)
+
+
+def _session_stats_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SESSION_STATS_SPARK)
+
+
+from datafusion_server_spark.queries import register, QueryDef  # noqa: E402
+
+register(QueryDef("events_session_stats", _session_stats_build, _SESSION_STATS_ORACLE))

@@ -157,3 +157,85 @@ def classifier_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0.0).alias("y"),
     )
     return classifier.naive_bayes_scores(docs, "text", "doc_id", labels)
+
+
+# confusion matrix + precision/recall/F1 for the one-pass NB classifier
+# (the classifier-eval companion; NB retrains cheaply inside the query).
+_NB_CONF_ORACLE = f"""
+WITH lab AS (
+  SELECT doc_id AS id,
+         CASE WHEN list_contains(string_split(text, ' '), '{PROBE}') THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+tok AS (
+  SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS term
+  FROM documents),
+tok2 AS (SELECT id, term FROM tok WHERE term <> ''),
+counts AS (
+  SELECT t.term,
+         CAST(SUM(CASE WHEN l.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN l.y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM tok2 t JOIN lab l ON l.id = t.id GROUP BY t.term),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM counts),
+lik AS (
+  SELECT c.term,
+         CAST(ROUND(LN(CAST(c.c1 + 1 AS DOUBLE) / CAST(t.t1 + t.v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS l1,
+         CAST(ROUND(LN(CAST(c.c0 + 1 AS DOUBLE) / CAST(t.t0 + t.v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS l0
+  FROM counts c, tot t),
+priors AS (
+  SELECT ROUND(LN(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 8) AS p1,
+         ROUND(LN(CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 8) AS p0
+  FROM lab),
+scored AS (
+  SELECT t.id,
+         ROUND(CAST(SUM(k.l1) AS DOUBLE) + pr.p1, 6) AS s1,
+         ROUND(CAST(SUM(k.l0) AS DOUBLE) + pr.p0, 6) AS s0
+  FROM tok2 t JOIN lik k ON k.term = t.term, priors pr
+  GROUP BY t.id, pr.p1, pr.p0),
+conf AS (
+  SELECT CAST(SUM(CASE WHEN s.s1 > s.s0 AND l.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN s.s1 > s.s0 AND l.y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN s.s1 <= s.s0 AND l.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN s.s1 <= s.s0 AND l.y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored s JOIN lab l ON l.id = s.id)
+SELECT tp, fp, fn, tn,
+       ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+       ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+FROM conf
+"""
+
+
+@df_query("eval_nb_confusion", _NB_CONF_ORACLE)
+def eval_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), PROBE), 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    scored = classifier.naive_bayes_scores(docs, "text", "doc_id", labels).join(
+        labels, "id"
+    )
+    pred = F.col("pred")
+    y1 = F.col("y") == 1.0
+    conf = scored.agg(
+        F.sum((pred & y1).cast("bigint")).cast("bigint").alias("tp"),
+        F.sum((pred & ~y1).cast("bigint")).cast("bigint").alias("fp"),
+        F.sum((~pred & y1).cast("bigint")).cast("bigint").alias("fn"),
+        F.sum((~pred & ~y1).cast("bigint")).cast("bigint").alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp / (F.col("tp") + F.col("fp")).cast("double"), 6).alias("precision"),
+        F.round(tp / (F.col("tp") + F.col("fn")).cast("double"), 6).alias("recall"),
+        F.round(
+            2.0 * tp / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"), 6
+        ).alias("f1"),
+    )

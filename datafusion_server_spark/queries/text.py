@@ -985,3 +985,61 @@ def eval_rbo_lexical_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HY_K).cast("bigint").alias("depth"),
         F.round((1.0 - _RBO_P) * F.sum(term).cast("double"), 6).alias("rbo"),
     )
+
+
+# vocabulary coverage curve: fraction of the corpus token stream covered
+# by the top-k most frequent terms, for the tokenizer/vocab sizing
+# decision (how big must the vocab be before OOV is negligible).
+_VCURVE_KS = [10, 50, 100, 500, 1000]
+
+_VCURVE_ORACLE = f"""
+WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok WHERE term <> '' GROUP BY term),
+ranked AS (
+  SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term ASC) AS BIGINT) AS r
+  FROM tf),
+tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM ranked),
+ks AS (SELECT UNNEST([{", ".join(str(k) for k in _VCURVE_KS)}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS vocab_k,
+       CAST(SUM(CASE WHEN ranked.r <= ks.k THEN ranked.f ELSE 0 END) AS BIGINT) AS covered_tokens,
+       ROUND(CAST(SUM(CASE WHEN ranked.r <= ks.k THEN ranked.f ELSE 0 END) AS DOUBLE)
+             / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS coverage
+FROM ranked, ks
+GROUP BY ks.k
+"""
+
+
+@df_query("text_vocab_coverage_curve", _VCURVE_ORACLE)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = tf.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("term"))).cast("bigint"),
+    )
+    tot = ranked.agg(F.sum("f").cast("bigint").alias("__n"))
+    ks = spark.createDataFrame([(k,) for k in _VCURVE_KS], "k bigint")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("k"), F.col("f")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("vocab_k"),
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("__n").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )

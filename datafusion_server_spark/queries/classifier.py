@@ -239,3 +239,69 @@ def eval_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * tp / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"), 6
         ).alias("f1"),
     )
+
+
+# calibration report for the GD classifier: fixed probability bands vs
+# actual positive rate (well-calibrated -> mean_p ~ actual_rate per
+# band). Oracle = the training replay's probabilities bucketed the same
+# way, emitted as VALUES.
+def _logreg_calibration_oracle(sf_dir: str) -> str:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    p, ys = _replay_logreg(sf_dir)
+    bands: dict[int, list[int]] = {}
+    for i, pi in p.items():
+        b = min(9, int(pi * 10.0))
+        bands.setdefault(b, []).append(i)
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = []
+    for b in sorted(bands):
+        ids = bands[b]
+        n = len(ids)
+        # mirror the Spark DECIMAL(18,8) mean: sum of 8-dec probabilities
+        # is exact, divide in double, round 6
+        sp = sum(Decimal(repr(p[i])).quantize(Decimal("0.00000001")) for i in ids)
+        mean_p = r6(float(sp) / float(n))
+        pos = sum(1 for i in ids if ys[i] == 1.0)
+        rate = r6(pos / n)
+        rows.append(f"({b}, {n}, {mean_p!r}, {rate!r})")
+    body = ", ".join(rows)
+    return f"""
+    SELECT CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n,
+           CAST(mean_p AS DOUBLE) AS mean_p, CAST(actual_rate AS DOUBLE) AS actual_rate
+    FROM (VALUES {body}) AS t(band, n, mean_p, actual_rate)
+    """
+
+
+@df_query("eval_logreg_calibration", _logreg_calibration_oracle)
+def eval_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = classifier.hashed_features(docs, "text", "doc_id", DIM)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), PROBE), 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    w = classifier.train_logreg(feats, labels, DIM, ITERS, LR)
+    scored = classifier.predict(feats, w).join(labels, "id")
+    band = F.least(F.lit(9), F.floor(F.col("p") * 10.0)).cast("bigint")
+    return (
+        scored.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_p"),
+            F.round(
+                F.sum((F.col("y") == 1.0).cast("bigint")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("actual_rate"),
+        )
+    )

@@ -81,6 +81,74 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def _parse_spark_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ("134217728", "134217728b",
+    "128m", "1g") into bytes. Spark accepts case-insensitive k/m/g/t
+    suffixes with an optional trailing 'b'."""
+    s = str(value).strip().lower()
+    mult = 1
+    if s.endswith("b"):
+        s = s[:-1]
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
+def _session_parallelism(spark) -> int:
+    """Target task width for this session, via conf only (Connect-safe —
+    ``sparkContext`` does not exist on a Connect client)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        import os
+
+        return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many file-scan partitions this DataFrame's leaves plan
+    to, replaying Spark's file-split rule (one split per
+    ``spark.sql.files.maxPartitionBytes`` of each input file).
+
+    Uses only public, Spark-Connect-safe APIs (``inputFiles`` + ``conf``) —
+    never ``df.rdd``, which forces an RDD-lineage conversion on the driver
+    and is unavailable under Connect. Returns ``None`` when the plan has no
+    listable input files (in-memory relation, post-shuffle stage), i.e.
+    "unknown": such plans were already planned at shuffle/defaultParallelism
+    width and need no guard.
+    """
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        max_pb = _parse_spark_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    max_pb = max(max_pb, 1)
+    parts = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file") and os.path.exists(parsed.path):
+            size = os.path.getsize(parsed.path)
+            parts += max(1, (size + max_pb - 1) // max_pb)
+        else:
+            # Remote object: can't stat cheaply — count the file itself
+            # (lower bound; remote scans at real scale have many files).
+            parts += 1
+    return parts
+
+
 def ensure_fanout_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Guard a DataFrame that is about to enter a fan-out stage (explode
     of shingles / tokens / vector elements, typically 50-500x row growth
@@ -94,17 +162,42 @@ def ensure_fanout_parallelism(df: DataFrame, min_partitions: int | None = None) 
     instead of one. The shuffle it may add moves the compact input rows,
     not the exploded stream — orders of magnitude cheaper than the
     serialized alternative.
+
+    Partition count is estimated from the plan's input files (Connect-safe;
+    see ``estimate_scan_partitions``) — in-memory / post-shuffle inputs are
+    left untouched, since Spark already planned those at full width.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    target = min_partitions or _session_parallelism(df.sparkSession)
+    est = estimate_scan_partitions(df)
+    if est is None or est >= target:
         return df
     return df.repartition(target)
 
 
+def _explain_text(df: DataFrame) -> str:
+    """Physical plan via the public ``explain()`` API (prints on both
+    classic and Connect), captured as a string. ``simple`` mode keeps the
+    ``Exchange hashpartitioning(...)`` one-line node shape that
+    ``executedPlan().toString()`` has (``formatted`` splits the node name
+    from its arguments)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
 def plan_has_shuffle(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle exchange (diagnostic
-    used by tests and PLANS.md evidence)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    used by tests and PLANS.md evidence). Tries the JVM handle for the
+    executed (post-AQE) plan, falling back to the public explain text so a
+    Spark-internals move or a Connect session degrades, not breaks."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        plan = _explain_text(df)
     return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
 
 

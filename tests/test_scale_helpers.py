@@ -41,6 +41,68 @@ def test_salted_join_rejects_replication_unsafe_how(spark):
     assert scale.salted_join(fact, dim, "k", how="left_outer").count() == 10
 
 
+class _ConnectLike:
+    """Delegating DataFrame proxy that hides the classic-only ``rdd`` /
+    ``_jdf`` handles (the Spark Connect client surface) while keeping the
+    public API (inputFiles, sparkSession, explain, repartition) working."""
+
+    def __init__(self, df):
+        object.__setattr__(self, "_df", df)
+
+    def __getattr__(self, name):
+        if name in ("rdd", "_jdf"):
+            raise AttributeError(f"'{name}' is not available under Spark Connect")
+        return getattr(object.__getattribute__(self, "_df"), name)
+
+
+def test_fanout_guard_is_connect_safe(spark, tmp_path):
+    """The fanout guard and shuffle diagnostic must not depend on the
+    classic-only ``df.rdd`` / ``df._jdf`` handles (absent under Spark
+    Connect): with both hidden, the guard still estimates partitions from
+    input files and repartitions an under-split scan, and plan_has_shuffle
+    degrades to the public explain text."""
+    path = str(tmp_path / "one_file.parquet")
+    spark.range(1_000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    # single-file scan, target 32 -> the guard must add a repartition
+    guarded = scale.ensure_fanout_parallelism(_ConnectLike(df), min_partitions=32)
+    assert "exchange roundrobinpartitioning" in scale._explain_text(guarded).lower()
+    # already-wide estimate -> no-op (same object back)
+    wide = _ConnectLike(df)
+    assert scale.ensure_fanout_parallelism(wide, min_partitions=1) is wide
+    # in-memory input (no listable files) -> unknown -> left untouched
+    mem = _ConnectLike(spark.createDataFrame([(1,), (2,)], "x int"))
+    assert scale.ensure_fanout_parallelism(mem, min_partitions=32) is mem
+    # plan_has_shuffle degrades to the public explain text
+    shuffled = _ConnectLike(df.groupBy((F.col("id") % 3).alias("g")).count())
+    assert scale.plan_has_shuffle(shuffled)
+    assert not scale.plan_has_shuffle(_ConnectLike(df.select("id")))
+
+
+def test_estimate_scan_partitions_splits_by_max_partition_bytes(spark, tmp_path):
+    path = str(tmp_path / "sized.parquet")
+    spark.range(200_000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    import os
+
+    fsize = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(fsize // 4, 1)))
+        est = scale.estimate_scan_partitions(spark.read.parquet(path))
+        assert est is not None and est >= 4
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert scale._parse_spark_bytes("128m") == 128 << 20
+    assert scale._parse_spark_bytes("134217728b") == 128 << 20
+    assert scale._parse_spark_bytes("1g") == 1 << 30
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts join
     shuffle-free — the write-time exchange is amortized over every later

@@ -37,6 +37,27 @@ def _lenenc(data: bytes) -> bytes:
     return bytes([len(data)]) + data
 
 
+def _serve_cols(sql: str) -> list:
+    """Column subset a pushdown-spliced SELECT names (backtick-quoted),
+    so projection pushdown is proven at the wire level."""
+    import re as _re
+
+    m = _re.match(r"SELECT\s+(.+?)\s+FROM\b", sql, _re.I | _re.S)
+    sel = m.group(1) if m else "*"
+    if "*" in sel:
+        return PEOPLE
+    wanted = _re.findall(r"`(\w+)`", sel) or _re.findall(r"\b(\w+)\b", sel)
+    by_name = {p[0]: p for p in PEOPLE}
+    return [by_name[w] for w in wanted if w in by_name]
+
+
+def _serve_limit(sql: str) -> int:
+    import re as _re
+
+    m = _re.search(r"\bLIMIT\s+(\d+)\s*$", sql, _re.I)
+    return int(m.group(1)) if m else 2
+
+
 def _column_def(name: str, type_code: int, flags: int) -> bytes:
     body = b""
     for s in (b"def", DB.encode(), b"people", b"people", name.encode(), name.encode()):
@@ -112,16 +133,19 @@ class _Handler(socketserver.BaseRequestHandler):
                     continue
                 self._seq = 1
                 sql = pkt[1:].decode()
+                self.server.received_sql.append(sql)  # type: ignore[attr-defined]
                 if "people" not in sql:
                     self._send(self._err(1146, f"Table '{sql}' doesn't exist"))
                     continue
-                self._send(bytes([len(PEOPLE)]))  # column count
-                for name, tc, fl, _ in PEOPLE:
+                cols = _serve_cols(sql)
+                nrows = _serve_limit(sql)
+                self._send(bytes([len(cols)]))  # column count
+                for name, tc, fl, _ in cols:
                     self._send(_column_def(name, tc, fl))
                 self._send(b"\xfe\x00\x00\x02\x00")  # EOF
-                for i in range(2):
+                for i in range(min(2, nrows)):
                     row = b""
-                    for _, _, _, vals in PEOPLE:
+                    for _, _, _, vals in cols:
                         v = vals[i]
                         if v is None:
                             row += b"\xfb"
@@ -138,6 +162,7 @@ class _Handler(socketserver.BaseRequestHandler):
 def my_server():
     srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Handler)
     srv.auth_mode = "direct"  # type: ignore[attr-defined]
+    srv.received_sql = []  # type: ignore[attr-defined]
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     yield srv
     srv.shutdown()
@@ -213,3 +238,41 @@ def test_namespace_fallback_e2e(spark, my_server):
     assert rows[1]["name"] == "alice" and rows[2]["name"] is None
     assert rows[1]["blob"] == b"\x00\xff\x10"
     assert jdbc.cached_schema("mywire_ns", "people") is not None
+
+
+def test_pushdown_splices_numeric_predicates_only(spark, my_server):
+    """MySQL pushdown: projection + numeric filter + limit are spliced
+    into the remote SQL, but STRING predicates are not (case-insensitive
+    collations could drop rows Spark would keep) — byte-level assert on
+    the received statements."""
+    port = my_server.server_address[1]
+    jdbc.configure_namespace(
+        jdbc.DatabaseNamespace(
+            name="mypush_ns",
+            url=f"jdbc:mysql://127.0.0.1:{port}/{DB}",
+            user=USER,
+            password=PASSWORD,
+        )
+    )
+    sql = "SELECT name, score FROM people@mypush_ns WHERE score > 8.0 LIMIT 1"
+    my_server.received_sql.clear()
+    jdbc.register_tables_from_sql(spark, sql)
+    fetches = [s for s in my_server.received_sql if "LIMIT 0" not in s]
+    assert len(fetches) == 1
+    fetch = fetches[0]
+    assert "`name`" in fetch and "`score`" in fetch and "`id`" not in fetch
+    assert "WHERE score > 8.0" in fetch and fetch.rstrip().endswith("LIMIT 1")
+    from datafusion_server_spark.functions.dialect import quote_table_at_namespace
+
+    rows = spark.sql(quote_table_at_namespace(sql)).collect()
+    assert [tuple(r) for r in rows] == [("alice", 9.5)]
+
+    # string predicate: NOT pushed (and the dependent LIMIT drops with it)
+    sql2 = "SELECT name FROM people@mypush_ns WHERE name LIKE 'a%' LIMIT 1"
+    my_server.received_sql.clear()
+    jdbc.register_tables_from_sql(spark, sql2)
+    fetches = [s for s in my_server.received_sql if "LIMIT 0" not in s]
+    assert len(fetches) == 1
+    assert "WHERE" not in fetches[0] and "LIMIT" not in fetches[0]
+    rows = spark.sql(quote_table_at_namespace(sql2)).collect()
+    assert [r["name"] for r in rows] == ["alice"]

@@ -39,19 +39,43 @@ def _msg(mtype: bytes, payload: bytes) -> bytes:
     return mtype + struct.pack(">I", len(payload) + 4) + payload
 
 
-def _row_description() -> bytes:
-    body = struct.pack(">H", len(PEOPLE))
-    for name, oid, _ in PEOPLE:
+def _serve_cols(sql: str) -> list[tuple[str, int, list]]:
+    """The column subset a (possibly pushdown-spliced) SELECT names —
+    lets the fake server prove projection pushdown actually narrows the
+    bytes on the wire, not just the SQL text."""
+    import re as _re
+
+    m = _re.match(r"SELECT\s+(.+?)\s+FROM\b", sql, _re.I | _re.S)
+    sel = m.group(1) if m else "*"
+    if "*" in sel:
+        return PEOPLE
+    wanted = _re.findall(r'"(\w+)"', sel) or _re.findall(r"\b(\w+)\b", sel)
+    by_name = {name: (name, oid, vals) for name, oid, vals in PEOPLE}
+    return [by_name[w] for w in wanted if w in by_name]
+
+
+def _serve_limit(sql: str) -> int:
+    import re as _re
+
+    m = _re.search(r"\bLIMIT\s+(\d+)\s*$", sql, _re.I)
+    return int(m.group(1)) if m else 2
+
+
+def _row_description(cols=None) -> bytes:
+    cols = PEOPLE if cols is None else cols
+    body = struct.pack(">H", len(cols))
+    for name, oid, _ in cols:
         body += name.encode() + b"\x00"
         body += struct.pack(">IHIhih", 0, 0, oid, -1, -1, 0)
     return _msg(b"T", body)
 
 
-def _data_rows() -> bytes:
+def _data_rows(cols=None, limit: int = 2) -> bytes:
+    cols = PEOPLE if cols is None else cols
     out = b""
-    for i in range(2):
-        body = struct.pack(">H", len(PEOPLE))
-        for _, _, vals in PEOPLE:
+    for i in range(min(2, limit)):
+        body = struct.pack(">H", len(cols))
+        for _, _, vals in cols:
             v = vals[i]
             if v is None:
                 body += struct.pack(">i", -1)
@@ -132,11 +156,14 @@ class _Handler(socketserver.BaseRequestHandler):
                 if mtype != b"Q":
                     continue
                 sql = body.rstrip(b"\x00").decode()
+                self.server.received_sql.append(sql)  # type: ignore[attr-defined]
                 if "people" in sql:
+                    cols = _serve_cols(sql)
+                    n = _serve_limit(sql)
                     self.request.sendall(
-                        _row_description()
-                        + _data_rows()
-                        + _msg(b"C", b"SELECT 2\x00")
+                        _row_description(cols)
+                        + _data_rows(cols, n)
+                        + _msg(b"C", f"SELECT {min(2, n)}\x00".encode())
                         + _msg(b"Z", b"I")
                     )
                 else:
@@ -151,6 +178,7 @@ class _Handler(socketserver.BaseRequestHandler):
 def pg_server():
     srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Handler)
     srv.auth_mode = "md5"  # type: ignore[attr-defined]
+    srv.received_sql = []  # type: ignore[attr-defined]
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     yield srv
@@ -238,3 +266,59 @@ def test_namespace_fallback_e2e(spark, pg_server):
     registered = jdbc.register_tables_from_sql(spark, raw_sql)
     assert registered == ["people@pgwire_ns"]
     assert spark.sql(quote_table_at_namespace(raw_sql)).collect()[0]["n"] == 2
+
+
+def test_pushdown_splices_remote_sql(spark, pg_server):
+    """The wire fallback pushes projection/filter/limit into the remote
+    statement (reference table_provider.rs:93-124): byte-level assert on
+    the SQL the server actually received, plus the narrowed DataFrame."""
+    port = pg_server.server_address[1]
+    jdbc.configure_namespace(
+        jdbc.DatabaseNamespace(
+            name="pgpush_ns",
+            url=f"jdbc:postgresql://127.0.0.1:{port}/{DB}",
+            user=USER,
+            password=PASSWORD,
+        )
+    )
+    sql = "SELECT name, score FROM people@pgpush_ns WHERE score > 8.0 LIMIT 1"
+    pg_server.received_sql.clear()
+    registered = jdbc.register_tables_from_sql(spark, sql)
+    assert registered == ["people@pgpush_ns"]
+    fetches = [s for s in pg_server.received_sql if "LIMIT 0" not in s]
+    assert len(fetches) == 1
+    fetch = fetches[0]
+    assert '"name"' in fetch and '"score"' in fetch and '"id"' not in fetch
+    assert "WHERE score > 8.0" in fetch and fetch.rstrip().endswith("LIMIT 1")
+    # the registered view carries ONLY the projected columns
+    view = spark.table("`people@pgpush_ns`")
+    assert view.columns == ["name", "score"]
+    from datafusion_server_spark.functions.dialect import quote_table_at_namespace
+
+    rows = spark.sql(quote_table_at_namespace(sql)).collect()
+    assert [tuple(r) for r in rows] == [("alice", 9.5)]
+
+
+def test_pushdown_unsafe_predicates_degrade_to_full_fetch(spark, pg_server):
+    """Function calls / subqueries in WHERE must NOT be spliced — the
+    fallback degrades to projection-only, and Spark re-applies the
+    original predicate for the correct result."""
+    port = pg_server.server_address[1]
+    jdbc.configure_namespace(
+        jdbc.DatabaseNamespace(
+            name="pgpush2_ns",
+            url=f"jdbc:postgresql://127.0.0.1:{port}/{DB}",
+            user=USER,
+            password=PASSWORD,
+        )
+    )
+    sql = "SELECT name FROM people@pgpush2_ns WHERE upper(name) = 'ALICE'"
+    pg_server.received_sql.clear()
+    jdbc.register_tables_from_sql(spark, sql)
+    fetches = [s for s in pg_server.received_sql if "LIMIT 0" not in s]
+    assert len(fetches) == 1 and "WHERE" not in fetches[0]
+    assert '"name"' in fetches[0]
+    from datafusion_server_spark.functions.dialect import quote_table_at_namespace
+
+    rows = spark.sql(quote_table_at_namespace(sql)).collect()
+    assert [r["name"] for r in rows] == ["alice"]

@@ -170,19 +170,173 @@ def rewrite_groups_frames(sql: str) -> str:
     return _restore_strings(masked, lits)
 
 
+# --- offset GROUPS frames (GROUPS n PRECEDING / BETWEEN n PRECEDING...) ---
+#
+# DataFusion 45 executes these natively; Spark has no GROUPS frame mode.
+# The value-preserving rewrite: a peer group is a run of ORDER-BY ties, and
+# DENSE_RANK numbers peer groups consecutively — so a RANGE frame over the
+# dense rank with the SAME offsets selects exactly the same rows:
+#
+#   agg(x) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN 1 PRECEDING
+#                AND CURRENT ROW)
+# =
+#   agg(x) OVER (PARTITION BY p ORDER BY __grp_rank RANGE BETWEEN 1
+#                PRECEDING AND CURRENT ROW)
+#   ... FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY o)
+#             AS __grp_rank FROM ...)
+#
+# The rewrite restructures a single-SELECT statement: the dense rank is
+# computed in a derived subquery (windows evaluate after WHERE, so the
+# whole FROM..WHERE body moves inside), the outer select keeps its
+# expressions with the frame swapped. Exotic shapes (set operations,
+# SELECT *, top-level GROUP BY/HAVING, DISTINCT, EXCLUDE clauses) stay
+# rejected with a clear message.
+
+_OFFSET_GROUPS_SPEC = re.compile(
+    r"^(?P<head>.*?\bORDER\s+BY\b.*?)\s*"
+    r"\bGROUPS\s+(?P<frame>"
+    r"BETWEEN\s+(?:UNBOUNDED\s+PRECEDING|\d+\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW)"
+    r"\s+AND\s+(?:UNBOUNDED\s+FOLLOWING|\d+\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW)"
+    r"|\d+\s+PRECEDING)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_HEAD_SPLIT = re.compile(
+    r"^\s*(?:PARTITION\s+BY\s+(?P<part>.*?))?\s*ORDER\s+BY\s+(?P<ord>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _over_spans(masked: str) -> list[tuple[int, int, int]]:
+    """(over_kw_start, open_paren_index, close_paren_index) for each
+    balanced ``OVER ( ... )`` in the masked SQL."""
+    spans = []
+    for m in re.finditer(r"\bOVER\s*\(", masked, re.IGNORECASE):
+        depth = 1
+        i = m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth == 0:
+            spans.append((m.start(), m.end() - 1, i - 1))
+    return spans
+
+
+def _depth0_find(masked: str, pattern: str, start: int = 0) -> int:
+    """Index of the first depth-0 regex match at/after ``start``, or -1."""
+    depth = 0
+    rx = re.compile(pattern, re.IGNORECASE)
+    i = start
+    while i < len(masked):
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(masked, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def rewrite_offset_groups(sql: str) -> str:
+    """Rewrite offset GROUPS frames to dense-rank-keyed RANGE frames.
+    Statements the rewrite cannot prove safe are returned unchanged (and
+    then rejected by check_unsupported with the narrowed message)."""
+    masked, lits = _protect_strings(sql)
+    targets = []  # (open, close, part, ord, frame)
+    for _, op, cl in _over_spans(masked):
+        inner = masked[op + 1 : cl]
+        m = _OFFSET_GROUPS_SPEC.match(inner)
+        if not m:
+            continue
+        h = _HEAD_SPLIT.match(m.group("head"))
+        if not h:
+            return sql
+        targets.append((op, cl, h.group("part"), h.group("ord"), m.group("frame")))
+    if not targets:
+        return sql
+
+    # safety gates: one top-level SELECT, no set ops / GROUP BY / HAVING /
+    # DISTINCT / bare * at depth 0
+    sel = _depth0_find(masked, r"SELECT\b")
+    if sel == -1 or _depth0_find(masked, r"SELECT\b", sel + 6) != -1:
+        return sql
+    frm = _depth0_find(masked, r"FROM\b", sel)
+    if frm == -1:
+        return sql
+    for bad in (r"GROUP\s+BY\b", r"\bHAVING\b", r"\bUNION\b", r"\bINTERSECT\b",
+                r"\bEXCEPT\b", r"\bEXCLUDE\b"):
+        if _depth0_find(masked, bad, sel) != -1:
+            return sql
+    select_list = masked[sel + 6 : frm]
+    if re.match(r"\s*DISTINCT\b", select_list, re.IGNORECASE):
+        return sql
+    # a bare * in the outer select would also project the injected rank
+    if re.search(r"(?<![\w.])\*", select_list):
+        return sql
+
+    # assign one dense-rank column per distinct (partition, order) spec
+    def norm(s: str | None) -> str:
+        return re.sub(r"\s+", " ", (s or "").strip())
+
+    specs: dict[tuple[str, str], str] = {}
+    replacements = []  # (open, close, new_inner)
+    for op, cl, part, ordr, frame in targets:
+        key = (norm(part), norm(ordr))
+        alias = specs.setdefault(key, f"__grp_rank_{len(specs) + 1}")
+        f = norm(frame)
+        if re.fullmatch(r"\d+ PRECEDING", f, re.IGNORECASE):
+            f = f"BETWEEN {f} AND CURRENT ROW"
+        part_clause = f"PARTITION BY {key[0]} " if key[0] else ""
+        replacements.append(
+            (op, cl, f"{part_clause}ORDER BY {alias} RANGE {f}")
+        )
+
+    # splice the new OVER bodies (right-to-left keeps indices valid)
+    for op, cl, new_inner in sorted(replacements, reverse=True):
+        masked = masked[: op + 1] + new_inner + masked[cl:]
+
+    # re-locate clause boundaries after splicing, then restructure
+    sel = _depth0_find(masked, r"SELECT\b")
+    frm = _depth0_find(masked, r"FROM\b", sel)
+    tail_at = _depth0_find(masked, r"(ORDER\s+BY|LIMIT|OFFSET)\b", frm)
+    body_end = tail_at if tail_at != -1 else len(masked)
+    body = masked[frm:body_end].rstrip().rstrip(";")
+    tail = masked[body_end:] if tail_at != -1 else ""
+    rank_cols = ", ".join(
+        f"DENSE_RANK() OVER ({'PARTITION BY ' + p + ' ' if p else ''}ORDER BY {o})"
+        f" AS {alias}"
+        for (p, o), alias in specs.items()
+    )
+    rewritten = (
+        f"{masked[:frm]}FROM (SELECT *, {rank_cols} {body}) __groups_rewrite {tail}"
+    )
+    return _restore_strings(rewritten, lits)
+
+
 def check_unsupported(sql: str) -> None:
     masked, _ = _protect_strings(sql)
     if _GROUPS_FRAME.search(masked):
         raise UnsupportedDialectFeature(
-            "offset GROUPS window frames are not supported by Spark SQL; "
-            "only UNBOUNDED PRECEDING / CURRENT ROW GROUPS frames are "
-            "rewritable (to RANGE) — use RANGE or ROWS frames"
+            "this GROUPS window frame shape is not rewritable to Spark SQL: "
+            "unbounded/current-row GROUPS frames become RANGE, offset GROUPS "
+            "frames become dense-rank-keyed RANGE frames in a derived "
+            "subquery, but set operations, SELECT *, DISTINCT, top-level "
+            "GROUP BY/HAVING, and EXCLUDE clauses around an offset GROUPS "
+            "frame stay unsupported — use RANGE or ROWS frames there"
         )
 
 
 def transpile(sql: str) -> str:
     """Full DataFusion->Spark pre-pass applied before ``spark.sql``."""
     out = rewrite_groups_frames(sql)
+    out = rewrite_offset_groups(out)
     check_unsupported(out)
     out = rewrite_date_bin(out)
     out = rewrite_function_aliases(out)

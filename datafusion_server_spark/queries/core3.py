@@ -213,6 +213,52 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(transpile(_GROUPS_FRAME_SQL))
 
 
+# Offset GROUPS frame (GROUPS n PRECEDING): DataFusion executes natively;
+# Spark gets the dense-rank-keyed RANGE rewrite from the dialect pass
+# (functions/dialect.py rewrite_offset_groups — reference SURVEY §2.B
+# window-frame surface). DuckDB 1.0 has no GROUPS mode either, so the
+# oracle derives the same semantics INDEPENDENTLY: per-peer-group sums
+# joined over a rank-offset window — a genuinely different evaluation
+# strategy, so agreement proves the rewrite, not just determinism.
+_GROUPS_OFFSET_SQL = f"""
+    SELECT o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS rolling_by_date
+    FROM orders WHERE o_orderkey < 2000
+"""
+
+_GROUPS_OFFSET_ORACLE = f"""
+    WITH g AS (
+      SELECT o_orderstatus, o_orderdate,
+             SUM(CAST(o_totalprice AS {D18})) AS grp_sum,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate) AS rk
+      FROM orders WHERE o_orderkey < 2000
+      GROUP BY o_orderstatus, o_orderdate
+    ), w AS (
+      SELECT a.o_orderstatus, a.o_orderdate, SUM(b.grp_sum) AS frame_sum
+      FROM g a JOIN g b
+        ON b.o_orderstatus = a.o_orderstatus AND b.rk BETWEEN a.rk - 1 AND a.rk
+      GROUP BY a.o_orderstatus, a.o_orderdate
+    )
+    SELECT o.o_orderkey, ROUND(CAST(w.frame_sum AS DOUBLE), 6) AS rolling_by_date
+    FROM orders o JOIN w ON w.o_orderstatus = o.o_orderstatus
+                        AND w.o_orderdate = o.o_orderdate
+    WHERE o.o_orderkey < 2000
+"""
+
+
+@df_query("window_groups_offset", _GROUPS_OFFSET_ORACLE)
+def window_groups_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_OFFSET_SQL))
+
+
 sql_query(
     "window_sum_over_groups",
     f"""

@@ -6,7 +6,9 @@ Rebuilds the reference's ``DataSourceSchema`` JSON contract
 
 - unsigned ints widen (UInt8->Short, UInt16->Int, UInt32->Long,
   UInt64->Decimal(20,0) — Spark's own Parquet convention);
-- Decimal precision >38 is rejected (Spark's hard limit);
+- Decimal precision >38 is rejected (Spark's hard limit) by default;
+  ``widen_decimal256=True`` opts into Decimal(38, clamped) with scale
+  truncation only (integer digits preserved — see ``_widen_decimal``);
 - Time32/Time64 map to LongType (microseconds since midnight);
 - Float16 widens to FloatType;
 - nanosecond timestamps map to TimestampType (µs) — ns truncation;
@@ -58,8 +60,33 @@ class SchemaError(ValueError):
     pass
 
 
-def to_spark_type(dt: Any) -> T.DataType:
-    """One ``dataType`` JSON value -> Spark DataType."""
+def _widen_decimal(p: int, s: int) -> T.DecimalType:
+    """Opt-in lossy Decimal256 widen (p > 38 -> Decimal(38, clamped)).
+
+    Follows the spirit of Spark's own precision-loss rule
+    (``spark.sql.decimalOperations.allowPrecisionLoss``): integer digits
+    are NEVER sacrificed — the scale is truncated to whatever room is
+    left (``38 - (p - s)``), so values round in the fractional digits but
+    can never silently overflow. A type whose integer part alone exceeds
+    38 digits stays rejected even with the widen enabled: rounding is a
+    documented policy, wrap-around corruption is not.
+    """
+    int_digits = p - s
+    if int_digits > MAX_DECIMAL_PRECISION:
+        raise SchemaError(
+            f"decimal({p},{s}) has {int_digits} integer digits — beyond "
+            f"Spark's max precision {MAX_DECIMAL_PRECISION} even with "
+            "widen_decimal256 (values could overflow, not just round)"
+        )
+    return T.DecimalType(MAX_DECIMAL_PRECISION, max(0, MAX_DECIMAL_PRECISION - int_digits))
+
+
+def to_spark_type(dt: Any, *, widen_decimal256: bool = False) -> T.DataType:
+    """One ``dataType`` JSON value -> Spark DataType.
+
+    ``widen_decimal256=True`` opts into the lossy Decimal256 policy (see
+    ``_widen_decimal``); the default keeps the §1.2 reject policy.
+    """
     if isinstance(dt, str):
         key = dt.strip().lower()
         if key in _SCALARS:
@@ -77,8 +104,11 @@ def to_spark_type(dt: Any) -> T.DataType:
             p = int(dt.get("precision", 38))
             s = int(dt.get("scale", 10))
             if p > MAX_DECIMAL_PRECISION:
+                if widen_decimal256:
+                    return _widen_decimal(p, s)
                 raise SchemaError(
                     f"decimal precision {p} exceeds Spark's max {MAX_DECIMAL_PRECISION}"
+                    " (pass widen_decimal256=True to clamp with documented rounding)"
                 )
             return T.DecimalType(p, s)
         if kind == "timestamp":
@@ -87,14 +117,19 @@ def to_spark_type(dt: Any) -> T.DataType:
             tz = dt.get("timezone")
             return T.TimestampType() if tz else T.TimestampNTZType()
         if kind in ("list", "largelist"):
-            return T.ArrayType(to_spark_type(dt["item"]))
+            return T.ArrayType(to_spark_type(dt["item"], widen_decimal256=widen_decimal256))
         if kind == "map":
-            return T.MapType(to_spark_type(dt["key"]), to_spark_type(dt["value"]))
+            return T.MapType(
+                to_spark_type(dt["key"], widen_decimal256=widen_decimal256),
+                to_spark_type(dt["value"], widen_decimal256=widen_decimal256),
+            )
         if kind == "struct":
             return T.StructType(
                 [
                     T.StructField(
-                        f["name"], to_spark_type(f["dataType"]), bool(f.get("nullable", True))
+                        f["name"],
+                        to_spark_type(f["dataType"], widen_decimal256=widen_decimal256),
+                        bool(f.get("nullable", True)),
                     )
                     for f in dt["fields"]
                 ]
@@ -112,7 +147,7 @@ def to_spark_type(dt: Any) -> T.DataType:
     raise SchemaError(f"invalid dataType value: {dt!r}")
 
 
-def to_struct_type(schema_json: dict) -> T.StructType:
+def to_struct_type(schema_json: dict, *, widen_decimal256: bool = False) -> T.StructType:
     """Reference ``DataSourceSchema`` JSON -> StructType
     (schema.rs:419-432 equivalent)."""
     fields = schema_json.get("fields")
@@ -121,7 +156,9 @@ def to_struct_type(schema_json: dict) -> T.StructType:
     return T.StructType(
         [
             T.StructField(
-                f["name"], to_spark_type(f["dataType"]), bool(f.get("nullable", True))
+                f["name"],
+                to_spark_type(f["dataType"], widen_decimal256=widen_decimal256),
+                bool(f.get("nullable", True)),
             )
             for f in fields
         ]

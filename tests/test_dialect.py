@@ -44,7 +44,37 @@ def test_transpile_combined():
     assert "`ev@mydb`" in out and "600" in out and "approx_count_distinct" in out
 
 
-def test_groups_frame_rejected():
+def test_offset_groups_frame_rewritten():
+    """Offset GROUPS frames become dense-rank-keyed RANGE frames in a
+    derived subquery (functions/dialect.py rewrite_offset_groups)."""
+    out = transpile(
+        "SELECT k, SUM(x) OVER (PARTITION BY p ORDER BY y "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t"
+    )
+    assert "GROUPS" not in out
+    assert "DENSE_RANK() OVER (PARTITION BY p ORDER BY y) AS __grp_rank_1" in out
+    assert "ORDER BY __grp_rank_1 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW" in out
+    assert "__groups_rewrite" in out
+    # bare `GROUPS n PRECEDING` normalizes to BETWEEN ... AND CURRENT ROW
+    out2 = transpile("SELECT k, AVG(x) OVER (ORDER BY y GROUPS 2 PRECEDING) AS a FROM t")
+    assert "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW" in out2
+    # WHERE moves inside the derived subquery (windows evaluate post-WHERE);
+    # trailing ORDER BY / LIMIT stay outside
+    out3 = transpile(
+        "SELECT k, SUM(x) OVER (ORDER BY y GROUPS 1 PRECEDING) AS s "
+        "FROM t WHERE k < 10 ORDER BY k LIMIT 5"
+    )
+    assert "WHERE k < 10)" in out3.replace("  ", " ")
+    assert out3.rstrip().endswith("LIMIT 5")
+    # two windows with the same spec share one rank column
+    out4 = transpile(
+        "SELECT SUM(x) OVER (ORDER BY y GROUPS 1 PRECEDING) AS a, "
+        "AVG(x) OVER (ORDER BY y GROUPS 2 PRECEDING) AS b FROM t"
+    )
+    assert out4.count("DENSE_RANK()") == 1
+
+
+def test_exotic_groups_frames_rejected():
     import pytest
 
     from datafusion_server_spark.functions.dialect import (
@@ -52,8 +82,15 @@ def test_groups_frame_rejected():
         transpile,
     )
 
-    with pytest.raises(UnsupportedDialectFeature):
-        transpile("SELECT SUM(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    for bad in (
+        # bare * would also project the injected rank column
+        "SELECT * FROM (SELECT 1) t WHERE x IN "
+        "(SELECT SUM(v) OVER (ORDER BY t GROUPS 2 PRECEDING) FROM u)",
+        "SELECT DISTINCT SUM(v) OVER (ORDER BY t GROUPS 2 PRECEDING) FROM u",
+        "SELECT g, SUM(v) OVER (ORDER BY g GROUPS 2 PRECEDING) FROM u GROUP BY g",
+    ):
+        with pytest.raises(UnsupportedDialectFeature):
+            transpile(bad)
     # literal containing the keyword is fine
     assert transpile("SELECT 'GROUPS BETWEEN a and b' FROM t")
 

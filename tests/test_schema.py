@@ -80,3 +80,44 @@ def test_from_spark_decimal():
         "precision": 20,
         "scale": 0,
     }
+
+
+def test_decimal256_widen_option():
+    """Opt-in lossy widen: scale truncates, integer digits never do
+    (Spark's allowPrecisionLoss spirit); int-part overflow stays rejected."""
+    import pytest
+
+    from datafusion_server_spark.schema import SchemaError, to_spark_type, to_struct_type
+
+    # p=50, s=10 -> 40 integer digits > 38: rejected under BOTH policies
+    with pytest.raises(SchemaError, match="integer digits"):
+        to_spark_type(
+            {"type": "Decimal256", "precision": 50, "scale": 10}, widen_decimal256=True
+        )
+    # p=50, s=20 -> 30 int digits: widen keeps them, scale clamps to 8
+    assert to_spark_type(
+        {"type": "Decimal256", "precision": 50, "scale": 20}, widen_decimal256=True
+    ) == T.DecimalType(38, 8)
+    # p=40, s=40 -> 0 int digits: full 38-digit scale retained
+    assert to_spark_type(
+        {"type": "Decimal256", "precision": 40, "scale": 40}, widen_decimal256=True
+    ) == T.DecimalType(38, 38)
+    # flag recurses through nested types and to_struct_type
+    st = to_struct_type(
+        {
+            "fields": [
+                {
+                    "name": "xs",
+                    "dataType": {
+                        "type": "List",
+                        "item": {"type": "Decimal256", "precision": 45, "scale": 12},
+                    },
+                }
+            ]
+        },
+        widen_decimal256=True,
+    )
+    assert st["xs"].dataType == T.ArrayType(T.DecimalType(38, 5))
+    # default policy still rejects, with the hint in the message
+    with pytest.raises(SchemaError, match="widen_decimal256"):
+        to_spark_type({"type": "Decimal256", "precision": 45, "scale": 12})

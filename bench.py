@@ -195,6 +195,22 @@ def main() -> None:
             gc.collect()
         default_variant[name] = round(min(runs), 3)
 
+    # Secondary (non-headline, non-pinned) section: one structured-
+    # streaming row so regressions in the streaming family surface in the
+    # per-round record. Streaming jobs pay checkpoint + micro-batch
+    # orchestration, so they are timed once (not min-of-3) and kept OUT of
+    # the headline total — the DuckDB proxy has no streaming analog.
+    SECONDARY = ["streaming_session_window_native", "streaming_stream_stream_join"]
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        try:
+            t0 = time.time()
+            reg[name].build(spark, sf_dir).toArrow()
+            secondary[name] = round(time.time() - t0, 3)
+        except Exception as e:  # never let the secondary section kill the bench
+            secondary[name] = -1.0
+            print(f"secondary {name} failed: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -212,6 +228,11 @@ def main() -> None:
                     "session memory (reference MemTable parity, session.rs:248-253)"
                 ),
                 "queries_default_variant": default_variant,
+                "queries_secondary": secondary,
+                "secondary_note": (
+                    "structured-streaming rows, timed once, excluded from the "
+                    "headline total (no DuckDB streaming analog)"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -70,22 +70,34 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = DEFAULT_SHI
 
 
 def _minhash_aggs(num_hashes: int) -> list[Column]:
-    """All-minima aggregation list: hash function ``i`` is the ``i%4``-th
-    8-hex-char (32-bit) slice of ``md5('{i//4}:' || shingle)`` — md5's 128
-    output bits supply FOUR independent 32-bit hash functions, so 16
-    minhashes cost 4 md5 evaluations per shingle instead of 16 (codegen
-    shares the md5 across its slices; measured ~40% faster signatures at
-    sf0.1 with identical MinHash quality)."""
+    """All-minima aggregation list: ONE md5 per shingle supplies every
+    hash function — ``a`` and ``b`` are the first two 32-bit slices of
+    ``md5(shingle)`` and hash ``i`` is ``(a + i*b) mod 2^32`` (the same
+    one-base-hash + linear-perturbation construction Spark ML's
+    MinHashLSH uses). Versus the earlier 4-md5-slice scheme this cuts
+    the dominant map-side cost (md5 evaluations) 4x with equivalent
+    MinHash quality; codegen CSE shares the single md5 across the two
+    slice extractions and all ``num_hashes`` minima. ``a + i*b`` stays
+    under 2^36 for i<=15, so the arithmetic is overflow-free in both
+    Spark bigint and the DuckDB oracle's BIGINT."""
     return [
-        F.min(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("shingle"))),
-                8 * (i % 4) + 1,
-                8,
-            )
-        ).alias(f"mh{i}")
+        F.min((F.col("_mh_a") + F.lit(i) * F.col("_mh_b")) % F.lit(4294967296)).alias(
+            f"mh{i}"
+        )
         for i in range(num_hashes)
     ]
+
+
+def _with_hash_slices(shingled: DataFrame) -> DataFrame:
+    """Project the two 32-bit md5 slices ONCE per shingle row (columns
+    ``_mh_a``/``_mh_b``) so the aggregation's 16 minima consume plain
+    bigint columns — the single md5 lives in the projection, not inside
+    16 aggregate input expressions."""
+    return shingled.withColumn(
+        "_mh_a", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    ).withColumn(
+        "_mh_b", F.conv(F.substring(F.md5(F.col("shingle")), 9, 8), 16, 10).cast("bigint")
+    )
 
 
 def minhash_signatures(
@@ -102,7 +114,7 @@ def minhash_signatures(
     single aggregation (single shuffle). md5-slice-as-string minima are
     uniform-random over shingles, which is all MinHash needs.
     """
-    shingled = shingle_sets(df, text_col, id_col, k)
+    shingled = _with_hash_slices(shingle_sets(df, text_col, id_col, k))
     return shingled.groupBy("id").agg(*_minhash_aggs(num_hashes))
 
 
@@ -141,9 +153,11 @@ def lsh_signature_index(
     BATCH, not the corpus. ``materialize`` eager-localCheckpoints it
     (one row per document)."""
     df = ensure_fanout_parallelism(df)
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"),
+    shingled = _with_hash_slices(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"),
+        )
     )
     sigs = shingled.groupBy("id").agg(
         *_minhash_aggs(num_hashes),

@@ -24,10 +24,13 @@ sh AS (SELECT DISTINCT doc_id,
        FROM words)
 """
 
-# hash i = the (i%4)-th 8-hex-char slice of md5('{i//4}:' || shingle) —
-# mirrors operators.dedup._minhash_aggs (4 md5 calls supply 16 hashes)
+# hash i = (a + i*b) mod 2^32 where a/b are the first two 32-bit slices
+# of md5(shingle) — mirrors operators.dedup._minhash_aggs (ONE md5 per
+# shingle supplies all 16 hashes via linear perturbation)
+_MH_A = "CAST(('0x' || SUBSTR(md5(shingle), 1, 8)) AS BIGINT)"
+_MH_B = "CAST(('0x' || SUBSTR(md5(shingle), 9, 8)) AS BIGINT)"
 _MH_COLS = ",\n       ".join(
-    f"MIN(SUBSTR(md5('{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh{i}"
+    f"MIN(({_MH_A} + {i} * {_MH_B}) % 4294967296) AS mh{i}"
     for i in range(NUM_HASHES)
 )
 
@@ -64,7 +67,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BAND_CASES = " ".join(
     "WHEN {b} THEN {expr}".format(
         b=b,
-        expr=" || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        expr=" || '|' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ),
     )
     for b in range(BANDS)
 )

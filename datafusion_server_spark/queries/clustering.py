@@ -1,12 +1,16 @@
 """k-means / SemDeDup query inventory (operators.clustering).
 
-Oracle strategy: the operators are deterministic by construction (hash
-init, exact scaled-long sums, HALF_UP rounding, fixed iteration count),
-so the oracle is a sequential driver-side REPLAY of the same math over
-the same parquet, emitted as a DuckDB VALUES table (the
-``multimodal_feature_search`` precedent). The replay shares zero Spark
-code — an independent reimplementation in plain Python — so a logic
-error on either side breaks the hash match."""
+Oracle strategy (round-5 upgrade): the k-means family is deterministic
+by construction (hash init, exact scaled-long sums, HALF_UP rounding,
+FIXED iteration count) — and a fixed iteration count means Lloyd's loop
+is expressible as pure SQL with the iterations UNROLLED into a CTE
+chain (ce0 -> a1 -> m1 -> ce1 -> ...). The kmeans/SemDeDup oracles are
+therefore genuine independent DuckDB SQL, not driver-side VALUES
+replays: DuckDB re-derives the init ranking, every assignment, every
+centroid update, and the within-cluster cosine pairs from the raw
+parquet itself. Only the PQ pipeline (nested per-subspace codebooks)
+keeps the sequential-replay VALUES oracle, with property tests
+(recall/nDCG floors) as the primary semantic check."""
 
 from __future__ import annotations
 
@@ -26,74 +30,90 @@ SEED = "kmeans"
 SEM_THRESHOLD = 0.35
 
 
-def _replay_kmeans(sf_dir: str, k: int = K, iters: int = ITERS):
-    """Sequential Lloyd replay -> (assignments dict id->cluster,
-    centroids, vectors dict id->list[float])."""
-    import hashlib
-    from decimal import ROUND_HALF_UP, Decimal
-
-    import pyarrow.parquet as pq
-
-    def r0(x: float) -> int:
-        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
-
-    def r6(x: float) -> float:
-        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vecs = {
-        int(i): [float(x) for x in v]
-        for i, v in zip(
-            tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
+def _kmeans_ctes(k: int = K, iters: int = ITERS, seed: str = SEED) -> str:
+    """The Lloyd loop as an UNROLLED DuckDB CTE chain (fixed ``iters``
+    makes this pure SQL): element view -> hash-rank init (ce0) ->
+    per-iteration [d{t} exact scaled-long distances, a{t} argmin with
+    ties to the lower cluster, m{t} rounded means, ce{t} with empty
+    clusters keeping their centroid] -> final assignment ``afin``.
+    Mirrors operators.clustering bit-for-bit (same md5 init rank, same
+    CAST(ROUND(x*1e12) AS BIGINT) sums, same ROUND(.,6) centroids)."""
+    frac = (
+        f"CAST(('0x' || SUBSTR(md5('{seed}:' || CAST(id AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) / {float(16 ** 15)!r}"
+    )
+    parts = [
+        f"""
+eml AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings),
+el AS (SELECT id, GENERATE_SUBSCRIPTS(embedding, 1) AS i,
+              CAST(UNNEST(embedding) AS DOUBLE) AS x
+       FROM eml),
+ranked AS (SELECT id, ROW_NUMBER() OVER (ORDER BY {frac}, id) - 1 AS cluster
+           FROM eml),
+ce0 AS (SELECT r.cluster, e.i, ROUND(e.x, 6) AS cx
+        FROM ranked r JOIN el e ON e.id = r.id
+        WHERE r.cluster < {k})"""
+    ]
+    prev = "ce0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+d{t} AS (SELECT e.id, c.cluster,
+                CAST(SUM(CAST(ROUND((e.x - c.cx) * (e.x - c.cx) * 1e12) AS BIGINT)) AS BIGINT) AS d2
+         FROM el e JOIN {prev} c ON c.i = e.i
+         GROUP BY e.id, c.cluster),
+a{t} AS (SELECT id, cluster FROM
+           (SELECT id, cluster, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn FROM d{t})
+         WHERE rn = 1),
+m{t} AS (SELECT a.cluster, e.i,
+                ROUND(CAST(CAST(SUM(CAST(ROUND(e.x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                      / COUNT(*) / 1e12, 6) AS cx
+         FROM a{t} a JOIN el e ON e.id = a.id
+         GROUP BY a.cluster, e.i),
+ce{t} AS (SELECT p.cluster, p.i, COALESCE(m.cx, p.cx) AS cx
+          FROM {prev} p LEFT JOIN m{t} m ON m.cluster = p.cluster AND m.i = p.i)"""
         )
-    }
-
-    def frac(i: int) -> float:
-        h = hashlib.md5(f"{SEED}:{i}".encode()).hexdigest()
-        return int(h[:15], 16) / 16.0**15
-
-    ranked = sorted(vecs, key=lambda i: (frac(i), i))
-    cents = [[r6(x) for x in vecs[i]] for i in ranked[:k]]
-
-    def assign() -> dict[int, int]:
-        out = {}
-        for i, v in vecs.items():
-            best_d2, best_c = None, -1
-            for ci, c in enumerate(cents):
-                d2 = sum(r0((x - y) * (x - y) * 1e12) for x, y in zip(v, c))
-                if best_d2 is None or d2 < best_d2:
-                    best_d2, best_c = d2, ci
-            out[i] = best_c
-        return out
-
-    for _ in range(iters):
-        a = assign()
-        dim = len(next(iter(vecs.values())))
-        for ci in range(k):
-            members = [vecs[i] for i in vecs if a[i] == ci]
-            if not members:
-                continue  # empty cluster keeps its centroid
-            cents[ci] = [
-                r6(
-                    float(sum(r0(v[d] * 1e12) for v in members))
-                    / float(len(members))
-                    / 1e12
-                )
-                for d in range(dim)
-            ]
-    return assign(), cents, vecs
+        prev = f"ce{t}"
+    t = iters + 1
+    parts.append(
+        f"""
+d{t} AS (SELECT e.id, c.cluster,
+                CAST(SUM(CAST(ROUND((e.x - c.cx) * (e.x - c.cx) * 1e12) AS BIGINT)) AS BIGINT) AS d2
+         FROM el e JOIN {prev} c ON c.i = e.i
+         GROUP BY e.id, c.cluster),
+afin AS (SELECT id, cluster FROM
+           (SELECT id, cluster, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn FROM d{t})
+         WHERE rn = 1)"""
+    )
+    return ",".join(parts)
 
 
-def _kmeans_values_oracle(sf_dir: str) -> str:
-    a, _, _ = _replay_kmeans(sf_dir)
-    rows = ", ".join(f"({i}, {c})" for i, c in sorted(a.items()))
-    return f"""
-    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster
-    FROM (VALUES {rows}) AS t(vec_id, cluster)
-    """
+# SemDeDup legs shared by three oracles: exact scaled-long norms,
+# nonzero-norm cluster members, and the within-cluster cosine pairs.
+_SEM_CTES = f"""
+norms AS (SELECT id,
+                 SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+          FROM el GROUP BY id),
+side AS (SELECT a.id, a.cluster, n.nrm
+         FROM afin a JOIN norms n ON n.id = a.id WHERE n.nrm > 0.0),
+sem_pairs AS (
+  SELECT sa.cluster, sa.id AS keep_id, sb.id AS drop_id,
+         ROUND((CAST(CAST(SUM(CAST(ROUND(ea.x * eb.x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+               / (MIN(sa.nrm) * MIN(sb.nrm)), 6) AS cosine
+  FROM side sa
+  JOIN side sb ON sb.cluster = sa.cluster AND sa.id < sb.id
+  JOIN el ea ON ea.id = sa.id
+  JOIN el eb ON eb.id = sb.id AND eb.i = ea.i
+  GROUP BY sa.cluster, sa.id, sb.id)
+"""
+
+_KMEANS_ORACLE = f"""
+WITH {_kmeans_ctes()}
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster FROM afin
+"""
 
 
-@df_query("cluster_kmeans_assign", _kmeans_values_oracle)
+@df_query("cluster_kmeans_assign", _KMEANS_ORACLE)
 def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     assigned, _ = clustering.kmeans(emb, K, ITERS)
@@ -102,49 +122,15 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_values_oracle(sf_dir: str) -> str:
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def r0(x: float) -> int:
-        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
-
-    def r6(x: float) -> float:
-        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
-
-    a, _, vecs = _replay_kmeans(sf_dir)
-    norms = {
-        i: math.sqrt(sum(r0(x * x * 1e12) for x in v) / 1e12) for i, v in vecs.items()
-    }
-    by_cluster: dict[int, list[int]] = {}
-    for i, c in a.items():
-        if norms[i] > 0.0:
-            by_cluster.setdefault(c, []).append(i)
-    out = []
-    for c, members in sorted(by_cluster.items()):
-        members.sort()
-        for ai in range(len(members)):
-            for bi in range(ai + 1, len(members)):
-                ia, ib = members[ai], members[bi]
-                dot = sum(r0(x * y * 1e12) for x, y in zip(vecs[ia], vecs[ib]))
-                cos = r6((dot / 1e12) / (norms[ia] * norms[ib]))
-                if cos >= SEM_THRESHOLD:
-                    out.append(f"({c}, {ia}, {ib}, {cos!r})")
-    if not out:
-        return """
-        SELECT CAST(NULL AS INT) AS cluster, CAST(NULL AS BIGINT) AS keep_id,
-               CAST(NULL AS BIGINT) AS drop_id, CAST(NULL AS DOUBLE) AS cosine
-        WHERE FALSE
-        """
-    rows = ", ".join(out)
-    return f"""
-    SELECT CAST(cluster AS INT) AS cluster, CAST(keep_id AS BIGINT) AS keep_id,
-           CAST(drop_id AS BIGINT) AS drop_id, CAST(cosine AS DOUBLE) AS cosine
-    FROM (VALUES {rows}) AS t(cluster, keep_id, drop_id, cosine)
-    """
+_SEMDEDUP_ORACLE = f"""
+WITH {_kmeans_ctes()}, {_SEM_CTES}
+SELECT CAST(cluster AS INT) AS cluster, CAST(keep_id AS BIGINT) AS keep_id,
+       CAST(drop_id AS BIGINT) AS drop_id, CAST(cosine AS DOUBLE) AS cosine
+FROM sem_pairs WHERE cosine >= {SEM_THRESHOLD}
+"""
 
 
-@df_query("dedup_semantic_semdedup", _semdedup_values_oracle)
+@df_query("dedup_semantic_semdedup", _SEMDEDUP_ORACLE)
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     pairs = clustering.semdedup_pairs(emb, K, SEM_THRESHOLD, ITERS)
@@ -307,41 +293,14 @@ _V2_ALPHA = 0.5
 _V2_TOTAL = 200
 
 
-def _pipeline_v2_oracle(sf_dir: str) -> str:
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def r0(x: float) -> int:
-        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
-
-    a, _, vecs = _replay_kmeans(sf_dir)
-    norms = {
-        i: math.sqrt(sum(r0(x * x * 1e12) for x in v) / 1e12) for i, v in vecs.items()
-    }
-    by_cluster: dict[int, list[int]] = {}
-    for i, c in a.items():
-        if norms[i] > 0.0:
-            by_cluster.setdefault(c, []).append(i)
-    drops: set[int] = set()
-    for members in by_cluster.values():
-        members.sort()
-        for ai in range(len(members)):
-            for bi in range(ai + 1, len(members)):
-                ia, ib = members[ai], members[bi]
-                dot = sum(r0(x * y * 1e12) for x, y in zip(vecs[ia], vecs[ib]))
-                cos = float(
-                    Decimal(repr((dot / 1e12) / (norms[ia] * norms[ib]))).quantize(
-                        Decimal("0.000001"), ROUND_HALF_UP
-                    )
-                )
-                if cos >= SEM_THRESHOLD:
-                    drops.add(ib)
-    drop_rows = ", ".join(f"({i})" for i in sorted(drops)) or "(NULL)"
+def _pipeline_v2_oracle() -> str:
     from datafusion_server_spark.queries.sampling import _FRAC
 
     frac = _FRAC.format(seed="tmix").replace("doc_id", "kp.doc_id")
     return f"""
-WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+WITH {_kmeans_ctes()}, {_SEM_CTES},
+drops AS (SELECT DISTINCT drop_id AS doc_id FROM sem_pairs WHERE cosine >= {SEM_THRESHOLD}),
+tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
 model AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM tok GROUP BY term),
 tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM model),
 logp AS (SELECT term,
@@ -352,7 +311,6 @@ xent AS (SELECT t.doc_id,
                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
                 ROUND(CAST(SUM(l.nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS xent_nats
          FROM tok t JOIN logp l ON l.term = t.term GROUP BY t.doc_id),
-drops AS (SELECT * FROM (VALUES {drop_rows}) AS t(doc_id) WHERE doc_id IS NOT NULL),
 keepers AS (
   SELECT d.doc_id, d.lang, x.n_tokens
   FROM documents d
@@ -377,7 +335,7 @@ FROM sampled GROUP BY lang
 """
 
 
-@df_query("pipeline_curation_v2", _pipeline_v2_oracle)
+@df_query("pipeline_curation_v2", _pipeline_v2_oracle())
 def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One DataFrame chain: corpus-LM cross-entropy band-pass (CCNet
     shape) -> SemDeDup near-duplicate removal (min-id survivorship) ->
@@ -408,46 +366,17 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_keepers_oracle(sf_dir: str) -> str:
-    """Keeper ids = all vectors minus SemDeDup drops (min-id
-    survivorship) — per-cluster keeper counts."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def r0(x: float) -> int:
-        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
-
-    def r6(x: float) -> float:
-        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
-
-    a, _, vecs = _replay_kmeans(sf_dir)
-    norms = {
-        i: math.sqrt(sum(r0(x * x * 1e12) for x in v) / 1e12) for i, v in vecs.items()
-    }
-    by_cluster: dict[int, list[int]] = {}
-    for i, c in a.items():
-        if norms[i] > 0.0:
-            by_cluster.setdefault(c, []).append(i)
-    drops: set[int] = set()
-    for members in by_cluster.values():
-        members.sort()
-        for ai in range(len(members)):
-            for bi in range(ai + 1, len(members)):
-                ia, ib = members[ai], members[bi]
-                dot = sum(r0(x * y * 1e12) for x, y in zip(vecs[ia], vecs[ib]))
-                if r6((dot / 1e12) / (norms[ia] * norms[ib])) >= SEM_THRESHOLD:
-                    drops.add(ib)
-    from collections import Counter
-
-    kept = Counter(a[i] for i in vecs if i not in drops)
-    rows = ", ".join(f"({c}, {n})" for c, n in sorted(kept.items()))
-    return f"""
-    SELECT CAST(cluster AS INT) AS cluster, CAST(n_kept AS BIGINT) AS n_kept
-    FROM (VALUES {rows}) AS t(cluster, n_kept)
-    """
+_SEMDEDUP_KEEPERS_ORACLE = f"""
+WITH {_kmeans_ctes()}, {_SEM_CTES},
+drops AS (SELECT DISTINCT drop_id AS id FROM sem_pairs WHERE cosine >= {SEM_THRESHOLD})
+SELECT CAST(a.cluster AS INT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM afin a
+WHERE a.id NOT IN (SELECT id FROM drops)
+GROUP BY a.cluster
+"""
 
 
-@df_query("dedup_semantic_keepers", _semdedup_keepers_oracle)
+@df_query("dedup_semantic_keepers", _SEMDEDUP_KEEPERS_ORACLE)
 def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SemDeDup OUTPUT leg: materialize the kept set (everything not
     named as a drop_id) with per-cluster counts — at scale this is the

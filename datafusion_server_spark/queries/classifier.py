@@ -1,8 +1,22 @@
 """Logistic-regression classifier queries (operators.classifier).
 
-Oracle = sequential Python replay (VALUES) — the operator is
-deterministic by construction (fixed iterations, scaled-long sums,
-HALF_UP rounding), and the replay shares zero Spark code."""
+Oracle (round-5 upgrade) = genuine independent DuckDB SQL: the fixed
+iteration count lets full-batch gradient descent be UNROLLED into a CTE
+chain (w0 -> z1/p1/g1/w1 -> ... -> pfin), so DuckDB re-derives the
+hashed features, every sigmoid, every gradient and every weight update
+from the raw parquet itself — no driver-side VALUES replay.
+
+Rounding parity note: Spark's ROUND(double, d) goes through the
+SHORTEST-REPR decimal (BigDecimal.valueOf = Double.toString), while
+DuckDB's ROUND operates on the raw binary double — they diverge when a
+value sits within repr precision of a .5 boundary (observed at sf0.001
+after 20 iterations of drift amplification). The oracle therefore
+rounds raw doubles with ``CAST(CAST(x AS VARCHAR) AS DECIMAL(38,d))``
+— DuckDB's VARCHAR cast IS the shortest repr, and the VARCHAR->DECIMAL
+cast is HALF_UP, verified equivalent to Python's
+``Decimal(repr(x)).quantize`` on 200k random doubles. Quantities that
+are provably never near a boundary (6/8-decimal fixed-point values
+scaled by 1e12) keep the fast native ROUND."""
 
 from __future__ import annotations
 
@@ -19,72 +33,76 @@ LR = 5.0
 PROBE = "vector"  # mid-frequency fixture token: relevance label the BoW can learn
 
 
-def _replay_logreg(sf_dir: str):
-    import hashlib
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
-    import pyarrow.parquet as pq
-
-    def r0(x: float) -> int:
-        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
-
-    def rnd(x: float, places: int) -> float:
-        q = Decimal(1).scaleb(-places)
-        return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP))
-
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    docs = {}
-    ys = {}
-    for i, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
-        i = int(i)
-        words = [w for w in (t or "").split(" ") if w]
-        buckets = {
-            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % DIM for w in words
-        }
-        feats = {b: 1.0 for b in buckets}
-        feats[DIM] = 1.0
-        docs[i] = feats
-        ys[i] = 1.0 if PROBE in words else 0.0
-
-    n_docs = len(docs)
-    w = [0.0] * (DIM + 1)
-
-    def probs():
-        out = {}
-        for i, feats in docs.items():
-            zs = sum(r0(w[b] * x * 1e12) for b, x in feats.items())
-            z = float(zs) / 1e12
-            out[i] = rnd(1.0 / (1.0 + math.exp(-z)), 8)
-        return out
-
-    for _ in range(ITERS):
-        p = probs()
-        gs = [0] * (DIM + 1)
-        for i, feats in docs.items():
-            e = p[i] - ys[i]
-            for b, x in feats.items():
-                gs[b] += r0(e * x * 1e12)
-        for b in range(DIM + 1):
-            g = rnd(float(gs[b]) / 1e12 / float(n_docs), 8)
-            w[b] = rnd(w[b] - LR * g, 6)
-    return probs(), ys
+def _rrepr(expr: str, places: int) -> str:
+    """Shortest-repr HALF_UP rounding of a raw double (see module
+    docstring): DuckDB VARCHAR cast -> DECIMAL cast -> back to DOUBLE."""
+    return f"CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{places})) AS DOUBLE)"
 
 
-def _logreg_values_oracle(sf_dir: str) -> str:
-    p, ys = _replay_logreg(sf_dir)
-    rows = ", ".join(
-        f"({i}, {p[i]!r}, {str(p[i] >= 0.5).upper()}, {ys[i]!r})"
-        for i in sorted(p)
+def _logreg_ctes(dim: int = DIM, iters: int = ITERS, lr: float = LR, probe: str = PROBE) -> str:
+    """Full-batch GD as an UNROLLED DuckDB CTE chain: hashed binary
+    features (fe) + bias bucket {dim}, zero-init weights, then per
+    iteration [rw{t} weights pre-rounded to scaled longs ONCE (6-dec
+    fixed-point x 1e12 is never near a .5 boundary, so native ROUND is
+    exact), z{t} per-doc logits, p{t} shortest-repr-rounded sigmoids,
+    pe{t} per-doc scaled errors, g{t} per-bucket gradient sums, w{t}
+    repr-rounded weight step] -> final scores ``pfin``. Mirrors
+    operators.classifier.train_logreg/predict bit-for-bit. fe/lab are
+    MATERIALIZED: DuckDB inlines CTEs by default, and 20 inlined copies
+    of the parquet scan exhaust file handles."""
+    parts = [
+        f"""
+tokd AS (SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tokf AS (SELECT id, term FROM tokd WHERE term <> ''),
+fe AS MATERIALIZED (SELECT DISTINCT id, CAST(('0x' || SUBSTR(md5(term), 1, 15)) AS BIGINT) % {dim} AS b FROM tokf
+       UNION SELECT DISTINCT doc_id AS id, {dim} AS b FROM documents),
+lab AS MATERIALIZED (SELECT doc_id AS id,
+               CASE WHEN list_contains(string_split(text, ' '), '{probe}') THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+nd AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+spine AS (SELECT UNNEST(GENERATE_SERIES(0, {dim})) AS b),
+w0 AS (SELECT b, CAST(0.0 AS DOUBLE) AS wv FROM spine)"""
+    ]
+    prev = "w0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+rw{t} AS (SELECT b, CAST(ROUND(wv * 1e12) AS BIGINT) AS rwv FROM {prev}),
+z{t} AS (SELECT f.id, CAST(SUM(w.rwv) AS BIGINT) AS zs
+         FROM fe f JOIN rw{t} w ON w.b = f.b GROUP BY f.id),
+p{t} AS (SELECT id, {_rrepr("1.0 / (1.0 + EXP(-(CAST(zs AS DOUBLE) / 1e12)))", 8)} AS p FROM z{t}),
+pe{t} AS (SELECT p.id, CAST(ROUND((p.p - l.y) * 1e12) AS BIGINT) AS e
+          FROM p{t} p JOIN lab l ON l.id = p.id),
+g{t} AS (SELECT f.b, CAST(SUM(pe.e) AS BIGINT) AS gs
+         FROM fe f JOIN pe{t} pe ON pe.id = f.id
+         GROUP BY f.b),
+w{t} AS MATERIALIZED (SELECT s.b,
+                {_rrepr(f"COALESCE(w.wv, 0.0) - {lr} * " + _rrepr("CAST(COALESCE(g.gs, 0) AS DOUBLE) / 1e12 / (SELECT n FROM nd)", 8), 6)} AS wv
+         FROM spine s
+         LEFT JOIN {prev} w ON w.b = s.b
+         LEFT JOIN g{t} g ON g.b = s.b)"""
+        )
+        prev = f"w{t}"
+    t = iters + 1
+    parts.append(
+        f"""
+rw{t} AS (SELECT b, CAST(ROUND(wv * 1e12) AS BIGINT) AS rwv FROM {prev}),
+z{t} AS (SELECT f.id, CAST(SUM(w.rwv) AS BIGINT) AS zs
+         FROM fe f JOIN rw{t} w ON w.b = f.b GROUP BY f.id),
+pfin AS (SELECT id, {_rrepr("1.0 / (1.0 + EXP(-(CAST(zs AS DOUBLE) / 1e12)))", 8)} AS p FROM z{t})"""
     )
-    return f"""
-    SELECT CAST(id AS BIGINT) AS id, CAST(p AS DOUBLE) AS p,
-           CAST(pred AS BOOLEAN) AS pred, CAST(y AS DOUBLE) AS y
-    FROM (VALUES {rows}) AS t(id, p, pred, y)
-    """
+    return ",".join(parts)
 
 
-@df_query("classifier_logreg_quality", _logreg_values_oracle)
+_LOGREG_ORACLE = f"""
+WITH {_logreg_ctes()}
+SELECT CAST(p.id AS BIGINT) AS id, CAST(p.p AS DOUBLE) AS p,
+       CAST(p.p >= 0.5 AS BOOLEAN) AS pred, CAST(l.y AS DOUBLE) AS y
+FROM pfin p JOIN lab l ON l.id = p.id
+"""
+
+
+@df_query("classifier_logreg_quality", _LOGREG_ORACLE)
 def classifier_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the hashed-BoW logistic model on a probe-relevance label
     (document mentions the probe token) and score every document — the
@@ -243,40 +261,21 @@ def eval_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # calibration report for the GD classifier: fixed probability bands vs
 # actual positive rate (well-calibrated -> mean_p ~ actual_rate per
-# band). Oracle = the training replay's probabilities bucketed the same
-# way, emitted as VALUES.
-def _logreg_calibration_oracle(sf_dir: str) -> str:
-    from decimal import ROUND_HALF_UP, Decimal
-
-    p, ys = _replay_logreg(sf_dir)
-    bands: dict[int, list[int]] = {}
-    for i, pi in p.items():
-        b = min(9, int(pi * 10.0))
-        bands.setdefault(b, []).append(i)
-
-    def r6(x: float) -> float:
-        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
-
-    rows = []
-    for b in sorted(bands):
-        ids = bands[b]
-        n = len(ids)
-        # mirror the Spark DECIMAL(18,8) mean: sum of 8-dec probabilities
-        # is exact, divide in double, round 6
-        sp = sum(Decimal(repr(p[i])).quantize(Decimal("0.00000001")) for i in ids)
-        mean_p = r6(float(sp) / float(n))
-        pos = sum(1 for i in ids if ys[i] == 1.0)
-        rate = r6(pos / n)
-        rows.append(f"({b}, {n}, {mean_p!r}, {rate!r})")
-    body = ", ".join(rows)
-    return f"""
-    SELECT CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n,
-           CAST(mean_p AS DOUBLE) AS mean_p, CAST(actual_rate AS DOUBLE) AS actual_rate
-    FROM (VALUES {body}) AS t(band, n, mean_p, actual_rate)
-    """
+# band). Oracle = the same unrolled-GD CTE chain, banded in SQL; the
+# DECIMAL(18,8) sum of 8-decimal probabilities is exact, so only the
+# final divisions need shortest-repr rounding.
+_LOGREG_CALIBRATION_ORACLE = f"""
+WITH {_logreg_ctes()}
+SELECT CAST(LEAST(9, CAST(FLOOR(p.p * 10.0) AS BIGINT)) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_rrepr("CAST(SUM(CAST(p.p AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)", 6)} AS mean_p,
+       {_rrepr("CAST(SUM(CASE WHEN l.y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS actual_rate
+FROM pfin p JOIN lab l ON l.id = p.id
+GROUP BY 1
+"""
 
 
-@df_query("eval_logreg_calibration", _logreg_calibration_oracle)
+@df_query("eval_logreg_calibration", _LOGREG_CALIBRATION_ORACLE)
 def eval_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     feats = classifier.hashed_features(docs, "text", "doc_id", DIM)

@@ -65,6 +65,19 @@ def df_query(name: str, oracle: str | None):
     return wrap
 
 
+def rrepr(expr: str, places: int) -> str:
+    """Shortest-repr HALF_UP rounding of a raw double for DuckDB oracles:
+    Spark's ROUND(double, d) rounds the SHORTEST-REPR decimal
+    (BigDecimal.valueOf = Double.toString) while DuckDB's ROUND rounds
+    the raw binary double; they diverge when a value sits within repr
+    precision of a .5 boundary. DuckDB's VARCHAR cast IS the shortest
+    repr and VARCHAR->DECIMAL is HALF_UP, so this triple cast reproduces
+    Spark/Python rounding exactly (verified on 200k random doubles).
+    Use on RAW doubles only — values already on a fixed-point grid are
+    never near a boundary and keep the fast native ROUND."""
+    return f"CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{places})) AS DOUBLE)"
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries
 # (registration order). This list pins those 50 slots so they span every
 # SURVEY §2.B category, the TPC-H-style headliners, and one-or-more

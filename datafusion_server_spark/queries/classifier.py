@@ -25,18 +25,12 @@ from pyspark.sql import functions as F
 
 from datafusion_server_spark import tables
 from datafusion_server_spark.operators import classifier
-from datafusion_server_spark.queries import df_query
+from datafusion_server_spark.queries import df_query, rrepr
 
 DIM = 256
 ITERS = 20
 LR = 5.0
 PROBE = "vector"  # mid-frequency fixture token: relevance label the BoW can learn
-
-
-def _rrepr(expr: str, places: int) -> str:
-    """Shortest-repr HALF_UP rounding of a raw double (see module
-    docstring): DuckDB VARCHAR cast -> DECIMAL cast -> back to DOUBLE."""
-    return f"CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{places})) AS DOUBLE)"
 
 
 def _logreg_ctes(dim: int = DIM, iters: int = ITERS, lr: float = LR, probe: str = PROBE) -> str:
@@ -70,14 +64,14 @@ w0 AS (SELECT b, CAST(0.0 AS DOUBLE) AS wv FROM spine)"""
 rw{t} AS (SELECT b, CAST(ROUND(wv * 1e12) AS BIGINT) AS rwv FROM {prev}),
 z{t} AS (SELECT f.id, CAST(SUM(w.rwv) AS BIGINT) AS zs
          FROM fe f JOIN rw{t} w ON w.b = f.b GROUP BY f.id),
-p{t} AS (SELECT id, {_rrepr("1.0 / (1.0 + EXP(-(CAST(zs AS DOUBLE) / 1e12)))", 8)} AS p FROM z{t}),
+p{t} AS (SELECT id, {rrepr("1.0 / (1.0 + EXP(-(CAST(zs AS DOUBLE) / 1e12)))", 8)} AS p FROM z{t}),
 pe{t} AS (SELECT p.id, CAST(ROUND((p.p - l.y) * 1e12) AS BIGINT) AS e
           FROM p{t} p JOIN lab l ON l.id = p.id),
 g{t} AS (SELECT f.b, CAST(SUM(pe.e) AS BIGINT) AS gs
          FROM fe f JOIN pe{t} pe ON pe.id = f.id
          GROUP BY f.b),
 w{t} AS MATERIALIZED (SELECT s.b,
-                {_rrepr(f"COALESCE(w.wv, 0.0) - {lr} * " + _rrepr("CAST(COALESCE(g.gs, 0) AS DOUBLE) / 1e12 / (SELECT n FROM nd)", 8), 6)} AS wv
+                {rrepr(f"COALESCE(w.wv, 0.0) - {lr} * " + rrepr("CAST(COALESCE(g.gs, 0) AS DOUBLE) / 1e12 / (SELECT n FROM nd)", 8), 6)} AS wv
          FROM spine s
          LEFT JOIN {prev} w ON w.b = s.b
          LEFT JOIN g{t} g ON g.b = s.b)"""
@@ -89,7 +83,7 @@ w{t} AS MATERIALIZED (SELECT s.b,
 rw{t} AS (SELECT b, CAST(ROUND(wv * 1e12) AS BIGINT) AS rwv FROM {prev}),
 z{t} AS (SELECT f.id, CAST(SUM(w.rwv) AS BIGINT) AS zs
          FROM fe f JOIN rw{t} w ON w.b = f.b GROUP BY f.id),
-pfin AS (SELECT id, {_rrepr("1.0 / (1.0 + EXP(-(CAST(zs AS DOUBLE) / 1e12)))", 8)} AS p FROM z{t})"""
+pfin AS (SELECT id, {rrepr("1.0 / (1.0 + EXP(-(CAST(zs AS DOUBLE) / 1e12)))", 8)} AS p FROM z{t})"""
     )
     return ",".join(parts)
 
@@ -268,8 +262,8 @@ _LOGREG_CALIBRATION_ORACLE = f"""
 WITH {_logreg_ctes()}
 SELECT CAST(LEAST(9, CAST(FLOOR(p.p * 10.0) AS BIGINT)) AS BIGINT) AS band,
        CAST(COUNT(*) AS BIGINT) AS n,
-       {_rrepr("CAST(SUM(CAST(p.p AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)", 6)} AS mean_p,
-       {_rrepr("CAST(SUM(CASE WHEN l.y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS actual_rate
+       {rrepr("CAST(SUM(CAST(p.p AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)", 6)} AS mean_p,
+       {rrepr("CAST(SUM(CASE WHEN l.y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS actual_rate
 FROM pfin p JOIN lab l ON l.id = p.id
 GROUP BY 1
 """

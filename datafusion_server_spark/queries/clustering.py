@@ -8,9 +8,9 @@ chain (ce0 -> a1 -> m1 -> ce1 -> ...). The kmeans/SemDeDup oracles are
 therefore genuine independent DuckDB SQL, not driver-side VALUES
 replays: DuckDB re-derives the init ranking, every assignment, every
 centroid update, and the within-cluster cosine pairs from the raw
-parquet itself. Only the PQ pipeline (nested per-subspace codebooks)
-keeps the sequential-replay VALUES oracle, with property tests
-(recall/nDCG floors) as the primary semantic check."""
+parquet itself. The PQ pipeline gets the same treatment with the
+subspace index as a column dimension (``_pq_ctes``); property tests
+(recall/nDCG floors) remain the semantic backstop."""
 
 from __future__ import annotations
 
@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from datafusion_server_spark import tables
 from datafusion_server_spark.operators import clustering
-from datafusion_server_spark.queries import df_query
+from datafusion_server_spark.queries import df_query, rrepr
 
 K = 8
 ITERS = 3
@@ -152,120 +152,117 @@ PQ_DIM = 64
 PQ_NQ = 10  # query side: vec_id < 10
 
 
-def _pq_values_oracle(sf_dir: str) -> str:
-    """Sequential replay of the joint-subspace PQ pipeline: per-subspace
-    hash init -> Lloyd iterations (exact scaled-long math) -> encode ->
-    codebook reconstruction -> ADC candidates -> exact re-rank."""
-    import hashlib
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
-    import pyarrow.parquet as pq
-
-    def r0(x: float) -> int:
-        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
-
-    def r6(x: float) -> float:
-        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vecs = {
-        int(i): [float(x) for x in v]
-        for i, v in zip(
-            tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
+def _pq_ctes(
+    m: int = PQ_M,
+    nc: int = PQ_NC,
+    iters: int = PQ_ITERS,
+    dim: int = PQ_DIM,
+    nq: int = PQ_NQ,
+    k: int = PQ_K,
+    rerank: int = PQ_RERANK,
+) -> str:
+    """The joint-subspace PQ pipeline as an UNROLLED DuckDB CTE chain
+    (the _kmeans_ctes approach with the subspace index ``j`` as a column
+    dimension): per-(j) hash-rank codebook init -> per-iteration
+    [ds{t} exact scaled-long subvector distances, as{t} per-(id,j)
+    argmin, mn{t} rounded means, bk{t} empty-cells-keep-centroid] ->
+    final encode -> codebook reconstruction -> ADC candidate ranking ->
+    exact re-rank. Cosine roundings use the shortest-repr cast (see
+    ``queries.rrepr``); base CTEs are MATERIALIZED so DuckDB does not
+    inline one parquet scan per unrolled reference."""
+    subdim = dim // m
+    frac = (
+        "CAST(('0x' || SUBSTR(md5('pq:' || CAST(j.j AS VARCHAR) || ':' || "
+        f"CAST(e.id AS VARCHAR)), 1, 15)) AS BIGINT) / {float(16 ** 15)!r}"
+    )
+    parts = [
+        f"""
+eml AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings),
+el AS MATERIALIZED (SELECT id, GENERATE_SUBSCRIPTS(embedding, 1) AS i,
+              CAST(UNNEST(embedding) AS DOUBLE) AS x
+       FROM eml),
+sel AS MATERIALIZED (SELECT id, CAST(FLOOR((i - 1) / {subdim}) AS INT) AS j,
+               CAST((i - 1) % {subdim} + 1 AS INT) AS d, x
+        FROM el),
+jr AS (SELECT e.id, j.j, ROW_NUMBER() OVER (PARTITION BY j.j ORDER BY {frac}, e.id) - 1 AS cluster
+       FROM (SELECT DISTINCT id FROM eml) e,
+            (SELECT UNNEST(GENERATE_SERIES(0, {m - 1})) AS j) j),
+bk0 AS (SELECT r.j, r.cluster, s.d, ROUND(s.x, 6) AS cx
+        FROM jr r JOIN sel s ON s.id = r.id AND s.j = r.j
+        WHERE r.cluster < {nc})"""
+    ]
+    prev = "bk0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+ds{t} AS (SELECT s.id, s.j, b.cluster,
+                 CAST(SUM(CAST(ROUND((s.x - b.cx) * (s.x - b.cx) * 1e12) AS BIGINT)) AS BIGINT) AS d2
+          FROM sel s JOIN {prev} b ON b.j = s.j AND b.d = s.d
+          GROUP BY s.id, s.j, b.cluster),
+as{t} AS (SELECT id, j, cluster FROM
+            (SELECT id, j, cluster, ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY d2, cluster) AS rn FROM ds{t})
+          WHERE rn = 1),
+mn{t} AS (SELECT a.j, a.cluster, s.d,
+                 ROUND(CAST(CAST(SUM(CAST(ROUND(s.x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                       / COUNT(*) / 1e12, 6) AS cx
+          FROM as{t} a JOIN sel s ON s.id = a.id AND s.j = a.j
+          GROUP BY a.j, a.cluster, s.d),
+bk{t} AS (SELECT p.j, p.cluster, p.d, COALESCE(m.cx, p.cx) AS cx
+          FROM {prev} p LEFT JOIN mn{t} m ON m.j = p.j AND m.cluster = p.cluster AND m.d = p.d)"""
         )
-    }
-    subdim = PQ_DIM // PQ_M
-    subs = {
-        (i, j): v[j * subdim : (j + 1) * subdim]
-        for i, v in vecs.items()
-        for j in range(PQ_M)
-    }
-
-    def frac(j: int, i: int) -> float:
-        h = hashlib.md5(f"pq:{j}:{i}".encode()).hexdigest()
-        return int(h[:15], 16) / 16.0**15
-
-    books = []
-    for j in range(PQ_M):
-        ranked = sorted(vecs, key=lambda i: (frac(j, i), i))
-        books.append([[r6(x) for x in subs[(i, j)]] for i in ranked[:PQ_NC]])
-
-    def argmin(sv, book):
-        best_d2, best_c = None, -1
-        for ci, c in enumerate(book):
-            d2 = sum(r0((x - y) * (x - y) * 1e12) for x, y in zip(sv, c))
-            if best_d2 is None or d2 < best_d2:
-                best_d2, best_c = d2, ci
-        return best_c
-
-    for _ in range(PQ_ITERS):
-        assign = {
-            (i, j): argmin(subs[(i, j)], books[j]) for i in vecs for j in range(PQ_M)
-        }
-        for j in range(PQ_M):
-            for ci in range(PQ_NC):
-                members = [subs[(i, j)] for i in vecs if assign[(i, j)] == ci]
-                if not members:
-                    continue
-                books[j][ci] = [
-                    r6(
-                        float(sum(r0(v[d] * 1e12) for v in members))
-                        / float(len(members))
-                        / 1e12
-                    )
-                    for d in range(subdim)
-                ]
-    recon = {
-        i: [
-            x
-            for j in range(PQ_M)
-            for x in books[j][argmin(subs[(i, j)], books[j])]
-        ]
-        for i in vecs
-    }
-    rnorm = {
-        i: math.sqrt(sum(r0(x * x * 1e12) for x in v) / 1e12)
-        for i, v in recon.items()
-    }
-    qnorm = {
-        i: math.sqrt(sum(r0(x * x * 1e12) for x in vecs[i]) / 1e12)
-        for i in vecs
-        if i < PQ_NQ
-    }
-    out = []
-    for q in sorted(qnorm):
-        if qnorm[q] <= 0.0:
-            continue
-        adc = []
-        for c, rv in recon.items():
-            if c == q or rnorm[c] <= 0.0:
-                continue
-            dot = sum(r0(a * b * 1e12) for a, b in zip(vecs[q], rv))
-            adc.append((r6((dot / 1e12) / (qnorm[q] * rnorm[c])), c))
-        adc.sort(key=lambda t: (-t[0], t[1]))
-        cand = [c for _, c in adc[: PQ_RERANK * PQ_K]]
-        scored = []
-        for c in cand:
-            cn = math.sqrt(sum(r0(x * x * 1e12) for x in vecs[c]) / 1e12)
-            if cn <= 0.0:
-                continue
-            dot = sum(r0(a * b * 1e12) for a, b in zip(vecs[q], vecs[c]))
-            scored.append((r6((dot / 1e12) / (qnorm[q] * cn)), c))
-        scored.sort(key=lambda t: (-t[0], t[1]))
-        for rank, (cos, c) in enumerate(scored[:PQ_K], start=1):
-            out.append(f"({q}, {c}, {cos!r}, {rank})")
-    rows = ", ".join(out)
-    return f"""
-    SELECT CAST(query_id AS BIGINT) AS query_id,
-           CAST(neighbor_id AS BIGINT) AS neighbor_id,
-           CAST(cosine AS DOUBLE) AS cosine,
-           CAST(rank AS BIGINT) AS rank
-    FROM (VALUES {rows}) AS t(query_id, neighbor_id, cosine, rank)
-    """
+        prev = f"bk{t}"
+    t = iters + 1
+    parts.append(
+        f"""
+ds{t} AS (SELECT s.id, s.j, b.cluster,
+                 CAST(SUM(CAST(ROUND((s.x - b.cx) * (s.x - b.cx) * 1e12) AS BIGINT)) AS BIGINT) AS d2
+          FROM sel s JOIN {prev} b ON b.j = s.j AND b.d = s.d
+          GROUP BY s.id, s.j, b.cluster),
+enc AS (SELECT id, j, cluster FROM
+          (SELECT id, j, cluster, ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY d2, cluster) AS rn FROM ds{t})
+        WHERE rn = 1),
+recon AS MATERIALIZED (
+  SELECT e.id, CAST(e.j * {subdim} + b.d AS INT) AS i, b.cx AS rx
+  FROM enc e JOIN {prev} b ON b.j = e.j AND b.cluster = e.cluster),
+rnorm AS (SELECT id, SQRT(CAST(CAST(SUM(CAST(ROUND(rx * rx * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+          FROM recon GROUP BY id),
+vnorm AS (SELECT id, SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+          FROM el GROUP BY id),
+adc AS (
+  SELECT q.id AS query_id, r.id AS neighbor_id,
+         {rrepr("(CAST(CAST(SUM(CAST(ROUND(q.x * r.rx * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) / (MIN(qn.nrm) * MIN(rn.nrm))", 6)} AS acos
+  FROM el q
+  JOIN recon r ON r.i = q.i AND r.id <> q.id
+  JOIN vnorm qn ON qn.id = q.id AND qn.nrm > 0.0
+  JOIN rnorm rn ON rn.id = r.id AND rn.nrm > 0.0
+  WHERE q.id < {nq}
+  GROUP BY q.id, r.id),
+cand AS (SELECT query_id, neighbor_id FROM
+           (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS rn FROM adc)
+         WHERE rn <= {rerank * k}),
+ex AS (
+  SELECT c.query_id, c.neighbor_id,
+         {rrepr("(CAST(CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) / (MIN(qn.nrm) * MIN(cn.nrm))", 6)} AS cosine
+  FROM cand c
+  JOIN el qa ON qa.id = c.query_id
+  JOIN el ca ON ca.id = c.neighbor_id AND ca.i = qa.i
+  JOIN vnorm qn ON qn.id = c.query_id
+  JOIN vnorm cn ON cn.id = c.neighbor_id AND cn.nrm > 0.0
+  GROUP BY c.query_id, c.neighbor_id)"""
+    )
+    return ",".join(parts)
 
 
-@df_query("ann_pq_cosine", _pq_values_oracle)
+_PQ_ORACLE = f"""
+WITH {_pq_ctes()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(cosine AS DOUBLE) AS cosine, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM ex) t
+WHERE rnk <= {PQ_K}
+"""
+
+
+@df_query("ann_pq_cosine", _PQ_ORACLE)
 def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_server_spark.operators import quantize
 

@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
@@ -636,3 +636,105 @@ def idf_weighted_jaccard_pairs(
         F.round(wb, 6).alias("w_b"),
         F.round(wc / (wa + wb - wc), 6).alias("wjaccard"),
     ).filter(F.col("wjaccard") >= threshold)
+
+
+def _positional_word_grams(df: DataFrame, text_col: str, id_col: str, l: int) -> DataFrame:
+    """(id, pos, gh): md5 of each word l-gram with its 1-based start
+    position — the positional twin of ``_word_shingles`` (same shifted-
+    slice construction, so the split() is evaluated a constant number of
+    times per row; ``posexplode`` supplies the position)."""
+    words = F.split(F.col(text_col), " ")
+    m = F.greatest(F.size(words) - (l - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(l)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(l)]))
+    return (
+        df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("p0", "gram"))
+        .select("id", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("gh"))
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    l: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated substring spans, the ExactSubstr dedup signal
+    (Lee et al. 2021, arXiv:2107.06499 — "Deduplicating Training Data
+    Makes Language Models Better"): a word position is DUPLICATED when
+    the l-gram starting there occurs >= ``min_count`` times corpus-wide
+    (including within one document, like the suffix-array method);
+    consecutive duplicated positions merge into maximal spans via the
+    gaps-and-islands window. Output: (id, span_start, span_end,
+    n_words) in 1-based word positions, span_end inclusive covering the
+    final gram's last word.
+
+    Scale shape (100 TB): the gram stream is touched by ONE
+    count-over-gram-hash shuffle (md5 keys — uniform, no skew hot-spot)
+    and one per-document window — the same two-shuffle budget as the
+    MinHash signature pass; no self-join, no quadratic pair work. The
+    suffix-array construction of the paper is replaced by the fixed-l
+    gram equivalence: a duplicated span of length >= l words is exactly
+    a maximal run of duplicated l-gram start positions.
+    """
+    df = ensure_fanout_parallelism(df)
+    grams = _positional_word_grams(df, text_col, id_col, l)
+    cnt_w = Window.partitionBy("gh")
+    dup = grams.withColumn("__n", F.count(F.lit(1)).over(cnt_w)).filter(
+        F.col("__n") >= min_count
+    )
+    run_w = Window.partitionBy("id").orderBy("pos")
+    runs = dup.withColumn("__grp", F.col("pos") - F.row_number().over(run_w))
+    return (
+        runs.groupBy("id", "__grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (l - 1)).cast("bigint").alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_words"),
+        )
+    )
+
+
+def duplicate_span_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    l: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-content fraction — the ExactSubstr
+    KEEP/TRIM decision signal: words covered by duplicated spans over
+    total words. Spans from ``duplicate_ngram_spans`` are disjoint by
+    construction (maximal runs), so coverage is a plain sum. Documents
+    with no duplicated span report 0.0. Output: (id, n_words,
+    dup_words, dup_fraction)."""
+    spans = duplicate_ngram_spans(df, text_col, id_col, l, min_count)
+    cover = spans.groupBy("id").agg(F.sum("n_words").cast("bigint").alias("dup_words"))
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).cast(
+            "bigint"
+        ).alias("n_words"),
+    )
+    return (
+        words.join(cover, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            F.coalesce(F.col("dup_words"), F.lit(0)).cast("bigint").alias("dup_words"),
+            F.when(F.col("n_words") > 0,
+                   F.round(
+                       F.coalesce(F.col("dup_words"), F.lit(0)).cast("double")
+                       / F.col("n_words").cast("double"),
+                       6,
+                   ))
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

@@ -690,3 +690,70 @@ def dedup_pair_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.shingle").alias("top_shared_shingle"),
         F.col("best.dfr").cast("bigint").alias("shingle_df"),
     ).filter(F.col("jaccard") >= _EXPLAIN_THRESHOLD)
+
+
+# -- ExactSubstr-style duplicated-span detection (Lee et al. 2021) -----------
+SPAN_L = 8  # span granularity: a position is duplicated iff its word 8-gram recurs
+SPAN_MIN_COUNT = 2
+
+_SPAN_CTE = f"""
+wordsv AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+pgpos AS (SELECT doc_id, w,
+                 UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - {SPAN_L - 1}, 0))) AS pos
+          FROM wordsv),
+pg AS (SELECT doc_id, pos,
+              md5(ARRAY_TO_STRING(w[pos : pos + {SPAN_L - 1}], ' ')) AS gh
+       FROM pgpos),
+dup AS (SELECT doc_id, pos FROM
+          (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS n FROM pg)
+        WHERE n >= {SPAN_MIN_COUNT}),
+runs AS (SELECT doc_id, pos,
+                pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         FROM dup),
+spans AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                 CAST(MIN(pos) AS BIGINT) AS span_start,
+                 CAST(MAX(pos) + {SPAN_L - 1} AS BIGINT) AS span_end
+          FROM runs GROUP BY doc_id, grp)
+"""
+
+
+@df_query(
+    "dedup_duplicate_spans",
+    f"""
+    WITH {_SPAN_CTE}
+    SELECT id, span_start, span_end,
+           CAST(span_end - span_start + 1 AS BIGINT) AS n_words
+    FROM spans
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substring spans (the ExactSubstr signal,
+    arXiv:2107.06499): runs of word positions whose 8-gram occurs
+    elsewhere in the corpus. One gram-hash shuffle + one per-doc window
+    — never a suffix array, never a self-join."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_spans(docs, "text", "doc_id", SPAN_L, SPAN_MIN_COUNT)
+
+
+@df_query(
+    "dedup_span_fraction",
+    f"""
+    WITH {_SPAN_CTE},
+    cover AS (SELECT id, CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_words
+              FROM spans GROUP BY id),
+    nw AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
+           FROM documents)
+    SELECT nw.id, nw.n_words,
+           CAST(COALESCE(c.dup_words, 0) AS BIGINT) AS dup_words,
+           CASE WHEN nw.n_words > 0
+                THEN ROUND(CAST(COALESCE(c.dup_words, 0) AS DOUBLE) / CAST(nw.n_words AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_fraction
+    FROM nw LEFT JOIN cover c ON c.id = nw.id
+    """,
+)
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-content fraction — the ExactSubstr
+    keep/trim decision column for every document in the corpus."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.duplicate_span_fraction(docs, "text", "doc_id", SPAN_L, SPAN_MIN_COUNT)

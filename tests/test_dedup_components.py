@@ -132,3 +132,56 @@ def test_prefix_jaccard_equals_all_pairs(spark, sf_dir):
     )
     slow = {(r.id_a, r.id_b, r.jaccard) for r in brute.collect()}
     assert fast == slow and slow, (len(fast), len(slow))
+
+
+def test_duplicate_ngram_spans_known_case(spark):
+    """Two docs share an 8-word run; a third is unrelated. The shared
+    run must surface as one maximal span in each doc at the right
+    positions, and the unrelated doc must report no span."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} tail1 tail2"),
+            (2, f"{shared} completely different ending here"),
+            (3, "nothing here repeats at all in any way whatsoever friend"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["id"]: (r["span_start"], r["span_end"], r["n_words"])
+        for r in dedup.duplicate_ngram_spans(docs, "text", "doc_id", l=8).collect()
+    }
+    # doc 1: shared run occupies words 3..10; doc 2: words 1..8
+    assert spans[1] == (3, 10, 8)
+    assert spans[2] == (1, 8, 8)
+    assert 3 not in spans
+
+
+def test_duplicate_spans_merge_adjacent_positions(spark):
+    """A 10-word shared run yields THREE duplicated 8-gram start
+    positions (1, 2, 3) in a doc where it starts at word 1 — they must
+    merge into ONE maximal span of 10 words, not three overlapping
+    spans."""
+    shared = "a b c d e f g h i j"  # 10 words
+    docs = spark.createDataFrame(
+        [(1, shared), (2, f"x y {shared}")],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicate_ngram_spans(docs, "text", "doc_id", l=8).collect()
+    by_id = {r["id"]: r for r in spans}
+    assert len(spans) == 2
+    assert (by_id[1]["span_start"], by_id[1]["span_end"]) == (1, 10)
+    assert (by_id[2]["span_start"], by_id[2]["span_end"]) == (3, 12)
+
+
+def test_span_fraction_zero_for_unique_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "entirely unique words compose this first document text body"),
+            (2, "second document also made of words never seen elsewhere today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in dedup.duplicate_span_fraction(docs, "text", "doc_id", l=8).collect()}
+    assert rows[1]["dup_words"] == 0 and rows[1]["dup_fraction"] == 0.0
+    assert rows[2]["n_words"] == 10

@@ -1,0 +1,110 @@
+"""Empty-corpus and degenerate-input hardening for the LLM-pipeline
+operator families.
+
+At 100 TB the engine routinely sees empty PARTITIONS of every shape
+(after a selective filter, a fresh ingest day, an empty source shard);
+locally the whole-input-empty case is the strictest proxy: every
+operator must return an EMPTY result with the right schema — never
+raise, never emit a fabricated row."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators import classifier, clustering, dedup, similarity
+
+_DOCS_SCHEMA = "doc_id long, text string"
+_EMB_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], _DOCS_SCHEMA)
+
+
+def _empty_emb(spark):
+    return spark.createDataFrame([], _EMB_SCHEMA)
+
+
+def test_dedup_family_on_empty_corpus(spark):
+    docs = _empty_docs(spark)
+    assert dedup.exact_duplicates(docs, "text", "doc_id").count() == 0
+    assert dedup.minhash_signatures(docs, "text", "doc_id").count() == 0
+    assert dedup.lsh_candidate_pairs(docs, "text", "doc_id", materialize=False).count() == 0
+    assert dedup.simhash(docs, "text", "doc_id").count() == 0
+    assert dedup.duplicate_ngram_spans(docs, "text", "doc_id").count() == 0
+    assert dedup.duplicate_span_fraction(docs, "text", "doc_id").count() == 0
+
+
+def test_incremental_lsh_empty_batch_against_real_index(spark, sf_dir):
+    """Fresh-ingest-day shape: an EMPTY batch probed against a real
+    index must yield zero pairs (and not fail building empty
+    signatures)."""
+    from datafusion_server_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents").limit(50)
+    index = dedup.lsh_signature_index(docs, "text", "doc_id", materialize=False)
+    out = dedup.lsh_pairs_against_index(
+        _empty_docs(spark), index, "text", "doc_id", materialize=False
+    )
+    assert out.count() == 0
+
+
+def test_similarity_family_on_empty_corpus(spark):
+    emb = _empty_emb(spark)
+    assert similarity.cosine_topk(emb, emb, 5).count() == 0
+    # scaled ANN sizes its code length from corpus stats; n=0 must not
+    # divide-by-zero or raise in band-bit derivation
+    out = similarity.scaled_lsh_ann_topk(emb, emb, 5, n_vectors=0)
+    assert out.count() == 0
+
+
+def test_kmeans_on_empty_corpus(spark):
+    emb = _empty_emb(spark)
+    assigned, cents = clustering.kmeans(emb, 4, 1)
+    assert assigned.count() == 0
+    assert cents.count() == 0
+
+
+def test_classifier_on_single_class_corpus(spark):
+    """All-negative labels: GD must still run (gradient pushes scores
+    toward 0) and predict all-negative — the degenerate-label shape a
+    topic probe hits on an off-topic shard."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "eta theta iota")],
+        _DOCS_SCHEMA,
+    )
+    feats = classifier.hashed_features(docs, "text", "doc_id", 64)
+    labels = docs.select(F.col("doc_id").alias("id"), F.lit(0.0).alias("y"))
+    w = classifier.train_logreg(feats, labels, 64, 5, 1.0)
+    preds = classifier.predict(feats, w)
+    rows = preds.collect()
+    assert len(rows) == 3
+    assert all(not r["pred"] for r in rows)
+    assert all(r["p"] < 0.5 for r in rows)
+
+
+def test_spans_on_whitespace_only_and_short_docs(spark):
+    """Documents shorter than the gram length and pathological
+    whitespace must produce no spans and a 0.0 fraction, not an
+    exploded empty-string gram match."""
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "   "), (3, "")],
+        _DOCS_SCHEMA,
+    )
+    assert dedup.duplicate_ngram_spans(docs, "text", "doc_id", l=8).count() == 0
+    fr = {r["id"]: r for r in dedup.duplicate_span_fraction(docs, "text", "doc_id", l=8).collect()}
+    assert fr[1]["dup_fraction"] == 0.0
+    assert fr[2]["dup_words"] == 0 and fr[3]["dup_words"] == 0
+
+
+def test_lsh_all_identical_corpus(spark):
+    """Worst-case skew: EVERY document identical — one bucket holds the
+    whole corpus. The banded join must still bound work by the bucket
+    (n^2 pairs here, n=6) and report jaccard 1.0 on every pair."""
+    docs = spark.createDataFrame(
+        [(i, "same exact words repeated in every single document body") for i in range(6)],
+        _DOCS_SCHEMA,
+    )
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", materialize=False).collect()
+    assert len(pairs) == 15  # C(6,2)
+    assert all(r["jaccard"] == 1.0 for r in pairs)

@@ -12,7 +12,15 @@ Rebuilds the reference's ``DataSourceSchema`` JSON contract
 - Time32/Time64 map to LongType (microseconds since midnight);
 - Float16 widens to FloatType;
 - nanosecond timestamps map to TimestampType (µs) — ns truncation;
-- Union is rejected (no Spark analog).
+- MonthDayNano intervals are rejected by default (no single Spark type
+  carries months+days+nanos); ``widen_interval=True`` opts into a
+  LOSSLESS structural decode to struct<months int, days int,
+  nanos long> — every component preserved exactly, queryable with
+  plain arithmetic;
+- Union is rejected by default (no Spark analog);
+  ``widen_union=True`` opts into the standard relational flattening:
+  struct<type_id tinyint, f0 .., f1 ..> with one nullable field per
+  branch — lossless, the shape Arrow dense unions flatten to.
 
 The JSON grammar accepted for ``dataType`` mirrors the reference enum
 (schema.rs:12-46): plain strings for scalars, and structured forms for
@@ -81,12 +89,26 @@ def _widen_decimal(p: int, s: int) -> T.DecimalType:
     return T.DecimalType(MAX_DECIMAL_PRECISION, max(0, MAX_DECIMAL_PRECISION - int_digits))
 
 
-def to_spark_type(dt: Any, *, widen_decimal256: bool = False) -> T.DataType:
+def to_spark_type(
+    dt: Any,
+    *,
+    widen_decimal256: bool = False,
+    widen_interval: bool = False,
+    widen_union: bool = False,
+) -> T.DataType:
     """One ``dataType`` JSON value -> Spark DataType.
 
     ``widen_decimal256=True`` opts into the lossy Decimal256 policy (see
-    ``_widen_decimal``); the default keeps the §1.2 reject policy.
+    ``_widen_decimal``); ``widen_interval=True`` decodes MonthDayNano to
+    a lossless component struct; ``widen_union=True`` flattens Union to
+    a type-tagged struct of nullable branches. Defaults keep the §1.2
+    reject policy.
     """
+    _w = dict(
+        widen_decimal256=widen_decimal256,
+        widen_interval=widen_interval,
+        widen_union=widen_union,
+    )
     if isinstance(dt, str):
         key = dt.strip().lower()
         if key in _SCALARS:
@@ -117,18 +139,18 @@ def to_spark_type(dt: Any, *, widen_decimal256: bool = False) -> T.DataType:
             tz = dt.get("timezone")
             return T.TimestampType() if tz else T.TimestampNTZType()
         if kind in ("list", "largelist"):
-            return T.ArrayType(to_spark_type(dt["item"], widen_decimal256=widen_decimal256))
+            return T.ArrayType(to_spark_type(dt["item"], **_w))
         if kind == "map":
             return T.MapType(
-                to_spark_type(dt["key"], widen_decimal256=widen_decimal256),
-                to_spark_type(dt["value"], widen_decimal256=widen_decimal256),
+                to_spark_type(dt["key"], **_w),
+                to_spark_type(dt["value"], **_w),
             )
         if kind == "struct":
             return T.StructType(
                 [
                     T.StructField(
                         f["name"],
-                        to_spark_type(f["dataType"], widen_decimal256=widen_decimal256),
+                        to_spark_type(f["dataType"], **_w),
                         bool(f.get("nullable", True)),
                     )
                     for f in dt["fields"]
@@ -140,14 +162,58 @@ def to_spark_type(dt: Any, *, widen_decimal256: bool = False) -> T.DataType:
                 return T.YearMonthIntervalType()
             if unit == "daytime":
                 return T.DayTimeIntervalType()
-            raise SchemaError(f"unsupported interval unit: {unit!r} (MonthDayNano has no Spark analog)")
+            if unit == "monthdaynano":
+                if widen_interval:
+                    # LOSSLESS structural decode: no single Spark type
+                    # carries months+days+nanos, so expose the exact
+                    # Arrow components as a queryable struct
+                    return T.StructType(
+                        [
+                            T.StructField("months", T.IntegerType(), True),
+                            T.StructField("days", T.IntegerType(), True),
+                            T.StructField("nanos", T.LongType(), True),
+                        ]
+                    )
+                raise SchemaError(
+                    "interval unit 'monthdaynano' has no single Spark analog "
+                    "(pass widen_interval=True for the lossless "
+                    "struct<months,days,nanos> decode)"
+                )
+            raise SchemaError(f"unsupported interval unit: {unit!r}")
         if kind == "union":
-            raise SchemaError("Union types are not supported on Spark")
+            if widen_union:
+                # standard relational flattening of an Arrow union:
+                # type_id tag + one nullable field per branch (lossless)
+                branches = dt.get("fields") or []
+                if not branches:
+                    raise SchemaError("union with no branch fields")
+                return T.StructType(
+                    [T.StructField("type_id", T.ByteType(), False)]
+                    + [
+                        T.StructField(
+                            str(f.get("name") or f"f{i}"),
+                            to_spark_type(f["dataType"], **_w),
+                            True,
+                        )
+                        for i, f in enumerate(branches)
+                    ]
+                )
+            raise SchemaError(
+                "Union types are not supported on Spark "
+                "(pass widen_union=True for the lossless type-tagged "
+                "struct-of-branches flattening)"
+            )
         raise SchemaError(f"unknown structured dataType: {dt!r}")
     raise SchemaError(f"invalid dataType value: {dt!r}")
 
 
-def to_struct_type(schema_json: dict, *, widen_decimal256: bool = False) -> T.StructType:
+def to_struct_type(
+    schema_json: dict,
+    *,
+    widen_decimal256: bool = False,
+    widen_interval: bool = False,
+    widen_union: bool = False,
+) -> T.StructType:
     """Reference ``DataSourceSchema`` JSON -> StructType
     (schema.rs:419-432 equivalent)."""
     fields = schema_json.get("fields")
@@ -157,7 +223,12 @@ def to_struct_type(schema_json: dict, *, widen_decimal256: bool = False) -> T.St
         [
             T.StructField(
                 f["name"],
-                to_spark_type(f["dataType"], widen_decimal256=widen_decimal256),
+                to_spark_type(
+                    f["dataType"],
+                    widen_decimal256=widen_decimal256,
+                    widen_interval=widen_interval,
+                    widen_union=widen_union,
+                ),
                 bool(f.get("nullable", True)),
             )
             for f in fields

@@ -121,3 +121,52 @@ def test_decimal256_widen_option():
     # default policy still rejects, with the hint in the message
     with pytest.raises(SchemaError, match="widen_decimal256"):
         to_spark_type({"type": "Decimal256", "precision": 45, "scale": 12})
+
+
+def test_monthdaynano_widen_option():
+    """Default rejects; widen_interval=True decodes to the lossless
+    component struct (months/days/nanos preserved exactly)."""
+    mdn = {"type": "Interval", "unit": "MonthDayNano"}
+    with pytest.raises(SchemaError, match="widen_interval"):
+        to_spark_type(mdn)
+    st = to_spark_type(mdn, widen_interval=True)
+    assert [f.name for f in st.fields] == ["months", "days", "nanos"]
+    assert isinstance(st["nanos"].dataType, T.LongType)
+
+
+def test_union_widen_option():
+    """Default rejects; widen_union=True flattens to the type-tagged
+    struct of nullable branches, recursing into branch types."""
+    u = {
+        "type": "Union",
+        "fields": [
+            {"name": "s", "dataType": "string"},
+            {"name": "big", "dataType": {"type": "Decimal256", "precision": 45, "scale": 20}},
+        ],
+    }
+    with pytest.raises(SchemaError, match="widen_union"):
+        to_spark_type(u)
+    st = to_spark_type(u, widen_union=True, widen_decimal256=True)
+    assert [f.name for f in st.fields] == ["type_id", "s", "big"]
+    assert not st["type_id"].nullable and st["s"].nullable
+    assert isinstance(st["big"].dataType, T.DecimalType)
+    # widen_union alone must NOT silently enable the decimal widen
+    with pytest.raises(SchemaError, match="widen_decimal256"):
+        to_spark_type(u, widen_union=True)
+    # a union with no branches is malformed even with the widen
+    with pytest.raises(SchemaError, match="no branch"):
+        to_spark_type({"type": "Union", "fields": []}, widen_union=True)
+
+
+def test_struct_type_threads_all_widen_flags():
+    sj = {
+        "fields": [
+            {"name": "iv", "dataType": {"type": "Interval", "unit": "MonthDayNano"}},
+            {
+                "name": "u",
+                "dataType": {"type": "Union", "fields": [{"name": "x", "dataType": "int32"}]},
+            },
+        ]
+    }
+    st = to_struct_type(sj, widen_interval=True, widen_union=True)
+    assert [f.name for f in st.fields] == ["iv", "u"]

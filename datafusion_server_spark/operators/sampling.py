@@ -16,7 +16,7 @@ the surrounding plan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_DIGITS = 15
@@ -342,4 +342,84 @@ def effective_sample_size(
         "n",
         F.round(ess, 6).alias("ess"),
         F.round(ess / F.col("n").cast("double"), 6).alias("ess_ratio"),
+    )
+
+
+def shuffle_shard_export(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export:
+    every row gets a shard (uniform md5 bucket) and a position within
+    its shard (rank by the hash value, key as tiebreak) — the
+    shuffle-before-training step of a dataloader pipeline, reproducible
+    across runs/engines/partitionings because the permutation is a pure
+    function of (seed, key). Output: (id, shard, pos), pos 1-based.
+
+    Scale shape (100 TB): one hash projection + one rank window
+    PARTITIONED BY SHARD — the sort is per-shard (corpus/n_shards rows),
+    never a global total-order sort; shard keys are uniform md5, so no
+    skew. Writing then partitions by `shard` (`write_dataset`), giving
+    dataloader-ready shard files."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("h", "id")
+    return (
+        df.select(F.col(key_col).alias("id"), h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("id", "shard", "pos")
+    )
+
+
+def epoch_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    multiplicities: dict[str, float],
+    *,
+    default_multiplicity: float = 1.0,
+    seed: str = "epoch",
+) -> DataFrame:
+    """Per-source epoch multiplicities (the LLaMA-style data recipe:
+    e.g. wikipedia x2.4 epochs, web x0.9): every row is repeated
+    floor(m) times, plus one extra copy when its hash fraction falls
+    under frac(m) — so the EXPECTED duplication of a stratum is exactly
+    m, and the decision is a pure function of (seed, key), reproducible
+    anywhere. Output: input row key + stratum + ``epoch`` (1-based copy
+    index).
+
+    Scale shape: a narrow projection + an in-row ``explode(sequence)``
+    — per-row fan-out is ceil(m), no shuffle at all."""
+    m_col = F.lit(None).cast("double")
+    expr = None
+    for k, v in multiplicities.items():
+        cond = F.col(strata_col) == k
+        expr = F.when(cond, float(v)) if expr is None else expr.when(cond, float(v))
+    m_col = expr.otherwise(float(default_multiplicity)) if expr is not None else F.lit(
+        float(default_multiplicity)
+    )
+    frac = hash_fraction(F.col(key_col), seed)
+    n_copies = (
+        F.floor(m_col).cast("bigint")
+        + F.when(frac < (m_col - F.floor(m_col)), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("id"),
+            F.col(strata_col).alias("stratum"),
+            n_copies.alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            "id",
+            "stratum",
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("epoch"),
+        )
+        .select("id", "stratum", F.col("epoch").cast("bigint"))
     )

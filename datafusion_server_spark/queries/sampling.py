@@ -191,3 +191,62 @@ FROM agg
 def sample_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return sampling.effective_sample_size(docs, "n_chars", "lang")
+
+
+# Deterministic shuffle-shard export (r5): the dataloader-facing global
+# shuffle — shard by md5 bucket, rank within shard by hash value.
+_N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(('0x' || SUBSTR(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents)
+SELECT id, CAST(hv % {_N_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % {_N_SHARDS} ORDER BY hv, id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@df_query("sample_shuffle_shards", _SHARD_ORACLE)
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pre-training shuffle: (id, shard, pos) as a pure
+    function of (seed, doc_id) — per-shard rank windows, never a global
+    sort; `write_dataset(partition_by='shard')` turns this directly
+    into dataloader shard files."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return sampling.shuffle_shard_export(docs, "doc_id", _N_SHARDS)
+
+
+# Epoch-multiplicity mixing (r5): LLaMA-recipe per-source epochs —
+# expected duplication of stratum s is exactly multiplicities[s].
+_EPOCH_MULTS = {"web": 0.9, "wiki": 2.4, "books": 1.6}
+
+_EPOCH_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v!r}" for k, v in _EPOCH_MULTS.items()
+) + " ELSE 1.0 END"
+
+_EPOCH_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, source,
+         {_EPOCH_CASE} AS m,
+         (CAST(('0x' || SUBSTR(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / CAST(16.0 ** 15 AS DOUBLE)) AS frac
+  FROM documents),
+cnt AS (
+  SELECT id, source AS stratum,
+         CAST(FLOOR(m) AS BIGINT)
+         + CASE WHEN frac < m - FLOOR(m) THEN 1 ELSE 0 END AS n
+  FROM base)
+SELECT id, stratum, CAST(UNNEST(GENERATE_SERIES(1, n)) AS BIGINT) AS epoch
+FROM cnt WHERE n > 0
+"""
+
+
+@df_query("sample_epoch_mix", _EPOCH_ORACLE)
+def sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch multiplicities: floor(m) copies of every row
+    plus a hash-decided extra so a stratum's expected duplication is
+    exactly m — the data-recipe step between curation and packing."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return sampling.epoch_mix(docs, "doc_id", "source", _EPOCH_MULTS)

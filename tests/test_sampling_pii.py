@@ -152,3 +152,44 @@ def test_leakage_safe_split_never_straddles_components(spark, sf_dir):
         assigned.groupBy("split_root").count().filter(F.col("count") > 1).count()
     )
     assert multi > 0
+
+
+def test_shuffle_shards_partition_and_determinism(spark, sf_dir):
+    """Every row lands in exactly one shard with a dense 1..n_k position,
+    and the permutation is identical across partitionings."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    a = sampling.shuffle_shard_export(docs, "doc_id", 8).collect()
+    b = sampling.shuffle_shard_export(docs.repartition(13), "doc_id", 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), f"shard {shard} positions not dense"
+
+
+def test_epoch_mix_expected_duplication(spark, sf_dir):
+    """Per-stratum duplication must sit near its multiplicity: every row
+    gets floor(m) copies deterministically, so the only variance is the
+    fractional Bernoulli — bound it loosely."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, sf_dir, "documents")
+    mults = {"web": 0.9, "wiki": 2.4, "books": 1.6}
+    out = sampling.epoch_mix(docs, "doc_id", "source", mults)
+    got = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    base = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    import math
+    for s, m in mults.items():
+        if s not in base:
+            continue
+        ratio = got.get(s, 0) / base[s]
+        lo, hi = math.floor(m), math.ceil(m)
+        assert lo <= ratio <= hi, (s, ratio, m)
+        assert abs(ratio - m) < 0.35, (s, ratio, m)

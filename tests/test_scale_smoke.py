@@ -111,3 +111,42 @@ def test_gopher_flags_complete_at_20k(spark, skewed_docs):
         F.count(F.lit(1)).alias("n"), F.sum(F.col("keep").cast("int")).alias("kept")
     ).collect()[0]
     assert agg.n == 20_000
+
+
+def test_duplicate_spans_bounded_under_boilerplate(spark):
+    """20k docs where 30% share an identical 12-word boilerplate header
+    (the worst single-gram hot-spot: one gram hash carried by 6k docs).
+    The span operator must finish with exactly one maximal span per
+    boilerplate doc (the 11-word header -> duplicated 8-gram starts at
+    positions 1-4 -> one maximal span covering words 1-11) and NONE for
+    unique docs — the count-over-gram
+    window aggregates the hot gram instead of joining it (a gram-level
+    self-join would be 36M pairs here; the plan is linear)."""
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda j: F.concat(F.lit("b"), F.col("id").cast("string"), F.lit("x"), j.cast("string")),
+        ),
+    )
+    header = F.lit("shared boilerplate header sentence repeated verbatim across many documents in corpus")
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.concat(header, F.lit(" "), body)).otherwise(body).alias("text"),
+    )
+    spans = dedup.duplicate_ngram_spans(docs, "text", "doc_id", l=8)
+    rows = spans.collect()
+    assert len(rows) == 6_000  # one span per boilerplate doc, nothing else
+    assert all(r["span_start"] == 1 and r["span_end"] == 11 for r in rows)
+
+
+def test_shuffle_shards_balanced_at_50k(spark):
+    """50k keys into 64 shards: max/min shard population within 25% of
+    each other (uniform md5 keys — no skew hot-spot), positions dense."""
+    from datafusion_server_spark.operators import sampling
+
+    df = spark.range(50_000).select(F.col("id").alias("doc_id"))
+    out = sampling.shuffle_shard_export(df, "doc_id", 64)
+    sizes = [r["n"] for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 64
+    assert max(sizes) < min(sizes) * 1.25

@@ -130,3 +130,46 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_runtime_bloom_filter_fires_at_scale_thresholds(tmp_path):
+    """Scale evidence for the selective-dim join shape (q3/q5/q10 at
+    100 TB where the dim no longer broadcasts): Catalyst's runtime
+    bloom-filter injection must remain AVAILABLE in our sessions — a
+    bloom built from the filtered dim side is pushed into the fact scan
+    (`might_contain`), cutting the shuffled fact rows to candidates
+    only. The session default thresholds (10 GB application side) only
+    suppress it at FIXTURE scale, so this test lowers them to prove
+    nothing in our session/operator stack disables the rewrite."""
+    from datafusion_server_spark.session import build_spark
+
+    spark = build_spark(
+        app_name="bloom-evidence",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100KB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+            # force the non-broadcast join path the rewrite targets
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+        spark.range(200_000).select(
+            F.col("id").alias("fk"), (F.col("id") * 2).alias("v")
+        ).write.mode("overwrite").parquet(fact_p)
+        spark.range(5_000).select(
+            F.col("id").alias("pk"), (F.col("id") % 5).alias("cat")
+        ).write.mode("overwrite").parquet(dim_p)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("cat") == 3)
+        j = fact.join(dim, fact.fk == dim.pk)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # and the rewrite must not change results
+        assert j.count() == 1_000
+    finally:
+        spark.stop()

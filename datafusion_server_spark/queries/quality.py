@@ -912,3 +912,78 @@ def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- round-5 capstone chain: ExactSubstr span gate -> epoch-multiplicity
+# mix -> per-source training-row stats. One DataFrame flows duplicated-
+# span scoring -> filter -> epoch replication with no materialization
+# boundary; the oracle composes the same stages as SQL CTEs.
+_V3_MAX_DUP_FRACTION = 0.5
+_V3_EPOCHS = {"web": 0.9, "wiki": 2.4, "books": 1.6}
+
+_V3_EPOCH_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v!r}" for k, v in _V3_EPOCHS.items()
+) + " ELSE 1.0 END"
+
+
+def _curation_v3_oracle() -> str:
+    from datafusion_server_spark.queries.dedup import _SPAN_CTE
+
+    return f"""
+WITH {_SPAN_CTE},
+cover AS (SELECT id, CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_words
+          FROM spans GROUP BY id),
+nw AS (SELECT CAST(doc_id AS BIGINT) AS id, source,
+              CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
+       FROM documents),
+keepers AS (
+  SELECT nw.id, nw.source, nw.n_words
+  FROM nw LEFT JOIN cover c ON c.id = nw.id
+  WHERE nw.n_words > 0
+    AND CAST(COALESCE(c.dup_words, 0) AS DOUBLE) / CAST(nw.n_words AS DOUBLE)
+        <= {_V3_MAX_DUP_FRACTION}),
+ep AS (
+  SELECT id, source, n_words,
+         CAST(FLOOR({_V3_EPOCH_CASE}) AS BIGINT)
+         + CASE WHEN (CAST(('0x' || SUBSTR(md5('epoch:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      / CAST(16.0 ** 15 AS DOUBLE))
+                     < {_V3_EPOCH_CASE} - FLOOR({_V3_EPOCH_CASE}) THEN 1 ELSE 0 END AS n
+  FROM keepers)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n * n_words) AS BIGINT) AS total_words
+FROM ep WHERE n > 0 GROUP BY source
+"""
+
+
+@df_query("pipeline_curation_v3", _curation_v3_oracle())
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation chain: duplicated-span fraction gate (ExactSubstr
+    keep/trim) -> per-source epoch multiplicities -> per-source training
+    rows / docs / token mass. n_rows counts epoch-replicated rows, so
+    total_words is the actual token budget the trainer sees."""
+    from datafusion_server_spark.operators import dedup, sampling
+    from datafusion_server_spark.queries.dedup import SPAN_L, SPAN_MIN_COUNT
+
+    docs = tables.load(spark, sf_dir, "documents")
+    frac = dedup.duplicate_span_fraction(docs, "text", "doc_id", SPAN_L, SPAN_MIN_COUNT)
+    keepers = (
+        frac.filter(
+            (F.col("n_words") > 0)
+            & (F.col("dup_words").cast("double") / F.col("n_words").cast("double")
+               <= _V3_MAX_DUP_FRACTION)
+        )
+        .select("id", "n_words")
+        .join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+    )
+    epochs = sampling.epoch_mix(keepers, "id", "source", _V3_EPOCHS, seed="epoch")
+    return (
+        epochs.join(keepers.select("id", "n_words"), "id")
+        .groupBy(F.col("stratum").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+    )

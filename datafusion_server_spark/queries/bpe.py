@@ -1,9 +1,18 @@
 """BPE tokenizer-training queries (operators.bpe).
 
-Oracle = sequential Python replay emitted as VALUES (the clustering
-precedent): the operator is integer-count + binary-string-order
-deterministic, so the replay reproduces the merge table and every
-segmentation exactly while sharing zero Spark code."""
+Oracle (round-5 upgrade) = genuine independent DuckDB SQL: the merge
+count is fixed, so the training loop is UNROLLED into a CTE chain, and
+the greedy left-to-right merge application — the part that looks
+un-SQL-able — is a ``LIST_REDUCE`` fold over each word's symbol list
+with the accumulator encoded as a CHR(31)-joined string ("last symbol
+== left" is exactly ``acc = left OR ends_with(acc, SEP || left)``
+because symbols never contain the separator; the fixtures are verified
+separator-free). Per iteration: adjacency pair counts weighted by word
+frequency, best pair by (freq DESC, left, right) — byte order matches
+Python tuple comparison on ASCII — then the fold applies it; an
+exhausted pair table leaves segmentations unchanged via LEFT JOIN +
+CASE, mirroring the operator's sentinel no-op. Base and per-iteration
+vocab CTEs are MATERIALIZED (DuckDB inlines CTEs by default)."""
 
 from __future__ import annotations
 
@@ -16,80 +25,67 @@ from datafusion_server_spark.queries import df_query
 
 N_MERGES = 12
 
+_SEP = "CHR(31)"
 
-def _replay_bpe(sf_dir: str, n_merges: int = N_MERGES):
-    from collections import Counter
 
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    docs = {
-        int(i): [w for w in (t or "").split(" ") if w]
-        for i, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
-    }
-    wc = Counter(w for ws in docs.values() for w in ws)
-    vocab = {w: list(w) for w in wc}
-    merges = []
-    for rank in range(n_merges):
-        pc: Counter = Counter()
-        for w, syms in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pc[(a, b)] += wc[w]
-        if not pc:
-            break
-        (left, right), freq = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+def _bpe_ctes(n_merges: int = N_MERGES) -> str:
+    parts = [
+        f"""
+tokw AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+vocab0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc,
+         ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(word)), i -> word[i]), {_SEP}) AS seg
+  FROM tokw WHERE word <> '' GROUP BY word)"""
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f"""
+pl{t} AS (SELECT v.wc, v.l[i.i] AS a, v.l[i.i + 1] AS b
+          FROM (SELECT wc, STRING_SPLIT(seg, {_SEP}) AS l FROM vocab{t}) v,
+               UNNEST(GENERATE_SERIES(1, LEN(v.l) - 1)) AS i(i)),
+pc{t} AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM pl{t} GROUP BY a, b),
+best{t} AS (SELECT CAST({t} AS BIGINT) AS rank, a, b, cnt FROM pc{t}
+            ORDER BY cnt DESC, a, b LIMIT 1),
+vocab{t + 1} AS MATERIALIZED (
+  SELECT v.word, v.wc,
+         CASE WHEN b.a IS NULL THEN v.seg
+              ELSE LIST_REDUCE(STRING_SPLIT(v.seg, {_SEP}),
+                     (acc, s) -> CASE WHEN (acc = b.a OR ENDS_WITH(acc, {_SEP} || b.a)) AND s = b.b
+                                      THEN acc || s
+                                      ELSE acc || {_SEP} || s END)
+         END AS seg
+  FROM vocab{t} v LEFT JOIN best{t} b ON TRUE)"""
         )
-        merges.append((rank, left, right, freq))
-        for w, syms in vocab.items():
-            out: list[str] = []
-            for s in syms:
-                if out and out[-1] == left and s == right:
-                    out[-1] = left + right
-                else:
-                    out.append(s)
-            vocab[w] = out
-    return docs, vocab, merges
+    return ",".join(parts)
 
 
-def _q(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+_MERGES_UNION = "\nUNION ALL\n".join(f"SELECT * FROM best{t}" for t in range(N_MERGES))
+
+_BPE_MERGES_ORACLE = f"""
+WITH {_bpe_ctes()}
+SELECT rank, CAST(a AS VARCHAR) AS "left", CAST(b AS VARCHAR) AS "right", cnt AS freq
+FROM ({_MERGES_UNION})
+"""
+
+_BPE_COUNTS_ORACLE = f"""
+WITH {_bpe_ctes()},
+dw AS (SELECT CAST(doc_id AS BIGINT) AS id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+dwf AS (SELECT id, word FROM dw WHERE word <> '')
+SELECT d.id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(LEN(STRING_SPLIT(v.seg, {_SEP}))) AS BIGINT) AS n_bpe_tokens
+FROM dwf d JOIN vocab{N_MERGES} v ON v.word = d.word
+GROUP BY d.id
+"""
 
 
-def _bpe_merges_values_oracle(sf_dir: str) -> str:
-    _, _, merges = _replay_bpe(sf_dir)
-    rows = ", ".join(
-        f"({r}, {_q(l)}, {_q(rt)}, {f})" for r, l, rt, f in merges
-    )
-    return f"""
-    SELECT CAST(rank AS BIGINT) AS rank, CAST(left_sym AS VARCHAR) AS "left",
-           CAST(right_sym AS VARCHAR) AS "right", CAST(freq AS BIGINT) AS freq
-    FROM (VALUES {rows}) AS t(rank, left_sym, right_sym, freq)
-    """
-
-
-@df_query("bpe_train_merges", _bpe_merges_values_oracle)
+@df_query("bpe_train_merges", _BPE_MERGES_ORACLE)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     _, merges = bpe.bpe_train(docs, "text", N_MERGES)
     return merges
 
 
-def _bpe_counts_values_oracle(sf_dir: str) -> str:
-    docs, vocab, _ = _replay_bpe(sf_dir)
-    rows = ", ".join(
-        f"({i}, {len(ws)}, {sum(len(vocab[w]) for w in ws)})"
-        for i, ws in sorted(docs.items())
-        if ws
-    )
-    return f"""
-    SELECT CAST(doc_id AS BIGINT) AS id, CAST(n_words AS BIGINT) AS n_words,
-           CAST(n_bpe AS BIGINT) AS n_bpe_tokens
-    FROM (VALUES {rows}) AS t(doc_id, n_words, n_bpe)
-    """
-
-
-@df_query("bpe_token_counts", _bpe_counts_values_oracle)
+@df_query("bpe_token_counts", _BPE_COUNTS_ORACLE)
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     vocab, _ = bpe.bpe_train(docs, "text", N_MERGES)

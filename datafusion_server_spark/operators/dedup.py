@@ -738,3 +738,66 @@ def duplicate_span_fraction(
             .alias("dup_fraction"),
         )
     )
+
+
+def duplicate_span_sources(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    l: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document ATTRIBUTION for duplicated spans: for each maximal
+    span, how many OTHER documents carry its opening l-gram and which
+    one (lowest other id) — the provenance column a reviewer needs to
+    chase a boilerplate template or a repeat-offender source. Output:
+    (id, span_start, span_end, n_words, n_other_docs, sample_partner);
+    sample_partner is NULL when the duplication is purely
+    intra-document (the gram recurs only inside the same doc).
+
+    Scale shape: the per-gram attribution is all SCALAR aggregates —
+    occurrence count, distinct-doc count, lowest and second-lowest doc
+    id (two grouped minima, never a per-gram id list) — so the hot
+    boilerplate gram carried by millions of documents aggregates to ONE
+    bounded row instead of a collected array or a self-join; the span
+    derivation reuses the two uniform-key shuffles of
+    ``duplicate_ngram_spans``."""
+    df = ensure_fanout_parallelism(df)
+    grams = _positional_word_grams(df, text_col, id_col, l)
+    cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__n"))
+    d = grams.select("gh", "id").distinct()
+    g1 = d.groupBy("gh").agg(
+        F.min("id").alias("__m1"), F.count(F.lit(1)).alias("__nd")
+    )
+    g2 = (
+        d.join(g1.select("gh", "__m1"), "gh")
+        .filter(F.col("id") > F.col("__m1"))
+        .groupBy("gh")
+        .agg(F.min("id").alias("__m2"))
+    )
+    per_gram = (
+        cnt.filter(F.col("__n") >= min_count)
+        .join(g1, "gh")
+        .join(g2, "gh", "left")
+    )
+    dup = grams.join(per_gram.select("gh", "__nd", "__m1", "__m2"), "gh")
+    run_w = Window.partitionBy("id").orderBy("pos")
+    runs = dup.withColumn("__grp", F.col("pos") - F.row_number().over(run_w))
+    opening = F.struct(F.col("pos"), F.col("__nd"), F.col("__m1"), F.col("__m2"))
+    spans = runs.groupBy("id", "__grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + (l - 1)).cast("bigint").alias("span_end"),
+        F.min(opening).alias("__open"),
+    )
+    partner = (
+        F.when(F.col("id") != F.col("__open.__m1"), F.col("__open.__m1"))
+        .otherwise(F.col("__open.__m2"))
+    )
+    return spans.select(
+        "id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("n_words"),
+        (F.col("__open.__nd") - 1).cast("bigint").alias("n_other_docs"),
+        partner.cast("bigint").alias("sample_partner"),
+    )

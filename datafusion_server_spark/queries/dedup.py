@@ -757,3 +757,45 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/trim decision column for every document in the corpus."""
     docs = tables.load(spark, sf_dir, "documents")
     return dedup.duplicate_span_fraction(docs, "text", "doc_id", SPAN_L, SPAN_MIN_COUNT)
+
+
+@df_query(
+    "dedup_span_sources",
+    f"""
+    WITH wordsv AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    pgpos AS (SELECT doc_id, w,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - {SPAN_L - 1}, 0))) AS pos
+              FROM wordsv),
+    pg AS (SELECT doc_id, pos,
+                  md5(ARRAY_TO_STRING(w[pos : pos + {SPAN_L - 1}], ' ')) AS gh
+           FROM pgpos),
+    cnt AS (SELECT gh, COUNT(*) AS n FROM pg GROUP BY gh),
+    d AS (SELECT DISTINCT gh, doc_id FROM pg),
+    g1 AS (SELECT gh, MIN(doc_id) AS m1, COUNT(*) AS nd FROM d GROUP BY gh),
+    g2 AS (SELECT d.gh, MIN(d.doc_id) AS m2
+           FROM d JOIN g1 ON g1.gh = d.gh WHERE d.doc_id > g1.m1 GROUP BY d.gh),
+    pgm AS (SELECT c.gh, g1.nd, g1.m1, g2.m2
+            FROM cnt c JOIN g1 ON g1.gh = c.gh LEFT JOIN g2 ON g2.gh = c.gh
+            WHERE c.n >= {SPAN_MIN_COUNT}),
+    dup AS (SELECT p.doc_id, p.pos, m.nd, m.m1, m.m2 FROM pg p JOIN pgm m ON m.gh = p.gh),
+    runs AS (SELECT doc_id, pos, nd, m1, m2,
+                    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM dup),
+    spans2 AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_L - 1} AS span_end
+               FROM runs GROUP BY doc_id, grp)
+    SELECT CAST(s.doc_id AS BIGINT) AS id,
+           CAST(s.span_start AS BIGINT) AS span_start,
+           CAST(s.span_end AS BIGINT) AS span_end,
+           CAST(s.span_end - s.span_start + 1 AS BIGINT) AS n_words,
+           CAST(r.nd - 1 AS BIGINT) AS n_other_docs,
+           CAST(CASE WHEN s.doc_id <> r.m1 THEN r.m1 ELSE r.m2 END AS BIGINT) AS sample_partner
+    FROM spans2 s JOIN runs r ON r.doc_id = s.doc_id AND r.pos = s.span_start
+    """,
+)
+def dedup_span_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated spans WITH provenance: distinct-other-doc count and a
+    lowest-id partner for each span's opening gram — scalar grouped
+    minima only, so the hottest boilerplate gram stays one bounded row
+    at any corpus size."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.duplicate_span_sources(docs, "text", "doc_id", SPAN_L, SPAN_MIN_COUNT)

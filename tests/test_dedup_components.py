@@ -185,3 +185,23 @@ def test_span_fraction_zero_for_unique_docs(spark):
     rows = {r["id"]: r for r in dedup.duplicate_span_fraction(docs, "text", "doc_id", l=8).collect()}
     assert rows[1]["dup_words"] == 0 and rows[1]["dup_fraction"] == 0.0
     assert rows[2]["n_words"] == 10
+
+
+def test_span_sources_attribution(spark):
+    """Partner attribution: the lowest OTHER doc carrying the opening
+    gram; purely intra-document duplication reports 0 others and a NULL
+    partner."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} t1 t2"),
+            (2, f"{shared} completely different end here"),
+            (5, f"{shared} another version of doc here"),
+            (9, "x y z " + " ".join(["r"] * 12)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in dedup.duplicate_span_sources(docs, "text", "doc_id").collect()}
+    assert rows[1]["n_other_docs"] == 2 and rows[1]["sample_partner"] == 2
+    assert rows[2]["sample_partner"] == 1 and rows[5]["sample_partner"] == 1
+    assert rows[9]["n_other_docs"] == 0 and rows[9]["sample_partner"] is None

@@ -1,0 +1,200 @@
+"""Graph analytics over DataFrame edge lists: weighted PageRank,
+triangle counting, degree statistics.
+
+Beyond-reference family (the reference server has no graph operators;
+SURVEY.md §2 extension): the three classic relational-expressible graph
+primitives a curation pipeline meets — ranking entities in a derived
+relation graph (PageRank over the customer-nation -> supplier-nation
+trade graph), cohesion measurement (triangle counts over a co-purchase
+graph), and structure profiling (degree distribution).
+
+Scale notes (100 TB): each PageRank iteration is ONE join (ranks into
+the per-source edge-proportion table, keyed by source) plus ONE
+aggregation (contributions keyed by destination) — the textbook
+data-parallel Pregel formulation; the driver loops over the bounded
+iteration count, never over rows, and lineage is truncated with an
+eager ``localCheckpoint`` per iteration exactly like the
+connected-components operator (operators/dedup.py). Triangle counting
+orients every edge low-id -> high-id so each triangle is counted once
+and the wedge join fans out on the smaller endpoint's out-degree; the
+wedge stream is candidates-only (never the full V x V square).
+
+Determinism: PageRank runs ENTIRELY in integer arithmetic — ranks are
+held in 1e-9 mass units (BIGINT), per-source edge proportions in 1e-6
+units, and every per-iteration sum is an order-independent exact
+integer sum, so the result is bit-identical on any partitioning and in
+any engine (Spark ``DIV`` and DuckDB ``//`` agree on the non-negative
+integers used here). Weights must satisfy ``w * 1_000_000 < 2**63``
+per (src, dst) group — at extreme scale pre-aggregate weights into
+coarser units (e.g. whole currency units instead of scaled cents)
+before calling; the contract is asserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_ONE = 1_000_000_000  # total rank mass, in 1e-9 units
+PROP_ONE = 1_000_000  # per-source edge proportion denominator
+
+# w * PROP_ONE must stay inside BIGINT.
+_MAX_WEIGHT = (2**63 - 1) // PROP_ONE
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None = None,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(id, rank_nano BIGINT): integer-arithmetic weighted PageRank.
+
+    ``rank_nano`` is the node's rank in 1e-9 units of the total mass.
+    Dangling mass (nodes with no out-edges) is dropped each step — the
+    standard "dangling nodes donate nothing" convention, stated here so
+    the semantics are exact rather than implementation-defined.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    agg = e.groupBy("src", "dst").agg(F.sum("w").cast("bigint").alias("w"))
+    outw = agg.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
+    prop = (
+        agg.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                f"CAST(IF(w > {_MAX_WEIGHT}, "
+                "raise_error('pagerank: weight overflow — pre-scale weights'), "
+                f"(w * {PROP_ONE}) DIV out_w) AS BIGINT)"
+            ).alias("p"),
+        )
+        .persist()
+    )
+    nodes = (
+        agg.select(F.col("src").alias("id"))
+        .union(agg.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("bigint").alias("rank_nano"))
+    init = RANK_ONE // n
+    tele = (RANK_ONE * (100 - damping_pct) // 100) // n
+    ranks = nodes.select("id", F.lit(init).cast("bigint").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            prop.join(ranks, prop.src == ranks.id)
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr(f"(r * p) DIV {PROP_ONE}")).cast("bigint").alias("s")
+            )
+        )
+        ranks = nodes.join(contrib, nodes.id == contrib.dst, "left").select(
+            nodes.id,
+            F.expr(f"CAST({tele} + (({damping_pct} * coalesce(s, 0)) DIV 100) AS BIGINT)").alias(
+                "r"
+            ),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("id", F.col("r").alias("rank_nano"))
+
+
+def pagerank_oracle_ctes(
+    edges_sql: str, iterations: int = 5, damping_pct: int = 85
+) -> str:
+    """The WITH-chain prefix of the DuckDB oracle for :func:`pagerank`:
+    the driver-loop unrolled into ``iterations`` chained CTEs (the house
+    pattern for fixed-iteration algorithms — an independent engine
+    replays the same exact integer recurrence). The final CTE is
+    ``r{iterations}`` with columns (id, r).
+    """
+    parts = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "eagg AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w"
+        " FROM edges GROUP BY src, dst)",
+        "outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM eagg GROUP BY src)",
+        f"prop AS MATERIALIZED (SELECT a.src, a.dst,"
+        f" CAST((a.w * {PROP_ONE}) // o.out_w AS BIGINT) AS p"
+        " FROM eagg a JOIN outw o ON o.src = a.src)",
+        "nodes AS MATERIALIZED (SELECT src AS id FROM eagg"
+        " UNION SELECT dst FROM eagg)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"r0 AS (SELECT id, CAST({RANK_ONE} // n AS BIGINT) AS r FROM nodes, nn)",
+    ]
+    tele = f"{RANK_ONE * (100 - damping_pct) // 100} // nn.n"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT n.id,"
+            f" CAST(({tele}) + (({damping_pct} * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r"
+            " FROM nodes n CROSS JOIN nn"
+            " LEFT JOIN (SELECT p.dst,"
+            f" CAST(SUM((r.r * p.p) // {PROP_ONE}) AS BIGINT) AS s"
+            f" FROM prop p JOIN r{i - 1} r ON r.id = p.src GROUP BY p.dst) c"
+            " ON c.dst = n.id)"
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """(pa, pb) with pa < pb: distinct unordered part pairs that appear
+    in the same order — an orderkey-keyed equi-self-join (co-partitioned
+    at scale; never a cross product) followed by one distinct."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    return (
+        a.join(b, ["ok"])
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles BIGINT) from an oriented (pa < pb) distinct
+    edge list: wedge join (e1.pb = e2.pa) closed by an edge-existence
+    join, then each triangle credited to its three corners."""
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree BIGINT, n_nodes BIGINT) over an oriented distinct edge
+    list — the undirected degree of each node, then the histogram."""
+    ends = edges.select(F.col("pa").alias("node")).unionAll(
+        edges.select(F.col("pb").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

@@ -195,6 +195,7 @@ def registry() -> dict[str, QueryDef]:
         core3,
         dedup,
         extensions,
+        graph,
         merge,
         quality,
         sampling,

@@ -423,3 +423,91 @@ def epoch_mix(
         )
         .select("id", "stratum", F.col("epoch").cast("bigint"))
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    *,
+    n_buckets: int = 256,
+    seed: str = "dsir",
+) -> DataFrame:
+    """(id, n_tokens, logw DOUBLE, logw_dec DECIMAL): hashed-n-gram
+    importance weights — the DSIR recipe (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    estimate a bag-of-hashed-unigrams model of the TARGET domain
+    (rows where ``target_pred`` holds) and of the RAW corpus, then
+    weight every document by its log likelihood ratio
+
+        logw(doc) = sum over token occurrences of
+                    ln p_target(bucket) - ln p_raw(bucket)
+
+    with add-one smoothing over the ``n_buckets`` hash buckets. High
+    logw = looks like the target domain; resample the corpus by logw
+    (top-k or Gumbel) to shift the mixture toward the target.
+
+    Determinism: buckets come from md5 (engine-identical); each
+    bucket's log-ratio is rounded to 8 decimals and cast to
+    DECIMAL(18,8) BEFORE the per-document sum, so the only
+    cross-engine float op (ln) is quantized first and the aggregation
+    is an exact, order-independent decimal sum (the corpus-LM
+    cross-entropy pattern).
+
+    Scale shape (100 TB): one token explode (the same stream the LM /
+    TF-IDF operators pay), one 2*n_buckets-row model aggregation
+    (broadcast back), one per-document re-aggregation — no self-joins,
+    no driver materialization; the model table is O(n_buckets).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        target_pred.cast("boolean").alias("is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("term"))), 1, _HEX_DIGITS),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    tokb = tok.select("id", "is_target", bucket.alias("bucket"))
+    counts = tokb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("bigint").alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").cast("bigint").alias("tr"), F.sum("ct").cast("bigint").alias("tt")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("tt") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("tr") + n_buckets).cast("double")
+            ),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("lr"),
+    )
+    scored = (
+        tokb.join(F.broadcast(lr), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr").cast("decimal(28,8)").alias("logw_dec"),
+        )
+    )
+    return scored.select(
+        "id",
+        "n_tokens",
+        F.col("logw_dec").cast("double").alias("logw"),
+        "logw_dec",
+    )

@@ -250,3 +250,77 @@ def sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly m — the data-recipe step between curation and packing."""
     docs = tables.load(spark, sf_dir, "documents")
     return sampling.epoch_mix(docs, "doc_id", "source", _EPOCH_MULTS)
+
+
+# DSIR importance resampling (arXiv:2302.03169): weight every document
+# by how much its hashed-unigram distribution looks like the TARGET
+# domain (here: the src0/src1 sources) relative to the raw corpus.
+# Per-bucket log-ratios are rounded to 8 and summed as DECIMAL, so the
+# only cross-engine float op (ln) is quantized before aggregation (the
+# corpus-LM pattern); top-k selection orders by the EXACT decimal sum.
+_DSIR_BUCKETS = 256
+_DSIR_K = 40
+_DSIR_TARGET = ("src0", "src1")
+
+_DSIR_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT t.doc_id AS id, (t.source IN ('src0', 'src1')) AS is_target,
+         CAST(('0x' || SUBSTR(md5('dsir:' || t.term), 1, 15)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS term
+        FROM documents) t),
+counts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM tok GROUP BY bucket),
+tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+        FROM counts),
+lr AS (
+  SELECT bucket,
+         CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + {_DSIR_BUCKETS} AS DOUBLE))
+                  - LN(CAST(cr + 1 AS DOUBLE) / CAST(tr + {_DSIR_BUCKETS} AS DOUBLE)),
+                    8) AS DECIMAL(18,8)) AS lr
+  FROM counts, tot),
+scored AS (
+  SELECT t.id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(l.lr) AS logw_dec
+  FROM tok t JOIN lr l USING (bucket) GROUP BY t.id)
+SELECT CAST(rnk AS BIGINT) AS rank_pos, CAST(id AS BIGINT) AS id, n_tokens,
+       {{logw}} AS logw
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY logw_dec DESC, id ASC) AS rnk
+      FROM scored) s
+WHERE rnk <= {_DSIR_K}
+"""
+
+
+def _dsir_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    return _DSIR_ORACLE.format(logw=rrepr("CAST(logw_dec AS DOUBLE)", 6))
+
+
+@df_query("sample_dsir_topk", _dsir_oracle())
+def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by DSIR importance weight against the src0/src1
+    target domain — the data-selection step that shifts a raw-corpus
+    mixture toward a curated target distribution."""
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = sampling.dsir_importance(
+        docs,
+        "text",
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET),
+        n_buckets=_DSIR_BUCKETS,
+    )
+    wr = Window.orderBy(F.desc("logw_dec"), F.asc("id"))
+    return (
+        scored.withColumn("rank_pos", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank_pos") <= _DSIR_K)
+        .select(
+            "rank_pos",
+            F.col("id").cast("bigint").alias("id"),
+            "n_tokens",
+            F.round(F.col("logw"), 6).alias("logw"),
+        )
+    )

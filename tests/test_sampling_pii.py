@@ -193,3 +193,41 @@ def test_epoch_mix_expected_duplication(spark, sf_dir):
         lo, hi = math.floor(m), math.ceil(m)
         assert lo <= ratio <= hi, (s, ratio, m)
         assert abs(ratio - m) < 0.35, (s, ratio, m)
+
+
+def test_dsir_separates_disjoint_vocabularies(spark):
+    """DSIR's log-likelihood-ratio weight must strongly prefer documents
+    drawn from the target vocabulary when target/background vocabularies
+    are disjoint (synthetic; the fixture word-soup has a thin margin)."""
+    from datafusion_server_spark.operators.sampling import dsir_importance
+
+    rows = []
+    for i in range(30):
+        rows.append(Row(doc_id=i, text="alpha beta gamma delta alpha beta", grp="t"))
+    for i in range(30, 90):
+        rows.append(Row(doc_id=i, text="omega psi chi phi omega psi", grp="b"))
+    # held-out probe docs, one per vocabulary, NOT in the target set
+    rows.append(Row(doc_id=900, text="alpha beta gamma", grp="probe_t"))
+    rows.append(Row(doc_id=901, text="omega psi chi", grp="probe_b"))
+    docs = spark.createDataFrame(rows)
+    scored = dsir_importance(
+        docs, "text", "doc_id", F.col("grp") == "t", n_buckets=64
+    )
+    w = {r["id"]: r["logw"] for r in scored.collect()}
+    assert w[900] > 0 > w[901]
+    assert w[900] - w[901] > 1.0
+
+
+def test_dsir_weight_scales_with_length(spark):
+    """logw is a sum over token occurrences: a doc repeating the target
+    vocabulary twice scores twice the single copy (exact decimal sum)."""
+    from datafusion_server_spark.operators.sampling import dsir_importance
+
+    rows = [Row(doc_id=i, text="alpha beta", grp="t") for i in range(10)]
+    rows += [Row(doc_id=i + 10, text="omega psi", grp="b") for i in range(10)]
+    rows.append(Row(doc_id=100, text="alpha beta", grp="x"))
+    rows.append(Row(doc_id=101, text="alpha beta alpha beta", grp="x"))
+    docs = spark.createDataFrame(rows)
+    scored = dsir_importance(docs, "text", "doc_id", F.col("grp") == "t")
+    w = {r["id"]: r["logw_dec"] for r in scored.collect()}
+    assert w[101] == w[100] * 2

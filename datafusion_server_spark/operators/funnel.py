@@ -218,3 +218,69 @@ def interarrival_burstiness(
             (std + mean) > 0.0, F.round((std - mean) / (std + mean), 6)
         ).alias("burstiness"),
     )
+
+
+def path_surprisal(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+) -> DataFrame:
+    """(user, n_transitions BIGINT, surprisal_dec DECIMAL, surprisal
+    DOUBLE): average negative log-likelihood of each user's event path
+    under the corpus-wide first-order Markov model (the
+    :func:`transition_matrix` MLE) — high surprisal = a journey the
+    global model finds unusual, the sequence-level anomaly signal that
+    pairs with the point-level z-score operator.
+
+    Determinism: the per-transition -ln p is rounded to 8 decimals and
+    cast DECIMAL before the exact per-user sum (the corpus-LM pattern:
+    the only cross-engine float op is quantized before aggregation);
+    the reported average divides the exact decimal sum once at the end.
+
+    Scale: one user-keyed window + one broadcast join of the
+    alphabet-squared model table + one user aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak_col).asc()
+    )
+    paired = events.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("to_type"),
+        F.lag(F.col(type_col)).over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = paired.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    row_tot = counts.groupBy("from_type").agg(
+        F.sum("n_ab").cast("bigint").alias("n_a")
+    )
+    nll = counts.join(row_tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.round(
+            -F.log(F.col("n_ab").cast("double") / F.col("n_a").cast("double")), 8
+        )
+        .cast("decimal(18,8)")
+        .alias("nll"),
+    )
+    scored = (
+        paired.join(F.broadcast(nll), ["from_type", "to_type"])
+        .groupBy("user")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum("nll").cast("decimal(28,8)").alias("surprisal_dec"),
+        )
+    )
+    return scored.select(
+        "user",
+        "n_transitions",
+        "surprisal_dec",
+        (
+            F.col("surprisal_dec").cast("double")
+            / F.col("n_transitions").cast("double")
+        ).alias("surprisal"),
+    )

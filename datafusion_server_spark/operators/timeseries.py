@@ -263,3 +263,175 @@ def gapfill_locf(
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         F.round(filled.cast("double") / value_scale, 6).alias("filled"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    *,
+    alpha: float = 0.3,
+    lookback: int = 12,
+) -> DataFrame:
+    """(key, <tiebreak>, ts, value, ewma): truncated exponentially
+    weighted moving average — the standard smoothing pass of a
+    monitoring/feature pipeline, with the recursion unrolled to a
+    bounded ``lookback`` so the semantics are a FIXED linear
+    combination of the last ``lookback + 1`` samples:
+
+        ewma_t = sum_{k=0..lookback} alpha * (1-alpha)^k * x_{t-k}
+                 (missing lags contribute 0; weights NOT renormalized)
+
+    Determinism: the coefficients are driver-computed literals
+    (identical text in the oracle); each term is scaled-long quantized
+    (ROUND(x * c_k * 1e8)) and the window sum is an exact integer sum,
+    so results are partition- and engine-independent. A true infinite-
+    memory EWMA is a running recursion Spark can't express without a
+    UDAF and an engine can't reproduce bit-for-bit; the truncated form
+    is standard (a (1-alpha)^13 tail is < 1% mass at alpha = 0.3).
+
+    Scale shape: ONE window over (key, time) — the same single shuffle
+    every per-key sequence operator pays; no joins, no iteration.
+    """
+    coeffs = [alpha * (1.0 - alpha) ** k for k in range(lookback + 1)]
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+    terms = [
+        F.coalesce(
+            F.round(F.lag(F.col(value_col), k).over(w) * F.lit(c) * 1e8).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+        for k, c in enumerate(coeffs)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_tiebreak),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        F.round(total.cast("double") / 1e8, 6).alias("ewma"),
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    *,
+    window_rows: int = 12,
+    min_history: int = 6,
+    threshold: float = 2.0,
+    value_scale: int = 10_000,
+) -> DataFrame:
+    """(key, <tiebreak>, ts, value, z): points whose deviation from the
+    trailing per-key window (previous ``window_rows`` rows, excluding
+    self) exceeds ``threshold`` sample standard deviations.
+
+    Determinism: values are quantized to ``1/value_scale`` units first;
+    the trailing sums S1/S2 are exact integer window sums, and the
+    z-score is derived from those exact integers through an identical
+    double expression on both engines (IEEE ops on identical inputs),
+    so the >= threshold selection is exact. Needs ``value_scale^2 *
+    window_rows * max(value)^2 < 2^63`` — asserted nowhere cheap, so
+    pick value_scale against your value range (10_000 covers |v| <=
+    1e5 at window 12).
+
+    Scale shape: one window over (key, time) — single shuffle.
+    """
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts").asc(), F.col(order_tiebreak).asc())
+        .rowsBetween(-window_rows, -1)
+    )
+    vi = F.round(F.col(value_col) * value_scale).cast("bigint")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_tiebreak),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        vi.alias("vi"),
+    )
+    stats = base.select(
+        "*",
+        F.count(F.col("vi")).over(w).cast("bigint").alias("n"),
+        F.sum(F.col("vi")).over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("vi") * F.col("vi")).over(w).cast("bigint").alias("s2"),
+    ).filter(F.col("n") >= min_history)
+    n_d = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n_d
+    # sample variance of the trailing window, in quantized units
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (n_d - 1.0)
+    z = (F.col("vi").cast("double") - mean) / F.sqrt(var)
+    return (
+        stats.filter(F.col("s2") * F.col("n") != F.col("s1") * F.col("s1"))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= threshold)
+        .select("key", order_tiebreak, "ts", "value", "z")
+    )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    min_points: int = 8,
+    value_scale: int = 10_000,
+) -> DataFrame:
+    """(key, n, slope_per_day, intercept): per-key ordinary-least-squares
+    line of value over time — the trend feature of a monitoring/
+    forecasting pipeline, in closed form from exact integer moments.
+
+    x is SECONDS SINCE THE KEY'S FIRST EVENT (keeps x^2 sums inside
+    BIGINT at any epoch); y is the value quantized to 1/value_scale.
+    n, Sx, Sy, Sxy, Sxx are exact integer sums, so the slope
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is derived from identical exact
+    integers on any engine/partitioning. Keys with < min_points rows or
+    zero x-variance are dropped. slope_per_day = slope * 86400 (value
+    units per day).
+
+    Scale shape: one window (min-ts) sharing the groupBy's partitioning
+    + one aggregation — single shuffle.
+    """
+    wmin = Window.partitionBy(key_col)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        (
+            F.unix_micros(F.col(ts_col)) - F.min(F.unix_micros(F.col(ts_col))).over(wmin)
+        ).alias("xus"),
+        F.round(F.col(value_col) * value_scale).cast("bigint").alias("yi"),
+    ).select(
+        "key",
+        # integer division: Spark's double->bigint cast truncates while
+        # DuckDB's ROUNDS — DIV/'//' agree on non-negative integers
+        F.expr("CAST(xus DIV 1000000 AS BIGINT)").alias("xi"),
+        "yi",
+    )
+    agg = base.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xi").cast("bigint").alias("sx"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")  # quantized units per second
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    return (
+        agg.filter((F.col("n") >= min_points) & (den != 0))
+        .select(
+            "key",
+            "n",
+            (slope * (86_400.0 / value_scale)).alias("slope_per_day"),
+            (intercept / value_scale).alias("intercept"),
+        )
+    )

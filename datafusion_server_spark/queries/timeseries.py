@@ -811,3 +811,287 @@ def _session_stats_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 from datafusion_server_spark.queries import register, QueryDef  # noqa: E402
 
 register(QueryDef("events_session_stats", _session_stats_build, _SESSION_STATS_ORACLE))
+
+
+# --- EWMA smoothing (round 5): truncated exponential smoothing of each
+# user's value series. Coefficients are driver-computed literals used
+# verbatim in BOTH engines; each term is scaled-long quantized so the
+# window sum is exact (see operators/timeseries.py::ewma).
+_EWMA_ALPHA = 0.3
+_EWMA_LOOKBACK = 12
+_EWMA_COEFFS = [_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_LOOKBACK + 1)]
+
+_EWMA_TERMS = " + ".join(
+    f"COALESCE(CAST(ROUND(LAG(value, {k}) OVER w * {c!r} * 1e8) AS BIGINT), 0)"
+    for k, c in enumerate(_EWMA_COEFFS)
+)
+
+_EWMA_ORACLE = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id, event_id, epoch_us(ts) AS ts_us,
+       {{ewma}} AS ewma
+FROM (
+  SELECT user_id, event_id, ts, {_EWMA_TERMS} AS total
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+"""
+
+
+def _ewma_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    return _EWMA_ORACLE.format(ewma=rrepr("CAST(total AS DOUBLE) / 1e8", 6))
+
+
+@df_query("timeseries_ewma_value", _ewma_oracle())
+def timeseries_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    sm = timeseries.ewma(
+        ev, "user_id", "ts", "event_id", "value",
+        alpha=_EWMA_ALPHA, lookback=_EWMA_LOOKBACK,
+    )
+    return sm.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "ewma",
+    )
+
+
+# --- rolling z-score anomalies (round 5): points > 2 sample stddevs
+# from the user's trailing window. The z selection compares doubles
+# derived from exact integer window sums through identical IEEE
+# arithmetic (+,-,*,/,sqrt are all correctly rounded — only
+# transcendentals diverge between engines), so the flagged row set is
+# engine-exact; outputs are repr-round paired.
+_Z_WINDOW = 12
+_Z_MIN_HIST = 6
+_Z_THRESHOLD = 2.0
+_Z_SCALE = 10_000
+
+_ZSCORE_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(ROUND(value * {_Z_SCALE}) AS BIGINT) AS vi
+  FROM events),
+stats AS (
+  SELECT user_id, event_id, ts, value, vi,
+         CAST(COUNT(vi) OVER w AS BIGINT) AS n,
+         CAST(SUM(vi) OVER w AS BIGINT) AS s1,
+         CAST(SUM(vi * vi) OVER w AS BIGINT) AS s2
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT user_id, event_id, ts, value,
+         (CAST(vi AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / SQRT((CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                / (CAST(n AS DOUBLE) - 1.0)) AS zv
+  FROM stats
+  WHERE n >= {_Z_MIN_HIST} AND s2 * n != s1 * s1)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_id, epoch_us(ts) AS ts_us,
+       {{value}} AS value, {{z}} AS z
+FROM z WHERE ABS(zv) >= {_Z_THRESHOLD}
+"""
+
+
+def _zscore_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    return _ZSCORE_ORACLE.format(value=rrepr("value", 6), z=rrepr("zv", 6))
+
+
+@df_query("timeseries_anomaly_zscore", _zscore_oracle())
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    an = timeseries.rolling_zscore_anomalies(
+        ev, "user_id", "ts", "event_id", "value",
+        window_rows=_Z_WINDOW, min_history=_Z_MIN_HIST,
+        threshold=_Z_THRESHOLD, value_scale=_Z_SCALE,
+    )
+    return an.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value"), 6).alias("value"),
+        F.round(F.col("z"), 6).alias("z"),
+    )
+
+
+# --- per-user OLS trend (round 5): slope/intercept from exact integer
+# moments (x = seconds since the user's first event, y quantized).
+_TREND_MIN_POINTS = 8
+_TREND_SCALE = 10_000
+
+_TREND_ORACLE = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+              // 1000000 AS BIGINT) AS xi,
+         CAST(ROUND(value * {_TREND_SCALE}) AS BIGINT) AS yi
+  FROM events),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+         CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+         CAST(SUM(xi * xi) AS BIGINT) AS sxx
+  FROM base GROUP BY user_id),
+fit AS (
+  SELECT user_id, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM agg
+  WHERE n >= {_TREND_MIN_POINTS} AND n * sxx - sx * sx != 0),
+o AS (
+  SELECT f.user_id, f.n,
+         f.slope * (86400.0 / {_TREND_SCALE}) AS slope_per_day,
+         ((CAST(a.sy AS DOUBLE) - f.slope * CAST(a.sx AS DOUBLE))
+          / CAST(f.n AS DOUBLE)) / {_TREND_SCALE} AS icept
+  FROM fit f JOIN agg a ON a.user_id = f.user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id, n,
+       {{slope}} AS slope_per_day, {{icept}} AS intercept
+FROM o
+"""
+
+
+def _trend_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    return _TREND_ORACLE.format(
+        slope=rrepr("slope_per_day", 8), icept=rrepr("icept", 6)
+    )
+
+
+@df_query("timeseries_linear_trend", _trend_oracle())
+def timeseries_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    tr = timeseries.linear_trend(
+        ev, "user_id", "ts", "value",
+        min_points=_TREND_MIN_POINTS, value_scale=_TREND_SCALE,
+    )
+    return tr.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        "n",
+        F.round(F.col("slope_per_day"), 8).alias("slope_per_day"),
+        F.round(F.col("intercept"), 6).alias("intercept"),
+    )
+
+
+# --- seasonal day-of-week profile (round 5): per (event_type, dow)
+# volume/mean plus the deviation from the type's overall mean — the
+# classic seasonality decomposition input. All means come from one
+# scaled-long sum; Spark's dayofweek is 1-based (Sunday=1), DuckDB's
+# 0-based, hence the +1 on the oracle side.
+_SEASONAL_SPARK_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vi
+  FROM events),
+bydow AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vi) AS BIGINT) AS s
+  FROM base GROUP BY event_type, dow),
+bytype AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts
+  FROM bydow GROUP BY event_type)
+SELECT d.event_type, d.dow, d.n,
+       ROUND(CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE) / 1000000, 6) AS avg_value,
+       ROUND(CAST(d.n AS DOUBLE) / CAST(t.tn AS DOUBLE), 6) AS share_of_type,
+       ROUND(CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE) / 1000000
+             - CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE) / 1000000, 6) AS dev_from_type
+FROM bydow d JOIN bytype t ON t.event_type = d.event_type
+"""
+
+
+def _seasonal_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    avg = "CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE) / 1000000"
+    tavg = "CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE) / 1000000"
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vi
+  FROM events),
+bydow AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vi) AS BIGINT) AS s
+  FROM base GROUP BY event_type, dow),
+bytype AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts
+  FROM bydow GROUP BY event_type)
+SELECT d.event_type, d.dow, d.n,
+       {rrepr(avg, 6)} AS avg_value,
+       {rrepr("CAST(d.n AS DOUBLE) / CAST(t.tn AS DOUBLE)", 6)} AS share_of_type,
+       {rrepr(f"{avg} - {tavg}", 6)} AS dev_from_type
+FROM bydow d JOIN bytype t ON t.event_type = d.event_type
+"""
+
+
+def timeseries_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SEASONAL_SPARK_SQL)
+
+
+from datafusion_server_spark.queries import register as _register, QueryDef as _QueryDef
+
+_register(_QueryDef("timeseries_seasonal_dow", timeseries_seasonal_dow, _seasonal_oracle()))
+
+
+# --- Markov path surprisal (round 5): sequence-level anomaly score —
+# each user's path scored under the corpus transition model
+# (operators/funnel.py::path_surprisal); top-k most surprising users.
+_SURPRISAL_K = 20
+
+_SURPRISAL_ORACLE = f"""
+WITH paired AS (
+  SELECT user_id AS u, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events),
+trans AS (SELECT * FROM paired WHERE from_type IS NOT NULL),
+counts AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM trans GROUP BY from_type, to_type),
+rowtot AS (SELECT from_type, CAST(SUM(n_ab) AS BIGINT) AS n_a
+           FROM counts GROUP BY from_type),
+nll AS (SELECT c.from_type, c.to_type,
+               CAST(ROUND(-LN(CAST(c.n_ab AS DOUBLE) / CAST(r.n_a AS DOUBLE)), 8)
+                    AS DECIMAL(18,8)) AS nll
+        FROM counts c JOIN rowtot r ON r.from_type = c.from_type),
+scored AS (
+  SELECT t.u, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         SUM(l.nll) AS sdec
+  FROM trans t JOIN nll l ON l.from_type = t.from_type AND l.to_type = t.to_type
+  GROUP BY t.u),
+o AS (SELECT u, n_transitions,
+             CAST(sdec AS DOUBLE) / CAST(n_transitions AS DOUBLE) AS sv
+      FROM scored)
+SELECT CAST(rnk AS BIGINT) AS rank_pos, CAST(u AS BIGINT) AS user_id,
+       n_transitions, {{s}} AS surprisal_nats
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY {{s}} DESC, u ASC) AS rnk FROM o) t
+WHERE rnk <= {_SURPRISAL_K}
+"""
+
+
+def _surprisal_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    return _SURPRISAL_ORACLE.format(s=rrepr("sv", 6))
+
+
+@df_query("events_markov_surprisal", _surprisal_oracle())
+def events_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators import funnel
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    sc = funnel.path_surprisal(ev, "user_id", "event_type", "ts", "event_id")
+    rounded = sc.select(
+        F.col("user").cast("bigint").alias("user_id"),
+        "n_transitions",
+        F.round(F.col("surprisal"), 6).alias("surprisal_nats"),
+    )
+    wr = Window.orderBy(F.desc("surprisal_nats"), F.asc("user_id"))
+    return (
+        rounded.withColumn("rank_pos", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank_pos") <= _SURPRISAL_K)
+        .select("rank_pos", "user_id", "n_transitions", "surprisal_nats")
+    )

@@ -232,3 +232,79 @@ def test_cohort_offset_zero_is_full_retention(spark, sf_dir):
     ret = funnel.cohort_retention(ev, "user_id", "ts")
     zero = ret.filter(F.col("week_offset") == 0).collect()
     assert zero and all(r.retention == 1.0 and r.n_active == r.n_cohort for r in zero)
+
+
+def _ts(i: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i)
+
+
+def test_ewma_matches_hand_unrolled(spark):
+    from datafusion_server_spark.operators.timeseries import ewma
+
+    vals = [10.0, 20.0, 30.0, 40.0]
+    df = spark.createDataFrame(
+        [Row(k=1, ts=_ts(i), i=i, v=v) for i, v in enumerate(vals)]
+    )
+    out = {
+        r["i"]: r["ewma"]
+        for r in ewma(df, "k", "ts", "i", "v", alpha=0.5, lookback=2).collect()
+    }
+    # truncated EWMA, missing lags contribute 0:
+    # t0: .5*10 = 5 ; t1: .5*20 + .25*10 = 12.5
+    # t2: .5*30 + .25*20 + .125*10 = 21.25
+    # t3: .5*40 + .25*30 + .125*20 = 30.0 (t0 beyond lookback)
+    assert out == {0: 5.0, 1: 12.5, 2: 21.25, 3: 30.0}
+
+
+def test_zscore_flags_spike_only(spark):
+    from datafusion_server_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    rows = [Row(k=1, ts=_ts(i), i=i, v=10.0 + (i % 3) * 0.5) for i in range(12)]
+    rows.append(Row(k=1, ts=_ts(12), i=12, v=500.0))
+    rows += [Row(k=1, ts=_ts(13 + j), i=13 + j, v=10.0) for j in range(3)]
+    # a second, perfectly constant user: zero variance, never flagged
+    rows += [Row(k=2, ts=_ts(i), i=i, v=7.0) for i in range(12)]
+    df = spark.createDataFrame(rows)
+    got = rolling_zscore_anomalies(df, "k", "ts", "i", "v").collect()
+    flagged = {(r["key"], r["i"]) for r in got}
+    assert (1, 12) in flagged
+    assert all(k != 2 for k, _ in flagged)
+    # the spike inflates the trailing window's variance so much that the
+    # return to 10.0 is NOT itself beyond 2 trailing stddevs
+    zmap = {(r["key"], r["i"]): r["z"] for r in got}
+    assert zmap[(1, 12)] > 2.0
+
+
+def test_linear_trend_recovers_exact_line(spark):
+    from datafusion_server_spark.operators.timeseries import linear_trend
+
+    # y = 5 + 2 per hour = 48 per day, sampled hourly
+    rows = [
+        Row(k=1, ts=_ts(i * 60), v=5.0 + 2.0 * i) for i in range(10)
+    ]
+    # a flat user below min_points
+    rows += [Row(k=2, ts=_ts(i * 60), v=1.0) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    got = linear_trend(df, "k", "ts", "v").collect()
+    assert [r["key"] for r in got] == [1]
+    r = got[0]
+    assert abs(r["slope_per_day"] - 48.0) < 1e-6
+    assert abs(r["intercept"] - 5.0) < 1e-6
+
+
+def test_path_surprisal_prefers_rare_paths(spark):
+    from datafusion_server_spark.operators.funnel import path_surprisal
+
+    rows = []
+    # 20 users follow the common path a->b->a->b...
+    for u in range(20):
+        for i, t in enumerate(["a", "b", "a", "b", "a"]):
+            rows.append(Row(u=u, ts=_ts(i), i=i, t=t))
+    # one user takes the rare b->b loops
+    for i, t in enumerate(["b", "b", "b", "b", "b"]):
+        rows.append(Row(u=99, ts=_ts(i), i=i, t=t))
+    df = spark.createDataFrame(rows)
+    got = {r["user"]: r["surprisal"] for r in path_surprisal(df, "u", "t", "ts", "i").collect()}
+    assert got[99] > max(v for u, v in got.items() if u != 99)

@@ -169,7 +169,13 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 def triangle_participation(edges: DataFrame) -> DataFrame:
     """(node, n_triangles BIGINT) from an oriented (pa < pb) distinct
     edge list: wedge join (e1.pb = e2.pa) closed by an edge-existence
-    join, then each triangle credited to its three corners."""
+    join, then each triangle credited to its three corners.
+
+    The edge list is persisted first — it feeds all three join legs, and
+    without materialization Spark would recompute the upstream edge
+    derivation (a distinct over a self-join here) three times; at
+    warehouse scale swap the persist for a staging write."""
+    edges = edges.persist()
     e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
     e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))

@@ -399,19 +399,24 @@ def linear_trend(
     Scale shape: one window (min-ts) sharing the groupBy's partitioning
     + one aggregation — single shuffle.
     """
-    wmin = Window.partitionBy(key_col)
-    base = df.select(
-        F.col(key_col).alias("key"),
-        (
-            F.unix_micros(F.col(ts_col)) - F.min(F.unix_micros(F.col(ts_col))).over(wmin)
-        ).alias("xus"),
-        F.round(F.col(value_col) * value_scale).cast("bigint").alias("yi"),
-    ).select(
-        "key",
-        # integer division: Spark's double->bigint cast truncates while
-        # DuckDB's ROUNDS — DIV/'//' agree on non-negative integers
-        F.expr("CAST(xus DIV 1000000 AS BIGINT)").alias("xi"),
-        "yi",
+    # alias BEFORE the window so the min-ts window and the moment
+    # aggregation hash-partition on the same attribute and Catalyst
+    # reuses the exchange (verified: one shuffle total)
+    wmin = Window.partitionBy("key")
+    base = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            F.round(F.col(value_col) * value_scale).cast("bigint").alias("yi"),
+        )
+        .select("key", (F.col("us") - F.min("us").over(wmin)).alias("xus"), "yi")
+        .select(
+            "key",
+            # integer division: Spark's double->bigint cast truncates while
+            # DuckDB's ROUNDS — DIV/'//' agree on non-negative integers
+            F.expr("CAST(xus DIV 1000000 AS BIGINT)").alias("xi"),
+            "yi",
+        )
     )
     agg = base.groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

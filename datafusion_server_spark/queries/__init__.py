@@ -153,9 +153,11 @@ PRIORITY: tuple[str, ...] = (
     "text_lm_cross_entropy",
     "text_fuzzy_match_pairs",
     "gopher_quality_flags",
-    # LLM-pipeline: sampling (round-3 domain-mix + late-round-4
-    # temperature-alpha mix)
-    "sample_domain_mix",
+    # LLM-pipeline: sampling (round-5: DSIR importance resampling joins
+    # the window; sample_domain_mix rotated OUT — the share-derivation
+    # surface stays in-window via temperature_mix and domain_mix remains
+    # oracle-verified in pytest)
+    "sample_dsir_topk",
     "sample_temperature_mix",
     # merge processors (reference A14/A15)
     "merge_processor_column",
@@ -164,18 +166,25 @@ PRIORITY: tuple[str, ...] = (
     # sliding rotated OUT late round 4 for the curation pipeline —
     # tumbling covers the windowed-agg family, sliding stays
     # oracle-verified in pytest)
+    # (session_window_native rotated OUT round 5 for the graph row;
+    # the session-window surface stays in-window via
+    # streaming_stateful_sessionize and remains oracle-verified in pytest)
     "streaming_tumbling_counts",
     "streaming_stateful_sessionize",
     "streaming_stream_stream_join",
-    "streaming_session_window_native",
     # end-to-end curation pipeline: the r4 operator family composed
     # (gopher gate -> dedup keepers -> domain mix -> stats)
     "pipeline_curation_end2end",
-    # time-series operators (+ late-round-4 gap-fill/LOCF)
+    # time-series operators (+ late-round-4 gap-fill/LOCF; round-5
+    # swaps: range_join rotated OUT for the trailing-window z-score —
+    # interval-join semantics stay pytest-green — and the new graph
+    # family takes a window row via the all-integer PageRank)
     "asof_join_last_click",
-    "range_join_event_pairs",
+    "timeseries_anomaly_zscore",
     "hypertable_rollup",
     "timeseries_gapfill_locf",
+    # graph analytics (round 5, beyond-reference family)
+    "graph_pagerank_trade",
     # sketches
     "sketch_kmv_distinct",
     # multimodal plumbing

@@ -238,7 +238,16 @@ def main() -> None:
     # per-round record. Streaming jobs pay checkpoint + micro-batch
     # orchestration, so they are timed once (not min-of-3) and kept OUT of
     # the headline total — the DuckDB proxy has no streaming analog.
-    SECONDARY = ["streaming_session_window_native", "streaming_stream_stream_join"]
+    # Round 5 adds the new extension families (graph / DSIR / anomaly)
+    # as batch secondary rows — informational visibility, still outside
+    # the pinned headline set so the cross-round series stays comparable.
+    SECONDARY = [
+        "streaming_session_window_native",
+        "streaming_stream_stream_join",
+        "graph_pagerank_trade",
+        "sample_dsir_topk",
+        "timeseries_anomaly_zscore",
+    ]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         try:
@@ -268,8 +277,9 @@ def main() -> None:
                 "queries_default_variant": default_variant,
                 "queries_secondary": secondary,
                 "secondary_note": (
-                    "structured-streaming rows, timed once, excluded from the "
-                    "headline total (no DuckDB streaming analog)"
+                    "non-headline rows, timed once, excluded from the headline "
+                    "total: streaming (no DuckDB analog) + round-5 extension "
+                    "families (graph/DSIR/anomaly)"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -132,7 +132,7 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_right")
 
 
-def test_runtime_bloom_filter_fires_at_scale_thresholds(tmp_path):
+def test_runtime_bloom_filter_fires_at_scale_thresholds(spark, tmp_path):
     """Scale evidence for the selective-dim join shape (q3/q5/q10 at
     100 TB where the dim no longer broadcasts): Catalyst's runtime
     bloom-filter injection must remain AVAILABLE in our sessions — a
@@ -140,22 +140,23 @@ def test_runtime_bloom_filter_fires_at_scale_thresholds(tmp_path):
     (`might_contain`), cutting the shuffled fact rows to candidates
     only. The session default thresholds (10 GB application side) only
     suppress it at FIXTURE scale, so this test lowers them to prove
-    nothing in our session/operator stack disables the rewrite."""
-    from datafusion_server_spark.session import build_spark
+    nothing in our session/operator stack disables the rewrite.
 
-    spark = build_spark(
-        app_name="bloom-evidence",
-        master="local[4]",
-        shuffle_partitions=4,
-        extra_conf={
-            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100KB",
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
-            # force the non-broadcast join path the rewrite targets
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-        },
-    )
+    Uses the SHARED session with set/restore of the runtime SQL confs:
+    local-mode sessions share one JVM SparkContext, so building a
+    throwaway session and .stop()-ing it would kill the context under
+    every later test (that exact bug shipped once — 106 downstream
+    failures)."""
+    _BLOOM_CONFS = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100KB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # force the non-broadcast join path the rewrite targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
     try:
-        spark.sparkContext.setLogLevel("ERROR")
         fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
         spark.range(200_000).select(
             F.col("id").alias("fk"), (F.col("id") * 2).alias("v")
@@ -172,4 +173,5 @@ def test_runtime_bloom_filter_fires_at_scale_thresholds(tmp_path):
         # and the rewrite must not change results
         assert j.count() == 1_000
     finally:
-        spark.stop()
+        for k, v in prev.items():
+            spark.conf.set(k, v)

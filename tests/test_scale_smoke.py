@@ -150,3 +150,79 @@ def test_shuffle_shards_balanced_at_50k(spark):
     sizes = [r["n"] for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()]
     assert len(sizes) == 64
     assert max(sizes) < min(sizes) * 1.25
+
+
+def test_pagerank_bounded_on_hubby_graph_200k_edges(spark):
+    """200k-edge synthetic graph with deliberate hubs (every node also
+    links to one of 20 hub targets): 5 integer PageRank iterations
+    finish, total mass never exceeds the unit, and the hubs dominate
+    the ranking — the iteration cost is O(edges) per step, driver loops
+    over iterations only."""
+    from datafusion_server_spark.operators import graph
+
+    n_nodes = 50_000
+    base = spark.range(n_nodes).select(
+        F.col("id").alias("src"),
+        # a pseudo-random non-hub neighbor
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+         .cast("bigint") % n_nodes).alias("dst"),
+    )
+    hubs = spark.range(n_nodes).select(
+        F.col("id").alias("src"), (F.col("id") % 20).alias("dst")
+    )
+    ranks = graph.pagerank(
+        base.unionAll(hubs).unionAll(
+            base.withColumn("dst", (F.col("dst") + 1) % n_nodes)
+        ).unionAll(hubs.withColumn("dst", (F.col("dst") + 7) % 20)),
+        "src", "dst",
+    )
+    rows = ranks.orderBy(F.desc("rank_nano"), F.asc("id")).limit(25).collect()
+    total = ranks.agg(F.sum("rank_nano")).collect()[0][0]
+    assert total <= graph.RANK_ONE
+    top_ids = {r["id"] for r in rows[:20]}
+    assert len(top_ids & set(range(27))) >= 18  # hubs (0..19 + shifted) on top
+
+
+def test_zscore_window_survives_one_hot_key_100k(spark):
+    """100k events on ONE key: the per-key window is inherently a
+    single-partition sort — the operator must still finish promptly and
+    flag exactly the planted spikes (every 10_000th value is 100x)."""
+    from datafusion_server_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    df = spark.range(100_000).select(
+        F.lit(1).alias("k"),
+        F.col("id").alias("i"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.when(F.col("id") % 10_000 == 9_999, 500.0)
+        .otherwise((F.col("id") % 7).cast("double"))
+        .alias("v"),
+    )
+    got = rolling_zscore_anomalies(df, "k", "ts", "i", "v").collect()
+    spikes = {r["i"] for r in got if r["value"] == 500.0}
+    assert spikes == {9_999 + 10_000 * j for j in range(10)}
+
+
+def test_dsir_model_stays_bucket_bounded_at_50k(spark):
+    """50k docs: the DSIR model table is O(n_buckets) regardless of
+    corpus size, and the scoring pass covers every document."""
+    from datafusion_server_spark.operators.sampling import dsir_importance
+
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, F.lit("alpha beta gamma alpha"))
+        .otherwise(F.lit("omega psi chi phi"))
+        .alias("text"),
+        (F.col("id") % 10 == 0).alias("is_t"),
+    )
+    scored = dsir_importance(docs, "text", "doc_id", F.col("is_t"), n_buckets=128)
+    assert scored.count() == 50_000
+    # target-vocab docs all outrank background docs
+    worst_target = scored.filter(F.col("id") % 10 == 0).agg(
+        F.min("logw")
+    ).collect()[0][0]
+    best_other = scored.filter(F.col("id") % 10 != 0).agg(
+        F.max("logw")
+    ).collect()[0][0]
+    assert worst_target > best_other

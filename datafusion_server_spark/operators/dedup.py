@@ -145,13 +145,28 @@ def lsh_signature_index(
     materialize: bool = True,
 ) -> DataFrame:
     """The persistable MinHash-LSH index table: (id, mh0..mh{n-1}, sh
-    sorted-distinct shingle array, n_sh). ONE wide aggregation over the
-    exploded shingle stream computes every column. At 100 TB this table
+    sorted-distinct 60-bit shingle-hash array, n_sh). ONE wide
+    aggregation over the exploded shingle stream computes every column. At 100 TB this table
     is written once per corpus snapshot and reused by every later
     self-dedup or incremental-batch run (``lsh_pairs_against_index``) —
     the index-build/probe split that makes daily ingest linear in the
     BATCH, not the corpus. ``materialize`` eager-localCheckpoints it
-    (one row per document)."""
+    (one row per document).
+
+    The ``sh`` set stores 60-bit shingle HASHES, not strings: the first
+    15 hex chars of the same single md5 the minima consume, assembled
+    arithmetically from the two already-projected 32-bit slices
+    (``a * 2^28 + b div 16``), so no extra hash evaluation. Hashed-set
+    verification is the standard large-scale dedup shape (cf. the
+    suffix/minhash dedup literature): the per-doc arrays shrink ~4x
+    (bigint vs ~30-char strings), the checkpoint/staging write shrinks
+    with them, and ``array_intersect`` compares 8-byte values instead
+    of strings. A pair's hashed-intersection differs from its true
+    string intersection only on a 60-bit collision within that pair's
+    union (P < |union|^2 / 2^61 — at 10^6 distinct shingles ~5e-7, and
+    deterministic); the DuckDB oracles intentionally KEEP string-exact
+    intersections, so every gate run doubles as an empirical
+    no-collision proof at fixture scale."""
     df = ensure_fanout_parallelism(df)
     shingled = _with_hash_slices(
         df.select(
@@ -159,9 +174,10 @@ def lsh_signature_index(
             F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"),
         )
     )
+    hash60 = F.col("_mh_a") * F.lit(268435456) + F.shiftright(F.col("_mh_b"), 4)
     sigs = shingled.groupBy("id").agg(
         *_minhash_aggs(num_hashes),
-        F.sort_array(F.collect_set("shingle")).alias("sh"),
+        F.sort_array(F.collect_set(hash60)).alias("sh"),
     )
     if materialize:
         sigs = sigs.localCheckpoint(eager=True)

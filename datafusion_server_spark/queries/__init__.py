@@ -153,12 +153,13 @@ PRIORITY: tuple[str, ...] = (
     "text_lm_cross_entropy",
     "text_fuzzy_match_pairs",
     "gopher_quality_flags",
-    # LLM-pipeline: sampling (round-5: DSIR importance resampling joins
-    # the window; sample_domain_mix rotated OUT — the share-derivation
-    # surface stays in-window via temperature_mix and domain_mix remains
-    # oracle-verified in pytest)
+    # LLM-pipeline: sampling + mixture learning (round-5: DSIR
+    # importance resampling and DoReMi Group-DRO domain reweighting join
+    # the window; sample_domain_mix and later sample_temperature_mix
+    # rotated OUT — the share-derivation surface stays pytest-green and
+    # exercised inside pipeline_curation_end2end)
     "sample_dsir_topk",
-    "sample_temperature_mix",
+    "doremi_domain_weights",
     # merge processors (reference A14/A15)
     "merge_processor_column",
     "merge_processor_row",
@@ -203,6 +204,7 @@ def registry() -> dict[str, QueryDef]:
         core2,
         core3,
         dedup,
+        doremi,
         extensions,
         graph,
         merge,

@@ -207,6 +207,7 @@ def registry() -> dict[str, QueryDef]:
         doremi,
         extensions,
         graph,
+        htmltext,
         merge,
         quality,
         sampling,

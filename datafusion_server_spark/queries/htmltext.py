@@ -131,3 +131,79 @@ def html_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return htmltext.extract_meta(wrapped, "html").select(
         "doc_id", "title", "n_links", "first_link", "links_joined"
     )
+
+
+# --- web-ingest curation capstone: HTML -> visible text -> template-
+# boilerplate strip -> word-count gate -> exact dedup -> per-source
+# stats. The boilerplate patterns model the post-extraction template
+# removal every crawl pipeline runs (the synthesized wrapper plays the
+# site template); after the strip the body is the original fixture
+# text, so the dedup stage sees the corpus's true duplicate structure.
+_BP_PREFIX = r'^Doc [0-9]+ & friends Title <[0-9]+> '
+_BP_SUFFIX = r' Read "more" next$'
+_MIN_WORDS = 5
+_LEAD_CHARS = 120
+
+_WEB_ORACLE = f"""
+WITH h AS (SELECT doc_id, source, {_sql_concat(_PARTS)} AS html FROM documents),
+x AS (SELECT doc_id, source, {_sql_text("html")} AS clean FROM h),
+b AS (SELECT doc_id, source,
+             REGEXP_REPLACE(REGEXP_REPLACE(clean, '{_BP_PREFIX}', ''), '{_BP_SUFFIX}', '') AS body
+      FROM x),
+g AS (SELECT doc_id, source, body,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(body, ' '), w -> w <> '')) AS BIGINT) AS n_words
+      FROM b),
+gated AS (SELECT * FROM g WHERE n_words >= {_MIN_WORDS}),
+dd AS (SELECT md5(SUBSTR(body, 1, {_LEAD_CHARS})) AS h,
+              CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+              CAST(COUNT(*) AS BIGINT) AS n_copies
+       FROM gated GROUP BY md5(SUBSTR(body, 1, {_LEAD_CHARS}))),
+keepers AS (SELECT g.doc_id, g.source, g.n_words, d.n_copies
+            FROM gated g JOIN dd d ON d.keep_id = g.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_dropped,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM keepers GROUP BY source
+"""
+
+
+@df_query("pipeline_web_ingest", _WEB_ORACLE)
+def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-ingest shape: synthesized crawl HTML -> visible-
+    text extraction -> template-boilerplate regex strip -> minimum-word
+    gate -> leading-prefix exact dedup (md5 of the first _LEAD_CHARS
+    chars — the crawl-pipeline trick that catches same-article pages
+    whose tails differ; min-id keeper, drops credited to the keeper's
+    source) -> per-source kept/dropped/token-mass stats. One DataFrame
+    chain, no materialization boundary; every stage is codegen
+    expressions plus the one dedup groupBy shuffle."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wrapped = docs.withColumn("html", _spark_concat(_PARTS))
+    body = F.regexp_replace(
+        F.regexp_replace(htmltext.html_text_col(F.col("html")), _BP_PREFIX, ""),
+        _BP_SUFFIX,
+        "",
+    )
+    gated = (
+        wrapped.withColumn("body", body)
+        .withColumn(
+            "n_words",
+            F.size(F.filter(F.split(F.col("body"), " "), lambda w: w != "")).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("n_words") >= _MIN_WORDS)
+    )
+    dd = gated.groupBy(
+        F.md5(F.substring(F.col("body"), 1, _LEAD_CHARS)).alias("h")
+    ).agg(
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    keepers = gated.join(dd, gated["doc_id"] == dd["keep_id"])
+    return keepers.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dropped"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )

@@ -1,0 +1,135 @@
+"""WARC reader tests: spec-shaped synthetic archives (plain, gzip
+per-record members, whole-file gzip), content-length-driven robustness,
+and the distributed binaryFile -> mapInPandas scan composed with the
+HTML extraction chain."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators import htmltext
+from datafusion_server_spark.sources import warc_py
+
+
+def _record(
+    rtype: str,
+    payload: bytes,
+    uri: str = "",
+    rid: str = "<urn:uuid:1>",
+    extra: dict | None = None,
+) -> bytes:
+    headers = {
+        "WARC-Type": rtype,
+        "WARC-Record-ID": rid,
+        "WARC-Date": "2026-08-14T00:00:00Z",
+        "Content-Length": str(len(payload)),
+    }
+    if uri:
+        headers["WARC-Target-URI"] = uri
+    headers.update(extra or {})
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in headers.items()
+    )
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, ctype: bytes = b"text/html") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+
+
+def _archive() -> bytes:
+    info = _record("warcinfo", b"software: test\r\n", rid="<urn:uuid:0>")
+    req = _record(
+        "request",
+        b"GET /a HTTP/1.1\r\nHost: x.example\r\n\r\n",
+        uri="https://x.example/a",
+        rid="<urn:uuid:2>",
+    )
+    html_a = b"<html><body><p>Page A &amp; text</p></body></html>"
+    resp_a = _record(
+        "response",
+        _http(html_a),
+        uri="https://x.example/a",
+        rid="<urn:uuid:3>",
+        extra={"Content-Type": "application/http; msgtype=response"},
+    )
+    # payload that CONTAINS a fake record header: content-length-driven
+    # parsing must not resynchronize inside it
+    tricky = b"WARC/1.0\r\nWARC-Type: fake\r\n\r\nnot a real record"
+    resp_b = _record(
+        "response",
+        _http(b"<p>B</p>" + tricky),
+        uri="https://x.example/b",
+        rid="<urn:uuid:4>",
+    )
+    return info + req + resp_a + resp_b
+
+
+def test_parse_plain_archive_offsets_and_payloads():
+    data = _archive()
+    recs = list(warc_py.parse_warc_bytes(data, "mem"))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "request", "response", "response"]
+    assert recs[0]["record_offset"] == 0
+    # every offset points at a version line
+    for r in recs:
+        assert data[r["record_offset"] :].startswith(b"WARC/1.0")
+    assert recs[2]["target_uri"] == "https://x.example/a"
+    body = warc_py.http_response_body(recs[2]["payload"])
+    assert body == b"<html><body><p>Page A &amp; text</p></body></html>"
+    # the tricky payload came through intact, not split
+    assert b"WARC-Type: fake" in recs[3]["payload"]
+    assert len(recs) == 4
+
+
+def test_parse_gzip_member_and_whole_file_variants():
+    plain = list(warc_py.parse_warc_bytes(_archive()))
+    # CommonCrawl layout: one gzip member per record
+    recs_bytes = [
+        _record("warcinfo", b"software: test\r\n", rid="<urn:uuid:0>"),
+        _record("request", b"GET /a HTTP/1.1\r\n\r\n", uri="https://x.example/a"),
+    ]
+    members = b"".join(gzip.compress(rb) for rb in recs_bytes)
+    got = list(warc_py.parse_warc_bytes(members))
+    assert [r["warc_type"] for r in got] == ["warcinfo", "request"]
+    whole = gzip.compress(_archive())
+    assert [r["warc_type"] for r in warc_py.parse_warc_bytes(whole)] == [
+        r["warc_type"] for r in plain
+    ]
+
+
+def test_truncated_record_refused():
+    data = _archive()[:-20]
+    try:
+        list(warc_py.parse_warc_bytes(data, "t"))
+    except ValueError as e:
+        assert "truncated" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("truncated archive must refuse")
+
+
+def test_distributed_scan_and_html_composition(spark, tmp_path):
+    """Two files (one plain, one gzipped) -> binaryFile scan ->
+    response-only filter pushed into the parse task -> HTTP body ->
+    the HTML extraction chain recovers the visible text."""
+    (tmp_path / "a.warc").write_bytes(_archive())
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_archive()))
+    df = warc_py.read_warc(spark, str(tmp_path), record_types=("response",))
+    assert df.count() == 4  # 2 responses per file
+    texts = (
+        df.withColumn(
+            "html",
+            F.udf(lambda p: warc_py.http_response_body(bytes(p)).decode("utf-8"))(
+                F.col("payload")
+            ),
+        )
+        .withColumn("clean", htmltext.html_text_col(F.col("html")))
+        .filter(F.col("target_uri") == "https://x.example/a")
+        .select("clean")
+        .collect()
+    )
+    assert {r["clean"] for r in texts} == {"Page A & text"}

@@ -511,3 +511,51 @@ def dsir_importance(
         F.col("logw_dec").cast("double").alias("logw"),
         "logw_dec",
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_strata: int = 10,
+) -> DataFrame:
+    """Interleaved curriculum ordering (easy->hard with per-step
+    difficulty mixing): assign each document to one of ``n_strata``
+    uniform difficulty bands, then emit a deterministic GLOBAL training
+    position that round-robins across bands — position
+    ``(rank_in_band - 1) * n_strata + band`` — so every consecutive
+    window of ``n_strata`` training examples spans the full difficulty
+    range (the curriculum-with-mixing recipe; pure easy->hard ordering
+    is the ``ORDER BY band, rank`` projection of the same output).
+
+    Scale design: bands come from ONE tiny min/max aggregation
+    broadcast back (integer band arithmetic — NEVER a global NTILE,
+    which is a single-partition window sort at corpus scale), and
+    ranks are per-band windows, i.e. ``n_strata``-way parallel. The
+    integer expression ``((score - mn) * n_strata) div (mx - mn + 1)``
+    is exact in any engine. Ties break by id, so the full output is
+    bit-deterministic under any partitioning.
+    """
+    s = F.col(score_col).cast("bigint")
+    bounds = docs.agg(
+        F.min(s).alias("__mn"), F.max(s).alias("__mx")
+    )
+    banded = docs.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col).alias("id"),
+        s.alias("score"),
+        F.expr(
+            f"CAST(((CAST({score_col} AS BIGINT) - __mn) * {n_strata}) "
+            f"div (__mx - __mn + 1) AS BIGINT)"
+        ).alias("stratum"),
+    )
+    w = Window.partitionBy("stratum").orderBy(F.asc("score"), F.asc("id"))
+    return banded.select(
+        "id",
+        "score",
+        "stratum",
+        F.row_number().over(w).cast("bigint").alias("pos_in_stratum"),
+        (
+            (F.row_number().over(w) - 1).cast("bigint") * n_strata
+            + F.col("stratum")
+        ).alias("training_position"),
+    )

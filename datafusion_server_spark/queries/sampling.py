@@ -324,3 +324,38 @@ def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("logw"), 6).alias("logw"),
         )
     )
+
+
+# interleaved length-curriculum ordering: uniform word-count bands from
+# one broadcast min/max (never a global NTILE sort), per-band ranks,
+# round-robin global training position. All-integer -> exact oracle.
+_CURRICULUM_ORACLE = """
+WITH nw AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')) AS BIGINT) AS score
+            FROM documents),
+bounds AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM nw),
+banded AS (SELECT id, score,
+                  CAST(((score - mn) * 10) // (mx - mn + 1) AS BIGINT) AS stratum
+           FROM nw, bounds),
+r AS (SELECT id, score, stratum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY score ASC, id ASC) AS BIGINT) AS pos_in_stratum
+      FROM banded)
+SELECT id, score, stratum, pos_in_stratum,
+       (pos_in_stratum - 1) * 10 + stratum AS training_position
+FROM r
+"""
+
+
+@df_query("sample_curriculum_order", _CURRICULUM_ORACLE)
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum: word count as the difficulty proxy
+    (short -> long), interleaved so each consecutive block of 10
+    training rows spans all difficulty bands."""
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).cast("bigint").alias("n_words"),
+    )
+    return sampling.curriculum_order(scored, "doc_id", "n_words", 10)

@@ -298,3 +298,76 @@ def eval_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("actual_rate"),
         )
     )
+
+
+# AUC of the NB classifier margin via the Mann-Whitney rank-sum in its
+# SCALE-RIGHT form: scores are 6-decimal rounded, so aggregate to the
+# per-distinct-score (n_pos, n_neg) table FIRST (output bounded by
+# distinct margins), window over THAT tiny table for the cumulative
+# negatives, then one closing aggregation. Tie handling is the exact
+# midrank convention: each tied block contributes
+# n_pos * (2 * negatives_strictly_below + n_neg_in_block) / 2 pairs.
+# The numerator is all-integer; only the final division is a double.
+_NB_AUC_ORACLE = (
+    _NB_CONF_ORACLE[: _NB_CONF_ORACLE.index("conf AS (")]
+    + f"""
+per AS (
+  SELECT s.s1 - s.s0 AS m,
+         CAST(SUM(CASE WHEN l.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN l.y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM scored s JOIN lab l ON l.id = s.id
+  GROUP BY s.s1 - s.s0),
+cum AS (
+  SELECT n_pos, n_neg,
+         CAST(SUM(n_neg) OVER (ORDER BY m ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg
+              AS BIGINT) AS neg_below
+  FROM per)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       {rrepr("CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS DOUBLE) / CAST(2 * SUM(n_pos) * SUM(n_neg) AS DOUBLE)", 8)} AS auc
+FROM cum
+"""
+)
+
+
+@df_query("eval_nb_auc", _NB_AUC_ORACLE)
+def eval_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free ranking quality of the NB margin (score1-score0):
+    exact tie-aware Mann-Whitney AUC. The distinct-margin aggregation
+    comes first, so the ordering window runs over a table bounded by
+    the number of distinct 6-decimal margins — never a per-row global
+    sort."""
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), PROBE), 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    scored = classifier.naive_bayes_scores(docs, "text", "doc_id", labels).join(
+        labels, "id"
+    )
+    per = scored.groupBy((F.col("score1") - F.col("score0")).alias("m")).agg(
+        F.sum((F.col("y") == 1.0).cast("bigint")).cast("bigint").alias("n_pos"),
+        F.sum((F.col("y") == 0.0).cast("bigint")).cast("bigint").alias("n_neg"),
+    )
+    w = Window.orderBy(F.asc("m")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "n_pos",
+        "n_neg",
+        (F.sum("n_neg").over(w) - F.col("n_neg")).cast("bigint").alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))).cast(
+                "double"
+            )
+            / (2 * F.sum("n_pos") * F.sum("n_neg")).cast("double"),
+            8,
+        ).alias("auc"),
+    )

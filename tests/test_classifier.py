@@ -77,3 +77,71 @@ def test_naive_bayes_beats_majority(spark, sf_dir):
     correct = scored.filter(F.col("pred").cast("double") == F.col("y")).count()
     majority = scored.groupBy("y").count().agg(F.max("count")).first()[0]
     assert correct / n > majority / n + 0.05, (correct, majority, n)
+
+
+def test_auc_midrank_tie_convention_exact(spark):
+    """Hand-computed tie-aware Mann-Whitney: scores [1,1,2,3] with
+    labels [0,1,0,1] -> pairs: pos@1 vs neg@1 ties (0.5), pos@1 vs
+    neg@2 loses (0), pos@3 beats both negs (2) => U = 2.5, AUC = 2.5/4.
+    Built through the same margin-binned cumulative form the query
+    uses."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (2.0, 0), (3.0, 1)], "m double, y int"
+    )
+    per = df.groupBy("m").agg(
+        F.sum((F.col("y") == 1).cast("bigint")).alias("n_pos"),
+        F.sum((F.col("y") == 0).cast("bigint")).alias("n_neg"),
+    )
+    w = Window.orderBy(F.asc("m")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "n_pos", "n_neg",
+        (F.sum("n_neg").over(w) - F.col("n_neg")).alias("neg_below"),
+    )
+    row = cum.agg(
+        (
+            F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))).cast("double")
+            / (2 * F.sum("n_pos") * F.sum("n_neg")).cast("double")
+        ).alias("auc")
+    ).collect()[0]
+    assert row["auc"] == 2.5 / 4.0
+
+
+def test_auc_degrades_with_label_noise(spark, sf_dir):
+    """Flipping 30% of labels AFTER training on clean labels must land
+    the measured ranking quality strictly between coin-flip and
+    perfect — the discriminative signal survives but the ceiling is
+    gone. (The clean-label AUC on the fixture is 1.0.)"""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators import classifier as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    clean = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.array_contains(F.split(F.col("text"), " "), "vector"), 1.0)
+        .otherwise(0.0).alias("y"),
+    )
+    noisy = clean.select(
+        "id",
+        F.when(F.col("id") % 10 < 3, 1.0 - F.col("y")).otherwise(F.col("y")).alias("y"),
+    )
+    scored = C.naive_bayes_scores(docs, "text", "doc_id", clean).join(noisy, "id")
+    per = scored.groupBy((F.col("score1") - F.col("score0")).alias("m")).agg(
+        F.sum((F.col("y") == 1.0).cast("bigint")).alias("n_pos"),
+        F.sum((F.col("y") == 0.0).cast("bigint")).alias("n_neg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("m")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "n_pos", "n_neg",
+        (F.sum("n_neg").over(w) - F.col("n_neg")).alias("neg_below"),
+    )
+    auc = cum.agg(
+        (
+            F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))).cast("double")
+            / (2 * F.sum("n_pos") * F.sum("n_neg")).cast("double")
+        ).alias("auc")
+    ).collect()[0]["auc"]
+    assert 0.55 < auc < 0.95

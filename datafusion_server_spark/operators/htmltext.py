@@ -84,3 +84,9 @@ def extract_meta(df: DataFrame, html_col: str) -> DataFrame:
     ).withColumn("first_link", F.element_at(links, 1)).withColumn(
         "links_joined", F.array_join(links, "|")
     )
+
+
+def link_domain_col(href: Column) -> Column:
+    """Authority (host) of an absolute http(s) href; empty string for
+    relative links. The UT1/blocklist-gating key of a crawl pipeline."""
+    return F.regexp_extract(href, r"^https?://([^/?#]+)", 1)

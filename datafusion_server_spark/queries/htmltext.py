@@ -23,7 +23,7 @@ from datafusion_server_spark.queries import df_query
 
 # synthesis template: literal strings interleaved with the doc-id and
 # the document text (markers resolved per engine below)
-ID, TEXT = object(), object()
+ID, TEXT, SRC = object(), object(), object()
 
 _PARTS: tuple = (
     "<html><head><title>Doc ", ID, " &amp; friends</title>",
@@ -33,7 +33,7 @@ _PARTS: tuple = (
     "</head><body><!-- boilerplate ", ID, " -->",
     '<h1 id="h">Title &lt;', ID, "&gt;</h1>",
     '<p class="body">', TEXT, "</p>",
-    '<a href="https://example.com/doc/', ID, '?ref=1&amp;x=2">Read &quot;more&quot;</a> ',
+    '<a href="https://', SRC, '.example.org/doc/', ID, '?ref=1&amp;x=2">Read &quot;more&quot;</a> ',
     '<a href="/rel/', ID, '">next</a><br/></body></html>',
 )
 # the visible text the chain must recover
@@ -49,6 +49,8 @@ def _spark_concat(parts: tuple) -> Column:
             cols.append(F.col("doc_id").cast("string"))
         elif p is TEXT:
             cols.append(F.col("text"))
+        elif p is SRC:
+            cols.append(F.col("source"))
         else:
             cols.append(F.lit(p))
     return F.concat(*cols)
@@ -61,6 +63,8 @@ def _sql_concat(parts: tuple) -> str:
             out.append("CAST(doc_id AS VARCHAR)")
         elif p is TEXT:
             out.append("text")
+        elif p is SRC:
+            out.append("source")
         else:
             out.append("'" + p.replace("'", "''") + "'")
     return " || ".join(out)
@@ -85,7 +89,7 @@ def _sql_text(expr: str) -> str:
 
 
 _TEXT_ORACLE = f"""
-WITH h AS (SELECT doc_id, text, {_sql_concat(_PARTS)} AS html FROM documents)
+WITH h AS (SELECT doc_id, text, source, {_sql_concat(_PARTS)} AS html FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {_sql_text("html")} AS clean_text,
        ({_sql_text("html")} = {_sql_concat(_EXPECTED)}) AS roundtrip_ok
@@ -95,7 +99,7 @@ FROM h
 
 @df_query("html_extract_text", _TEXT_ORACLE)
 def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     wrapped = docs.withColumn("html", _spark_concat(_PARTS))
     out = htmltext.extract_text(wrapped, "html")
     return out.select(
@@ -111,7 +115,7 @@ def _sql_title(expr: str) -> str:
 
 
 _META_ORACLE = f"""
-WITH h AS (SELECT doc_id, text, {_sql_concat(_PARTS)} AS html FROM documents),
+WITH h AS (SELECT doc_id, text, source, {_sql_concat(_PARTS)} AS html FROM documents),
 m AS (SELECT doc_id, html,
              REGEXP_EXTRACT_ALL(html, 'href="([^"]*)"', 1) AS links
       FROM h)
@@ -126,7 +130,7 @@ FROM m
 
 @df_query("html_extract_meta", _META_ORACLE)
 def html_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     wrapped = docs.withColumn("html", _spark_concat(_PARTS))
     return htmltext.extract_meta(wrapped, "html").select(
         "doc_id", "title", "n_links", "first_link", "links_joined"
@@ -206,4 +210,51 @@ def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dropped"),
         F.sum("n_words").cast("bigint").alias("total_words"),
+    )
+
+
+# per-domain outlink inventory + blocklist gate (UT1-style): the
+# blocklist is the broadcast-tiny side of a crawl-filter join; here a
+# literal IN-list on the aggregated domain table (bounded by distinct
+# domains, the 100 TB-safe place to apply it).
+_BLOCKLIST = ("src3.example.org", "src7.example.org")
+_BL_SQL = ", ".join(f"'{d}'" for d in _BLOCKLIST)
+
+_DOMAINS_ORACLE = f"""
+WITH h AS (SELECT doc_id, text, source, {_sql_concat(_PARTS)} AS html FROM documents),
+m AS (SELECT doc_id, REGEXP_EXTRACT_ALL(html, 'href="([^"]*)"', 1) AS links FROM h),
+l AS (SELECT doc_id, UNNEST(links) AS href FROM m),
+d AS (SELECT doc_id,
+             CASE WHEN REGEXP_EXTRACT(href, '^https?://([^/?#]+)', 1) = ''
+                  THEN '(relative)'
+                  ELSE REGEXP_EXTRACT(href, '^https?://([^/?#]+)', 1) END AS domain
+      FROM l)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,
+       domain IN ({_BL_SQL}) AS blocked
+FROM d GROUP BY domain
+"""
+
+
+@df_query("web_link_domains", _DOMAINS_ORACLE)
+def web_link_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink domain histogram over the synthesized crawl + blocklist
+    flag — the link-graph hygiene report (which domains does the corpus
+    point at, and which are gated)."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    wrapped = docs.withColumn("html", _spark_concat(_PARTS))
+    links = wrapped.select(
+        "doc_id",
+        F.explode(htmltext.html_links_col(F.col("html"))).alias("href"),
+    )
+    raw = htmltext.link_domain_col(F.col("href"))
+    domains = links.select(
+        "doc_id",
+        F.when(raw == "", "(relative)").otherwise(raw).alias("domain"),
+    )
+    return domains.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_pages"),
+        F.col("domain").isin(*_BLOCKLIST).alias("blocked"),
     )

@@ -389,3 +389,49 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept")
     )
+
+
+# cluster-balanced sampling (DataComp-style coreset): k-means partition,
+# then a deterministic hash-rank reservoir of equal size per cluster —
+# the diversity-preserving subset an embedding-curated corpus trains on.
+# Oracle = the unrolled Lloyd chain + the same md5 rank window.
+_BAL_K = 15
+
+_BAL_FRAC = (
+    "(CAST(('0x' || substr(md5('balance:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " / CAST(16.0 ** 15 AS DOUBLE))"
+)
+
+_BALANCED_ORACLE = f"""
+WITH {_kmeans_ctes()},
+bal_ranked AS (
+  SELECT id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY {_BAL_FRAC} ASC, id ASC) AS r
+  FROM afin)
+SELECT CAST(cluster AS INT) AS cluster, CAST(id AS BIGINT) AS vec_id,
+       CAST(r AS BIGINT) AS sample_rank
+FROM bal_ranked WHERE r <= {_BAL_K}
+"""
+
+
+@df_query("cluster_balanced_sample", _BALANCED_ORACLE)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-per-cluster coreset: k-means partitions the embedding
+    space, the hash-rank reservoir keeps _BAL_K vectors per cluster —
+    over-dense regions contribute no more than sparse ones (the
+    DataComp/SemDeDup-adjacent balancing step). Both stages are the
+    existing verified operators composed; one extra cluster-keyed
+    window after the assignment."""
+    from datafusion_server_spark.operators import sampling
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    assigned, _ = clustering.kmeans(emb, K, ITERS)
+    kept = sampling.reservoir_per_group(
+        assigned.select("id", "cluster"), "id", "cluster", _BAL_K, seed="balance"
+    )
+    return kept.select(
+        F.col("cluster").cast("int"),
+        F.col("id").cast("bigint").alias("vec_id"),
+        "sample_rank",
+    )

@@ -680,3 +680,23 @@ def profile_columns_approx(df: DataFrame, cols: list[str]) -> DataFrame:
         ).alias("null_rate"),
         "approx_distinct",
     )
+
+
+def corpus_snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Release diff between two corpus snapshots: FULL OUTER join on the
+    document id comparing content hashes -> status in
+    {added, removed, changed, unchanged} per id. One shuffle keyed by
+    id at any corpus size; the md5 comparison keeps full texts out of
+    the exchange (hash projection before the join)."""
+    o = old.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__ho"))
+    n = new.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__hn"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), "added")
+        .when(F.col("__hn").isNull(), "removed")
+        .when(F.col("__ho") != F.col("__hn"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("id", status.alias("status"))

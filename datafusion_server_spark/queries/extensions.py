@@ -454,3 +454,28 @@ def streaming_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFram
     return stream_static_enrich(
         spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
     )
+
+
+_TRENDING_ORACLE = """
+WITH agg AS (
+  SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT bucket, event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+                                 ORDER BY n DESC, event_type ASC) AS BIGINT) AS rank
+  FROM agg)
+SELECT bucket, event_type, n, rank FROM r WHERE rank <= 3
+"""
+
+
+@df_query("streaming_trending_topk", _TRENDING_ORACLE)
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window trending event types: Structured Streaming maintains
+    the tumbling counts; the finished window table is ranked batch-side
+    (top-3 per window, deterministic ties) — the standard streaming
+    top-k dashboard shape, checked against the equivalent batch SQL."""
+    from datafusion_server_spark.streaming.windows import trending_topk
+
+    return trending_topk(spark, f"{sf_dir}/events.parquet")

@@ -987,3 +987,81 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("total_words"),
         )
     )
+
+
+# corpus release diff: v2 is synthesized deterministically from the
+# fixture ON BOTH ENGINES (drop %13, revise %7, add %17 under shifted
+# ids), so the full-outer hash diff has known structure to recover.
+_DIFF_ORACLE = """
+WITH v2 AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, 'new ' || text AS text
+  FROM documents WHERE doc_id % 17 = 0),
+o AS (SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS ho FROM documents),
+nn AS (SELECT CAST(id AS BIGINT) AS id, md5(text) AS hn FROM v2),
+j AS (SELECT COALESCE(o.id, nn.id) AS id,
+             CASE WHEN o.id IS NULL THEN 'added'
+                  WHEN nn.id IS NULL THEN 'removed'
+                  WHEN o.ho <> nn.hn THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN nn ON nn.id = o.id)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+FROM j GROUP BY status
+"""
+
+
+@df_query("profile_snapshot_diff", _DIFF_ORACLE)
+def profile_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff (v1 -> synthesized v2): per-status counts of
+    the full-outer content-hash comparison — the what-changed report a
+    dataset release pipeline publishes."""
+    from datafusion_server_spark.operators.profiling import corpus_snapshot_diff
+
+    docs = tables.load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    v2 = base.unionByName(added)
+    diff = corpus_snapshot_diff(
+        docs.select(F.col("doc_id").alias("id"), "text"), v2, "id", "text"
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("id").cast("bigint").alias("min_id"),
+        F.max("id").cast("bigint").alias("max_id"),
+    )
+
+
+# k-anonymity audit over the release quasi-identifiers: every
+# equivalence class of (source, lang) with its size and whether it
+# meets the k floor — the class table IS the suppression worklist.
+_K_ANON = 20
+
+_KANON_ORACLE = f"""
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+       COUNT(*) >= {_K_ANON} AS meets_k
+FROM documents GROUP BY source, lang
+"""
+
+
+@df_query("privacy_k_anonymity", _KANON_ORACLE)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity equivalence classes over the published metadata
+    columns: any class under k documents re-identifies too narrowly
+    and goes on the suppression worklist before release."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) >= _K_ANON).alias("meets_k"),
+    )

@@ -170,3 +170,32 @@ def tumbling_event_counts(
         # DECIMAL — keep decimals out of every final schema)
         F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
     )
+
+
+def trending_topk(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+    k: int = 3,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Trending-items monitoring: the streaming tumbling aggregation
+    feeds a batch-side rank over the FINISHED window table — the
+    standard two-phase shape (per-window ranking is not expressible
+    inside a streaming agg; the stream maintains counts, the sink query
+    ranks them). Returns (bucket, event_type, n, rank) with rank <= k,
+    ties broken by event_type."""
+    from pyspark.sql import Window
+
+    counts = tumbling_event_counts(
+        spark, events_path, width=width, watermark=watermark, timeout_s=timeout_s
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.select(
+            "bucket", "event_type", "n", F.row_number().over(w).cast("bigint").alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -234,7 +234,7 @@ def test_cohort_offset_zero_is_full_retention(spark, sf_dir):
     assert zero and all(r.retention == 1.0 and r.n_active == r.n_cohort for r in zero)
 
 
-def _ts(i: int) -> datetime.datetime:
+def _tmin(i: int) -> datetime.datetime:
     return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i)
 
 
@@ -243,7 +243,7 @@ def test_ewma_matches_hand_unrolled(spark):
 
     vals = [10.0, 20.0, 30.0, 40.0]
     df = spark.createDataFrame(
-        [Row(k=1, ts=_ts(i), i=i, v=v) for i, v in enumerate(vals)]
+        [Row(k=1, ts=_tmin(i), i=i, v=v) for i, v in enumerate(vals)]
     )
     out = {
         r["i"]: r["ewma"]
@@ -261,11 +261,11 @@ def test_zscore_flags_spike_only(spark):
         rolling_zscore_anomalies,
     )
 
-    rows = [Row(k=1, ts=_ts(i), i=i, v=10.0 + (i % 3) * 0.5) for i in range(12)]
-    rows.append(Row(k=1, ts=_ts(12), i=12, v=500.0))
-    rows += [Row(k=1, ts=_ts(13 + j), i=13 + j, v=10.0) for j in range(3)]
+    rows = [Row(k=1, ts=_tmin(i), i=i, v=10.0 + (i % 3) * 0.5) for i in range(12)]
+    rows.append(Row(k=1, ts=_tmin(12), i=12, v=500.0))
+    rows += [Row(k=1, ts=_tmin(13 + j), i=13 + j, v=10.0) for j in range(3)]
     # a second, perfectly constant user: zero variance, never flagged
-    rows += [Row(k=2, ts=_ts(i), i=i, v=7.0) for i in range(12)]
+    rows += [Row(k=2, ts=_tmin(i), i=i, v=7.0) for i in range(12)]
     df = spark.createDataFrame(rows)
     got = rolling_zscore_anomalies(df, "k", "ts", "i", "v").collect()
     flagged = {(r["key"], r["i"]) for r in got}
@@ -282,10 +282,10 @@ def test_linear_trend_recovers_exact_line(spark):
 
     # y = 5 + 2 per hour = 48 per day, sampled hourly
     rows = [
-        Row(k=1, ts=_ts(i * 60), v=5.0 + 2.0 * i) for i in range(10)
+        Row(k=1, ts=_tmin(i * 60), v=5.0 + 2.0 * i) for i in range(10)
     ]
     # a flat user below min_points
-    rows += [Row(k=2, ts=_ts(i * 60), v=1.0) for i in range(3)]
+    rows += [Row(k=2, ts=_tmin(i * 60), v=1.0) for i in range(3)]
     df = spark.createDataFrame(rows)
     got = linear_trend(df, "k", "ts", "v").collect()
     assert [r["key"] for r in got] == [1]
@@ -301,10 +301,10 @@ def test_path_surprisal_prefers_rare_paths(spark):
     # 20 users follow the common path a->b->a->b...
     for u in range(20):
         for i, t in enumerate(["a", "b", "a", "b", "a"]):
-            rows.append(Row(u=u, ts=_ts(i), i=i, t=t))
+            rows.append(Row(u=u, ts=_tmin(i), i=i, t=t))
     # one user takes the rare b->b loops
     for i, t in enumerate(["b", "b", "b", "b", "b"]):
-        rows.append(Row(u=99, ts=_ts(i), i=i, t=t))
+        rows.append(Row(u=99, ts=_tmin(i), i=i, t=t))
     df = spark.createDataFrame(rows)
     got = {r["user"]: r["surprisal"] for r in path_surprisal(df, "u", "t", "ts", "i").collect()}
     assert got[99] > max(v for u, v in got.items() if u != 99)

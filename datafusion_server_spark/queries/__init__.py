@@ -183,7 +183,9 @@ PRIORITY: tuple[str, ...] = (
     "asof_join_last_click",
     "timeseries_anomaly_zscore",
     "hypertable_rollup",
-    "timeseries_gapfill_locf",
+    # (timeseries_gapfill_locf rotated OUT round 5 for the web-ingest
+    # capstone — the gapfill surface stays oracle-verified in pytest)
+    "pipeline_web_ingest",
     # graph analytics (round 5, beyond-reference family)
     "graph_pagerank_trade",
     # sketches

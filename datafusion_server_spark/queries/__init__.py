@@ -217,6 +217,7 @@ def registry() -> dict[str, QueryDef]:
         similarity,
         text,
         timeseries,
+        unigram,
     )
 
     missing = [n for n in PRIORITY if n not in _REGISTRY]

@@ -133,3 +133,54 @@ def test_distributed_scan_and_html_composition(spark, tmp_path):
         .collect()
     )
     assert {r["clean"] for r in texts} == {"Page A & text"}
+
+
+# --- property-based roundtrips (no Spark; pure parser) ---------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _payloads = st.binary(min_size=0, max_size=4096)
+    _uris = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=0,
+        max_size=80,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(_payloads, _uris), min_size=1, max_size=8))
+    def test_roundtrip_arbitrary_payloads(recs):
+        """Any payload bytes — including ones embedding WARC headers,
+        CRLFs, or gzip magic — survive a synthesize->parse roundtrip
+        with types, URIs, and offsets intact."""
+        blob = b"".join(
+            _record("response", payload, uri=uri, rid=f"<urn:uuid:{i}>")
+            for i, (payload, uri) in enumerate(recs)
+        )
+        got = list(warc_py.parse_warc_bytes(blob, "fuzz"))
+        assert len(got) == len(recs)
+        for rec, (payload, uri) in zip(got, recs):
+            assert rec["payload"] == payload
+            assert rec["target_uri"] == uri
+            assert rec["content_length"] == len(payload)
+            assert blob[rec["record_offset"] :].startswith(b"WARC/1.0")
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(_payloads, min_size=1, max_size=5))
+    def test_roundtrip_gzip_members(payloads):
+        """Per-record gzip members parse identically to the plain
+        concatenation."""
+        import gzip as _gz
+
+        raw = [
+            _record("resource", p, rid=f"<urn:uuid:{i}>")
+            for i, p in enumerate(payloads)
+        ]
+        plain = list(warc_py.parse_warc_bytes(b"".join(raw)))
+        members = list(warc_py.parse_warc_bytes(b"".join(_gz.compress(r) for r in raw)))
+        assert [(r["record_id"], r["payload"]) for r in plain] == [
+            (r["record_id"], r["payload"]) for r in members
+        ]
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass

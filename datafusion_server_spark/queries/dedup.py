@@ -799,3 +799,18 @@ def dedup_span_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size."""
     docs = tables.load(spark, sf_dir, "documents")
     return dedup.duplicate_span_sources(docs, "text", "doc_id", SPAN_L, SPAN_MIN_COUNT)
+
+
+@df_query("streaming_incremental_neardup", _INC_ORACLE)
+def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup detection: the document stream is signed per
+    micro-batch and probed against the static corpus LSH index inside
+    foreachBatch — continuous-ingest dedup with cost linear in the
+    stream. Per-document independence makes the result micro-batch-
+    invariant (proven in tests/test_streaming_neardup.py), so the full
+    batch SQL is the oracle."""
+    from datafusion_server_spark.streaming.dedup import stream_near_dup_probe
+
+    return stream_near_dup_probe(
+        spark, f"{sf_dir}/documents.parquet", num_hashes=NUM_HASHES, bands=BANDS
+    )

@@ -72,3 +72,58 @@ def dedup_event_keys(
         .select(F.col("user_id").cast("bigint"), F.col("event_type"))
         .distinct()
     )
+
+
+def stream_near_dup_probe(
+    spark: SparkSession,
+    docs_path: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    timeout_s: float = 180.0,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection: incoming documents (the
+    stream) are MinHash-signed per micro-batch and probed against the
+    STATIC corpus signature index via ``foreachBatch`` — the production
+    shape for continuous ingest dedup (the index is the at-rest corpus;
+    the stream only ever pays for its own batch). Because each
+    document's probe is independent, the result is micro-batch-count
+    INVARIANT: the union over batches equals one batch probe of the
+    whole stream, which is exactly the batch oracle
+    (``dedup_incremental_lsh``'s SQL).
+
+    Returns the accumulated pair table
+    (new_id, index_id, n_common, n_new, n_index, jaccard)."""
+    import tempfile
+
+    from datafusion_server_spark.operators import dedup as dedup_ops
+
+    static = spark.read.parquet(docs_path)
+    index = dedup_ops.lsh_signature_index(
+        static.filter(F.col("doc_id") % 10 < 8), "text", "doc_id", num_hashes
+    )
+    parent, _, fname = docs_path.rpartition("/")
+    reader = spark.readStream.schema(static.schema).option("pathGlobFilter", fname)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(parent).filter(F.col("doc_id") % 10 >= 8)
+
+    outdir = tempfile.mkdtemp(prefix="neardup_sink_")
+
+    def probe_batch(batch_df: DataFrame, _bid: int) -> None:
+        res = dedup_ops.lsh_pairs_against_index(
+            batch_df, index, "text", "doc_id", num_hashes, bands, materialize=False
+        )
+        res.write.mode("append").parquet(outdir)
+
+    query = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    return spark.read.parquet(outdir)

@@ -145,3 +145,54 @@ def unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     model = unigram.train_unigram(docs, "text")
     return unigram.segment_words(docs, "text", model)
+
+
+# per-document subword token accounting under the trained unigram LM:
+# join the word-level segmentation table back onto the corpus token
+# stream — the tokenizer-aware length/cost statistics a training
+# pipeline batches and bills by. Adds ONE corpus-touching explode and
+# one broadcast join beyond the (vocab-bounded) trainer.
+_DOC_TOKENS_ORACLE = f"""
+WITH {_SEG_CTES},
+uasm AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+  FROM ({_SEG_EMITS}) GROUP BY word, freq),
+toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+toks2 AS (SELECT doc_id, word FROM toks WHERE word <> '' AND LEN(word) <= {LMAX})
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(a.n_pieces) AS BIGINT) AS n_subwords,
+       {rrepr("CAST(SUM(a.n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS fertility
+FROM toks2 t JOIN uasm a ON a.word = t.word
+GROUP BY t.doc_id
+"""
+
+
+@df_query("unigram_doc_tokens", _DOC_TOKENS_ORACLE)
+def unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware document accounting: per-doc word count, subword
+    count under the EM-trained unigram model, and fertility
+    (subwords/word) — the number a data pipeline uses to budget
+    sequence packing and training cost."""
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, sf_dir, "documents")
+    model = unigram.train_unigram(docs, "text")
+    seg = unigram.segment_words(docs, "text", model).select("word", "n_pieces")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= LMAX))
+    )
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_subwords"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )

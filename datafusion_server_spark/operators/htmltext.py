@@ -81,9 +81,12 @@ def extract_meta(df: DataFrame, html_col: str) -> DataFrame:
     links = html_links_col(F.col(html_col))
     return df.withColumn("title", html_title_col(F.col(html_col))).withColumn(
         "n_links", F.size(links).cast("bigint")
-    ).withColumn("first_link", F.element_at(links, 1)).withColumn(
-        "links_joined", F.array_join(links, "|")
-    )
+    ).withColumn(
+        # try_element_at, not element_at: a page with no links must
+        # yield NULL, not an ANSI out-of-bounds error
+        "first_link",
+        F.try_element_at(links, F.lit(1)),
+    ).withColumn("links_joined", F.array_join(links, "|"))
 
 
 def link_domain_col(href: Column) -> Column:

@@ -65,3 +65,23 @@ def test_empty_and_tagless_inputs(spark):
     )
     rows = {r["id"]: r["clean_text"] for r in htmltext.extract_text(df, "html").collect()}
     assert rows == {1: "", 2: "plain text only", 3: ""}
+
+
+def test_extraction_plan_is_shuffle_free(spark, sf_dir):
+    """The whole extraction chain must stay inside one codegen stage:
+    no Exchange in the executed plan of extract_text/extract_meta over
+    the fixture corpus (the 100 TB scale property — map-only)."""
+    from datafusion_server_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = docs.withColumn(
+        "html",
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+    )
+    for df in (
+        htmltext.extract_text(wrapped, "html"),
+        htmltext.extract_meta(wrapped, "html"),
+    ):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

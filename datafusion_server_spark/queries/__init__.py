@@ -127,7 +127,11 @@ PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: dedup family (clusters = LSH pairs -> threshold ->
     # connected components, the round-3 addition; ngram_jaccard remains
     # pytest-verified outside the window)
-    "dedup_exact",
+    # (dedup_exact rotated OUT round 5 for the unigram-LM tokenizer row:
+    # exact-dedup semantics run in-window inside pipeline_web_ingest's
+    # lead-hash dedup and pipeline_curation_end2end, and the dedicated
+    # row stays oracle-verified in pytest)
+    "unigram_vocab_em",
     "dedup_lsh_pairs",
     "dedup_simhash",
     "dedup_clusters",
@@ -170,7 +174,11 @@ PRIORITY: tuple[str, ...] = (
     # (session_window_native rotated OUT round 5 for the graph row;
     # the session-window surface stays in-window via
     # streaming_stateful_sessionize and remains oracle-verified in pytest)
-    "streaming_tumbling_counts",
+    # (tumbling_counts rotated OUT round 5 for the streaming near-dup
+    # row — windowed-agg streaming stays in-window via the trending
+    # top-k's underlying tumbling aggregation and stateful_sessionize,
+    # and tumbling_counts remains oracle-verified in pytest)
+    "streaming_incremental_neardup",
     "streaming_stateful_sessionize",
     "streaming_stream_stream_join",
     # end-to-end curation pipeline: the r4 operator family composed

@@ -16,9 +16,13 @@ BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
 # Shared oracle CTEs: word-trigram shingle sets of the documents table.
+# sh is MATERIALIZED: every consumer references it 2-4x, and DuckDB's
+# inliner replays the whole split+unnest pipeline per reference — at
+# sf0.1 one consumer (the pair-explanation aggregation) even picks an
+# inlined plan that exhausts memory. Materialization is semantics-free.
 _SHINGLES_CTE = """
 words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id,
+sh AS MATERIALIZED (SELECT DISTINCT doc_id,
               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
        FROM words)
@@ -626,28 +630,41 @@ def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — the "why did dedup flag this" review column.
 _EXPLAIN_THRESHOLD = 0.5
 
+# dfreq/rare/sizes/shared are MATERIALIZED: DuckDB otherwise INLINES the
+# rare-self-join into the pair aggregation and its optimizer picks a
+# plan that exhausts memory at sf0.1. The lexicographic (dfr, shingle)
+# argmin is a ROW_NUMBER window, NOT MIN(struct): this DuckDB's
+# struct-MIN aggregate degrades catastrophically over ~1M groups
+# (minutes/OOM where the window form takes seconds) — semantics are
+# identical (min over the (dfr, shingle) pair).
 _EXPLAIN_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS dfr FROM sh GROUP BY shingle),
-rare AS (SELECT s.doc_id, s.shingle, d.dfr FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+dfreq AS MATERIALIZED (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS dfr FROM sh GROUP BY shingle),
+rare AS MATERIALIZED (SELECT s.doc_id, s.shingle, d.dfr FROM sh s JOIN dfreq d ON d.shingle = s.shingle
          WHERE d.dfr <= 100),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id),
-shared AS (
+sizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id),
+shared AS MATERIALIZED (
   SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
          a.shingle, a.dfr
   FROM rare a JOIN rare b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+ranked AS MATERIALIZED (
+  SELECT id_a, id_b, shingle, dfr,
+         ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                            ORDER BY dfr ASC, shingle ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY id_a, id_b) AS BIGINT) AS n_common
+  FROM shared),
 pairs AS (
-  SELECT s.id_a, s.id_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+  SELECT r.id_a, r.id_b, r.n_common,
          za.n_sh AS n_a, zb.n_sh AS n_b,
-         MIN({{'dfr': s.dfr, 'shingle': s.shingle}}) AS best
-  FROM shared s
-  JOIN sizes za ON CAST(za.doc_id AS BIGINT) = s.id_a
-  JOIN sizes zb ON CAST(zb.doc_id AS BIGINT) = s.id_b
-  GROUP BY s.id_a, s.id_b, za.n_sh, zb.n_sh)
+         r.shingle AS best_shingle, r.dfr AS best_dfr
+  FROM ranked r
+  JOIN sizes za ON CAST(za.doc_id AS BIGINT) = r.id_a
+  JOIN sizes zb ON CAST(zb.doc_id AS BIGINT) = r.id_b
+  WHERE r.rn = 1)
 SELECT id_a, id_b,
        ROUND(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard,
-       best['shingle'] AS top_shared_shingle,
-       CAST(best['dfr'] AS BIGINT) AS shingle_df
+       best_shingle AS top_shared_shingle,
+       CAST(best_dfr AS BIGINT) AS shingle_df
 FROM pairs
 WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= {_EXPLAIN_THRESHOLD}
 """

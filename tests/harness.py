@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import tempfile
 from decimal import Decimal
 
 import duckdb
@@ -33,6 +34,13 @@ TABLES = (
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET TimeZone = 'UTC'")
+    # an in-memory duckdb cannot SPILL unless a temp dir is configured —
+    # without these, a big oracle intermediate (e.g. the rare-shingle
+    # self-join at sf0.1) aborts the whole process with a malloc failure
+    # instead of spilling; cap memory well under the box so the Spark
+    # JVM sharing the host survives
+    con.execute("SET memory_limit = '24GB'")
+    con.execute(f"SET temp_directory = '{tempfile.gettempdir()}/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con

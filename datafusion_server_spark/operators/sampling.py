@@ -559,3 +559,113 @@ def curriculum_order(
             + F.col("stratum")
         ).alias("training_position"),
     )
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: Column,
+    budget_num: int,
+    budget_den: int,
+) -> DataFrame:
+    """Water-filling token-budget allocation across strata — the data-
+    recipe planning step that answers "given a total token budget of
+    num/den of the corpus, how many tokens may each domain contribute?"
+    Scarce domains are taken whole; abundant domains are levelled down
+    to a common water level L chosen so the allocations sum EXACTLY to
+    the budget (the classic water-filling solution to maximizing the
+    minimum per-domain share subject to availability caps).
+
+    All arithmetic is integer, so the result is bit-deterministic and
+    the DuckDB oracle replays it exactly:
+
+    - ``budget = (total_tokens * budget_num) div budget_den``;
+    - strata sorted by (avail ASC, stratum ASC); the first index ``j*``
+      whose availability cannot be fully granted from the remaining
+      budget (``avail_j * strata_left > budget_left``) starts the
+      levelled segment — everything before it is fully used;
+    - ``L = budget_left div strata_left``; the ``budget_left mod
+      strata_left`` leftover tokens go one-each to the lexicographically
+      first levelled strata (documented deterministic tie-break).
+
+    Output: (stratum, avail_tokens, alloc_tokens, fully_used). When the
+    budget covers the whole corpus every stratum is fully used and the
+    surplus stays unallocated (alloc sums to total, not budget).
+
+    Scale shape (100 TB): ONE aggregation over the corpus reduces it to
+    a strata-count-bounded table; every window after that is over that
+    K-bounded table (the eval_nb_auc / curriculum pattern — aggregate
+    first, order the bounded result, never a corpus-wide sort)."""
+    agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(tokens_col.cast("bigint")).alias("avail")
+    )
+    wo = Window.orderBy(F.asc("avail"), F.asc("stratum"))
+    wall = Window.partitionBy()
+    base = agg.select(
+        "stratum",
+        "avail",
+        F.row_number().over(wo).alias("j"),
+        F.coalesce(
+            F.sum("avail").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("s_prev"),
+        F.sum("avail").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).select(
+        "stratum",
+        "avail",
+        "j",
+        "s_prev",
+        "n",
+        F.expr(f"(total * {int(budget_num)}) div {int(budget_den)}").alias("budget"),
+    )
+    lvl = base.select(
+        "stratum",
+        "avail",
+        "j",
+        (F.col("n") - F.col("j") + 1).alias("k"),
+        (F.col("budget") - F.col("s_prev")).alias("rem"),
+    )
+    # two window passes: jstar first, THEN the values AT jstar — rem and
+    # k both decrease with j, so a min over the whole levelled region
+    # would pick the last row's values, not the segment boundary's
+    star = lvl.withColumn(
+        "jstar",
+        F.min(
+            F.when(F.col("avail") * F.col("k") > F.col("rem"), F.col("j"))
+        ).over(wall),
+    )
+    star = star.select(
+        "stratum",
+        "avail",
+        "j",
+        "jstar",
+        F.min(F.when(F.col("j") == F.col("jstar"), F.col("rem"))).over(wall).alias(
+            "rem_star"
+        ),
+        F.min(F.when(F.col("j") == F.col("jstar"), F.col("k"))).over(wall).alias(
+            "k_star"
+        ),
+    )
+    flagged = star.select(
+        "stratum",
+        "avail",
+        F.expr("rem_star div k_star").alias("lvl"),
+        (F.col("rem_star") % F.col("k_star")).alias("leftover"),
+        (F.col("jstar").isNull() | (F.col("j") < F.col("jstar"))).alias("fully_used"),
+    )
+    wu = Window.partitionBy("fully_used").orderBy(F.asc("stratum"))
+    return flagged.select(
+        "stratum",
+        F.col("avail").cast("bigint").alias("avail_tokens"),
+        F.when(F.col("fully_used"), F.col("avail"))
+        .otherwise(
+            F.col("lvl")
+            + F.when(F.row_number().over(wu) <= F.col("leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        "fully_used",
+    )

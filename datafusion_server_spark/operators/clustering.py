@@ -45,7 +45,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datafusion_server_spark.operators.sampling import hash_fraction
-from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+from datafusion_server_spark.operators.scale import (
+    ensure_fanout_parallelism,
+    ranked_topk,
+)
 from datafusion_server_spark.operators.similarity import SCALE, _dot_scaled, _unscale
 
 
@@ -58,19 +61,19 @@ def kmeans_init(
 ) -> DataFrame:
     """(cluster, c): the k vectors with the smallest hash fraction,
     cluster = 0..k-1 in (fraction, id) rank order, elements rounded to
-    the centroid contract's 6 decimals. The global window ranks only to
-    produce k rows — at scale pre-thin with a same-seed hash band first
-    (the ``reservoir_per_group`` contract)."""
+    the centroid contract's 6 decimals. The k-smallest selection is
+    ``ranked_topk`` (TakeOrderedAndProject: per-partition k-row heaps,
+    one k*partitions-row merge) — the corpus never funnels through a
+    single-partition window, so no pre-thinning is required at scale."""
     frac = hash_fraction(F.col("id"), seed)
-    w = Window.orderBy(frac.asc(), F.col("id").asc())
-    return (
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(
-            (F.col("__rn") - 1).cast("int").alias("cluster"),
-            _round6_vec(F.col("v")).alias("c"),
-        )
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("__f", frac)
+    return ranked_topk(
+        base, [F.col("__f").asc(), F.col("id").asc()], k, rank_col="__rn"
+    ).select(
+        (F.col("__rn") - 1).cast("int").alias("cluster"),
+        _round6_vec(F.col("v")).alias("c"),
     )
 
 

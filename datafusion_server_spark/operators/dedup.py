@@ -725,13 +725,40 @@ def duplicate_span_fraction(
     min_count: int = 2,
 ) -> DataFrame:
     """Per-document duplicated-content fraction — the ExactSubstr
-    KEEP/TRIM decision signal: words covered by duplicated spans over
-    total words. Spans from ``duplicate_ngram_spans`` are disjoint by
-    construction (maximal runs), so coverage is a plain sum. Documents
-    with no duplicated span report 0.0. Output: (id, n_words,
-    dup_words, dup_fraction)."""
-    spans = duplicate_ngram_spans(df, text_col, id_col, l, min_count)
-    cover = spans.groupBy("id").agg(F.sum("n_words").cast("bigint").alias("dup_words"))
+    KEEP/TRIM decision signal: the fraction of words COVERED by
+    duplicated spans. Two maximal runs of duplicated l-gram start
+    positions whose starts are fewer than ``l`` apart produce word-
+    OVERLAPPING spans (l=8, duplicated positions {1,3} -> [1,8] and
+    [3,10]); summing span lengths would double-count the overlap and
+    could exceed 1.0. So coverage merges first: start positions are
+    grouped into islands wherever the gap to the previous duplicated
+    position is <= l-1 (their word spans touch or overlap), and each
+    island covers exactly ``max(pos)+l-1 - min(pos)+1`` words —
+    guaranteeing ``dup_fraction <= 1``. Documents with no duplicated
+    span report 0.0. Output: (id, n_words, dup_words, dup_fraction)."""
+    df_fan = ensure_fanout_parallelism(df)
+    grams = _positional_word_grams(df_fan, text_col, id_col, l)
+    cnt_w = Window.partitionBy("gh")
+    dup = grams.withColumn("__n", F.count(F.lit(1)).over(cnt_w)).filter(
+        F.col("__n") >= min_count
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = dup.withColumn("__prev", F.lag("pos").over(w)).withColumn(
+        "__isl",
+        F.sum(
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > l - 1),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cover = (
+        isl.groupBy("id", "__isl")
+        .agg((F.max("pos") + l - F.min("pos")).alias("covered"))
+        .groupBy("id")
+        .agg(F.sum("covered").cast("bigint").alias("dup_words"))
+    )
     words = df.select(
         F.col(id_col).alias("id"),
         F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).cast(

@@ -491,12 +491,20 @@ def quantile_normalize(
         normalized = global value at rank ceil(r * (N - 1)) + 1
                      (1-based percentile_disc-style selection)
 
-    Ties break by id on both windows (determinism). Output: input id/
-    group/value + (normalized DOUBLE).
+    Ties break by id on the group window and by (value, id) — a total
+    order — on the global rank (determinism). Output: input id/group/
+    value + (normalized DOUBLE).
 
-    Scale: one group-keyed window, one global rank table (built once —
-    range-partitioned sort), one join keyed by rank index."""
+    Scale: one group-keyed window, then a TWO-LEVEL distributed global
+    rank — ``repartitionByRange`` on (value, id) so partition order
+    equals sort order, a per-partition ``row_number`` (partitioned
+    window, no single-task funnel), and a broadcast of the cumulative
+    per-partition counts as the global offset. The only unpartitioned
+    window ranks the partition-count table (#partitions rows). Finally
+    one join keyed by rank index."""
     from pyspark.sql.window import Window
+
+    from datafusion_server_spark.operators.scale import _session_parallelism
 
     wg = Window.partitionBy("grp").orderBy(F.col("value").asc(), F.col("id").asc())
     ranked = df.select(
@@ -504,15 +512,33 @@ def quantile_normalize(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("value"),
     ).withColumn("__pr", F.percent_rank().over(wg))
-    wglob = Window.orderBy(F.col("value").asc(), F.col("id").asc())
-    glob = (
+    n_part = max(4, _session_parallelism(df.sparkSession))
+    tagged = (
         df.select(
             F.col(id_col).alias("id"), F.col(value_col).cast("double").alias("value")
         )
-        .withColumn("__rn", F.row_number().over(wglob).cast("bigint"))
-        .select(F.col("__rn"), F.col("value").alias("__gv"))
+        .repartitionByRange(n_part, F.col("value").asc(), F.col("id").asc())
+        .withColumn("__pid", F.spark_partition_id().cast("bigint"))
     )
-    n_glob = glob.agg(F.max("__rn").alias("__n"))
+    wl = Window.partitionBy("__pid").orderBy(F.col("value").asc(), F.col("id").asc())
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__c").over(wp), F.lit(0).cast("bigint"))
+        )
+        .select("__pid", "__off")
+    )
+    glob = (
+        tagged.withColumn("__lrn", F.row_number().over(wl).cast("bigint"))
+        .join(F.broadcast(offsets), "__pid")
+        .select(
+            (F.col("__off") + F.col("__lrn")).alias("__rn"),
+            F.col("value").alias("__gv"),
+        )
+    )
+    n_glob = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     keyed = ranked.crossJoin(F.broadcast(n_glob)).select(
         "id",
         "grp",

@@ -225,3 +225,30 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
                 b * d + di,
             )
     return key
+
+
+def ranked_topk(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Distributed global top-k WITH a 1-based rank column, without ever
+    moving the full input through a single-partition window.
+
+    ``orderBy(...).limit(k)`` compiles to ``TakeOrderedAndProject`` —
+    each partition keeps a local k-row heap and only those k-row heads
+    are merged on the driver side of the exchange — so the data volume
+    crossing the wire is ``num_partitions * k`` rows regardless of input
+    size. The ``row_number`` window that assigns the rank then runs over
+    the ALREADY-REDUCED k rows (a bounded input, the sanctioned window
+    class), producing output bit-identical to ranking first and
+    filtering ``rank <= k`` after.
+
+    ``order_cols`` must be a deterministic total order (tie-break on a
+    unique id last) — same contract the old global-window form had."""
+    from pyspark.sql.window import Window
+
+    topk = df.orderBy(*order_cols).limit(int(k))
+    w = Window.orderBy(*order_cols)
+    return topk.withColumn(rank_col, F.row_number().over(w).cast("bigint"))

@@ -523,12 +523,15 @@ def kmv_set_estimates(
     the deterministic md5/KMV contract — oracle-reproducible.
 
     Scale: one distinct-hash aggregation per side (map-side combined),
-    a k-row global window, two broadcast membership joins on k rows."""
+    a distributed k-smallest selection (``orderBy.limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition k-row heaps, one
+    k*partitions-row merge; NOT a single-partition window over every
+    distinct hash of the union), two broadcast membership joins on the
+    k surviving rows."""
     ha = df_a.select(F.md5(F.col(key_col).cast("string")).alias("h")).distinct()
     hb = df_b.select(F.md5(F.col(key_col).cast("string")).alias("h")).distinct()
     union = ha.unionByName(hb).distinct()
-    w = Window.orderBy(F.col("h").asc())
-    kmin = union.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    kmin = union.orderBy(F.col("h").asc()).limit(int(k))
     flagged = (
         kmin.join(ha.select(F.col("h"), F.lit(1).alias("__a")), "h", "left")
         .join(hb.select(F.col("h"), F.lit(1).alias("__b")), "h", "left")

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+from datafusion_server_spark.operators.scale import (
+    ensure_fanout_parallelism,
+    ranked_topk,
+)
 
 # Tiny per-language stopword sets for the n-gram/stopword-voting heuristic.
 # Deliberately small and ASCII so the oracle SQL can inline them.
@@ -922,14 +925,9 @@ def bm25_topk(
     scored = contrib.groupBy("id").agg(
         F.round(F.sum("__c").cast("double"), 6).alias("score")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("id", "score", "rank")
-    )
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("id")], k
+    ).select("id", "score", "rank")
 
 
 def bm25_doc_query(
@@ -1003,14 +1001,9 @@ def bm25_doc_query(
         .groupBy("id")
         .agg(F.round(F.sum("__c").cast("double"), 6).alias("score"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("id", "score", "rank")
-    )
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("id")], k
+    ).select("id", "score", "rank")
 
 
 def rrf_fuse(

@@ -733,6 +733,28 @@ spans AS (SELECT CAST(doc_id AS BIGINT) AS id,
           FROM runs GROUP BY doc_id, grp)
 """
 
+# merged word COVERAGE (r6): runs whose starts are < SPAN_L apart cover
+# overlapping words — group duplicated positions into islands wherever
+# the gap to the previous one is <= SPAN_L-1, each island covering
+# max(pos)+SPAN_L-min(pos) words, so dup_fraction never exceeds 1.
+_COVER_CTE = f"""{_SPAN_CTE},
+lagd AS (SELECT doc_id, pos,
+                LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         FROM dup),
+isl AS (SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > {SPAN_L - 1}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM lagd),
+cover AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                 CAST(SUM(covered) AS BIGINT) AS dup_words
+          FROM (SELECT doc_id, island,
+                       MAX(pos) + {SPAN_L} - MIN(pos) AS covered
+                FROM isl GROUP BY doc_id, island)
+          GROUP BY doc_id)
+"""
+
 
 @df_query(
     "dedup_duplicate_spans",
@@ -755,9 +777,7 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @df_query(
     "dedup_span_fraction",
     f"""
-    WITH {_SPAN_CTE},
-    cover AS (SELECT id, CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_words
-              FROM spans GROUP BY id),
+    WITH {_COVER_CTE},
     nw AS (SELECT CAST(doc_id AS BIGINT) AS id,
                   CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
            FROM documents)
@@ -770,8 +790,9 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document duplicated-content fraction — the ExactSubstr
-    keep/trim decision column for every document in the corpus."""
+    """Per-document duplicated-content fraction (merged word coverage,
+    never > 1) — the ExactSubstr keep/trim decision column for every
+    document in the corpus."""
     docs = tables.load(spark, sf_dir, "documents")
     return dedup.duplicate_span_fraction(docs, "text", "doc_id", SPAN_L, SPAN_MIN_COUNT)
 

@@ -830,26 +830,37 @@ FROM ordered WHERE next_start IS NOT NULL AND next_start > run_end + 1
 @df_query("profile_sequence_gaps", _GAPS_ORACLE)
 def profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity check for a supposedly-dense key: missing id ranges via
-    the islands trick (id minus its rank is constant within each
-    contiguous run; run boundaries expose the gaps). One sort window +
-    one aggregation — no self-join over the key space."""
+    id±1 ANTI-JOINS instead of a corpus-wide rank window. A run END is an
+    id whose successor id+1 is absent; a run START is an id whose
+    predecessor id-1 is absent — two shuffle-hash anti-joins on the key,
+    fully distributed. Ends (except the global max) and starts (except
+    the global min) then pair 1:1 in sorted order to form the gaps; the
+    only windows in the plan rank those BOUNDARY rows, whose count equals
+    the report size itself (one per gap) — output-bounded, never
+    corpus-bounded."""
     from pyspark.sql.window import Window
 
     orders = tables.load(spark, sf_dir, "orders")
-    ids = orders.select(F.col("o_orderkey").cast("bigint").alias("id")).withColumn(
-        "grp",
-        F.col("id") - F.row_number().over(Window.orderBy("id")).cast("bigint"),
+    ids = orders.select(F.col("o_orderkey").cast("bigint").alias("id"))
+    bounds = ids.agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+    ends = (
+        ids.join(ids.select((F.col("id") - 1).alias("id")), "id", "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("id") < F.col("mx"))
+        .select(F.col("id").alias("run_end"))
     )
-    runs = ids.groupBy("grp").agg(
-        F.min("id").alias("run_start"), F.max("id").alias("run_end")
+    starts = (
+        ids.join(ids.select((F.col("id") + 1).alias("id")), "id", "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("id") > F.col("mn"))
+        .select(F.col("id").alias("next_start"))
     )
-    ordered = runs.withColumn(
-        "next_start", F.lead("run_start").over(Window.orderBy("run_start"))
+    we = Window.orderBy("run_end")
+    ws = Window.orderBy("next_start")
+    paired = ends.withColumn("__g", F.row_number().over(we)).join(
+        starts.withColumn("__g", F.row_number().over(ws)), "__g"
     )
-    return ordered.filter(
-        F.col("next_start").isNotNull()
-        & (F.col("next_start") > F.col("run_end") + 1)
-    ).select(
+    return paired.filter(F.col("next_start") > F.col("run_end") + 1).select(
         (F.col("run_end") + 1).cast("bigint").alias("gap_start"),
         (F.col("next_start") - 1).cast("bigint").alias("gap_end"),
         (F.col("next_start") - F.col("run_end") - 1).cast("bigint").alias(
@@ -927,12 +938,10 @@ _V3_EPOCH_CASE = "CASE source " + " ".join(
 
 
 def _curation_v3_oracle() -> str:
-    from datafusion_server_spark.queries.dedup import _SPAN_CTE
+    from datafusion_server_spark.queries.dedup import _COVER_CTE
 
     return f"""
-WITH {_SPAN_CTE},
-cover AS (SELECT id, CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_words
-          FROM spans GROUP BY id),
+WITH {_COVER_CTE},
 nw AS (SELECT CAST(doc_id AS BIGINT) AS id, source,
               CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
        FROM documents),

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from datafusion_server_spark import tables
 from datafusion_server_spark.operators import sampling
+from datafusion_server_spark.operators.scale import ranked_topk
 from datafusion_server_spark.queries import df_query
 
 # per-language mixture weights for the stratified sample
@@ -302,9 +303,10 @@ def _dsir_oracle() -> str:
 def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k documents by DSIR importance weight against the src0/src1
     target domain — the data-selection step that shifts a raw-corpus
-    mixture toward a curated target distribution."""
-    from pyspark.sql.window import Window
-
+    mixture toward a curated target distribution. The rank comes from
+    ``ranked_topk`` (TakeOrderedAndProject top-k, then a window over the
+    k survivors only) — the full scored corpus never funnels through a
+    single-partition window."""
     docs = tables.load(spark, sf_dir, "documents")
     scored = sampling.dsir_importance(
         docs,
@@ -313,16 +315,13 @@ def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin(*_DSIR_TARGET),
         n_buckets=_DSIR_BUCKETS,
     )
-    wr = Window.orderBy(F.desc("logw_dec"), F.asc("id"))
-    return (
-        scored.withColumn("rank_pos", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rank_pos") <= _DSIR_K)
-        .select(
-            "rank_pos",
-            F.col("id").cast("bigint").alias("id"),
-            "n_tokens",
-            F.round(F.col("logw"), 6).alias("logw"),
-        )
+    return ranked_topk(
+        scored, [F.desc("logw_dec"), F.asc("id")], _DSIR_K, rank_col="rank_pos"
+    ).select(
+        "rank_pos",
+        F.col("id").cast("bigint").alias("id"),
+        "n_tokens",
+        F.round(F.col("logw"), 6).alias("logw"),
     )
 
 
@@ -359,3 +358,63 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_words"),
     )
     return sampling.curriculum_order(scored, "doc_id", "n_words", 10)
+
+
+# Water-filling token-budget allocation across the 20 sources with a
+# 95% corpus budget: scarce sources are taken whole; the largest few
+# are levelled down to a common water level so allocations sum EXACTLY
+# to the budget. All-integer arithmetic -> exact oracle. The windows on
+# both sides run over the strata-bounded aggregate (20 rows), never the
+# corpus.
+_WF_NUM, _WF_DEN = 19, 20
+
+_WATERFILL_ORACLE = f"""
+WITH agg AS (
+  SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS avail
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n FROM agg),
+ranked AS (
+  SELECT stratum, avail,
+         CAST(ROW_NUMBER() OVER (ORDER BY avail ASC, stratum ASC) AS BIGINT) AS j,
+         CAST(COALESCE(SUM(avail) OVER (
+             ORDER BY avail ASC, stratum ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_prev
+  FROM agg),
+base AS (
+  SELECT r.stratum, r.avail, r.j, t.n - r.j + 1 AS k,
+         CAST((t.total * {_WF_NUM}) // {_WF_DEN} AS BIGINT) - r.s_prev AS rem
+  FROM ranked r, tot t),
+star AS (
+  SELECT *, MIN(CASE WHEN avail * k > rem THEN j END) OVER () AS jstar FROM base),
+star2 AS (
+  SELECT *, MIN(CASE WHEN j = jstar THEN rem END) OVER () AS rem_star,
+            MIN(CASE WHEN j = jstar THEN k END) OVER () AS k_star
+  FROM star),
+flagged AS (
+  SELECT stratum, avail, rem_star // k_star AS lvl, rem_star % k_star AS leftover,
+         (jstar IS NULL OR j < jstar) AS fully_used
+  FROM star2),
+final AS (
+  SELECT stratum, avail, lvl, leftover, fully_used,
+         ROW_NUMBER() OVER (PARTITION BY fully_used ORDER BY stratum ASC) AS ru
+  FROM flagged)
+SELECT stratum, CAST(avail AS BIGINT) AS avail_tokens,
+       CAST(CASE WHEN fully_used THEN avail
+                 ELSE lvl + CASE WHEN ru <= leftover THEN 1 ELSE 0 END END
+            AS BIGINT) AS alloc_tokens,
+       fully_used
+FROM final
+"""
+
+
+@df_query("sample_token_waterfill", _WATERFILL_ORACLE)
+def sample_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning: water-fill a 95% corpus budget across the
+    documents' sources (chars as the token proxy) — how many tokens may
+    each domain contribute so scarce domains are kept whole and abundant
+    ones level down to exactly the budget."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return sampling.token_budget_waterfill(
+        docs, "source", F.col("n_chars"), _WF_NUM, _WF_DEN
+    )

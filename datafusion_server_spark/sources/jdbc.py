@@ -99,6 +99,12 @@ class Pushdown:
     columns: tuple[str, ...] | None = None  # None = all columns
     where: str | None = None  # pre-validated conjunctive predicate text
     limit: int | None = None
+    # every identifier word in the (string-protected) statement, lowered —
+    # lets refine_pushdown re-add a remote column whose name collides with
+    # a SQL keyword (the candidate scan skips keywords; without this, a
+    # remote column literally named "date"/"first"/"row" would silently
+    # drop from the projection and break the re-applied query upstream).
+    referenced_words: frozenset[str] | None = None
 
     def is_noop(self) -> bool:
         return self.columns is None and self.where is None and self.limit is None
@@ -273,11 +279,27 @@ def extract_pushdown(sql: str, table: str, namespace: str) -> Pushdown:
         reorders = re.search(
             r"\b(GROUP\s+BY|ORDER\s+BY|HAVING|DISTINCT|OVER|OFFSET)\b", protected, re.I
         )
+        # a scalar aggregate with no GROUP BY recounts rows: pushing
+        # LIMIT 1 under SELECT count(*) would count ONE remote row. Any
+        # function call blocks limit pushdown (scalar calls would be
+        # safe, but proving a call scalar across dialects is not worth
+        # the fetch saved — under-pushing is always correct).
+        calls = any(
+            m.group(1).lower() not in _SQL_KEYWORDS
+            for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\(", protected)
+        )
         m_limit = re.search(r"\bLIMIT\s+(\d+)\s*;?\s*$", protected, re.I)
-        if m_limit and not reorders and (where is not None or not has_where):
+        if m_limit and not reorders and not calls and (
+            where is not None or not has_where
+        ):
             limit = int(m_limit.group(1))
 
-    return Pushdown(columns=columns, where=where, limit=limit)
+    words = frozenset(
+        m.group(1).lower() for m in re.finditer(r"\b([A-Za-z_]\w*)\b", protected)
+    )
+    return Pushdown(
+        columns=columns, where=where, limit=limit, referenced_words=words
+    )
 
 
 def refine_pushdown(
@@ -308,6 +330,17 @@ def refine_pushdown(
     columns: tuple[str, ...] | None = None
     if pd.columns is not None:
         wanted = {c.lower() for c in pd.columns}
+        # a remote column named like a SQL keyword (date/first/row/...)
+        # never makes the candidate list — re-add it whenever the word
+        # appears anywhere in the statement, else the registered view
+        # would lack a referenced column and the re-applied query breaks
+        # (over-fetching one column is the documented safe direction).
+        if pd.referenced_words is not None:
+            wanted |= {
+                w
+                for w in pd.referenced_words
+                if w in _SQL_KEYWORDS and w in lower
+            }
         hit = tuple(c for c in remote_columns if c.lower() in wanted)
         if hit and len(hit) < len(remote_columns):
             columns = hit
@@ -375,6 +408,28 @@ def _read_sqlite(
         pd = refine_pushdown(
             pushdown, [c for c, _ in decls], allow_string_predicates=False
         )
+        # sqlite orders by TYPE CLASS before value (any TEXT > any
+        # number), so a numeric predicate over a TEXT-affinity column is
+        # false remotely for a value like '5' while Spark casts the
+        # string and keeps the row. Only push predicates whose columns
+        # all have INTEGER/REAL affinity per the PRAGMA decls; a dropped
+        # WHERE takes the limit with it (remote LIMIT before an
+        # unapplied WHERE returns the wrong n).
+        if pd.where is not None:
+            from datafusion_server_spark.functions.dialect import _protect_strings
+
+            numeric = {
+                c.lower()
+                for c, t in decls
+                if _sqlite_spark_type(t) in ("bigint", "double")
+            }
+            protected_where, _ = _protect_strings(pd.where)
+            idents = {
+                m.group(1).lower()
+                for m in re.finditer(r"\b([A-Za-z_]\w*)\b", protected_where)
+            } - _SAFE_WHERE_WORDS
+            if not idents <= numeric:
+                pd = Pushdown(columns=pd.columns, where=None, limit=None)
         if pd.columns:
             decls = [(c, t) for c, t in decls if c in set(pd.columns)]
         rows = [tuple(r) for r in conn.execute(build_remote_sql(table, pd, quote='"'))]

@@ -9,12 +9,24 @@ csv/json/avro/delta/jdbc/plugins; WARC is the container its Python
 connector-plugin contract would be used for, implemented here natively.
 
 Scale shape: ``binaryFile`` yields one row per FILE, so parallelism is
-per-file — exactly the CommonCrawl unit of work — and each task parses
-its file streaming-forward in one pass (content-length driven, no
-regex over the payload). The single Python crossing is Arrow-batched;
-records exit as columnar batches. Supports plain ``.warc`` and gzip
-members (both per-record members, the CommonCrawl convention, and
-whole-file gzip) via ``zlib`` with automatic member chaining.
+per-file — exactly the CommonCrawl unit of work. Per-task memory is
+BOUNDED beyond the compressed file bytes ``binaryFile`` hands us:
+
+- gzip members decompress INCREMENTALLY (``decompressobj`` with
+  ``max_length`` windows, member chaining across the CommonCrawl
+  per-record-member layout) — the ~4-5x-larger raw stream never exists
+  as one object;
+- the record parser walks a ROLLING buffer, discarding consumed bytes
+  as it goes, so resident decompressed state is one record plus one
+  window;
+- records leave the task as CHUNKED Arrow batches (every
+  ``records_per_chunk`` records or ``bytes_per_chunk`` payload bytes,
+  whichever first) instead of one whole-file list/DataFrame.
+
+``binaryFile`` itself caps files at 2 GiB (content is one JVM byte
+array); ``read_warc`` pre-checks file sizes from the listing metadata
+(a path/length-only scan — content untouched) and raises a clean
+error naming the offending file instead of a mid-job array overflow.
 
 Parsing is CONTENT-LENGTH driven per the spec (header block terminated
 by CRLFCRLF, payload of exactly Content-Length bytes, two CRLFs between
@@ -25,7 +37,7 @@ confuse it, which the unit tests pin.
 from __future__ import annotations
 
 import zlib
-from collections.abc import Iterator
+from collections.abc import Iterable, Iterator
 from typing import Any
 
 RECORD_SCHEMA = (
@@ -36,51 +48,117 @@ RECORD_SCHEMA = (
 
 _CRLF = b"\r\n"
 
+# binaryFile materializes each file as one JVM byte array — hard cap.
+BINARYFILE_MAX_BYTES = (1 << 31) - 1
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a stream of one-or-more concatenated gzip members
-    (the per-record-member CommonCrawl layout and whole-file gzip both
-    land here)."""
-    out = []
-    while data:
-        d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
-        data = d.unused_data
-    return b"".join(out)
+# chunked-yield defaults: flush a batch at 2k records or 32 MB payload
+DEFAULT_RECORDS_PER_CHUNK = 2048
+DEFAULT_BYTES_PER_CHUNK = 32 << 20
+
+# incremental decompression window
+_DECOMPRESS_WINDOW = 4 << 20
 
 
-def parse_warc_bytes(data: bytes, path: str = "") -> Iterator[dict[str, Any]]:
-    """Yield one dict per WARC record. ``record_offset`` is the byte
-    offset of the record's version line within the (decompressed)
-    stream — the provenance pointer crawl pipelines carry around."""
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
-    pos, n = 0, len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while data.startswith(_CRLF, pos):
-            pos += 2
-        if pos >= n:
-            break
-        offset = pos
-        eol = data.index(_CRLF, pos)
-        version = data[pos:eol]
-        if not version.startswith(b"WARC/"):
+def _iter_decompressed(data: bytes, window: int = _DECOMPRESS_WINDOW) -> Iterator[bytes]:
+    """Yield the decompressed stream of one-or-more concatenated gzip
+    members in bounded ``window``-sized pieces (plain input passes
+    through whole). The full raw stream is never materialized."""
+    if data[:2] != b"\x1f\x8b":
+        if data:
+            yield data
+        return
+    d = zlib.decompressobj(wbits=31)
+    pending: bytes = data
+    while True:
+        out = d.decompress(pending, window)
+        if out:
+            yield out
+        if d.eof:
+            pending = d.unused_data
+            if not pending:
+                return
+            d = zlib.decompressobj(wbits=31)
+        elif d.unconsumed_tail:
+            pending = d.unconsumed_tail
+        else:
+            # input exhausted mid-member (truncated gzip): surface what
+            # zlib can still flush, then let the record parser report
+            # the truncation with an offset
+            tail = d.flush()
+            if tail:
+                yield tail
+            return
+
+
+def parse_warc_stream(
+    chunks: Iterable[bytes], path: str = ""
+) -> Iterator[dict[str, Any]]:
+    """Yield one dict per WARC record from a stream of byte chunks,
+    holding only a rolling buffer (consumed bytes are discarded).
+    ``record_offset`` is the byte offset of the record's version line
+    within the (decompressed) stream — the provenance pointer crawl
+    pipelines carry around."""
+    it = iter(chunks)
+    buf = bytearray()
+    base = 0  # absolute stream offset of buf[0]
+    eof = False
+
+    def fill() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        try:
+            buf.extend(next(it))
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
+    def find(pat: bytes, start: int) -> int:
+        while True:
+            i = buf.find(pat, start)
+            if i >= 0:
+                return i
+            start = max(start, len(buf) - len(pat) + 1)
+            if not fill():
+                return -1
+
+    while True:
+        # skip inter-record CRLFs (rolling: drop them from the buffer)
+        while True:
+            while len(buf) < 2 and fill():
+                pass
+            if buf[:2] == _CRLF:
+                del buf[:2]
+                base += 2
+            else:
+                break
+        if not buf:
+            if not fill():
+                return
+            continue
+        offset = base
+        eol = find(_CRLF, 0)
+        if eol < 0:
             raise ValueError(f"{path}: expected WARC version line at offset {offset}")
-        head_end = data.index(_CRLF + _CRLF, eol)
+        if not buf[:eol].startswith(b"WARC/"):
+            raise ValueError(f"{path}: expected WARC version line at offset {offset}")
+        head_end = find(_CRLF + _CRLF, eol)
+        if head_end < 0:
+            raise ValueError(f"{path}: truncated header block at offset {offset}")
         headers: dict[str, str] = {}
-        for line in data[eol + 2 : head_end].split(_CRLF):
+        for line in bytes(buf[eol + 2 : head_end]).split(_CRLF):
             name, _, value = line.decode("latin-1").partition(":")
             headers[name.strip().lower()] = value.strip()
         length = int(headers["content-length"])
         body_start = head_end + 4
-        payload = data[body_start : body_start + length]
-        if len(payload) != length:
-            raise ValueError(
-                f"{path}: truncated record at offset {offset} "
-                f"(need {length} bytes, have {len(payload)})"
-            )
+        while len(buf) < body_start + length:
+            if not fill():
+                raise ValueError(
+                    f"{path}: truncated record at offset {offset} "
+                    f"(need {length} bytes, have {len(buf) - body_start})"
+                )
+        payload = bytes(buf[body_start : body_start + length])
         yield {
             "path": path,
             "record_offset": offset,
@@ -92,7 +170,35 @@ def parse_warc_bytes(data: bytes, path: str = "") -> Iterator[dict[str, Any]]:
             "content_length": length,
             "payload": payload,
         }
-        pos = body_start + length
+        del buf[: body_start + length]
+        base = offset + body_start + length
+
+
+def parse_warc_bytes(data: bytes, path: str = "") -> Iterator[dict[str, Any]]:
+    """Yield one dict per WARC record of an in-memory (optionally
+    gzipped) WARC file — the whole-bytes convenience wrapper over the
+    streaming parser."""
+    return parse_warc_stream(_iter_decompressed(bytes(data)), path)
+
+
+def _chunked_records(
+    recs: Iterable[dict[str, Any]],
+    records_per_chunk: int,
+    bytes_per_chunk: int,
+) -> Iterator[list[dict[str, Any]]]:
+    """Group a record stream into bounded lists: flush every
+    ``records_per_chunk`` records OR ``bytes_per_chunk`` payload bytes,
+    whichever trips first."""
+    rows: list[dict[str, Any]] = []
+    nbytes = 0
+    for rec in recs:
+        rows.append(rec)
+        nbytes += rec["content_length"]
+        if len(rows) >= records_per_chunk or nbytes >= bytes_per_chunk:
+            yield rows
+            rows, nbytes = [], 0
+    if rows:
+        yield rows
 
 
 def http_response_body(payload: bytes) -> bytes:
@@ -103,23 +209,52 @@ def http_response_body(payload: bytes) -> bytes:
     return payload[sep + 4 :] if sep >= 0 else payload
 
 
-def read_warc(spark, path: str, *, record_types: tuple[str, ...] | None = None):
-    """Distributed WARC scan: ``binaryFile`` rows -> per-file parse ->
-    columnar record batches. ``record_types`` pre-filters (e.g.
-    ``("response",)``) inside the parse task so unwanted records never
-    reach the exchange."""
-    import pandas as pd
+def read_warc(
+    spark,
+    path: str,
+    *,
+    record_types: tuple[str, ...] | None = None,
+    records_per_chunk: int = DEFAULT_RECORDS_PER_CHUNK,
+    bytes_per_chunk: int = DEFAULT_BYTES_PER_CHUNK,
+    check_sizes: bool = True,
+):
+    """Distributed WARC scan: ``binaryFile`` rows -> per-file streaming
+    parse -> bounded columnar record batches. ``record_types``
+    pre-filters (e.g. ``("response",)``) inside the parse task so
+    unwanted records never reach the exchange; batches flush every
+    ``records_per_chunk`` records / ``bytes_per_chunk`` payload bytes.
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    ``check_sizes`` pre-scans the listing's path/length metadata (no
+    content read) and raises on files beyond binaryFile's 2 GiB array
+    cap — split oversized archives upstream (CommonCrawl segments are
+    ~1 GB by convention)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path)
+    if check_sizes:
+        over = (
+            files.filter(F.col("length") > BINARYFILE_MAX_BYTES)
+            .select("path", "length")
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"WARC file exceeds binaryFile's 2 GiB cap: {over[0]['path']} "
+                f"({over[0]['length']} bytes) — split the archive upstream"
+            )
+    files = files.select("path", "content")
+
+    cols = [f.split(" ")[0] for f in RECORD_SCHEMA.split(", ")]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.split(" ")[0] for f in RECORD_SCHEMA.split(", ")]
         for pdf in batches:
-            rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc_bytes(bytes(content), p):
-                    if record_types is None or rec["warc_type"] in record_types:
-                        rows.append(rec)
-            yield pd.DataFrame(rows, columns=cols)
+                recs = parse_warc_stream(_iter_decompressed(bytes(content)), p)
+                if record_types is not None:
+                    recs = (r for r in recs if r["warc_type"] in record_types)
+                for rows in _chunked_records(recs, records_per_chunk, bytes_per_chunk):
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, RECORD_SCHEMA)

@@ -205,3 +205,30 @@ def test_span_sources_attribution(spark):
     assert rows[1]["n_other_docs"] == 2 and rows[1]["sample_partner"] == 2
     assert rows[2]["sample_partner"] == 1 and rows[5]["sample_partner"] == 1
     assert rows[9]["n_other_docs"] == 0 and rows[9]["sample_partner"] is None
+
+
+def test_span_fraction_merges_overlapping_spans(spark):
+    """Two maximal runs with starts < l apart cover overlapping WORDS
+    (positions {1,3}, l=8 -> spans [1,8] and [3,10]); coverage must
+    merge them — dup_fraction is a true covered-word fraction <= 1,
+    never a double-counted span-length sum."""
+    a_words = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"          # grams at pos 1..3
+    # B carries A's pos-1 gram and pos-3 gram but NOT the pos-2 gram
+    b_words = "a1 a2 a3 a4 a5 a6 a7 a8 X a3 a4 a5 a6 a7 a8 a9 a10"
+    docs = spark.createDataFrame(
+        [(1, a_words), (2, b_words)], "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in dedup.duplicate_span_fraction(docs, "text", "doc_id", l=8).collect()
+    }
+    # doc 1: duplicated positions {1, 3} (pos 2's gram is unique) ->
+    # ONE island covering words 1..10 = the whole 10-word doc
+    assert rows[1]["n_words"] == 10
+    assert rows[1]["dup_words"] == 10
+    assert rows[1]["dup_fraction"] == 1.0
+    # doc 2: duplicated positions {1, 10}, gap 9 > l-1 -> two disjoint
+    # islands of 8 words each over 17 words
+    assert rows[2]["n_words"] == 17
+    assert rows[2]["dup_words"] == 16
+    assert abs(rows[2]["dup_fraction"] - round(16 / 17, 6)) < 1e-9

@@ -158,3 +158,56 @@ def test_tracin_probe_with_no_shared_buckets_scores_zero(spark):
     assert out[1]["influence"] > out[2]["influence"]
     # self influence is positive
     assert out[0]["influence"] > 0.0
+
+
+def test_token_waterfill_budget_covers_corpus(spark):
+    """budget == total (num == den): every stratum fully used, alloc
+    sums to the TOTAL (surplus unallocated by contract)."""
+    from datafusion_server_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 30), ("c", 5)], "stratum string, toks int"
+    )
+    out = sampling.token_budget_waterfill(df, "stratum", F.col("toks"), 1, 1)
+    rows = {r["stratum"]: r for r in out.collect()}
+    assert all(r["fully_used"] for r in rows.values())
+    assert all(r["alloc_tokens"] == r["avail_tokens"] for r in rows.values())
+    assert sum(r["alloc_tokens"] for r in rows.values()) == 45
+
+
+def test_token_waterfill_single_stratum_levels_to_budget(spark):
+    from datafusion_server_spark.operators import sampling
+
+    df = spark.createDataFrame([("only", 100)], "stratum string, toks int")
+    out = sampling.token_budget_waterfill(df, "stratum", F.col("toks"), 3, 10)
+    [r] = out.collect()
+    assert (r["alloc_tokens"], r["fully_used"]) == (30, False)
+
+
+def test_token_waterfill_zero_token_strata_and_leftover(spark):
+    """Zero-avail strata ride through as fully used with alloc 0; the
+    budget remainder goes one-each to the lexicographically first
+    levelled strata (documented tie-break)."""
+    from datafusion_server_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("z0", 0), ("big_b", 50), ("big_a", 50), ("tiny", 4)],
+        "stratum string, toks int",
+    )
+    # budget = 104 // 2 = 52; sorted: z0(0), tiny(4) fully used ->
+    # rem 48 over {big_a, big_b}: level 24, leftover 0
+    out = sampling.token_budget_waterfill(df, "stratum", F.col("toks"), 1, 2)
+    rows = {r["stratum"]: r for r in out.collect()}
+    assert rows["z0"]["alloc_tokens"] == 0 and rows["z0"]["fully_used"]
+    assert rows["tiny"]["alloc_tokens"] == 4 and rows["tiny"]["fully_used"]
+    assert rows["big_a"]["alloc_tokens"] == 24 and not rows["big_a"]["fully_used"]
+    assert rows["big_b"]["alloc_tokens"] == 24 and not rows["big_b"]["fully_used"]
+    assert sum(r["alloc_tokens"] for r in rows.values()) == 52
+    # leftover path: budget = 104 * 51 // 104 = 51 -> rem 47 over two
+    # big strata: level 23, leftover 1 -> big_a (lexicographically
+    # first levelled stratum) gets the extra token
+    out2 = sampling.token_budget_waterfill(df, "stratum", F.col("toks"), 51, 104)
+    rows2 = {r["stratum"]: r for r in out2.collect()}
+    assert rows2["big_a"]["alloc_tokens"] == 24
+    assert rows2["big_b"]["alloc_tokens"] == 23
+    assert sum(r["alloc_tokens"] for r in rows2.values()) == 51

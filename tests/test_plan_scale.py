@@ -1,0 +1,113 @@
+"""Plan-shape assertions for the round-6 global-window eliminations.
+
+The scale hazard: ``row_number().over(Window.orderBy(...))`` with no
+partition spec compiles to ``Exchange SinglePartition`` + ``Window`` —
+EVERY input row moves to one task before any ``rank <= k`` filter. The
+fix is ``orderBy().limit(k)`` (TakeOrderedAndProject: per-partition
+k-row heaps) with the rank assigned on the k survivors, or anti-join /
+aggregate reductions that bound the window's input first.
+
+These tests parse the physical plan tree and assert that every
+``Exchange SinglePartition`` feeding the plan has a ROW-BOUNDING node
+below it (top-k, limit, aggregate, or anti-join reduction) — i.e. the
+single task only ever receives an already-reduced rowset."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from datafusion_server_spark.queries import registry
+
+# Nodes that bound the row count flowing up from their subtree: global
+# top-k/limits, aggregates (output = #groups, bounded for every use in
+# this package: strata / partitions / sketch rows), Spark's own partial
+# top-k for rank windows, and the anti-join reductions used by the
+# sequence-gaps boundary tables (output = #gaps, the report size).
+_BOUNDING = re.compile(
+    r"TakeOrderedAndProject|GlobalLimit|CollectLimit|WindowGroupLimit"
+    r"|HashAggregate|SortAggregate|ObjectHashAggregate|LeftAnti"
+)
+
+_TREE_CHARS = re.compile(r"^[\s:+\-*()0-9]*")
+
+
+def _plan_lines(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = []
+    for raw in plan.splitlines():
+        m = re.match(r"^([\s:+\-]*)(\*\(\d+\)\s*)?(.*)$", raw)
+        indent = len(m.group(1))
+        text = m.group(3)
+        if text:
+            lines.append((indent, text))
+    return lines
+
+
+def _unbounded_single_partition_exchanges(df) -> list[str]:
+    """Exchange SinglePartition nodes whose subtree contains NO
+    row-bounding node — the funnel-everything-to-one-task shape."""
+    lines = _plan_lines(df)
+    bad = []
+    for i, (indent, text) in enumerate(lines):
+        if "Exchange SinglePartition" not in text:
+            continue
+        subtree = []
+        for j in range(i + 1, len(lines)):
+            if lines[j][0] <= indent:
+                break
+            subtree.append(lines[j][1])
+        if not any(_BOUNDING.search(t) for t in subtree):
+            bad.append(text)
+    return bad
+
+
+_REWRITTEN = [
+    "text_bm25_topk",
+    "hybrid_rrf_retrieval",  # bm25_doc_query leg
+    "sample_dsir_topk",
+    "cluster_kmeans_assign",  # kmeans_init seeding
+    "sketch_kmv_set_estimates",
+    "profile_quantile_normalize",
+    "profile_sequence_gaps",
+    "sample_token_waterfill",
+]
+
+
+@pytest.mark.parametrize("name", _REWRITTEN)
+def test_no_unbounded_single_partition_window_feed(spark, sf_dir, name):
+    df = registry()[name].build(spark, sf_dir)
+    bad = _unbounded_single_partition_exchanges(df)
+    assert not bad, f"{name}: unbounded SinglePartition exchanges: {bad}"
+
+
+@pytest.mark.parametrize("name", ["text_bm25_topk", "sample_dsir_topk"])
+def test_topk_compiles_to_take_ordered(spark, sf_dir, name):
+    """The k-row selection must be the distributed TakeOrderedAndProject
+    (per-partition heaps), not a full sort or a global window."""
+    df = registry()[name].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, name
+
+
+def test_kmeans_init_compiles_to_take_ordered(spark, sf_dir):
+    """kmeans_init's k-seed selection (invisible in the query plan —
+    the training loop localCheckpoints centroids) must itself be the
+    distributed top-k, not a corpus-wide window."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators.clustering import kmeans_init
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    seeds = kmeans_init(emb, 4, "embedding", "vec_id")
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert not _unbounded_single_partition_exchanges(seeds)
+
+
+def test_quantile_normalize_plan_is_range_partitioned(spark, sf_dir):
+    """The global rank table must be built on a range-partitioned layout
+    (partition order == sort order), not a single-partition sort."""
+    df = registry()["profile_quantile_normalize"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan

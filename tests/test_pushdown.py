@@ -141,3 +141,66 @@ def test_projection_candidates_are_superset_safe():
     )
     r = refine_pushdown(pd, COLS)
     assert "age" in (r.columns or ())
+
+
+def test_scalar_aggregate_blocks_limit_pushdown():
+    """SELECT count(*) ... LIMIT 1: pushing the LIMIT would make the
+    remote return ONE row and Spark would re-count over it — a silently
+    wrong aggregate. Any non-keyword function call blocks the limit."""
+    pd = extract_pushdown("SELECT count(*) FROM people@pg LIMIT 1", "people", "pg")
+    assert pd.limit is None
+    for fn in ("sum(age)", "avg(age)", "min(age)", "max(age)", "string_agg(name, ',')"):
+        pd = extract_pushdown(
+            f"SELECT {fn} FROM people@pg LIMIT 1", "people", "pg"
+        )
+        assert pd.limit is None, fn
+    # scalar-call select lists also degrade (conservative, documented)
+    pd = extract_pushdown("SELECT upper(name) FROM people@pg LIMIT 3", "people", "pg")
+    assert pd.limit is None
+    # plain projections keep the limit; keyword constructs (IN-lists,
+    # CAST) are not mistaken for aggregate calls
+    pd = extract_pushdown(
+        "SELECT name FROM people@pg WHERE age IN (1, 2) LIMIT 3", "people", "pg"
+    )
+    assert pd.limit == 3
+
+
+def test_keyword_named_remote_column_is_refetched():
+    """A remote column named like a SQL keyword (date/first/row) never
+    makes the candidate list; refine_pushdown must re-add it from the
+    statement words or the registered view breaks the re-applied query."""
+    pd = extract_pushdown("SELECT date, x FROM t@pg", "t", "pg")
+    assert "date" not in (pd.columns or ())
+    r = refine_pushdown(pd, ["date", "x", "y"])
+    assert r.columns == ("date", "x")
+    # keyword words NOT in the remote schema stay out
+    r2 = refine_pushdown(pd, ["x", "y"])
+    assert r2.columns == ("x",)
+
+
+def test_sqlite_numeric_predicate_on_text_column_not_pushed(spark, tmp_path):
+    """sqlite orders by type class (TEXT > any number): `v < 10` is
+    false remotely for TEXT '5' while Spark casts and keeps the row —
+    predicates over non-numeric-affinity columns must not be pushed."""
+    import sqlite3
+
+    from datafusion_server_spark.sources.jdbc import (
+        DatabaseNamespace,
+        _read_sqlite,
+    )
+
+    db = tmp_path / "aff.db"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (id INTEGER, v TEXT)")
+        conn.executemany(
+            "INSERT INTO t VALUES (?, ?)", [(1, "5"), (2, "50"), (3, "500")]
+        )
+    ns = DatabaseNamespace(name="aff", url=str(db), kind="sqlite")
+    pd = Pushdown(columns=("id", "v"), where="v < 10", limit=None)
+    out = _read_sqlite(spark, ns, "t", pd)
+    # all three rows come back; Spark re-applies the predicate itself
+    assert out.count() == 3
+    # numeric-affinity predicates still push (and stay correct)
+    pd2 = Pushdown(columns=("id", "v"), where="id < 3", limit=2)
+    out2 = _read_sqlite(spark, ns, "t", pd2)
+    assert sorted(r["id"] for r in out2.collect()) == [1, 2]

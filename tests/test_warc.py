@@ -184,3 +184,72 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_streaming_parse_yields_bounded_chunks(tmp_path, spark):
+    """A many-record file must leave the parse task as MULTIPLE bounded
+    batches (records_per_chunk trips), with results identical to the
+    unchunked read — the 100 TB per-task-memory contract."""
+    recs = b"".join(
+        _record(
+            "response",
+            _http(f"<html><body>doc {i}</body></html>".encode()),
+            uri=f"https://x.example/{i}",
+            rid=f"<urn:uuid:{i}>",
+        )
+        for i in range(23)
+    )
+    p = tmp_path / "many.warc.gz"
+    p.write_bytes(gzip.compress(recs))
+    # python-level: the chunker flushes every 5 records -> 5 batches
+    chunks = list(
+        warc_py._chunked_records(
+            warc_py.parse_warc_bytes(p.read_bytes()), 5, 1 << 30
+        )
+    )
+    assert [len(c) for c in chunks] == [5, 5, 5, 5, 3]
+    # byte-budget flush path
+    bychunks = list(
+        warc_py._chunked_records(warc_py.parse_warc_bytes(p.read_bytes()), 10**9, 1)
+    )
+    assert all(len(c) == 1 for c in bychunks) and len(bychunks) == 23
+    # spark-level: chunked read == default read, exact rows
+    small = warc_py.read_warc(spark, str(p), records_per_chunk=5)
+    default = warc_py.read_warc(spark, str(p))
+    a = sorted(r["record_id"] for r in small.select("record_id").collect())
+    b = sorted(r["record_id"] for r in default.select("record_id").collect())
+    assert a == b and len(a) == 23
+
+
+def test_incremental_decompress_windows_are_bounded():
+    """Gzip members decompress in <= window-sized pieces; the
+    concatenation is the whole stream."""
+    raw = b"x" * (3 * 1024) + b"y" * (2 * 1024)
+    data = gzip.compress(raw[:3072]) + gzip.compress(raw[3072:])
+    pieces = list(warc_py._iter_decompressed(data, window=1024))
+    assert len(pieces) >= 5
+    assert all(len(p) <= 1024 for p in pieces)
+    assert b"".join(pieces) == raw
+
+
+def test_truncated_record_raises_with_offset(tmp_path):
+    recs = _record("response", _http(b"<html>ok</html>"), uri="https://x/a")
+    cut = recs[: len(recs) - 8]
+    try:
+        list(warc_py.parse_warc_bytes(cut, "f.warc"))
+        raise AssertionError("expected truncation error")
+    except ValueError as e:
+        assert "truncated record" in str(e)
+
+
+def test_oversized_file_raises_clean_error(tmp_path, spark):
+    """binaryFile caps at 2 GiB; the size pre-check (metadata only — a
+    sparse file costs no disk) must raise a clean error naming the
+    file, not a mid-job array overflow."""
+    import pytest
+
+    big = tmp_path / "huge.warc"
+    with open(big, "wb") as f:
+        f.truncate((1 << 31) + 1024)
+    with pytest.raises(ValueError, match="2 GiB cap.*huge.warc|huge.warc.*2 GiB"):
+        warc_py.read_warc(spark, str(big))

@@ -199,24 +199,37 @@ def main() -> None:
     #   cold = first run (pays per-plan codegen compile + any transient
     #          host contention — the round-1 methodology);
     #   best = min of 3 (the stable engine cost — the round-2 headline).
+    # r6: each query is timed under BOTH configs, interleaved run-by-run
+    # (off, on, off, on, ...) in the same warmed session — the headline
+    # stays the pinned AQE-off config (comparable across rounds) while
+    # `queries_aqe_on` records the session default a user actually gets,
+    # with neither config enjoying a JIT-warmth advantage.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    aqe_on: dict[str, float] = {}
     for name in HEADLINE:
         qd = reg[name]
         runs: list[float] = []
-        for _ in range(3):
+        runs_on: list[float] = []
+        for i in range(6):
+            spark.conf.set(
+                "spark.sql.adaptive.enabled", "false" if i % 2 == 0 else "true"
+            )
             t0 = time.time()
             df = qd.build(spark, sf_dir)
             # Materialize the full result through Arrow — the same path
             # the server's response encoders use (reference A20/A21).
             df.toArrow()
-            runs.append(time.time() - t0)
+            (runs if i % 2 == 0 else runs_on).append(time.time() - t0)
             # release checkpoint/cache blocks before the next timing
             # (ContextCleaner needs the py-side refs gone)
             del df
             gc.collect()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+        aqe_on[name] = round(min(runs_on), 3)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
     # time the operator-default twins of the pinned-variant queries
     # (reported separately; not part of the headline total)
@@ -270,6 +283,15 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "value_cold": round(sum(cold.values()), 3),
+                "queries_aqe_on": aqe_on,
+                "value_aqe_on": round(sum(aqe_on.values()), 3),
+                "aqe_note": (
+                    "headline rows pin AQE off (static plans win on 1-30 MB "
+                    "stages); aqe_on rows are the session-default config a "
+                    "user gets, timed run-interleaved with the off rows in "
+                    "the same session — both reported so the benched and "
+                    "shipped configs cannot drift silently"
+                ),
                 "variants": {n: v[0] for n, v in VARIANTS.items()},
                 "ingest": (
                     "untimed: re-laid multi-split parquet, materialized in "

@@ -621,13 +621,46 @@ def pack_chunks_contiguous(
     BIGINT, bin_offset BIGINT words already in the bin before this
     chunk... modulo capacity).
 
-    Scale notes: ONE global ordering window. At 100 TB, range-partition
-    by the same order first (Spark's window already does) — the window
-    carries only a running sum, so state per task is O(1)."""
+    Scale notes: the cumulative window orders GLOBALLY by design — use
+    this variant only on bounded inputs (one shard's chunks, a curated
+    subset). At 100 TB pack within shards instead
+    (``pack_chunks_sharded``): bins never cross a shard boundary there,
+    so the window is hash-partitioned and no single task sees the
+    corpus."""
     from pyspark.sql import Window
 
     w = Window.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(
         Window.unboundedPreceding, -1
+    )
+    before = F.coalesce(F.sum("n_words").over(w), F.lit(0)).cast("bigint")
+    return chunks.select(
+        "*",
+        F.floor(before / capacity_words).cast("bigint").alias("bin_id"),
+        (before % capacity_words).cast("bigint").alias("bin_offset"),
+    )
+
+
+def pack_chunks_sharded(
+    chunks: DataFrame,
+    capacity_words: int,
+    shard_col: str,
+    *,
+    order_cols: tuple[str, str] = ("id", "chunk_idx"),
+) -> DataFrame:
+    """The 100 TB packing shape: contiguous packing WITHIN each shard —
+    training bins never span shards (the dataloader convention: every
+    bin is served from one shard file), so the cumulative-sum window is
+    ``partitionBy(shard)`` and compiles to a hash-partitioned exchange;
+    no task ever holds more than one shard's running state. ``bin_id``
+    is shard-local — (shard, bin_id) is the global bin key. Same
+    deterministic (order_cols total within shard) contract as
+    ``pack_chunks_contiguous``."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum("n_words").over(w), F.lit(0)).cast("bigint")
     return chunks.select(

@@ -143,7 +143,9 @@ PRIORITY: tuple[str, ...] = (
     "knn_bruteforce_cosine",
     "ann_lsh_scaled",
     "ann_ivf_cosine",
-    "ann_sq8_cosine",
+    # (ann_sq8_cosine rotated OUT round 6 for the sharded-packing row:
+    # the quantized-search surface stays in-window via ann_pq_cosine and
+    # the SQ8 row remains oracle-verified in pytest)
     "ann_pq_cosine",
     "embedding_near_duplicates",
     # LLM-pipeline: trained-model family (late round 4)
@@ -157,6 +159,7 @@ PRIORITY: tuple[str, ...] = (
     "text_lm_cross_entropy",
     "text_fuzzy_match_pairs",
     "gopher_quality_flags",
+    "text_pack_sequences_sharded",
     # LLM-pipeline: sampling + mixture learning (round-5: DSIR
     # importance resampling and DoReMi Group-DRO domain reweighting join
     # the window; sample_domain_mix and later sample_temperature_mix
@@ -164,9 +167,12 @@ PRIORITY: tuple[str, ...] = (
     # exercised inside pipeline_curation_end2end)
     "sample_dsir_topk",
     "doremi_domain_weights",
-    # merge processors (reference A14/A15)
+    # r6: water-filling token-budget allocation (newly wired operator)
+    "sample_token_waterfill",
+    # merge processors (reference A14/A15; merge_processor_row rotated
+    # OUT round 6 for the token-waterfill row — row-merge semantics stay
+    # oracle-verified in pytest and run inside the e2e merge tests)
     "merge_processor_column",
-    "merge_processor_row",
     # streaming (beyond-reference; + round-3 native session_window;
     # sliding rotated OUT late round 4 for the curation pipeline —
     # tumbling covers the windowed-agg family, sliding stays

@@ -429,6 +429,43 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("id", "chunk_idx", "n_words", "bin_id", "bin_offset")
 
 
+# sharded packing (the 100 TB shape): bins never cross a source shard,
+# so the cumulative window hash-partitions by shard instead of moving
+# the corpus to one task. bin_id is shard-local.
+_PACK_SHARDED_ORACLE = f"""
+WITH {_CHUNK_CTE},
+sh AS (SELECT c.doc_id, d.source AS shard, c.chunk_idx, c.n_words
+       FROM chunks c JOIN documents d ON d.doc_id = c.doc_id),
+cum AS (
+  SELECT doc_id, shard, chunk_idx, n_words,
+         COALESCE(SUM(n_words) OVER (PARTITION BY shard
+                                     ORDER BY doc_id, chunk_idx
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS bef
+  FROM sh)
+SELECT CAST(doc_id AS BIGINT) AS id, shard,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(bef // {_PACK_CAP} AS BIGINT) AS bin_id,
+       CAST(bef % {_PACK_CAP} AS BIGINT) AS bin_offset
+FROM cum
+"""
+
+
+@df_query("text_pack_sequences_sharded", _PACK_SHARDED_ORACLE)
+def text_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, "text", "doc_id", chunk_words=_CHUNK_WORDS)
+    sharded = chunks.join(
+        docs.select(F.col("doc_id").alias("id"), F.col("source").alias("shard")),
+        "id",
+    )
+    packed = text.pack_chunks_sharded(sharded, _PACK_CAP, "shard")
+    return packed.select(
+        "id", "shard", "chunk_idx", "n_words", "bin_id", "bin_offset"
+    )
+
+
 # corpus-trained unigram-LM cross-entropy (CCNet-style quality signal):
 # per-token -ln p rounded to 8 and summed as DECIMAL, so the only float
 # op crossing engines (ln) is rounded before aggregation.

@@ -111,3 +111,13 @@ def test_quantile_normalize_plan_is_range_partitioned(spark, sf_dir):
     df = registry()["profile_quantile_normalize"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in plan
+
+
+def test_sharded_pack_window_is_hash_partitioned(spark, sf_dir):
+    """pack_chunks_sharded must compile its cumulative window onto a
+    hash-partitioned exchange (per-shard state), with no
+    single-partition funnel anywhere in the plan."""
+    df = registry()["text_pack_sequences_sharded"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(shard" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -1,0 +1,158 @@
+"""Pairwise-preference rating: Bradley-Terry maximum-likelihood scores
+from match outcomes — the model behind RLHF preference-data audits,
+chatbot-arena-style leaderboards, and source-quality tournaments.
+
+Bradley-Terry: P(i beats j) = s_i / (s_i + s_j). The standard MM
+(minorization-maximization, Hunter 2004) update
+
+    s_i' = W_i / sum_j ( n_ij / (s_i + s_j) )
+
+(W_i = total wins of i, n_ij = matches between i and j) converges
+monotonically from uniform initialization; a FIXED iteration count
+makes the whole fit SQL-expressible, so the DuckDB oracle unrolls the
+loop exactly like the k-means / logreg / DoReMi trainers.
+
+Determinism contract (house rules): every division rounds to 8
+decimals via shortest-repr HALF_UP (Spark ``ROUND(double, 8)``); the
+per-opponent denominator terms sum as DECIMAL(18,8) (order-free exact),
+so engines agree bit-for-bit at every iteration.
+
+Scale shape (100 TB): matches aggregate to a PLAYERS^2-bounded matrix
+first; every MM iteration is a join + aggregation over that bounded
+matrix (the driver loops over the fixed iteration count, never over
+rows). Player count is the cardinality of the rated entity (sources,
+models, annotators) — thousands at most, never corpus-sized.
+
+Degenerate case (standard BT): a WINLESS player's MLE strength is 0 —
+the MM update sends it there in one step and it stays (unit-tested).
+Callers wanting a floor add pseudo-matches upstream (the arena-
+leaderboard regularization), which keeps the fit itself exactly
+reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pairwise_matches_by_rank(
+    df: DataFrame,
+    player_col: str,
+    score_col: Column,
+    id_col: str,
+    rounds: int = 10,
+) -> DataFrame:
+    """Deterministic tournament fixture: within each player (e.g.
+    source), take the ``rounds`` smallest-id entries as that player's
+    lineup (rank r = round r), then match rank-r vs rank-r across every
+    player pair. Winner = higher score; ties break to the
+    lexicographically smaller player (documented). Output: one row per
+    match (p_win, p_lose) — players missing a rank simply sit that
+    round out.
+
+    Scale: one player-partitioned window (bounded per player by
+    ``rounds``), then a rank-keyed self-join of a players*rounds-bounded
+    table."""
+    w = Window.partitionBy("p").orderBy(F.asc("id"))
+    lineup = (
+        df.select(
+            F.col(player_col).alias("p"),
+            F.col(id_col).alias("id"),
+            score_col.cast("bigint").alias("s"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rounds)
+    )
+    a = lineup.select(
+        F.col("p").alias("pa"), F.col("s").alias("sa"), F.col("r").alias("r")
+    )
+    b = lineup.select(
+        F.col("p").alias("pb"), F.col("s").alias("sb"), F.col("r").alias("r")
+    )
+    m = a.join(b, "r").filter(F.col("pa") < F.col("pb"))
+    win_a = (F.col("sa") > F.col("sb")) | (F.col("sa") == F.col("sb"))
+    return m.select(
+        F.when(win_a, F.col("pa")).otherwise(F.col("pb")).alias("p_win"),
+        F.when(win_a, F.col("pb")).otherwise(F.col("pa")).alias("p_lose"),
+    )
+
+
+def bradley_terry_ratings(
+    matches: DataFrame, iterations: int = 8
+) -> DataFrame:
+    """Fit Bradley-Terry scores to a (p_win, p_lose) match table with
+    ``iterations`` MM updates from uniform init (1.0). Output:
+    (player, rating, wins, matches) — rating rounded to 6.
+
+    The match table aggregates ONCE to the players^2-bounded (i, j,
+    n_ij) matrix + per-player win counts; each iteration joins current
+    ratings onto the matrix (players-bounded broadcast), computes the
+    DECIMAL-summed denominator, and produces the next ratings. All
+    iteration state is players-bounded."""
+    # undirected match matrix (i < j) + per-player wins
+    pairs = matches.select(
+        F.least("p_win", "p_lose").alias("i"),
+        F.greatest("p_win", "p_lose").alias("j"),
+    ).groupBy("i", "j").agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+    wins = matches.groupBy(F.col("p_win").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    played = (
+        matches.select(F.col("p_win").alias("p"))
+        .unionByName(matches.select(F.col("p_lose").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    players = played.join(wins, "p", "left").select(
+        "p",
+        F.coalesce("w", F.lit(0)).cast("bigint").alias("w"),
+        "m",
+    )
+    # symmetric adjacency for the denominator sum
+    adj = pairs.select("i", "j", "n_ij").unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n_ij")
+    )
+    # each iteration references the previous ratings TWICE (both join
+    # sides); localCheckpoint keeps the plan flat instead of doubling
+    # per iteration — the kmeans/logreg/PageRank house pattern. The
+    # checkpointed table is players-bounded (tiny).
+    adj = adj.localCheckpoint(eager=True)
+    players = players.localCheckpoint(eager=True)
+    ratings = players.select("p", F.lit(1.0).alias("s"))
+    for _ in range(iterations):
+        ratings = ratings.localCheckpoint(eager=True)
+        ri = ratings.select(F.col("p").alias("i"), F.col("s").alias("si"))
+        rj = ratings.select(F.col("p").alias("j"), F.col("s").alias("sj"))
+        denom = (
+            adj.join(F.broadcast(ri), "i")
+            .join(F.broadcast(rj), "j")
+            .select(
+                "i",
+                F.round(
+                    F.col("n_ij").cast("double") / (F.col("si") + F.col("sj")), 8
+                )
+                .cast("decimal(18,8)")
+                .alias("__t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("__t").cast("double").alias("__d"))
+        )
+        ratings = (
+            players.join(denom, players["p"] == denom["i"], "left")
+            .select(
+                "p",
+                F.when(
+                    F.col("__d").isNotNull() & (F.col("__d") > 0),
+                    F.round(F.col("w").cast("double") / F.col("__d"), 8),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("s"),
+            )
+        )
+    return players.join(ratings, "p").select(
+        F.col("p").alias("player"),
+        F.round(F.col("s"), 6).alias("rating"),
+        F.col("w").alias("wins"),
+        F.col("m").alias("matches"),
+    )

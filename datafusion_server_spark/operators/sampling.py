@@ -669,3 +669,108 @@ def token_budget_waterfill(
         .alias("alloc_tokens"),
         "fully_used",
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: Column,
+    budget_num: int,
+    budget_den: int,
+    epochs_num: int,
+    epochs_den: int = 1,
+) -> DataFrame:
+    """UniMax language/domain sampling (Chung et al. 2023,
+    arXiv:2304.09151): split a total token budget UNIFORMLY across
+    strata, except no stratum may be repeated beyond ``epochs_num/
+    epochs_den`` passes over its corpus — the anti-overfitting cap that
+    distinguishes UniMax from plain uniform sampling. Structurally this
+    is ``token_budget_waterfill`` with availability replaced by the
+    epoch cap ``cap_l = (avail_l * epochs) div 1``: scarce (capped)
+    strata take their whole cap, abundant ones level down to a common
+    water level chosen so allocations sum EXACTLY to the budget
+    (``budget = (total_true * budget_num) div budget_den`` over the TRUE
+    corpus total, not the capped one).
+
+    All-integer arithmetic (bit-deterministic; the DuckDB oracle replays
+    it); windows run over the strata-bounded aggregate only. Output:
+    (stratum, avail_tokens, cap_tokens, alloc_tokens, capped) where
+    ``capped`` marks strata pinned at their epoch cap. When the budget
+    exceeds the summed caps, every stratum is capped and the surplus
+    stays unallocated (the documented degenerate case)."""
+    agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(tokens_col.cast("bigint")).alias("avail")
+    )
+    wall = Window.partitionBy()
+    capped = agg.select(
+        "stratum",
+        "avail",
+        F.expr(f"(avail * {int(epochs_num)}) div {int(epochs_den)}").alias("cap"),
+        F.sum("avail").over(wall).alias("total_true"),
+    )
+    wo = Window.orderBy(F.asc("cap"), F.asc("stratum"))
+    base = capped.select(
+        "stratum",
+        "avail",
+        "cap",
+        F.row_number().over(wo).alias("j"),
+        F.coalesce(
+            F.sum("cap").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("s_prev"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.expr(f"(total_true * {int(budget_num)}) div {int(budget_den)}").alias(
+            "budget"
+        ),
+    )
+    lvl = base.select(
+        "stratum",
+        "avail",
+        "cap",
+        "j",
+        (F.col("n") - F.col("j") + 1).alias("k"),
+        (F.col("budget") - F.col("s_prev")).alias("rem"),
+    )
+    star = lvl.withColumn(
+        "jstar",
+        F.min(F.when(F.col("cap") * F.col("k") > F.col("rem"), F.col("j"))).over(
+            wall
+        ),
+    )
+    star = star.select(
+        "stratum",
+        "avail",
+        "cap",
+        "j",
+        "jstar",
+        F.min(F.when(F.col("j") == F.col("jstar"), F.col("rem"))).over(wall).alias(
+            "rem_star"
+        ),
+        F.min(F.when(F.col("j") == F.col("jstar"), F.col("k"))).over(wall).alias(
+            "k_star"
+        ),
+    )
+    flagged = star.select(
+        "stratum",
+        "avail",
+        "cap",
+        F.expr("rem_star div k_star").alias("lvl"),
+        (F.col("rem_star") % F.col("k_star")).alias("leftover"),
+        (F.col("jstar").isNull() | (F.col("j") < F.col("jstar"))).alias("capped"),
+    )
+    wu = Window.partitionBy("capped").orderBy(F.asc("stratum"))
+    return flagged.select(
+        "stratum",
+        F.col("avail").cast("bigint").alias("avail_tokens"),
+        F.col("cap").cast("bigint").alias("cap_tokens"),
+        F.when(F.col("capped"), F.col("cap"))
+        .otherwise(
+            F.col("lvl")
+            + F.when(F.row_number().over(wu) <= F.col("leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        "capped",
+    )

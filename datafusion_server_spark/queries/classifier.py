@@ -445,3 +445,77 @@ def preference_pairs_by_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("a.m") - F.col("b.m"), 6).alias("margin_gap"),
         )
     )
+
+
+# --- Bradley-Terry source tournament (r6, operators/rating.py) --------------
+# Fixture: each source fields its 10 smallest-doc_id documents as a
+# lineup; rank-r docs meet across every source pair, longer doc wins
+# (ties to the lexicographically smaller source). 8 MM iterations from
+# uniform init; the ENTIRE fit — matches, win/match counts, every
+# iteration's DECIMAL-summed denominators and repr-rounded updates —
+# unrolls into the DuckDB oracle (the kmeans/logreg/DoReMi pattern).
+_BT_ROUNDS = 10
+_BT_ITERS = 8
+
+
+def _bt_ctes() -> str:
+    parts = [f"""lineup AS MATERIALIZED (
+  SELECT p, s, r FROM (
+    SELECT source AS p, CAST(n_chars AS BIGINT) AS s,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS r
+    FROM documents) WHERE r <= {_BT_ROUNDS}),
+matches AS MATERIALIZED (
+  SELECT CASE WHEN a.s >= b.s THEN a.p ELSE b.p END AS p_win,
+         CASE WHEN a.s >= b.s THEN b.p ELSE a.p END AS p_lose
+  FROM lineup a JOIN lineup b ON a.r = b.r AND a.p < b.p),
+pairs AS MATERIALIZED (
+  SELECT LEAST(p_win, p_lose) AS i, GREATEST(p_win, p_lose) AS j,
+         CAST(COUNT(*) AS BIGINT) AS n_ij
+  FROM matches GROUP BY 1, 2),
+players AS MATERIALIZED (
+  SELECT pm.p, CAST(COALESCE(ww.w, 0) AS BIGINT) AS w, pm.m FROM
+    (SELECT p, CAST(COUNT(*) AS BIGINT) AS m
+     FROM (SELECT p_win AS p FROM matches UNION ALL SELECT p_lose FROM matches)
+     GROUP BY p) pm
+    LEFT JOIN (SELECT p_win AS pw, CAST(COUNT(*) AS BIGINT) AS w
+               FROM matches GROUP BY p_win) ww ON ww.pw = pm.p),
+adj AS MATERIALIZED (
+  SELECT i, j, n_ij FROM pairs
+  UNION ALL SELECT j AS i, i AS j, n_ij FROM pairs),
+r0 AS (SELECT p, CAST(1.0 AS DOUBLE) AS s FROM players)"""]
+    term = rrepr("CAST(a.n_ij AS DOUBLE) / (ri.s + rj.s)", 8)
+    upd = rrepr("CAST(pl.w AS DOUBLE) / d.d", 8)
+    for t in range(1, _BT_ITERS + 1):
+        parts.append(f"""d{t} AS (
+  SELECT a.i AS p,
+         CAST(SUM(CAST({term} AS DECIMAL(18,8))) AS DOUBLE) AS d
+  FROM adj a JOIN r{t-1} ri ON ri.p = a.i JOIN r{t-1} rj ON rj.p = a.j
+  GROUP BY a.i),
+r{t} AS (
+  SELECT pl.p,
+         CASE WHEN d.d IS NOT NULL AND d.d > 0 THEN {upd}
+              ELSE CAST(1.0 AS DOUBLE) END AS s
+  FROM players pl LEFT JOIN d{t} d ON d.p = pl.p)""")
+    return ",\n".join(parts)
+
+
+_BT_ORACLE = f"""
+WITH {_bt_ctes()}
+SELECT pl.p AS player, {rrepr(f"r{_BT_ITERS}.s", 6)} AS rating,
+       pl.w AS wins, pl.m AS matches
+FROM players pl JOIN r{_BT_ITERS} ON r{_BT_ITERS}.p = pl.p
+"""
+
+
+@df_query("eval_bradley_terry_sources", _BT_ORACLE)
+def eval_bradley_terry_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry tournament rating of the document sources from
+    rank-matched pairwise length comparisons — the preference-fit shape
+    behind RLHF data audits and arena leaderboards."""
+    from datafusion_server_spark.operators import rating
+
+    docs = tables.load(spark, sf_dir, "documents")
+    m = rating.pairwise_matches_by_rank(
+        docs, "source", F.col("n_chars"), "doc_id", rounds=_BT_ROUNDS
+    )
+    return rating.bradley_terry_ratings(m, iterations=_BT_ITERS)

@@ -479,3 +479,99 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_server_spark.streaming.windows import trending_topk
 
     return trending_topk(spark, f"{sf_dir}/events.parquet")
+
+
+# --- WebDataset tar-shard ingest (r6, sources/tar_py.py) --------------------
+# Sample payloads are PURE FUNCTIONS of (suffix, doc_id), so the DuckDB
+# oracle derives the expected shard CONTENT independently from the
+# documents table — reading the synthesized tars back through the
+# distributed binaryFile+mapInPandas scan verifies the container parse,
+# the contiguous sample grouping, and the Arrow plumbing end-to-end
+# with a real SQL oracle (not a replay).
+_WDS_SUFFIXES = ("jpg", "txt", "json")
+
+_WDS_JSON = (
+    "'{{\"id\": ' || CAST(doc_id AS VARCHAR) || ', \"h\": \"' "
+    "|| md5('json:' || CAST(doc_id AS VARCHAR)) || '\"}}'"
+)
+
+_WDS_ORACLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS key,
+       CAST(3 AS BIGINT) AS n_members,
+       md5(REPEAT(md5('jpg:' || CAST(doc_id AS VARCHAR)),
+                  CAST(doc_id % 3 + 1 AS INT))) AS jpg_md5,
+       md5(md5('txt:' || CAST(doc_id AS VARCHAR))) AS txt_md5,
+       md5({_WDS_JSON}) AS json_md5,
+       CAST(32 * (doc_id % 3 + 1) + 32 + LENGTH({_WDS_JSON}) AS BIGINT)
+           AS total_bytes
+FROM documents
+""".replace("{{", "{").replace("}}", "}")
+
+
+def _build_webdataset_shards(sf_dir: str) -> str:
+    """Driver-side synthesis of deterministic WebDataset shards from the
+    documents fixture (stdlib tarfile): 4 tar shards, sample key =
+    zero-padded doc_id, members {key}.jpg/.txt/.json stored consecutively
+    per the format's contiguity contract."""
+    import hashlib
+    import io
+    import os
+    import tarfile
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    ids = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    d = tempfile.mkdtemp(prefix="wds_shards_")
+    shards = [
+        tarfile.open(os.path.join(d, f"shard-{i:03d}.tar"), "w") for i in range(4)
+    ]
+    for i in ids:
+        i = int(i)
+        tf = shards[i % 4]
+
+        def h(s: str) -> str:
+            return hashlib.md5(f"{s}:{i}".encode()).hexdigest()
+
+        payloads = {
+            "jpg": (h("jpg") * (i % 3 + 1)).encode(),
+            "txt": h("txt").encode(),
+            "json": ('{"id": %d, "h": "%s"}' % (i, h("json"))).encode(),
+        }
+        for sfx in _WDS_SUFFIXES:
+            data = payloads[sfx]
+            info = tarfile.TarInfo(name=f"{i:08d}.{sfx}")
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    for tf in shards:
+        tf.close()
+    return d
+
+
+@df_query("multimodal_webdataset_ingest", _WDS_ORACLE)
+def multimodal_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ingest: per-shard parallel streaming tar
+    parse, adjacent same-key members grouped into one sample row inside
+    the task (no shuffle), per-suffix payload digests + byte totals.
+    The shape every image-text training pipeline starts from."""
+    import os
+
+    from datafusion_server_spark.sources import tar_py
+
+    d = _build_webdataset_shards(sf_dir)
+    wds = tar_py.read_webdataset(spark, os.path.join(d, "*.tar"), _WDS_SUFFIXES)
+    return wds.select(
+        F.col("key").cast("bigint").alias("key"),
+        "n_members",
+        F.md5("c_jpg").alias("jpg_md5"),
+        F.md5("c_txt").alias("txt_md5"),
+        F.md5("c_json").alias("json_md5"),
+        (F.length("c_jpg") + F.length("c_txt") + F.length("c_json"))
+        .cast("bigint")
+        .alias("total_bytes"),
+    )

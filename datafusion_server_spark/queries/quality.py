@@ -1074,3 +1074,84 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (F.count(F.lit(1)) >= _K_ANON).alias("meets_k"),
     )
+
+
+# l-diversity audit (r6): k-anonymity's companion — a class can be
+# large (meets k) yet still leak if everyone in it shares the same
+# SENSITIVE value. Distinct-l-diversity counts distinct sensitive
+# values per quasi-identifier class; entropy-l-diversity additionally
+# requires the value DISTRIBUTION not be dominated by one value
+# (entropy >= ln(l)). Sensitive attribute here: the document's length
+# band (a plausible inference target the metadata should not pin down).
+_L_DIV = 3
+_L_DIV_LN = 1.0986122886681098  # repr(math.log(3)): same double literal on BOTH engines (no libm 1-ulp risk)
+
+_LDIV_ORACLE = f"""
+WITH t AS (
+  SELECT source, lang,
+         CAST(LEAST(CAST(n_chars AS BIGINT) // 100, 5) AS BIGINT) AS sens
+  FROM documents),
+cls AS (
+  SELECT source, lang, sens, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY source, lang, sens),
+cls2 AS (
+  SELECT source, lang, c,
+         CAST(SUM(c) OVER (PARTITION BY source, lang) AS BIGINT) AS ntot
+  FROM cls),
+enttok AS (
+  SELECT source, lang, c, ntot,
+         CAST(ROUND(-(CAST(c AS DOUBLE) / ntot) * LN(CAST(c AS DOUBLE) / ntot), 8)
+              AS DECIMAL(18,8)) AS e
+  FROM cls2),
+agg AS (
+  SELECT source, lang,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS distinct_sens,
+         CAST(SUM(e) AS DOUBLE) AS ent
+  FROM enttok GROUP BY source, lang)
+SELECT source, lang, n, distinct_sens,
+       ROUND(ent, 6) AS entropy_nats,
+       distinct_sens >= {_L_DIV} AS meets_distinct_l,
+       ent >= {_L_DIV_LN} AS meets_entropy_l
+FROM agg
+"""
+
+
+@df_query("privacy_l_diversity", _LDIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct- and entropy-l-diversity per (source, lang) class over
+    the length-band sensitive attribute: per-class term entropies round
+    to 8 and sum as DECIMAL (the LM-scoring determinism contract), so
+    the boolean gates are engine-exact."""
+    docs = tables.load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        F.least(
+            (F.col("n_chars").cast("bigint") / 100).cast("bigint"), F.lit(5)
+        ).alias("sens"),
+    )
+    cls = t.groupBy("source", "lang", "sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    wcls = Window.partitionBy("source", "lang")
+    frac = F.col("c").cast("double") / F.sum("c").over(wcls).cast("double")
+    enttok = cls.withColumn(
+        "__e", F.round(-frac * F.log(frac), 8).cast("decimal(18,8)")
+    )
+    agg = enttok.groupBy("source", "lang").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_sens"),
+        F.sum("__e").cast("double").alias("ent"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n",
+        "distinct_sens",
+        F.round(F.col("ent"), 6).alias("entropy_nats"),
+        (F.col("distinct_sens") >= _L_DIV).alias("meets_distinct_l"),
+        (F.col("ent") >= F.lit(_L_DIV_LN)).alias("meets_entropy_l"),
+    )

@@ -418,3 +418,68 @@ def sample_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_waterfill(
         docs, "source", F.col("n_chars"), _WF_NUM, _WF_DEN
     )
+
+
+# UniMax allocation (arXiv:2304.09151): uniform budget across sources
+# capped at max-epochs passes per source. Budget = half the corpus,
+# epoch cap = 0.5 passes — small sources pin at their cap, big ones
+# level to the common water level.
+_UNIMAX_B = (1, 2)
+_UNIMAX_E = (11, 20)  # 0.55 passes: 2 sources pin at the cap, 18 level
+
+_UNIMAX_ORACLE = f"""
+WITH agg AS MATERIALIZED (
+  SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS avail
+  FROM documents GROUP BY source),
+capd AS (
+  SELECT stratum, avail,
+         CAST((avail * {_UNIMAX_E[0]}) // {_UNIMAX_E[1]} AS BIGINT) AS cap,
+         CAST((SELECT SUM(avail) FROM agg) AS BIGINT) AS total_true
+  FROM agg),
+ranked AS (
+  SELECT stratum, avail, cap,
+         CAST(ROW_NUMBER() OVER (ORDER BY cap ASC, stratum ASC) AS BIGINT) AS j,
+         CAST(COALESCE(SUM(cap) OVER (
+             ORDER BY cap ASC, stratum ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_prev,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST((total_true * {_UNIMAX_B[0]}) // {_UNIMAX_B[1]} AS BIGINT) AS budget
+  FROM capd),
+lvl AS (
+  SELECT stratum, avail, cap, j, n - j + 1 AS k, budget - s_prev AS rem
+  FROM ranked),
+star AS (
+  SELECT *, MIN(CASE WHEN cap * k > rem THEN j END) OVER () AS jstar FROM lvl),
+star2 AS (
+  SELECT *, MIN(CASE WHEN j = jstar THEN rem END) OVER () AS rem_star,
+            MIN(CASE WHEN j = jstar THEN k END) OVER () AS k_star
+  FROM star),
+flagged AS (
+  SELECT stratum, avail, cap, rem_star // k_star AS lvl,
+         rem_star % k_star AS leftover,
+         (jstar IS NULL OR j < jstar) AS capped
+  FROM star2),
+final AS (
+  SELECT stratum, avail, cap, lvl, leftover, capped,
+         ROW_NUMBER() OVER (PARTITION BY capped ORDER BY stratum ASC) AS ru
+  FROM flagged)
+SELECT stratum, CAST(avail AS BIGINT) AS avail_tokens,
+       CAST(cap AS BIGINT) AS cap_tokens,
+       CAST(CASE WHEN capped THEN cap
+                 ELSE lvl + CASE WHEN ru <= leftover THEN 1 ELSE 0 END END
+            AS BIGINT) AS alloc_tokens,
+       capped
+FROM final
+"""
+
+
+@df_query("sample_unimax_allocation", _UNIMAX_ORACLE)
+def sample_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax domain sampling: uniform token budget across sources with
+    a hard epochs-per-source repetition cap — the multilingual-recipe
+    allocator that never over-repeats a small domain."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return sampling.unimax_allocation(
+        docs, "source", F.col("n_chars"),
+        _UNIMAX_B[0], _UNIMAX_B[1], _UNIMAX_E[0], _UNIMAX_E[1],
+    )

@@ -63,6 +63,16 @@ def _unbounded_single_partition_exchanges(df) -> list[str]:
     return bad
 
 
+# The ONLY queries allowed an unbounded single-partition exchange —
+# verified exhaustive over all 247 builders by scripts/plan_audit.py
+# (round-6 baseline). window_range_frame / window_distribution are
+# SQL-surface parity rows whose SEMANTICS are an unpartitioned window;
+# text_pack_sequences is the corpus-global packer, documented
+# bounded-input-only (scale path: text_pack_sequences_sharded).
+ALLOWED_GLOBAL_WINDOW_QUERIES = frozenset(
+    {"window_range_frame", "window_distribution", "text_pack_sequences"}
+)
+
 _REWRITTEN = [
     "text_bm25_topk",
     "hybrid_rrf_retrieval",  # bm25_doc_query leg
@@ -121,3 +131,22 @@ def test_sharded_pack_window_is_hash_partitioned(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(shard" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_FULL_PLAN_AUDIT"),
+    reason="~5 min full-registry audit; scripts/plan_audit.py runs the same "
+    "check standalone — set SPARK_GRAFT_FULL_PLAN_AUDIT=1 to run here",
+)
+def test_full_registry_no_unbounded_global_windows(spark, sf_dir):
+    """Every non-streaming query in the registry must be free of
+    unbounded single-partition exchanges, except the documented
+    allowlist (semantics-mandated global windows)."""
+    bad = {}
+    for name, qd in registry().items():
+        if name.startswith("streaming_") or name in ALLOWED_GLOBAL_WINDOW_QUERIES:
+            continue
+        hits = _unbounded_single_partition_exchanges(qd.build(spark, sf_dir))
+        if hits:
+            bad[name] = hits[:1]
+    assert not bad, f"unbounded global windows outside allowlist: {bad}"

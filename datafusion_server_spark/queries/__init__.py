@@ -214,6 +214,7 @@ def registry() -> dict[str, QueryDef]:
     ``PRIORITY`` names first (the driver's gate checks the first 50)."""
     from datafusion_server_spark.queries import (  # noqa: F401
         bpe,
+        chat,
         classifier,
         clustering,
         core,

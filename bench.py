@@ -261,6 +261,11 @@ def main() -> None:
         "sample_dsir_topk",
         "timeseries_anomaly_zscore",
         "pipeline_web_ingest",
+        # round-6 families (informational, non-pinned)
+        "multimodal_webdataset_ingest",
+        "chat_prompt_response_pairs",
+        "eval_bradley_terry_sources",
+        "embedding_abtt_renorm",
     ]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

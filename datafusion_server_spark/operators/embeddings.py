@@ -123,3 +123,213 @@ def l2_normalize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
             ),
         ).alias("unit"),
     )
+
+
+def covariance_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exact raw second-moment matrix of an embedding corpus: one row
+    per (i, j) with i <= j holding ``m = sum(round(v_i * v_j * 1e12))``
+    (BIGINT, order-free) plus the scaled first-moment sums and count —
+    everything a covariance needs, in ONE pass.
+
+    Plan: explode dim -> per-(row, i) product slice v_i * v[i:] ->
+    posexplode the triangle -> groupBy (i, j) with map-side combine.
+    Shuffle volume is dim^2/2-bounded partial aggregates per task,
+    independent of corpus size; at dim 64 that is 2080 cells."""
+    d = df.select(F.col(vec_col).alias("v"))
+    ex = d.select("v", F.posexplode("v").alias("i", "vi"))
+    tri = ex.select(
+        "i",
+        F.col("vi").cast("double").alias("vi"),
+        F.posexplode(
+            F.slice(F.col("v"), F.col("i") + 1, F.size("v"))
+        ).alias("dj", "vj"),
+    )
+    cells = tri.select(
+        "i",
+        (F.col("i") + F.col("dj")).alias("j"),
+        F.round(F.col("vi") * F.col("vj").cast("double") * SCALE)
+        .cast("bigint")
+        .alias("__m"),
+        F.when(F.col("dj") == 0, F.round(F.col("vi") * SCALE).cast("bigint"))
+        .otherwise(F.lit(0))
+        .alias("__s"),
+        F.when(F.col("dj") == 0, F.lit(1)).otherwise(F.lit(0)).alias("__n"),
+    )
+    return cells.groupBy("i", "j").agg(
+        F.sum("__m").alias("m"),
+        F.sum("__s").alias("s_i"),
+        F.sum("__n").cast("bigint").alias("n_i"),
+    )
+
+
+def top_component_power(
+    moments: DataFrame, dim: int, iterations: int = 12
+) -> DataFrame:
+    """Top principal component of the covariance implied by
+    ``covariance_moments`` via POWER ITERATION with a fixed iteration
+    count — deterministic (repr-rounded matvecs, DECIMAL sums) and
+    therefore fully unrollable into a SQL oracle, converged or not.
+
+    cov_ij = m_ij/(n*1e12) - mu_i*mu_j with mu from the scaled sums —
+    pure double arithmetic on identical integers, engine-exact. The
+    iteration state is a dim-row vector; each step is one broadcast
+    join + DECIMAL-sum aggregation over the dim^2-bounded matrix.
+    Output: (i, mu, comp, eigenvalue) — component round 6, unit norm;
+    the sign fixes to make the largest-|value| entry positive (ties to
+    the lower index), so the output is orientation-stable.
+    """
+    # moments feed three branches (diag, mirror, mu) — checkpoint once
+    moments = moments.localCheckpoint(eager=True)
+    diag = moments.filter(F.col("i") == F.col("j")).select(
+        "i", "s_i", F.col("n_i").alias("n")
+    )
+    full = (
+        moments.select("i", "j", "m")
+        .unionByName(
+            moments.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "m"
+            )
+        )
+    )
+    mu = diag.select(
+        "i",
+        (F.col("s_i").cast("double") / (F.col("n").cast("double") * SCALE)).alias(
+            "mu"
+        ),
+        "n",
+    )
+    mu_j = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    cov = (
+        full.join(F.broadcast(mu), "i")
+        .join(F.broadcast(mu_j), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("m").cast("double") / (F.col("n").cast("double") * SCALE)
+                - F.col("mu") * F.col("mu_j")
+            ).alias("c"),
+        )
+    ).localCheckpoint(eager=True)
+    # deterministic non-degenerate init: x_i = round8(1/sqrt(dim))
+    x = cov.select("i").distinct().select(
+        "i", F.round(F.lit(1.0 / dim**0.5), 8).alias("x")
+    )
+    for _ in range(iterations):
+        xj = x.select(F.col("i").alias("j"), F.col("x").alias("xj"))
+        # y is consumed twice (norm + normalize): checkpoint so each
+        # iteration is two small jobs over the dim^2-bounded matrix
+        y = (
+            cov.join(F.broadcast(xj), "j")
+            .select(
+                "i",
+                F.round(F.col("c") * F.col("xj"), 8)
+                .cast("decimal(28,8)")
+                .alias("__t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("__t").cast("double").alias("y"))
+        ).localCheckpoint(eager=True)
+        norm = y.agg(
+            F.sum(
+                F.round(F.col("y") * F.col("y") * SCALE).cast("bigint")
+            ).alias("__ss")
+        ).select(
+            F.sqrt(F.col("__ss").cast("double") / SCALE).alias("__norm")
+        )
+        x = y.crossJoin(F.broadcast(norm)).select(
+            "i", F.round(F.col("y") / F.col("__norm"), 8).alias("x")
+        )
+    # Rayleigh quotient lambda = x' C x (x unit up to rounding)
+    x = x.localCheckpoint(eager=True)
+    xj = x.select(F.col("i").alias("j"), F.col("x").alias("xj"))
+    lam = (
+        cov.join(F.broadcast(x), "i")
+        .join(F.broadcast(xj), "j")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("c") * F.col("xj"), 8).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("lam")
+        )
+    )
+    # orientation: flip so the max-|x| entry (ties -> lower i) is positive
+    anchor = x.select(
+        F.max(F.struct(F.abs("x").alias("a"), (-F.col("i")).alias("ni"), "x")).alias(
+            "m"
+        )
+    ).select(F.when(F.col("m.x") < 0, -1.0).otherwise(1.0).alias("flip"))
+    return (
+        mu.join(x, "i")
+        .crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.round(F.col("mu"), 6).alias("mu"),
+            F.round(F.col("x") * F.col("flip"), 6).alias("comp"),
+            F.round(F.col("lam"), 6).alias("eigenvalue"),
+        )
+    )
+
+
+def remove_top_component(
+    df: DataFrame, vec_col: str, id_col: str, component: DataFrame
+) -> DataFrame:
+    """All-But-The-Top (Mu & Viswanath 2018, arXiv:1702.01417) common-
+    component removal: subtract each embedding's projection onto the
+    corpus top principal direction, then L2-renormalize — the standard
+    post-processing that makes cosine retrieval sharper when one
+    dominant direction carries corpus-wide (non-semantic) variance.
+
+    ``component`` is ``top_component_power`` output (dim rows,
+    broadcast as ONE plan-embedded array row). Exact scaled-long dot
+    products; projection coefficient and corrected norm round to 6.
+    Output: (id, proj_coeff, corrected_norm, corrected array<double>
+    round 6)."""
+    comp_row = component.agg(
+        F.array_sort(F.collect_list(F.struct("i", "comp"))).alias("cs")
+    ).select(F.transform("cs", lambda s: s["comp"]).alias("carr"))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).crossJoin(F.broadcast(comp_row))
+    proj = F.round(
+        F.aggregate(
+            F.zip_with(
+                "v",
+                "carr",
+                lambda a, b: F.round(a.cast("double") * b * SCALE).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ).cast("double")
+        / SCALE,
+        8,
+    )
+    corrected = F.zip_with(
+        "v", "carr", lambda a, b: a.cast("double") - F.col("__p") * b
+    )
+    with_p = base.withColumn("__p", proj).withColumn("__c", corrected)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "__c", lambda a: F.round(a * a * SCALE).cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ).cast("double")
+        / SCALE
+    )
+    return with_p.withColumn("__n", norm).select(
+        "id",
+        F.round(F.col("__p"), 6).alias("proj_coeff"),
+        F.round(F.col("__n"), 6).alias("corrected_norm"),
+        F.transform(
+            "__c",
+            lambda a: F.round(
+                F.when(F.col("__n") > 0, a / F.col("__n")).otherwise(F.lit(0.0)), 6
+            ),
+        ).alias("corrected"),
+    )

@@ -1155,3 +1155,144 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("distinct_sens") >= _L_DIV).alias("meets_distinct_l"),
         (F.col("ent") >= F.lit(_L_DIV_LN)).alias("meets_entropy_l"),
     )
+
+
+# --- ABTT / top-principal-component family (r6, operators/embeddings.py) ---
+# Power iteration with a FIXED count is SQL-expressible: the whole
+# fit — exact integer covariance moments, 12 repr-rounded matvec
+# iterations, Rayleigh quotient, orientation flip — unrolls into a
+# DuckDB CTE chain (the kmeans/logreg/BT pattern).
+_PCA_DIM = 64
+_PCA_ITERS = 12
+
+
+def _pca_ctes() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    head = f"""ex AS MATERIALIZED (
+  SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i,
+         CAST(embedding[t.i] AS DOUBLE) AS vi
+  FROM embeddings, UNNEST(range(1, {_PCA_DIM + 1})) AS t(i)),
+tri AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(ROUND(a.vi * b.vi * 1e12) AS BIGINT)) AS BIGINT) AS m
+  FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i),
+firsts AS MATERIALIZED (
+  SELECT i, CAST(SUM(CAST(ROUND(vi * 1e12) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY i),
+mu AS (SELECT i, CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12) AS mu, n FROM firsts),
+cov AS MATERIALIZED (
+  SELECT f.i, f.j,
+         CAST(f.m AS DOUBLE) / (CAST(mi.n AS DOUBLE) * 1e12) - mi.mu * mj.mu AS c
+  FROM (SELECT i, j, m FROM tri
+        UNION ALL SELECT j AS i, i AS j, m FROM tri WHERE i <> j) f
+  JOIN mu mi ON mi.i = f.i JOIN mu mj ON mj.i = f.j),
+x0 AS (SELECT i, CAST({round(1.0 / _PCA_DIM ** 0.5, 8)!r} AS DOUBLE) AS x FROM mu)"""
+    parts = [head]
+    for t in range(1, _PCA_ITERS + 1):
+        parts.append(f"""y{t} AS MATERIALIZED (
+  SELECT c.i,
+         CAST(SUM(CAST({rrepr("c.c * x.x", 8)} AS DECIMAL(28,8))) AS DOUBLE) AS y
+  FROM cov c JOIN x{t-1} x ON x.i = c.j GROUP BY c.i),
+n{t} AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(y * y * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nn
+  FROM y{t}),
+x{t} AS MATERIALIZED (
+  SELECT i, {rrepr(f"y / (SELECT nn FROM n{t})", 8)} AS x FROM y{t})""")
+    parts.append(f"""lam AS (
+  SELECT CAST(SUM(CAST({rrepr("xi.x * c.c * xj.x", 8)} AS DECIMAL(28,8))) AS DOUBLE) AS l
+  FROM cov c JOIN x{_PCA_ITERS} xi ON xi.i = c.i JOIN x{_PCA_ITERS} xj ON xj.i = c.j),
+flip AS (
+  SELECT CASE WHEN (SELECT x FROM x{_PCA_ITERS} ORDER BY ABS(x) DESC, i ASC LIMIT 1) < 0
+              THEN -1.0 ELSE 1.0 END AS f),
+comp AS (
+  SELECT mu.i, mu.mu, x.x * (SELECT f FROM flip) AS cval
+  FROM mu JOIN x{_PCA_ITERS} x ON x.i = mu.i)""")
+    return ",\n".join(parts)
+
+
+def _pca_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    return f"""
+WITH {_pca_ctes()}
+SELECT i, {rrepr("mu", 6)} AS mu, {rrepr("cval", 6)} AS comp,
+       {rrepr("(SELECT l FROM lam)", 6)} AS eigenvalue
+FROM comp
+"""
+
+
+@df_query("embedding_top_component", _pca_oracle())
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by fixed-count
+    power iteration over the exact-integer covariance moments — the
+    direction ABTT removes; deterministic converged-or-not."""
+    from datafusion_server_spark.operators import embeddings as emb
+
+    vecs = tables.load(spark, sf_dir, "embeddings")
+    m = emb.covariance_moments(vecs, "embedding")
+    return emb.top_component_power(m, _PCA_DIM, _PCA_ITERS)
+
+
+def _abtt_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    comp6 = rrepr("cval", 6)
+    return f"""
+WITH {_pca_ctes()},
+comp6 AS (SELECT i, {comp6} AS comp FROM comp),
+proj AS (
+  SELECT e.vec_id,
+         {rrepr("CAST(SUM(CAST(ROUND(e.vi * c.comp * 1e12) AS BIGINT)) AS DOUBLE) / 1e12", 8)} AS p
+  FROM ex e JOIN comp6 c ON c.i = e.i GROUP BY e.vec_id),
+corr AS (
+  SELECT e.vec_id, e.i, e.vi - p.p * c.comp AS ci
+  FROM ex e JOIN comp6 c ON c.i = e.i JOIN proj p ON p.vec_id = e.vec_id),
+norms AS (
+  SELECT vec_id,
+         SQRT(CAST(SUM(CAST(ROUND(ci * ci * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nn
+  FROM corr GROUP BY vec_id),
+elems AS (
+  SELECT c.vec_id, c.i, p.p, n.nn,
+         CASE WHEN n.nn > 0 THEN {rrepr("c.ci / n.nn", 6)} ELSE 0.0 END AS e
+  FROM corr c JOIN proj p ON p.vec_id = c.vec_id JOIN norms n ON n.vec_id = c.vec_id)
+SELECT CAST(vec_id AS BIGINT) AS id,
+       {rrepr("ANY_VALUE(p)", 6)} AS proj_coeff,
+       {rrepr("ANY_VALUE(nn)", 6)} AS corrected_norm,
+       CAST(ANY_VALUE(CASE WHEN i = 0 THEN e END) AS DOUBLE) AS corrected_dim0,
+       CAST(SUM(CAST(ROUND(ABS(e) * 1e6) AS BIGINT)) AS BIGINT) AS corrected_l1_micro
+FROM elems
+GROUP BY vec_id
+"""
+
+
+@df_query("embedding_abtt_renorm", _abtt_oracle())
+def embedding_abtt_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-But-The-Top post-processing (arXiv:1702.01417): subtract each
+    embedding's projection onto the corpus top component, renormalize —
+    sharper cosine retrieval when one direction carries corpus-wide
+    variance."""
+    from datafusion_server_spark.operators import embeddings as emb
+
+    vecs = tables.load(spark, sf_dir, "embeddings")
+    m = emb.covariance_moments(vecs, "embedding")
+    comp = emb.top_component_power(m, _PCA_DIM, _PCA_ITERS)
+    out = emb.remove_top_component(vecs, "embedding", "vec_id", comp)
+    # the corrected vector travels as scalar digests (first element +
+    # exact micro-unit L1): elements are on the 1e-6 grid, so the L1
+    # sums exactly as integers on both engines
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        "proj_coeff",
+        "corrected_norm",
+        F.element_at("corrected", 1).alias("corrected_dim0"),
+        F.aggregate(
+            F.transform(
+                "corrected", lambda e: F.round(F.abs(e) * 1e6).cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ).alias("corrected_l1_micro"),
+    )

@@ -1,0 +1,75 @@
+"""Power-iteration PCA + ABTT tests (operators/embeddings.py): a
+synthetic corpus with a KNOWN dominant direction must recover it, and
+common-component removal must leave (near-)zero projection and unit
+norms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators import embeddings as emb
+
+_DIM = 8
+
+
+def _aniso(spark):
+    """Vectors = t * e0 + small fixed wiggle in e1: variance along e0
+    dominates, so the top component must be +/- e0."""
+    rows = []
+    for k in range(40):
+        t = (k - 19.5) / 4.0  # spread along e0
+        w = 0.5 * ((k % 5) - 2)  # e1 wiggle, well off the noise floor
+        v = [t, w] + [0.0] * (_DIM - 2)
+        rows.append((k, v))
+    return spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
+
+
+def test_power_iteration_recovers_dominant_direction(spark):
+    df = _aniso(spark)
+    comp = emb.top_component_power(
+        emb.covariance_moments(df, "embedding"), _DIM, iterations=12
+    )
+    rows = {r["i"]: r for r in comp.collect()}
+    assert abs(rows[0]["comp"]) > 0.999  # e0 dominates
+    assert all(abs(rows[i]["comp"]) < 0.05 for i in range(1, _DIM))
+    # orientation contract: the max-|value| entry is positive
+    assert rows[0]["comp"] > 0
+    # eigenvalue ~= population variance along e0
+    import statistics
+
+    ts = [(k - 19.5) / 4.0 for k in range(40)]
+    pop_var = statistics.pvariance(ts)
+    assert abs(rows[0]["eigenvalue"] - pop_var) < 0.01 * pop_var + 1e-6
+
+
+def test_abtt_removes_projection_and_renormalizes(spark):
+    df = _aniso(spark)
+    m = emb.covariance_moments(df, "embedding")
+    comp = emb.top_component_power(m, _DIM, iterations=12)
+    out = emb.remove_top_component(df, "embedding", "vec_id", comp)
+    rows = out.collect()
+    carr = [r["comp"] for r in sorted(comp.collect(), key=lambda r: r["i"])]
+    for r in rows:
+        if r["corrected_norm"] < 5e-3:
+            # a vector (near-)parallel to the component leaves only a
+            # rounding-noise residual; its normalized direction is
+            # meaningless by construction — skip
+            continue
+        # elements round to 6 decimals, so dot/norm tolerances are the
+        # accumulated rounding, not algorithmic error
+        assert abs(sum(a * b for a, b in zip(r["corrected"], carr))) < 5e-4
+        n2 = sum(a * a for a in r["corrected"])
+        assert abs(n2 - 1.0) < 5e-4
+
+
+def test_zero_vector_degenerates_cleanly(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * _DIM), (2, [1.0] + [0.0] * (_DIM - 1)), (3, [2.0] + [0.0] * (_DIM - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    m = emb.covariance_moments(df, "embedding")
+    comp = emb.top_component_power(m, _DIM, iterations=8)
+    out = {r["id"]: r for r in
+           emb.remove_top_component(df, "embedding", "vec_id", comp).collect()}
+    assert out[1]["corrected_norm"] == 0.0
+    assert all(v == 0.0 for v in out[1]["corrected"])

@@ -143,3 +143,81 @@ def loss_mask_spans(
             .alias("span_end"),
         )
     )
+
+
+def response_echo_rate(
+    conv: DataFrame, assistant_role: str = "assistant", n: int = 2
+) -> DataFrame:
+    """Echo detection for SFT data: the fraction of each assistant
+    response's distinct word n-grams already present in the PRIOR
+    context turns — responses that mostly parrot the prompt are
+    low-value training examples (the standard instruction-data quality
+    gate). Output: (conv_id, turn_idx, n_resp_grams, n_echoed,
+    echo_rate round 6).
+
+    Plan: one posexplode to turns, one n-gram explode, one
+    (conv, gram)-keyed self-join restricted to earlier turns, one
+    distinct + count — all keyed by conversation, fan-out bounded by a
+    single conversation's size."""
+    flat = conv.select(
+        "conv_id", F.posexplode("turns").alias("turn_idx", "t")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        F.col("t.role").alias("role"),
+        F.col("t.content").alias("content"),
+    )
+    words = F.filter(F.split("content", " "), lambda w: w != "")
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(n)])
+    grams = flat.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    zipped,
+                    lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
+                )
+            )
+        ).alias("gram"),
+    )
+    resp = grams.filter(F.col("role") == assistant_role).select(
+        "conv_id", F.col("turn_idx").alias("rt"), "gram"
+    )
+    # distinct column names on the context side — resp and ctx share a
+    # lineage, and Spark's self-join resolution needs the disambiguation
+    ctx = grams.select(
+        F.col("conv_id").alias("c_conv"),
+        F.col("turn_idx").alias("ct"),
+        F.col("gram").alias("cgram"),
+    )
+    echoed = (
+        resp.join(
+            ctx,
+            (F.col("conv_id") == F.col("c_conv"))
+            & (F.col("gram") == F.col("cgram"))
+            & (F.col("ct") < F.col("rt")),
+            "left_semi",
+        )
+        .groupBy("conv_id", "rt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_echoed"))
+    )
+    totals = resp.groupBy("conv_id", "rt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_resp_grams")
+    )
+    return (
+        totals.join(echoed, ["conv_id", "rt"], "left")
+        .select(
+            "conv_id",
+            F.col("rt").alias("turn_idx"),
+            "n_resp_grams",
+            F.coalesce("n_echoed", F.lit(0)).cast("bigint").alias("n_echoed"),
+            F.round(
+                F.coalesce("n_echoed", F.lit(0)).cast("double")
+                / F.col("n_resp_grams").cast("double"),
+                6,
+            ).alias("echo_rate"),
+        )
+    )

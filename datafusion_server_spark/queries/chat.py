@@ -161,3 +161,41 @@ def chat_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized conversation — the boundaries an SFT tokenizer trains
     on (assistant tokens only)."""
     return chat.loss_mask_spans(_conversations(spark, sf_dir))
+
+
+# echo detection: distinct response bigrams already present in prior
+# context turns — the parroting-response SFT quality gate.
+_ECHO_N = 2
+
+_ECHO_ORACLE = f"""
+WITH {_TURNS_CTE},
+tw AS (
+  SELECT conv_id, turn_idx, role,
+         LIST_FILTER(STRING_SPLIT(content, ' '), x -> x <> '') AS w
+  FROM idx),
+grams AS (
+  SELECT DISTINCT conv_id, turn_idx, role,
+         ARRAY_TO_STRING(w[t.p : t.p + {_ECHO_N - 1}], ' ') AS gram
+  FROM tw, UNNEST(range(1, GREATEST(LEN(w) - {_ECHO_N - 1}, 0) + 1)) AS t(p)),
+resp AS (SELECT conv_id, turn_idx, gram FROM grams WHERE role = 'assistant'),
+flags AS (
+  SELECT r.conv_id, r.turn_idx,
+         CASE WHEN EXISTS (SELECT 1 FROM grams c
+                           WHERE c.conv_id = r.conv_id AND c.gram = r.gram
+                             AND c.turn_idx < r.turn_idx)
+              THEN 1 ELSE 0 END AS hit
+  FROM resp r)
+SELECT conv_id, turn_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_resp_grams,
+       CAST(SUM(hit) AS BIGINT) AS n_echoed,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS echo_rate
+FROM flags GROUP BY conv_id, turn_idx
+"""
+
+
+@df_query("chat_response_echo_rate", _ECHO_ORACLE)
+def chat_response_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-response echo rate: the share of a response's distinct
+    bigrams already present in earlier turns — high values flag
+    parroting responses before SFT."""
+    return chat.response_echo_rate(_conversations(spark, sf_dir), n=_ECHO_N)

@@ -75,3 +75,21 @@ def test_prompt_response_pairs_prompt_is_prior_context(spark):
     assert pairs[3]["n_context_turns"] == 3
     assert pairs[3]["prompt_md5"] == hashlib.md5(p3.encode()).hexdigest()
     assert pairs[3]["response"] == "a2"
+
+
+def test_response_echo_rate_counts_known_overlap(spark):
+    turns = [
+        ("user", "the quick brown fox jumps"),
+        # bigrams: {"the quick","quick brown","fox runs"} — 2 of 3 echoed
+        ("assistant", "the quick brown fox runs"),
+        # full parrot of turn 0: every bigram echoed
+        ("assistant", "the quick brown fox jumps"),
+        # nothing in common
+        ("assistant", "entirely novel answer text"),
+    ]
+    conv = chat.parse_sharegpt(_wire(spark, [(1, _conv(turns))]), "payload", "cid")
+    out = {r["turn_idx"]: r for r in chat.response_echo_rate(conv).collect()}
+    assert out[1]["n_resp_grams"] == 4  # the/quick, quick/brown, brown/fox, fox/runs
+    assert out[1]["n_echoed"] == 3
+    assert out[2]["echo_rate"] == 1.0
+    assert out[3]["n_echoed"] == 0 and out[3]["echo_rate"] == 0.0

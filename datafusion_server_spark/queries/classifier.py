@@ -519,3 +519,59 @@ def eval_bradley_terry_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", F.col("n_chars"), "doc_id", rounds=_BT_ROUNDS
     )
     return rating.bradley_terry_ratings(m, iterations=_BT_ITERS)
+
+
+# --- pass@k estimator (r6) --------------------------------------------------
+# The HumanEval metric (Chen et al. 2021, arXiv:2107.03374): unbiased
+# pass@k = 1 - C(n-c, k)/C(n, k) per task from n attempts with c
+# successes, evaluated as the FIXED-ORDER product
+# prod_{i=0..k-1} (n-c-i)/(n-i) — identical IEEE arithmetic on both
+# engines, no aggregation-order dependence. Fixture: users are tasks,
+# events attempts, purchases successes. k clamps to n; c > n-k forces
+# pass@k = 1 exactly (a zero binomial, not a float product).
+_PASS_K = 5
+
+
+def _pass_product(n: str, c: str, k: int) -> str:
+    terms = " * ".join(
+        f"(CASE WHEN {i} < LEAST({k}, {n}) "
+        f"THEN CAST({n} - {c} - {i} AS DOUBLE) / CAST({n} - {i} AS DOUBLE) "
+        f"ELSE 1.0 END)"
+        for i in range(k)
+    )
+    return (
+        f"(CASE WHEN {n} - {c} < LEAST({k}, {n}) THEN 1.0 "
+        f"ELSE 1.0 - {terms} END)"
+    )
+
+
+_PASSK_ORACLE = f"""
+WITH a AS (
+  SELECT CAST(user_id AS BIGINT) AS task_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM events GROUP BY user_id)
+SELECT task_id, n AS n_attempts, c AS n_correct,
+       ROUND({_pass_product("n", "c", _PASS_K)}, 6) AS pass_at_k
+FROM a
+"""
+
+
+@df_query("eval_pass_at_k", _PASSK_ORACLE)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@5 per task from attempt/success counts — the
+    code-generation eval estimator, as one aggregation plus a
+    fixed-order closed-form product."""
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.groupBy(F.col("user_id").cast("bigint").alias("task_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    return a.select(
+        "task_id",
+        F.col("n").alias("n_attempts"),
+        F.col("c").alias("n_correct"),
+        F.round(F.expr(_pass_product("n", "c", _PASS_K)), 6).alias("pass_at_k"),
+    )

@@ -1296,3 +1296,119 @@ def embedding_abtt_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + t,
         ).alias("corrected_l1_micro"),
     )
+
+
+# t-closeness (r6): the third release-audit gate — a class can satisfy
+# k-anonymity AND l-diversity yet still leak if its sensitive-value
+# DISTRIBUTION diverges from the corpus-wide one. For the ORDERED
+# length-band attribute the distance is the Earth Mover's Distance:
+# EMD = sum_b |cum_class(b) - cum_global(b)| / (m - 1) over the m
+# ordered bands. All counts integer; the per-band cumulative
+# difference is an exact rational evaluated identically in double.
+_T_CLOSE = 0.2
+_T_BANDS = 6  # LEAST(n_chars // 100, 5) -> bands 0..5
+
+
+def _tclose_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    return f"""
+WITH t AS (
+  SELECT source, lang,
+         CAST(LEAST(CAST(n_chars AS BIGINT) // 100, 5) AS BIGINT) AS sens
+  FROM documents),
+bands AS (SELECT UNNEST(range(0, {_T_BANDS})) AS b),
+cls AS (
+  SELECT source, lang, sens, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY source, lang, sens),
+keys AS (SELECT DISTINCT source, lang FROM cls),
+grid AS (
+  SELECT k.source, k.lang, bands.b AS sens, COALESCE(c.c, 0) AS c
+  FROM keys k CROSS JOIN bands
+  LEFT JOIN cls c ON c.source = k.source AND c.lang = k.lang AND c.sens = bands.b),
+tot AS (
+  SELECT source, lang, CAST(SUM(c) AS BIGINT) AS n FROM grid GROUP BY source, lang),
+gdist AS (
+  SELECT sens, CAST(SUM(c) AS BIGINT) AS g FROM grid GROUP BY sens),
+gn AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM gdist),
+cum AS (
+  SELECT gr.source, gr.lang, gr.sens,
+         CAST(SUM(gr.c) OVER (PARTITION BY gr.source, gr.lang ORDER BY gr.sens) AS BIGINT) AS cc,
+         CAST(SUM(gl.g) OVER (PARTITION BY gr.source, gr.lang ORDER BY gr.sens) AS BIGINT) AS cg,
+         t2.n, (SELECT gt FROM gn) AS gt
+  FROM grid gr JOIN gdist gl ON gl.sens = gr.sens
+  JOIN tot t2 ON t2.source = gr.source AND t2.lang = gr.lang),
+emds AS (
+  SELECT source, lang, ANY_VALUE(n) AS n,
+         CAST(SUM(CAST({rrepr("ABS(CAST(cc AS DOUBLE) / n - CAST(cg AS DOUBLE) / gt)", 8)}
+                  AS DECIMAL(18,8))) AS DOUBLE) / ({_T_BANDS} - 1) AS emd
+  FROM cum WHERE sens < {_T_BANDS - 1}  -- last cumulative is always 1-1=0
+  GROUP BY source, lang)
+SELECT source, lang, n, {rrepr("emd", 6)} AS emd,
+       emd <= {_T_CLOSE!r} AS meets_t
+FROM emds
+"""
+
+
+@df_query("privacy_t_closeness", _tclose_oracle())
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness per (source, lang) class over the ordered length-band
+    sensitive attribute: EMD between the class distribution and the
+    corpus-wide one (cumulative-difference form for ordered values);
+    per-band terms round to 8 and sum as DECIMAL so the gate is
+    engine-exact. Completes the release-audit trio with k-anonymity and
+    l-diversity."""
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        F.least(
+            (F.col("n_chars").cast("bigint") / 100).cast("bigint"), F.lit(5)
+        ).alias("sens"),
+    )
+    cls = t.groupBy("source", "lang", "sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bands = spark.range(_T_BANDS).select(F.col("id").alias("sens"))
+    keys = cls.select("source", "lang").distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(bands))
+        .join(cls, ["source", "lang", "sens"], "left")
+        .select(
+            "source", "lang", "sens",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    tot = grid.groupBy("source", "lang").agg(F.sum("c").cast("bigint").alias("n"))
+    glob = grid.groupBy("sens").agg(F.sum("c").cast("bigint").alias("g"))
+    gn = glob.agg(F.sum("g").cast("bigint").alias("gt"))
+    wc = Window.partitionBy("source", "lang").orderBy("sens")
+    cum = (
+        grid.join(F.broadcast(glob), "sens")
+        .withColumn("cc", F.sum("c").over(wc).cast("bigint"))
+        .withColumn("cg", F.sum("g").over(wc).cast("bigint"))
+        .join(tot, ["source", "lang"])
+        .crossJoin(F.broadcast(gn))
+    )
+    term = F.abs(
+        F.col("cc").cast("double") / F.col("n").cast("double")
+        - F.col("cg").cast("double") / F.col("gt").cast("double")
+    )
+    emds = (
+        cum.filter(F.col("sens") < _T_BANDS - 1)
+        .select(
+            "source", "lang", "n",
+            F.round(term, 8).cast("decimal(18,8)").alias("__t"),
+        )
+        .groupBy("source", "lang", "n")
+        .agg((F.sum("__t").cast("double") / (_T_BANDS - 1)).alias("emd"))
+    )
+    return emds.select(
+        "source",
+        "lang",
+        "n",
+        F.round(F.col("emd"), 6).alias("emd"),
+        (F.col("emd") <= F.lit(_T_CLOSE)).alias("meets_t"),
+    )

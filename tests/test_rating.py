@@ -58,3 +58,28 @@ def test_pairwise_matches_by_rank_fixture_shape(spark):
     # rank 1: s1(10) vs s2(20) -> s2; s1(10) vs s3(20) -> s3; s2(20) vs s3(20) tie -> s2
     # rank 2: s1(30) vs s2(5) -> s1; s3 sits out (no rank-2 doc)
     assert got == {("s2", "s1"), ("s3", "s1"), ("s2", "s3"), ("s1", "s2")}
+
+
+def test_pass_at_k_hand_computed_cases(spark):
+    """pass@k against hand-computed binomials: n=10,c=2,k=5 ->
+    1 - C(8,5)/C(10,5) = 1 - 56/252; plus the exact-1 zero-binomial
+    branch and the n<k clamp."""
+    from datafusion_server_spark.queries.classifier import _pass_product
+
+    df = spark.createDataFrame(
+        [(1, 10, 2), (2, 10, 6), (3, 3, 1), (4, 7, 0), (5, 4, 4)],
+        "task long, n long, c long",
+    )
+    from pyspark.sql import functions as F
+
+    out = {
+        r["task"]: r["p"]
+        for r in df.select(
+            "task", F.round(F.expr(_pass_product("n", "c", 5)), 6).alias("p")
+        ).collect()
+    }
+    assert abs(out[1] - (1 - 56 / 252)) < 1e-6
+    assert out[2] == 1.0  # n-c=4 < k -> C(4,5)=0 -> pass=1 exactly
+    assert out[3] == 1.0  # n<k clamps to k=3; n-c=2 < 3 -> 1
+    assert out[4] == 0.0  # zero successes -> product = 1 -> pass = 0
+    assert out[5] == 1.0  # all successes

@@ -483,3 +483,103 @@ def sample_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", F.col("n_chars"),
         _UNIMAX_B[0], _UNIMAX_B[1], _UNIMAX_E[0], _UNIMAX_E[1],
     )
+
+
+# Neyman optimal stratified allocation (r6): distribute a sampling
+# budget across strata proportionally to N_h * sigma_h (population
+# std of the measure within each stratum) — the classical minimum-
+# variance design for stratified estimation. Integerization by the
+# largest-remainder method with (remainder DESC, stratum ASC) ties.
+# Exact integer moments -> sigma in double (IEEE-identical); the
+# windows rank only the strata-bounded table.
+_NEYMAN_BUDGET = 1000
+
+
+def _neyman_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    w = rrepr("CAST(n AS DOUBLE) * SQRT(GREATEST(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0))", 6)
+    return f"""
+WITH mo AS (
+  SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents GROUP BY source),
+wts AS (SELECT stratum, n, {w} AS w FROM mo),
+tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS tw FROM wts),
+shares AS (
+  SELECT stratum, n, w,
+         {_NEYMAN_BUDGET} * w / (SELECT tw FROM tot) AS exact_share
+  FROM wts),
+fl AS (
+  SELECT stratum, n, exact_share,
+         CAST(FLOOR(exact_share) AS BIGINT) AS base,
+         exact_share - FLOOR(exact_share) AS rem
+  FROM shares),
+lr AS (
+  SELECT stratum, n, exact_share, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rr,
+         CAST({_NEYMAN_BUDGET} - SUM(base) OVER () AS BIGINT) AS leftover
+  FROM fl)
+SELECT stratum, n AS n_pop,
+       {rrepr("exact_share", 6)} AS exact_share,
+       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+FROM lr
+"""
+
+
+@df_query("sample_neyman_allocation", _neyman_oracle())
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman minimum-variance stratified allocation of a 1000-row
+    sampling budget across sources, weighted by N_h * sigma_h of the
+    document length; largest-remainder integerization sums EXACTLY to
+    the budget."""
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    mo = docs.groupBy(F.col("source").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.greatest(
+        F.col("ss").cast("double") / F.col("n").cast("double") - mean * mean,
+        F.lit(0.0),
+    )
+    wts = mo.select(
+        "stratum", "n",
+        F.round(F.col("n").cast("double") * F.sqrt(var), 6).alias("w"),
+    )
+    tot = wts.agg(
+        F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("tw")
+    )
+    shares = wts.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n",
+        (F.lit(_NEYMAN_BUDGET) * F.col("w") / F.col("tw")).alias("exact_share"),
+    )
+    fl = shares.select(
+        "stratum", "n", "exact_share",
+        F.floor("exact_share").cast("bigint").alias("base"),
+        (F.col("exact_share") - F.floor("exact_share")).alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    wall = Window.partitionBy()
+    lr = fl.select(
+        "stratum", "n", "exact_share", "base",
+        F.row_number().over(wr).alias("rr"),
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base").over(wall)).cast("bigint").alias(
+            "leftover"
+        ),
+    )
+    return lr.select(
+        "stratum",
+        F.col("n").alias("n_pop"),
+        F.round(F.col("exact_share"), 6).alias("exact_share"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )

@@ -244,17 +244,139 @@ def _depth0_find(masked: str, pattern: str, start: int = 0) -> int:
     return -1
 
 
+def _split_depth0_commas(s: str) -> list[str]:
+    items, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append(s[start:i])
+            start = i + 1
+    items.append(s[start:])
+    return items
+
+
+_SETOP_AT = re.compile(r"(UNION|INTERSECT|EXCEPT)(\s+(ALL|DISTINCT))?\b", re.I)
+
+
+def _split_depth0_setops(masked: str) -> list[tuple[str, bool]] | None:
+    """Split a masked statement into alternating (branch, False) /
+    (set-op token, True) pieces at depth-0 set operators. A star-EXCEPT
+    (``* EXCEPT (...)``) is a projection modifier, not a set op — the
+    preceding non-space character disambiguates. Returns None when no
+    depth-0 set op exists."""
+    pieces: list[tuple[str, bool]] = []
+    depth = 0
+    i = 0
+    last = 0
+    found = False
+    while i < len(masked):
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _SETOP_AT.match(masked, i)
+            if m and (i == 0 or not re.match(r"[\w.]", masked[i - 1])):
+                prev = masked[:i].rstrip()
+                if not prev.endswith("*"):  # star-EXCEPT guard
+                    pieces.append((masked[last:i], False))
+                    pieces.append((m.group(0), True))
+                    last = m.end()
+                    i = m.end()
+                    found = True
+                    continue
+        i += 1
+    if not found:
+        return None
+    pieces.append((masked[last:], False))
+    return pieces
+
+
 def rewrite_offset_groups(sql: str) -> str:
     """Rewrite offset GROUPS frames to dense-rank-keyed RANGE frames.
-    Statements the rewrite cannot prove safe are returned unchanged (and
-    then rejected by check_unsupported with the narrowed message)."""
+    Set-operation statements rewrite branch-by-branch; a bare ``*``
+    projection becomes ``* EXCEPT (<injected ranks>)`` so the helper
+    columns never leak; DISTINCT is fine (it sees only the projected
+    list). Statements the rewrite cannot prove safe (top-level GROUP
+    BY/HAVING, qualified ``t.*``, frame EXCLUDE clauses) are returned
+    unchanged and then rejected by check_unsupported with the narrowed
+    message."""
     masked, lits = _protect_strings(sql)
+    if not _GROUPS_FRAME.search(masked):
+        return sql
+    # 1) recurse into parenthesized subselects that contain a GROUPS
+    # frame (IN (...) subqueries, derived tables, parenthesized set-op
+    # branches) — each is a standalone statement for this rewrite
+    rebuilt = []
+    i = 0
+    changed = False
+    while i < len(masked):
+        if masked[i] == "(":
+            d, j = 1, i + 1
+            while j < len(masked) and d:
+                if masked[j] == "(":
+                    d += 1
+                elif masked[j] == ")":
+                    d -= 1
+                j += 1
+            inner = masked[i + 1 : j - 1]
+            if d == 0 and re.match(r"\s*SELECT\b", inner, re.IGNORECASE) and _GROUPS_FRAME.search(inner):
+                rebuilt.append("(" + rewrite_offset_groups(_restore_strings(inner, lits)) + ")")
+                changed = True
+                i = j
+                continue
+        rebuilt.append(masked[i])
+        i += 1
+    if changed:
+        # reassemble with the inner rewrites applied, then re-protect so
+        # the outer pass never pattern-matches inside restored literals
+        masked, lits = _protect_strings(_restore_strings("".join(rebuilt), lits))
+        sql = _restore_strings(masked, lits)
+        if not _GROUPS_FRAME.search(masked):
+            return sql
+    # 2) set-operation statements: rewrite each branch independently (a
+    # trailing statement-level ORDER BY/LIMIT re-binds to the whole set
+    # op after reassembly)
+    pieces = _split_depth0_setops(masked)
+    if pieces is not None:
+        out = []
+        for seg, is_op in pieces:
+            if is_op:
+                out.append(seg)
+            else:
+                out.append(rewrite_offset_groups(_restore_strings(seg, lits)))
+        return "".join(out)
+    # enclosing-paren stack per index: an OVER nested inside a
+    # SUBQUERY's parens (content starts with SELECT) belongs to that
+    # subquery's rewrite, never this statement's — scalar-function
+    # parens (ROUND(CAST(SUM(...) OVER ...))) are fine. The subselect
+    # recursion above already handled rewritable subqueries; anything
+    # left is unsafe.
+    def _inside_subselect(pos: int) -> bool:
+        stack: list[int] = []
+        for i in range(pos):
+            if masked[i] == "(":
+                stack.append(i)
+            elif masked[i] == ")":
+                if stack:
+                    stack.pop()
+        return any(
+            re.match(r"\s*SELECT\b", masked[o + 1 : o + 12], re.IGNORECASE)
+            for o in stack
+        )
+
     targets = []  # (open, close, part, ord, frame)
-    for _, op, cl in _over_spans(masked):
+    for kw, op, cl in _over_spans(masked):
         inner = masked[op + 1 : cl]
         m = _OFFSET_GROUPS_SPEC.match(inner)
         if not m:
             continue
+        if _inside_subselect(kw):
+            return sql
         h = _HEAD_SPLIT.match(m.group("head"))
         if not h:
             return sql
@@ -262,8 +384,10 @@ def rewrite_offset_groups(sql: str) -> str:
     if not targets:
         return sql
 
-    # safety gates: one top-level SELECT, no set ops / GROUP BY / HAVING /
-    # DISTINCT / bare * at depth 0
+    # safety gates: one top-level SELECT, no top-level GROUP BY/HAVING
+    # (the rank must be computed pre-window but post-aggregation there),
+    # no frame EXCLUDE, no qualified star (the derived-table alias hides
+    # the original relation name)
     sel = _depth0_find(masked, r"SELECT\b")
     if sel == -1 or _depth0_find(masked, r"SELECT\b", sel + 6) != -1:
         return sql
@@ -275,11 +399,11 @@ def rewrite_offset_groups(sql: str) -> str:
         if _depth0_find(masked, bad, sel) != -1:
             return sql
     select_list = masked[sel + 6 : frm]
-    if re.match(r"\s*DISTINCT\b", select_list, re.IGNORECASE):
-        return sql
-    # a bare * in the outer select would also project the injected rank
-    if re.search(r"(?<![\w.])\*", select_list):
-        return sql
+    list_body = re.sub(r"^\s*DISTINCT\b", "", select_list, flags=re.IGNORECASE)
+    items = _split_depth0_commas(list_body)
+    has_bare_star = any(it.strip() == "*" for it in items)
+    if any(it.strip().endswith(".*") for it in items):
+        return sql  # qualified star: relation name hidden by the rewrite
 
     # assign one dense-rank column per distinct (partition, order) spec
     def norm(s: str | None) -> str:
@@ -317,6 +441,25 @@ def rewrite_offset_groups(sql: str) -> str:
     rewritten = (
         f"{masked[:frm]}FROM (SELECT *, {rank_cols} {body}) __groups_rewrite {tail}"
     )
+    if has_bare_star:
+        # a bare * in the outer projection would also emit the injected
+        # rank columns — exclude them explicitly (Spark star-EXCEPT)
+        except_list = ", ".join(specs.values())
+        r_sel = _depth0_find(rewritten, r"SELECT\b")
+        r_frm = _depth0_find(rewritten, r"FROM\b", r_sel)
+        out_list = rewritten[r_sel + 6 : r_frm]
+        out_body = re.sub(r"^\s*DISTINCT\b", "", out_list, flags=re.IGNORECASE)
+        distinct_prefix = out_list[: len(out_list) - len(out_body)]
+        out_items = [
+            f" * EXCEPT ({except_list})" if it.strip() == "*" else it
+            for it in _split_depth0_commas(out_body)
+        ]
+        rewritten = (
+            rewritten[: r_sel + 6]
+            + distinct_prefix
+            + ",".join(out_items)
+            + rewritten[r_frm:]
+        )
     return _restore_strings(rewritten, lits)
 
 
@@ -327,9 +470,11 @@ def check_unsupported(sql: str) -> None:
             "this GROUPS window frame shape is not rewritable to Spark SQL: "
             "unbounded/current-row GROUPS frames become RANGE, offset GROUPS "
             "frames become dense-rank-keyed RANGE frames in a derived "
-            "subquery, but set operations, SELECT *, DISTINCT, top-level "
-            "GROUP BY/HAVING, and EXCLUDE clauses around an offset GROUPS "
-            "frame stay unsupported — use RANGE or ROWS frames there"
+            "subquery (incl. SELECT *, DISTINCT, and set-operation "
+            "branches — r6), but top-level GROUP BY/HAVING, qualified "
+            "t.* projections, parenthesized set-op branches, and frame "
+            "EXCLUDE clauses around an offset GROUPS frame stay "
+            "unsupported — use RANGE or ROWS frames there"
         )
 
 

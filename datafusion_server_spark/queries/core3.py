@@ -342,3 +342,45 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return melted
+
+
+# r6: the previously-rejected offset-GROUPS shapes — bare SELECT *
+# (helper ranks excluded via star-EXCEPT) — now rewrite; the oracle
+# derives GROUPS semantics independently (DuckDB has no GROUPS mode),
+# same strategy as window_groups_offset.
+_GROUPS_STAR_SQL = f"""
+    SELECT *, ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS rolling_by_date
+    FROM orders WHERE o_orderkey < 2000
+"""
+
+_GROUPS_STAR_ORACLE = f"""
+    WITH g AS (
+      SELECT o_orderstatus, o_orderdate,
+             SUM(CAST(o_totalprice AS {D18})) AS grp_sum,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate) AS rk
+      FROM orders WHERE o_orderkey < 2000
+      GROUP BY o_orderstatus, o_orderdate
+    ), w AS (
+      SELECT a.o_orderstatus, a.o_orderdate, SUM(b.grp_sum) AS frame_sum
+      FROM g a JOIN g b
+        ON b.o_orderstatus = a.o_orderstatus AND b.rk BETWEEN a.rk - 1 AND a.rk
+      GROUP BY a.o_orderstatus, a.o_orderdate
+    )
+    SELECT o.*, ROUND(CAST(w.frame_sum AS DOUBLE), 6) AS rolling_by_date
+    FROM orders o JOIN w ON w.o_orderstatus = o.o_orderstatus
+                        AND w.o_orderdate = o.o_orderdate
+    WHERE o.o_orderkey < 2000
+"""
+
+
+@df_query("window_groups_offset_star", _GROUPS_STAR_ORACLE)
+def window_groups_offset_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_STAR_SQL))

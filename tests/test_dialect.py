@@ -83,14 +83,23 @@ def test_exotic_groups_frames_rejected():
     )
 
     for bad in (
-        # bare * would also project the injected rank column
-        "SELECT * FROM (SELECT 1) t WHERE x IN "
-        "(SELECT SUM(v) OVER (ORDER BY t GROUPS 2 PRECEDING) FROM u)",
-        "SELECT DISTINCT SUM(v) OVER (ORDER BY t GROUPS 2 PRECEDING) FROM u",
+        # post-aggregation windows: the rank cannot move into a
+        # pre-aggregation derived table
         "SELECT g, SUM(v) OVER (ORDER BY g GROUPS 2 PRECEDING) FROM u GROUP BY g",
+        # qualified star: the derived alias hides the relation name
+        "SELECT t.*, SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) FROM t",
     ):
         with pytest.raises(UnsupportedDialectFeature):
             transpile(bad)
+    # r6: DISTINCT bodies and GROUPS frames inside subqueries now
+    # rewrite instead of rejecting
+    assert "__groups_rewrite" in transpile(
+        "SELECT DISTINCT SUM(v) OVER (ORDER BY t GROUPS 2 PRECEDING) FROM u"
+    )
+    assert "__groups_rewrite" in transpile(
+        "SELECT * FROM (SELECT 1) t WHERE x IN "
+        "(SELECT SUM(v) OVER (ORDER BY t GROUPS 2 PRECEDING) FROM u)"
+    )
     # literal containing the keyword is fine
     assert transpile("SELECT 'GROUPS BETWEEN a and b' FROM t")
 
@@ -132,3 +141,54 @@ def test_regexp_match_first_match_semantics(spark):
     ).collect()[0]
     assert row.m == ["1"]  # FIRST match only (not ['1','2','3'])
     assert row.none_m is None  # no match -> NULL, not ['']
+
+
+def test_offset_groups_bare_star_excludes_helper_rank():
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    out = rewrite_offset_groups(
+        "SELECT *, SUM(v) OVER (PARTITION BY p ORDER BY o "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t"
+    )
+    assert "* EXCEPT (__grp_rank_1)" in out
+    assert "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW" in out
+    assert "DENSE_RANK() OVER (PARTITION BY p ORDER BY o)" in out
+
+
+def test_offset_groups_distinct_rewrites():
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    out = rewrite_offset_groups(
+        "SELECT DISTINCT p, SUM(v) OVER (ORDER BY o GROUPS 2 PRECEDING) AS s FROM t"
+    )
+    assert out.startswith("SELECT DISTINCT")
+    assert "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW" in out
+
+
+def test_offset_groups_union_branches_rewrite_independently():
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    out = rewrite_offset_groups(
+        "SELECT k, SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) AS s FROM a "
+        "UNION ALL SELECT k, v FROM b ORDER BY k LIMIT 5"
+    )
+    assert "UNION ALL SELECT k, v FROM b" in out
+    assert out.rstrip().endswith("ORDER BY k LIMIT 5")
+    assert "__groups_rewrite" in out
+    # a star-EXCEPT projection is NOT a set operator
+    out2 = rewrite_offset_groups(
+        "SELECT * EXCEPT (x), SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) FROM t"
+    )
+    assert "UNION" not in out2
+
+
+def test_offset_groups_qualified_star_still_rejected():
+    import pytest
+
+    from datafusion_server_spark.functions.dialect import (
+        UnsupportedDialectFeature,
+        transpile,
+    )
+
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile("SELECT t.*, SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) FROM t")

@@ -93,19 +93,32 @@ def to_spark_type(
     dt: Any,
     *,
     widen_decimal256: bool = False,
+    decimal256_as_string: bool = False,
     widen_interval: bool = False,
     widen_union: bool = False,
 ) -> T.DataType:
     """One ``dataType`` JSON value -> Spark DataType.
 
-    ``widen_decimal256=True`` opts into the lossy Decimal256 policy (see
-    ``_widen_decimal``); ``widen_interval=True`` decodes MonthDayNano to
-    a lossless component struct; ``widen_union=True`` flattens Union to
+    ``widen_decimal256=True`` opts into the LOSSY Decimal256 policy (see
+    ``_widen_decimal``); ``decimal256_as_string=True`` opts into the
+    LOSSLESS textual decode instead — p > 38 columns arrive as
+    StringType carrying the exact digits (arrow's decimal256 casts to
+    utf8 exactly), trading native arithmetic for zero value loss (cast
+    explicitly where 38 digits suffice). The two flags are mutually
+    exclusive. ``widen_interval=True`` decodes MonthDayNano to a
+    lossless component struct; ``widen_union=True`` flattens Union to
     a type-tagged struct of nullable branches. Defaults keep the §1.2
     reject policy.
     """
+    if widen_decimal256 and decimal256_as_string:
+        raise SchemaError(
+            "widen_decimal256 and decimal256_as_string are mutually "
+            "exclusive — pick the lossy numeric clamp OR the lossless "
+            "textual decode"
+        )
     _w = dict(
         widen_decimal256=widen_decimal256,
+        decimal256_as_string=decimal256_as_string,
         widen_interval=widen_interval,
         widen_union=widen_union,
     )
@@ -126,11 +139,15 @@ def to_spark_type(
             p = int(dt.get("precision", 38))
             s = int(dt.get("scale", 10))
             if p > MAX_DECIMAL_PRECISION:
+                if decimal256_as_string:
+                    return T.StringType()
                 if widen_decimal256:
                     return _widen_decimal(p, s)
                 raise SchemaError(
                     f"decimal precision {p} exceeds Spark's max {MAX_DECIMAL_PRECISION}"
-                    " (pass widen_decimal256=True to clamp with documented rounding)"
+                    " (pass widen_decimal256=True to clamp with documented"
+                    " rounding, or decimal256_as_string=True for the"
+                    " lossless textual decode)"
                 )
             return T.DecimalType(p, s)
         if kind == "timestamp":

@@ -170,3 +170,32 @@ def test_struct_type_threads_all_widen_flags():
     }
     st = to_struct_type(sj, widen_interval=True, widen_union=True)
     assert [f.name for f in st.fields] == ["iv", "u"]
+
+
+def test_decimal256_as_string_is_lossless(spark):
+    """The r6 third Decimal256 policy: p > 38 decodes to StringType
+    carrying the EXACT digits (arrow decimal256 -> utf8 is exact) —
+    zero value loss, arithmetic by explicit cast where 38 digits
+    suffice."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pytest
+
+    from datafusion_server_spark.schema import SchemaError, to_spark_type
+
+    dt = {"type": "decimal256", "precision": 50, "scale": 5}
+    assert to_spark_type(dt, decimal256_as_string=True) == T.StringType()
+    # mutually exclusive with the lossy clamp
+    with pytest.raises(SchemaError, match="mutually exclusive"):
+        to_spark_type(dt, decimal256_as_string=True, widen_decimal256=True)
+    # value-level proof of the documented decode recipe: a 45-integer-
+    # digit value survives the arrow->string->Spark path digit-exact
+    # (the lossy clamp REJECTS this value outright)
+    big = decimal.Decimal("123456789012345678901234567890123456789012345.67890")
+    arr = pa.array([big], type=pa.decimal256(50, 5))
+    as_str = pc.cast(arr, pa.string())
+    df = spark.createDataFrame([(as_str[0].as_py(),)], "v string")
+    [row] = df.collect()
+    assert decimal.Decimal(row["v"]) == big

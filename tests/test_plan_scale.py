@@ -30,9 +30,6 @@ _BOUNDING = re.compile(
     r"|HashAggregate|SortAggregate|ObjectHashAggregate|LeftAnti"
 )
 
-_TREE_CHARS = re.compile(r"^[\s:+\-*()0-9]*")
-
-
 def _plan_lines(df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = []

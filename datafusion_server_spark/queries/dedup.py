@@ -852,3 +852,101 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     return stream_near_dup_probe(
         spark, f"{sf_dir}/documents.parquet", num_hashes=NUM_HASHES, bands=BANDS
     )
+
+
+# MinHash estimator calibration (r6): for every LSH candidate pair,
+# the classic signature estimate (fraction of agreeing minima) next to
+# the EXACT shingle-set Jaccard — the estimator-vs-truth diagnostic a
+# dedup deployment reads before picking thresholds/band counts.
+_EST_AGREE = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+)
+
+_MH_EST_ORACLE = f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.id, bs.band, CASE bs.band {_BAND_CASES} END AS bucket
+  FROM sig, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS band) bs),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+agree AS (
+  SELECT p.id_a, p.id_b,
+         CAST({_EST_AGREE} AS BIGINT) AS n_agree
+  FROM pairs p JOIN sig a ON a.id = p.id_a JOIN sig b ON b.id = p.id_b),
+sizes AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b)
+SELECT g.id_a, g.id_b, g.n_agree,
+       ROUND(CAST(g.n_agree AS DOUBLE) / {NUM_HASHES}.0, 6) AS est_jaccard,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - COALESCE(c.n_common, 0) AS DOUBLE), 6)
+           AS exact_jaccard,
+       ROUND(ABS(CAST(g.n_agree AS DOUBLE) / {NUM_HASHES}.0
+             - CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+               / CAST(za.n_sh + zb.n_sh - COALESCE(c.n_common, 0) AS DOUBLE)), 6)
+           AS abs_err
+FROM agree g
+LEFT JOIN common c ON c.id_a = g.id_a AND c.id_b = g.id_b
+JOIN sizes za ON za.id = g.id_a
+JOIN sizes zb ON zb.id = g.id_b
+"""
+
+
+@df_query("dedup_minhash_estimate_calibration", _MH_EST_ORACLE)
+def dedup_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash Jaccard estimate (agreeing minima /
+    num_hashes) next to the exact shingle-set Jaccard and the absolute
+    error — the threshold/band-count calibration table."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sigs = dedup.lsh_signature_index(docs, "text", "doc_id", NUM_HASHES)
+    banded = dedup.lsh_bands(sigs, BANDS, NUM_HASHES // BANDS)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sig_b = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(NUM_HASHES)
+    )
+    j = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    exact = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / (
+            F.col("n_a")
+            + F.col("n_b")
+            - F.size(F.array_intersect("sh_a", "sh_b"))
+        ).cast("double")
+    )
+    est = agree.cast("double") / float(NUM_HASHES)
+    return j.select(
+        "id_a",
+        "id_b",
+        agree.cast("bigint").alias("n_agree"),
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )

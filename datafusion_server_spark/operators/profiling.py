@@ -159,9 +159,10 @@ def term_psi_drift(
     Output: (category, n_a, n_b, psi_contrib, psi_total).
 
     Scale: one term-count aggregation per snapshot (vocab-sized
-    output); the top-n selection and everything after run on the
-    joined vocab tables; the category map broadcasts back onto them."""
-    from pyspark.sql.window import Window
+    output); the top-n selection is a distributed TakeOrderedAndProject
+    over the joined vocab tables (distinct terms scale with the corpus,
+    so no single-partition rank); the category map broadcasts back onto
+    them."""
 
     def counts(df: DataFrame, alias: str) -> DataFrame:
         return (
@@ -177,10 +178,11 @@ def term_psi_drift(
         F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
     )
-    w = Window.orderBy(F.desc(F.col("n_a") + F.col("n_b")), F.asc("term"))
-    top = both.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= top_n
-    ).select(F.col("term").alias("__top"))
+    top = (
+        both.orderBy(F.desc(F.col("n_a") + F.col("n_b")), F.asc("term"))
+        .limit(top_n)
+        .select(F.col("term").alias("__top"))
+    )
     cat = (
         both.join(F.broadcast(top), both["term"] == top["__top"], "left")
         .select(
@@ -209,6 +211,8 @@ def term_psi_drift(
         "n_b",
         F.round((p - q) * F.log(p / q), 8).cast("decimal(18,8)").alias("__c"),
     )
+    from pyspark.sql.window import Window
+
     win = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return with_c.select(
         "category",
@@ -495,16 +499,15 @@ def quantile_normalize(
     order — on the global rank (determinism). Output: input id/group/
     value + (normalized DOUBLE).
 
-    Scale: one group-keyed window, then a TWO-LEVEL distributed global
-    rank — ``repartitionByRange`` on (value, id) so partition order
-    equals sort order, a per-partition ``row_number`` (partitioned
-    window, no single-task funnel), and a broadcast of the cumulative
-    per-partition counts as the global offset. The only unpartitioned
-    window ranks the partition-count table (#partitions rows). Finally
-    one join keyed by rank index."""
+    Scale: one group-keyed window, then the TWO-LEVEL distributed
+    global rank (``scale.distributed_rank`` — repartitionByRange so
+    partition order equals sort order, per-partition ``row_number``,
+    broadcast cumulative per-partition counts as the global offset; the
+    only unpartitioned window ranks the partition-count table,
+    #partitions rows). Finally one join keyed by rank index."""
     from pyspark.sql.window import Window
 
-    from datafusion_server_spark.operators.scale import _session_parallelism
+    from datafusion_server_spark.operators.scale import distributed_rank
 
     wg = Window.partitionBy("grp").orderBy(F.col("value").asc(), F.col("id").asc())
     ranked = df.select(
@@ -512,32 +515,13 @@ def quantile_normalize(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("value"),
     ).withColumn("__pr", F.percent_rank().over(wg))
-    n_part = max(4, _session_parallelism(df.sparkSession))
-    tagged = (
+    glob = distributed_rank(
         df.select(
             F.col(id_col).alias("id"), F.col(value_col).cast("double").alias("value")
-        )
-        .repartitionByRange(n_part, F.col("value").asc(), F.col("id").asc())
-        .withColumn("__pid", F.spark_partition_id().cast("bigint"))
-    )
-    wl = Window.partitionBy("__pid").orderBy(F.col("value").asc(), F.col("id").asc())
-    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        tagged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-        .withColumn(
-            "__off", F.coalesce(F.sum("__c").over(wp), F.lit(0).cast("bigint"))
-        )
-        .select("__pid", "__off")
-    )
-    glob = (
-        tagged.withColumn("__lrn", F.row_number().over(wl).cast("bigint"))
-        .join(F.broadcast(offsets), "__pid")
-        .select(
-            (F.col("__off") + F.col("__lrn")).alias("__rn"),
-            F.col("value").alias("__gv"),
-        )
-    )
+        ),
+        [F.col("value").asc(), F.col("id").asc()],
+        "__rn",
+    ).select("__rn", F.col("value").alias("__gv"))
     n_glob = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     keyed = ranked.crossJoin(F.broadcast(n_glob)).select(
         "id",

@@ -252,3 +252,54 @@ def ranked_topk(
     topk = df.orderBy(*order_cols).limit(int(k))
     w = Window.orderBy(*order_cols)
     return topk.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number`` over a total order WITHOUT the
+    single-partition window — the full-rank counterpart of
+    ``ranked_topk`` for consumers that need EVERY row's rank (coverage
+    curves, quantile tables), where a top-k cannot apply.
+
+    Two-level rank (the ``quantile_normalize`` shape):
+
+    1. ``repartitionByRange`` on the order columns — partition ranges
+       follow the sort order, so partition id order == global order;
+    2. per-partition ``row_number`` (a PARTITIONED window keyed by
+       ``spark_partition_id()`` — every task ranks only its own slice);
+    3. per-partition counts aggregate to one row per partition; their
+       running sum (the only unpartitioned window, over #partitions
+       rows) is each partition's global offset, broadcast back on.
+
+    Output = input columns + ``rank_col`` (BIGINT), bit-identical to
+    ``row_number().over(Window.orderBy(*order_cols))`` provided
+    ``order_cols`` is a total order (tie-break on a unique id last) —
+    range partitioning can split ties across partitions, so a non-total
+    order would rank ties nondeterministically."""
+    from pyspark.sql.window import Window
+
+    n_part = num_partitions or max(4, _session_parallelism(df.sparkSession))
+    tagged = df.repartitionByRange(n_part, *order_cols).withColumn(
+        "__drk_pid", F.spark_partition_id().cast("bigint")
+    )
+    wl = Window.partitionBy("__drk_pid").orderBy(*order_cols)
+    wp = Window.orderBy("__drk_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("__drk_pid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__drk_c"))
+        .withColumn(
+            "__drk_off",
+            F.coalesce(F.sum("__drk_c").over(wp), F.lit(0).cast("bigint")),
+        )
+        .select("__drk_pid", "__drk_off")
+    )
+    return (
+        tagged.withColumn("__drk_lrn", F.row_number().over(wl).cast("bigint"))
+        .join(F.broadcast(offsets), "__drk_pid")
+        .withColumn(rank_col, F.col("__drk_off") + F.col("__drk_lrn"))
+        .drop("__drk_pid", "__drk_lrn", "__drk_off")
+    )

@@ -515,35 +515,30 @@ def vocab_coverage(
 
     Scale notes (100 TB): the corpus word count is one map-side-combined
     groupBy (shuffle carries one row per distinct word per mapper).
-    Ranking the top-N uses a GLOBAL window over the aggregated distinct-
-    word table — bounded by vocabulary growth (Heaps' law, ~sqrt of
-    corpus tokens), an index-build-time cost like the LSH codes table,
-    not a per-document one. The vocab broadcasts into the scoring join,
-    so the per-doc pass is one explode + one broadcast-hash join + one
-    doc-keyed aggregation.
+    Ranking the top-N is ``ranked_topk`` (TakeOrderedAndProject:
+    per-partition N-row heaps over the distinct-term table, rank
+    assigned on the N survivors) — distinct terms scale with the corpus
+    (Heaps' law), so no single task ever sees the full vocabulary. The
+    vocab broadcasts into the scoring join, so the per-doc pass is one
+    explode + one broadcast-hash join + one doc-keyed aggregation.
 
     ``materialize`` (default True) eager-localCheckpoints the TINY vocab
     table so the scoring action doesn't re-run the vocabulary-build pass
     (scan + split + explode + count) as a second subtree of the same
     plan — the standard stage-the-index contract (the two heavy corpus
     passes are inherent: one builds the vocab, one scores against it)."""
-    from pyspark.sql.window import Window
-
     words_stream = ensure_fanout_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("w")
     )
-    vocab = (
-        words_stream.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wc"))
-        .withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("wc"), F.asc("w")))
-            .cast("bigint"),
-        )
-        .filter(F.col("rank") <= vocab_size)
-        .select("w", "rank")
-    )
+    # distinct-term cardinality scales with the corpus (Heaps' law), so
+    # the top-N vocab selection is the distributed TakeOrderedAndProject
+    # (ranked_topk), never a single-partition rank over all terms
+    vocab = ranked_topk(
+        words_stream.groupBy("w").agg(F.count(F.lit(1)).alias("wc")),
+        [F.desc("wc"), F.asc("w")],
+        vocab_size,
+        "rank",
+    ).select("w", "rank")
     if materialize:
         vocab = vocab.localCheckpoint(eager=True)
     scored = words_stream.join(F.broadcast(vocab), "w", "left")
@@ -1191,14 +1186,11 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("pmi"), F.asc("left"), F.asc("right"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("left", "right", "n_pair", "pmi", "rank")
-    )
+    # distinct bigram pairs grow superlinearly with the corpus: the
+    # top-k selection must be TakeOrderedAndProject, not a global window
+    return ranked_topk(
+        scored, [F.desc("pmi"), F.asc("left"), F.asc("right")], k, "rank"
+    ).select("left", "right", "n_pair", "pmi", "rank")
 
 
 def term_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

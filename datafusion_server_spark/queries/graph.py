@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from datafusion_server_spark import tables
 from datafusion_server_spark.operators import graph
+from datafusion_server_spark.operators.scale import ranked_topk
 from datafusion_server_spark.queries import df_query, rrepr
 
 _PR_ITERS = 5
@@ -131,14 +132,12 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
     edges = graph.copurchase_edges(li)
     per_node = graph.triangle_participation(edges)
-    wr = Window.orderBy(F.desc("n_triangles"), F.asc("node"))
-    return (
-        per_node.select(
-            F.col("node").cast("bigint").alias("part"),
-            "n_triangles",
-            F.row_number().over(wr).cast("bigint").alias("rank_pos"),
-        )
-        .filter(F.col("rank_pos") <= _TRI_K)
+    # one row per graph node — scales with the corpus, so the top-k is
+    # TakeOrderedAndProject with the rank assigned on the k survivors
+    return ranked_topk(
+        per_node, [F.desc("n_triangles"), F.asc("node")], _TRI_K, "rank_pos"
+    ).select(
+        F.col("node").cast("bigint").alias("part"), "n_triangles", "rank_pos"
     )
 
 

@@ -879,7 +879,7 @@ FROM mom
 
 @df_query("text_zipf_slope", _ZIPF_ORACLE)
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from datafusion_server_spark.operators.scale import ranked_topk
 
     docs = tables.load(spark, sf_dir, "documents")
     tf = (
@@ -888,10 +888,11 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     )
-    w = Window.orderBy(F.desc("f"), F.asc("term"))
+    # the fit uses only the top-N terms; distinct terms scale with the
+    # corpus, so select them with TakeOrderedAndProject, not a global
+    # rank window over the whole vocabulary
     pts = (
-        tf.withColumn("r", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("r") <= _ZIPF_N)
+        ranked_topk(tf, [F.desc("f"), F.asc("term")], _ZIPF_N, "r")
         .select(
             F.round(F.log(F.col("r").cast("double")), 8).alias("x"),
             F.round(F.log(F.col("f").cast("double")), 8).alias("y"),
@@ -1048,7 +1049,12 @@ GROUP BY ks.k
 
 @df_query("text_vocab_coverage_curve", _VCURVE_ORACLE)
 def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    """Coverage needs EVERY term's rank (the curve integrates the full
+    frequency table), so top-k doesn't apply; the rank is the two-level
+    range-partitioned ``distributed_rank`` — at web-scale vocabulary
+    (billions of distinct terms) a single-partition rank window here
+    would be the largest one-task funnel in the package."""
+    from datafusion_server_spark.operators.scale import distributed_rank
 
     docs = tables.load(spark, sf_dir, "documents")
     tf = (
@@ -1057,10 +1063,7 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     )
-    ranked = tf.withColumn(
-        "r",
-        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("term"))).cast("bigint"),
-    )
+    ranked = distributed_rank(tf, [F.desc("f"), F.asc("term")], "r")
     tot = ranked.agg(F.sum("f").cast("bigint").alias("__n"))
     ks = spark.createDataFrame([(k,) for k in _VCURVE_KS], "k bigint")
     return (

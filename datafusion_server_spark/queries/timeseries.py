@@ -700,16 +700,16 @@ WHERE rnk <= {_BURSTY_K}
 
 @df_query("events_burstiness_top", _BURSTY_ORACLE)
 def events_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from datafusion_server_spark.operators import funnel
+    from datafusion_server_spark.operators.scale import ranked_topk
 
     ev = tables.load(spark, sf_dir, "events")
     b = funnel.interarrival_burstiness(ev, "user_id", "ts", "event_id")
-    w = Window.orderBy(F.desc_nulls_last("burstiness"), F.asc("user_id"))
-    return (
-        b.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _BURSTY_K)
+    # the per-user burstiness table scales with the corpus (one row per
+    # user), so the top-k selection is TakeOrderedAndProject, not a
+    # corpus-wide single-partition rank window
+    return ranked_topk(
+        b, [F.desc_nulls_last("burstiness"), F.asc("user_id")], _BURSTY_K, "rank"
     )
 
 
@@ -1080,7 +1080,7 @@ def _surprisal_oracle() -> str:
 @df_query("events_markov_surprisal", _surprisal_oracle())
 def events_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_server_spark.operators import funnel
-    from pyspark.sql.window import Window
+    from datafusion_server_spark.operators.scale import ranked_topk
 
     ev = tables.load(spark, sf_dir, "events")
     sc = funnel.path_surprisal(ev, "user_id", "event_type", "ts", "event_id")
@@ -1089,9 +1089,11 @@ def events_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.round(F.col("surprisal"), 6).alias("surprisal_nats"),
     )
-    wr = Window.orderBy(F.desc("surprisal_nats"), F.asc("user_id"))
-    return (
-        rounded.withColumn("rank_pos", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rank_pos") <= _SURPRISAL_K)
-        .select("rank_pos", "user_id", "n_transitions", "surprisal_nats")
-    )
+    # per-user surprisal scales with the corpus: distributed top-k, rank
+    # assigned on the k survivors
+    return ranked_topk(
+        rounded,
+        [F.desc("surprisal_nats"), F.asc("user_id")],
+        _SURPRISAL_K,
+        "rank_pos",
+    ).select("rank_pos", "user_id", "n_transitions", "surprisal_nats")

@@ -4,15 +4,27 @@ contains an UNBOUNDED ``Exchange SinglePartition`` (no row-bounding
 node below it — the funnel-everything-to-one-task shape that kills a
 100 TB run).
 
-Round-6 baseline (local[8], sf0.001, all 247 non-streaming builders):
-exactly THREE hits, each by-design and allowlisted in
-tests/test_plan_scale.py::ALLOWED_GLOBAL_WINDOW_QUERIES:
+Round-7 baseline (local[8], sf0.001, all 250 non-streaming builders of
+the 262-query registry): exactly THREE hits, each by-design and
+allowlisted in tests/test_plan_scale.py::ALLOWED_GLOBAL_WINDOW_QUERIES:
 
 - window_range_frame / window_distribution — SQL-surface queries whose
   SEMANTICS are an unpartitioned window (DataFusion-dialect parity
   rows; a user writing OVER (ORDER BY ...) gets what they asked for);
 - text_pack_sequences — the corpus-global contiguous packer, documented
   bounded-input-only; the scale path is text_pack_sequences_sharded.
+
+LIMIT OF THE HEURISTIC: a HashAggregate below the exchange counts as
+row-bounding, which is only true when its GROUP BY key has FIXED
+cardinality (bins / strata / partitions / sketch rows / a fixed
+taxonomy). An aggregate keyed by a corpus-scaling entity (users,
+distinct terms, term pairs, graph nodes) does NOT bound its output —
+a global window over it is still a one-task funnel that this audit
+CANNOT flag. Review any new aggregate-fed global window by hand: if
+the key scales with the data, use scale.ranked_topk (top-k) or
+scale.distributed_rank (full rank) and pin the query in
+test_plan_scale.py::_REWRITTEN. The r7 sweep converted all seven known
+corpus-scaling-key sites plus the full-rank coverage curve.
 
 Run: python3 scripts/plan_audit.py [sf_dir]
 Exits non-zero if any query OUTSIDE the allowlist is flagged.

@@ -21,10 +21,21 @@ import pytest
 from datafusion_server_spark.queries import registry
 
 # Nodes that bound the row count flowing up from their subtree: global
-# top-k/limits, aggregates (output = #groups, bounded for every use in
-# this package: strata / partitions / sketch rows), Spark's own partial
-# top-k for rank windows, and the anti-join reductions used by the
-# sequence-gaps boundary tables (output = #gaps, the report size).
+# top-k/limits, aggregates, Spark's own partial top-k for rank windows,
+# and the anti-join reductions used by the sequence-gaps boundary
+# tables (output = #gaps, the report size).
+#
+# CAVEAT (r7): an aggregate bounds the rowset only when its GROUP BY
+# key has FIXED cardinality (bins / strata / partitions / sketch rows /
+# a fixed taxonomy). An aggregate keyed by a corpus-scaling entity
+# (users, distinct terms, term pairs, graph nodes) does NOT bound —
+# its output grows with the data, and a global window over it is still
+# a one-task funnel. This heuristic cannot tell the two apart, so any
+# NEW aggregate-fed global window must be reviewed by hand: if the key
+# scales, use ranked_topk (top-k) or a two-level range-partitioned rank
+# (full rank) and add the query to _REWRITTEN below. The r7 sweep
+# converted every corpus-scaling-key site (burstiness/surprisal users,
+# vocab/Zipf/PMI/PSI terms, triangle nodes).
 _BOUNDING = re.compile(
     r"TakeOrderedAndProject|GlobalLimit|CollectLimit|WindowGroupLimit"
     r"|HashAggregate|SortAggregate|ObjectHashAggregate|LeftAnti"
@@ -61,8 +72,9 @@ def _unbounded_single_partition_exchanges(df) -> list[str]:
 
 
 # The ONLY queries allowed an unbounded single-partition exchange —
-# verified exhaustive over all 247 builders by scripts/plan_audit.py
-# (round-6 baseline). window_range_frame / window_distribution are
+# verified exhaustive over all 250 non-streaming builders by
+# scripts/plan_audit.py (round-7 re-certification; re-run the script
+# after registry changes). window_range_frame / window_distribution are
 # SQL-surface parity rows whose SEMANTICS are an unpartitioned window;
 # text_pack_sequences is the corpus-global packer, documented
 # bounded-input-only (scale path: text_pack_sequences_sharded).
@@ -79,6 +91,16 @@ _REWRITTEN = [
     "profile_quantile_normalize",
     "profile_sequence_gaps",
     "sample_token_waterfill",
+    # r7: top-k over corpus-scaling aggregates -> ranked_topk
+    "events_burstiness_top",  # one row per user
+    "events_markov_surprisal",  # one row per user
+    "text_vocab_coverage",  # one row per distinct term
+    "text_pmi_collocations",  # one row per distinct bigram pair
+    "text_zipf_slope",  # one row per distinct term
+    "profile_term_drift",  # top-N terms of the combined vocab
+    "graph_triangles_copurchase",  # one row per graph node
+    # r7: full rank per distinct term -> two-level range-partitioned rank
+    "text_vocab_coverage_curve",
 ]
 
 
@@ -89,7 +111,22 @@ def test_no_unbounded_single_partition_window_feed(spark, sf_dir, name):
     assert not bad, f"{name}: unbounded SinglePartition exchanges: {bad}"
 
 
-@pytest.mark.parametrize("name", ["text_bm25_topk", "sample_dsir_topk"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_bm25_topk",
+        "sample_dsir_topk",
+        # r7 conversions: the k-row selection over a corpus-scaling
+        # aggregate (users/terms/pairs/nodes) must be the distributed
+        # per-partition-heap top-k, not a single-partition rank window
+        "events_burstiness_top",
+        "events_markov_surprisal",
+        "text_pmi_collocations",
+        "text_zipf_slope",
+        "profile_term_drift",
+        "graph_triangles_copurchase",
+    ],
+)
 def test_topk_compiles_to_take_ordered(spark, sf_dir, name):
     """The k-row selection must be the distributed TakeOrderedAndProject
     (per-partition heaps), not a full sort or a global window."""
@@ -112,12 +149,40 @@ def test_kmeans_init_compiles_to_take_ordered(spark, sf_dir):
     assert not _unbounded_single_partition_exchanges(seeds)
 
 
+def test_vocab_rank_compiles_to_take_ordered(spark, sf_dir):
+    """vocab_coverage's top-N term selection is invisible in the final
+    query plan (the tiny vocab table is localCheckpoint-ed before the
+    scoring join), so assert on the vocab subtree directly: built with
+    materialize=False, the plan must select the N terms with the
+    distributed top-k, never a single-partition rank over the whole
+    (corpus-scaling) vocabulary."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.operators.text import vocab_coverage
+
+    docs = tables.load(spark, sf_dir, "documents")
+    df = vocab_coverage(docs, "text", "doc_id", vocab_size=50, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert not _unbounded_single_partition_exchanges(df)
+
+
 def test_quantile_normalize_plan_is_range_partitioned(spark, sf_dir):
     """The global rank table must be built on a range-partitioned layout
     (partition order == sort order), not a single-partition sort."""
     df = registry()["profile_quantile_normalize"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in plan
+
+
+def test_vocab_curve_rank_is_range_partitioned(spark, sf_dir):
+    """text_vocab_coverage_curve ranks EVERY distinct term (the curve
+    needs full ranks, so top-k doesn't apply): the rank must be built
+    on a range-partitioned layout (distributed_rank), with no unbounded
+    single-partition exchange anywhere in the plan."""
+    df = registry()["text_vocab_coverage_curve"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert not _unbounded_single_partition_exchanges(df)
 
 
 def test_sharded_pack_window_is_hash_partitioned(spark, sf_dir):

@@ -23,10 +23,15 @@ matrix (the driver loops over the fixed iteration count, never over
 rows). Player count is the cardinality of the rated entity (sources,
 models, annotators) — thousands at most, never corpus-sized.
 
-Degenerate case (standard BT): a WINLESS player's MLE strength is 0 —
+Degenerate cases (standard BT): a WINLESS player's MLE strength is 0 —
 the MM update sends it there in one step and it stays (unit-tested).
-Callers wanting a floor add pseudo-matches upstream (the arena-
-leaderboard regularization), which keeps the fit itself exactly
+The mirror case is an UNDEFEATED player, whose rating grows without
+bound until every per-opponent denominator term rounds to 0 under the
+8-decimal contract: when that (or any zero/NULL denominator) happens,
+the player KEEPS its previous rating — the fit freezes rather than
+snapping back to the 1.0 init (the discontinuity the r6 reset had).
+Callers wanting a floor/ceiling add pseudo-matches upstream (the
+arena-leaderboard regularization), which keeps the fit itself exactly
 reproducible.
 """
 
@@ -138,15 +143,22 @@ def bradley_terry_ratings(
             .groupBy("i")
             .agg(F.sum("__t").cast("double").alias("__d"))
         )
+        # zero/NULL denominator (an isolated player, or an undefeated
+        # player whose per-opponent terms all rounded to 0 as its
+        # rating grew): carry the PREVIOUS rating forward — resetting
+        # to the 1.0 init would snap a monotonically growing rating
+        # back down, a discontinuity mid-fit.
+        prev = ratings.select("p", F.col("s").alias("__prev"))
         ratings = (
             players.join(denom, players["p"] == denom["i"], "left")
+            .join(F.broadcast(prev), "p")
             .select(
                 "p",
                 F.when(
                     F.col("__d").isNotNull() & (F.col("__d") > 0),
                     F.round(F.col("w").cast("double") / F.col("__d"), 8),
                 )
-                .otherwise(F.lit(1.0))
+                .otherwise(F.col("__prev"))
                 .alias("s"),
             )
         )

@@ -485,17 +485,20 @@ adj AS MATERIALIZED (
 r0 AS (SELECT p, CAST(1.0 AS DOUBLE) AS s FROM players)"""]
     term = rrepr("CAST(a.n_ij AS DOUBLE) / (ri.s + rj.s)", 8)
     upd = rrepr("CAST(pl.w AS DOUBLE) / d.d", 8)
+    # each level references r{t-1} three times (ri, rj, carry-forward
+    # prev); MATERIALIZED stops DuckDB inlining the chain exponentially
     for t in range(1, _BT_ITERS + 1):
-        parts.append(f"""d{t} AS (
+        parts.append(f"""d{t} AS MATERIALIZED (
   SELECT a.i AS p,
          CAST(SUM(CAST({term} AS DECIMAL(18,8))) AS DOUBLE) AS d
   FROM adj a JOIN r{t-1} ri ON ri.p = a.i JOIN r{t-1} rj ON rj.p = a.j
   GROUP BY a.i),
-r{t} AS (
+r{t} AS MATERIALIZED (
   SELECT pl.p,
          CASE WHEN d.d IS NOT NULL AND d.d > 0 THEN {upd}
-              ELSE CAST(1.0 AS DOUBLE) END AS s
-  FROM players pl LEFT JOIN d{t} d ON d.p = pl.p)""")
+              ELSE prev.s END AS s
+  FROM players pl LEFT JOIN d{t} d ON d.p = pl.p
+  JOIN r{t-1} prev ON prev.p = pl.p)""")
     return ",\n".join(parts)
 
 

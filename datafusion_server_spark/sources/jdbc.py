@@ -137,6 +137,14 @@ _SQL_KEYWORDS = frozenset(
     current row filter values interval date timestamp time""".split()
 )
 
+# keyword constructs followed by '(' that can NEVER be an aggregate call
+# in any dialect — the only exemptions from the limit-pushdown call
+# blocker (FIRST/LAST/ANY/SOME are keywords AND aggregates in some
+# dialects, so the full keyword set must not be exempted).
+_NON_AGGREGATE_CALLS = frozenset(
+    {"in", "not", "and", "or", "cast", "between", "is", "when", "then", "else"}
+)
+
 _CLAUSE_STOP_RE = re.compile(
     r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|WINDOW)\b",
     re.I,
@@ -281,11 +289,14 @@ def extract_pushdown(sql: str, table: str, namespace: str) -> Pushdown:
         )
         # a scalar aggregate with no GROUP BY recounts rows: pushing
         # LIMIT 1 under SELECT count(*) would count ONE remote row. Any
-        # function call blocks limit pushdown (scalar calls would be
-        # safe, but proving a call scalar across dialects is not worth
-        # the fetch saved — under-pushing is always correct).
+        # identifier followed by '(' blocks limit pushdown UNLESS it is
+        # one of the few keyword constructs that can never name an
+        # aggregate in any dialect (IN-lists, CAST). Exempting ALL of
+        # _SQL_KEYWORDS re-opened the wrong-count class for dialects
+        # with keyword-NAMED aggregates (FIRST(x), LAST(x), ANY(x)) —
+        # under-pushing is always correct, so everything else blocks.
         calls = any(
-            m.group(1).lower() not in _SQL_KEYWORDS
+            m.group(1).lower() not in _NON_AGGREGATE_CALLS
             for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\(", protected)
         )
         m_limit = re.search(r"\bLIMIT\s+(\d+)\s*;?\s*$", protected, re.I)

@@ -81,12 +81,24 @@ def _iter_decompressed(data: bytes, window: int = _DECOMPRESS_WINDOW) -> Iterato
         elif d.unconsumed_tail:
             pending = d.unconsumed_tail
         else:
-            # input exhausted mid-member (truncated gzip): surface what
-            # zlib can still flush, then let the record parser report
-            # the truncation with an offset
+            # input exhausted mid-member (truncated gzip). This branch
+            # is also reached when output is still PENDING internally
+            # (a highly compressible tail that hit the window cap with
+            # all input consumed), so first drain in bounded windows —
+            # decompress(b'', window) emits pending output without new
+            # input. Then flush() the partial-block residue (only the
+            # undecodable tail remains unprocessed at that point, so
+            # its output is small) and re-yield it window-sliced, so
+            # downstream never sees an unbounded piece. The parser
+            # reports the truncation with an offset.
+            while True:
+                out = d.decompress(b"", window)
+                if not out:
+                    break
+                yield out
             tail = d.flush()
-            if tail:
-                yield tail
+            for i in range(0, len(tail), window):
+                yield tail[i : i + window]
             return
 
 

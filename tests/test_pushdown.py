@@ -204,3 +204,16 @@ def test_sqlite_numeric_predicate_on_text_column_not_pushed(spark, tmp_path):
     pd2 = Pushdown(columns=("id", "v"), where="id < 3", limit=2)
     out2 = _read_sqlite(spark, ns, "t", pd2)
     assert sorted(r["id"] for r in out2.collect()) == [1, 2]
+
+
+def test_keyword_named_aggregates_block_limit_pushdown():
+    """FIRST(x) / LAST(x) / ANY(x) are SQL keywords AND aggregates in
+    some dialects: the r6 guard exempted the whole keyword set from the
+    call blocker, so LIMIT pushed under them — the exact wrong-count
+    class the guard exists to prevent. Only provably-non-aggregate
+    keyword constructs (IN-lists, CAST) may keep the limit."""
+    for fn in ("first(age)", "last(age)", "any(age)", "some(age)"):
+        pd = extract_pushdown(
+            f"SELECT {fn} FROM people@pg LIMIT 1", "people", "pg"
+        )
+        assert pd.limit is None, fn

@@ -83,3 +83,21 @@ def test_pass_at_k_hand_computed_cases(spark):
     assert out[3] == 1.0  # n<k clamps to k=3; n-c=2 < 3 -> 1
     assert out[4] == 0.0  # zero successes -> product = 1 -> pass = 0
     assert out[5] == 1.0  # all successes
+
+
+def test_undefeated_player_grows_monotone_never_resets(spark):
+    """An UNDEFEATED player's rating grows with iteration count and
+    never snaps back toward the 1.0 init: the zero/NULL-denominator
+    branch carries the PREVIOUS rating forward (the r6 form reset it to
+    1.0, a mid-fit discontinuity once the rounded per-opponent terms
+    hit 0)."""
+    m = _matches(spark, [("a", "b")] * 4 + [("b", "c"), ("c", "b")])
+    prev = 0.0
+    for it in (2, 4, 8):
+        out = {
+            r["player"]: r["rating"]
+            for r in rating.bradley_terry_ratings(m, iterations=it).collect()
+        }
+        assert out["a"] > 1.0
+        assert out["a"] >= prev
+        prev = out["a"]

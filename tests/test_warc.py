@@ -253,3 +253,23 @@ def test_oversized_file_raises_clean_error(tmp_path, spark):
         f.truncate((1 << 31) + 1024)
     with pytest.raises(ValueError, match="2 GiB cap.*huge.warc|huge.warc.*2 GiB"):
         warc_py.read_warc(spark, str(big))
+
+
+def test_truncated_compressible_tail_drains_in_bounded_windows():
+    """A TRUNCATED gzip member with a highly compressible tail must
+    still honor the bounded-window contract: the drain path
+    (decompress(b'', window) + window-sliced flush residue) yields only
+    <= window-sized pieces, never one unbounded tail (the r6 form
+    called flush() with no cap on this branch)."""
+    import zlib
+
+    raw = b"z" * (4 * 1024 * 1024)
+    comp = zlib.compressobj(9, zlib.DEFLATED, 31)
+    data = comp.compress(raw) + comp.flush()
+    trunc = data[: len(data) - 12]  # cut CRC32+ISIZE (+4): truncated member
+    pieces = list(warc_py._iter_decompressed(trunc, window=1024))
+    assert all(len(p) <= 1024 for p in pieces)
+    joined = b"".join(pieces)
+    # everything zlib could decode is recovered, as a prefix of raw
+    assert raw.startswith(joined)
+    assert len(joined) >= len(raw) - 64 * 1024

@@ -164,9 +164,24 @@ _GROUPS_REWRITABLE = re.compile(
 
 
 def rewrite_groups_frames(sql: str) -> str:
-    """Rewrite the unbounded/current-row GROUPS frames to RANGE."""
+    """Rewrite the unbounded/current-row GROUPS frames to RANGE. A
+    trailing ``EXCLUDE NO OTHERS`` is the default (dropped first); any
+    OTHER EXCLUDE clause blocks this direct rewrite — Spark has no
+    frame EXCLUDE syntax, so those frames fall through to
+    ``rewrite_offset_groups``'s frame-minus-excluded arithmetic."""
     masked, lits = _protect_strings(sql)
-    masked = _GROUPS_REWRITABLE.sub(lambda m: f"RANGE {m.group(1)}", masked)
+    masked = re.sub(
+        r"(GROUPS\s+[^()]*?)\s+EXCLUDE\s+NO\s+OTHERS\b",
+        r"\1",
+        masked,
+        flags=re.IGNORECASE,
+    )
+    masked = _GROUPS_REWRITABLE.sub(
+        lambda m: m.group(0)
+        if re.match(r"\s*EXCLUDE\b", masked[m.end():], re.IGNORECASE)
+        else f"RANGE {m.group(1)}",
+        masked,
+    )
     return _restore_strings(masked, lits)
 
 
@@ -197,7 +212,8 @@ _OFFSET_GROUPS_SPEC = re.compile(
     r"\bGROUPS\s+(?P<frame>"
     r"BETWEEN\s+(?:UNBOUNDED\s+PRECEDING|\d+\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW)"
     r"\s+AND\s+(?:UNBOUNDED\s+FOLLOWING|\d+\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW)"
-    r"|\d+\s+PRECEDING)\s*$",
+    r"|\d+\s+PRECEDING)"
+    r"\s*(?P<excl>EXCLUDE\s+(?:NO\s+OTHERS|CURRENT\s+ROW|GROUP|TIES))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -296,15 +312,60 @@ def _split_depth0_setops(masked: str) -> list[tuple[str, bool]] | None:
     return pieces
 
 
+def _sole_from_relation(masked: str, frm: int) -> tuple[str | None, str | None]:
+    """(relation, alias) when the depth-0 FROM clause names a SINGLE
+    unjoined base relation (``FROM t``, ``FROM db.t x``); (None, None)
+    for joins, comma lists, or derived tables."""
+    stop = _depth0_find(
+        masked,
+        r"(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW|QUALIFY)\b",
+        frm,
+    )
+    seg = masked[frm + 4 : stop if stop != -1 else len(masked)]
+    m = re.match(
+        r"\s*([A-Za-z_][\w.@$]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*;?\s*$",
+        seg,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None, None
+    return m.group(1), m.group(2)
+
+
+def _frame_contains_current(frame_norm: str) -> bool:
+    """True when a normalized ``BETWEEN lo AND hi`` GROUPS frame always
+    contains the current peer group (the only case a frame EXCLUDE
+    clause can remove anything): hi is not ``d PRECEDING`` with d>=1
+    and lo is not ``d FOLLOWING`` with d>=1."""
+    m = re.fullmatch(
+        r"BETWEEN\s+(.+?)\s+AND\s+(.+)", frame_norm, re.IGNORECASE
+    )
+    if not m:
+        return True  # shorthand 'd PRECEDING' already normalized away
+    lo, hi = m.group(1).strip(), m.group(2).strip()
+    m_hi = re.fullmatch(r"(\d+)\s+PRECEDING", hi, re.IGNORECASE)
+    if m_hi and int(m_hi.group(1)) >= 1:
+        return False
+    m_lo = re.fullmatch(r"(\d+)\s+FOLLOWING", lo, re.IGNORECASE)
+    if m_lo and int(m_lo.group(1)) >= 1:
+        return False
+    return True
+
+
 def rewrite_offset_groups(sql: str) -> str:
     """Rewrite offset GROUPS frames to dense-rank-keyed RANGE frames.
     Set-operation statements rewrite branch-by-branch; a bare ``*``
     projection becomes ``* EXCEPT (<injected ranks>)`` so the helper
     columns never leak; DISTINCT is fine (it sees only the projected
-    list). Statements the rewrite cannot prove safe (top-level GROUP
-    BY/HAVING, qualified ``t.*``, frame EXCLUDE clauses) are returned
-    unchanged and then rejected by check_unsupported with the narrowed
-    message."""
+    list). r7 additions: a qualified ``t.*`` over a SINGLE unjoined
+    relation expands like ``*``; ``EXCLUDE CURRENT ROW/GROUP/TIES`` on
+    SUM/COUNT/AVG rewrites to frame-minus-excluded arithmetic (peer
+    group = rows equal on the partition+order keys), with an
+    effective-count CASE so an emptied frame still yields NULL.
+    Statements the rewrite cannot prove safe (top-level GROUP BY/
+    HAVING, multi-relation ``t.*``, EXCLUDE on non-subtractable
+    aggregates) are returned unchanged and then rejected by
+    check_unsupported with the narrowed message."""
     masked, lits = _protect_strings(sql)
     if not _GROUPS_FRAME.search(masked):
         return sql
@@ -364,12 +425,16 @@ def rewrite_offset_groups(sql: str) -> str:
             elif masked[i] == ")":
                 if stack:
                     stack.pop()
+        # match against the UNtruncated tail: a '(' followed by a long
+        # whitespace run (pretty-printed 'IN (\n      SELECT ...') is
+        # still a subselect — truncating to a fixed window here used to
+        # mis-classify those and splice the rewrite into the subquery
         return any(
-            re.match(r"\s*SELECT\b", masked[o + 1 : o + 12], re.IGNORECASE)
+            re.match(r"\s*SELECT\b", masked[o + 1 :], re.IGNORECASE)
             for o in stack
         )
 
-    targets = []  # (open, close, part, ord, frame)
+    targets = []  # (over_kw, open, close, part, ord, frame, excl)
     for kw, op, cl in _over_spans(masked):
         inner = masked[op + 1 : cl]
         m = _OFFSET_GROUPS_SPEC.match(inner)
@@ -380,14 +445,18 @@ def rewrite_offset_groups(sql: str) -> str:
         h = _HEAD_SPLIT.match(m.group("head"))
         if not h:
             return sql
-        targets.append((op, cl, h.group("part"), h.group("ord"), m.group("frame")))
+        targets.append(
+            (kw, op, cl, h.group("part"), h.group("ord"), m.group("frame"),
+             m.group("excl"))
+        )
     if not targets:
         return sql
 
     # safety gates: one top-level SELECT, no top-level GROUP BY/HAVING
-    # (the rank must be computed pre-window but post-aggregation there),
-    # no frame EXCLUDE, no qualified star (the derived-table alias hides
-    # the original relation name)
+    # (the rank must be computed pre-window but post-aggregation there).
+    # A qualified star is fine when the FROM clause is a SINGLE unjoined
+    # relation matching the qualifier (then t.* == *); other qualified
+    # stars stay rejected (the derived-table alias hides the relation).
     sel = _depth0_find(masked, r"SELECT\b")
     if sel == -1 or _depth0_find(masked, r"SELECT\b", sel + 6) != -1:
         return sql
@@ -402,29 +471,95 @@ def rewrite_offset_groups(sql: str) -> str:
     list_body = re.sub(r"^\s*DISTINCT\b", "", select_list, flags=re.IGNORECASE)
     items = _split_depth0_commas(list_body)
     has_bare_star = any(it.strip() == "*" for it in items)
-    if any(it.strip().endswith(".*") for it in items):
-        return sql  # qualified star: relation name hidden by the rewrite
+    qualified_stars = {
+        it.strip()[:-2] for it in items if it.strip().endswith(".*")
+    }
+    if qualified_stars:
+        rel, rel_alias = _sole_from_relation(masked, frm)
+        names = {n for n in (rel, rel_alias) if n}
+        if rel and "." in rel:
+            names.add(rel.rsplit(".", 1)[-1])
+        if not names or any(q not in names for q in qualified_stars):
+            return sql  # multi-relation or mismatched qualifier: hidden name
+        has_bare_star = True  # each t.* expands exactly like *
 
     # assign one dense-rank column per distinct (partition, order) spec
     def norm(s: str | None) -> str:
         return re.sub(r"\s+", " ", (s or "").strip())
 
     specs: dict[tuple[str, str], str] = {}
-    replacements = []  # (open, close, new_inner)
-    for op, cl, part, ordr, frame in targets:
+    replacements = []  # (start, end, replacement_text) full-span splices
+    for kw, op, cl, part, ordr, frame, excl in targets:
         key = (norm(part), norm(ordr))
         alias = specs.setdefault(key, f"__grp_rank_{len(specs) + 1}")
         f = norm(frame)
         if re.fullmatch(r"\d+ PRECEDING", f, re.IGNORECASE):
             f = f"BETWEEN {f} AND CURRENT ROW"
         part_clause = f"PARTITION BY {key[0]} " if key[0] else ""
-        replacements.append(
-            (op, cl, f"{part_clause}ORDER BY {alias} RANGE {f}")
+        wf = f"{part_clause}ORDER BY {alias} RANGE {f}"
+        e = norm(excl).upper() if excl else ""
+        if e and e != "EXCLUDE NO OTHERS" and not _frame_contains_current(f):
+            # the frame never includes the current peer group, so the
+            # EXCLUDE clause removes nothing — drop it
+            e = ""
+        if not e or e == "EXCLUDE NO OTHERS":
+            replacements.append((op + 1, cl, wf))
+            continue
+        # EXCLUDE CURRENT ROW / GROUP / TIES: rewrite the whole
+        # aggregate call to frame-minus-excluded arithmetic (SUM/COUNT/
+        # AVG only — subtractable aggregates). The peer group of the
+        # current row is the rows equal on (partition, order) keys.
+        m_agg = re.search(
+            r"([A-Za-z_]\w*)\s*\(\s*(\*|[^()]*?)\s*\)\s*$", masked[:kw]
         )
+        if not m_agg or m_agg.group(1).upper() not in ("SUM", "COUNT", "AVG"):
+            return sql  # not a subtractable aggregate: reject downstream
+        fn = m_agg.group(1).upper()
+        arg = m_agg.group(2)
+        if re.match(r"\s*DISTINCT\b", arg, re.IGNORECASE) or (
+            arg == "*" and fn != "COUNT"
+        ):
+            return sql
+        peer_keys = [key[0]] if key[0] else []
+        for oexpr in _split_depth0_commas(key[1]):
+            peer_keys.append(
+                re.sub(
+                    r"\s+(ASC|DESC)\b|\s+NULLS\s+(FIRST|LAST)\b",
+                    "",
+                    oexpr,
+                    flags=re.IGNORECASE,
+                ).strip()
+            )
+        wg = f"PARTITION BY {', '.join(peer_keys)}"
+        cf = f"COUNT({arg}) OVER ({wf})"
+        cg = f"COUNT({arg}) OVER ({wg})"
+        one = "1" if arg == "*" else f"(CASE WHEN ({arg}) IS NOT NULL THEN 1 ELSE 0 END)"
+        if e == "EXCLUDE CURRENT ROW":
+            cnt = f"({cf} - {one})"
+        elif e == "EXCLUDE GROUP":
+            cnt = f"({cf} - {cg})"
+        else:  # EXCLUDE TIES
+            cnt = f"({cf} - {cg} + {one})"
+        if fn == "COUNT":
+            expr = f"CAST({cnt} AS BIGINT)"
+        else:
+            sf_ = f"SUM({arg}) OVER ({wf})"
+            sg = f"SUM({arg}) OVER ({wg})"
+            if e == "EXCLUDE CURRENT ROW":
+                ssum = f"({sf_} - COALESCE({arg}, 0))"
+            elif e == "EXCLUDE GROUP":
+                ssum = f"({sf_} - COALESCE({sg}, 0))"
+            else:  # EXCLUDE TIES
+                ssum = f"({sf_} - COALESCE({sg}, 0) + COALESCE({arg}, 0))"
+            if fn == "SUM":
+                expr = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
+            else:  # AVG
+                expr = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} / {cnt} END)"
+        replacements.append((m_agg.start(), cl + 1, expr))
 
-    # splice the new OVER bodies (right-to-left keeps indices valid)
-    for op, cl, new_inner in sorted(replacements, reverse=True):
-        masked = masked[: op + 1] + new_inner + masked[cl:]
+    # splice right-to-left (keeps earlier indices valid)
+    for start, end, text in sorted(replacements, reverse=True):
+        masked = masked[:start] + text + masked[end:]
 
     # re-locate clause boundaries after splicing, then restructure
     sel = _depth0_find(masked, r"SELECT\b")
@@ -451,7 +586,11 @@ def rewrite_offset_groups(sql: str) -> str:
         out_body = re.sub(r"^\s*DISTINCT\b", "", out_list, flags=re.IGNORECASE)
         distinct_prefix = out_list[: len(out_list) - len(out_body)]
         out_items = [
-            f" * EXCEPT ({except_list})" if it.strip() == "*" else it
+            # validated qualified stars (sole-relation t.*) expand
+            # exactly like bare * — both exclude the helper ranks
+            f" * EXCEPT ({except_list})"
+            if it.strip() == "*" or it.strip().endswith(".*")
+            else it
             for it in _split_depth0_commas(out_body)
         ]
         rewritten = (
@@ -470,11 +609,13 @@ def check_unsupported(sql: str) -> None:
             "this GROUPS window frame shape is not rewritable to Spark SQL: "
             "unbounded/current-row GROUPS frames become RANGE, offset GROUPS "
             "frames become dense-rank-keyed RANGE frames in a derived "
-            "subquery (incl. SELECT *, DISTINCT, and set-operation "
-            "branches — r6), but top-level GROUP BY/HAVING, qualified "
-            "t.* projections, parenthesized set-op branches, and frame "
-            "EXCLUDE clauses around an offset GROUPS frame stay "
-            "unsupported — use RANGE or ROWS frames there"
+            "subquery (incl. SELECT *, DISTINCT, set-operation branches, "
+            "sole-relation qualified t.* — r7, and EXCLUDE CURRENT ROW/"
+            "GROUP/TIES on SUM/COUNT/AVG via frame-minus-excluded "
+            "arithmetic — r7), but top-level GROUP BY/HAVING, "
+            "multi-relation qualified t.*, parenthesized set-op branches, "
+            "and EXCLUDE on non-subtractable aggregates (MIN/MAX/...) "
+            "stay unsupported — use RANGE or ROWS frames there"
         )
 
 

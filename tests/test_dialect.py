@@ -86,8 +86,10 @@ def test_exotic_groups_frames_rejected():
         # post-aggregation windows: the rank cannot move into a
         # pre-aggregation derived table
         "SELECT g, SUM(v) OVER (ORDER BY g GROUPS 2 PRECEDING) FROM u GROUP BY g",
-        # qualified star: the derived alias hides the relation name
-        "SELECT t.*, SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) FROM t",
+        # multi-relation qualified star: the derived alias hides which
+        # relation t.* refers to (sole-relation t.* rewrites since r7)
+        "SELECT t.*, SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) "
+        "FROM t JOIN u ON t.k = u.k",
     ):
         with pytest.raises(UnsupportedDialectFeature):
             transpile(bad)
@@ -182,13 +184,103 @@ def test_offset_groups_union_branches_rewrite_independently():
     assert "UNION" not in out2
 
 
-def test_offset_groups_qualified_star_still_rejected():
+def test_offset_groups_qualified_star_sole_relation_rewrites():
+    """r7: t.* over a SINGLE unjoined relation expands exactly like *
+    (star-EXCEPT the helper ranks); multi-relation or mismatched
+    qualifiers still reject (the derived-table alias hides the name)."""
     import pytest
 
     from datafusion_server_spark.functions.dialect import (
         UnsupportedDialectFeature,
+        rewrite_offset_groups,
         transpile,
     )
 
+    out = rewrite_offset_groups(
+        "SELECT t.*, SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) AS s FROM t"
+    )
+    assert "* EXCEPT (__grp_rank_1)" in out
+    assert "t.*" not in out
+    # aliased relation: the alias is the valid qualifier
+    out2 = rewrite_offset_groups(
+        "SELECT o.*, SUM(v) OVER (ORDER BY d GROUPS 1 PRECEDING) AS s "
+        "FROM orders o WHERE v > 0"
+    )
+    assert "* EXCEPT (__grp_rank_1)" in out2
     with pytest.raises(UnsupportedDialectFeature):
-        transpile("SELECT t.*, SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) FROM t")
+        transpile(
+            "SELECT a.*, SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) AS s "
+            "FROM a JOIN b ON a.k = b.k"
+        )
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT z.*, SUM(v) OVER (ORDER BY o GROUPS 1 PRECEDING) AS s "
+            "FROM orders o"
+        )
+
+
+def test_offset_groups_exclude_rewrites_and_rejections():
+    """r7: EXCLUDE CURRENT ROW/GROUP/TIES on SUM/COUNT/AVG rewrites to
+    frame-minus-excluded arithmetic; EXCLUDE over a frame that never
+    contains the current group is a no-op (dropped); EXCLUDE NO OTHERS
+    is the default (dropped); non-subtractable aggregates reject."""
+    import pytest
+
+    from datafusion_server_spark.functions.dialect import (
+        UnsupportedDialectFeature,
+        rewrite_groups_frames,
+        rewrite_offset_groups,
+        transpile,
+    )
+
+    out = rewrite_offset_groups(
+        "SELECT SUM(x) OVER (PARTITION BY p ORDER BY o "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS s FROM t"
+    )
+    assert "COUNT(x) OVER (PARTITION BY p, o)" in out  # peer-group window
+    assert "CASE WHEN" in out and "GROUPS" not in out
+    # disjoint frame: EXCLUDE removes nothing, plain rewrite
+    out2 = rewrite_offset_groups(
+        "SELECT SUM(x) OVER (ORDER BY o "
+        "GROUPS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE GROUP) AS s FROM t"
+    )
+    assert "CASE WHEN" not in out2 and "EXCLUDE" not in out2
+    # EXCLUDE NO OTHERS strips before the unbounded GROUPS->RANGE rewrite
+    out3 = rewrite_groups_frames(
+        "SELECT SUM(x) OVER (ORDER BY o GROUPS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW EXCLUDE NO OTHERS) AS s FROM t"
+    )
+    assert "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in out3
+    assert "EXCLUDE" not in out3
+    # a REAL exclude on the unbounded frame routes to the offset path
+    out4 = rewrite_offset_groups(
+        rewrite_groups_frames(
+            "SELECT SUM(x) OVER (ORDER BY o GROUPS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS s FROM t"
+        )
+    )
+    assert "CASE WHEN" in out4 and "GROUPS" not in out4
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT MIN(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
+            "EXCLUDE TIES) AS s FROM t"
+        )
+
+
+def test_offset_groups_deep_whitespace_subselect_not_corrupted():
+    """A subquery whose '(' is followed by a long whitespace run (pretty
+    printed 'IN (\\n      SELECT ...') is still a subselect: the outer
+    rewrite must NOT splice its helper rank into the subquery's OVER
+    (the r6 _inside_subselect match was truncated to 11 chars and
+    mis-classified exactly this shape, emitting corrupted SQL)."""
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    sql = (
+        "SELECT a FROM t WHERE a IN (\n          "
+        "SELECT k FROM (SELECT k, SUM(v) AS sv FROM u GROUP BY k) z "
+        "WHERE sv IN (SELECT SUM(w) OVER (ORDER BY q GROUPS 1 PRECEDING) "
+        "FROM g GROUP BY q))"
+    )
+    out = rewrite_offset_groups(sql)
+    assert out == sql  # unchanged -> rejected downstream, never corrupted
+    assert "__grp_rank" not in out

@@ -2,8 +2,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line on stdout (LAST line, ~700 bytes, so a
+bounded tail-capture always gets the whole thing):
+  {"metric": "...", "value": N, "unit": "sec", "sf": ..., "queries": {...},
+   "value_cold": N, "value_aqe_on": N}
+The extended breakdown (cold/AQE per-query maps, variants, secondary
+rows) goes to stderr as a second JSON object.
 
 Each query is timed end-to-end (plan + execute + collect to driver via a
 count/collect that forces full materialization).
@@ -279,17 +283,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # the driver records only the TAIL of stdout: keep the verbose
+    # detail on stderr and make the FINAL stdout line a compact JSON
+    # (metric/value/queries/sf + cold/aqe totals, ~700 bytes) so a
+    # bounded capture window can never truncate the headline numbers
+    # (BENCH_r06's warm dict was lost exactly this way)
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_time_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "detail": "extended bench breakdown (headline JSON is on stdout)",
                 "queries_cold": cold,
-                "value_cold": round(sum(cold.values()), 3),
                 "queries_aqe_on": aqe_on,
-                "value_aqe_on": round(sum(aqe_on.values()), 3),
                 "aqe_note": (
                     "headline rows pin AQE off (static plans win on 1-30 MB "
                     "stages); aqe_on rows are the session-default config a "
@@ -309,7 +314,20 @@ def main() -> None:
                     "total: streaming (no DuckDB analog) + round-5 extension "
                     "families (graph/DSIR/anomaly/web-ingest)"
                 ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        ),
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": timings,
+                "value_cold": round(sum(cold.values()), 3),
+                "value_aqe_on": round(sum(aqe_on.values()), 3),
             }
         )
     )

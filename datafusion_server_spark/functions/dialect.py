@@ -509,17 +509,37 @@ def rewrite_offset_groups(sql: str) -> str:
         # aggregate call to frame-minus-excluded arithmetic (SUM/COUNT/
         # AVG only — subtractable aggregates). The peer group of the
         # current row is the rows equal on (partition, order) keys.
-        m_agg = re.search(
-            r"([A-Za-z_]\w*)\s*\(\s*(\*|[^()]*?)\s*\)\s*$", masked[:kw]
-        )
-        if not m_agg or m_agg.group(1).upper() not in ("SUM", "COUNT", "AVG"):
+        # locate the aggregate call ending right before OVER, walking
+        # the close paren back to its balanced open (the argument may
+        # itself contain calls: SUM(CAST(x AS DECIMAL(18,2))))
+        j = kw - 1
+        while j >= 0 and masked[j].isspace():
+            j -= 1
+        if j < 0 or masked[j] != ")":
+            return sql
+        depth2, i2 = 1, j - 1
+        while i2 >= 0 and depth2:
+            if masked[i2] == ")":
+                depth2 += 1
+            elif masked[i2] == "(":
+                depth2 -= 1
+            i2 -= 1
+        if depth2:
+            return sql
+        open_idx = i2 + 1
+        m_fn = re.search(r"([A-Za-z_]\w*)\s*$", masked[:open_idx])
+        if not m_fn or m_fn.group(1).upper() not in ("SUM", "COUNT", "AVG"):
             return sql  # not a subtractable aggregate: reject downstream
-        fn = m_agg.group(1).upper()
-        arg = m_agg.group(2)
-        if re.match(r"\s*DISTINCT\b", arg, re.IGNORECASE) or (
-            arg == "*" and fn != "COUNT"
+        fn = m_fn.group(1).upper()
+        arg = masked[open_idx + 1 : j].strip()
+        agg_start = m_fn.start(1)
+        if (
+            re.match(r"\s*DISTINCT\b", arg, re.IGNORECASE)
+            or (arg == "*" and fn != "COUNT")
+            or len(_split_depth0_commas(arg)) != 1
         ):
             return sql
+        arg = f"({arg})" if arg != "*" else arg
         peer_keys = [key[0]] if key[0] else []
         for oexpr in _split_depth0_commas(key[1]):
             peer_keys.append(
@@ -533,7 +553,7 @@ def rewrite_offset_groups(sql: str) -> str:
         wg = f"PARTITION BY {', '.join(peer_keys)}"
         cf = f"COUNT({arg}) OVER ({wf})"
         cg = f"COUNT({arg}) OVER ({wg})"
-        one = "1" if arg == "*" else f"(CASE WHEN ({arg}) IS NOT NULL THEN 1 ELSE 0 END)"
+        one = "1" if arg == "*" else f"(CASE WHEN {arg} IS NOT NULL THEN 1 ELSE 0 END)"
         if e == "EXCLUDE CURRENT ROW":
             cnt = f"({cf} - {one})"
         elif e == "EXCLUDE GROUP":
@@ -555,7 +575,7 @@ def rewrite_offset_groups(sql: str) -> str:
                 expr = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
             else:  # AVG
                 expr = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} / {cnt} END)"
-        replacements.append((m_agg.start(), cl + 1, expr))
+        replacements.append((agg_start, cl + 1, expr))
 
     # splice right-to-left (keeps earlier indices valid)
     for start, end, text in sorted(replacements, reverse=True):

@@ -97,7 +97,10 @@ PRIORITY: tuple[str, ...] = (
     # aggregation (incl. grouping sets/filter)
     "q1_pricing_summary",
     "agg_grouping_sets",
-    "agg_filter_clause",
+    # (agg_filter_clause rotated OUT round 7 for the t-closeness privacy
+    # row — FILTER-clause semantics stay oracle-verified in pytest and
+    # run inside several in-window aggregations)
+    "privacy_t_closeness",
     # joins (join_semi rotated OUT late round 4 for the classifier row;
     # the join surface keeps join_inner_3way plus the TPC-H rows, and
     # semi-join semantics run inside several in-window queries)
@@ -109,8 +112,12 @@ PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q10_returned_items",
     # window functions (incl. the GROUPS-frame rewrite)
+    # (window_groups_frame rotated OUT round 7 for the offset-GROUPS
+    # star row — the unbounded GROUPS->RANGE rewrite stays oracle-
+    # verified in pytest; offset_star exercises the broader r6/r7
+    # dense-rank rewrite incl. star-EXCEPT projection)
     "window_running_sum",
-    "window_groups_frame",
+    "window_groups_offset_star",
     # sort/limit + set ops (sort_limit_offset rotated OUT late round 4
     # for the PQ row; ordered-LIMIT semantics run inside q3/q10 and every
     # top-k query in the window)
@@ -142,7 +149,10 @@ PRIORITY: tuple[str, ...] = (
     # row stays oracle-verified in pytest)
     "unigram_vocab_em",
     "dedup_lsh_pairs",
-    "dedup_simhash",
+    # (dedup_simhash rotated OUT round 7 for the MinHash estimate-vs-
+    # exact calibration row — the simhash surface stays oracle-verified
+    # in pytest; the banded-LSH surface keeps dedup_lsh_pairs/clusters)
+    "dedup_minhash_estimate_calibration",
     "dedup_clusters",
     "dedup_semantic_semdedup",
     # LLM-pipeline: similarity family (incl. the scale-parameterized
@@ -168,7 +178,10 @@ PRIORITY: tuple[str, ...] = (
     # quality_score/gopher, still oracle-verified in pytest)
     "text_quality_score",
     "text_tfidf_topk",
-    "text_lm_cross_entropy",
+    # (text_lm_cross_entropy rotated OUT round 7 for the pass@k eval
+    # row — the LM-scoring surface stays oracle-verified in pytest and
+    # in-window via gopher/quality/tfidf)
+    "eval_pass_at_k",
     # (text_fuzzy_match_pairs rotated OUT round 6 for the SFT chat row —
     # fuzzy matching stays oracle-verified in pytest)
     "chat_prompt_response_pairs",
@@ -181,8 +194,10 @@ PRIORITY: tuple[str, ...] = (
     # exercised inside pipeline_curation_end2end)
     "sample_dsir_topk",
     "doremi_domain_weights",
-    # r6: water-filling token-budget allocation (newly wired operator)
-    "sample_token_waterfill",
+    # (sample_token_waterfill rotated OUT round 7 — driver-green r6,
+    # stays oracle-verified in pytest — for the Neyman optimal-
+    # allocation row: the sampling family keeps DSIR + Neyman)
+    "sample_neyman_allocation",
     # merge processors (reference A14/A15; merge_processor_row rotated
     # OUT round 6 for the token-waterfill row — row-merge semantics stay
     # oracle-verified in pytest and run inside the e2e merge tests)

@@ -384,3 +384,93 @@ def window_groups_offset_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tables.register_views(spark, sf_dir)
     return spark.sql(transpile(_GROUPS_STAR_SQL))
+
+
+# r7: the remaining offset-GROUPS shapes — qualified t.* over a sole
+# relation, and frame EXCLUDE clauses on subtractable aggregates
+# (rewritten to frame-minus-excluded arithmetic). Oracles derive GROUPS
+# + EXCLUDE semantics independently from per-peer-group sums/counts
+# (DuckDB has no GROUPS mode), so agreement proves the rewrite.
+_GROUPS_QSTAR_SQL = f"""
+    SELECT o.*, ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS rolling_by_date
+    FROM orders o WHERE o_orderkey < 2000
+"""
+
+
+@df_query("window_groups_offset_qualified_star", _GROUPS_STAR_ORACLE)
+def window_groups_offset_qualified_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qualified star over the sole FROM relation: ``o.*`` expands
+    exactly like ``*`` (star-EXCEPT the helper rank), so the oracle is
+    the same independent per-peer-group derivation as the bare-star
+    row."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_QSTAR_SQL))
+
+
+_GROUPS_EXCLUDE_SQL = f"""
+    SELECT o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+             AS DOUBLE), 6) AS excl_group,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES)
+             AS DOUBLE), 6) AS excl_ties,
+           COUNT(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)
+             AS cnt_excl_current
+    FROM orders WHERE o_orderkey < 2000
+"""
+
+_GROUPS_EXCLUDE_ORACLE = f"""
+    WITH g AS (
+      SELECT o_orderstatus, o_orderdate,
+             SUM(CAST(o_totalprice AS {D18})) AS grp_sum,
+             CAST(COUNT(*) AS BIGINT) AS grp_cnt,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate) AS rk
+      FROM orders WHERE o_orderkey < 2000
+      GROUP BY o_orderstatus, o_orderdate
+    ), w AS (
+      SELECT a.o_orderstatus, a.o_orderdate,
+             SUM(b.grp_sum) AS frame_sum, SUM(b.grp_cnt) AS frame_cnt
+      FROM g a JOIN g b
+        ON b.o_orderstatus = a.o_orderstatus AND b.rk BETWEEN a.rk - 1 AND a.rk
+      GROUP BY a.o_orderstatus, a.o_orderdate
+    )
+    SELECT o.o_orderkey,
+           CASE WHEN w.frame_cnt - g2.grp_cnt = 0 THEN NULL
+                ELSE ROUND(CAST(w.frame_sum - g2.grp_sum AS DOUBLE), 6)
+           END AS excl_group,
+           ROUND(CAST(w.frame_sum - g2.grp_sum
+                      + CAST(o.o_totalprice AS {D18}) AS DOUBLE), 6) AS excl_ties,
+           CAST(w.frame_cnt - 1 AS BIGINT) AS cnt_excl_current
+    FROM orders o
+    JOIN w ON w.o_orderstatus = o.o_orderstatus
+          AND w.o_orderdate = o.o_orderdate
+    JOIN g g2 ON g2.o_orderstatus = o.o_orderstatus
+             AND g2.o_orderdate = o.o_orderdate
+    WHERE o.o_orderkey < 2000
+"""
+
+
+@df_query("window_groups_exclude", _GROUPS_EXCLUDE_ORACLE)
+def window_groups_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame EXCLUDE over offset GROUPS: EXCLUDE GROUP / TIES /
+    CURRENT ROW on SUM/COUNT rewrite to frame-minus-excluded
+    arithmetic (dialect r7); the emptied-frame SUM yields NULL (first
+    peer group under EXCLUDE GROUP). Exact DECIMAL sums, so the
+    subtraction is order-free on both engines."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_EXCLUDE_SQL))

@@ -237,7 +237,7 @@ def test_offset_groups_exclude_rewrites_and_rejections():
         "SELECT SUM(x) OVER (PARTITION BY p ORDER BY o "
         "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS s FROM t"
     )
-    assert "COUNT(x) OVER (PARTITION BY p, o)" in out  # peer-group window
+    assert "COUNT((x)) OVER (PARTITION BY p, o)" in out  # peer-group window
     assert "CASE WHEN" in out and "GROUPS" not in out
     # disjoint frame: EXCLUDE removes nothing, plain rewrite
     out2 = rewrite_offset_groups(

@@ -248,6 +248,64 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-COSINE-similar candidates whose ``label_col`` DIFFERS
+    from the query's — the semantically-closest wrong answers, the
+    pairs that sharpen an embedding model fastest (in-batch random
+    negatives are trivially separable; hard negatives carry the
+    gradient signal).
+
+    Same plan shape as ``cosine_topk`` (broadcast nested-loop of
+    candidate x query VECTOR rows, in-row scaled-long dot, per-query
+    top-k) with the label inequality folded into the join condition,
+    so excluded same-label pairs never materialize a scored row.
+    Output: (query_id, neighbor_id, cosine, rank)."""
+    embeddings = ensure_fanout_parallelism(embeddings)
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lbl"),
+    )
+    cand = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("__cv"),
+        F.col("lbl").alias("__cl"),
+        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__nrm"),
+    ).filter(F.col("__nrm") > 0.0)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    ).select(
+        "query_id",
+        "__qv",
+        "__ql",
+        F.sqrt(_unscale(_dot_scaled(F.col("__qv"), F.col("__qv")))).alias("__qnrm"),
+    ).filter(F.col("__qnrm") > 0.0)
+    scored = cand.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("__cl") != F.col("__ql")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _unscale(_dot_scaled(F.col("__cv"), F.col("__qv")))
+            / (F.col("__qnrm") * F.col("__nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    return _rank_topk(scored, k)
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -251,6 +251,7 @@ def registry() -> dict[str, QueryDef]:
         core3,
         dedup,
         doremi,
+        evalstats,
         extensions,
         graph,
         htmltext,

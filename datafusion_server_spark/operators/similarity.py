@@ -306,6 +306,116 @@ def hard_negative_topk(
     return _rank_topk(scored, k)
 
 
+def mmr_select(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` items maximizing
+
+        lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)
+
+    — relevance to the query balanced against redundancy with what's
+    already picked. The diversity-aware rerank used for few-shot
+    example selection and dedup'd retrieval contexts.
+
+    Plan shape (100 TB): ONE corpus pass scores relevance (broadcast
+    query, in-row scaled-long dot); the distributed top-``shortlist``
+    (TakeOrderedAndProject) bounds everything after — the pairwise sim
+    table is shortlist^2 rows and each greedy step is a join +
+    orderBy(1) over <= shortlist rows, with the selected set carried
+    as a localCheckpoint-ed DataFrame (no driver collect). Greedy
+    steps are inherently sequential: k tiny jobs, the kmeans/
+    Bradley-Terry house pattern.
+
+    Determinism: rel and pairwise sims round to 6 (the cosine
+    contract); the score is one fixed expression over rounded values;
+    ties break on id ascending. Output: (pick_order, {id_col},
+    relevance) for the k picks in selection order."""
+    base = _vectors(ensure_fanout_parallelism(embeddings), id_col, vec_col)
+    q = _vectors(query, id_col, vec_col).select(
+        F.col("id").alias("__qid"),
+        F.col("v").alias("__qv"),
+        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__qnrm"),
+    ).filter(F.col("__qnrm") > 0.0)
+    cand = base.select(
+        "id",
+        "v",
+        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__nrm"),
+    ).filter(F.col("__nrm") > 0.0)
+    rel = cand.join(F.broadcast(q), F.col("id") != F.col("__qid")).select(
+        "id",
+        "v",
+        F.round(
+            _unscale(_dot_scaled(F.col("v"), F.col("__qv")))
+            / (F.col("__qnrm") * F.col("__nrm")),
+            6,
+        ).alias("rel"),
+        "__nrm",
+    )
+    short = (
+        rel.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(int(shortlist))
+        .localCheckpoint(eager=True)
+    )
+    a = short.select(
+        F.col("id").alias("a"), F.col("v").alias("__va"), F.col("__nrm").alias("__na")
+    )
+    b = short.select(
+        F.col("id").alias("b"), F.col("v").alias("__vb"), F.col("__nrm").alias("__nb")
+    )
+    pairs = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                _unscale(_dot_scaled(F.col("__va"), F.col("__vb")))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    short = short.select("id", "rel")
+    sel = (
+        short.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(1)
+        .select("id", "rel", F.lit(1).cast("bigint").alias("pick_order"))
+        .localCheckpoint(eager=True)
+    )
+    for step in range(2, int(k) + 1):
+        remaining = short.join(sel.select("id"), "id", "left_anti")
+        pen = (
+            pairs.join(F.broadcast(sel.select(F.col("id").alias("b"))), "b")
+            .groupBy("a")
+            .agg(F.max("sim").alias("pen"))
+        )
+        pick = (
+            remaining.join(pen, remaining["id"] == pen["a"])
+            .select(
+                "id",
+                "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("pen")
+                ).alias("__score"),
+            )
+            .orderBy(F.desc("__score"), F.asc("id"))
+            .limit(1)
+            .select("id", "rel", F.lit(step).cast("bigint").alias("pick_order"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "pick_order", F.col("id").alias(id_col), F.col("rel").alias("relevance")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -736,3 +736,82 @@ def eval_ann_sq8_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- MMR diverse selection (r7) ----------------------------------------------
+# Greedy maximal-marginal-relevance rerank: oracle unrolls the k greedy
+# steps as MATERIALIZED CTE levels (each references the previous
+# selection multiple times — the Bradley-Terry inlining lesson) over
+# the same scaled-long rounded-6 cosines, so agreement proves the
+# selection order, not just the similarity math.
+
+_MMR_K = 5
+_MMR_SHORT = 20
+_MMR_QID = 0
+
+
+def _mmr_oracle() -> str:
+    cos = (
+        "ROUND((CAST(CAST(SUM(CAST(ROUND({xa} * {xb} * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)"
+        " / ({na} * {nb}), 6)"
+    )
+    parts = [f"""{_EL_CTE},
+qrel AS MATERIALIZED (
+  SELECT ca.vec_id AS id,
+         {cos.format(xa="qa.x", xb="ca.x", na="nq.nrm", nb="nc.nrm")} AS rel
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
+  JOIN norms nq ON nq.vec_id = qa.vec_id
+  JOIN norms nc ON nc.vec_id = ca.vec_id
+  WHERE qa.vec_id = {_MMR_QID}
+  GROUP BY ca.vec_id, nq.nrm, nc.nrm),
+short AS MATERIALIZED (SELECT id, rel FROM qrel ORDER BY rel DESC, id LIMIT {_MMR_SHORT}),
+spairs AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {cos.format(xa="a.x", xb="b.x", na="na.nrm", nb="nb.nrm")} AS sim
+  FROM el a JOIN el b ON b.i = a.i AND a.vec_id <> b.vec_id
+  JOIN short sa ON sa.id = a.vec_id
+  JOIN short sb ON sb.id = b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+sel1 AS MATERIALIZED (
+  SELECT id, rel, CAST(1 AS BIGINT) AS pick_order
+  FROM short ORDER BY rel DESC, id LIMIT 1),
+su1 AS MATERIALIZED (SELECT id FROM sel1)"""]
+    for t in range(2, _MMR_K + 1):
+        parts.append(f"""pen{t} AS MATERIALIZED (
+  SELECT p.a AS id, MAX(p.sim) AS pen
+  FROM spairs p JOIN su{t-1} s ON s.id = p.b
+  GROUP BY p.a),
+sel{t} AS MATERIALIZED (
+  SELECT sh.id, sh.rel, CAST({t} AS BIGINT) AS pick_order
+  FROM short sh JOIN pen{t} pn ON pn.id = sh.id
+  WHERE sh.id NOT IN (SELECT id FROM su{t-1})
+  ORDER BY (CAST(0.7 AS DOUBLE) * sh.rel - CAST(0.3 AS DOUBLE) * pn.pen) DESC, sh.id
+  LIMIT 1),
+su{t} AS MATERIALIZED (SELECT id FROM su{t-1} UNION ALL SELECT id FROM sel{t})""")
+    union = " UNION ALL ".join(f"SELECT * FROM sel{t}" for t in range(1, _MMR_K + 1))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT pick_order, CAST(id AS BIGINT) AS vec_id, rel AS relevance "
+          f"FROM ({union})"
+    )
+
+
+@df_query("similarity_mmr_select", _mmr_oracle())
+def similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity-aware selection of 5 items for one query vector —
+    the few-shot-example / context-dedup rerank (operators.similarity
+    .mmr_select: corpus pass -> distributed top-20 shortlist ->
+    shortlist-bounded greedy steps)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = similarity.mmr_select(
+        emb,
+        emb.filter(F.col("vec_id") == _MMR_QID),
+        k=_MMR_K,
+        shortlist=_MMR_SHORT,
+        lam=0.7,
+    )
+    return out.select(
+        "pick_order", F.col("vec_id").cast("bigint").alias("vec_id"), "relevance"
+    )

@@ -435,3 +435,120 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("bigint").alias("vec_id"),
         "sample_rank",
     )
+
+
+# --- clustering quality vs external labels (r7) ------------------------------
+# Purity and NMI of the kmeans assignment against the fixture's label
+# column — the standard external-validity check before trusting cluster
+# IDs as curation strata. Entropies/MI aggregate as rounded-ln DECIMAL
+# contributions (bounded k x |labels| grid); purity is pure-integer.
+
+
+def _nmi_oracle() -> str:
+    from datafusion_server_spark.queries import rrepr
+
+    dc = "CAST(CAST({x} AS DECIMAL(18,8)) AS DOUBLE)"
+    share = "(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))"
+    return f"""
+WITH {_kmeans_ctes()},
+lab AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+        FROM embeddings),
+cell AS (SELECT a.cluster, l.label, CAST(COUNT(*) AS BIGINT) AS n
+         FROM afin a JOIN lab l ON l.id = a.id
+         GROUP BY a.cluster, l.label),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cell),
+byc AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n FROM cell GROUP BY cluster),
+byl AS (SELECT label, CAST(SUM(n) AS BIGINT) AS n FROM cell GROUP BY label),
+pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS hits FROM
+          (SELECT cluster, MAX(n) AS mx FROM cell GROUP BY cluster)),
+hc AS (SELECT SUM(CAST(ROUND(-({share}) * LN({share}), 8) AS DECIMAL(18,8))) AS v
+       FROM byc, tot),
+hl AS (SELECT SUM(CAST(ROUND(-({share}) * LN({share}), 8) AS DECIMAL(18,8))) AS v
+       FROM byl, tot),
+mi AS (SELECT SUM(CAST(ROUND(
+         (CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+         * LN((CAST(c.n AS DOUBLE) * CAST(t.total AS DOUBLE))
+              / (CAST(bc.n AS DOUBLE) * CAST(bl.n AS DOUBLE))), 8) AS DECIMAL(18,8))) AS v
+       FROM cell c
+       JOIN byc bc ON bc.cluster = c.cluster
+       JOIN byl bl ON bl.label = c.label
+       CROSS JOIN tot t)
+SELECT t.total AS n_items,
+       {rrepr("CAST(p.hits AS DOUBLE) / CAST(t.total AS DOUBLE)", 6)} AS purity,
+       {dc.format(x="hc.v")} AS h_cluster,
+       {dc.format(x="hl.v")} AS h_label,
+       {dc.format(x="mi.v")} AS mutual_info,
+       {rrepr(f"2.0 * {dc.format(x='mi.v')} / ({dc.format(x='hc.v')} + {dc.format(x='hl.v')})", 6)} AS nmi
+FROM tot t, pur p, hc, hl, mi
+"""
+
+
+@df_query("cluster_purity_nmi", _nmi_oracle())
+def cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validity: purity (integer-exact) + NMI of
+    the deterministic kmeans assignment vs the label column, with the
+    rounded-ln DECIMAL contribution contract over the bounded
+    (cluster x label) grid."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    assigned, _ = clustering.kmeans(emb, K, ITERS)
+    lab = emb.select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    cell = (
+        assigned.select(F.col("id").cast("bigint").alias("id"), "cluster")
+        .join(lab, "id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cell.agg(F.sum("n").cast("bigint").alias("total"))
+    byc = cell.groupBy("cluster").agg(F.sum("n").cast("bigint").alias("n"))
+    byl = cell.groupBy("label").agg(F.sum("n").cast("bigint").alias("n"))
+    pur = (
+        cell.groupBy("cluster")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("hits"))
+    )
+
+    def _h(df):
+        share = F.col("n").cast("double") / F.col("total").cast("double")
+        c = F.round(-share * F.log(share), 8).cast("decimal(18,8)")
+        return (
+            df.crossJoin(F.broadcast(tot)).agg(F.sum(c).alias("v"))
+        )
+
+    hc = _h(byc).select(F.col("v").alias("hc"))
+    hl = _h(byl).select(F.col("v").alias("hl"))
+    mic = F.round(
+        (F.col("n").cast("double") / F.col("total").cast("double"))
+        * F.log(
+            (F.col("n").cast("double") * F.col("total").cast("double"))
+            / (F.col("nc").cast("double") * F.col("nl").cast("double"))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    mi = (
+        cell.join(F.broadcast(byc.select("cluster", F.col("n").alias("nc"))), "cluster")
+        .join(F.broadcast(byl.select("label", F.col("n").alias("nl"))), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(mic).alias("mi"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(mi))
+    )
+    hcd = F.col("hc").cast("double")
+    hld = F.col("hl").cast("double")
+    mid = F.col("mi").cast("double")
+    return out.select(
+        F.col("total").alias("n_items"),
+        F.round(F.col("hits").cast("double") / F.col("total").cast("double"), 6).alias(
+            "purity"
+        ),
+        hcd.alias("h_cluster"),
+        hld.alias("h_label"),
+        mid.alias("mutual_info"),
+        F.round(F.lit(2.0) * mid / (hcd + hld), 6).alias("nmi"),
+    )

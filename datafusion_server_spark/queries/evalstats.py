@@ -355,3 +355,91 @@ def sample_mix_kl_target(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(_MIX_TARGET) / share, 6).alias("resample_factor"),
         )
     )
+
+
+# --- KNN label-noise screen ---------------------------------------------------
+# Confident-learning-style mislabel detector: a vector whose nearest
+# neighbors overwhelmingly carry a DIFFERENT label is a likely labeling
+# error. Probe subset keeps the oracle's element join bounded; the
+# Spark side is the same broadcast-KNN shape as knn_bruteforce_cosine
+# plus one bounded per-query aggregation.
+
+_NOISE_K = 10
+_NOISE_PROBES = 50
+
+_NOISE_ORACLE = f"""
+WITH el AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+                   GENERATE_SUBSCRIPTS(embedding, 1) AS i
+            FROM embeddings),
+norms AS (SELECT vec_id,
+                 SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+          FROM el GROUP BY vec_id),
+dots AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
+  WHERE qa.vec_id < {_NOISE_PROBES}
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id),
+knn AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored) t
+  WHERE rnk <= {_NOISE_K})
+SELECT CAST(k.query_id AS BIGINT) AS vec_id,
+       CAST(eq.label AS BIGINT) AS label,
+       CAST(SUM(CASE WHEN ec.label <> eq.label THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+       ROUND(CAST(SUM(CASE WHEN ec.label <> eq.label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS noise_score
+FROM knn k
+JOIN embeddings eq ON eq.vec_id = k.query_id
+JOIN embeddings ec ON ec.vec_id = k.neighbor_id
+GROUP BY k.query_id, eq.label
+"""
+
+
+@df_query("eval_knn_label_noise", _NOISE_ORACLE)
+def eval_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe label-noise score: the fraction of the k nearest
+    neighbors (brute-force cosine) whose label disagrees with the
+    probe's own — the embedding-space mislabel screen run before
+    training a classifier on noisy labels."""
+    from datafusion_server_spark.operators import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    knn = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < _NOISE_PROBES), _NOISE_K
+    )
+    lab = emb.select(
+        F.col("vec_id").alias("__id"), F.col("label").cast("bigint").alias("__lbl")
+    )
+    joined = (
+        knn.join(
+            F.broadcast(lab.select(F.col("__id").alias("query_id"),
+                                   F.col("__lbl").alias("qlabel"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("__id").alias("neighbor_id"),
+                                   F.col("__lbl").alias("nlabel"))),
+            "neighbor_id",
+        )
+    )
+    disagree = F.when(F.col("nlabel") != F.col("qlabel"), 1).otherwise(0)
+    return joined.groupBy("query_id", "qlabel").agg(
+        F.sum(disagree).cast("bigint").alias("n_disagree"),
+        F.round(
+            F.sum(disagree).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("noise_score"),
+    ).select(
+        F.col("query_id").cast("bigint").alias("vec_id"),
+        F.col("qlabel").alias("label"),
+        "n_disagree",
+        "noise_score",
+    )

@@ -1083,3 +1083,82 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --- CCNet-style perplexity-band pruning (r7) --------------------------------
+# CCNet (arXiv:1911.00359) keeps the middle perplexity band per
+# language: head = suspiciously-easy boilerplate, tail = noise. Band
+# membership = within-language xent rank thirds, integer arithmetic.
+#
+# Scale shape: a lang-partitioned rank window would funnel each
+# language's ENTIRE slice through one task (|langs| tasks for the whole
+# corpus). Instead the rank is the two-level range-partitioned
+# distributed_rank over the total order (lang, xent, id); the
+# within-language rank is global_rank minus the language's broadcast
+# cumulative offset (|langs| rows). Fully distributed at any corpus
+# size.
+
+_CCNET_ORACLE = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+model AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM model),
+logp AS (SELECT term,
+                CAST(ROUND(-LN(CAST(n_t + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)), 8)
+                     AS DECIMAL(18,8)) AS nll
+         FROM model, tot),
+xent AS (
+  SELECT t.doc_id AS id,
+         ROUND(CAST(SUM(l.nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS xent_nats
+  FROM tok t JOIN logp l ON l.term = t.term
+  GROUP BY t.doc_id),
+jl AS (
+  SELECT x.id, d.lang, x.xent_nats,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY x.xent_nats ASC, x.id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY d.lang) AS nl
+  FROM xent x JOIN documents d ON d.doc_id = x.id)
+SELECT CAST(id AS BIGINT) AS id, lang, xent_nats,
+       CASE WHEN 3 * r <= nl THEN 'head'
+            WHEN 3 * r <= 2 * nl THEN 'middle'
+            ELSE 'tail' END AS band
+FROM jl
+"""
+
+
+@df_query("prune_ccnet_perplexity_band", _CCNET_ORACLE)
+def prune_ccnet_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators.scale import distributed_rank
+
+    docs = tables.load(spark, sf_dir, "documents")
+    xent = text.lm_unigram_cross_entropy(docs, "text", "doc_id").select(
+        "id", "xent_nats"
+    )
+    j = xent.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    ranked = distributed_rank(
+        j, [F.asc("lang"), F.asc("xent_nats"), F.asc("id")], "__gr"
+    )
+    counts = (
+        j.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__nl"))
+    )
+    from pyspark.sql.window import Window
+
+    woff = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__nl").over(woff), F.lit(0).cast("bigint"))
+    )
+    r = F.col("__gr") - F.col("__off")
+    return (
+        ranked.join(F.broadcast(offsets), "lang")
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            "lang",
+            "xent_nats",
+            F.when(3 * r <= F.col("__nl"), "head")
+            .when(3 * r <= 2 * F.col("__nl"), "middle")
+            .otherwise("tail")
+            .alias("band"),
+        )
+    )

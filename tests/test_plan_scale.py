@@ -101,6 +101,7 @@ _REWRITTEN = [
     "graph_triangles_copurchase",  # one row per graph node
     # r7: full rank per distinct term -> two-level range-partitioned rank
     "text_vocab_coverage_curve",
+    "prune_ccnet_perplexity_band",  # within-lang rank via distributed_rank
 ]
 
 
@@ -180,6 +181,17 @@ def test_vocab_curve_rank_is_range_partitioned(spark, sf_dir):
     on a range-partitioned layout (distributed_rank), with no unbounded
     single-partition exchange anywhere in the plan."""
     df = registry()["text_vocab_coverage_curve"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert not _unbounded_single_partition_exchanges(df)
+
+
+def test_ccnet_band_rank_is_range_partitioned(spark, sf_dir):
+    """prune_ccnet_perplexity_band ranks within language WITHOUT a
+    lang-partitioned window (|langs| one-task slices at corpus scale):
+    the rank must come from the range-partitioned distributed_rank
+    with the per-language offset broadcast on."""
+    df = registry()["prune_ccnet_perplexity_band"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in plan
     assert not _unbounded_single_partition_exchanges(df)

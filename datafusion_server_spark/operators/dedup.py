@@ -844,3 +844,60 @@ def duplicate_span_sources(
         (F.col("__open.__nd") - 1).cast("bigint").alias("n_other_docs"),
         partner.cast("bigint").alias("sample_partner"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    gram: int = 8,
+    mask: str = "0",
+) -> DataFrame:
+    """Content-defined chunking (the storage-dedup / crawl-blob-dedup
+    primitive): cut a document AFTER every position whose trailing
+    ``gram``-character window hashes into the mask (md5 hex prefix
+    ``mask`` — one hex digit = expected chunk ~16 chars; real
+    deployments use a longer gram and a wider mask for ~KB chunks).
+    Because boundaries depend only on LOCAL content, an insertion
+    early in a document shifts at most the chunk containing it —
+    every later chunk re-aligns and still dedups (the property
+    fixed-size blocking lacks, and the reason CDC is the standard for
+    blob-level dedup).
+
+    Unlike FastCDC's sequential min/max-length constraints, cuts here
+    are PURELY content-defined (declarative, order-free) — documented
+    difference, same re-alignment property.
+
+    Plan shape: boundaries, bounds array, and chunk slicing are all
+    IN-ROW array expressions (one md5 per character position — the
+    same O(corpus chars) hashing budget as shingling); one explode
+    follows. No shuffle until whatever aggregation the caller adds.
+
+    Output: (id, chunk_idx 1-based, chunk, chunk_hash, chunk_len)."""
+    g = int(gram)
+    cuts = (
+        f"filter(sequence(1, length(__t)), "
+        f"i -> i >= {g} AND md5(substring(__t, i - {g - 1}, {g})) LIKE '{mask}%')"
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).withColumn(
+        "__b",
+        F.expr(f"concat(array(0), {cuts}, array(length(__t)))"),
+    )
+    chunks = (
+        "filter(transform(sequence(1, size(__b) - 1), "
+        "j -> substring(__t, element_at(__b, j) + 1, "
+        "element_at(__b, j + 1) - element_at(__b, j))), c -> c <> '')"
+    )
+    ex = ensure_fanout_parallelism(staged).select(
+        "id", F.posexplode(F.expr(chunks)).alias("__ci", "chunk")
+    )
+    return ex.select(
+        "id",
+        (F.col("__ci") + 1).cast("bigint").alias("chunk_idx"),
+        "chunk",
+        F.md5("chunk").alias("chunk_hash"),
+        F.length("chunk").cast("bigint").alias("chunk_len"),
+    )

@@ -950,3 +950,56 @@ def dedup_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> Data
         F.round(exact, 6).alias("exact_jaccard"),
         F.round(F.abs(est - exact), 6).alias("abs_err"),
     )
+
+
+# --- content-defined chunk dedup (r7) ----------------------------------------
+# CDC boundaries are pure functions of local content (md5 of the
+# trailing 8-gram), so both engines derive identical chunks from the
+# raw text and the corpus-level dedup accounting must agree exactly.
+
+_CDC_GRAM = 8
+_CDC_MASK = "0"
+
+_CDC_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         ([0] || list_filter(range(1, len(text) + 1),
+                 i -> i >= {_CDC_GRAM}
+                  AND md5(substring(text, i - {_CDC_GRAM - 1}, {_CDC_GRAM})) LIKE '{_CDC_MASK}%')
+              || [len(text)]) AS b
+  FROM documents),
+ch AS (
+  SELECT doc_id, UNNEST(list_filter(
+           list_transform(range(1, len(b)),
+             j -> substring(text, b[j] + 1, b[j + 1] - b[j])),
+           x -> x <> '')) AS chunk
+  FROM c),
+h AS (SELECT md5(chunk) AS hash, CAST(len(chunk) AS BIGINT) AS l,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ch GROUP BY 1, 2)
+SELECT CAST(SUM(n) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+       CAST(SUM(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END) AS BIGINT) AS dup_chunk_instances,
+       CAST(SUM(CASE WHEN n >= 2 THEN (n - 1) * l ELSE 0 END) AS BIGINT) AS dup_bytes_saved
+FROM h
+"""
+
+
+@df_query("dedup_cdc_chunks", _CDC_ORACLE)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup accounting over content-defined chunks (the
+    storage-dedup primitive): total/distinct chunk counts and the
+    bytes a chunk store would save. One in-row chunking pass + one
+    hash-keyed aggregation."""
+    docs = tables.load(spark, sf_dir, "documents")
+    ch = dedup.cdc_chunks(docs, "text", "doc_id", gram=_CDC_GRAM, mask=_CDC_MASK)
+    h = ch.groupBy("chunk_hash", "chunk_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dup = F.when(F.col("n") >= 2, F.col("n") - 1).otherwise(0)
+    return h.agg(
+        F.sum("n").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        F.sum(dup).cast("bigint").alias("dup_chunk_instances"),
+        F.sum(dup * F.col("chunk_len")).cast("bigint").alias("dup_bytes_saved"),
+    )

@@ -232,3 +232,30 @@ def test_span_fraction_merges_overlapping_spans(spark):
     assert rows[2]["n_words"] == 17
     assert rows[2]["dup_words"] == 16
     assert abs(rows[2]["dup_fraction"] - round(16 / 17, 6)) < 1e-9
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The defining CDC property: boundaries depend only on LOCAL
+    content, so an insertion at the head shifts only the chunk(s)
+    containing it — the tail chunks re-align byte-identically and
+    still dedup (fixed-size blocking would shift EVERY later block)."""
+    import random
+
+    from datafusion_server_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(7)
+    base = " ".join(
+        "".join(rng.choice("abcdefgh ") for _ in range(12)) for _ in range(60)
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX! " + base)], "doc_id long, text string"
+    )
+    ch = cdc_chunks(df, "text", "doc_id")
+    rows = ch.collect()
+    c1 = [r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"]) if r["id"] == 1]
+    c2 = [r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"]) if r["id"] == 2]
+    assert "".join(c1) == base  # chunks partition the text exactly
+    assert "".join(c2) == "INSERTED PREFIX! " + base
+    # everything after the first boundary past the insertion is shared
+    shared = set(c1) & set(c2)
+    assert len(shared) >= len(c1) - 2

@@ -25,6 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -165,3 +166,57 @@ def execute_merge(
             else:
                 spark.catalog.dropTempView(name)
     return merged
+
+
+def apply_changeset(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str] | str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changeset (op in 'I'/'U'/'D') to a snapshot — the
+    lakehouse MERGE INTO / upsert primitive, as a pure DataFrame
+    composition (no table format required):
+
+    - base rows whose key has no change row pass through ('keep');
+    - 'U' rows replace the base row's non-key columns ('update');
+    - 'D' rows drop the base row;
+    - 'I' rows append ('insert'); an 'I' whose key exists behaves as
+      an update (idempotent-upsert semantics), a 'U'/'D' whose key is
+      absent is ignored — both documented, both deterministic.
+
+    Output: the new snapshot with every base column plus
+    ``change_type`` ('keep' | 'update' | 'insert').
+
+    Scale shape: ONE key-keyed full-outer join (the changeset is
+    usually << base: Spark broadcasts it when small; at equal scale
+    AQE picks the shuffle join) — no windows, no driver state."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    data_cols = [c for c in base.columns if c not in keys]
+    ch = changes.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__c_{c}") for c in data_cols],
+        F.col(op_col).alias("__op"),
+    )
+    cond = [base[k] == ch[f"__k_{k}"] for k in keys]
+    j = base.join(ch, cond, "full_outer")
+    has_base = F.col(keys[0]).isNotNull()
+    has_change = F.col(f"__k_{keys[0]}").isNotNull()
+    out = j.filter(
+        # drop matched deletes and dangling U/D (no base row)
+        ~(has_change & (F.col("__op") == "D"))
+        & (has_base | (F.col("__op") == "I"))
+    )
+    key_exprs = [
+        F.coalesce(F.col(k), F.col(f"__k_{k}")).alias(k) for k in keys
+    ]
+    val_exprs = [
+        F.when(has_change, F.col(f"__c_{c}")).otherwise(F.col(c)).alias(c)
+        for c in data_cols
+    ]
+    change_type = (
+        F.when(~has_base, F.lit("insert"))
+        .when(has_change, F.lit("update"))
+        .otherwise(F.lit("keep"))
+    )
+    return out.select(*key_exprs, *val_exprs, change_type.alias("change_type"))

@@ -55,3 +55,63 @@ def merge_processor_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cust.filter("c_custkey <= 60")
     tgt = cust.filter("c_custkey BETWEEN 40 AND 100")
     return merge_row(base, [tgt], distinct=True)
+
+
+# --- CDC changeset apply (r7) -------------------------------------------------
+# Deterministic changeset synthesized from the fixture itself: every
+# %5 key updates (+10.00 exact decimal) except %15 keys which delete;
+# %100 keys re-insert under a shifted key. One full-outer join.
+
+_UPSERT_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s FROM orders),
+ch AS (
+  SELECT o_orderkey AS k, o_totalprice + 10 AS p, o_orderstatus AS s,
+         CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, 'N', 'I'
+  FROM orders WHERE o_orderkey % 100 = 0),
+j AS (SELECT b.k AS bk, b.p AS bp, b.s AS bs, c.k AS ck, c.p AS cp, c.s AS cs, c.op
+      FROM base b FULL OUTER JOIN ch c ON c.k = b.k)
+SELECT CAST(COALESCE(bk, ck) AS BIGINT) AS o_orderkey,
+       CAST(CASE WHEN ck IS NOT NULL THEN cp ELSE bp END AS DOUBLE) AS o_totalprice,
+       CASE WHEN ck IS NOT NULL THEN cs ELSE bs END AS o_orderstatus,
+       CASE WHEN bk IS NULL THEN 'insert'
+            WHEN ck IS NOT NULL THEN 'update'
+            ELSE 'keep' END AS change_type
+FROM j
+WHERE NOT (ck IS NOT NULL AND op = 'D') AND (bk IS NOT NULL OR op = 'I')
+"""
+
+
+@df_query("merge_apply_changeset", _UPSERT_ORACLE)
+def merge_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert: apply an I/U/D changeset to the orders snapshot via
+    operators.merge.apply_changeset (one key-keyed full-outer join, no
+    windows) — the lakehouse MERGE INTO primitive as a pure DataFrame
+    composition."""
+    from pyspark.sql import functions as F
+
+    from datafusion_server_spark.operators.merge import apply_changeset
+
+    orders = tables.load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    ud = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10).alias("o_totalprice"),
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 15 == 0, "D").otherwise("U").alias("op"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("I").alias("op"),
+    )
+    out = apply_changeset(base, ud.unionByName(ins), "o_orderkey")
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+        "change_type",
+    )

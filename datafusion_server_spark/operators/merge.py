@@ -220,3 +220,61 @@ def apply_changeset(
         .otherwise(F.lit("keep"))
     )
     return out.select(*key_exprs, *val_exprs, change_type.alias("change_type"))
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    change_ts,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 merge: apply an attribute
+    changeset at ``change_ts`` to a versioned history table
+    (``valid_to`` NULL = current row), preserving full lineage:
+
+    - changed attrs  -> close the current row (valid_to = change_ts)
+                        and open a new version (valid_from = change_ts);
+    - identical attrs -> no-op (no spurious versions — compared
+                        null-safely on EVERY non-key attribute);
+    - new key        -> first version opens at change_ts;
+    - already-closed history rows pass through untouched.
+
+    Scale shape: one key-keyed join of the CURRENT slice against the
+    changeset (broadcast when small) + a pass-through union of closed
+    rows — no windows, no driver state. Closed/kept/new selections are
+    three projections of the same join (Spark reuses the exchange).
+
+    Output: the new history (same schema as ``history``)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attrs = [
+        c for c in history.columns
+        if c not in (*keys, valid_from_col, valid_to_col)
+    ]
+    cur = history.filter(F.col(valid_to_col).isNull())
+    closed_rows = history.filter(F.col(valid_to_col).isNotNull())
+    ch = changes.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(a).alias(f"__c_{a}") for a in attrs],
+    )
+    j = cur.join(ch, [cur[k] == ch[f"__k_{k}"] for k in keys], "full_outer")
+    has_base = F.col(keys[0]).isNotNull()
+    has_change = F.col(f"__k_{keys[0]}").isNotNull()
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(a).eqNullSafe(F.col(f"__c_{a}"))
+    ts = F.lit(change_ts)
+    base_cols = [*keys, *attrs, valid_from_col, valid_to_col]
+    kept = j.filter(has_base & (~has_change | ~differs)).select(*base_cols)
+    closing = j.filter(has_base & has_change & differs).select(
+        *keys, *attrs, F.col(valid_from_col), ts.alias(valid_to_col)
+    )
+    opening = j.filter(has_change & (~has_base | differs)).select(
+        *[F.coalesce(F.col(k), F.col(f"__k_{k}")).alias(k) for k in keys],
+        *[F.col(f"__c_{a}").alias(a) for a in attrs],
+        ts.alias(valid_from_col),
+        F.lit(None).cast(history.schema[valid_to_col].dataType).alias(valid_to_col),
+    )
+    return closed_rows.unionByName(kept).unionByName(closing).unionByName(opening)

@@ -115,3 +115,76 @@ def merge_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "change_type",
     )
+
+
+# --- SCD Type 2 history merge (r7) --------------------------------------------
+# History synthesized from customer (all rows current since 1990);
+# changeset: every %4 key re-asserts its attributes (no-op unless %8,
+# which moves nation +1 -> close + reopen), %200 keys insert under a
+# shifted key. Null-safe attribute comparison on BOTH engines.
+
+_SCD2_SAME = "(j.bnm IS NOT DISTINCT FROM j.cnm AND j.bnat IS NOT DISTINCT FROM j.cnat)"
+
+_SCD2_ORACLE = f"""
+WITH cust AS (SELECT c_custkey AS k, c_name AS nm, CAST(c_nationkey AS BIGINT) AS nat
+              FROM customer),
+hist AS (SELECT k, nm, nat, DATE '1990-01-01' AS vf, CAST(NULL AS DATE) AS vt FROM cust),
+ch AS (
+  SELECT k, nm, CASE WHEN k % 8 = 0 THEN nat + 1 ELSE nat END AS nat
+  FROM cust WHERE k % 4 = 0
+  UNION ALL
+  SELECT k + 1000000, nm, nat FROM cust WHERE k % 200 = 0),
+j AS (SELECT h.k AS bk, h.nm AS bnm, h.nat AS bnat, h.vf,
+             c.k AS ck, c.nm AS cnm, c.nat AS cnat
+      FROM hist h FULL OUTER JOIN ch c ON c.k = h.k)
+SELECT CAST(bk AS BIGINT) AS c_custkey, bnm AS c_name, bnat AS c_nationkey,
+       vf AS valid_from, CAST(NULL AS DATE) AS valid_to
+FROM j WHERE bk IS NOT NULL AND (ck IS NULL OR {_SCD2_SAME})
+UNION ALL
+SELECT CAST(bk AS BIGINT), bnm, bnat, vf, DATE '2000-06-01'
+FROM j WHERE bk IS NOT NULL AND ck IS NOT NULL AND NOT {_SCD2_SAME}
+UNION ALL
+SELECT CAST(COALESCE(bk, ck) AS BIGINT), cnm, cnat, DATE '2000-06-01', CAST(NULL AS DATE)
+FROM j WHERE ck IS NOT NULL AND (bk IS NULL OR NOT {_SCD2_SAME})
+"""
+
+
+@df_query("merge_scd2_history", _SCD2_ORACLE)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 merge via operators.merge.scd2_apply: identical
+    attribute re-assertions are no-ops, changed attributes close the
+    current version and open a new one, new keys open their first
+    version — full lineage preserved with one current-slice join."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from datafusion_server_spark.operators.merge import scd2_apply
+
+    cust = tables.load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+    )
+    hist = base.select(
+        "*",
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    ch = base.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 8 == 0, F.col("c_nationkey") + 1
+        ).otherwise(F.col("c_nationkey")).alias("c_nationkey"),
+    ).unionByName(
+        base.filter(F.col("c_custkey") % 200 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+        )
+    )
+    return scd2_apply(
+        hist, ch, "c_custkey", change_ts=datetime.date(2000, 6, 1)
+    )

@@ -443,3 +443,69 @@ def eval_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_disagree",
         "noise_score",
     )
+
+
+# --- per-source keep-rate leaderboard with Wilson intervals -------------------
+# The curation dashboard row: keep-rate per source with a 95% Wilson
+# score interval — the interval that stays sane at extreme rates and
+# small n (a plain normal interval exits [0,1]). sqrt is IEEE
+# correctly-rounded, so identical expressions agree bit-for-bit; z is
+# a pinned literal.
+
+_WILSON_Z = 1.959964  # pinned literal, both SQL texts
+_KEEP_PRED = "n_chars >= 200"  # the gate being audited
+
+
+def _wilson_oracle() -> str:
+    z2 = f"({_WILSON_Z!r} * {_WILSON_Z!r})"
+    nn = "CAST(n AS DOUBLE)"
+    ph = "(CAST(kept AS DOUBLE) / CAST(n AS DOUBLE))"
+    denom = f"(1.0 + {z2} / {nn})"
+    center = f"(({ph} + {z2} / (2.0 * {nn})) / {denom})"
+    half = (
+        f"(({_WILSON_Z!r} * SQRT(({ph} * (1.0 - {ph}) + {z2} / (4.0 * {nn})) / {nn}))"
+        f" / {denom})"
+    )
+    return f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN {_KEEP_PRED} THEN 1 ELSE 0 END) AS BIGINT) AS kept
+  FROM documents GROUP BY source)
+SELECT source, n, kept,
+       {rrepr(ph, 6)} AS keep_rate,
+       {rrepr(f"{center} - {half}", 6)} AS ci_lo,
+       {rrepr(f"{center} + {half}", 6)} AS ci_hi
+FROM c
+"""
+
+
+@df_query("quality_wilson_intervals", _wilson_oracle())
+def quality_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep-rate with a 95% Wilson score interval — the
+    report that tells you whether src7's 0.62 and src12's 0.71 are
+    actually different or just small-n noise. One source-keyed
+    aggregation; the interval is a closed form over (n, kept)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.expr(_KEEP_PRED), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept"),
+    )
+    z = F.lit(_WILSON_Z)
+    z2 = z * z
+    nn = F.col("n").cast("double")
+    ph = F.col("kept").cast("double") / nn
+    denom = F.lit(1.0) + z2 / nn
+    center = (ph + z2 / (F.lit(2.0) * nn)) / denom
+    half = (
+        z * F.sqrt((ph * (F.lit(1.0) - ph) + z2 / (F.lit(4.0) * nn)) / nn)
+    ) / denom
+    return c.select(
+        "source",
+        "n",
+        "kept",
+        F.round(ph, 6).alias("keep_rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )

@@ -303,3 +303,55 @@ def distributed_rank(
         .withColumn(rank_col, F.col("__drk_off") + F.col("__drk_lrn"))
         .drop("__drk_pid", "__drk_lrn", "__drk_off")
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of an INTEGER column over a total order,
+    without a single-partition window — the cumulative-sum counterpart
+    of ``distributed_rank`` (same two-level shape: repartitionByRange
+    so partition order equals sort order, a per-partition running sum,
+    and broadcast per-partition totals' exclusive prefix as the
+    offset; the only unpartitioned window runs over #partitions rows).
+
+    Powers order-dependent selection at corpus scale: greedy
+    budget-constrained picks ("take the best docs until the token
+    budget is spent"), packing occupancy, CDF tables. The value column
+    must be integral (BIGINT accumulation is order-free exact; float
+    running sums are order-DEPENDENT and have no distributed exact
+    form). ``order_cols`` must be a total order (unique-id tie-break
+    last). Output = input columns + ``cumsum_col`` (BIGINT, inclusive
+    of the current row)."""
+    from pyspark.sql.window import Window
+
+    n_part = num_partitions or max(4, _session_parallelism(df.sparkSession))
+    tagged = df.repartitionByRange(n_part, *order_cols).withColumn(
+        "__dcs_pid", F.spark_partition_id().cast("bigint")
+    )
+    v = F.col(value_col).cast("bigint")
+    wl = (
+        Window.partitionBy("__dcs_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.orderBy("__dcs_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("__dcs_pid")
+        .agg(F.sum(v).cast("bigint").alias("__dcs_t"))
+        .withColumn(
+            "__dcs_off",
+            F.coalesce(F.sum("__dcs_t").over(wp), F.lit(0).cast("bigint")),
+        )
+        .select("__dcs_pid", "__dcs_off")
+    )
+    return (
+        tagged.withColumn("__dcs_l", F.sum(v).over(wl).cast("bigint"))
+        .join(F.broadcast(offsets), "__dcs_pid")
+        .withColumn(cumsum_col, F.col("__dcs_off") + F.col("__dcs_l"))
+        .drop("__dcs_pid", "__dcs_l", "__dcs_off")
+    )

@@ -583,3 +583,62 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     )
+
+
+# --- greedy quality-density selection under a token budget (r7) ---------------
+# "Take the highest-quality documents until the token budget is spent"
+# — the greedy knapsack every curated-pretraining mix ends with. The
+# order-dependent cumulative token count is the two-level
+# distributed_cumsum (range partition + per-partition running sum +
+# broadcast prefix totals), so the corpus never funnels through one
+# task; the quality key and token counts are exact integer/ratio
+# expressions identical on both engines.
+
+_GREEDY_BUDGET = 10_000  # tokens
+
+
+_GREEDY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+           / CAST(len(text) AS DOUBLE) AS quality
+  FROM documents WHERE len(text) > 0),
+c AS (
+  SELECT doc_id, n_tokens, quality,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       ROUND(quality, 6) AS quality,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {_GREEDY_BUDGET}
+"""
+
+
+@df_query("sample_greedy_quality_budget", _GREEDY_ORACLE)
+def sample_greedy_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_server_spark.operators.scale import distributed_cumsum
+
+    docs = tables.load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z ]", "")).cast("double")
+            / F.length("text").cast("double")
+        ).alias("quality"),
+    )
+    c = distributed_cumsum(
+        d, [F.desc("quality"), F.asc("doc_id")], "n_tokens", "cum_tokens"
+    )
+    return (
+        c.filter(F.col("cum_tokens") <= _GREEDY_BUDGET)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("quality", 6).alias("quality"),
+            "cum_tokens",
+        )
+    )

@@ -102,6 +102,7 @@ _REWRITTEN = [
     # r7: full rank per distinct term -> two-level range-partitioned rank
     "text_vocab_coverage_curve",
     "prune_ccnet_perplexity_band",  # within-lang rank via distributed_rank
+    "sample_greedy_quality_budget",  # corpus cumsum via distributed_cumsum
 ]
 
 
@@ -181,6 +182,16 @@ def test_vocab_curve_rank_is_range_partitioned(spark, sf_dir):
     on a range-partitioned layout (distributed_rank), with no unbounded
     single-partition exchange anywhere in the plan."""
     df = registry()["text_vocab_coverage_curve"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert not _unbounded_single_partition_exchanges(df)
+
+
+def test_greedy_budget_cumsum_is_range_partitioned(spark, sf_dir):
+    """sample_greedy_quality_budget's corpus-order cumulative token sum
+    must be the two-level distributed_cumsum (range partitioning), not
+    a single-partition running-sum window."""
+    df = registry()["sample_greedy_quality_budget"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in plan
     assert not _unbounded_single_partition_exchanges(df)

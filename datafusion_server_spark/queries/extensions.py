@@ -575,3 +575,40 @@ def multimodal_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_bytes"),
     )
+
+
+# --- streaming CDC upsert (r7) ------------------------------------------------
+# The changeset STREAM folds into a maintained snapshot via
+# foreachBatch + apply_changeset (the Delta/Hudi MERGE-in-foreachBatch
+# pattern). Each fixture key yields at most one change row (the %100
+# insert branch wins over its %5 update), so the fold is
+# batching-invariant and the batch oracle is exact.
+_CDC_STREAM_ORACLE = """
+WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s FROM orders),
+ch AS (
+  SELECT CASE WHEN o_orderkey % 100 = 0 THEN o_orderkey + 100000000 ELSE o_orderkey END AS k,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice ELSE o_totalprice + 10 END AS p,
+         CASE WHEN o_orderkey % 100 = 0 THEN 'N' ELSE o_orderstatus END AS s,
+         CASE WHEN o_orderkey % 100 = 0 THEN 'I'
+              WHEN o_orderkey % 15 = 0 THEN 'D'
+              ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 5 = 0 OR o_orderkey % 100 = 0),
+j AS (SELECT b.k AS bk, b.p AS bp, b.s AS bs, c.k AS ck, c.p AS cp, c.s AS cs, c.op
+      FROM base b FULL OUTER JOIN ch c ON c.k = b.k)
+SELECT CAST(COALESCE(bk, ck) AS BIGINT) AS o_orderkey,
+       CAST(CASE WHEN ck IS NOT NULL THEN cp ELSE bp END AS DOUBLE) AS o_totalprice,
+       CASE WHEN ck IS NOT NULL THEN cs ELSE bs END AS o_orderstatus
+FROM j
+WHERE NOT (ck IS NOT NULL AND op = 'D') AND (bk IS NOT NULL OR op = 'I')
+"""
+
+
+@df_query("streaming_cdc_upsert", _CDC_STREAM_ORACLE)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink: the CDC changeset arrives as a stream and
+    folds into the snapshot one micro-batch at a time (foreachBatch +
+    apply_changeset, snapshot localCheckpoint-ed between batches);
+    the final snapshot must equal the batch apply."""
+    from datafusion_server_spark.streaming.cdc import cdc_upsert_stream
+
+    return cdc_upsert_stream(spark, f"{sf_dir}/orders.parquet")

@@ -147,3 +147,12 @@ def read_parquet(spark: SparkSession, path_or_bytes: str | bytes, opts: ReadOpti
     if isinstance(path_or_bytes, bytes):
         path_or_bytes = stage_bytes(path_or_bytes, ".parquet")
     return spark.read.parquet(path_or_bytes)
+
+
+def read_orc(spark: SparkSession, path_or_bytes: str | bytes, opts: ReadOptions) -> DataFrame:
+    """ORC scan (beyond-reference: DataFusion has no ORC reader, Spark
+    ships one natively with the same pushdown/pruning surface as
+    parquet — predicate pushdown, column pruning, vectorized read)."""
+    if isinstance(path_or_bytes, bytes):
+        path_or_bytes = stage_bytes(path_or_bytes, ".orc")
+    return spark.read.orc(path_or_bytes)

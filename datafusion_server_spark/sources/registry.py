@@ -88,7 +88,7 @@ def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bo
     if plugins.has_scheme(scheme):
         return plugins.load(spark, ds), True
 
-    if fmt in ("csv", "ndjson", "parquet", "avro") and scheme in LISTING_SCHEMES:
+    if fmt in ("csv", "ndjson", "parquet", "orc", "avro") and scheme in LISTING_SCHEMES:
 
         def read_listing(location: str, loc_scheme: str) -> tuple[DataFrame, bool]:
             if fmt == "csv":
@@ -97,6 +97,8 @@ def load_data_source(spark: SparkSession, ds: DataSource) -> tuple[DataFrame, bo
                 return readers.read_ndjson(spark, location, ds.options), False
             if fmt == "parquet":
                 return readers.read_parquet(spark, location, ds.options), False
+            if fmt == "orc":
+                return readers.read_orc(spark, location, ds.options), False
             # avro: spark-avro jar first (lazy distributed scan), then the
             # pure-Python OCF fallback for locally readable paths — files
             # OR directories of files (A8, reference reader.rs:114-134);

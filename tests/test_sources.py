@@ -345,3 +345,19 @@ def test_avro_named_type_reference_reuse():
     out.write(sync)
     _, got = avro_py.read_ocf(out.getvalue())
     assert got == records
+
+
+def test_read_orc_roundtrip(spark, tmp_path):
+    """ORC scan (beyond-reference format): write->read roundtrip with
+    pushdown-friendly native reader."""
+    from datafusion_server_spark.sources.readers import ReadOptions, read_orc
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "t.orc")
+    src.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path, ReadOptions())
+    assert sorted(back.collect()) == sorted(src.collect())
+    plan = back.filter("id = 2").select("s")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "ORC" in plan or "orc" in plan

@@ -509,3 +509,90 @@ def quality_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 6).alias("ci_lo"),
         F.round(center + half, 6).alias("ci_hi"),
     )
+
+
+# --- Krippendorff's alpha (binary, missing ratings) ---------------------------
+# The agreement coefficient that tolerates MISSING ratings (Fleiss
+# requires a full panel): rater C abstains outside lang en/de/fr, so
+# units have 2 or 3 pairable values. With m_u in {2,3}, the observed-
+# disagreement numerator 2*y(m-y)/(m-1) is INTEGER per unit (2*y*(2-y)
+# or y*(3-y)), so the whole statistic is a closed form over BIGINT
+# coincidence totals — no float corpus sum.
+
+_KRIPP_C_PRESENT = "lang IN ('en', 'de', 'fr')"
+_KRIPP_C_YES = "lang = 'en'"
+
+
+def _kripp_oracle() -> str:
+    do = "(CAST(do_num AS DOUBLE) / CAST(n AS DOUBLE))"
+    de = (
+        "(2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    )
+    alpha = f"(1.0 - {do} / {de})"
+    return f"""
+WITH r AS (
+  SELECT (CASE WHEN {_KAPPA_A} THEN 1 ELSE 0 END
+        + CASE WHEN {_KAPPA_B_DUCK} THEN 1 ELSE 0 END
+        + CASE WHEN {_KRIPP_C_PRESENT} AND {_KRIPP_C_YES} THEN 1 ELSE 0 END) AS y,
+         CASE WHEN {_KRIPP_C_PRESENT} THEN 3 ELSE 2 END AS m
+  FROM documents),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(m) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN m = 3 THEN y * (3 - y)
+                       ELSE 2 * y * (2 - y) END) AS BIGINT) AS do_num
+  FROM r)
+SELECT n_units, n AS n_values, n1 AS n_yes, do_num,
+       {rrepr(do, 6)} AS d_observed,
+       {rrepr(de, 6)} AS d_expected,
+       {rrepr(alpha, 6)} AS alpha
+FROM c
+"""
+
+
+@df_query("eval_krippendorff_alpha", _kripp_oracle())
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha for two full raters + one abstaining rater
+    (binary, nominal distance): coincidence-matrix form with an
+    integer per-unit disagreement numerator, so the statistic derives
+    exactly from four BIGINT aggregates."""
+    docs = tables.load(spark, sf_dir, "documents")
+    y = (
+        F.when(F.expr(_KAPPA_A), 1).otherwise(0)
+        + F.when(F.expr(_KAPPA_B_SPARK), 1).otherwise(0)
+        + F.when(F.expr(f"({_KRIPP_C_PRESENT}) AND ({_KRIPP_C_YES})"), 1).otherwise(0)
+    )
+    m = F.when(F.expr(_KRIPP_C_PRESENT), 3).otherwise(2)
+    r = docs.select(y.alias("y"), m.alias("m"))
+    c = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n1"),
+        F.sum(
+            F.when(
+                F.col("m") == 3, F.col("y") * (3 - F.col("y"))
+            ).otherwise(2 * F.col("y") * (2 - F.col("y")))
+        )
+        .cast("bigint")
+        .alias("do_num"),
+    )
+    nn = F.col("n").cast("double")
+    do = F.col("do_num").cast("double") / nn
+    de = (
+        F.lit(2.0)
+        * F.col("n1").cast("double")
+        * (F.col("n") - F.col("n1")).cast("double")
+        / (nn * (F.col("n") - 1).cast("double"))
+    )
+    alpha = F.lit(1.0) - do / de
+    return c.select(
+        "n_units",
+        F.col("n").alias("n_values"),
+        F.col("n1").alias("n_yes"),
+        "do_num",
+        F.round(do, 6).alias("d_observed"),
+        F.round(de, 6).alias("d_expected"),
+        F.round(alpha, 6).alias("alpha"),
+    )

@@ -1162,3 +1162,136 @@ def prune_ccnet_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band"),
         )
     )
+
+
+# --- vocabulary richness estimators (r7) ---------------------------------------
+# How many word types does the corpus REALLY have beyond the observed
+# sample? Bias-corrected Chao1 (V + f1(f1-1)/(2(f2+1)) — defined for
+# every f2 including 0, and the recommended small-sample form)
+# and Good-Turing unseen mass (f1/N — the probability the next token
+# is a NEW type) from the frequencies-of-frequencies table — the
+# tokenizer-sizing / crawl-coverage estimators. All inputs are exact
+# BIGINT aggregates; the statistics are closed forms.
+
+_RICHNESS_ORACLE = """
+WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok WHERE term <> '' GROUP BY term),
+ff AS (SELECT CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+              CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+              CAST(COUNT(*) AS BIGINT) AS v,
+              CAST(SUM(f) AS BIGINT) AS n
+       FROM tf)
+SELECT n AS n_tokens, v AS n_types, f1 AS n_hapax, f2 AS n_dis,
+       ROUND(CAST(v AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+               / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+       ROUND(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gt_unseen_mass
+FROM ff
+"""
+
+
+@df_query("text_vocab_richness", _RICHNESS_ORACLE)
+def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected Chao1 richness floor + Good-Turing unseen-type
+    mass from one term-frequency aggregation and one 4-count reduction
+    — closed forms over BIGINT counts, defined for every corpus (the
+    f2+1 denominator never divides by zero)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ff = tf.agg(
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("f").cast("bigint").alias("n"),
+    )
+    return ff.select(
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("f1").alias("n_hapax"),
+        F.col("f2").alias("n_dis"),
+        F.round(
+            F.col("v").cast("double")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1).cast("double")
+            / (F.lit(2.0) * (F.col("f2") + 1).cast("double")),
+            6,
+        ).alias("chao1"),
+        F.round(F.col("f1").cast("double") / F.col("n").cast("double"), 6).alias(
+            "gt_unseen_mass"
+        ),
+    )
+
+
+# --- source-vocabulary overlap (r7) --------------------------------------------
+# Jaccard overlap of the DISTINCT vocabularies of every source pair —
+# the corpus-diversity audit ("are src3 and src11 the same crawl twice?").
+# One distinct (source, term) projection, one term-keyed self-join to
+# pair counts, inclusion-exclusion for the union: output bounded by
+# |sources|^2 / 2 pairs.
+
+_SRC_OVERLAP_ORACLE = """
+WITH st AS (SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS term
+            FROM documents),
+stc AS (SELECT source, term FROM st WHERE term <> ''),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM stc GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM stc a JOIN stc b ON b.term = a.term AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, sa.v AS v_a, sb.v AS v_b, i.n_common,
+       ROUND(CAST(i.n_common AS DOUBLE)
+             / CAST(sa.v + sb.v - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+@df_query("profile_source_vocab_overlap", _SRC_OVERLAP_ORACLE)
+def profile_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard of per-source distinct vocabularies (duplicate-
+    crawl detector at the SOURCE level). The self-join keys on term —
+    each term contributes its source-pair combinations, bounded by
+    |sources|^2 per term — and the output is |sources|-pair bounded."""
+    docs = tables.load(spark, sf_dir, "documents")
+    stc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = stc.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    a = stc.select(F.col("source").alias("src_a"), "term")
+    b = stc.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("v").alias("v_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("v").alias("v_b"))),
+            "src_b",
+        )
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "v_a",
+        "v_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("v_a") + F.col("v_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

@@ -270,6 +270,13 @@ def main() -> None:
         "chat_prompt_response_pairs",
         "eval_bradley_terry_sources",
         "embedding_abtt_renorm",
+        # round-7 families (informational, non-pinned)
+        "similarity_mmr_select",
+        "dedup_cdc_chunks",
+        "prune_ccnet_perplexity_band",
+        "mine_hard_negatives",
+        "merge_apply_changeset",
+        "sample_greedy_quality_budget",
     ]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

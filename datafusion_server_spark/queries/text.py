@@ -1295,3 +1295,46 @@ def profile_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+# --- langid confusion vs the fixture label (r7) --------------------------------
+# The stopword-vote language identifier evaluated against the corpus
+# truth label: per (true, predicted) confusion cell + per-true-lang
+# recall — bounded |langs|^2 grid, the monitoring row a langid gate
+# ships with.
+
+_LANGID_CONF_ORACLE = f"""
+SELECT d.lang AS true_lang, q.predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS DOUBLE), 6)
+         AS share_of_true
+FROM ({_LANG_ORACLE}) q
+JOIN documents d ON d.doc_id = q.id
+GROUP BY d.lang, q.predicted_lang
+"""
+
+
+@df_query("eval_langid_confusion", _LANGID_CONF_ORACLE)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    pred = text.language_id(docs, "text", "doc_id").select(
+        F.col("id"), "predicted_lang"
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("true_lang")
+    )
+    cell = (
+        pred.join(truth, "id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cell.groupBy("true_lang").agg(F.sum("n").cast("bigint").alias("__t"))
+    return cell.join(F.broadcast(tot), "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__t").cast("double"), 6).alias(
+            "share_of_true"
+        ),
+    )

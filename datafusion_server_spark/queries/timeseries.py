@@ -1097,3 +1097,64 @@ def events_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SURPRISAL_K,
         "rank_pos",
     ).select("rank_pos", "user_id", "n_transitions", "surprisal_nats")
+
+
+# --- RFM quintile segmentation (r7) --------------------------------------------
+# Recency / Frequency / Monetary user segmentation — the classic
+# audience-analytics staple. Each dimension's quintile comes from a
+# DISTRIBUTED rank (scale.distributed_rank — the per-user table scales
+# with the corpus, so no single-partition NTILE window), banded with
+# exact integer arithmetic q = ceil(5*rank/n); the monetary sum is the
+# exact DECIMAL contract. Output bounded one-row-per-user.
+
+_RFM_ORACLE = """
+WITH u AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS mon
+  FROM events GROUP BY user_id),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+rk AS (
+  SELECT user_id, last_ts, freq, mon,
+         ROW_NUMBER() OVER (ORDER BY last_ts DESC, user_id ASC) AS rr,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, user_id ASC) AS rf,
+         ROW_NUMBER() OVER (ORDER BY mon DESC, user_id ASC) AS rm
+  FROM u)
+SELECT rk.user_id, rk.last_ts, rk.freq,
+       ROUND(CAST(rk.mon AS DOUBLE), 6) AS monetary,
+       CAST((5 * rk.rr + n.n - 1) // n.n AS BIGINT) AS r_quintile,
+       CAST((5 * rk.rf + n.n - 1) // n.n AS BIGINT) AS f_quintile,
+       CAST((5 * rk.rm + n.n - 1) // n.n AS BIGINT) AS m_quintile
+FROM rk, n
+"""
+
+
+@df_query("events_rfm_segmentation", _RFM_ORACLE)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintiles (1 = best) per user: three distributed_rank passes
+    over the per-user aggregate — each a range-partitioned two-level
+    rank, never a corpus-wide NTILE window — banded by integer
+    ceil(5r/n)."""
+    from datafusion_server_spark.operators.scale import distributed_rank
+
+    ev = tables.load(spark, sf_dir, "events")
+    u = ev.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.max(F.unix_micros("ts")).cast("bigint").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("mon"),
+    )
+    r1 = distributed_rank(u, [F.desc("last_ts"), F.asc("user_id")], "rr")
+    r2 = distributed_rank(r1, [F.desc("freq"), F.asc("user_id")], "rf")
+    r3 = distributed_rank(r2, [F.desc("mon"), F.asc("user_id")], "rm")
+    n = u.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    band = lambda c: ((5 * F.col(c) + F.col("__n") - 1) / F.col("__n")).cast("bigint")  # noqa: E731
+    return r3.crossJoin(F.broadcast(n)).select(
+        "user_id",
+        "last_ts",
+        "freq",
+        F.round(F.col("mon").cast("double"), 6).alias("monetary"),
+        band("rr").alias("r_quintile"),
+        band("rf").alias("f_quintile"),
+        band("rm").alias("m_quintile"),
+    )

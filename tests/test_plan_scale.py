@@ -103,6 +103,7 @@ _REWRITTEN = [
     "text_vocab_coverage_curve",
     "prune_ccnet_perplexity_band",  # within-lang rank via distributed_rank
     "sample_greedy_quality_budget",  # corpus cumsum via distributed_cumsum
+    "events_rfm_segmentation",  # three per-user quintile ranks via distributed_rank
 ]
 
 

@@ -4,8 +4,8 @@ contains an UNBOUNDED ``Exchange SinglePartition`` (no row-bounding
 node below it — the funnel-everything-to-one-task shape that kills a
 100 TB run).
 
-Round-7 baseline (local[8], sf0.001, all 260 non-streaming builders of
-the 272-query registry): exactly THREE hits, each by-design and
+Round-7 baseline (local[8], sf0.001, all 271 non-streaming builders of
+the 284-query registry): exactly THREE hits, each by-design and
 allowlisted in tests/test_plan_scale.py::ALLOWED_GLOBAL_WINDOW_QUERIES:
 
 - window_range_frame / window_distribution — SQL-surface queries whose

@@ -72,7 +72,7 @@ def _unbounded_single_partition_exchanges(df) -> list[str]:
 
 
 # The ONLY queries allowed an unbounded single-partition exchange —
-# verified exhaustive over all 260 non-streaming builders by
+# verified exhaustive over all 271 non-streaming builders by
 # scripts/plan_audit.py (round-7 re-certification; re-run the script
 # after registry changes). window_range_frame / window_distribution are
 # SQL-surface parity rows whose SEMANTICS are an unpartitioned window;

@@ -55,7 +55,11 @@ VARIANTS = {
 }
 
 
-def main() -> None:
+def build_bench_session():
+    """Build the bench SparkSession exactly as ``main`` does (shuffle
+    width, AQE pin, warehouse layout) — factored out so profiling
+    scripts reproduce identical conditions. Returns
+    ``(spark, sf_dir, cpus, warehouse)``."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
@@ -102,11 +106,12 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark, sf_dir, cpus, warehouse
 
+
+def prepare(spark, sf_dir: str, warehouse: str, cpus: int) -> None:
+    """Untimed ingest + JIT warmup (factored from ``main`` for reuse)."""
     from datafusion_server_spark import tables
-    from datafusion_server_spark.queries import registry
-
-    reg = registry()
 
     # Ingest step (untimed, like the reference server's eager source
     # registration into its session context): re-lay the fixture tables
@@ -183,7 +188,9 @@ def main() -> None:
     # warm the JVM + parquet footers with one cheap query, plus a tiny
     # synthetic pipeline covering the codegen shapes the inventory uses
     # (explode, decimal hash-agg, window) — JIT warmup, not data warmup
-    reg["q6_forecast_revenue"].build(spark, sf_dir).collect()
+    from datafusion_server_spark.queries import registry
+
+    registry()["q6_forecast_revenue"].build(spark, sf_dir).collect()
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -196,6 +203,15 @@ def main() -> None:
     synth.withColumn("r", F.row_number().over(Window.orderBy(F.desc("s"), F.asc("id")))).filter(
         "r <= 5"
     ).collect()
+
+
+def main() -> None:
+    spark, sf_dir, cpus, warehouse = build_bench_session()
+
+    from datafusion_server_spark.queries import registry
+
+    reg = registry()
+    prepare(spark, sf_dir, warehouse, cpus)
 
     import gc
 

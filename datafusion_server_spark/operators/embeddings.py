@@ -171,108 +171,170 @@ def top_component_power(
     therefore fully unrollable into a SQL oracle, converged or not.
 
     cov_ij = m_ij/(n*1e12) - mu_i*mu_j with mu from the scaled sums —
-    pure double arithmetic on identical integers, engine-exact. The
-    iteration state is a dim-row vector; each step is one broadcast
-    join + DECIMAL-sum aggregation over the dim^2-bounded matrix.
+    pure double arithmetic on identical integers, engine-exact.
     Output: (i, mu, comp, eigenvalue) — component round 6, unit norm;
     the sign fixes to make the largest-|value| entry positive (ties to
     the lower index), so the output is orientation-stable.
+
+    Bounded-state fold (r8): the corpus-scale work already happened in
+    ``covariance_moments`` (one pass, dim^2/2-bounded output). The r7
+    shape then ran each power step as checkpointed join+agg stages —
+    47 driver-scheduled jobs whose scheduling overhead was ~70% of the
+    ABTT query's wall time (profiled: loop 3.9 s / 47 jobs at sf0.1).
+    The moment cells are dim^2-bounded by the embedding dimensionality
+    (a model constant — 64 here, <= a few thousand anywhere), so fold
+    them into ONE row (dense row-major matrix as array<array<double>>)
+    and run every matvec / norm / update as JVM higher-order-function
+    expressions: one job, zero loop shuffles. Arithmetic is IDENTICAL
+    to the staged form (round(double, 8) per term, exact DECIMAL
+    accumulation — decimal addition is associative, so aggregate()
+    matches SUM()), keeping the unrolled SQL oracle byte-identical.
     """
-    # moments feed three branches (diag, mirror, mu) — checkpoint once
-    moments = moments.localCheckpoint(eager=True)
-    diag = moments.filter(F.col("i") == F.col("j")).select(
-        "i", "s_i", F.col("n_i").alias("n")
+    # fold the i<=j triangle into one sorted row-major array
+    row = moments.agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "j", "m", "s_i", "n_i"))
+        ).alias("cells")
     )
-    full = (
-        moments.select("i", "j", "m")
-        .unionByName(
-            moments.filter(F.col("i") != F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "m"
-            )
-        )
+    row = row.withColumn(
+        "diag", F.filter(F.col("cells"), lambda c: c["i"] == c["j"])
     )
-    mu = diag.select(
-        "i",
-        (F.col("s_i").cast("double") / (F.col("n").cast("double") * SCALE)).alias(
-            "mu"
+    row = row.withColumn("dc", F.size("diag"))
+    row = row.withColumn(
+        "mu",
+        F.transform(
+            F.col("diag"),
+            lambda c: c["s_i"].cast("double")
+            / (c["n_i"].cast("double") * F.lit(float(SCALE))),
         ),
-        "n",
     )
-    mu_j = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
-    cov = (
-        full.join(F.broadcast(mu), "i")
-        .join(F.broadcast(mu_j), "j")
-        .select(
-            "i",
-            "j",
-            (
-                F.col("m").cast("double") / (F.col("n").cast("double") * SCALE)
-                - F.col("mu") * F.col("mu_j")
-            ).alias("c"),
-        )
-    ).localCheckpoint(eager=True)
-    # deterministic non-degenerate init: x_i = round8(1/sqrt(dim))
-    x = cov.select("i").distinct().select(
-        "i", F.round(F.lit(1.0 / dim**0.5), 8).alias("x")
-    )
-    for _ in range(iterations):
-        xj = x.select(F.col("i").alias("j"), F.col("x").alias("xj"))
-        # y is consumed twice (norm + normalize): checkpoint so each
-        # iteration is two small jobs over the dim^2-bounded matrix
-        y = (
-            cov.join(F.broadcast(xj), "j")
-            .select(
-                "i",
-                F.round(F.col("c") * F.col("xj"), 8)
-                .cast("decimal(28,8)")
-                .alias("__t"),
-            )
-            .groupBy("i")
-            .agg(F.sum("__t").cast("double").alias("y"))
-        ).localCheckpoint(eager=True)
-        norm = y.agg(
-            F.sum(
-                F.round(F.col("y") * F.col("y") * SCALE).cast("bigint")
-            ).alias("__ss")
-        ).select(
-            F.sqrt(F.col("__ss").cast("double") / SCALE).alias("__norm")
-        )
-        x = y.crossJoin(F.broadcast(norm)).select(
-            "i", F.round(F.col("y") / F.col("__norm"), 8).alias("x")
-        )
-    # Rayleigh quotient lambda = x' C x (x unit up to rounding)
-    x = x.localCheckpoint(eager=True)
-    xj = x.select(F.col("i").alias("j"), F.col("x").alias("xj"))
-    lam = (
-        cov.join(F.broadcast(x), "i")
-        .join(F.broadcast(xj), "j")
-        .agg(
-            F.sum(
-                F.round(F.col("x") * F.col("c") * F.col("xj"), 8).cast(
-                    "decimal(28,8)"
+    # dense cov matrix: triangle cell (lo, hi) sits at 1-based index
+    # lo*dc - lo*(lo-1)/2 + (hi-lo) + 1 in the (i, j)-sorted array
+    dc = F.col("dc")
+    idx0 = F.sequence(F.lit(0), dc - 1)
+
+    def _tri(i: Column, j: Column) -> Column:
+        lo, hi = F.least(i, j), F.greatest(i, j)
+        pos = lo * dc - (lo * (lo - 1)).cast("bigint") / 2 + (hi - lo) + 1
+        return F.element_at(F.col("cells"), pos.cast("int"))
+
+    row = row.withColumn(
+        "cov",
+        F.transform(
+            idx0,
+            lambda i: F.transform(
+                idx0,
+                lambda j: _tri(i, j)["m"].cast("double")
+                / (
+                    F.element_at(F.col("diag"), (i + 1).cast("int"))[
+                        "n_i"
+                    ].cast("double")
+                    * F.lit(float(SCALE))
                 )
-            )
-            .cast("double")
-            .alias("lam")
+                - F.element_at(F.col("mu"), (i + 1).cast("int"))
+                * F.element_at(F.col("mu"), (j + 1).cast("int")),
+            ),
+        ),
+    )
+    # deterministic non-degenerate init: x_i = round8(1/sqrt(dim))
+    row = row.withColumn(
+        "x", F.transform(idx0, lambda _: F.round(F.lit(1.0 / dim**0.5), 8))
+    )
+    dec0 = F.lit(0).cast("decimal(37,8)")
+    big0 = F.lit(0).cast("bigint")
+    for _ in range(iterations):
+        row = row.withColumn(
+            "y",
+            F.transform(
+                F.col("cov"),
+                lambda r: F.aggregate(
+                    F.zip_with(
+                        r,
+                        F.col("x"),
+                        lambda c, xv: F.round(c * xv, 8).cast("decimal(28,8)"),
+                    ),
+                    dec0,
+                    lambda acc, t: (acc + t).cast("decimal(37,8)"),
+                ).cast("double"),
+            ),
         )
+        row = row.withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("y"),
+                    big0,
+                    lambda acc, v: acc
+                    + F.round(v * v * F.lit(float(SCALE))).cast("bigint"),
+                ).cast("double")
+                / F.lit(float(SCALE))
+            ),
+        )
+        row = row.withColumn(
+            "x",
+            F.transform(F.col("y"), lambda v: F.round(v / F.col("nrm"), 8)),
+        )
+    # Rayleigh quotient lambda = x' C x (x unit up to rounding); the
+    # nested exact-DECIMAL sums regroup the original flat SUM — decimal
+    # addition is associative, so the value is unchanged
+    row = row.withColumn(
+        "lam",
+        F.aggregate(
+            F.zip_with(
+                F.col("cov"),
+                F.col("x"),
+                lambda r, xi: F.aggregate(
+                    F.zip_with(
+                        r,
+                        F.col("x"),
+                        lambda c, xj: F.round(xi * c * xj, 8).cast(
+                            "decimal(28,8)"
+                        ),
+                    ),
+                    dec0,
+                    lambda a, t: (a + t).cast("decimal(37,8)"),
+                ),
+            ),
+            dec0,
+            lambda a, v: (a + v).cast("decimal(37,8)"),
+        ).cast("double"),
     )
     # orientation: flip so the max-|x| entry (ties -> lower i) is positive
-    anchor = x.select(
-        F.max(F.struct(F.abs("x").alias("a"), (-F.col("i")).alias("ni"), "x")).alias(
-            "m"
-        )
-    ).select(F.when(F.col("m.x") < 0, -1.0).otherwise(1.0).alias("flip"))
-    return (
-        mu.join(x, "i")
-        .crossJoin(F.broadcast(anchor))
-        .crossJoin(F.broadcast(lam))
-        .select(
-            F.col("i").cast("bigint").alias("i"),
-            F.round(F.col("mu"), 6).alias("mu"),
-            F.round(F.col("x") * F.col("flip"), 6).alias("comp"),
-            F.round(F.col("lam"), 6).alias("eigenvalue"),
-        )
+    row = row.withColumn(
+        "flip",
+        F.when(
+            F.array_max(
+                F.transform(
+                    F.col("x"),
+                    lambda v, i: F.struct(
+                        F.abs(v).alias("a"), (-i).alias("ni"), v.alias("x")
+                    ),
+                )
+            )["x"]
+            < 0,
+            F.lit(-1.0),
+        ).otherwise(F.lit(1.0)),
     )
+    out = row.select(
+        F.explode(
+            F.transform(
+                idx0,
+                lambda i: F.struct(
+                    i.cast("bigint").alias("i"),
+                    F.round(
+                        F.element_at(F.col("mu"), (i + 1).cast("int")), 6
+                    ).alias("mu"),
+                    F.round(
+                        F.element_at(F.col("x"), (i + 1).cast("int"))
+                        * F.col("flip"),
+                        6,
+                    ).alias("comp"),
+                    F.round(F.col("lam"), 6).alias("eigenvalue"),
+                ),
+            )
+        ).alias("r")
+    )
+    return out.select("r.i", "r.mu", "r.comp", "r.eigenvalue")
 
 
 def remove_top_component(

@@ -118,53 +118,109 @@ def bradley_terry_ratings(
     adj = pairs.select("i", "j", "n_ij").unionByName(
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n_ij")
     )
-    # each iteration references the previous ratings TWICE (both join
-    # sides); localCheckpoint keeps the plan flat instead of doubling
-    # per iteration — the kmeans/logreg/PageRank house pattern. The
-    # checkpointed table is players-bounded (tiny).
-    adj = adj.localCheckpoint(eager=True)
-    players = players.localCheckpoint(eager=True)
-    ratings = players.select("p", F.lit(1.0).alias("s"))
-    for _ in range(iterations):
-        ratings = ratings.localCheckpoint(eager=True)
-        ri = ratings.select(F.col("p").alias("i"), F.col("s").alias("si"))
-        rj = ratings.select(F.col("p").alias("j"), F.col("s").alias("sj"))
-        denom = (
-            adj.join(F.broadcast(ri), "i")
-            .join(F.broadcast(rj), "j")
-            .select(
-                "i",
-                F.round(
-                    F.col("n_ij").cast("double") / (F.col("si") + F.col("sj")), 8
-                )
-                .cast("decimal(18,8)")
-                .alias("__t"),
-            )
-            .groupBy("i")
-            .agg(F.sum("__t").cast("double").alias("__d"))
+    # --- bounded-state fold (r8) -------------------------------------
+    # The corpus-scale work above aggregated matches down to the
+    # players^2-bounded (adj, players) matrices. The r7 shape then ran
+    # the MM loop as `iterations` chained join+agg stages with an eager
+    # localCheckpoint + 3 broadcasts per step — 33 driver-scheduled
+    # jobs whose scheduling overhead (~0.09 s each, measured) WAS the
+    # query's wall time (profiled r8: fit 3.0 s / 33 jobs at sf0.1).
+    # Since the fit state is players-bounded BY CONTRACT (rated
+    # entities: sources / models / annotators — thousands at most,
+    # docstring above), fold both matrices into ONE row and run every
+    # MM iteration as JVM higher-order-function expressions: one job,
+    # zero shuffles in the loop. The arithmetic is IDENTICAL
+    # (round(double, 8) per term, exact DECIMAL accumulation — decimal
+    # addition is associative, so aggregate() matches SUM()), which
+    # keeps the unrolled SQL oracles byte-identical. At the contract
+    # ceiling (1000 players, ~1e6 adjacency entries) the folded row is
+    # a few tens of MB and each iteration is ~1e6 fused multiply-adds
+    # in one task — far cheaper than 33 cluster-wide job launches.
+    adj_rows = adj.groupBy("i").agg(
+        F.array_sort(F.collect_list(F.struct("j", "n_ij"))).alias("al")
+    )
+    arow = adj_rows.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("i", "al")))
+        ).alias("adjm")
+    )
+    prow = players.agg(
+        F.array_sort(F.collect_list(F.struct("p", "w", "m"))).alias("ps")
+    )
+    row = prow.crossJoin(F.broadcast(arow))
+    ps = F.col("ps")
+    row = row.withColumn(
+        "rmap",
+        F.map_from_entries(
+            F.transform(ps, lambda pl: F.struct(pl["p"], F.lit(1.0)))
+        ),
+    )
+    zero = F.lit(0).cast("decimal(28,8)")
+    for t in range(iterations):
+        rmap = F.col("rmap")
+        # per player: DECIMAL-summed denominator (NULL when the player
+        # has no opponents — element_at misses -> aggregate(NULL) is
+        # NULL, matching the r7 left-join semantics) + previous rating
+        row = row.withColumn(
+            "it",
+            F.transform(
+                ps,
+                lambda pl: F.struct(
+                    pl["p"].alias("p"),
+                    pl["w"].alias("w"),
+                    F.aggregate(
+                        F.element_at(F.col("adjm"), pl["p"]),
+                        zero,
+                        lambda acc, a: (
+                            acc
+                            + F.round(
+                                a["n_ij"].cast("double")
+                                / (
+                                    F.element_at(rmap, pl["p"])
+                                    + F.element_at(rmap, a["j"])
+                                ),
+                                8,
+                            ).cast("decimal(18,8)")
+                        ).cast("decimal(28,8)"),
+                    )
+                    .cast("double")
+                    .alias("d"),
+                    F.element_at(rmap, pl["p"]).alias("prev"),
+                ),
+            ),
         )
         # zero/NULL denominator (an isolated player, or an undefeated
         # player whose per-opponent terms all rounded to 0 as its
         # rating grew): carry the PREVIOUS rating forward — resetting
         # to the 1.0 init would snap a monotonically growing rating
         # back down, a discontinuity mid-fit.
-        prev = ratings.select("p", F.col("s").alias("__prev"))
-        ratings = (
-            players.join(denom, players["p"] == denom["i"], "left")
-            .join(F.broadcast(prev), "p")
-            .select(
-                "p",
-                F.when(
-                    F.col("__d").isNotNull() & (F.col("__d") > 0),
-                    F.round(F.col("w").cast("double") / F.col("__d"), 8),
+        row = row.withColumn(
+            "rmap",
+            F.map_from_entries(
+                F.transform(
+                    F.col("it"),
+                    lambda x: F.struct(
+                        x["p"],
+                        F.when(
+                            x["d"].isNotNull() & (x["d"] > 0),
+                            F.round(x["w"].cast("double") / x["d"], 8),
+                        ).otherwise(x["prev"]),
+                    ),
                 )
-                .otherwise(F.col("__prev"))
-                .alias("s"),
-            )
+            ),
         )
-    return players.join(ratings, "p").select(
-        F.col("p").alias("player"),
-        F.round(F.col("s"), 6).alias("rating"),
-        F.col("w").alias("wins"),
-        F.col("m").alias("matches"),
+    rmap = F.col("rmap")
+    out = row.select(
+        F.explode(
+            F.transform(
+                ps,
+                lambda pl: F.struct(
+                    pl["p"].alias("player"),
+                    F.round(F.element_at(rmap, pl["p"]), 6).alias("rating"),
+                    pl["w"].alias("wins"),
+                    pl["m"].alias("matches"),
+                ),
+            )
+        ).alias("r")
     )
+    return out.select("r.player", "r.rating", "r.wins", "r.matches")

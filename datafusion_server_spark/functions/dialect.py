@@ -474,12 +474,14 @@ def rewrite_offset_groups(sql: str) -> str:
     qualified_stars = {
         it.strip()[:-2] for it in items if it.strip().endswith(".*")
     }
+    # sole-relation names, captured pre-splice: used to validate t.*
+    # AND (r8, ADVICE) to strip outer-query qualifiers after the wrap
+    rel, rel_alias = _sole_from_relation(masked, frm)
+    sole_names = {n for n in (rel, rel_alias) if n}
+    if rel and "." in rel:
+        sole_names.add(rel.rsplit(".", 1)[-1])
     if qualified_stars:
-        rel, rel_alias = _sole_from_relation(masked, frm)
-        names = {n for n in (rel, rel_alias) if n}
-        if rel and "." in rel:
-            names.add(rel.rsplit(".", 1)[-1])
-        if not names or any(q not in names for q in qualified_stars):
+        if not sole_names or any(q not in sole_names for q in qualified_stars):
             return sql  # multi-relation or mismatched qualifier: hidden name
         has_bare_star = True  # each t.* expands exactly like *
 
@@ -593,8 +595,27 @@ def rewrite_offset_groups(sql: str) -> str:
         f" AS {alias}"
         for (p, o), alias in specs.items()
     )
+    # r8 (ADVICE): the wrap hides every FROM alias behind
+    # __groups_rewrite, so a qualified reference spliced into the OUTER
+    # regions (select list incl. rewritten window specs, ORDER BY /
+    # LIMIT tail) would fail analysis. For the sole relation q.col ==
+    # col — strip the qualifier there; the derived table's SELECT *
+    # exposes the same columns unqualified. Any dotted reference that
+    # survives (multi-relation alias, struct field of a hidden alias)
+    # is rejected back to the caller's clear UnsupportedDialectFeature
+    # instead of emitting SQL that cannot resolve.
+    outer_head, outer_tail = masked[:frm], tail
+    for q in sorted(sole_names):
+        qpat = re.compile(rf"\b{re.escape(q)}\s*\.\s*(?=[A-Za-z_*\"`])")
+        outer_head = qpat.sub("", outer_head)
+        outer_tail = qpat.sub("", outer_tail)
+    if re.search(
+        r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_*]", f"{outer_head} {outer_tail}"
+    ):
+        return sql
     rewritten = (
-        f"{masked[:frm]}FROM (SELECT *, {rank_cols} {body}) __groups_rewrite {tail}"
+        f"{outer_head}FROM (SELECT *, {rank_cols} {body}) __groups_rewrite "
+        f"{outer_tail}"
     )
     if has_bare_star:
         # a bare * in the outer projection would also emit the injected

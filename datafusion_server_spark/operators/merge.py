@@ -193,15 +193,23 @@ def apply_changeset(
     AQE picks the shuffle join) — no windows, no driver state."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     data_cols = [c for c in base.columns if c not in keys]
+    # row-existence markers (r8, ADVICE): testing keys[0].isNotNull()
+    # after the full-outer join would classify a NULL-keyed base row as
+    # "no base row" and silently drop it; a literal marker column is
+    # NULL exactly when the join found no row on that side, regardless
+    # of key nullability. (NULL-keyed rows never MATCH — SQL equality —
+    # so a NULL-keyed base row keeps, and a NULL-keyed 'I' inserts.)
+    b = base.withColumn("__has_base", F.lit(1))
     ch = changes.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
         *[F.col(c).alias(f"__c_{c}") for c in data_cols],
         F.col(op_col).alias("__op"),
+        F.lit(1).alias("__has_change"),
     )
-    cond = [base[k] == ch[f"__k_{k}"] for k in keys]
-    j = base.join(ch, cond, "full_outer")
-    has_base = F.col(keys[0]).isNotNull()
-    has_change = F.col(f"__k_{keys[0]}").isNotNull()
+    cond = [b[k] == ch[f"__k_{k}"] for k in keys]
+    j = b.join(ch, cond, "full_outer")
+    has_base = F.col("__has_base").isNotNull()
+    has_change = F.col("__has_change").isNotNull()
     out = j.filter(
         # drop matched deletes and dangling U/D (no base row)
         ~(has_change & (F.col("__op") == "D"))
@@ -259,9 +267,13 @@ def scd2_apply(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
         *[F.col(a).alias(f"__c_{a}") for a in attrs],
     )
+    # same literal-marker existence test as apply_changeset (r8 ADVICE:
+    # key-null-safe on both sides of the full-outer join)
+    cur = cur.withColumn("__has_base", F.lit(1))
+    ch = ch.withColumn("__has_change", F.lit(1))
     j = cur.join(ch, [cur[k] == ch[f"__k_{k}"] for k in keys], "full_outer")
-    has_base = F.col(keys[0]).isNotNull()
-    has_change = F.col(f"__k_{keys[0]}").isNotNull()
+    has_base = F.col("__has_base").isNotNull()
+    has_change = F.col("__has_change").isNotNull()
     differs = F.lit(False)
     for a in attrs:
         differs = differs | ~F.col(a).eqNullSafe(F.col(f"__c_{a}"))

@@ -402,6 +402,9 @@ def mmr_select(
                 "id",
                 "rel",
                 (
+                    # oracles must mirror this EXACT float expression
+                    # (1.0 - 0.7 != 0.3 by one ulp — a reachable
+                    # tie-break divergence on the 1e-6-grid scores)
                     F.lit(lam) * F.col("rel")
                     - F.lit(1.0 - lam) * F.col("pen")
                 ).alias("__score"),

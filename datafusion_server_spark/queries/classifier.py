@@ -335,10 +335,16 @@ FROM cum
 def eval_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-free ranking quality of the NB margin (score1-score0):
     exact tie-aware Mann-Whitney AUC. The distinct-margin aggregation
-    comes first, so the ordering window runs over a table bounded by
-    the number of distinct 6-decimal margins — never a per-row global
-    sort."""
-    from pyspark.sql import Window
+    comes first, and the cumulative-negatives prefix over the distinct
+    margins runs as ``scale.distributed_cumsum`` (r8): margins are
+    6-decimal NB log-prob differences, so while far smaller than the
+    corpus, the distinct-margin table still scales with corpus
+    diversity — a one-task ``Window.orderBy`` over it would be the
+    funnel the plan audit hunts. The two-level range-partitioned
+    running sum keeps the only unpartitioned window at #partitions
+    rows; n_neg is BIGINT so the split accumulation is order-free
+    exact, and m is unique after the groupBy (a total order)."""
+    from datafusion_server_spark.operators import scale
 
     docs = tables.load(spark, sf_dir, "documents")
     labels = docs.select(
@@ -354,11 +360,10 @@ def eval_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("y") == 1.0).cast("bigint")).cast("bigint").alias("n_pos"),
         F.sum((F.col("y") == 0.0).cast("bigint")).cast("bigint").alias("n_neg"),
     )
-    w = Window.orderBy(F.asc("m")).rowsBetween(Window.unboundedPreceding, 0)
-    cum = per.select(
+    cum = scale.distributed_cumsum(per, ["m"], "n_neg", cumsum_col="__cum").select(
         "n_pos",
         "n_neg",
-        (F.sum("n_neg").over(w) - F.col("n_neg")).cast("bigint").alias("neg_below"),
+        (F.col("__cum") - F.col("n_neg")).cast("bigint").alias("neg_below"),
     )
     return cum.agg(
         F.sum("n_pos").cast("bigint").alias("n_pos"),

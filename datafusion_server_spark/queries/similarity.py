@@ -787,7 +787,8 @@ sel{t} AS MATERIALIZED (
   SELECT sh.id, sh.rel, CAST({t} AS BIGINT) AS pick_order
   FROM short sh JOIN pen{t} pn ON pn.id = sh.id
   WHERE sh.id NOT IN (SELECT id FROM su{t-1})
-  ORDER BY (CAST(0.7 AS DOUBLE) * sh.rel - CAST(0.3 AS DOUBLE) * pn.pen) DESC, sh.id
+  ORDER BY (CAST(0.7 AS DOUBLE) * sh.rel
+            - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * pn.pen) DESC, sh.id
   LIMIT 1),
 su{t} AS MATERIALIZED (SELECT id FROM su{t-1} UNION ALL SELECT id FROM sel{t})""")
     union = " UNION ALL ".join(f"SELECT * FROM sel{t}" for t in range(1, _MMR_K + 1))

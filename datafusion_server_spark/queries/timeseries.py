@@ -1148,7 +1148,11 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = distributed_rank(r1, [F.desc("freq"), F.asc("user_id")], "rf")
     r3 = distributed_rank(r2, [F.desc("mon"), F.asc("user_id")], "rm")
     n = u.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-    band = lambda c: ((5 * F.col(c) + F.col("__n") - 1) / F.col("__n")).cast("bigint")  # noqa: E731
+    # pure BIGINT ceil-division (r8, ADVICE): `x DIV y` truncates in
+    # integer arithmetic exactly like the oracle's `//` — no round-trip
+    # through double, whose quotient could in principle round across an
+    # integer boundary at large n
+    band = lambda c: F.expr(f"(5 * {c} + __n - 1) DIV __n").cast("bigint")  # noqa: E731
     return r3.crossJoin(F.broadcast(n)).select(
         "user_id",
         "last_ts",

@@ -37,7 +37,16 @@ def cdc_upsert_stream(
     merge_apply_changeset synthesis) into the orders snapshot, with
     the changeset arriving as a STREAM. Returns the final snapshot
     (o_orderkey, o_totalprice DOUBLE, o_orderstatus)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # session conf is saved/restored around the whole run (r8, ADVICE):
+    # the nanos flag is needed for BOTH the static read here and the
+    # streaming source's micro-batch reads, but must not leak into the
+    # caller's session afterwards
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev_nanos = spark.conf.get(conf_key)
+    except Exception:
+        prev_nanos = None
+    spark.conf.set(conf_key, "true")
     static = spark.read.parquet(orders_path)
     base = static.select("o_orderkey", "o_totalprice", "o_orderstatus")
     parent, _, fname = orders_path.rpartition("/")
@@ -85,9 +94,20 @@ def cdc_upsert_stream(
         .start()
     )
     try:
-        query.awaitTermination(timeout_s)
+        # awaitTermination returns False on timeout: the availableNow
+        # drain did NOT finish, so the folded snapshot would be a
+        # silently partial result — raise instead (r8, ADVICE)
+        if not query.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"cdc_upsert_stream: availableNow drain still running "
+                f"after {timeout_s}s; partial snapshot discarded"
+            )
     finally:
         query.stop()
+        if prev_nanos is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_nanos)
     return state["snap"].select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),

@@ -219,6 +219,45 @@ def test_offset_groups_qualified_star_sole_relation_rewrites():
         )
 
 
+def test_offset_groups_outer_qualified_refs(spark):
+    """r8 (ADVICE): accepting a sole-relation qualifier must not leave
+    OTHER qualified references (select items, window specs, ORDER BY
+    tail) pointing at the alias the derived table hides — those strip
+    to bare column names (q.col == col for the sole relation); a
+    multi-relation qualified column reference rejects instead of
+    emitting unresolvable SQL."""
+    import pytest
+
+    from datafusion_server_spark.functions.dialect import (
+        UnsupportedDialectFeature,
+        rewrite_offset_groups,
+        transpile,
+    )
+
+    out = rewrite_offset_groups(
+        "SELECT o.*, o.v AS vv, SUM(o.v) OVER (PARTITION BY o.g ORDER BY o.d "
+        "GROUPS 1 PRECEDING) AS s FROM orders o ORDER BY o.d, o.v"
+    )
+    assert "__groups_rewrite" in out
+    # every outer region is qualifier-free; the inner body keeps `o`
+    head, _, rest = out.partition("FROM (")
+    inner, _, tail = rest.partition(") __groups_rewrite")
+    assert "o." not in head and "o." not in tail
+    # the emitted SQL must actually analyze + execute on Spark
+    spark.range(4).selectExpr(
+        "id AS v", "id % 2 AS g", "id AS d"
+    ).createOrReplaceTempView("orders")
+    rows = spark.sql(out).collect()
+    assert len(rows) == 4 and {r["vv"] for r in rows} == {0, 1, 2, 3}
+    # multi-relation qualified COLUMN ref (no star): clear reject, not
+    # broken SQL
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT a.v, SUM(v) OVER (ORDER BY d GROUPS 1 PRECEDING) AS s "
+            "FROM a JOIN b ON a.k = b.k"
+        )
+
+
 def test_offset_groups_exclude_rewrites_and_rejections():
     """r7: EXCLUDE CURRENT ROW/GROUP/TIES on SUM/COUNT/AVG rewrites to
     frame-minus-excluded arithmetic; EXCLUDE over a frame that never

@@ -87,3 +87,29 @@ def test_scd2_change_closes_and_reopens_then_stabilizes(spark):
     # re-applying the SAME changeset later creates no new versions
     later = scd2_apply(once, ch, "k", change_ts=datetime.date(2001, 1, 1))
     assert later.count() == 4
+
+
+def test_changeset_null_keyed_base_row_survives(spark):
+    """r8 (ADVICE): a base row whose key is NULL never matches a change
+    row (SQL equality), so it must pass through as 'keep' — the old
+    keys[0].isNotNull() existence test silently deleted it."""
+    base = spark.createDataFrame(
+        [(None, "orphan"), (1, "a")], "k long, v string"
+    )
+    ch = spark.createDataFrame([(1, "A", "U")], "k long, v string, op string")
+    out = {(r["k"], r["v"], r["change_type"]) for r in
+           apply_changeset(base, ch, "k").collect()}
+    assert out == {(None, "orphan", "keep"), (1, "A", "update")}
+
+
+def test_scd2_null_keyed_current_row_survives(spark):
+    hist = spark.createDataFrame(
+        [(None, "orphan", datetime.date(1990, 1, 1), None),
+         (1, "x", datetime.date(1990, 1, 1), None)],
+        "k long, attr string, valid_from date, valid_to date",
+    )
+    ch = spark.createDataFrame([(1, "CHANGED")], "k long, attr string")
+    out = scd2_apply(hist, ch, "k", change_ts=datetime.date(2000, 6, 1))
+    rows = out.collect()
+    assert len(rows) == 3  # orphan kept + k=1 closed + k=1 new
+    assert any(r["k"] is None and r["valid_to"] is None for r in rows)

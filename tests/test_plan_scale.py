@@ -104,6 +104,8 @@ _REWRITTEN = [
     "prune_ccnet_perplexity_band",  # within-lang rank via distributed_rank
     "sample_greedy_quality_budget",  # corpus cumsum via distributed_cumsum
     "events_rfm_segmentation",  # three per-user quintile ranks via distributed_rank
+    # r8: cumulative negatives over distinct margins -> distributed_cumsum
+    "eval_nb_auc",
 ]
 
 

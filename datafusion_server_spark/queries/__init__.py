@@ -150,9 +150,10 @@ PRIORITY: tuple[str, ...] = (
     "unigram_vocab_em",
     "dedup_lsh_pairs",
     # (dedup_simhash rotated OUT round 7 for the MinHash estimate-vs-
-    # exact calibration row — the simhash surface stays oracle-verified
-    # in pytest; the banded-LSH surface keeps dedup_lsh_pairs/clusters)
-    "dedup_minhash_estimate_calibration",
+    # exact calibration row; dedup_minhash_estimate_calibration rotated
+    # OUT round 8 — driver-green r7, stays oracle-verified in pytest —
+    # for the content-defined-chunking dedup row)
+    "dedup_cdc_chunks",
     "dedup_clusters",
     "dedup_semantic_semdedup",
     # LLM-pipeline: similarity family (incl. the scale-parameterized
@@ -162,10 +163,11 @@ PRIORITY: tuple[str, ...] = (
     "knn_bruteforce_cosine",
     "ann_lsh_scaled",
     "ann_ivf_cosine",
-    # (ann_sq8_cosine rotated OUT round 6 for the sharded-packing row:
-    # the quantized-search surface stays in-window via ann_pq_cosine and
-    # the SQ8 row remains oracle-verified in pytest)
-    "ann_pq_cosine",
+    # (ann_sq8_cosine rotated OUT round 6 for the sharded-packing row;
+    # ann_pq_cosine rotated OUT round 8 — driver-green r7, quantized
+    # search stays oracle-verified in pytest — for the MMR
+    # diversity-aware selection row, round 7's greedy rerank family)
+    "similarity_mmr_select",
     # (embedding_near_duplicates rotated OUT round 6 for the Bradley-Terry
     # preference-rating row — the embedding near-dup surface stays in-window
     # via dedup_semantic_semdedup and the row stays oracle-verified in pytest)
@@ -177,11 +179,15 @@ PRIORITY: tuple[str, ...] = (
     # text_token_stats rotated OUT — counting surface covered by
     # quality_score/gopher, still oracle-verified in pytest)
     "text_quality_score",
-    "text_tfidf_topk",
+    # (text_tfidf_topk rotated OUT round 8 — driver-green since r4,
+    # stays oracle-verified in pytest — for the CCNet perplexity-band
+    # pruning row, round 7's per-language distributed_rank shape)
+    "prune_ccnet_perplexity_band",
     # (text_lm_cross_entropy rotated OUT round 7 for the pass@k eval
-    # row — the LM-scoring surface stays oracle-verified in pytest and
-    # in-window via gopher/quality/tfidf)
-    "eval_pass_at_k",
+    # row; eval_pass_at_k rotated OUT round 8 — driver-green r7, stays
+    # oracle-verified in pytest — for the Krippendorff-alpha
+    # inter-annotator agreement row, round 7's eval/audit family)
+    "eval_krippendorff_alpha",
     # (text_fuzzy_match_pairs rotated OUT round 6 for the SFT chat row —
     # fuzzy matching stays oracle-verified in pytest)
     "chat_prompt_response_pairs",
@@ -194,14 +200,16 @@ PRIORITY: tuple[str, ...] = (
     # exercised inside pipeline_curation_end2end)
     "sample_dsir_topk",
     "doremi_domain_weights",
-    # (sample_token_waterfill rotated OUT round 7 — driver-green r6,
-    # stays oracle-verified in pytest — for the Neyman optimal-
-    # allocation row: the sampling family keeps DSIR + Neyman)
-    "sample_neyman_allocation",
-    # merge processors (reference A14/A15; merge_processor_row rotated
-    # OUT round 6 for the token-waterfill row — row-merge semantics stay
-    # oracle-verified in pytest and run inside the e2e merge tests)
-    "merge_processor_column",
+    # (sample_token_waterfill rotated OUT round 7, Neyman allocation
+    # rotated OUT round 8 — both driver-green when seated, both still
+    # oracle-verified in pytest — for the greedy quality-budget pick,
+    # round 7's distributed_cumsum selection shape)
+    "sample_greedy_quality_budget",
+    # merge family (reference A14/A15 processors both rotated OUT by
+    # r6/r8 — column/row-merge semantics stay oracle-verified in pytest
+    # and run inside the e2e merge tests; round 8 seats the lakehouse
+    # CDC changeset apply, round 7's merge-family extension)
+    "merge_apply_changeset",
     # streaming (beyond-reference; + round-3 native session_window;
     # sliding rotated OUT late round 4 for the curation pipeline —
     # tumbling covers the windowed-agg family, sliding stays
@@ -224,7 +232,10 @@ PRIORITY: tuple[str, ...] = (
     # interval-join semantics stay pytest-green — and the new graph
     # family takes a window row via the all-integer PageRank)
     "asof_join_last_click",
-    "timeseries_anomaly_zscore",
+    # (timeseries_anomaly_zscore rotated OUT round 8 — driver-green
+    # r5-r7, stays oracle-verified in pytest — for the RFM quintile
+    # segmentation row, round 7's three-pass distributed_rank shape)
+    "events_rfm_segmentation",
     "hypertable_rollup",
     # (timeseries_gapfill_locf rotated OUT round 5 for the web-ingest
     # capstone — the gapfill surface stays oracle-verified in pytest)

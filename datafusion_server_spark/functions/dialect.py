@@ -352,6 +352,231 @@ def _frame_contains_current(frame_norm: str) -> bool:
     return True
 
 
+# identifiers allowed in a window item's RESIDUAL text (the wrapper
+# around the rewritten window calls): scalar shells + cast type names.
+# Anything else (a bare column, another aggregate) would land in the
+# post-aggregation outer query where it cannot resolve — reject.
+_WRAPPER_IDENTS = {
+    "ROUND", "CAST", "TRY_CAST", "COALESCE", "ABS", "NULLIF", "AS",
+    "DOUBLE", "FLOAT", "REAL", "BIGINT", "INT", "INTEGER", "SMALLINT",
+    "DECIMAL", "NUMERIC", "STRING", "VARCHAR", "AND", "OR", "NOT",
+    "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "IS",
+}
+
+
+def _rebind_groups_windows_in_item(it: str, bind) -> tuple[str, str | None, bool]:
+    """Rewrite every ``AGG(arg) OVER (GROUPS-spec)`` inside one select
+    item in place, binding arg / partition / order expressions through
+    ``bind`` (which projects them into the aggregated derived table).
+    Returns (new_item, trailing_alias, ok)."""
+    spans = []  # (agg_start, over_close, replacement)
+    for kw, op, cl in _over_spans(it):
+        spec = it[op + 1 : cl].strip()
+        if not _GROUPS_FRAME.search(spec):
+            return it, None, False  # mixed non-GROUPS window: out of scope
+        sm = _OFFSET_GROUPS_SPEC.match(spec)
+        if not sm:
+            return it, None, False
+        h = _HEAD_SPLIT.match(sm.group("head"))
+        if not h:
+            return it, None, False
+        # walk back from OVER to the aggregate call FN( ... )
+        j = kw - 1
+        while j >= 0 and it[j].isspace():
+            j -= 1
+        if j < 0 or it[j] != ")":
+            return it, None, False
+        depth, i2 = 1, j - 1
+        while i2 >= 0 and depth:
+            if it[i2] == ")":
+                depth += 1
+            elif it[i2] == "(":
+                depth -= 1
+            i2 -= 1
+        if depth:
+            return it, None, False
+        open_idx = i2 + 1
+        m_fn = re.search(r"([A-Za-z_]\w*)\s*$", it[:open_idx])
+        if not m_fn:
+            return it, None, False
+        fn, agg_start = m_fn.group(1), m_fn.start(1)
+        arg = it[open_idx + 1 : j].strip()
+        if re.match(r"\s*DISTINCT\b", arg, re.IGNORECASE):
+            return it, None, False
+        warg = "*" if arg == "*" else bind(arg)
+        clauses = []
+        if h.group("part"):
+            clauses.append(
+                "PARTITION BY "
+                + ", ".join(bind(p) for p in _split_depth0_commas(h.group("part")))
+            )
+        ocols = []
+        for o in _split_depth0_commas(h.group("ord")):
+            mdir = _ORDER_DIR_TAIL.search(o)
+            dirtxt = " " + mdir.group(0).strip() if mdir else ""
+            ocols.append(bind(o[: mdir.start()] if mdir else o) + dirtxt)
+        clauses.append("ORDER BY " + ", ".join(ocols))
+        frame = f"GROUPS {sm.group('frame')}"
+        if sm.group("excl"):
+            frame += f" {sm.group('excl')}"
+        spans.append(
+            (agg_start, cl, f"{fn}({warg}) OVER ({' '.join(clauses)} {frame})")
+        )
+    if not spans:
+        return it, None, False
+    residual = it
+    for start, end, _ in sorted(spans, reverse=True):
+        residual = residual[:start] + residual[end + 1 :]
+    alias = None
+    m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", residual, re.IGNORECASE)
+    if m_as:
+        alias = m_as.group(1)
+        residual_body = residual[: m_as.start()]
+    else:
+        residual_body = residual
+    for ident in re.findall(r"[A-Za-z_]\w*", residual_body):
+        if ident.upper() not in _WRAPPER_IDENTS:
+            return it, None, False  # non-wrapper reference would dangle
+    out = it
+    for start, end, text in sorted(spans, reverse=True):
+        out = out[:start] + text + out[end + 1 :]
+    return out, alias, True
+
+
+_AGGREGATE_FNS = {
+    "SUM", "COUNT", "AVG", "MIN", "MAX", "MEDIAN", "ANY_VALUE",
+    "STDDEV", "STDDEV_POP", "STDDEV_SAMP", "VARIANCE", "VAR_POP",
+    "VAR_SAMP", "STRING_AGG", "ARRAY_AGG", "BOOL_AND", "BOOL_OR",
+    "BIT_AND", "BIT_OR", "BIT_XOR", "FIRST", "LAST", "COUNT_IF",
+    "PERCENTILE", "PERCENTILE_APPROX", "APPROX_COUNT_DISTINCT",
+}
+
+_ORDER_DIR_TAIL = re.compile(
+    r"\s+(ASC|DESC)\b(\s+NULLS\s+(FIRST|LAST)\b)?\s*$|\s+NULLS\s+(FIRST|LAST)\b\s*$",
+    re.IGNORECASE,
+)
+
+
+def rewrite_groups_over_groupby(sql: str) -> str:
+    """r8 (verdict task 4): offset/EXCLUDE GROUPS frames in a query with
+    a TOP-LEVEL GROUP BY [HAVING]. ``rewrite_offset_groups`` cannot fire
+    there (its dense rank must be computed post-aggregation, but its
+    derived table wraps the pre-aggregation body), so this pre-pass
+    moves the AGGREGATION into a derived table first:
+
+        SELECT g, SUM(SUM(v)) OVER (ORDER BY g GROUPS 1 PRECEDING)
+        FROM t GROUP BY g [HAVING ...]
+    ->  SELECT g, SUM(__agg_w1) OVER (ORDER BY __agg_o2 GROUPS 1 ...)
+        FROM (SELECT g AS g, SUM(v) AS __agg_w1, g AS __agg_o2
+              FROM t GROUP BY g [HAVING ...]) __agg_groups
+
+    after which the ordinary offset-GROUPS rewrite applies to the (now
+    unaggregated) outer query. Mechanical scope — anything outside it
+    returns ``sql`` unchanged and rejects downstream with the clear
+    UnsupportedDialectFeature: single SELECT, no DISTINCT/set ops, each
+    select item either `expr AS alias` / a bare column / exactly one
+    ``FN(arg) OVER (GROUPS-spec)`` call, and a trailing ORDER BY only
+    over output aliases."""
+    masked, lits = _protect_strings(sql)
+    if not _GROUPS_FRAME.search(masked):
+        return sql
+    sel = _depth0_find(masked, r"SELECT\b")
+    if sel == -1 or _depth0_find(masked, r"SELECT\b", sel + 6) != -1:
+        return sql
+    frm = _depth0_find(masked, r"FROM\b", sel)
+    gby = _depth0_find(masked, r"GROUP\s+BY\b", sel)
+    if frm == -1 or gby == -1:
+        return sql
+    for bad in (r"\bUNION\b", r"\bINTERSECT\b", r"\bEXCEPT\b",
+                r"SELECT\s+DISTINCT\b"):
+        if _depth0_find(masked, bad, sel) != -1:
+            return sql
+    tail_at = _depth0_find(masked, r"(ORDER\s+BY|LIMIT|OFFSET)\b", gby)
+    body_end = tail_at if tail_at != -1 else len(masked)
+    agg_body = masked[frm:body_end].rstrip().rstrip(";")
+    tail = masked[body_end:] if tail_at != -1 else ""
+    # group-key expressions (normalized): every expression this pass
+    # moves into the aggregated derived table must be aggregation-level
+    # — a group key verbatim or an aggregate call — or the input was
+    # invalid/out-of-scope and must keep the clear downstream reject
+    # rather than emit inner SQL that cannot analyze
+    hav = _depth0_find(masked, r"\bHAVING\b", gby)
+    key_end = hav if hav != -1 and hav < body_end else body_end
+    gby_keys = set()
+    for k in _split_depth0_commas(masked[gby + 8 : key_end]):
+        k = re.sub(r"\s+", " ", k.strip())
+        if re.fullmatch(r"\d+", k):
+            return sql  # GROUP BY ordinal: out of mechanical scope
+        gby_keys.add(k.lower())
+
+    def _agg_level(expr: str) -> bool:
+        e = re.sub(r"\s+", " ", expr.strip())
+        if e.lower() in gby_keys:
+            return True
+        m_call = re.match(r"^([A-Za-z_]\w*)\s*\(.*\)$", e, re.DOTALL)
+        return bool(m_call) and m_call.group(1).upper() in _AGGREGATE_FNS
+
+    inner_items: list[str] = []
+    outer_items: list[str] = []
+    out_names: set[str] = set()
+    seen: dict[str, str] = {}
+    bad_binding = False
+
+    def bind(expr: str) -> str:
+        nonlocal bad_binding
+        if not _agg_level(expr):
+            bad_binding = True
+        key = re.sub(r"\s+", " ", expr.strip())
+        if key not in seen:
+            seen[key] = f"__agg_c{len(seen) + 1}"
+            inner_items.append(f"{key} AS {seen[key]}")
+        return seen[key]
+
+    any_window = False
+    for raw in _split_depth0_commas(masked[sel + 6 : frm]):
+        it = raw.strip()
+        if not _GROUPS_FRAME.search(it):
+            m_as = re.match(
+                r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", it, re.IGNORECASE | re.DOTALL
+            )
+            if m_as:
+                expr, alias = m_as.group(1).strip(), m_as.group(2)
+            elif re.fullmatch(r"[A-Za-z_]\w*", it):
+                expr = alias = it
+            else:
+                return sql
+            inner_items.append(f"{expr} AS {alias}")
+            outer_items.append(alias)
+            out_names.add(alias.lower())
+            continue
+        new_it, alias, ok = _rebind_groups_windows_in_item(it, bind)
+        if not ok:
+            return sql
+        outer_items.append(new_it)
+        if alias:
+            out_names.add(alias.lower())
+        any_window = True
+    if not any_window or bad_binding:
+        return sql
+    mt = re.match(
+        r"^\s*ORDER\s+BY\s+(.*?)\s*(\bLIMIT\b.*|\bOFFSET\b.*)?$",
+        tail,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mt and mt.group(1):
+        for o in _split_depth0_commas(mt.group(1)):
+            mdir = _ORDER_DIR_TAIL.search(o)
+            name = (o[: mdir.start()] if mdir else o).strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*", name) or name.lower() not in out_names:
+                return sql  # tail references a non-output expression
+    inner_sql = f"SELECT {', '.join(inner_items)} {agg_body}"
+    rewritten = (
+        f"{masked[:sel]}SELECT {', '.join(outer_items)} "
+        f"FROM ({inner_sql}) __agg_groups {tail}"
+    )
+    return _restore_strings(rewritten, lits)
+
+
 def rewrite_offset_groups(sql: str) -> str:
     """Rewrite offset GROUPS frames to dense-rank-keyed RANGE frames.
     Set-operation statements rewrite branch-by-branch; a bare ``*``
@@ -651,18 +876,22 @@ def check_unsupported(sql: str) -> None:
             "unbounded/current-row GROUPS frames become RANGE, offset GROUPS "
             "frames become dense-rank-keyed RANGE frames in a derived "
             "subquery (incl. SELECT *, DISTINCT, set-operation branches, "
-            "sole-relation qualified t.* — r7, and EXCLUDE CURRENT ROW/"
+            "sole-relation qualified t.* — r7, EXCLUDE CURRENT ROW/"
             "GROUP/TIES on SUM/COUNT/AVG via frame-minus-excluded "
-            "arithmetic — r7), but top-level GROUP BY/HAVING, "
-            "multi-relation qualified t.*, parenthesized set-op branches, "
-            "and EXCLUDE on non-subtractable aggregates (MIN/MAX/...) "
-            "stay unsupported — use RANGE or ROWS frames there"
+            "arithmetic — r7, and top-level GROUP BY/HAVING via an "
+            "aggregation-hoisting pre-pass — r8), but multi-relation "
+            "qualified t.*/column refs, parenthesized set-op branches, "
+            "EXCLUDE on non-subtractable aggregates (MIN/MAX/...), "
+            "GROUP BY ordinals, and window args that are neither group "
+            "keys nor aggregate calls stay unsupported — use RANGE or "
+            "ROWS frames there"
         )
 
 
 def transpile(sql: str) -> str:
     """Full DataFusion->Spark pre-pass applied before ``spark.sql``."""
     out = rewrite_groups_frames(sql)
+    out = rewrite_groups_over_groupby(out)
     out = rewrite_offset_groups(out)
     check_unsupported(out)
     out = rewrite_date_bin(out)

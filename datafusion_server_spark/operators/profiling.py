@@ -456,6 +456,7 @@ def ks_statistic_binned(
             F.coalesce(F.col("cb"), F.lit(0)).cast("bigint").alias("cb"),
         )
     )
+    # bounded window: cumulative over the fixed `bins`-row grid
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     tot = joined.agg(
         F.sum("ca").cast("bigint").alias("__na"), F.sum("cb").cast("bigint").alias("__nb")

@@ -599,6 +599,7 @@ def token_budget_waterfill(
     agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.sum(tokens_col.cast("bigint")).alias("avail")
     )
+    # bounded window: runs over the strata-count-bounded aggregate
     wo = Window.orderBy(F.asc("avail"), F.asc("stratum"))
     wall = Window.partitionBy()
     base = agg.select(
@@ -708,6 +709,7 @@ def unimax_allocation(
         F.expr(f"(avail * {int(epochs_num)}) div {int(epochs_den)}").alias("cap"),
         F.sum("avail").over(wall).alias("total_true"),
     )
+    # bounded window: runs over the strata-count-bounded aggregate
     wo = Window.orderBy(F.asc("cap"), F.asc("stratum"))
     base = capped.select(
         "stratum",

@@ -474,3 +474,54 @@ def window_groups_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tables.register_views(spark, sf_dir)
     return spark.sql(transpile(_GROUPS_EXCLUDE_SQL))
+
+
+# r8: the last cheap offset-GROUPS residual — a GROUPS frame in a query
+# with a TOP-LEVEL GROUP BY / HAVING. The dialect pre-pass
+# (rewrite_groups_over_groupby) moves the aggregation into a derived
+# table (group keys + window-consumed aggregates projected under bound
+# aliases), after which the ordinary dense-rank rewrite applies. The
+# oracle derives the GROUPS-over-aggregate semantics independently via
+# a rank self-join over the aggregated table (DuckDB has no GROUPS
+# mode), so agreement proves the two-stage rewrite end to end.
+_GROUPS_GROUPBY_SQL = f"""
+    SELECT o_orderstatus, o_orderdate,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(SUM(CAST(o_totalprice AS {D18}))) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS rolling
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus, o_orderdate
+    HAVING COUNT(*) >= 1
+"""
+
+_GROUPS_GROUPBY_ORACLE = f"""
+    WITH g AS (
+      SELECT o_orderstatus, o_orderdate,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS {D18})) AS grp_sum,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate) AS rk
+      FROM orders WHERE o_orderkey < 2000
+      GROUP BY o_orderstatus, o_orderdate
+      HAVING COUNT(*) >= 1
+    )
+    SELECT a.o_orderstatus, a.o_orderdate, a.n_orders,
+           ROUND(CAST(SUM(b.grp_sum) AS DOUBLE), 6) AS rolling
+    FROM g a JOIN g b
+      ON b.o_orderstatus = a.o_orderstatus AND b.rk BETWEEN a.rk - 1 AND a.rk
+    GROUP BY a.o_orderstatus, a.o_orderdate, a.n_orders
+"""
+
+
+@df_query("window_groups_offset_groupby", _GROUPS_GROUPBY_ORACLE)
+def window_groups_offset_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset GROUPS frame over a top-level GROUP BY: the r8 dialect
+    pre-pass hoists the aggregation into a derived table, then the
+    dense-rank GROUPS rewrite runs on the unaggregated outer query."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_GROUPBY_SQL))

@@ -86,6 +86,8 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = graph.pagerank(
         edges, "src", "dst", "w", iterations=_PR_ITERS, checkpoint=False
     )
+    # bounded window: ranks the graph-node-bounded rating table (25
+    # nations here; node count is the entity cardinality, not corpus)
     wr = Window.orderBy(F.desc("rank_nano"), F.asc("id"))
     return ranks.select(
         F.row_number().over(wr).cast("bigint").alias("rank_pos"),

@@ -563,6 +563,8 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("exact_share").cast("bigint").alias("base"),
         (F.col("exact_share") - F.floor("exact_share")).alias("rem"),
     )
+    # bounded windows: largest-remainder ranking over the
+    # strata-count-bounded share table (one row per stratum)
     wr = Window.orderBy(F.desc("rem"), F.asc("stratum"))
     wall = Window.partitionBy()
     lr = fl.select(

@@ -1145,6 +1145,8 @@ def prune_ccnet_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # bounded window: exclusive prefix over the per-LANGUAGE counts
+    # (|langs|-bounded — the corpus-scaling rank above is distributed)
     woff = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__nl").over(woff), F.lit(0).cast("bigint"))

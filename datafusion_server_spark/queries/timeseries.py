@@ -658,6 +658,7 @@ def events_top_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = ordered.groupBy("step1", "step2", "step3").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # bounded window: ranks the |event_types|^3-bounded path table
     wr = Window.orderBy(
         F.desc("n"), F.asc("step1"), F.asc("step2"), F.asc("step3")
     )

@@ -323,3 +323,46 @@ def test_offset_groups_deep_whitespace_subselect_not_corrupted():
     out = rewrite_offset_groups(sql)
     assert out == sql  # unchanged -> rejected downstream, never corrupted
     assert "__grp_rank" not in out
+
+
+def test_offset_groups_over_groupby_rewrites(spark):
+    """r8: offset GROUPS + top-level GROUP BY/HAVING — the aggregation
+    hoists into a derived table, then the dense-rank rewrite applies;
+    out-of-scope shapes keep the clear reject."""
+    import pytest
+
+    from datafusion_server_spark.functions.dialect import (
+        UnsupportedDialectFeature,
+        transpile,
+    )
+
+    out = transpile(
+        "SELECT g, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(CAST(SUM(SUM(v)) OVER (ORDER BY g "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS s "
+        "FROM t GROUP BY g HAVING COUNT(*) >= 1 ORDER BY g"
+    )
+    assert "GROUPS" not in out
+    assert "__agg_groups" in out and "__groups_rewrite" in out
+    spark.range(6).selectExpr("id % 3 AS g", "id AS v").createOrReplaceTempView("t")
+    rows = {r["g"]: (r["n"], r["s"]) for r in spark.sql(out).collect()}
+    # per-group sums: g0=3, g1=5, g2=7; rolling pairs: 3, 8, 12
+    assert rows == {0: (2, 3.0), 1: (2, 8.0), 2: (2, 12.0)}
+    # window arg neither a group key nor an aggregate call: reject
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT g, SUM(v) OVER (ORDER BY g GROUPS 2 PRECEDING) "
+            "FROM u GROUP BY g"
+        )
+    # non-wrapper residual around the window (dangling aggregate): reject
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT g, SUM(SUM(v)) OVER (ORDER BY g GROUPS 1 PRECEDING) + MAX(x) "
+            "FROM u GROUP BY g"
+        )
+    # GROUP BY ordinal: reject
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT g, SUM(SUM(v)) OVER (ORDER BY g GROUPS 1 PRECEDING) "
+            "FROM u GROUP BY 1"
+        )

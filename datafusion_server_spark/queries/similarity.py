@@ -106,22 +106,24 @@ WHERE rnk <= {K}
 
 # materialize per registered query follows a per-operator A/B at sf0.1
 # (re-measured each round; bench.py labels every pinned variant and also
-# times the twin):
-# - ann_lsh_cosine pins materialize=False — the duplicated aggregation
-#   stages run CONCURRENTLY on otherwise-idle cores, so recompute beats
-#   the blocking eager-checkpoint job (0.88s vs 1.38s best-of-6).
-# - ann_lsh_scaled uses the OPERATOR DEFAULT materialize=True — once the
-#   round-4 bench layout gave fixtures multi-split parquet, the staging
-#   write stopped blocking a single core and now wins (1.17s vs 1.43s).
-# At real scale cores aren't idle and the staging write wins everywhere,
-# which is why the operator default is True.
+# times the twin). r8: BOTH ANN queries now run the OPERATOR DEFAULT
+# materialize=True — after the bench ingest dropped the in-memory cache
+# (parquet-direct reads), recomputing the codes table re-reads parquet
+# on both join sides and the eager checkpoint wins the interleaved A/B
+# on every row tried (ann_lsh_cosine: 0.713 vs 0.844 min-of-5 idle;
+# ann_lsh_scaled: all checkpoint placements 0.83-0.87 vs 1.03 without).
+# The earlier materialize=False pin was an artifact of the cached-table
+# era (duplicated agg stages ran on idle cores against cache blocks).
+# At real scale the staging write wins everywhere, which is why the
+# operator default has always been True; the recompute twins stay
+# registered so the A/B re-runs every bench.
 
 
 @df_query("ann_lsh_cosine", _ANN_ORACLE)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, PLANES, DIM, materialize=False
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, PLANES, DIM, materialize=True
     )
 
 
@@ -192,11 +194,11 @@ def ann_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the headline entries and labels both — VERDICT r3 "what's wrong" #3.
 
 
-@df_query("ann_lsh_cosine_materialized", _ANN_ORACLE)
-def ann_lsh_cosine_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+@df_query("ann_lsh_cosine_recompute", _ANN_ORACLE)
+def ann_lsh_cosine_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, PLANES, DIM, materialize=True
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), K, PLANES, DIM, materialize=False
     )
 
 

@@ -141,11 +141,10 @@ def prepare(spark, sf_dir: str, warehouse: str, cpus: int) -> None:
     # 100 TB design (operators/scale.py bucketed-join helper): orders and
     # lineitem bucketed on orderkey makes the fact-fact join of q3/q5/q10
     # shuffle-free; events bucketed on user_id feeds the sessionize windows
-    # without an exchange. The cached InMemoryRelation preserves the
-    # bucketed output partitioning, so downstream plans skip the Exchange
-    # entirely (measured at sf0.1: q3 0.36->0.18, q5 0.37->0.19,
-    # q10 0.43->0.25). On a real cluster this is the storage layout a
-    # deployment chooses once at ingest; same call, bigger bucket count.
+    # without an exchange (measured at sf0.1: q3 0.36->0.18,
+    # q5 0.37->0.19, q10 0.43->0.25). On a real cluster this is the
+    # storage layout a deployment chooses once at ingest; same call,
+    # bigger bucket count.
     bucketed = {"orders": "o_orderkey", "lineitem": "l_orderkey", "events": "user_id"}
     for t in tables.TABLES:
         df = tables.load(spark, sf_dir, t)
@@ -238,7 +237,10 @@ def main() -> None:
         qd = reg[name]
         runs: list[float] = []
         runs_on: list[float] = []
-        for i in range(6):
+        # r8: 4 samples per config (was 3) — same interleaving; ambient
+        # co-tenant load swings single runs ±30%, one extra sample
+        # tightens the min at ~+90 s total bench runtime
+        for i in range(8):
             spark.conf.set(
                 "spark.sql.adaptive.enabled", "false" if i % 2 == 0 else "true"
             )

@@ -242,6 +242,10 @@ def top_component_power(
     )
     dec0 = F.lit(0).cast("decimal(37,8)")
     big0 = F.lit(0).cast("bigint")
+    # NOTE: y is consumed by BOTH nrm and the x update, so Catalyst's
+    # CollapseProject cannot inline it into per-element lookups (the
+    # single-reference inlining is an exponential-evaluation trap —
+    # measured and documented in graph._pagerank_folded)
     for _ in range(iterations):
         row = row.withColumn(
             "y",

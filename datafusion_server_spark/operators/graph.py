@@ -50,6 +50,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     checkpoint: bool = True,
+    folded: bool = False,
 ) -> DataFrame:
     """(id, rank_nano BIGINT): integer-arithmetic weighted PageRank.
 
@@ -57,6 +58,18 @@ def pagerank(
     Dangling mass (nodes with no out-edges) is dropped each step — the
     standard "dangling nodes donate nothing" convention, stated here so
     the semantics are exact rather than implementation-defined.
+
+    ``folded=True`` is the BOUNDED-graph fast path (r8, the
+    bradley_terry_ratings / top_component_power bounded-state fold):
+    after the corpus-scale edge aggregation, the (prop, nodes) state
+    collapses into ONE row and every iteration runs as JVM
+    higher-order-function expressions — one job, no driver count(), no
+    per-iteration stages. The arithmetic is the IDENTICAL bigint
+    recurrence (exact ``div``), so oracles are unchanged. Callers opt
+    in ONLY when the node set is bounded by an entity cardinality
+    (nations, domains, sources — thousands at most); for corpus-scale
+    graphs (doc-similarity edges) keep the default distributed Pregel
+    loop, whose per-iteration state is partitioned across the cluster.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -68,19 +81,18 @@ def pagerank(
     )
     agg = e.groupBy("src", "dst").agg(F.sum("w").cast("bigint").alias("w"))
     outw = agg.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
-    prop = (
-        agg.join(outw, "src")
-        .select(
-            "src",
-            "dst",
-            F.expr(
-                f"CAST(IF(w > {_MAX_WEIGHT}, "
-                "raise_error('pagerank: weight overflow — pre-scale weights'), "
-                f"(w * {PROP_ONE}) DIV out_w) AS BIGINT)"
-            ).alias("p"),
-        )
-        .persist()
+    prop = agg.join(outw, "src").select(
+        "src",
+        "dst",
+        F.expr(
+            f"CAST(IF(w > {_MAX_WEIGHT}, "
+            "raise_error('pagerank: weight overflow — pre-scale weights'), "
+            f"(w * {PROP_ONE}) DIV out_w) AS BIGINT)"
+        ).alias("p"),
     )
+    if folded:
+        return _pagerank_folded(prop, iterations, damping_pct)
+    prop = prop.persist()
     nodes = (
         agg.select(F.col("src").alias("id"))
         .union(agg.select(F.col("dst").alias("id")))
@@ -110,6 +122,105 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", F.col("r").alias("rank_nano"))
+
+
+def _pagerank_folded(
+    prop: DataFrame, iterations: int, damping_pct: int
+) -> DataFrame:
+    """Bounded-graph fold of the pagerank loop (see ``pagerank``'s
+    ``folded`` doc): identical bigint recurrence over one-row arrays."""
+    by_dst = prop.groupBy("dst").agg(
+        F.array_sort(F.collect_list(F.struct("src", "p"))).alias("pl")
+    )
+    prow = by_dst.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("dst", "pl")))
+        ).alias("pm")
+    )
+    nrow = (
+        prop.select(F.col("src").alias("id"))
+        .union(prop.select(F.col("dst").alias("id")))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("id")).alias("ns"))
+    )
+    row = nrow.crossJoin(F.broadcast(prow))
+    # n == 0 never reaches here: an empty prop yields one all-NULL agg
+    # row on both sides, with ns = [] -> the final explode emits 0 rows
+    big = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    row = row.withColumn("n", F.size("ns").cast("bigint"))
+    row = row.withColumn(
+        "init", F.call_function("div", big(RANK_ONE), F.col("n"))
+    )
+    row = row.withColumn(
+        "tele",
+        F.call_function(
+            "div", big(RANK_ONE * (100 - damping_pct) // 100), F.col("n")
+        ),
+    )
+    row = row.withColumn(
+        "rmap",
+        F.map_from_entries(
+            F.transform(F.col("ns"), lambda i: F.struct(i, F.col("init")))
+        ),
+    )
+    zero = F.lit(0).cast("bigint")
+    for _ in range(iterations):
+        rmap = F.col("rmap")
+        # The previous map is referenced SEVERAL times below (per-edge
+        # lookup + the carry guard). That multiplicity matters beyond
+        # style: Catalyst's CollapseProject inlines a projection whose
+        # alias the consumer references only ONCE, which here would
+        # rebuild the entire previous-iteration map PER EDGE LOOKUP —
+        # measured exponential blowup (sf0.001 trade graph: iters 2 ->
+        # 3 went 1.8 s -> 16 s before the guard; flat after). The
+        # carry guard mirrors bradley_terry_ratings' convention (a
+        # node missing previous state keeps it) and keeps every
+        # iteration a materialized one-row projection.
+        row = row.withColumn(
+            "rmap",
+            F.map_from_entries(
+                F.transform(
+                    F.col("ns"),
+                    lambda i: F.struct(
+                        i,
+                        F.when(
+                            F.element_at(rmap, i).isNotNull(),
+                            F.col("tele")
+                            + F.call_function(
+                                "div",
+                                big(damping_pct)
+                                * F.coalesce(
+                                    F.aggregate(
+                                        F.element_at(F.col("pm"), i),
+                                        zero,
+                                        lambda acc, ed: acc
+                                        + F.call_function(
+                                            "div",
+                                            F.element_at(rmap, ed["src"])
+                                            * ed["p"],
+                                            big(PROP_ONE),
+                                        ),
+                                    ),
+                                    zero,
+                                ),
+                                big(100),
+                            ),
+                        ).otherwise(F.element_at(rmap, i)),
+                    ),
+                )
+            ),
+        )
+    rmap = F.col("rmap")
+    return row.select(
+        F.explode(
+            F.transform(
+                F.col("ns"),
+                lambda i: F.struct(
+                    i.alias("id"), F.element_at(rmap, i).alias("rank_nano")
+                ),
+            )
+        ).alias("x")
+    ).select("x.id", "x.rank_nano")
 
 
 def pagerank_oracle_ctes(

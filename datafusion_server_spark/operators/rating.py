@@ -158,6 +158,11 @@ def bradley_terry_ratings(
     zero = F.lit(0).cast("decimal(28,8)")
     for t in range(iterations):
         rmap = F.col("rmap")
+        # NOTE: rmap is referenced 3x below (two denominator lookups +
+        # the carry-forward), which blocks Catalyst's CollapseProject
+        # from inlining the previous iteration's map into per-element
+        # lookups — the inlining is an exponential-evaluation trap
+        # measured and documented in graph._pagerank_folded.
         # per player: DECIMAL-summed denominator (NULL when the player
         # has no opponents — element_at misses -> aggregate(NULL) is
         # NULL, matching the r7 left-join semantics) + previous rating

@@ -83,8 +83,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
+    # folded=True: the node set is the NATION list (25 — entity-
+    # cardinality-bounded), so the bounded-state fold runs the whole
+    # fixed-iteration recurrence as one job (r8; identical bigint math)
     ranks = graph.pagerank(
-        edges, "src", "dst", "w", iterations=_PR_ITERS, checkpoint=False
+        edges, "src", "dst", "w", iterations=_PR_ITERS, folded=True
     )
     # bounded window: ranks the graph-node-bounded rating table (25
     # nations here; node count is the entity cardinality, not corpus)

@@ -123,3 +123,33 @@ def test_copurchase_edges_oriented_distinct(spark):
         (r["pa"], r["pb"]) for r in graph.copurchase_edges(li).collect()
     }
     assert got == {(10, 20)}
+
+
+def test_pagerank_folded_equals_loop_on_dense_graph(spark):
+    """r8: the bounded-graph fold must reproduce the distributed loop's
+    exact bigint recurrence. A 30-node pseudo-random dense graph (~200
+    edges, deterministic arithmetic weights) also guards the
+    CollapseProject trap: before the multi-reference carry guard this
+    shape blew up exponentially in iterations (1.8 s -> 16 s from 2 to
+    3 iterations at sf0.001) instead of staying flat."""
+    rows = [
+        (a, (a * 7 + k * 13) % 30, (a * k) % 9 + 1)
+        for a in range(30)
+        for k in range(1, 8)
+        if (a * 7 + k * 13) % 30 != a
+    ]
+    edges = spark.createDataFrame(rows, "src int, dst int, w int")
+    for iters in (3, 7):
+        f = {
+            r["id"]: r["rank_nano"]
+            for r in graph.pagerank(
+                edges, "src", "dst", "w", iterations=iters, folded=True
+            ).collect()
+        }
+        l = {
+            r["id"]: r["rank_nano"]
+            for r in graph.pagerank(
+                edges, "src", "dst", "w", iterations=iters, checkpoint=False
+            ).collect()
+        }
+        assert f == l and len(f) == 30

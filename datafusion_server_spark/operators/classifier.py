@@ -245,3 +245,84 @@ def naive_bayes_scores(
     return scored.select(
         "id", "score1", "score0", (F.col("score1") > F.col("score0")).alias("pred")
     )
+
+
+def weak_label_vote(
+    df: DataFrame,
+    id_col: str,
+    rules: list,
+) -> DataFrame:
+    """Programmatic weak supervision (Snorkel-style label model, one
+    agreement-weighting refinement): ``rules`` is a list of
+    ``(name, vote_column)`` where each vote is +1 (positive), -1
+    (negative), or 0 (abstain) — deterministic predicates over the row.
+
+    Two passes over the (id, rule, v) non-abstain vote table:
+    1. unweighted majority ``label0`` per doc (sign of the vote sum;
+       tie or all-abstain -> 0);
+    2. per-rule weight = its agreement rate with ``label0`` over docs
+       where both are decided, in exact 1e-6 units
+       (``round(1e6 * n_agree / n_decided)`` — BIGINT, so the final
+       weighted score sums order-free exactly);
+    3. final label = sign of ``sum(v * w_micro)``.
+
+    Output: one row per input row — (id, n_votes, vote_sum, label0,
+    score_micro, final_label in {'pos','neg','abstain'}).
+
+    Scale shape (100 TB): the vote table is a bounded (#rules) per-row
+    fanout of ONE corpus scan; both aggregations are id-keyed with
+    map-side combine; the weights table is #rules rows, broadcast. No
+    windows, no iteration beyond the single refinement pass."""
+    votes_arr = F.array(
+        *[
+            F.struct(F.lit(name).alias("rule"), v.cast("int").alias("v"))
+            for name, v in rules
+        ]
+    )
+    base = df.select(F.col(id_col).cast("bigint").alias("id"), votes_arr.alias("va"))
+    votes = base.select(
+        "id", F.explode(F.filter(F.col("va"), lambda x: x["v"] != 0)).alias("x")
+    ).select("id", F.col("x.rule").alias("rule"), F.col("x.v").alias("v"))
+    maj = votes.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+        F.sum("v").cast("bigint").alias("vote_sum"),
+    ).withColumn("label0", F.signum(F.col("vote_sum")).cast("int"))
+    decided = votes.join(
+        maj.filter(F.col("label0") != 0).select("id", "label0"), "id"
+    )
+    # pure-integer half-up rounding: (2e6*agree + n) DIV (2n) — exact at
+    # any corpus size (a double 1e6*agree loses exactness past 2^33)
+    weights = decided.groupBy("rule").agg(
+        F.call_function(
+            "div",
+            F.lit(2000000).cast("bigint")
+            * F.sum((F.col("v") == F.col("label0")).cast("bigint"))
+            + F.count(F.lit(1)),
+            F.lit(2).cast("bigint") * F.count(F.lit(1)),
+        )
+        .cast("bigint")
+        .alias("w_micro")
+    )
+    scored = (
+        votes.join(F.broadcast(weights), "rule")
+        .groupBy("id")
+        .agg(F.sum(F.col("v").cast("bigint") * F.col("w_micro")).alias("score_micro"))
+    )
+    out = (
+        base.select("id")
+        .join(maj, "id", "left")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_votes", F.lit(0)).cast("bigint").alias("n_votes"),
+            F.coalesce("vote_sum", F.lit(0)).cast("bigint").alias("vote_sum"),
+            F.coalesce("label0", F.lit(0)).cast("int").alias("label0"),
+            F.coalesce("score_micro", F.lit(0)).cast("bigint").alias("score_micro"),
+        )
+    )
+    return out.withColumn(
+        "final_label",
+        F.when(F.col("score_micro") > 0, "pos")
+        .when(F.col("score_micro") < 0, "neg")
+        .otherwise("abstain"),
+    )

@@ -901,3 +901,51 @@ def cdc_chunks(
         F.md5("chunk").alias("chunk_hash"),
         F.length("chunk").cast("bigint").alias("chunk_len"),
     )
+
+
+def fuzzy_survivors_by_policy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    policy_col: Column,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 4,
+    k: int = DEFAULT_SHINGLE_WORDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware fuzzy-dedup survivor selection (r8): real dedup
+    pipelines keep the BEST member of a near-dup cluster (longest /
+    highest quality score), not the smallest id. Clusters come from the
+    same LSH pairs -> Jaccard threshold -> connected components chain
+    as ``dedup_clusters``; within each cluster the survivor maximizes
+    ``policy_col`` with ties to the SMALLEST id (deterministic).
+    Output: (component, n_members, keep_id, keep_policy) — one row per
+    cluster (unclustered docs have no cluster to summarize).
+
+    Scale shape: everything through components is the dedup_clusters
+    plan (banded self-join, min-label propagation); the survivor pick
+    is ONE struct-max aggregation over the members table keyed by
+    component — no windows, no per-cluster sorts."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands, k).filter(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(pairs)
+    members = comp.join(
+        df.select(
+            F.col(id_col).cast("bigint").alias("node"),
+            policy_col.cast("bigint").alias("__pol"),
+        ),
+        "node",
+    )
+    best = members.groupBy(F.col("component").cast("bigint").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.struct(F.col("__pol").alias("p"), (-F.col("node")).alias("ni"))).alias(
+            "__b"
+        ),
+    )
+    return best.select(
+        "component",
+        "n_members",
+        (-F.col("__b.ni")).cast("bigint").alias("keep_id"),
+        F.col("__b.p").alias("keep_policy"),
+    )

@@ -583,3 +583,83 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_correct"),
         F.round(F.expr(_pass_product("n", "c", _PASS_K)), 6).alias("pass_at_k"),
     )
+
+
+# --- programmatic weak supervision (r8, operators/classifier.py) -----------
+# Snorkel-style label model over five deterministic labeling functions
+# (keyword / length predicates): unweighted majority -> per-rule
+# agreement weights in exact 1e-6 integer units -> weighted vote. The
+# whole chain (including the half-up integer weight rounding) unrolls
+# into the oracle; rules with no decided coverage drop out of the
+# weighted pass on both sides (inner join).
+_WL_RULES_SQL = """
+base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         string_split(text, ' ') AS toks,
+         CAST(n_chars AS BIGINT) AS len
+  FROM documents),
+raw AS (
+  SELECT id, 'kw_spark' AS rule,
+         CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS v FROM base
+  UNION ALL
+  SELECT id, 'kw_join',
+         CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END FROM base
+  UNION ALL
+  SELECT id, 'kw_slow',
+         CASE WHEN list_contains(toks, 'slow') THEN -1 ELSE 0 END FROM base
+  UNION ALL
+  SELECT id, 'short_doc',
+         CASE WHEN len < 200 THEN -1 ELSE 0 END FROM base
+  UNION ALL
+  SELECT id, 'data_query',
+         CASE WHEN list_contains(toks, 'data') AND list_contains(toks, 'query')
+              THEN 1 ELSE 0 END FROM base),
+votes AS (SELECT id, rule, v FROM raw WHERE v <> 0),
+maj AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_votes,
+         CAST(SUM(v) AS BIGINT) AS vote_sum,
+         CAST(SIGN(SUM(v)) AS INTEGER) AS label0
+  FROM votes GROUP BY id),
+weights AS (
+  SELECT v.rule,
+         CAST((2000000 * SUM(CASE WHEN v.v = m.label0 THEN 1 ELSE 0 END)
+               + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS w_micro
+  FROM votes v JOIN maj m ON m.id = v.id AND m.label0 <> 0
+  GROUP BY v.rule),
+scored AS (
+  SELECT v.id, CAST(SUM(CAST(v.v AS BIGINT) * w.w_micro) AS BIGINT) AS score_micro
+  FROM votes v JOIN weights w ON w.rule = v.rule
+  GROUP BY v.id)
+"""
+
+_WL_ORACLE = f"""
+WITH {_WL_RULES_SQL}
+SELECT b.id,
+       COALESCE(m.n_votes, 0) AS n_votes,
+       COALESCE(m.vote_sum, 0) AS vote_sum,
+       CAST(COALESCE(m.label0, 0) AS INTEGER) AS label0,
+       COALESCE(s.score_micro, 0) AS score_micro,
+       CASE WHEN COALESCE(s.score_micro, 0) > 0 THEN 'pos'
+            WHEN COALESCE(s.score_micro, 0) < 0 THEN 'neg'
+            ELSE 'abstain' END AS final_label
+FROM base b LEFT JOIN maj m ON m.id = b.id LEFT JOIN scored s ON s.id = b.id
+"""
+
+
+@df_query("weak_label_vote", _WL_ORACLE)
+def weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision label model: five deterministic labeling
+    functions, unweighted majority, exact-integer agreement weights,
+    weighted final vote."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    has = lambda w: F.array_contains(toks, w)  # noqa: E731
+    sgn = lambda c, v: F.when(c, F.lit(v)).otherwise(F.lit(0))  # noqa: E731
+    rules = [
+        ("kw_spark", sgn(has("spark"), 1)),
+        ("kw_join", sgn(has("join"), 1)),
+        ("kw_slow", sgn(has("slow"), -1)),
+        ("short_doc", sgn(F.col("n_chars") < 200, -1)),
+        ("data_query", sgn(has("data") & has("query"), 1)),
+    ]
+    return classifier.weak_label_vote(docs, "doc_id", rules)

@@ -224,6 +224,42 @@ def dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality-aware survivor selection (r8): keep each cluster's LONGEST
+# member (ties to the smallest id) — the keep-the-most-complete-version
+# policy real pipelines use, vs dedup_clusters' min-id convention.
+_SURVIVOR_POLICY_ORACLE = (
+    _FUZZY_SURVIVORS_ORACLE[: _FUZZY_SURVIVORS_ORACLE.index("SELECT CAST(d.doc_id")]
+    + """, m AS (
+  SELECT c.component, c.node, CAST(d.n_chars AS BIGINT) AS len
+  FROM comp c JOIN documents d ON CAST(d.doc_id AS BIGINT) = c.node),
+rk AS (
+  SELECT component, node, len,
+         COUNT(*) OVER (PARTITION BY component) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY len DESC, node ASC) AS rn
+  FROM m)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(node AS BIGINT) AS keep_id,
+       len AS keep_policy
+FROM rk WHERE rn = 1
+"""
+)
+
+
+@df_query("dedup_survivors_keep_longest", _SURVIVOR_POLICY_ORACLE)
+def dedup_survivors_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: the longest member survives (ties to the
+    smallest id) — quality-aware survivor materialization."""
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.fuzzy_survivors_by_policy(
+        docs, "text", "doc_id", F.col("n_chars"),
+        NUM_HASHES, BANDS, threshold=_CLUSTER_THRESHOLD,
+    )
+
+
 # n-gram Jaccard: exact near-dup scoring (no MinHash approximation) with
 # the document-frequency cap guarding the shared-shingle self-join.
 _NGRAM_MAX_DF = 100

@@ -145,3 +145,38 @@ def test_auc_degrades_with_label_noise(spark, sf_dir):
         ).alias("auc")
     ).collect()[0]["auc"]
     assert 0.55 < auc < 0.95
+
+
+def test_weak_label_vote_edges(spark):
+    """r8: all-abstain docs stay 'abstain' with zeroed stats; a rule
+    with no decided coverage drops out of the weighted pass; the
+    weighted vote can flip an unweighted tie."""
+    from pyspark.sql import functions as F
+
+    from datafusion_server_spark.operators.classifier import weak_label_vote
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "zz"), (4, "b c")],
+        "doc_id long, text string",
+    )
+    toks = F.split(F.col("text"), " ")
+    rules = [
+        ("pos_a", F.when(F.array_contains(toks, "a"), 1).otherwise(0)),
+        ("neg_b", F.when(F.array_contains(toks, "b"), -1).otherwise(0)),
+        ("pos_c", F.when(F.array_contains(toks, "c"), 1).otherwise(0)),
+        # never fires at all -> absent from every table
+        ("never", F.lit(0)),
+    ]
+    out = {r["id"]: r for r in weak_label_vote(df, "doc_id", rules).collect()}
+    assert len(out) == 4
+    # doc 3: no rule fires
+    assert out[3]["n_votes"] == 0 and out[3]["final_label"] == "abstain"
+    # doc 2: a(+1), c(+1) -> clear pos
+    assert out[2]["label0"] == 1 and out[2]["final_label"] == "pos"
+    # doc 1 (a+1, b-1) and doc 4 (b-1, c+1) are unweighted ties ->
+    # label0 = 0; their fate rests on agreement weights, which are
+    # computed only over decided docs (doc 2): pos_a and pos_c agree
+    # (w=1e6), neg_b has no decided coverage -> drops out -> both
+    # tied docs resolve POS via the surviving positive rule
+    assert out[1]["label0"] == 0 and out[1]["final_label"] == "pos"
+    assert out[4]["label0"] == 0 and out[4]["final_label"] == "pos"

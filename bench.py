@@ -210,7 +210,86 @@ def prepare(spark, sf_dir: str, warehouse: str, cpus: int) -> None:
     ).collect()
 
 
+def concurrency_bench(spark, sf_dir: str) -> dict:
+    """N-parallel REST load over the server shell (r9, verdict task 3):
+    the reference is a multi-session server, so the bench must include a
+    serving dimension, not just single-stream query wall time. Boots the
+    in-process HTTP server on the bench session and drives 8- and
+    32-wide concurrent STATELESS ``/dataframe/query`` one-shots (each
+    request = session create -> parquet source registration -> query ->
+    encode -> session destroy, the reference's dataframe.rs flow).
+    Reports per-request P50/P95 and aggregate requests/sec."""
+    import statistics
+    from concurrent.futures import ThreadPoolExecutor
+
+    import requests
+
+    from datafusion_server_spark.server.api import Engine
+    from datafusion_server_spark.server.http import serve
+
+    engine = Engine(spark, start_reaper=False)
+    httpd = serve(engine, "127.0.0.1", 0)
+    host, port = httpd.server_address[:2]
+    base = f"http://{host}:{port}"
+    # three small mixed queries over real fixture parquet — the shapes a
+    # serving tier sees (point agg, grouped agg, broadcast join)
+    payloads = [
+        {
+            "dataSources": [{"format": "parquet", "name": "n1",
+                             "location": f"{sf_dir}/nation.parquet"}],
+            "query": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM n1",
+            "response": {"format": "json"},
+        },
+        {
+            "dataSources": [{"format": "parquet", "name": "r1",
+                             "location": f"{sf_dir}/region.parquet"}],
+            "query": "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n FROM r1 "
+                     "GROUP BY r_name ORDER BY r_name",
+            "response": {"format": "json"},
+        },
+        {
+            "dataSources": [
+                {"format": "parquet", "name": "n2",
+                 "location": f"{sf_dir}/nation.parquet"},
+                {"format": "parquet", "name": "r2",
+                 "location": f"{sf_dir}/region.parquet"},
+            ],
+            "query": "SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n FROM n2 n "
+                     "JOIN r2 r ON r.r_regionkey = n.n_regionkey "
+                     "GROUP BY r.r_name ORDER BY r.r_name",
+            "response": {"format": "json"},
+        },
+    ]
+
+    def one(i: int) -> float:
+        t0 = time.time()
+        r = requests.post(f"{base}/dataframe/query", json=payloads[i % len(payloads)])
+        if r.status_code != 200:
+            raise RuntimeError(f"concurrency bench request failed: {r.text[:200]}")
+        return time.time() - t0
+
+    out: dict[str, dict] = {}
+    try:
+        one(0)  # warm the serving path once, untimed
+        for conc in (8, 32):
+            n_req = conc * 6
+            t0 = time.time()
+            with ThreadPoolExecutor(max_workers=conc) as ex:
+                lat = sorted(ex.map(one, range(n_req)))
+            wall = time.time() - t0
+            out[f"c{conc}"] = {
+                "requests": n_req,
+                "p50_s": round(statistics.median(lat), 4),
+                "p95_s": round(lat[max(0, int(len(lat) * 0.95) - 1)], 4),
+                "rps": round(n_req / wall, 1),
+            }
+    finally:
+        httpd.shutdown()
+    return out
+
+
 def main() -> None:
+    load_start = round(os.getloadavg()[0], 2)
     spark, sf_dir, cpus, warehouse = build_bench_session()
 
     from datafusion_server_spark.queries import registry
@@ -312,6 +391,14 @@ def main() -> None:
             secondary[name] = -1.0
             print(f"secondary {name} failed: {e}", file=sys.stderr)
 
+    # serving-tier dimension (r9): concurrent REST one-shots; never let
+    # it kill the batch bench
+    try:
+        concurrency = concurrency_bench(spark, sf_dir)
+    except Exception as e:
+        concurrency = {"error": str(e)[:160]}
+        print(f"concurrency bench failed: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -362,6 +449,14 @@ def main() -> None:
                 "queries": timings,
                 "value_cold": round(sum(cold.values()), 3),
                 "value_aqe_on": round(sum(aqe_on.values()), 3),
+                # ambient host load (1-min avg) at bench start/end — r8's
+                # captures swung 5.05-6.10 s purely with co-tenant load;
+                # these two fields make cross-round comparisons readable
+                "load1m_start": load_start,
+                "load1m_end": round(os.getloadavg()[0], 2),
+                # serving tier: concurrent stateless REST one-shots
+                # (requests, per-request P50/P95 sec, requests/sec)
+                "concurrency": concurrency,
             }
         )
     )

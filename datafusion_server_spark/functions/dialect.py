@@ -502,19 +502,65 @@ def rewrite_groups_over_groupby(sql: str) -> str:
     # rather than emit inner SQL that cannot analyze
     hav = _depth0_find(masked, r"\bHAVING\b", gby)
     key_end = hav if hav != -1 and hav < body_end else body_end
+    m_gb = re.compile(r"GROUP\s+BY\b", re.IGNORECASE).match(masked, gby)
+    keys_start = m_gb.end() if m_gb else gby + 8
+    raw_keys = _split_depth0_commas(masked[keys_start:key_end])
+    # r9 (verdict task 4): GROUP BY ordinals resolve to the 1-based
+    # select-list expression BEFORE the hoist (the inner derived table
+    # reorders items, so a positional reference must become the
+    # expression it names), then the pass re-runs on the spliced text.
+    if any(re.fullmatch(r"\d+", k.strip()) for k in raw_keys):
+        sel_items = _split_depth0_commas(masked[sel + 6 : frm])
+        resolved: list[str] = []
+        for k in raw_keys:
+            ks = k.strip()
+            if not re.fullmatch(r"\d+", ks):
+                resolved.append(ks)
+                continue
+            pos = int(ks)
+            if not 1 <= pos <= len(sel_items):
+                return sql  # out-of-range ordinal: keep the clear reject
+            item = sel_items[pos - 1].strip()
+            if _GROUPS_FRAME.search(item) or _depth0_find(item, r"OVER\b") != -1:
+                return sql  # grouping by a window item: invalid input
+            m_as = re.match(
+                r"^(.*?)\s+AS\s+[A-Za-z_]\w*\s*$", item, re.IGNORECASE | re.DOTALL
+            )
+            expr = m_as.group(1).strip() if m_as else item
+            if expr == "*" or expr.endswith(".*"):
+                return sql
+            resolved.append(expr)
+        spliced = (
+            masked[:keys_start] + " " + ", ".join(resolved) + " " + masked[key_end:]
+        )
+        return rewrite_groups_over_groupby(_restore_strings(spliced, lits))
     gby_keys = set()
-    for k in _split_depth0_commas(masked[gby + 8 : key_end]):
+    for k in raw_keys:
         k = re.sub(r"\s+", " ", k.strip())
-        if re.fullmatch(r"\d+", k):
-            return sql  # GROUP BY ordinal: out of mechanical scope
         gby_keys.add(k.lower())
 
     def _agg_level(expr: str) -> bool:
         e = re.sub(r"\s+", " ", expr.strip())
         if e.lower() in gby_keys:
             return True
-        m_call = re.match(r"^([A-Za-z_]\w*)\s*\(.*\)$", e, re.DOTALL)
-        return bool(m_call) and m_call.group(1).upper() in _AGGREGATE_FNS
+        m_call = re.match(r"^([A-Za-z_]\w*)\s*\(", e)
+        if not m_call or m_call.group(1).upper() not in _AGGREGATE_FNS:
+            return False
+        # The '(' opened after the function name must balance at the
+        # very END of the expression. A greedy `.*\)$` here accepted
+        # compounds like "SUM(x) + (v)" — a raw column at aggregation
+        # level — and emitted inner SQL that fails Spark analysis with
+        # a raw AnalysisException instead of the documented clear
+        # reject (strings are already masked, so parens are literal).
+        depth = 0
+        for i in range(m_call.end() - 1, len(e)):
+            if e[i] == "(":
+                depth += 1
+            elif e[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i == len(e) - 1
+        return False
 
     inner_items: list[str] = []
     outer_items: list[str] = []
@@ -879,10 +925,11 @@ def check_unsupported(sql: str) -> None:
             "sole-relation qualified t.* — r7, EXCLUDE CURRENT ROW/"
             "GROUP/TIES on SUM/COUNT/AVG via frame-minus-excluded "
             "arithmetic — r7, and top-level GROUP BY/HAVING via an "
-            "aggregation-hoisting pre-pass — r8), but multi-relation "
+            "aggregation-hoisting pre-pass — r8, with GROUP BY ordinals "
+            "resolved to select-list expressions — r9), but multi-relation "
             "qualified t.*/column refs, parenthesized set-op branches, "
             "EXCLUDE on non-subtractable aggregates (MIN/MAX/...), "
-            "GROUP BY ordinals, and window args that are neither group "
+            "out-of-range ordinals, and window args that are neither group "
             "keys nor aggregate calls stay unsupported — use RANGE or "
             "ROWS frames there"
         )

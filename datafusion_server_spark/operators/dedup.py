@@ -925,7 +925,13 @@ def fuzzy_survivors_by_policy(
     Scale shape: everything through components is the dedup_clusters
     plan (banded self-join, min-label propagation); the survivor pick
     is ONE struct-max aggregation over the members table keyed by
-    component — no windows, no per-cluster sorts."""
+    component — no windows, no per-cluster sorts.
+
+    ``policy_col`` keeps its NATIVE type through the struct-max and
+    into ``keep_policy`` (r9: the previous BIGINT cast silently
+    truncated float quality scores in [0, 1] — the most common policy
+    — degenerating the argmax; callers wanting a specific output type
+    cast the column themselves)."""
     pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands, k).filter(
         F.col("jaccard") >= threshold
     )
@@ -933,7 +939,7 @@ def fuzzy_survivors_by_policy(
     members = comp.join(
         df.select(
             F.col(id_col).cast("bigint").alias("node"),
-            policy_col.cast("bigint").alias("__pol"),
+            policy_col.alias("__pol"),
         ),
         "node",
     )

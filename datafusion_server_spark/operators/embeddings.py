@@ -200,6 +200,31 @@ def top_component_power(
         "diag", F.filter(F.col("cells"), lambda c: c["i"] == c["j"])
     )
     row = row.withColumn("dc", F.size("diag"))
+    # Positional-indexing guard (r9): _tri below computes a POSITION in
+    # the (i, j)-sorted cells array and mu indexes diag by position, so
+    # a gap in the triangle (ragged/short embedding arrays upstream)
+    # would silently misalign every later cell. Require the dense
+    # contiguous grid — size == dc*(dc+1)/2 and diag dims == 0..dc-1 —
+    # and raise loudly otherwise (the join-based form degraded
+    # gracefully by key; the fold must not degrade silently).
+    _dc = F.col("dc")
+    _tri_ok = (F.size("cells") * 2 == _dc * (_dc + 1)) & (
+        F.when(_dc == 0, F.lit(True)).otherwise(
+            F.transform(F.col("diag"), lambda c: c["i"].cast("bigint"))
+            == F.sequence(F.lit(0).cast("bigint"), (_dc - 1).cast("bigint"))
+        )
+    )
+    row = row.withColumn(
+        "cells",
+        F.when(_tri_ok, F.col("cells")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "top_component_power: moments triangle is ragged — "
+                    "expected a dense i<=j grid over contiguous dims"
+                )
+            )
+        ),
+    )
     row = row.withColumn(
         "mu",
         F.transform(

@@ -144,17 +144,24 @@ def _pagerank_folded(
         .agg(F.array_sort(F.collect_list("id")).alias("ns"))
     )
     row = nrow.crossJoin(F.broadcast(prow))
-    # n == 0 never reaches here: an empty prop yields one all-NULL agg
-    # row on both sides, with ns = [] -> the final explode emits 0 rows
+    # An empty prop still yields ONE agg row on both sides (ns = []),
+    # and the final explode emits 0 rows — but init/tele would evaluate
+    # div(RANK_ONE, 0), which raises under ANSI mode (Spark 4 default).
+    # Guard the n == 0 row so folded matches the loop's empty result.
     big = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    zero_guard = lambda c: F.when(F.col("n") > 0, c).otherwise(  # noqa: E731
+        F.lit(0).cast("bigint")
+    )
     row = row.withColumn("n", F.size("ns").cast("bigint"))
     row = row.withColumn(
-        "init", F.call_function("div", big(RANK_ONE), F.col("n"))
+        "init", zero_guard(F.call_function("div", big(RANK_ONE), F.col("n")))
     )
     row = row.withColumn(
         "tele",
-        F.call_function(
-            "div", big(RANK_ONE * (100 - damping_pct) // 100), F.col("n")
+        zero_guard(
+            F.call_function(
+                "div", big(RANK_ONE * (100 - damping_pct) // 100), F.col("n")
+            )
         ),
     )
     row = row.withColumn(

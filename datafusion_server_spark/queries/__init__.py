@@ -100,7 +100,9 @@ PRIORITY: tuple[str, ...] = (
     # (agg_filter_clause rotated OUT round 7 for the t-closeness privacy
     # row — FILTER-clause semantics stay oracle-verified in pytest and
     # run inside several in-window aggregations)
-    "privacy_t_closeness",
+    # (privacy_t_closeness rotated OUT round 9 — driver-green r8 — for
+    # the never-windowed l-diversity row, same privacy family)
+    "privacy_l_diversity",
     # joins (join_semi rotated OUT late round 4 for the classifier row;
     # the join surface keeps join_inner_3way plus the TPC-H rows, and
     # semi-join semantics run inside several in-window queries)
@@ -117,7 +119,11 @@ PRIORITY: tuple[str, ...] = (
     # verified in pytest; offset_star exercises the broader r6/r7
     # dense-rank rewrite incl. star-EXCEPT projection)
     "window_running_sum",
-    "window_groups_offset_star",
+    # (window_groups_offset_star rotated OUT round 9 — driver-green
+    # r7/r8 — for the two never-windowed GROUPS+GROUP BY rows: the r8
+    # aggregation-hoist closure and the r9 ordinal resolution)
+    "window_groups_offset_groupby",
+    "window_groups_offset_groupby_ordinal",
     # sort/limit + set ops (sort_limit_offset rotated OUT late round 4
     # for the PQ row; ordered-LIMIT semantics run inside q3/q10 and every
     # top-k query in the window)
@@ -153,7 +159,10 @@ PRIORITY: tuple[str, ...] = (
     # exact calibration row; dedup_minhash_estimate_calibration rotated
     # OUT round 8 — driver-green r7, stays oracle-verified in pytest —
     # for the content-defined-chunking dedup row)
-    "dedup_cdc_chunks",
+    # (dedup_cdc_chunks rotated OUT round 9 — driver-green r8 — for the
+    # never-windowed quality-aware survivor pick, r8's dedup addition
+    # with the r9 float-policy fix)
+    "dedup_survivors_keep_longest",
     "dedup_clusters",
     "dedup_semantic_semdedup",
     # LLM-pipeline: similarity family (incl. the scale-parameterized
@@ -167,7 +176,10 @@ PRIORITY: tuple[str, ...] = (
     # ann_pq_cosine rotated OUT round 8 — driver-green r7, quantized
     # search stays oracle-verified in pytest — for the MMR
     # diversity-aware selection row, round 7's greedy rerank family)
-    "similarity_mmr_select",
+    # (similarity_mmr_select rotated OUT round 9 — driver-green r8 —
+    # for the never-windowed PSI drift row, the profiling family's
+    # first driver seat)
+    "profile_psi_drift",
     # (embedding_near_duplicates rotated OUT round 6 for the Bradley-Terry
     # preference-rating row — the embedding near-dup surface stays in-window
     # via dedup_semantic_semdedup and the row stays oracle-verified in pytest)
@@ -187,7 +199,9 @@ PRIORITY: tuple[str, ...] = (
     # row; eval_pass_at_k rotated OUT round 8 — driver-green r7, stays
     # oracle-verified in pytest — for the Krippendorff-alpha
     # inter-annotator agreement row, round 7's eval/audit family)
-    "eval_krippendorff_alpha",
+    # (eval_krippendorff_alpha rotated OUT round 9 — driver-green r8 —
+    # for the never-windowed Cohen's-kappa row, same agreement family)
+    "eval_cohens_kappa",
     # (text_fuzzy_match_pairs rotated OUT round 6 for the SFT chat row —
     # fuzzy matching stays oracle-verified in pytest)
     "chat_prompt_response_pairs",
@@ -204,12 +218,16 @@ PRIORITY: tuple[str, ...] = (
     # rotated OUT round 8 — both driver-green when seated, both still
     # oracle-verified in pytest — for the greedy quality-budget pick,
     # round 7's distributed_cumsum selection shape)
-    "sample_greedy_quality_budget",
+    # (sample_greedy_quality_budget rotated OUT round 9 — driver-green
+    # r8 — for the never-windowed UniMax per-epoch allocation row)
+    "sample_unimax_allocation",
     # merge family (reference A14/A15 processors both rotated OUT by
     # r6/r8 — column/row-merge semantics stay oracle-verified in pytest
-    # and run inside the e2e merge tests; round 8 seats the lakehouse
-    # CDC changeset apply, round 7's merge-family extension)
-    "merge_apply_changeset",
+    # and run inside the e2e merge tests; round 8 seated the lakehouse
+    # CDC changeset apply — driver-green r8, rotated OUT round 9 for
+    # the never-windowed weak-supervision label-model vote, r8's
+    # classifier-family addition)
+    "weak_label_vote",
     # streaming (beyond-reference; + round-3 native session_window;
     # sliding rotated OUT late round 4 for the curation pipeline —
     # tumbling covers the windowed-agg family, sliding stays
@@ -234,8 +252,9 @@ PRIORITY: tuple[str, ...] = (
     "asof_join_last_click",
     # (timeseries_anomaly_zscore rotated OUT round 8 — driver-green
     # r5-r7, stays oracle-verified in pytest — for the RFM quintile
-    # segmentation row, round 7's three-pass distributed_rank shape)
-    "events_rfm_segmentation",
+    # segmentation row, round 7's three-pass distributed_rank shape;
+    # events_rfm_segmentation rotated OUT round 9 — driver-green r8 —
+    # the events family stays covered by asof_join + hypertable_rollup)
     "hypertable_rollup",
     # (timeseries_gapfill_locf rotated OUT round 5 for the web-ingest
     # capstone — the gapfill surface stays oracle-verified in pytest)

@@ -525,3 +525,49 @@ def window_groups_offset_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tables.register_views(spark, sf_dir)
     return spark.sql(transpile(_GROUPS_GROUPBY_SQL))
+
+
+# r9 (verdict task 4): the GROUP BY ORDINAL residual of the same
+# pre-pass — ordinals resolve to the 1-based select-list EXPRESSION
+# before the hoist (the inner derived table reorders items, so a
+# positional key must become the expression it names). The key here is
+# deliberately an EXPRESSION (not a bare column) so the resolution
+# path, not mere alias lookup, is what's proven.
+_GROUPS_GROUPBY_ORDINAL_SQL = f"""
+    SELECT CAST(o_orderkey % 7 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(SUM(CAST(o_totalprice AS {D18}))) OVER (
+             ORDER BY CAST(o_orderkey % 7 AS BIGINT)
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS rolling
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY 1
+"""
+
+_GROUPS_GROUPBY_ORDINAL_ORACLE = f"""
+    WITH g AS (
+      SELECT CAST(o_orderkey % 7 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS {D18})) AS grp_sum,
+             DENSE_RANK() OVER (ORDER BY CAST(o_orderkey % 7 AS BIGINT)) AS rk
+      FROM orders WHERE o_orderkey < 2000
+      GROUP BY 1
+    )
+    SELECT a.bucket, a.n_orders,
+           ROUND(CAST(SUM(b.grp_sum) AS DOUBLE), 6) AS rolling
+    FROM g a JOIN g b ON b.rk BETWEEN a.rk - 1 AND a.rk
+    GROUP BY a.bucket, a.n_orders
+"""
+
+
+@df_query("window_groups_offset_groupby_ordinal", _GROUPS_GROUPBY_ORDINAL_ORACLE)
+def window_groups_offset_groupby_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset GROUPS frame over a top-level GROUP BY ORDINAL: the r9
+    dialect resolution rewrites ``GROUP BY 1`` to the select-list
+    expression, then the r8 aggregation hoist + dense-rank GROUPS
+    rewrite run as usual."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_GROUPBY_ORDINAL_SQL))

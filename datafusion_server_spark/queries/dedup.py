@@ -255,7 +255,7 @@ def dedup_survivors_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return dedup.fuzzy_survivors_by_policy(
-        docs, "text", "doc_id", F.col("n_chars"),
+        docs, "text", "doc_id", F.col("n_chars").cast("bigint"),
         NUM_HASHES, BANDS, threshold=_CLUSTER_THRESHOLD,
     )
 

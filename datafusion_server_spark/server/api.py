@@ -186,6 +186,27 @@ class Engine:
         # settings.rs:221-247)
         self.settings.apply(self.spark)
 
+    def prewarm(self) -> float:
+        """Boot-time session pre-warm (r9, verdict task 6): drive one
+        tiny synthetic pipeline through the SAME stateless path a
+        request takes — session create, transpile, whole-stage-codegen
+        compile for the common shapes (project/filter, explode fanout,
+        hash aggregate, window, sort) and an Arrow + a JSON encode —
+        so the JVM/codegen warmup cliff is paid at boot, not by the
+        first caller. The reference's Rust server has no such cliff
+        (no JIT'd query engine); measured A/B in PLANS.md. Returns
+        seconds spent."""
+        t0 = time.time()
+        synth = (
+            "SELECT g, s, ROW_NUMBER() OVER (ORDER BY s DESC, g) AS r FROM ("
+            "SELECT k % 7 AS g, CAST(SUM(CAST(k AS DECIMAL(18,6))) AS BIGINT) AS s "
+            "FROM (SELECT explode(sequence(1, 2000)) AS k) WHERE k > 1 GROUP BY k % 7"
+            ") ORDER BY r"
+        )
+        self.dataframe_query({"query": synth, "response": {"format": "arrow"}})
+        self.dataframe_query({"query": synth, "response": {"format": "json"}})
+        return time.time() - t0
+
     # -- shared steps ------------------------------------------------------
 
     def _ingest(self, sess: ServerSession, data_sources: list[dict]) -> None:

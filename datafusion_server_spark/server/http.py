@@ -372,6 +372,8 @@ def main() -> None:
     host = args.host or settings.server.address
     port = args.port if args.port is not None else settings.server.port
     engine = Engine(settings=settings)
+    if settings.server.prewarm:
+        print(f"prewarmed in {engine.prewarm():.2f}s")
     httpd = serve(engine, host, port)
     print(f"serving on http://{host}:{port}")
     try:

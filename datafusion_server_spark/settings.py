@@ -35,6 +35,13 @@ class ServerSettings:
     data_dir: str = "data"
     plugin_dir: str = "plugin"
     disable_stateful_features: bool = False
+    # Beyond-reference (r9): run one synthetic pipeline through the
+    # stateless query path at boot, before the listener accepts traffic.
+    # The reference's Rust server has no JIT warmup cliff; Spark pays
+    # per-plan codegen + JVM warmup on the FIRST request (~2.7x a warm
+    # run, BENCH cold vs warm), so the server eats that cost at boot
+    # instead of handing it to the first caller. A/B in PLANS.md.
+    prewarm: bool = True
 
 
 @dataclass

@@ -259,3 +259,23 @@ def test_cdc_chunks_realign_after_insertion(spark):
     # everything after the first boundary past the insertion is shared
     shared = set(c1) & set(c2)
     assert len(shared) >= len(c1) - 2
+
+
+def test_survivor_policy_float_scores_not_truncated(spark):
+    """r9: a FLOAT quality policy in [0, 1] must drive the argmax — the
+    previous BIGINT cast truncated every score to 0, degenerating the
+    pick to smallest-id. 0.2 (doc 1) vs 0.9 (doc 2): doc 2 survives."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again", 0.2),
+            (2, "the quick brown fox jumps over the lazy dog again and again today", 0.9),
+        ],
+        ["doc_id", "text", "quality"],
+    )
+    out = dedup.fuzzy_survivors_by_policy(
+        docs, "text", "doc_id", F.col("quality"), threshold=0.3
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 2
+    assert abs(out[0]["keep_policy"] - 0.9) < 1e-12
+    assert out[0]["n_members"] == 2

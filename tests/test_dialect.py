@@ -354,15 +354,42 @@ def test_offset_groups_over_groupby_rewrites(spark):
             "SELECT g, SUM(v) OVER (ORDER BY g GROUPS 2 PRECEDING) "
             "FROM u GROUP BY g"
         )
+    # r9 (ADVICE): COMPOUND window arg — leads with an aggregate call
+    # but carries a trailing raw-column term. The greedy `.*)$` match
+    # accepted it and emitted inner SQL that failed Spark analysis;
+    # the paren-balance check must keep the clear reject instead.
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT g, SUM(SUM(v) + (x)) OVER (ORDER BY g GROUPS 1 PRECEDING) "
+            "AS s FROM u GROUP BY g"
+        )
     # non-wrapper residual around the window (dangling aggregate): reject
     with pytest.raises(UnsupportedDialectFeature):
         transpile(
             "SELECT g, SUM(SUM(v)) OVER (ORDER BY g GROUPS 1 PRECEDING) + MAX(x) "
             "FROM u GROUP BY g"
         )
-    # GROUP BY ordinal: reject
+    # r9: GROUP BY ordinal resolves to the select-list EXPRESSION
+    # before the hoist (here an expression key, so the resolution path
+    # — not a mere alias lookup — is exercised), then rewrites as usual
+    out2 = transpile(
+        "SELECT v % 2 AS parity, "
+        "SUM(SUM(v)) OVER (ORDER BY v % 2 GROUPS 1 PRECEDING) AS s "
+        "FROM t GROUP BY 1"
+    )
+    assert "GROUPS" not in out2 and "__agg_groups" in out2
+    rows2 = {r["parity"]: r["s"] for r in spark.sql(out2).collect()}
+    # v in 0..5: parity 0 sums 0+2+4=6, parity 1 sums 1+3+5=9; rolling 6, 15
+    assert rows2 == {0: 6, 1: 15}
+    # out-of-range ordinal: reject
     with pytest.raises(UnsupportedDialectFeature):
         transpile(
             "SELECT g, SUM(SUM(v)) OVER (ORDER BY g GROUPS 1 PRECEDING) "
-            "FROM u GROUP BY 1"
+            "FROM u GROUP BY 9"
+        )
+    # ordinal naming the WINDOW item itself: invalid input, reject
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT g, SUM(SUM(v)) OVER (ORDER BY g GROUPS 1 PRECEDING) AS s "
+            "FROM u GROUP BY 2"
         )

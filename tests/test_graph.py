@@ -153,3 +153,12 @@ def test_pagerank_folded_equals_loop_on_dense_graph(spark):
             ).collect()
         }
         assert f == l and len(f) == 30
+
+
+def test_pagerank_folded_empty_edges_matches_loop(spark):
+    """r9 (ADVICE): folded=True on an EMPTY edge set must return [] like
+    the distributed loop — the one-row fold previously evaluated
+    div(RANK_ONE, 0), which raises under ANSI mode (Spark 4 default)."""
+    edges = spark.createDataFrame([], "src int, dst int, w int")
+    assert graph.pagerank(edges, "src", "dst", "w", folded=True).collect() == []
+    assert graph.pagerank(edges, "src", "dst", "w", checkpoint=False).collect() == []

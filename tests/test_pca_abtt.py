@@ -73,3 +73,20 @@ def test_zero_vector_degenerates_cleanly(spark):
            emb.remove_top_component(df, "embedding", "vec_id", comp).collect()}
     assert out[1]["corrected_norm"] == 0.0
     assert all(v == 0.0 for v in out[1]["corrected"])
+
+
+def test_ragged_triangle_raises_loudly(spark):
+    """r9 (ADVICE): the fold indexes the (i, j)-sorted cells array
+    POSITIONALLY, so a gap in the moments triangle (ragged embeddings
+    upstream) must raise — never silently misalign every later cell."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    m = emb.covariance_moments(_aniso(spark), "embedding")
+    ragged = m.filter(~((F.col("i") == 2) & (F.col("j") == 5)))
+    with pytest.raises(Exception, match="ragged"):
+        emb.top_component_power(ragged, _DIM, iterations=2).collect()
+    # a gap ON the diagonal breaks the diag positional map the same way
+    nodiag = m.filter(~((F.col("i") == 3) & (F.col("j") == 3)))
+    with pytest.raises(Exception, match="ragged"):
+        emb.top_component_power(nodiag, _DIM, iterations=2).collect()

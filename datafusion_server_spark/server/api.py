@@ -196,6 +196,9 @@ class Engine:
         first caller. The reference's Rust server has no such cliff
         (no JIT'd query engine); measured A/B in PLANS.md. Returns
         seconds spent."""
+        import shutil
+        import tempfile
+
         t0 = time.time()
         synth = (
             "SELECT g, s, ROW_NUMBER() OVER (ORDER BY s DESC, g) AS r FROM ("
@@ -205,6 +208,27 @@ class Engine:
         )
         self.dataframe_query({"query": synth, "response": {"format": "arrow"}})
         self.dataframe_query({"query": synth, "response": {"format": "json"}})
+        # the first REAL request usually registers a file source: warm
+        # the parquet write/scan + DataSource registration path too (the
+        # synthetic query alone left a ~1.4 s first-request residue)
+        tmp = tempfile.mkdtemp(prefix="prewarm_")
+        try:
+            loc = f"{tmp}/warm.parquet"
+            self.spark.range(100).selectExpr(
+                "id AS k", "CAST(id % 5 AS STRING) AS g"
+            ).write.mode("overwrite").parquet(loc)
+            self.dataframe_query(
+                {
+                    "dataSources": [
+                        {"format": "parquet", "name": "__warm", "location": loc}
+                    ],
+                    "query": "SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM __warm "
+                             "WHERE k > 1 GROUP BY g ORDER BY g",
+                    "response": {"format": "json"},
+                }
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return time.time() - t0
 
     # -- shared steps ------------------------------------------------------

@@ -48,6 +48,9 @@ def test_settings_defaults_match_reference():
     assert s.session.upload_limit_size == 20
     assert s.upload_limit_bytes == 20 * 1024 * 1024
     assert s.log.level == "info"
+    # beyond-reference boot pre-warm (r9): default on, config-toggleable
+    assert s.server.prewarm is True
+    assert Settings.from_dict({"server": {"prewarm": False}}).server.prewarm is False
 
 
 def test_settings_sqlite_empty_database_rejected():

@@ -480,6 +480,44 @@ def rewrite_groups_over_groupby(sql: str) -> str:
     masked, lits = _protect_strings(sql)
     if not _GROUPS_FRAME.search(masked):
         return sql
+    # r9: recurse into parenthesized subselects first (derived tables,
+    # set-op branches) — a GROUPS+GROUP BY statement inside a wrapper
+    # is the same statement for this pre-pass, exactly as
+    # rewrite_offset_groups recurses (the fuzzer's 18 residual rejects
+    # were ALL this shape)
+    rebuilt = []
+    i = 0
+    changed = False
+    while i < len(masked):
+        if masked[i] == "(":
+            d, j = 1, i + 1
+            while j < len(masked) and d:
+                if masked[j] == "(":
+                    d += 1
+                elif masked[j] == ")":
+                    d -= 1
+                j += 1
+            inner = masked[i + 1 : j - 1]
+            if (
+                d == 0
+                and re.match(r"\s*SELECT\b", inner, re.IGNORECASE)
+                and _GROUPS_FRAME.search(inner)
+            ):
+                rebuilt.append(
+                    "("
+                    + rewrite_groups_over_groupby(_restore_strings(inner, lits))
+                    + ")"
+                )
+                changed = True
+                i = j
+                continue
+        rebuilt.append(masked[i])
+        i += 1
+    if changed:
+        masked, lits = _protect_strings(_restore_strings("".join(rebuilt), lits))
+        sql = _restore_strings(masked, lits)
+        if not _GROUPS_FRAME.search(masked):
+            return sql
     sel = _depth0_find(masked, r"SELECT\b")
     if sel == -1 or _depth0_find(masked, r"SELECT\b", sel + 6) != -1:
         return sql
@@ -632,11 +670,14 @@ def rewrite_offset_groups(sql: str) -> str:
     relation expands like ``*``; ``EXCLUDE CURRENT ROW/GROUP/TIES`` on
     SUM/COUNT/AVG rewrites to frame-minus-excluded arithmetic (peer
     group = rows equal on the partition+order keys), with an
-    effective-count CASE so an emptied frame still yields NULL.
-    Statements the rewrite cannot prove safe (top-level GROUP BY/
-    HAVING, multi-relation ``t.*``, EXCLUDE on non-subtractable
-    aggregates) are returned unchanged and then rejected by
-    check_unsupported with the narrowed message."""
+    effective-count CASE so an emptied frame still yields NULL; r9:
+    MIN/MAX under EXCLUDE decompose to LEAST/GREATEST over the
+    before-/after-group sub-frames (plus a peers-minus-self ROWS pair
+    for EXCLUDE CURRENT ROW). Statements the rewrite cannot prove safe
+    (top-level GROUP BY/HAVING, multi-relation ``t.*``, EXCLUDE on
+    aggregates neither subtractable nor order-decomposable) are
+    returned unchanged and then rejected by check_unsupported with the
+    narrowed message."""
     masked, lits = _protect_strings(sql)
     if not _GROUPS_FRAME.search(masked):
         return sql
@@ -801,8 +842,10 @@ def rewrite_offset_groups(sql: str) -> str:
             return sql
         open_idx = i2 + 1
         m_fn = re.search(r"([A-Za-z_]\w*)\s*$", masked[:open_idx])
-        if not m_fn or m_fn.group(1).upper() not in ("SUM", "COUNT", "AVG"):
-            return sql  # not a subtractable aggregate: reject downstream
+        if not m_fn or m_fn.group(1).upper() not in (
+            "SUM", "COUNT", "AVG", "MIN", "MAX",
+        ):
+            return sql  # neither subtractable nor decomposable: reject
         fn = m_fn.group(1).upper()
         arg = masked[open_idx + 1 : j].strip()
         agg_start = m_fn.start(1)
@@ -824,6 +867,57 @@ def rewrite_offset_groups(sql: str) -> str:
                 ).strip()
             )
         wg = f"PARTITION BY {', '.join(peer_keys)}"
+        if fn in ("MIN", "MAX"):
+            # r9: MIN/MAX are not subtractable, but frame-minus-excluded
+            # DECOMPOSES: the kept rows are (frame before the current
+            # peer group) U (frame after it) [U the peer group's own
+            # contribution for TIES/CURRENT ROW], each a plain window
+            # aggregate, combined with LEAST/GREATEST (both skip NULLs,
+            # so empty sub-frames fall out). For EXCLUDE CURRENT ROW
+            # the peers-minus-self part uses ROWS frames over the peer
+            # partition under an arbitrary total order — before-self U
+            # after-self == all-except-self REGARDLESS of tie order.
+            mb = re.fullmatch(
+                r"BETWEEN\s+(.+?)\s+AND\s+(.+)", f, re.IGNORECASE
+            )
+            if not mb:
+                return sql
+            lo_b, hi_b = mb.group(1).strip(), mb.group(2).strip()
+            is_cur = lambda b: (  # noqa: E731 — 0 PRECEDING/FOLLOWING == CURRENT ROW
+                b.upper() == "CURRENT ROW"
+                or re.fullmatch(r"0\s+(PRECEDING|FOLLOWING)", b, re.IGNORECASE)
+            )
+            pick = "LEAST" if fn == "MIN" else "GREATEST"
+            cands: list[str] = []
+            if not is_cur(lo_b):
+                cands.append(
+                    f"{fn}({arg}) OVER ({part_clause}ORDER BY {alias} "
+                    f"RANGE BETWEEN {lo_b} AND 1 PRECEDING)"
+                )
+            if not is_cur(hi_b):
+                cands.append(
+                    f"{fn}({arg}) OVER ({part_clause}ORDER BY {alias} "
+                    f"RANGE BETWEEN 1 FOLLOWING AND {hi_b})"
+                )
+            if e == "EXCLUDE TIES":
+                cands.append(arg)
+            elif e == "EXCLUDE CURRENT ROW":
+                cands.append(
+                    f"{fn}({arg}) OVER ({wg} ORDER BY {arg} "
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+                )
+                cands.append(
+                    f"{fn}({arg}) OVER ({wg} ORDER BY {arg} "
+                    "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+                )
+            if not cands:  # frame was exactly the peer group, all excluded
+                expr = f"(CASE WHEN FALSE THEN {arg} END)"
+            elif len(cands) == 1:
+                expr = f"({cands[0]})"
+            else:
+                expr = f"{pick}({', '.join(cands)})"
+            replacements.append((agg_start, cl + 1, expr))
+            continue
         cf = f"COUNT({arg}) OVER ({wf})"
         cg = f"COUNT({arg}) OVER ({wg})"
         one = "1" if arg == "*" else f"(CASE WHEN {arg} IS NOT NULL THEN 1 ELSE 0 END)"
@@ -926,9 +1020,11 @@ def check_unsupported(sql: str) -> None:
             "GROUP/TIES on SUM/COUNT/AVG via frame-minus-excluded "
             "arithmetic — r7, and top-level GROUP BY/HAVING via an "
             "aggregation-hoisting pre-pass — r8, with GROUP BY ordinals "
-            "resolved to select-list expressions — r9), but multi-relation "
-            "qualified t.*/column refs, parenthesized set-op branches, "
-            "EXCLUDE on non-subtractable aggregates (MIN/MAX/...), "
+            "resolved to select-list expressions and EXCLUDE on MIN/MAX "
+            "decomposed to LEAST/GREATEST over sub-frames — r9), but "
+            "multi-relation qualified t.*/column refs, parenthesized "
+            "set-op branches, EXCLUDE on aggregates that are neither "
+            "subtractable nor order-decomposable (STDDEV/...), "
             "out-of-range ordinals, and window args that are neither group "
             "keys nor aggregate calls stay unsupported — use RANGE or "
             "ROWS frames there"

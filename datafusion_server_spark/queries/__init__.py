@@ -118,7 +118,11 @@ PRIORITY: tuple[str, ...] = (
     # star row — the unbounded GROUPS->RANGE rewrite stays oracle-
     # verified in pytest; offset_star exercises the broader r6/r7
     # dense-rank rewrite incl. star-EXCEPT projection)
-    "window_running_sum",
+    # (window_running_sum rotated OUT round 9 — driver-green since r1,
+    # running-sum semantics run inside several in-window rows — for the
+    # brand-new r9 MIN/MAX EXCLUDE decomposition row, which should be
+    # driver-gated the round it lands)
+    "window_groups_exclude_minmax",
     # (window_groups_offset_star rotated OUT round 9 — driver-green
     # r7/r8 — for the two never-windowed GROUPS+GROUP BY rows: the r8
     # aggregation-hoist closure and the r9 ordinal resolution)

@@ -476,6 +476,85 @@ def window_groups_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(transpile(_GROUPS_EXCLUDE_SQL))
 
 
+# r9: frame EXCLUDE over MIN/MAX — not subtractable, so the dialect
+# DECOMPOSES instead: kept rows = before-group sub-frame U after-group
+# sub-frame (U self for TIES, U peers-minus-self ROWS pair for CURRENT
+# ROW), combined with LEAST/GREATEST (NULL-skipping). The oracle
+# re-derives the semantics independently via rank- and row-level
+# self-joins with explicit NULL-skipping CASEs (DuckDB's GROUPS parser
+# gap again), so agreement proves the decomposition end to end.
+_GROUPS_EXCLUDE_MINMAX_SQL = f"""
+    SELECT o_orderkey,
+           ROUND(CAST(MIN(CAST(o_totalprice AS {D18})) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)
+             AS DOUBLE), 6) AS min_excl_group,
+           ROUND(CAST(MAX(CAST(o_totalprice AS {D18})) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES)
+             AS DOUBLE), 6) AS max_excl_ties,
+           ROUND(CAST(MIN(CAST(o_totalprice AS {D18})) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+             AS DOUBLE), 6) AS min_excl_current
+    FROM orders WHERE o_orderkey < 2000
+"""
+
+_GROUPS_EXCLUDE_MINMAX_ORACLE = f"""
+    WITH v AS MATERIALIZED (
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             CAST(o_totalprice AS {D18}) AS val
+      FROM orders WHERE o_orderkey < 2000
+    ), g AS MATERIALIZED (
+      SELECT o_orderstatus, o_orderdate, MIN(val) AS gmin, MAX(val) AS gmax,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate) AS rk
+      FROM v GROUP BY o_orderstatus, o_orderdate
+    ), nb AS (
+      SELECT a.o_orderstatus, a.o_orderdate,
+             MIN(b.gmin) AS nmin_full,
+             MAX(CASE WHEN b.rk = a.rk - 1 THEN b.gmax END) AS nmax_before
+      FROM g a LEFT JOIN g b
+        ON b.o_orderstatus = a.o_orderstatus
+       AND b.rk BETWEEN a.rk - 1 AND a.rk + 1 AND b.rk <> a.rk
+      GROUP BY a.o_orderstatus, a.o_orderdate
+    ), ps AS (
+      SELECT a.o_orderkey, MIN(b.val) AS pmin
+      FROM v a LEFT JOIN v b
+        ON b.o_orderstatus = a.o_orderstatus
+       AND b.o_orderdate = a.o_orderdate AND b.o_orderkey <> a.o_orderkey
+      GROUP BY a.o_orderkey
+    )
+    SELECT a.o_orderkey,
+           ROUND(CAST(nb.nmin_full AS DOUBLE), 6) AS min_excl_group,
+           ROUND(CAST(CASE WHEN nb.nmax_before IS NULL
+                                OR a.val > nb.nmax_before THEN a.val
+                           ELSE nb.nmax_before END AS DOUBLE), 6)
+             AS max_excl_ties,
+           ROUND(CAST(CASE WHEN nb.nmin_full IS NULL THEN ps.pmin
+                           WHEN ps.pmin IS NULL THEN nb.nmin_full
+                           WHEN ps.pmin < nb.nmin_full THEN ps.pmin
+                           ELSE nb.nmin_full END AS DOUBLE), 6)
+             AS min_excl_current
+    FROM v a
+    JOIN nb ON nb.o_orderstatus = a.o_orderstatus
+           AND nb.o_orderdate = a.o_orderdate
+    LEFT JOIN ps ON ps.o_orderkey = a.o_orderkey
+"""
+
+
+@df_query("window_groups_exclude_minmax", _GROUPS_EXCLUDE_MINMAX_ORACLE)
+def window_groups_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame EXCLUDE over MIN/MAX GROUPS windows: the r9 LEAST/GREATEST
+    sub-frame decomposition (EXCLUDE GROUP / TIES / CURRENT ROW), with
+    the peers-minus-self ROWS pair for the CURRENT ROW case."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_EXCLUDE_MINMAX_SQL))
+
+
 # r8: the last cheap offset-GROUPS residual — a GROUPS frame in a query
 # with a TOP-LEVEL GROUP BY / HAVING. The dialect pre-pass
 # (rewrite_groups_over_groupby) moves the aggregation into a derived

@@ -299,9 +299,23 @@ def test_offset_groups_exclude_rewrites_and_rejections():
         )
     )
     assert "CASE WHEN" in out4 and "GROUPS" not in out4
+    # r9: MIN/MAX EXCLUDE now DECOMPOSES (LEAST/GREATEST over the
+    # before/after sub-frames + the TIES self-term) instead of rejecting
+    out5 = transpile(
+        "SELECT MIN(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
+        "EXCLUDE TIES) AS s FROM t"
+    )
+    assert "LEAST(" in out5 and "GROUPS" not in out5
+    out6 = transpile(
+        "SELECT MAX(x) OVER (ORDER BY o GROUPS BETWEEN 2 PRECEDING AND "
+        "1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM t"
+    )
+    # peers-minus-self = ROWS before-self U after-self over the peer group
+    assert "GREATEST(" in out6 and out6.count("ROWS BETWEEN") == 2
+    # a non-decomposable aggregate under EXCLUDE still rejects
     with pytest.raises(UnsupportedDialectFeature):
         transpile(
-            "SELECT MIN(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
+            "SELECT STDDEV(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
             "EXCLUDE TIES) AS s FROM t"
         )
 

@@ -380,6 +380,11 @@ def main() -> None:
         "mine_hard_negatives",
         "merge_apply_changeset",
         "sample_greedy_quality_budget",
+        # round-9 families (informational, non-pinned)
+        "dedup_survivors_keep_longest",
+        "weak_label_vote",
+        "window_groups_exclude_minmax",
+        "text_span_corruption",
     ]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

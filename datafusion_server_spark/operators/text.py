@@ -1251,3 +1251,124 @@ def term_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("entropy_norm"),
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block: int = 8,
+    sel_mod: int = 4,
+    max_len: int = 3,
+    seed: str = "span",
+) -> DataFrame:
+    """T5/UL2-style span-corruption prep (r9): deterministic denoising
+    examples — mask spans of tokens, number them with ``<extra_id_k>``
+    sentinels, emit (inputs, targets) where inputs is the text with
+    each span replaced by its sentinel and targets is the sentinel-
+    prefixed concatenation of the masked spans.
+
+    Determinism is BLOCK-ALIGNED so an exact SQL oracle exists and no
+    sequential scan is needed: positions partition into blocks of
+    ``block`` tokens; one md5-derived integer per (doc, block) decides
+    select (h % sel_mod == 0, ~1/sel_mod of blocks), span length
+    L = 1 + (h DIV sel_mod) % max_len, and offset
+    (h DIV (sel_mod*max_len)) % (block - L + 1). Spans can never cross
+    blocks, so they never overlap. Expected masked fraction ~=
+    mean(L) / (sel_mod * block).
+
+    Scale shape: the ENTIRE computation is per-row JVM higher-order
+    functions over the split-word array — no explode, no shuffle, no
+    window; output strings are digested (md5) so rows stay narrow.
+    Output: (doc_id, n_tokens, n_spans, n_masked, inputs_md5,
+    targets_md5).
+
+    Integer-exactness note: h is 15 hex digits (~2^60), too big for
+    exact double division, so the DIV-then-mod terms reduce through
+    small residues first — (h DIV a) % b == ((h % (a*b)) DIV a) % b,
+    and the inner DIV of a residue < a*b is exact in a double.
+    """
+    doc = F.col(id_col).cast("string")
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    mods = sel_mod * max_len
+
+    def feat(b: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), doc, F.lit(":"), b.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        # L = 1 + (h DIV sel_mod) % max_len, via the small-residue form
+        sel = h % sel_mod == 0
+        lres = h % mods
+        length = F.when(
+            sel, (F.lit(1) + ((lres - lres % sel_mod) / sel_mod).cast("int") % max_len)
+        ).otherwise(F.lit(0))
+        # off = (h DIV mods) % (block - L + 1)
+        m = F.lit(block) - length + 1
+        r2 = h % (m.cast("bigint") * mods)
+        off = (((r2 - r2 % mods) / mods).cast("bigint") % m.cast("bigint")).cast("int")
+        return F.struct(
+            b.alias("blk"), length.alias("L"), F.when(sel, off).alias("off")
+        )
+
+    nblk = F.floor((n - 1) / block).cast("int")
+    spans = F.when(
+        n > 0,
+        F.filter(
+            F.transform(F.sequence(F.lit(0), nblk), feat),
+            lambda s: (s["L"] > 0) & (s["blk"] * block + s["off"] < n),
+        ),
+    ).otherwise(F.array().cast("array<struct<blk:int,L:int,off:int>>"))
+    smap = F.map_from_entries(
+        F.transform(
+            spans,
+            lambda s, i: F.struct(
+                s["blk"].alias("key"),
+                F.struct(
+                    i.alias("k"), s["L"].alias("L"), s["off"].alias("off")
+                ).alias("value"),
+            ),
+        )
+    )
+
+    def pieces(kind: str) -> Column:
+        def one(p: Column) -> Column:
+            e = F.element_at(smap, F.floor(p / block).cast("int"))
+            local = p % block
+            in_span = (
+                e.isNotNull() & (local >= e["off"]) & (local < e["off"] + e["L"])
+            )
+            word = F.element_at(w, (p + 1).cast("int"))
+            sentinel = F.concat(
+                F.lit("<extra_id_"), e["k"].cast("string"), F.lit(">")
+            )
+            if kind == "inputs":
+                return F.when(~in_span, word).when(local == e["off"], sentinel)
+            return F.when(
+                in_span,
+                F.when(
+                    local == e["off"], F.concat(sentinel, F.lit(" "), word)
+                ).otherwise(word),
+            )
+
+        seq = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.filter(F.transform(seq, one), lambda x: x.isNotNull())
+
+    pin = pieces("inputs")
+    ptg = pieces("targets")
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        n.cast("bigint").alias("n_tokens"),
+        F.size(spans).cast("bigint").alias("n_spans"),
+        (n - F.size(pin) + F.size(spans)).cast("bigint").alias("n_masked"),
+        F.md5(F.array_join(pin, " ")).alias("inputs_md5"),
+        F.md5(F.array_join(ptg, " ")).alias("targets_md5"),
+    )

@@ -210,7 +210,11 @@ PRIORITY: tuple[str, ...] = (
     # fuzzy matching stays oracle-verified in pytest)
     "chat_prompt_response_pairs",
     "gopher_quality_flags",
-    "text_pack_sequences_sharded",
+    # (text_pack_sequences_sharded rotated OUT round 9 — driver-green
+    # r6-r8, sharded packing stays oracle-verified in pytest — for the
+    # brand-new r9 span-corruption denoising-prep row, same
+    # sequence-prep family, driver-gated the round it lands)
+    "text_span_corruption",
     # LLM-pipeline: sampling + mixture learning (round-5: DSIR
     # importance resampling and DoReMi Group-DRO domain reweighting join
     # the window; sample_domain_mix and later sample_temperature_mix

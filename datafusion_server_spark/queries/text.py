@@ -1340,3 +1340,65 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_true"
         ),
     )
+
+
+# r9: T5/UL2 span-corruption denoising prep — block-aligned
+# deterministic masking (operators/text.py::span_corruption docstring
+# has the arithmetic). The oracle re-derives every step relationally:
+# positional unnest (the GENERATE_SERIES zip), the same md5-residue
+# select/length/offset math with true integer // (equal to the
+# operator's small-residue form: (h // a) % b == ((h % (a*b)) // a) % b),
+# sentinel numbering via dense_rank over masked blocks, and ordered
+# STRING_AGG reassembly — digest equality proves the full strings.
+_SPAN_CORRUPTION_ORACLE = """
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         UNNEST(GENERATE_SERIES(0, LEN(STRING_SPLIT(text, ' ')) - 1)) AS p,
+         UNNEST(STRING_SPLIT(text, ' ')) AS w
+  FROM documents),
+base AS (
+  SELECT id, p, w, p // 8 AS blk,
+         CAST(('0x' || substr(md5('span:' || CAST(id AS VARCHAR) || ':'
+                                  || CAST(p // 8 AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM tok),
+feat AS (
+  SELECT *, CASE WHEN h % 4 = 0 THEN 1 + ((h // 4) % 3) ELSE 0 END AS L
+  FROM base),
+feat2 AS (
+  SELECT *, CASE WHEN L > 0 THEN (h // 12) % (8 - L + 1) END AS off
+  FROM feat),
+flags AS (
+  SELECT *,
+         (L > 0 AND (p % 8) >= off AND (p % 8) < off + L) AS masked,
+         (L > 0 AND (p % 8) = off) AS first
+  FROM feat2),
+spanned AS (
+  SELECT *, CASE WHEN masked THEN
+      DENSE_RANK() OVER (PARTITION BY id, masked ORDER BY blk) - 1 END AS k
+  FROM flags)
+SELECT id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN masked THEN blk END) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       md5(COALESCE(STRING_AGG(
+         CASE WHEN NOT masked THEN w
+              WHEN first THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' END,
+         ' ' ORDER BY p), '')) AS inputs_md5,
+       md5(COALESCE(STRING_AGG(
+         CASE WHEN masked THEN
+           CASE WHEN first THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || w
+                ELSE w END END,
+         ' ' ORDER BY p), '')) AS targets_md5
+FROM spanned GROUP BY id
+"""
+
+
+@df_query("text_span_corruption", _SPAN_CORRUPTION_ORACLE)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5/UL2 span-corruption examples over documents:
+    per-doc (n_tokens, n_spans, n_masked, inputs/targets digests),
+    computed entirely with per-row JVM higher-order functions — no
+    explode, no shuffle."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.span_corruption(docs, "text", "doc_id")

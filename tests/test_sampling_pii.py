@@ -231,3 +231,66 @@ def test_dsir_weight_scales_with_length(spark):
     scored = dsir_importance(docs, "text", "doc_id", F.col("grp") == "t")
     w = {r["id"]: r["logw_dec"] for r in scored.collect()}
     assert w[101] == w[100] * 2
+
+
+def test_span_corruption_reconstruction_invariants(spark):
+    """r9: inputs+targets must partition the original tokens — masked
+    words all appear in targets (in order), unmasked words in inputs,
+    sentinel k sequences are 0..n_spans-1 in both, and counts add up.
+    Checked by REBUILDING the full strings with the operator's own
+    piece logic disabled (digests are what ship, so rebuild here from
+    a tiny fixture via an independent Python replay)."""
+    import hashlib
+
+    from datafusion_server_spark.operators.text import span_corruption
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then naps all day long"),
+        (2, "one two three four five six seven eight nine ten eleven twelve"),
+        (3, "solo"),
+        (4, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in span_corruption(df, "text", "doc_id").collect()}
+
+    def h15(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for doc_id, text in rows:
+        words = text.split(" ")
+        n = len(words)
+        spans = []
+        for blk in range((n + 7) // 8):
+            h = h15(f"span:{doc_id}:{blk}")
+            if h % 4 == 0:
+                length = 1 + (h // 4) % 3
+                off = (h // 12) % (8 - length + 1)
+                if blk * 8 + off < n:
+                    spans.append((blk, length, off))
+        masked = set()
+        inputs, targets = [], []
+        for p, w in enumerate(words):
+            hit = next(
+                (
+                    (k, L, off)
+                    for k, (blk, L, off) in enumerate(spans)
+                    if p // 8 == blk and off <= p % 8 < off + L
+                ),
+                None,
+            )
+            if hit is None:
+                inputs.append(w)
+            else:
+                k, L, off = hit
+                masked.add(p)
+                if p % 8 == off:
+                    inputs.append(f"<extra_id_{k}>")
+                    targets.append(f"<extra_id_{k}> {w}")
+                else:
+                    targets.append(w)
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["n_spans"] == len(spans)
+        assert r["n_masked"] == len(masked)
+        assert r["inputs_md5"] == hashlib.md5(" ".join(inputs).encode()).hexdigest()
+        assert r["targets_md5"] == hashlib.md5(" ".join(targets).encode()).hexdigest()

@@ -126,6 +126,11 @@ def matched_path(path: str) -> str:
     return "/unmatched"
 
 
+class PayloadTooLarge(ValueError):
+    """Body exceeds session.upload_limit_size — maps to 413, the
+    reference's status (custom_extractor.rs:30, http_error.rs:153)."""
+
+
 class Handler(BaseHTTPRequestHandler):
     engine: Engine  # set by serve()
 
@@ -135,7 +140,7 @@ class Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length") or 0)
         limit = self.engine.settings.upload_limit_bytes
         if n > limit:
-            raise ValueError(f"payload exceeds {limit} bytes")
+            raise PayloadTooLarge(f"payload exceeds {limit} bytes")
         return self.rfile.read(n)
 
     def _json(self):
@@ -314,6 +319,11 @@ class Handler(BaseHTTPRequestHandler):
             return self._error(404, f"no route: {method} {path}")
         except KeyError as e:
             return self._error(404, str(e))
+        except PayloadTooLarge as e:  # reference parity: 413
+            # the oversized body was never read — drop the connection
+            # after responding so a keep-alive peer cannot misparse
+            self.close_connection = True
+            return self._error(413, str(e))
         except Exception as e:  # surface engine errors as 400s
             return self._error(400, f"{type(e).__name__}: {e}")
 

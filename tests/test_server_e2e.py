@@ -533,3 +533,37 @@ def test_concurrent_session_isolation(base_url, tmp_path):
     finally:
         for i in range(n):
             requests.delete(f"{base_url}/session/iso{i}")
+
+
+def test_upload_limit_413_parity(spark):
+    """Reference parity (custom_extractor.rs:30, http_error.rs:153):
+    a body over session.upload_limit_size answers 413 PAYLOAD_TOO_LARGE
+    (was a generic 400), and the connection is dropped unread so a
+    keep-alive peer cannot misparse the stream."""
+    from datafusion_server_spark.settings import Settings
+
+    settings = Settings.from_dict({"session": {"upload_limit_size": 1}})
+    engine = Engine(spark, start_reaper=False, settings=settings)
+    httpd = serve(engine, "127.0.0.1", 0)
+    host, port = httpd.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        big = b"k,v\n" + b"1,2\n" * (600 * 1024)  # ~2.3 MB > 1 MB limit
+        r = requests.post(
+            f"{base}/session/up413/upload",
+            params={"name": "t", "format": "csv"},
+            data=big,
+            headers={"Content-Type": "text/csv"},
+        )
+        assert r.status_code == 413, (r.status_code, r.text[:120])
+        # an in-limit request on a fresh connection still works
+        requests.get(f"{base}/session/create", params={"id": "up413"})
+        ok = requests.post(
+            f"{base}/session/up413/upload",
+            params={"name": "t", "format": "csv"},
+            data=b"k,v\n1,2\n",
+            headers={"Content-Type": "text/csv"},
+        )
+        assert ok.status_code == 200, ok.text
+    finally:
+        httpd.shutdown()

@@ -169,8 +169,27 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(b"\r\n")
         self.wfile.write(b"0\r\n\r\n")
 
-    def _error(self, code: int, message: str) -> None:
-        self._send_json(code, {"error": message})
+    # reference-parity error slugs by status (http_error.rs constructors);
+    # call sites can pass a more specific slug
+    _ERROR_SLUGS = {
+        400: "uncategorized_error",
+        404: "not_found",
+        413: "payload_too_large",
+        415: "unsupported_format",
+        500: "internal_server_error",
+    }
+
+    def _error(self, code: int, message: str, slug: str | None = None) -> None:
+        """Reference-parity error body (http_error.rs ResponseError):
+        ``{"code": <status>, "error": "<slug>", "message": "<detail>"}``."""
+        self._send_json(
+            code,
+            {
+                "code": code,
+                "error": slug or self._ERROR_SLUGS.get(code, "uncategorized_error"),
+                "message": message,
+            },
+        )
 
     def log_message(self, fmt, *args):  # quiet
         pass

@@ -325,7 +325,11 @@ def test_error_routes(base_url):
     assert requests.post(f"{base_url}/session/ghost/query", json={"sql": "SELECT 1"}).status_code == 404
     r = requests.post(f"{base_url}/dataframe/query", json={"query": "SELECT bogus FROM nothing"})
     assert r.status_code == 400
-    assert "error" in r.json()
+    # reference-parity body shape (http_error.rs ResponseError)
+    body = r.json()
+    assert set(body) == {"code", "error", "message"}
+    assert body["code"] == 400 and body["error"] == "uncategorized_error"
+    assert "nothing" in body["message"] or "TABLE_OR_VIEW" in body["message"].upper()
 
 
 def test_flight_do_put_do_get(engine):

@@ -112,12 +112,14 @@ def test_config_file_boot_e2e(spark, tmp_path):
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         assert hconf.get("fs.webdav.url") == "https://dav.example/files"
         assert hconf.get("fs.webdav.user") == "davuser"
-        # upload limit (5 MB) enforced
+        # upload limit (5 MB) enforced — 413 PAYLOAD_TOO_LARGE (r9
+        # reference parity, custom_extractor.rs:30)
         r = requests.post(
             f"{base}/session/cfg/datasource/upload",
             files={"big": ("big.csv", b"a\n" + b"1\n" * (6 * 1024 * 1024 // 2), "text/csv")},
         )
-        assert r.status_code == 400 and "exceeds" in r.text
+        assert r.status_code == 413 and "exceeds" in r.json()["message"]
+        assert r.json()["error"] == "payload_too_large"
     finally:
         httpd.shutdown()
         engine.sessions.delete("cfg")

@@ -457,6 +457,42 @@ _ORDER_DIR_TAIL = re.compile(
 )
 
 
+def _recurse_groups_subselects(masked, lits, fn):
+    """Recurse ``fn`` into every depth-0 parenthesized subselect that
+    contains a GROUPS frame (derived tables, IN-subqueries, set-op
+    branches) — shared by the offset rewrite and the GROUP BY hoist.
+    Returns ``(masked, lits, sql, changed)``, re-protected after the
+    splice so callers never pattern-match inside restored literals."""
+    rebuilt = []
+    i = 0
+    changed = False
+    while i < len(masked):
+        if masked[i] == "(":
+            d, j = 1, i + 1
+            while j < len(masked) and d:
+                if masked[j] == "(":
+                    d += 1
+                elif masked[j] == ")":
+                    d -= 1
+                j += 1
+            inner = masked[i + 1 : j - 1]
+            if (
+                d == 0
+                and re.match(r"\s*SELECT\b", inner, re.IGNORECASE)
+                and _GROUPS_FRAME.search(inner)
+            ):
+                rebuilt.append("(" + fn(_restore_strings(inner, lits)) + ")")
+                changed = True
+                i = j
+                continue
+        rebuilt.append(masked[i])
+        i += 1
+    if not changed:
+        return masked, lits, None, False
+    masked2, lits2 = _protect_strings(_restore_strings("".join(rebuilt), lits))
+    return masked2, lits2, _restore_strings(masked2, lits2), True
+
+
 def rewrite_groups_over_groupby(sql: str) -> str:
     """r8 (verdict task 4): offset/EXCLUDE GROUPS frames in a query with
     a TOP-LEVEL GROUP BY [HAVING]. ``rewrite_offset_groups`` cannot fire
@@ -485,37 +521,11 @@ def rewrite_groups_over_groupby(sql: str) -> str:
     # is the same statement for this pre-pass, exactly as
     # rewrite_offset_groups recurses (the fuzzer's 18 residual rejects
     # were ALL this shape)
-    rebuilt = []
-    i = 0
-    changed = False
-    while i < len(masked):
-        if masked[i] == "(":
-            d, j = 1, i + 1
-            while j < len(masked) and d:
-                if masked[j] == "(":
-                    d += 1
-                elif masked[j] == ")":
-                    d -= 1
-                j += 1
-            inner = masked[i + 1 : j - 1]
-            if (
-                d == 0
-                and re.match(r"\s*SELECT\b", inner, re.IGNORECASE)
-                and _GROUPS_FRAME.search(inner)
-            ):
-                rebuilt.append(
-                    "("
-                    + rewrite_groups_over_groupby(_restore_strings(inner, lits))
-                    + ")"
-                )
-                changed = True
-                i = j
-                continue
-        rebuilt.append(masked[i])
-        i += 1
+    masked, lits, new_sql, changed = _recurse_groups_subselects(
+        masked, lits, rewrite_groups_over_groupby
+    )
     if changed:
-        masked, lits = _protect_strings(_restore_strings("".join(rebuilt), lits))
-        sql = _restore_strings(masked, lits)
+        sql = new_sql
         if not _GROUPS_FRAME.search(masked):
             return sql
     sel = _depth0_find(masked, r"SELECT\b")
@@ -567,6 +577,13 @@ def rewrite_groups_over_groupby(sql: str) -> str:
             expr = m_as.group(1).strip() if m_as else item
             if expr == "*" or expr.endswith(".*"):
                 return sql
+            if re.fullmatch(r"\d+", expr):
+                # the ordinal resolves to an integer LITERAL (e.g.
+                # "SELECT 1 AS one ... GROUP BY 1") — splicing it back
+                # would recurse on identical text forever (found by the
+                # r9 self-review as a RecursionError); grouping by a
+                # constant is out of mechanical scope, keep the reject
+                return sql
             resolved.append(expr)
         spliced = (
             masked[:keys_start] + " " + ", ".join(resolved) + " " + masked[key_end:]
@@ -578,18 +595,69 @@ def rewrite_groups_over_groupby(sql: str) -> str:
         gby_keys.add(k.lower())
 
     def _agg_level(expr: str) -> bool:
+        """True iff every LEAF of the expression is aggregation-level:
+        a group key verbatim, an aggregate call, or a literal. The r8
+        greedy `FN\\(.*\\)$` match accepted compounds like
+        "SUM(x) + (v)" — a raw column at aggregation level — and
+        emitted inner SQL that fails Spark analysis with a raw
+        AnalysisException; the r9 paren-balance fix then over-rejected
+        VALID compounds like "SUM(v) + COUNT(x)" (caught by the r9
+        self-review's differential run). This decomposes instead:
+        split on depth-0 binary operators and recurse, so every
+        operand is individually verified (strings are already masked,
+        so parens/operators are literal)."""
         e = re.sub(r"\s+", " ", expr.strip())
+        if not e:
+            return False
         if e.lower() in gby_keys:
             return True
+        # literals: numeric, masked string, NULL
+        if re.fullmatch(r"\d+(\.\d+)?([eE][+-]?\d+)?|\x00\d+\x00", e) or (
+            e.upper() == "NULL"
+        ):
+            return True
+        # split on depth-0 binary operators (+ - * / % and ||)
+        parts: list[str] = []
+        depth = last = 0
+        i = 0
+        while i < len(e):
+            c = e[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c in "+-*/%|":
+                op_len = 2 if e[i : i + 2] == "||" else 1
+                if c == "|" and op_len == 1:
+                    return False  # lone '|' is not SQL
+                parts.append(e[last:i])
+                i += op_len
+                last = i
+                continue
+            i += 1
+        if parts:
+            parts.append(e[last:])
+            # an empty first part is a unary +/- sign; other empties
+            # (e.g. "a ++ b" artifacts) reject
+            if parts[0].strip() == "":
+                parts = parts[1:]
+            return bool(parts) and all(_agg_level(p) for p in parts)
+        # fully parenthesized: recurse on the inside
+        if e.startswith("(") and e.endswith(")"):
+            depth = 0
+            for j, c in enumerate(e):
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        if j == len(e) - 1:
+                            return _agg_level(e[1:-1])
+                        break
+        # a single aggregate call whose '(' balances at the very end
         m_call = re.match(r"^([A-Za-z_]\w*)\s*\(", e)
         if not m_call or m_call.group(1).upper() not in _AGGREGATE_FNS:
             return False
-        # The '(' opened after the function name must balance at the
-        # very END of the expression. A greedy `.*\)$` here accepted
-        # compounds like "SUM(x) + (v)" — a raw column at aggregation
-        # level — and emitted inner SQL that fails Spark analysis with
-        # a raw AnalysisException instead of the documented clear
-        # reject (strings are already masked, so parens are literal).
         depth = 0
         for i in range(m_call.end() - 1, len(e)):
             if e[i] == "(":
@@ -684,31 +752,11 @@ def rewrite_offset_groups(sql: str) -> str:
     # 1) recurse into parenthesized subselects that contain a GROUPS
     # frame (IN (...) subqueries, derived tables, parenthesized set-op
     # branches) — each is a standalone statement for this rewrite
-    rebuilt = []
-    i = 0
-    changed = False
-    while i < len(masked):
-        if masked[i] == "(":
-            d, j = 1, i + 1
-            while j < len(masked) and d:
-                if masked[j] == "(":
-                    d += 1
-                elif masked[j] == ")":
-                    d -= 1
-                j += 1
-            inner = masked[i + 1 : j - 1]
-            if d == 0 and re.match(r"\s*SELECT\b", inner, re.IGNORECASE) and _GROUPS_FRAME.search(inner):
-                rebuilt.append("(" + rewrite_offset_groups(_restore_strings(inner, lits)) + ")")
-                changed = True
-                i = j
-                continue
-        rebuilt.append(masked[i])
-        i += 1
+    masked, lits, new_sql, changed = _recurse_groups_subselects(
+        masked, lits, rewrite_offset_groups
+    )
     if changed:
-        # reassemble with the inner rewrites applied, then re-protect so
-        # the outer pass never pattern-matches inside restored literals
-        masked, lits = _protect_strings(_restore_strings("".join(rebuilt), lits))
-        sql = _restore_strings(masked, lits)
+        sql = new_sql
         if not _GROUPS_FRAME.search(masked):
             return sql
     # 2) set-operation statements: rewrite each branch independently (a

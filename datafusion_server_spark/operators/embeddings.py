@@ -208,10 +208,17 @@ def top_component_power(
     # and raise loudly otherwise (the join-based form degraded
     # gracefully by key; the fold must not degrade silently).
     _dc = F.col("dc")
-    _tri_ok = (F.size("cells") * 2 == _dc * (_dc + 1)) & (
-        F.when(_dc == 0, F.lit(True)).otherwise(
-            F.transform(F.col("diag"), lambda c: c["i"].cast("bigint"))
-            == F.sequence(F.lit(0).cast("bigint"), (_dc - 1).cast("bigint"))
+    _tri_ok = (
+        (F.size("cells") * 2 == _dc * (_dc + 1))
+        # r9 self-review: a UNIFORMLY truncated triangle (all embeddings
+        # shorter than `dim`) is still a dense grid and passed the two
+        # structural checks — pin the inferred dimension to the caller's
+        & (_dc == F.lit(int(dim)))
+        & (
+            F.when(_dc == 0, F.lit(True)).otherwise(
+                F.transform(F.col("diag"), lambda c: c["i"].cast("bigint"))
+                == F.sequence(F.lit(0).cast("bigint"), (_dc - 1).cast("bigint"))
+            )
         )
     )
     row = row.withColumn(

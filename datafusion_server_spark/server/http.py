@@ -339,8 +339,23 @@ class Handler(BaseHTTPRequestHandler):
         except KeyError as e:
             return self._error(404, str(e))
         except PayloadTooLarge as e:  # reference parity: 413
-            # the oversized body was never read — drop the connection
-            # after responding so a keep-alive peer cannot misparse
+            # The oversized body was never read. Drain a bounded amount
+            # before responding: close() with unread data in the
+            # receive queue sends RST on Linux, which can destroy the
+            # in-flight 413 before the client reads it (r9 self-review).
+            # Past the drain cap, close anyway — availability over a
+            # perfectly-delivered error for a 100x-over-limit sender.
+            try:
+                remaining = min(
+                    int(self.headers.get("Content-Length") or 0), 64 * 1024 * 1024
+                )
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 20))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+            except OSError:
+                pass
             self.close_connection = True
             return self._error(413, str(e))
         except Exception as e:  # surface engine errors as 400s
@@ -402,7 +417,11 @@ def main() -> None:
     port = args.port if args.port is not None else settings.server.port
     engine = Engine(settings=settings)
     if settings.server.prewarm:
-        print(f"prewarmed in {engine.prewarm():.2f}s")
+        # a latency optimization must never become a boot blocker
+        try:
+            print(f"prewarmed in {engine.prewarm():.2f}s")
+        except Exception as e:  # noqa: BLE001 — availability over warmth
+            print(f"prewarm failed (serving anyway): {e}")
     httpd = serve(engine, host, port)
     print(f"serving on http://{host}:{port}")
     try:

@@ -401,6 +401,28 @@ def test_offset_groups_over_groupby_rewrites(spark):
             "SELECT g, SUM(SUM(v)) OVER (ORDER BY g GROUPS 1 PRECEDING) "
             "FROM u GROUP BY 9"
         )
+    # r9 self-review: ordinal resolving to an integer LITERAL must
+    # reject, not recurse on identical text forever (was RecursionError)
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT 1 AS one, SUM(SUM(v)) OVER (ORDER BY g GROUPS 1 PRECEDING) "
+            "AS s FROM t GROUP BY 1"
+        )
+    # r9 self-review: COMPOUND aggregate-level window args (every leaf a
+    # group key / aggregate call / literal) must still REWRITE — the
+    # paren-balance fix briefly over-rejected these
+    out3 = transpile(
+        "SELECT g, SUM(2 * SUM(v) - COUNT(x)) OVER "
+        "(ORDER BY g GROUPS 1 PRECEDING) AS s FROM t GROUP BY g"
+    )
+    assert "GROUPS" not in out3 and "__agg_groups" in out3
+    spark.range(6).selectExpr(
+        "id % 3 AS g", "id AS v", "id AS x"
+    ).createOrReplaceTempView("t")
+    rows3 = {r["g"]: r["s"] for r in spark.sql(out3).collect()}
+    # per-group: 2*sum(v) - count = g0: 6-2=4, g1: 10-2=8, g2: 14-2=12
+    # rolling pairs over g: 4, 12, 20
+    assert rows3 == {0: 4, 1: 12, 2: 20}
     # ordinal naming the WINDOW item itself: invalid input, reject
     with pytest.raises(UnsupportedDialectFeature):
         transpile(

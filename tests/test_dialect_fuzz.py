@@ -237,9 +237,7 @@ def test_groups_rewriter_fuzz(spark):
                 f"transpile emitted SQL Spark cannot run ({type(e).__name__}):"
                 f"\n  raw: {sql}\n  out: {out}\n  {str(e)[:400]}"
             )
-        want = eval_groups_case(c)
-        if c.proj in ("star", "tstar") and not c.groupby:
-            pass  # same columns: g, v, x, w
+        want = eval_groups_case(c)  # star/t.* project the same g, v, x, w
         assert _canon(got) == _canon(want), (
             f"value mismatch on accepted rewrite:\n  raw: {sql}\n  out: {out}"
             f"\n  case: {c}"

@@ -90,3 +90,9 @@ def test_ragged_triangle_raises_loudly(spark):
     nodiag = m.filter(~((F.col("i") == 3) & (F.col("j") == 3)))
     with pytest.raises(Exception, match="ragged"):
         emb.top_component_power(nodiag, _DIM, iterations=2).collect()
+    # r9 self-review: a UNIFORMLY truncated triangle is still a dense
+    # grid (both structural checks pass) — the inferred dimension must
+    # match the caller's dim or the fold computes the WRONG matrix
+    truncated = m.filter((F.col("i") < _DIM - 2) & (F.col("j") < _DIM - 2))
+    with pytest.raises(Exception, match="ragged"):
+        emb.top_component_power(truncated, _DIM, iterations=2).collect()

@@ -287,6 +287,7 @@ def registry() -> dict[str, QueryDef]:
         core,
         core2,
         core3,
+        core4,
         dedup,
         doremi,
         evalstats,

@@ -22,7 +22,7 @@ event-analytics plans; no window over the raw stream is ever needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -283,4 +283,190 @@ def path_surprisal(
             F.col("surprisal_dec").cast("double")
             / F.col("n_transitions").cast("double")
         ).alias("surprisal"),
+    )
+
+
+def linear_attribution(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    conversion_type: str,
+    touch_types: tuple[str, ...],
+    lookback_s: int,
+    value_scale: int = 100,
+) -> DataFrame:
+    """(touch_type, n_touches BIGINT, attributed_scaled BIGINT): linear
+    multi-touch attribution — each conversion's value splits equally
+    across the user's preceding touch events inside the lookback
+    window; conversions with no touch land on ``(none)``.
+
+    Determinism: the conversion value is quantized to an exact BIGINT
+    (``ROUND(value*scale)``); each of the n touches receives the
+    integer share ``v DIV n`` and the EARLIEST touch (ts, id tie-break)
+    absorbs the remainder ``v % n`` — so total credit is conserved
+    exactly and every cell is an order-independent integer sum.
+
+    Scale shape: the touch<->conversion pairing is the bucketed
+    range-join pattern (range_join_pairs): both sides bucket at
+    ``floor(epoch_us / lookback_us)``, the conversion side explodes
+    into its two candidate buckets {b-1, b}, and the join is an
+    EQUI-join on (user, bucket) with the time window as a residual
+    filter — a fine-grained shuffle key, never a per-user theta join.
+    The per-conversion share window partitions by conversion id
+    (fan-out bounded by touch density x window width).
+    """
+    lookback_us = lookback_s * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.col(id_col).alias("_id"),
+        us.alias("_us"),
+        F.round(F.col(value_col) * value_scale).cast("bigint").alias("_v"),
+        F.floor(us / lookback_us).alias("_b"),
+    )
+    conv = base.filter(F.col("_t") == conversion_type).select(
+        F.col("_u"),
+        F.col("_id").alias("conv_id"),
+        F.col("_us").alias("conv_us"),
+        F.col("_v").alias("conv_v"),
+        F.explode(F.array(F.col("_b") - 1, F.col("_b"))).alias("_jb"),
+    )
+    touch = base.filter(F.col("_t").isin(*touch_types)).select(
+        F.col("_u"),
+        F.col("_t").alias("touch_type"),
+        F.col("_id").alias("touch_id"),
+        F.col("_us").alias("touch_us"),
+        F.col("_b").alias("_jb"),
+    )
+    pairs = conv.join(touch, ["_u", "_jb"]).filter(
+        (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("conv_us") - F.col("touch_us") <= lookback_us)
+    )
+    wconv = Window.partitionBy("conv_id")
+    worder = wconv.orderBy(F.col("touch_us").asc(), F.col("touch_id").asc())
+    credited = pairs.select(
+        "touch_type",
+        "conv_id",
+        "conv_v",
+        F.count(F.lit(1)).over(wconv).cast("bigint").alias("n"),
+        F.row_number().over(worder).alias("rn"),
+    ).select(
+        "touch_type",
+        (
+            F.expr("conv_v DIV n")
+            + F.when(F.col("rn") == 1, F.col("conv_v") % F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("credit"),
+    )
+    matched = pairs.select("conv_id").distinct()
+    unattributed = (
+        base.filter(F.col("_t") == conversion_type)
+        .join(matched, base["_id"] == matched["conv_id"], "left_anti")
+        .select(F.lit("(none)").alias("touch_type"), F.col("_v").alias("credit"))
+    )
+    return (
+        credited.unionByName(unattributed)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit").cast("bigint").alias("attributed_scaled"),
+        )
+    )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    censor_after_s: int,
+    day_s: int = 86_400,
+) -> DataFrame:
+    """(dur_day BIGINT, n_at_risk, n_churned, n_censored BIGINT,
+    km_survival DOUBLE): Kaplan-Meier survival of user lifetime (days
+    between a user's first and last event). Users whose last event is
+    within ``censor_after_s`` of the observation end are right-CENSORED
+    (still alive); everyone else churns at their last-event day.
+
+    Determinism: the curve table is pure integer aggregation (counts
+    per duration day, at-risk via a reverse cumulative sum). The KM
+    product S(t) = prod_{u<=t}(1 - d_u/n_u) is an inherently SEQUENTIAL
+    float product, so it is computed by folding the day-ordered factor
+    array left-to-right — the curve is duration-day-bounded (calendar
+    days, never corpus-scale), so it collapses to ONE array row and the
+    fold order is identical on any engine/partitioning (the DuckDB
+    oracle folds the same list with list_reduce; multiplication is
+    correctly rounded IEEE, and the leading 1.0 * f1 is exact).
+
+    Scale shape: one user-keyed aggregation (the only corpus-scale
+    shuffle) -> duration-day aggregation (calendar-bounded) -> global
+    window + single-row fold over <= observation-window-days rows.
+    """
+    day_us = day_s * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    spans = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(us).alias("f"), F.max(us).alias("l")
+    )
+    end = events.agg(F.max(us).alias("e"))
+    du = spans.crossJoin(F.broadcast(end)).select(
+        F.expr(f"CAST((l - f) DIV {day_us} AS BIGINT)").alias("dur"),
+        F.when(
+            F.col("e") - F.col("l") >= censor_after_s * 1_000_000, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("ch"),
+    )
+    curve = du.groupBy("dur").agg(
+        F.sum("ch").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ch")).cast("bigint").alias("c"),
+    )
+    # at-risk = users with duration >= this day: reverse running sum
+    # over the day-bounded curve (HashAggregate below bounds the rows)
+    wrev = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = curve.select(
+        "dur", "d", "c",
+        F.sum(F.col("d") + F.col("c")).over(wrev).cast("bigint").alias("n"),
+    )
+    one = risk.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "d", "c", "n"))).alias("arr")
+    ).select(
+        "arr",
+        F.transform(
+            "arr",
+            lambda x: F.lit(1.0) - x["d"].cast("double") / x["n"].cast("double"),
+        ).alias("fl"),
+    )
+    km = one.select(
+        F.explode(
+            F.transform(
+                "arr",
+                lambda x, i: F.struct(
+                    x["dur"].alias("dur"),
+                    x["d"].alias("d"),
+                    x["c"].alias("c"),
+                    x["n"].alias("n"),
+                    F.aggregate(
+                        F.slice("fl", F.lit(1), i + 1),
+                        F.lit(1.0),
+                        lambda a, b: a * b,
+                    ).alias("s"),
+                ),
+            )
+        ).alias("r")
+    )
+    return km.select(
+        F.col("r.dur").alias("dur_day"),
+        F.col("r.n").alias("n_at_risk"),
+        F.col("r.d").alias("n_churned"),
+        F.col("r.c").alias("n_censored"),
+        F.col("r.s").alias("km_survival"),
     )

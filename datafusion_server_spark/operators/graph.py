@@ -32,7 +32,7 @@ before calling; the contract is asserted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RANK_ONE = 1_000_000_000  # total rank mass, in 1e-9 units
@@ -322,3 +322,84 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, label): synchronous label propagation communities over an
+    oriented distinct edge list (pa, pb) — Raghavan et al. 2007, the
+    deterministic sync variant: every node starts labeled with its own
+    id and each round adopts the label held by the PLURALITY of its
+    neighbors, ties broken to the SMALLEST label (no randomness, no
+    self-vote), for a fixed round count.
+
+    Determinism: the update is an integer argmax (count DESC, label
+    ASC) — exact on any engine/partitioning.
+
+    Scale shape (100 TB): each round is ONE join (labels into the
+    adjacency list, keyed by neighbor) + ONE grouped argmax keyed by
+    (node, label) then node — the Pregel message-passing step written
+    relationally. The node set is corpus-scale, so there is no bounded
+    fold here (contrast pagerank's ``folded=True``, which is gated to
+    entity-bounded graphs); the driver loops over the FIXED round
+    count, never over rows, and lineage is truncated per round.
+    """
+    # the adjacency list feeds every round's join — materialize it once
+    # (at warehouse scale swap the persist for a staging write, exactly
+    # like triangle_participation)
+    adj = edges.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    ).persist()
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iterations):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "nl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("nl").asc()
+        )
+        labels = (
+            votes.select(
+                "node", F.col("nl").alias("label"), F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_oracle_ctes(edges_sql: str, iterations: int = 3) -> str:
+    """DuckDB WITH-chain mirroring :func:`label_propagation` — the house
+    unrolled-iteration oracle pattern (cf. pagerank_oracle_ctes)."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "adj AS (SELECT pa AS node, pb AS nbr FROM e"
+        " UNION ALL SELECT pb AS node, pa AS nbr FROM e)",
+        "l0 AS (SELECT node, node AS label FROM (SELECT DISTINCT node FROM adj))",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"l{i} AS (SELECT node, label FROM ("
+            " SELECT a.node, l.label, COUNT(*) AS c,"
+            " ROW_NUMBER() OVER (PARTITION BY a.node"
+            "                    ORDER BY COUNT(*) DESC, l.label ASC) AS rn"
+            f" FROM adj a JOIN l{i - 1} l ON l.node = a.nbr"
+            " GROUP BY a.node, l.label) t WHERE rn = 1)"
+        )
+    return "WITH " + ",\n".join(parts)

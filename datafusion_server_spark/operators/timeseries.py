@@ -440,3 +440,88 @@ def linear_trend(
             (intercept / value_scale).alias("intercept"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    value_scale: int = 100,
+) -> DataFrame:
+    """(key, cp_day DATE, n_days, cusum_stat, mean_before, mean_after):
+    per-key CUSUM changepoint over the DAILY-TOTAL series — the offline
+    level-shift detector (Page 1954 / Taylor's cumulative-sum form):
+    the changepoint estimate is the day maximizing |S_t| where
+    S_t = sum_{u<=t}(x_u - xbar) over daily totals x.
+
+    Determinism: daily totals are exact scaled-BIGINT sums; instead of
+    the float S_t the argmax scans C_t = n * cumsum_t - t * total
+    (== n^2 * S_t when series length is n — same argmax, ALL-INTEGER,
+    so the selected day is engine- and partition-exact; ties break to
+    the earliest day). ``cusum_stat`` = max|S_t| in value units
+    (|C_t| / n / scale) and the before/after daily means are single
+    exact-integer divisions, repr-round paired downstream.
+
+    Scale shape: one (key, day) hash aggregation with map-side combine
+    collapses the corpus to calendar-bounded series; the windows that
+    follow run per key over <= a-few-thousand rows each regardless of
+    corpus size — the 100 TB cost is the one aggregation shuffle.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(value_col) * value_scale).cast("bigint").alias("vi"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vi").cast("bigint").alias("x"))
+    )
+    wo = Window.partitionBy("key").orderBy("day")
+    wall = Window.partitionBy("key")
+    cur = (
+        daily.select(
+            "key",
+            "day",
+            F.row_number().over(wo).cast("bigint").alias("t"),
+            F.sum("x").over(wo).cast("bigint").alias("cum"),
+            F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+            F.sum("x").over(wall).cast("bigint").alias("total"),
+        )
+        .select(
+            "key",
+            "day",
+            "t",
+            "cum",
+            "n",
+            "total",
+            (F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias("c"),
+        )
+    )
+    wpick = Window.partitionBy("key").orderBy(
+        F.abs(F.col("c")).desc(), F.col("day").asc()
+    )
+    picked = cur.select(
+        "key", "day", "t", "cum", "n", "total", "c",
+        F.row_number().over(wpick).alias("rn"),
+    ).filter((F.col("rn") == 1) & (F.col("n") >= 2) & (F.col("t") < F.col("n")))
+    scale_d = float(value_scale)
+    return picked.select(
+        "key",
+        F.col("day").alias("cp_day"),
+        F.col("n").alias("n_days"),
+        (
+            F.abs(F.col("c")).cast("double")
+            / F.col("n").cast("double")
+            / scale_d
+        ).alias("cusum_stat"),
+        (
+            F.col("cum").cast("double") / F.col("t").cast("double") / scale_d
+        ).alias("mean_before"),
+        (
+            (F.col("total") - F.col("cum")).cast("double")
+            / (F.col("n") - F.col("t")).cast("double")
+            / scale_d
+        ).alias("mean_after"),
+    )

@@ -101,3 +101,338 @@ def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").cast("bigint").alias("n_forms"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )
+
+
+# --- timeseries_cusum_changepoint ----------------------------------------
+# Offline CUSUM level-shift detection per event type over daily revenue
+# totals. The argmax runs on the all-integer C_t = n*cum_t - t*total
+# (see operators/timeseries.cusum_changepoint); only the three display
+# divisions are doubles, repr-round paired.
+_CUSUM_SCALE = 100
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * {_CUSUM_SCALE}) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+cur AS (
+  SELECT key, day,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+         CAST(SUM(x) OVER w AS BIGINT) AS cum,
+         CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+         CAST(SUM(x) OVER (PARTITION BY key) AS BIGINT) AS total
+  FROM daily
+  WINDOW w AS (PARTITION BY key ORDER BY day)),
+c AS (
+  SELECT *, n * cum - t * total AS c FROM cur),
+picked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY ABS(c) DESC, day ASC) AS rn
+  FROM c)
+SELECT key AS event_type, day AS cp_day, n AS n_days,
+       {rrepr(f"CAST(ABS(c) AS DOUBLE) / CAST(n AS DOUBLE) / {_CUSUM_SCALE}.0", 4)} AS cusum_stat,
+       {rrepr(f"CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) / {_CUSUM_SCALE}.0", 4)} AS mean_before,
+       {rrepr(f"CAST(total - cum AS DOUBLE) / CAST(n - t AS DOUBLE) / {_CUSUM_SCALE}.0", 4)} AS mean_after
+FROM picked WHERE rn = 1 AND n >= 2 AND t < n
+"""
+
+
+@df_query("timeseries_cusum_changepoint", _CUSUM_ORACLE)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM changepoint over daily value totals: the day
+    maximizing |S_t| (ties earliest), with the daily-mean level before
+    (days <= cp) and after (days > cp). One (type, day) map-side-combined
+    aggregation reduces the corpus to calendar-bounded series; every
+    window after that is per-type over <= n_days rows."""
+    from datafusion_server_spark.operators import timeseries as ts_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    cp = ts_ops.cusum_changepoint(
+        ev, "event_type", "ts", "value", value_scale=_CUSUM_SCALE
+    )
+    return cp.select(
+        F.col("key").alias("event_type"),
+        "cp_day",
+        "n_days",
+        F.round(F.col("cusum_stat"), 4).alias("cusum_stat"),
+        F.round(F.col("mean_before"), 4).alias("mean_before"),
+        F.round(F.col("mean_after"), 4).alias("mean_after"),
+    )
+
+
+# --- events_attribution_linear --------------------------------------------
+# Linear multi-touch attribution: each purchase's cents split equally
+# across the user's view/click touches in the 3 days before it, the
+# earliest touch absorbing the integer remainder; no-touch purchases
+# credit '(none)'. All-integer (operators/funnel.linear_attribution);
+# the oracle joins on the raw time predicate (no bucketing needed at
+# oracle scale) — identical pair set by construction.
+_ATTR_LOOKBACK_S = 3 * 86400
+_ATTR_TOUCHES = ("view", "click")
+
+_ATTR_ORACLE = f"""
+WITH base AS (
+  SELECT user_id AS u, event_type AS t, event_id AS id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events),
+conv AS (SELECT u, id AS conv_id, us AS conv_us, v AS conv_v FROM base WHERE t = 'purchase'),
+touch AS (SELECT u, t AS touch_type, id AS touch_id, us AS touch_us FROM base
+          WHERE t IN ('view', 'click')),
+pairs AS (
+  SELECT c.conv_id, c.conv_v, t.touch_type, t.touch_id, t.touch_us
+  FROM conv c JOIN touch t ON t.u = c.u
+  WHERE t.touch_us < c.conv_us
+    AND c.conv_us - t.touch_us <= CAST({_ATTR_LOOKBACK_S} AS BIGINT) * 1000000),
+credited AS (
+  SELECT touch_type,
+         conv_v // CAST(COUNT(*) OVER w AS BIGINT)
+         + CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id
+                                        ORDER BY touch_us, touch_id) = 1
+                THEN conv_v % CAST(COUNT(*) OVER w AS BIGINT) ELSE 0 END AS credit
+  FROM pairs
+  WINDOW w AS (PARTITION BY conv_id)),
+unattributed AS (
+  SELECT '(none)' AS touch_type, conv_v AS credit
+  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM pairs)),
+allc AS (SELECT * FROM credited UNION ALL SELECT * FROM unattributed)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit) AS BIGINT) AS attributed_scaled,
+       {rrepr("CAST(SUM(credit) AS DOUBLE) / 100.0", 2)} AS attributed_value
+FROM allc GROUP BY touch_type
+"""
+
+
+@df_query("events_attribution_linear", _ATTR_ORACLE)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution of purchase value to preceding
+    view/click touches (3-day lookback; equal integer shares, remainder
+    to the earliest touch; '(none)' bucket for cold conversions). The
+    pairing is the bucketed range-join (equi-join on user x time-bucket,
+    conversion side exploded into 2 buckets) — no per-user theta join."""
+    from datafusion_server_spark.operators import funnel as funnel_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    att = funnel_ops.linear_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "value",
+        conversion_type="purchase",
+        touch_types=_ATTR_TOUCHES,
+        lookback_s=_ATTR_LOOKBACK_S,
+        value_scale=100,
+    )
+    return att.select(
+        "touch_type",
+        "n_touches",
+        "attributed_scaled",
+        F.round(F.col("attributed_scaled").cast("double") / 100.0, 2).alias(
+            "attributed_value"
+        ),
+    )
+
+
+# --- graph_label_propagation ----------------------------------------------
+# Community detection over the part co-purchase graph: deterministic
+# synchronous label propagation (plurality neighbor label, min-label
+# ties), 3 rounds, then community sizes. Oracle = the rounds unrolled
+# into a CTE chain (house fixed-iteration pattern).
+_LPA_ITERS = 3
+
+_LPA_EDGES_SQL = """
+SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _lpa_oracle() -> str:
+    from datafusion_server_spark.operators import graph as graph_ops
+
+    return (
+        graph_ops.label_propagation_oracle_ctes(_LPA_EDGES_SQL, _LPA_ITERS)
+        + f"""
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_member,
+       CAST(MAX(node) AS BIGINT) AS max_member
+FROM l{_LPA_ITERS} GROUP BY label
+"""
+    )
+
+
+@df_query("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (3 deterministic
+    rounds) over the co-purchase graph; output = per-community size and
+    id span. Each round is one adjacency join + one grouped argmax —
+    the relational Pregel step; the node set is corpus-scale so the
+    iteration stays distributed (no bounded fold)."""
+    from datafusion_server_spark.operators import graph as graph_ops
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    edges = graph_ops.copurchase_edges(li)
+    labels = graph_ops.label_propagation(edges, iterations=_LPA_ITERS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_member"),
+        F.max("node").cast("bigint").alias("max_member"),
+    )
+
+
+# --- events_survival_km -----------------------------------------------------
+# Kaplan-Meier user-lifetime survival with right censoring (users still
+# active within 3 days of the observation end). The KM product folds a
+# day-ordered factor list identically on both engines (see
+# operators/funnel.kaplan_meier); DuckDB's list_reduce left-fold and
+# Spark's aggregate(…, 1.0, *) agree exactly because 1.0 * f1 == f1.
+_KM_CENSOR_S = 3 * 86400
+
+_KM_ORACLE = f"""
+WITH spans AS (
+  SELECT user_id AS u, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l
+  FROM events GROUP BY user_id),
+endt AS (SELECT MAX(epoch_us(ts)) AS e FROM events),
+du AS (
+  SELECT (l - f) // 86400000000 AS dur,
+         CASE WHEN e - l >= CAST({_KM_CENSOR_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS ch
+  FROM spans, endt),
+curve AS (
+  SELECT dur, CAST(SUM(ch) AS BIGINT) AS d, CAST(SUM(1 - ch) AS BIGINT) AS c
+  FROM du GROUP BY dur),
+risk AS (
+  SELECT dur, d, c,
+         CAST(SUM(d + c) OVER (ORDER BY dur DESC) AS BIGINT) AS n
+  FROM curve),
+lst AS (
+  SELECT LIST({{'dur': dur, 'd': d, 'c': c, 'n': n}} ORDER BY dur) AS l
+  FROM risk),
+fl AS (
+  SELECT l, list_transform(l, x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)) AS f
+  FROM lst),
+km AS (
+  SELECT UNNEST(list_transform(l, (x, i) ->
+    {{'dur': x.dur, 'd': x.d, 'c': x.c, 'n': x.n,
+      's': list_reduce(f[1:i], (a, b) -> a * b)}})) AS r
+  FROM fl)
+SELECT r.dur AS dur_day, r.n AS n_at_risk, r.d AS n_churned,
+       r.c AS n_censored, {rrepr("r.s", 6)} AS km_survival
+FROM km
+"""
+
+
+@df_query("events_survival_km", _KM_ORACLE)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (first-to-last-event
+    days), right-censoring users still active near the observation end.
+    One user-keyed aggregation is the only corpus-scale shuffle; the
+    curve itself is calendar-day-bounded."""
+    from datafusion_server_spark.operators import funnel as funnel_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    km = funnel_ops.kaplan_meier(ev, "user_id", "ts", censor_after_s=_KM_CENSOR_S)
+    return km.select(
+        "dur_day", "n_at_risk", "n_churned", "n_censored",
+        F.round(F.col("km_survival"), 6).alias("km_survival"),
+    )
+
+
+# --- eval_matryoshka_recall -------------------------------------------------
+# Matryoshka-style truncation eval (Kusupati et al. 2022): how much of
+# the full-dimension brute-force top-K does a prefix-truncated embedding
+# retain? The production question behind shipping 16 of 64 dims to cut
+# index cost 4x. Both sides score with the house exact scaled-long dot
+# (per-element ROUND(x*y*1e12) summed as BIGINT), rank by
+# (round(cosine,6) DESC, neighbor_id) — fully deterministic.
+_MK_K = 10
+_MK_QUERIES = 20
+_MK_DIM = 16
+
+_MK_ORACLE = f"""
+WITH el AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS i
+  FROM embeddings),
+nf AS (SELECT vec_id,
+              SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+       FROM el GROUP BY vec_id),
+nt AS (SELECT vec_id,
+              SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS nrm
+       FROM el WHERE i <= {_MK_DIM} GROUP BY vec_id),
+df_full AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
+  WHERE qa.vec_id < {_MK_QUERIES}
+  GROUP BY 1, 2),
+tk_full AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+                              ORDER BY ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) DESC,
+                                       d.neighbor_id) AS rnk
+    FROM df_full d
+    JOIN nf nq ON nq.vec_id = d.query_id AND nq.nrm > 0
+    JOIN nf nc ON nc.vec_id = d.neighbor_id AND nc.nrm > 0) t
+  WHERE rnk <= {_MK_K}),
+df_tr AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
+  WHERE qa.vec_id < {_MK_QUERIES} AND qa.i <= {_MK_DIM} AND ca.i <= {_MK_DIM}
+  GROUP BY 1, 2),
+tk_tr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+                              ORDER BY ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) DESC,
+                                       d.neighbor_id) AS rnk
+    FROM df_tr d
+    JOIN nt nq ON nq.vec_id = d.query_id AND nq.nrm > 0
+    JOIN nt nc ON nc.vec_id = d.neighbor_id AND nc.nrm > 0) t
+  WHERE rnk <= {_MK_K})
+SELECT f.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_full,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       {rrepr(f"CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / {_MK_K}.0", 4)} AS recall
+FROM tk_full f
+LEFT JOIN tk_tr t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+@df_query("eval_matryoshka_recall", _MK_ORACLE)
+def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of prefix-truncated (first 16 of 64 dims) brute-force
+    cosine search against the full-dimension ground truth, per query —
+    the go/no-go table for shipping a truncated index. Both searches
+    reuse operators/similarity.cosine_topk (broadcast nested-loop join,
+    in-row exact scaled-long dots, no element explode)."""
+    from datafusion_server_spark.operators import similarity as sim_ops
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    tr = emb.select(
+        "vec_id", F.slice("embedding", 1, _MK_DIM).alias("embedding")
+    )
+    full_tk = sim_ops.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < _MK_QUERIES), _MK_K
+    ).select("query_id", "neighbor_id")
+    tr_tk = sim_ops.cosine_topk(
+        tr, tr.filter(F.col("vec_id") < _MK_QUERIES), _MK_K
+    ).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    joined = full_tk.join(
+        tr_tk,
+        (F.col("query_id") == F.col("tq")) & (F.col("neighbor_id") == F.col("tn")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum(F.when(F.col("tn").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.round(
+            F.sum(F.when(F.col("tn").isNotNull(), 1).otherwise(0)).cast("double")
+            / float(_MK_K),
+            4,
+        ).alias("recall"),
+    )

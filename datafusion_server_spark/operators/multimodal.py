@@ -573,3 +573,45 @@ def frame_sample_plan(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     return media.select(
         "media_id", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no")
     )
+
+
+def uniform_frame_schedule(
+    media: DataFrame,
+    id_col: str,
+    n_frames_col: str,
+    fps_col: str,
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Temporal frame-sampling schedule: for each clip, the K uniformly
+    spaced frame indices a video pipeline would decode (idx_i =
+    (i * n_frames) DIV K, strictly increasing whenever n_frames >= K)
+    plus their timestamps in exact integer milliseconds
+    (t_ms = idx * 1000 DIV fps). This is the SCHEDULE half of frame
+    sampling — the decode half stays behind the Pandas-UDF boundary
+    (decode_media), exactly like the rest of the multimodal family.
+
+    Output: (id, sample_pos, frame_idx, t_ms) — all BIGINT, pure
+    integer column math, one in-row explode, no shuffle.
+    """
+    n = F.col(n_frames_col).cast("bigint")
+    fps = F.col(fps_col).cast("bigint")
+    sched = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.struct(i.cast("bigint").alias("sample_pos")),
+    )
+    out = media.select(
+        F.col(id_col).alias("id"), n.alias("__n"), fps.alias("__fps"),
+        F.explode(sched).alias("s"),
+    ).select(
+        "id",
+        F.col("s.sample_pos").alias("sample_pos"),
+        F.expr("CAST(s.sample_pos * __n DIV " + str(k) + " AS BIGINT)").alias(
+            "frame_idx"
+        ),
+        "__fps",
+    )
+    return out.select(
+        "id", "sample_pos", "frame_idx",
+        F.expr("CAST(frame_idx * 1000 DIV __fps AS BIGINT)").alias("t_ms"),
+    )

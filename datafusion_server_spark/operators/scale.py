@@ -355,3 +355,74 @@ def distributed_cumsum(
         .withColumn(cumsum_col, F.col("__dcs_off") + F.col("__dcs_l"))
         .drop("__dcs_pid", "__dcs_l", "__dcs_off")
     )
+
+
+# 2D Hilbert-curve automaton over MSB-first quadrant digits
+# q = (x_bit << 1) | y_bit. A state is the reflection/transposition the
+# curve applies to all REMAINING lower bits; the 4-state tables below
+# are derived mechanically from the classic xy2d loop (Wikipedia
+# "Hilbert curve", converting-from-xy form) by closing {identity, swap,
+# flip-both+swap} under composition — the derivation script is
+# replayed in tests/test_round9_ext.py, which checks every point of a
+# 64x64 grid against the reference loop.
+HILBERT_OUT = (0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+HILBERT_NST = (1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+
+
+def hilbert_key_2d(x: Column, y: Column, bits: int = 8) -> Column:
+    """Hilbert-curve key of two non-negative integer columns (low
+    ``bits`` bits each): the space-filling-curve upgrade of
+    :func:`zorder_key` — Hilbert preserves locality strictly better
+    than Morton (no quadrant-boundary jumps), so range scans over
+    key-sorted parquet touch fewer row groups for 2D-clustered
+    predicates.
+
+    The inherently sequential MSB-to-LSB state machine (each digit's
+    output depends on the rotation accumulated so far) folds over the
+    digit array with the state PACKED into the accumulator
+    (``c = acc*4 + state``), so the whole key is ONE linear-size
+    ``aggregate`` expression — JVM higher-order function, narrow,
+    whole-stage codegen, no UDF, and exactly reproducible in SQL (the
+    oracle folds the same list with ``list_reduce``).
+
+    Inputs must be non-negative; values beyond 2^bits contribute only
+    their low bits (clamp/bucket first, same contract as zorder_key).
+    """
+    xb, yb = x.cast("bigint"), y.cast("bigint")
+    digits = F.array(
+        *[
+            (
+                F.shiftright(xb, b).bitwiseAND(F.lit(1).cast("bigint")) * 2
+                + F.shiftright(yb, b).bitwiseAND(F.lit(1).cast("bigint"))
+            )
+            for b in range(bits - 1, -1, -1)
+        ]
+    )
+    out_arr = F.array(*[F.lit(v).cast("bigint") for v in HILBERT_OUT])
+    nst_arr = F.array(*[F.lit(v).cast("bigint") for v in HILBERT_NST])
+
+    def step(a: Column, q: Column) -> Column:
+        idx = ((a % 4) * 4 + q + 1).cast("int")
+        # a >> 2 == a // 4 (non-negative) — stays in exact integer ops
+        return (F.shiftright(a, 2) * 4 + F.element_at(out_arr, idx)) * 4 + (
+            F.element_at(nst_arr, idx)
+        )
+
+    carrier = F.aggregate(digits, F.lit(0).cast("bigint"), step)
+    return F.shiftright(carrier, 2)
+
+
+def hilbert_key_2d_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """DuckDB SQL mirror of :func:`hilbert_key_2d` (oracle side)."""
+    digits = ", ".join(
+        f"((({x_expr}) >> {b}) & 1) * 2 + ((({y_expr}) >> {b}) & 1)"
+        for b in range(bits - 1, -1, -1)
+    )
+    out_arr = "[" + ", ".join(str(v) for v in HILBERT_OUT) + "]"
+    nst_arr = "[" + ", ".join(str(v) for v in HILBERT_NST) + "]"
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), [{digits}]),"
+        f" (a, q) -> ((a // 4) * 4 + ({out_arr})[CAST((a % 4) * 4 + q + 1 AS INT)]) * 4"
+        f" + ({nst_arr})[CAST((a % 4) * 4 + q + 1 AS INT)])"
+    )
+    return f"CAST(({fold}) // 4 AS BIGINT)"

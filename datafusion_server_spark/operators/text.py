@@ -1372,3 +1372,99 @@ def span_corruption(
         F.md5(F.array_join(pin, " ")).alias("inputs_md5"),
         F.md5(F.array_join(ptg, " ")).alias("targets_md5"),
     )
+
+
+def lm_kneser_ney_cross_entropy(
+    df: DataFrame, text_col: str, id_col: str, *, discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.26) — the stronger sibling of
+    ``lm_bigram_cross_entropy``: instead of backing off to RAW unigram
+    frequency, the lower-order model is the CONTINUATION count (in how
+    many distinct contexts does the word appear), which famously stops
+    "Francisco" from looking probable outside "San Francisco".
+
+        p(t_i | t_{i-1}) = (c(t_{i-1} t_i) - D) / c(t_{i-1})
+                         + (D * N1+(t_{i-1} •) / c(t_{i-1})) * p_cont(t_i)
+        p_cont(t)        = (N1+(• t) + 1) / (B + V)     [add-one floor]
+
+    with D = ``discount`` (default 0.75 — exactly representable in
+    binary, so the subtraction is exact), B = distinct bigram types,
+    V = distinct tokens. Scoring the training corpus itself means
+    c(bigram) >= 1, so c - D > 0 without clamping; a document's first
+    token scores under p_cont alone. Output: (id, n_tokens, xent_nats).
+
+    Determinism: all model quantities are exact integer counts;
+    p composes them with IEEE mul/add/div in a fixed order; the single
+    libm op (ln) rounds to 8 before the DECIMAL sum (house pattern).
+
+    Scale shape (100 TB): identical to the JM bigram — the token stream
+    explodes once into (prev, cur); four model tables are map-side-
+    combined aggregations of it (the two distinct-counts aggregate the
+    DISTINCT pair table, itself one aggregation); scoring joins stream
+    against models keyed by token/bigram; final per-doc groupBy.
+    """
+    toks = _words(F.col(text_col))
+    base = ensure_fanout_parallelism(
+        df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    )
+    bigrams = base.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    firsts = base.filter(F.size("__t") >= 1).select(
+        "id",
+        F.lit(None).cast("string").alias("prev"),
+        F.element_at(F.col("__t"), 1).alias("cur"),
+    )
+    stream = firsts.unionByName(bigrams)
+    # model tables (training corpus == scored corpus)
+    pair_types = bigrams.select("prev", "cur").distinct()
+    prefix = bigrams.groupBy("prev").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prev")
+    )
+    follow = pair_types.groupBy("prev").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nf")
+    )
+    cont = pair_types.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cont")
+    )
+    big = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    totals = stream.agg(
+        F.countDistinct("cur").cast("bigint").alias("__V")
+    ).crossJoin(
+        pair_types.agg(F.count(F.lit(1)).cast("bigint").alias("__B"))
+    )
+    scored = (
+        stream.join(cont, "cur", "left")
+        .crossJoin(F.broadcast(totals))
+        .join(prefix, "prev", "left")
+        .join(follow, "prev", "left")
+        .join(big, ["prev", "cur"], "left")
+    )
+    d = float(discount)
+    p_cont = (F.coalesce(F.col("n_cont"), F.lit(0)) + 1).cast("double") / (
+        F.col("__B") + F.col("__V")
+    ).cast("double")
+    p_bi = (F.col("n_ab").cast("double") - F.lit(d)) / F.col("n_prev").cast(
+        "double"
+    ) + (F.lit(d) * F.col("nf").cast("double") / F.col("n_prev").cast("double")) * p_cont
+    p = F.when(F.col("prev").isNull(), p_cont).otherwise(p_bi)
+    return (
+        scored.select("id", F.round(-F.log(p), 8).cast("decimal(18,8)").alias("__nll"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("__nll").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("xent_nats"),
+        )
+    )

@@ -436,3 +436,229 @@ def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall"),
     )
+
+
+# --- scale_hilbert_key ------------------------------------------------------
+# Hilbert space-filling-curve layout key over (user bucket, value
+# bucket) — the locality-strict upgrade of scale_zorder_key for
+# multi-dimensional parquet clustering. The 4-state MSB-first automaton
+# folds with the state packed into the accumulator; LUTs derived from
+# the classic xy2d loop and grid-verified in tests.
+_HILBERT_BITS = 8
+
+
+def _hilbert_oracle() -> str:
+    from datafusion_server_spark.operators import scale as scale_ops
+
+    key = scale_ops.hilbert_key_2d_sql(
+        "user_id % 256", "CAST(FLOOR(value) AS BIGINT) % 256", _HILBERT_BITS
+    )
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id, {key} AS hkey
+FROM events
+WHERE user_id IS NOT NULL AND value IS NOT NULL
+"""
+
+
+@df_query("scale_hilbert_key", _hilbert_oracle())
+def scale_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (8 bits/dim) for layout-time
+    multi-dimensional sort: strictly better range-scan locality than
+    the Morton key (no quadrant-boundary jumps). One linear-size JVM
+    higher-order fold per row — narrow, codegen, no UDF, no shuffle."""
+    from datafusion_server_spark.operators import scale as scale_ops
+
+    ev = tables.load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    k = scale_ops.hilbert_key_2d(
+        F.col("user_id") % 256,
+        F.floor(F.col("value")).cast("bigint") % 256,
+        bits=_HILBERT_BITS,
+    )
+    return ev.select(F.col("event_id").cast("bigint").alias("event_id"), k.alias("hkey"))
+
+
+# --- events_growth_accounting -----------------------------------------------
+# Weekly growth accounting (the "quick ratio" decomposition): every
+# active (user, ISO week) is NEW (first week ever), RETAINED (active
+# the prior week) or RESURRECTED (returning after a gap); a user active
+# in week w but not w+1 counts as CHURNED in w+1 (only when w+1 is
+# inside the observation window). Pure integer counts over per-user
+# lag/lead windows — engine-exact.
+_GROWTH_ORACLE = """
+WITH weekly AS (
+  SELECT DISTINCT user_id AS u, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+  FROM events),
+maxwk AS (SELECT MAX(wk) AS mw FROM weekly),
+seq AS (
+  SELECT u, wk,
+         LAG(wk) OVER (PARTITION BY u ORDER BY wk) AS prev_wk,
+         LEAD(wk) OVER (PARTITION BY u ORDER BY wk) AS next_wk
+  FROM weekly),
+classified AS (
+  SELECT wk,
+         CASE WHEN prev_wk IS NULL THEN 'new'
+              WHEN wk - prev_wk = 7 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM seq
+  UNION ALL
+  SELECT wk + 7 AS wk, 'churned' AS status
+  FROM seq, maxwk
+  WHERE (next_wk IS NULL OR next_wk - wk > 7) AND wk + 7 <= mw)
+SELECT wk AS week,
+       CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(SUM(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST(SUM(CASE WHEN status <> 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+FROM classified GROUP BY wk
+"""
+
+
+@df_query("events_growth_accounting", _GROWTH_ORACLE)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: new/retained/resurrected/churned user
+    counts per ISO week (churn lands the week AFTER last activity,
+    right-edge excluded). One (user, week) distinct + per-user lag/lead
+    windows sharing the user partitioning + one week-keyed aggregation
+    — the corpus-scale work is a single user-keyed shuffle."""
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    weekly = ev.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).distinct()
+    mw = weekly.agg(F.max("wk").alias("mw"))
+    w = Window.partitionBy("u").orderBy("wk")
+    seq = weekly.select(
+        "u", "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    classified = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.datediff(F.col("wk"), F.col("prev_wk")) == 7, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    ).unionByName(
+        seq.crossJoin(F.broadcast(mw))
+        .filter(
+            (F.col("next_wk").isNull() | (F.datediff("next_wk", "wk") > 7))
+            & (F.date_add("wk", 7) <= F.col("mw"))
+        )
+        .select(F.date_add("wk", 7).alias("wk"), F.lit("churned").alias("status"))
+    )
+    return classified.groupBy(F.col("wk").alias("week")).agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0)).cast("bigint").alias("n_retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0)).cast("bigint").alias("n_resurrected"),
+        F.sum(F.when(F.col("status") == "churned", 1).otherwise(0)).cast("bigint").alias("n_churned"),
+        F.sum(F.when(F.col("status") != "churned", 1).otherwise(0)).cast("bigint").alias("n_active"),
+    )
+
+
+# --- text_lm_kneser_ney -----------------------------------------------------
+# Interpolated Kneser-Ney bigram cross-entropy (continuation-count
+# lower-order model) — see operators/text.lm_kneser_ney_cross_entropy.
+# The oracle zips parallel UNNESTs positionally (the JM-bigram
+# precedent) and composes the same exact-count ratios in the same order.
+_KN_D = 0.75
+
+_KN_ORACLE = f"""
+WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (
+  SELECT doc_id,
+         UNNEST(toks[1:len(toks)-1]) AS prev,
+         UNNEST(toks[2:len(toks)]) AS cur
+  FROM dt WHERE len(toks) >= 2),
+firsts AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS prev, toks[1] AS cur
+           FROM dt WHERE len(toks) >= 1),
+stream AS (SELECT * FROM firsts UNION ALL SELECT * FROM big),
+pair_types AS (SELECT DISTINCT prev, cur FROM big),
+prefix AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS n_prev FROM big GROUP BY prev),
+follow AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS nf FROM pair_types GROUP BY prev),
+cont AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS n_cont FROM pair_types GROUP BY cur),
+bg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n_ab FROM big GROUP BY prev, cur),
+tot AS (SELECT (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) FROM stream) AS v,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pair_types) AS b),
+scored AS (
+  SELECT s.doc_id,
+         CAST(ROUND(-LN(
+           CASE WHEN s.prev IS NULL
+                THEN CAST(COALESCE(c.n_cont, 0) + 1 AS DOUBLE) / CAST(t.b + t.v AS DOUBLE)
+                ELSE (CAST(b2.n_ab AS DOUBLE) - {_KN_D}) / CAST(p.n_prev AS DOUBLE)
+                     + ({_KN_D} * CAST(f.nf AS DOUBLE) / CAST(p.n_prev AS DOUBLE))
+                       * (CAST(COALESCE(c.n_cont, 0) + 1 AS DOUBLE) / CAST(t.b + t.v AS DOUBLE))
+           END), 8) AS DECIMAL(18,8)) AS nll
+  FROM stream s
+  LEFT JOIN cont c ON c.cur = s.cur
+  CROSS JOIN tot t
+  LEFT JOIN prefix p ON p.prev = s.prev
+  LEFT JOIN follow f ON f.prev = s.prev
+  LEFT JOIN bg b2 ON b2.prev = s.prev AND b2.cur = s.cur)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS xent_nats
+FROM scored GROUP BY doc_id
+"""
+
+
+@df_query("text_lm_kneser_ney", _KN_ORACLE)
+def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram cross-entropy — the
+    continuation-count quality signal (CCNet-style band-pass with a
+    sharper LM than the add-one unigram / JM bigram siblings)."""
+    from datafusion_server_spark.operators import text as text_ops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return text_ops.lm_kneser_ney_cross_entropy(
+        docs, "text", "doc_id", discount=_KN_D
+    )
+
+
+# --- multimodal_frame_sample ------------------------------------------------
+# Video frame-sampling schedule: the fixture has no real clips, so each
+# document synthesizes deterministic clip metadata (frame count, fps)
+# on both engines — the query under test is the uniform-K schedule
+# (operators/multimodal.uniform_frame_schedule), all-integer.
+_FS_K = 8
+
+_FS_ORACLE = f"""
+WITH clips AS (
+  SELECT doc_id, 24 + (doc_id % 977) AS n_frames,
+         24 + 6 * (doc_id % 2) AS fps
+  FROM documents),
+s AS (
+  SELECT doc_id, n_frames, fps, UNNEST(generate_series(0, {_FS_K - 1})) AS i
+  FROM clips)
+SELECT CAST(doc_id AS BIGINT) AS clip_id,
+       CAST(i AS BIGINT) AS sample_pos,
+       CAST((i * n_frames) // {_FS_K} AS BIGINT) AS frame_idx,
+       CAST(((i * n_frames) // {_FS_K}) * 1000 // fps AS BIGINT) AS t_ms
+FROM s
+"""
+
+
+@df_query("multimodal_frame_sample", _FS_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-K temporal frame-sampling schedule per clip (the decode
+    half stays behind the multimodal Pandas-UDF boundary): K uniformly
+    spaced frame indices + exact-integer millisecond timestamps. One
+    in-row explode, zero shuffle — rides the scan at any scale."""
+    from datafusion_server_spark.operators import multimodal as mm_ops
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.select(
+        "doc_id",
+        (24 + (F.col("doc_id") % 977)).alias("n_frames"),
+        (24 + 6 * (F.col("doc_id") % 2)).alias("fps"),
+    )
+    sched = mm_ops.uniform_frame_schedule(
+        clips, "doc_id", "n_frames", "fps", k=_FS_K
+    )
+    return sched.select(
+        F.col("id").alias("clip_id"), "sample_pos", "frame_idx", "t_ms"
+    )

@@ -138,3 +138,204 @@ def test_kaplan_meier_hand_curve(spark):
     assert out[2]["n_at_risk"] == 1 and out[2]["n_churned"] == 0
     assert out[2]["n_censored"] == 1
     assert abs(out[2]["km_survival"] - 0.25) < 1e-12
+
+
+def _xy2d_reference(order, x, y):
+    """Classic Wikipedia xy2d loop — the ground truth the automaton
+    LUTs were derived from."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_grid(spark):
+    from datafusion_server_spark.operators import scale
+
+    n = 64  # 6-bit full grid, every point
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select(
+            "x", "y", scale.hilbert_key_2d(F.col("x"), F.col("y"), bits=6).alias("h")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d_reference(n, x, y), (x, y)
+    # bijectivity over the full grid (a space-filling curve is a
+    # permutation of the cell ids)
+    assert sorted(got.values()) == list(range(n * n))
+
+
+def test_hilbert_consecutive_keys_are_grid_adjacent(spark):
+    # THE space-filling-curve property (and the reason to prefer it for
+    # layout sorting): walking the key order moves exactly ONE grid
+    # step at a time, so any contiguous key range is a spatially
+    # compact region and a sorted parquet row group covers a tight
+    # min/max box. Morton violates this with cross-quadrant teleports.
+    from datafusion_server_spark.operators import scale
+
+    n = 32
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    rows = df.select(
+        "x", "y",
+        scale.hilbert_key_2d(F.col("x"), F.col("y"), bits=5).alias("h"),
+        scale.zorder_key([F.col("x"), F.col("y")], bits=5).alias("z"),
+    ).collect()
+    by_h = {r["h"]: (r["x"], r["y"]) for r in rows}
+    by_z = {r["z"]: (r["x"], r["y"]) for r in rows}
+
+    def step(cells, k):
+        (x0, y0), (x1, y1) = cells[k], cells[k + 1]
+        return abs(x1 - x0) + abs(y1 - y0)
+
+    assert all(step(by_h, k) == 1 for k in range(n * n - 1))
+    assert max(step(by_z, k) for k in range(n * n - 1)) > 1
+
+
+def test_growth_accounting_hand_fixture(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from datafusion_server_spark.queries import registry  # noqa: F401
+    from datafusion_server_spark.queries.core4 import events_growth_accounting
+
+    # weeks: Mon 2024-01-01, 01-08, 01-15, 01-22
+    # user 1: w1, w2 (retained), w4 (resurrected; churn would land w5 >
+    #         max week -> right-edge excluded)
+    # user 2: w1 only -> churned in w2
+    rows = [
+        (1, "x", 1, _ts(1), 0.0),
+        (1, "x", 2, _ts(8), 0.0),
+        (1, "x", 3, _ts(22), 0.0),
+        (2, "x", 4, _ts(2), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_type", "event_id", "ts", "value"]
+    )
+    df.createOrReplaceTempView("__growth_fixture")
+    from datafusion_server_spark.operators import funnel  # noqa: F401
+    # build the same chain as the query on the fixture frame
+    from pyspark.sql.window import Window
+
+    weekly = df.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).distinct()
+    mw = weekly.agg(F.max("wk").alias("mw"))
+    w = Window.partitionBy("u").orderBy("wk")
+    seq = weekly.select(
+        "u", "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    classified = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.datediff(F.col("wk"), F.col("prev_wk")) == 7, "retained")
+        .otherwise("resurrected").alias("status"),
+    ).unionByName(
+        seq.crossJoin(F.broadcast(mw))
+        .filter(
+            (F.col("next_wk").isNull() | (F.datediff("next_wk", "wk") > 7))
+            & (F.date_add("wk", 7) <= F.col("mw"))
+        )
+        .select(F.date_add("wk", 7).alias("wk"), F.lit("churned").alias("status"))
+    )
+    got = {
+        (r["wk"].isoformat(), r["status"]): r["n"]
+        for r in classified.groupBy("wk", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got[("2024-01-01", "new")] == 2
+    assert got[("2024-01-08", "retained")] == 1
+    assert got[("2024-01-08", "churned")] == 1  # user 2
+    assert got[("2024-01-22", "resurrected")] == 1
+    # user 1's w2 gap-churn lands w3 (inside window)
+    assert got[("2024-01-15", "churned")] == 1
+    # NO churn row past the max observed week (user 1 w4 -> w5 excluded)
+    assert ("2024-01-29", "churned") not in got
+
+
+def _kn_reference(docs, d=0.75):
+    """Pure-Python interpolated KN bigram replay (same formulas)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    streams = {i: s.split(" ") for i, s in docs}
+    bigs, firsts = [], []
+    for i, t in streams.items():
+        firsts.append((i, None, t[0]))
+        bigs += [(i, a, b) for a, b in zip(t, t[1:])]
+    n_prev = Counter(p for _, p, _ in bigs)
+    n_ab = Counter((p, c) for _, p, c in bigs)
+    pair_types = set(n_ab)
+    nf = Counter(p for p, _ in pair_types)
+    cont = Counter(c for _, c in pair_types)
+    B = len(pair_types)
+    V = len({c for _, _, c in bigs} | {c for _, _, c in firsts})
+    out = {}
+    for i, toks in streams.items():
+        nll = Decimal(0)
+        stream = [(None, toks[0])] + list(zip(toks, toks[1:]))
+        for p, c in stream:
+            pc = (cont.get(c, 0) + 1) / (B + V)
+            if p is None:
+                prob = pc
+            else:
+                prob = (n_ab[(p, c)] - d) / n_prev[p] + (
+                    d * nf[p] / n_prev[p]
+                ) * pc
+            nll += Decimal(str(round(-math.log(prob), 8)))
+        out[i] = (len(stream), round(float(nll) / len(stream), 6))
+    return out
+
+
+def test_kneser_ney_matches_python_replay(spark):
+    from datafusion_server_spark.operators import text as text_ops
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, "a dog sat on a log"),
+        (3, "the dog sat"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_tokens"], r["xent_nats"])
+        for r in text_ops.lm_kneser_ney_cross_entropy(df, "text", "doc_id").collect()
+    }
+    want = _kn_reference(docs)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9, (i, got[i], want[i])
+
+
+def test_kneser_ney_rewards_seen_word_order(spark):
+    # word order destroyed -> bigram continuation evidence gone ->
+    # higher cross-entropy for the shuffled twin of the same bag
+    from datafusion_server_spark.operators import text as text_ops
+
+    base = "alpha beta gamma delta " * 5
+    shuffled = " ".join(reversed(base.split()))
+    df = spark.createDataFrame(
+        [(0, base.strip()), (1, base.strip()), (2, shuffled)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: r["xent_nats"]
+        for r in text_ops.lm_kneser_ney_cross_entropy(df, "text", "doc_id").collect()
+    }
+    assert got[2] > got[0]

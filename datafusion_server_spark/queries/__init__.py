@@ -167,7 +167,11 @@ PRIORITY: tuple[str, ...] = (
     # never-windowed quality-aware survivor pick, r8's dedup addition
     # with the r9 float-policy fix)
     "dedup_survivors_keep_longest",
-    "dedup_clusters",
+    # (dedup_clusters rotated OUT round 9 continuation — driver-green
+    # r3-r8, components stay oracle-verified in pytest and run inside
+    # split_leakage_safe/keepers — for the never-windowed canonical-URL
+    # first-pass dedup, the crawl pipeline's cheapest dedup stage)
+    "web_url_canonicalize",
     "dedup_semantic_semdedup",
     # LLM-pipeline: similarity family (incl. the scale-parameterized
     # banded ANN and late-round-4's int8-SQ+refine search; ann_lsh_cosine
@@ -175,7 +179,10 @@ PRIORITY: tuple[str, ...] = (
     # the pinned variant stays oracle-verified in pytest)
     "knn_bruteforce_cosine",
     "ann_lsh_scaled",
-    "ann_ivf_cosine",
+    # (ann_ivf_cosine rotated OUT round 9 continuation — driver-green
+    # r3-r8, IVF stays oracle-verified in pytest — for the never-
+    # windowed matryoshka truncated-dim recall eval, same family)
+    "eval_matryoshka_recall",
     # (ann_sq8_cosine rotated OUT round 6 for the sharded-packing row;
     # ann_pq_cosine rotated OUT round 8 — driver-green r7, quantized
     # search stays oracle-verified in pytest — for the MMR
@@ -189,7 +196,11 @@ PRIORITY: tuple[str, ...] = (
     # via dedup_semantic_semdedup and the row stays oracle-verified in pytest)
     "eval_bradley_terry_sources",
     # LLM-pipeline: trained-model family (late round 4)
-    "classifier_logreg_quality",
+    # (classifier_logreg_quality rotated OUT round 9 continuation —
+    # driver-green r4-r8; the trained-model family stays in-window via
+    # weak_label_vote — for the never-windowed label-propagation
+    # community detection, the graph family's distributed iteration)
+    "graph_label_propagation",
     # LLM-pipeline: text family (+ round-3 blocked-Levenshtein fuzzy
     # match, + late-round-4 Gopher rules and corpus-LM cross-entropy;
     # text_token_stats rotated OUT — counting surface covered by
@@ -209,7 +220,11 @@ PRIORITY: tuple[str, ...] = (
     # (text_fuzzy_match_pairs rotated OUT round 6 for the SFT chat row —
     # fuzzy matching stays oracle-verified in pytest)
     "chat_prompt_response_pairs",
-    "gopher_quality_flags",
+    # (gopher_quality_flags rotated OUT round 9 continuation —
+    # driver-green r4-r8, the rule family runs in-window inside
+    # pipeline_curation_end2end — for the never-windowed Kneser-Ney
+    # bigram cross-entropy, the text-quality family's sharpest LM)
+    "text_lm_kneser_ney",
     # (text_pack_sequences_sharded rotated OUT round 9 — driver-green
     # r6-r8, sharded packing stays oracle-verified in pytest — for the
     # brand-new r9 span-corruption denoising-prep row, same
@@ -257,7 +272,11 @@ PRIORITY: tuple[str, ...] = (
     # swaps: range_join rotated OUT for the trailing-window z-score —
     # interval-join semantics stay pytest-green — and the new graph
     # family takes a window row via the all-integer PageRank)
-    "asof_join_last_click",
+    # (asof_join_last_click rotated OUT round 9 continuation —
+    # driver-green r2-r8, as-of semantics stay oracle-verified in
+    # pytest vs DuckDB's native ASOF JOIN — for the never-windowed
+    # Kaplan-Meier survival row, same events family)
+    "events_survival_km",
     # (timeseries_anomaly_zscore rotated OUT round 8 — driver-green
     # r5-r7, stays oracle-verified in pytest — for the RFM quintile
     # segmentation row, round 7's three-pass distributed_rank shape;
@@ -272,7 +291,10 @@ PRIORITY: tuple[str, ...] = (
     # sketches
     "sketch_kmv_distinct",
     # multimodal plumbing
-    "multimodal_decode_pipeline",
+    # (multimodal_decode_pipeline rotated OUT round 9 continuation —
+    # driver-green r4-r8 on its VALUES oracle — for the never-windowed
+    # frame-sampling schedule, same family but a REAL SQL oracle)
+    "multimodal_frame_sample",
 )
 
 

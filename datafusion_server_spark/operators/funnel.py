@@ -470,3 +470,102 @@ def kaplan_meier(
         F.col("r.c").alias("n_censored"),
         F.col("r.s").alias("km_survival"),
     )
+
+
+MARKOV_RANK_ONE = 1_000_000_000  # stationary mass units (1e-9)
+MARKOV_PROP_ONE = 1_000_000  # transition-probability units (1e-6)
+
+
+def markov_stationary(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    iterations: int = 12,
+) -> DataFrame:
+    """(state, pi_nano BIGINT): stationary distribution of the
+    first-order event-type Markov chain by fixed-count power iteration
+    pi' = pi P — "where does a user session settle" — in exact integer
+    arithmetic (mass in 1e-9 units, transition proportions in 1e-6
+    units, per-step floor division), bit-identical on any partitioning.
+
+    States are the types with OUTGOING transitions; mass that flows
+    into a sink state is dropped at the next step (the dangling
+    convention, same as operators/graph.pagerank).
+
+    Scale shape: ONE corpus pass builds the |types|^2-bounded cell
+    table (per-user lag window + one aggregation); the iteration is a
+    bounded-state FOLD over a single collected row (the r8 pattern —
+    pagerank's ``folded=True``, Bradley-Terry): each step is a
+    withColumn so the previous map is a bound multi-referenced column
+    and Catalyst's CollapseProject cannot inline it per-element (the
+    documented exponential-evaluation trap).
+    """
+    w = Window.partitionBy("u").orderBy("ts", "id")
+    pairs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("t"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+        )
+        .select("u", F.col("t").alias("j"), F.lag("t").over(w).alias("i"))
+        .filter(F.col("i").isNotNull())
+    )
+    counts = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ij")
+    )
+    wsrc = Window.partitionBy("i")
+    cells = counts.select(
+        "i",
+        "j",
+        F.expr(
+            f"CAST(n_ij * {MARKOV_PROP_ONE} DIV SUM(n_ij) OVER (PARTITION BY i) AS BIGINT)"
+        ).alias("p"),
+    )
+    row = cells.agg(
+        F.array_sort(F.collect_set("i")).alias("states"),
+        F.array_sort(
+            F.collect_list(F.struct("i", "j", "p"))
+        ).alias("cells"),
+    ).select(
+        "states", "cells", F.size("states").cast("bigint").alias("k")
+    )
+    row = row.withColumn(
+        "pi",
+        F.transform(
+            "states",
+            lambda _: (F.lit(MARKOV_RANK_ONE) - F.lit(MARKOV_RANK_ONE) % F.col("k"))
+            / F.col("k"),
+        ).cast("array<bigint>"),
+    )
+    prop = F.lit(MARKOV_PROP_ONE).cast("bigint")
+    for _ in range(iterations):
+        row = row.withColumn(
+            "pim", F.map_from_arrays(F.col("states"), F.col("pi"))
+        ).withColumn(
+            "pi",
+            F.transform(
+                "states",
+                lambda s: F.aggregate(
+                    F.filter(F.col("cells"), lambda c: c["j"] == s),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, c: acc
+                    + (
+                        (
+                            F.element_at(F.col("pim"), c["i"]) * c["p"]
+                            - (F.element_at(F.col("pim"), c["i"]) * c["p"]) % prop
+                        )
+                        / prop
+                    ).cast("bigint"),
+                ),
+            ),
+        )
+    out = row.select(
+        F.explode(F.arrays_zip("states", "pi")).alias("z")
+    )
+    return out.select(
+        F.col("z.states").alias("state"),
+        F.col("z.pi").cast("bigint").alias("pi_nano"),
+    )

@@ -525,3 +525,89 @@ def cusum_changepoint(
             / scale_d
         ).alias("mean_after"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 5,
+    value_scale: int = 100,
+) -> DataFrame:
+    """(key, lag, n_days, acf): lag-1..max_lag autocorrelation of the
+    per-key DAILY-TOTAL series — the seasonality/persistence profile
+    read next to the CUSUM changepoint.
+
+    Determinism: with x_t the exact scaled-BIGINT daily totals, the
+    centered series is c_t = n*x_t - S (all-integer; n^2 times the
+    float centering, which cancels in the ratio). Products c_t*c_{t+k}
+    can exceed BIGINT at warehouse scale, so both engines compute them
+    as DECIMAL(19,0)*DECIMAL(19,0) -> DECIMAL(38,0) exact sums; the
+    single float op is the final num/den division (repr-round paired
+    downstream).
+
+    Scale shape: one (key, day) map-side-combined aggregation collapses
+    the corpus to calendar-bounded series; the lead windows and the
+    final aggregation share the key partitioning — one shuffle total.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(value_col) * value_scale).cast("bigint").alias("vi"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vi").cast("bigint").alias("x"))
+    )
+    wall = Window.partitionBy("key")
+    wo = wall.orderBy("day")
+    cent = daily.select(
+        "key",
+        "day",
+        (
+            F.count(F.lit(1)).over(wall) * F.col("x") - F.sum("x").over(wall)
+        ).cast("decimal(19,0)").alias("c"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    leads = cent.select(
+        "key",
+        "n",
+        "c",
+        *[F.lead("c", k).over(wo).alias(f"c{k}") for k in range(1, max_lag + 1)],
+    )
+    agg = leads.groupBy("key").agg(
+        F.max("n").alias("n_days"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("den"),
+        *[
+            F.sum((F.col("c") * F.col(f"c{k}")).cast("decimal(38,0)")).alias(
+                f"num{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    lagged = agg.select(
+        "key",
+        "n_days",
+        "den",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("lag"),
+                        F.col(f"num{k}").alias("num"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("s"),
+    )
+    return lagged.filter(
+        (F.col("n_days") > F.col("s.lag")) & (F.col("den") != 0)
+    ).select(
+        "key",
+        F.col("s.lag").alias("lag"),
+        "n_days",
+        (F.col("s.num").cast("double") / F.col("den").cast("double")).alias("acf"),
+    )

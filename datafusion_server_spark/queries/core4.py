@@ -662,3 +662,129 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sched.select(
         F.col("id").alias("clip_id"), "sample_pos", "frame_idx", "t_ms"
     )
+
+
+# --- events_markov_stationary -----------------------------------------------
+# Stationary distribution of the event-type Markov chain: fixed-count
+# integer power iteration pi' = pi P over the |types|^2-bounded
+# transition-proportion table (operators/funnel.markov_stationary —
+# the r8 bounded-state fold pattern). Oracle = the iteration unrolled
+# into a CTE chain, house style for fixed-iteration algorithms.
+_MSTAT_ITERS = 12
+
+
+def _mstat_oracle() -> str:
+    from datafusion_server_spark.operators.funnel import (
+        MARKOV_PROP_ONE,
+        MARKOV_RANK_ONE,
+    )
+
+    parts = [
+        """pairs AS (
+  SELECT i, j FROM (
+    SELECT event_type AS j,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+    FROM events) t WHERE i IS NOT NULL)""",
+        "counts AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_ij FROM pairs GROUP BY i, j)",
+        f"""cells AS MATERIALIZED (
+  SELECT i, j,
+         CAST(n_ij * {MARKOV_PROP_ONE} // CAST(SUM(n_ij) OVER (PARTITION BY i) AS BIGINT) AS BIGINT) AS p
+  FROM counts)""",
+        "states AS MATERIALIZED (SELECT DISTINCT i AS s FROM cells)",
+        "kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states)",
+        f"pi0 AS (SELECT s, CAST({MARKOV_RANK_ONE} // k AS BIGINT) AS r FROM states, kk)",
+    ]
+    for t in range(1, _MSTAT_ITERS + 1):
+        parts.append(
+            f"""pi{t} AS (
+  SELECT st.s, CAST(COALESCE(m.v, 0) AS BIGINT) AS r
+  FROM states st LEFT JOIN (
+    SELECT c.j AS s, CAST(SUM((p.r * c.p) // {MARKOV_PROP_ONE}) AS BIGINT) AS v
+    FROM cells c JOIN pi{t - 1} p ON p.s = c.i GROUP BY c.j) m ON m.s = st.s)"""
+        )
+    from datafusion_server_spark.queries import rrepr
+
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT s AS state, r AS pi_nano,
+       {rrepr(f"CAST(r AS DOUBLE) / {MARKOV_RANK_ONE}", 6)} AS pi
+FROM pi{_MSTAT_ITERS}
+"""
+    )
+
+
+@df_query("events_markov_stationary", _mstat_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type chain by
+    12 integer power-iteration steps (mass 1e-9 units, proportions 1e-6
+    units, dangling mass dropped). One corpus pass builds the bounded
+    cell table; the whole iteration folds over a single collected row."""
+    from datafusion_server_spark.operators import funnel as funnel_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    pi = funnel_ops.markov_stationary(
+        ev, "user_id", "event_type", "ts", "event_id", iterations=_MSTAT_ITERS
+    )
+    return pi.select(
+        "state",
+        "pi_nano",
+        F.round(
+            F.col("pi_nano").cast("double") / funnel_ops.MARKOV_RANK_ONE, 6
+        ).alias("pi"),
+    )
+
+
+# --- profile_autocorrelation ------------------------------------------------
+# Lag-1..5 ACF of the per-type daily revenue series: exact DECIMAL(38)
+# sums of DECIMAL(19) centered products (operators/timeseries.
+# autocorrelation); the only float op is the final ratio.
+_ACF_MAX_LAG = 5
+_ACF_SCALE = 100
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * {_ACF_SCALE}) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+cent AS (
+  SELECT key, day,
+         CAST(CAST(COUNT(*) OVER w AS BIGINT) * x - CAST(SUM(x) OVER w AS BIGINT)
+              AS DECIMAL(19,0)) AS c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n
+  FROM daily WINDOW w AS (PARTITION BY key)),
+leads AS (
+  SELECT key, n, c,
+         {", ".join(f"LEAD(c, {k}) OVER (PARTITION BY key ORDER BY day) AS c{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+  FROM cent),
+agg AS (
+  SELECT key, MAX(n) AS n_days,
+         SUM(CAST(c * c AS DECIMAL(38,0))) AS den,
+         {", ".join(f"SUM(CAST(c * c{k} AS DECIMAL(38,0))) AS num{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+  FROM leads GROUP BY key),
+stacked AS (
+  {" UNION ALL ".join(f"SELECT key, CAST({k} AS BIGINT) AS lag, n_days, den, num{k} AS num FROM agg" for k in range(1, _ACF_MAX_LAG + 1))})
+SELECT key AS event_type, lag, n_days,
+       {rrepr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6)} AS acf
+FROM stacked WHERE n_days > lag AND den <> 0
+"""
+
+
+@df_query("profile_autocorrelation", _ACF_ORACLE)
+def profile_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..5 autocorrelation of each event type's daily totals — the
+    persistence/seasonality profile companion to the CUSUM changepoint.
+    One (type, day) aggregation collapses the corpus; lead windows and
+    the final aggregation share the type partitioning."""
+    from datafusion_server_spark.operators import timeseries as ts_ops
+
+    ev = tables.load(spark, sf_dir, "events")
+    acf = ts_ops.autocorrelation(
+        ev, "event_type", "ts", "value", max_lag=_ACF_MAX_LAG, value_scale=_ACF_SCALE
+    )
+    return acf.select(
+        F.col("key").alias("event_type"),
+        "lag",
+        "n_days",
+        F.round(F.col("acf"), 6).alias("acf"),
+    )

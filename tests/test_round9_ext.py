@@ -339,3 +339,71 @@ def test_kneser_ney_rewards_seen_word_order(spark):
         for r in text_ops.lm_kneser_ney_cross_entropy(df, "text", "doc_id").collect()
     }
     assert got[2] > got[0]
+
+
+def test_markov_stationary_two_state_chain(spark):
+    # user path A B A B A B ... : P(A->B)=1, P(B->A)=1. Power iteration
+    # from uniform oscillates but stays (1/2, 1/2) exactly in integer
+    # mass units.
+    rows = [(1, "A" if i % 2 == 0 else "B", i, _ts(1, 0)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "event_id", "value"])
+    df = df.withColumn("ts", F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,event_id)"))
+    out = {
+        r["state"]: r["pi_nano"]
+        for r in funnel.markov_stationary(
+            df, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    assert out["A"] == out["B"] == funnel.MARKOV_RANK_ONE // 2
+
+
+def test_markov_stationary_biased_chain_python_replay(spark):
+    # 3-state chain with uneven counts; replay the exact integer
+    # recurrence driver-side.
+    path = list("AABACABCABACCA")
+    rows = [(1, path[i], i, 0.0) for i in range(len(path))]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "event_id", "value"])
+    df = df.withColumn("ts", F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,event_id)"))
+    got = {
+        r["state"]: r["pi_nano"]
+        for r in funnel.markov_stationary(
+            df, "user_id", "event_type", "ts", "event_id", iterations=12
+        ).collect()
+    }
+    # python replay
+    from collections import Counter
+    pairs = list(zip(path, path[1:]))
+    n_ij = Counter(pairs)
+    n_i = Counter(p for p, _ in pairs)
+    P1 = funnel.MARKOV_PROP_ONE
+    R1 = funnel.MARKOV_RANK_ONE
+    prop = {(i, j): (c * P1) // n_i[i] for (i, j), c in n_ij.items()}
+    states = sorted(n_i)
+    pi = {s: R1 // len(states) for s in states}
+    for _ in range(12):
+        nxt = {s: 0 for s in states}
+        for (i, j), p in prop.items():
+            if j in nxt:
+                nxt[j] += (pi[i] * p) // P1
+        pi = nxt
+    assert got == pi
+
+
+def test_autocorrelation_alternating_series(spark):
+    # daily totals +10, +20 alternating for 10 days: lag-1 ACF of the
+    # centered series is strongly negative, lag-2 positive.
+    rows = [("a", _ts(d), 10.0 if d % 2 == 0 else 20.0) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = {
+        r["lag"]: r["acf"]
+        for r in timeseries.autocorrelation(df, "k", "ts", "value").collect()
+    }
+    assert out[1] < -0.8
+    assert out[2] > 0.7
+    # python replay of the exact ratio for lag 1
+    x = [1000 if d % 2 == 0 else 2000 for d in range(1, 11)]
+    n, S = len(x), sum(x)
+    c = [n * v - S for v in x]
+    num = sum(a * b for a, b in zip(c, c[1:]))
+    den = sum(a * a for a in c)
+    assert abs(out[1] - num / den) < 1e-12

@@ -326,3 +326,60 @@ def weak_label_vote(
         .when(F.col("score_micro") < 0, "neg")
         .otherwise("abstain"),
     )
+
+
+def isotonic_bands(
+    bands: DataFrame,
+    band_col: str = "band",
+    n_col: str = "n",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Isotonic (PAV) recalibration of a BOUNDED banded calibration
+    table: fitted_i = max over j<=i of (min over k>=i of avg(j..k)) —
+    the minimax closed form of pool-adjacent-violators (Barlow et al.
+    1972), which sidesteps PAV's sequential pooling loop entirely: with
+    B bands the enumeration is B^3 cells, and B is FIXED (probability
+    deciles), so every stage here is bounded regardless of corpus size.
+
+    Determinism: segment averages are single IEEE divisions of exact
+    BIGINT prefix sums (no float accumulation), and MIN/MAX are
+    selections — both engines see identical doubles at every step.
+
+    Output: (band, n, pos, fitted) with ``fitted`` the monotone
+    non-decreasing recalibrated rate (unrounded; round at the edge).
+    """
+    from pyspark.sql.window import Window
+
+    # bounded window: the band table is fixed-cardinality (deciles)
+    w = Window.orderBy(band_col).rowsBetween(Window.unboundedPreceding, 0)
+    pre = bands.select(
+        F.col(band_col).alias("band"),
+        F.col(n_col).cast("bigint").alias("n"),
+        F.col(pos_col).cast("bigint").alias("pos"),
+        F.sum(F.col(n_col).cast("bigint")).over(w).cast("bigint").alias("cn"),
+        F.sum(F.col(pos_col).cast("bigint")).over(w).cast("bigint").alias("cp"),
+    )
+    j = pre.select(
+        F.col("band").alias("jb"),
+        (F.col("cp") - F.col("pos")).alias("jcp0"),
+        (F.col("cn") - F.col("n")).alias("jcn0"),
+    )
+    k = pre.select(
+        F.col("band").alias("kb"), F.col("cp").alias("kcp"), F.col("cn").alias("kcn")
+    )
+    segs = j.join(k, F.col("kb") >= F.col("jb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcp") - F.col("jcp0")).cast("double")
+            / (F.col("kcn") - F.col("jcn0")).cast("double")
+        ).alias("seg_avg"),
+    )
+    i = pre.select(F.col("band").alias("ib"))
+    minsuff = (
+        i.join(segs, (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")))
+        .groupBy("ib", "jb")
+        .agg(F.min("seg_avg").alias("mn"))
+    )
+    fit = minsuff.groupBy("ib").agg(F.max("mn").alias("fitted"))
+    return pre.join(fit, pre.band == fit.ib).select("band", "n", "pos", "fitted")

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datafusion_server_spark.operators.scale import ranked_topk
+
 RANK_ONE = 1_000_000_000  # total rank mass, in 1e-9 units
 PROP_ONE = 1_000_000  # per-source edge proportion denominator
 
@@ -403,3 +405,57 @@ def label_propagation_oracle_ctes(edges_sql: str, iterations: int = 3) -> str:
             " GROUP BY a.node, l.label) t WHERE rn = 1)"
         )
     return "WITH " + ",\n".join(parts)
+
+
+RA_ONE = 1_000_000_000_000  # resource-allocation unit mass, in 1e-12 units
+
+
+def resource_allocation_topk(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Link prediction over an oriented (``pa < pb``) distinct edge
+    list: the top-``k`` NON-adjacent pairs by Resource-Allocation index
+    RA(u, v) = sum over common neighbors z of 1/deg(z) (Zhou/Lu/Zhang's
+    RA score — like Adamic-Adar but with 1/deg instead of 1/ln(deg),
+    which keeps the math exact: ``RA_ONE // deg`` is pure BIGINT
+    division, so partial sums are order-free and bit-identical in both
+    engines; a log-based score would hinge on libm ulp agreement).
+
+    Output: (u, v, common_neighbors, ra_pico, rank_pos) — ``ra_pico``
+    the exact scaled-BIGINT score, ``rank_pos`` 1-based by
+    (ra_pico DESC, u, v).
+
+    Scale shape: adjacency = edges both ways (2|E| rows); the wedge
+    enumeration is an equi-self-join on the shared-neighbor key (never
+    a cross product — cost = sum over z of deg(z)^2, the same budget
+    the triangle counter pays), the degree attaches on that same key
+    before grouping, existing edges leave via one anti-join, and the
+    global top-k is TakeOrderedAndProject (per-partition heads only).
+    The edge list is persisted — it feeds the wedge join twice plus the
+    anti-join; at warehouse scale swap the persist for a staging write.
+    """
+    edges = edges.persist()
+    adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).unionAll(
+        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
+    )
+    deg = adj.groupBy("nb").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    a1 = adj.select(F.col("node").alias("u"), "nb")
+    a2 = adj.select(F.col("node").alias("v"), "nb")
+    wedges = (
+        a1.join(a2, ["nb"])
+        .filter(F.col("u") < F.col("v"))
+        .join(deg, ["nb"])
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum(F.expr(f"{RA_ONE} div deg")).cast("bigint").alias("ra_pico"),
+    )
+    non_adjacent = scored.join(
+        edges,
+        (scored.u == edges.pa) & (scored.v == edges.pb),
+        "left_anti",
+    )
+    return ranked_topk(
+        non_adjacent,
+        [F.desc("ra_pico"), F.asc("u"), F.asc("v")],
+        k,
+        rank_col="rank_pos",
+    )

@@ -426,3 +426,33 @@ def hilbert_key_2d_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
         f" + ({nst_arr})[CAST((a % 4) * 4 + q + 1 AS INT)])"
     )
     return f"CAST(({fold}) // 4 AS BIGINT)"
+
+
+def binpack_by_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    size_col: str,
+    target_bytes: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Sorted bin-packing for small-file compaction planning (the
+    Delta/Iceberg OPTIMIZE shape): files sorted by ``order_cols`` are
+    assigned to output bins of ~``target_bytes`` each by banding the
+    EXCLUSIVE running size — ``bin = (cumsum_inclusive - size) div
+    target`` — so a bin may overflow by at most its last file (the
+    standard streaming relaxation; true min-bin packing is NP-hard and
+    order-destroying, while sorted packing preserves the clustering
+    key's range locality, which is the point of compaction).
+
+    All math is BIGINT (sizes are bytes); the running sum is
+    :func:`distributed_cumsum`, so planning millions of files never
+    funnels through a single-partition window. ``order_cols`` must be a
+    total order. Output = input columns + ``bin_col`` (BIGINT, 0-based).
+    """
+    packed = distributed_cumsum(df, order_cols, size_col, cumsum_col="__bp_cum")
+    return packed.withColumn(
+        bin_col,
+        F.expr(
+            f"(__bp_cum - CAST({size_col} AS BIGINT)) div CAST({target_bytes} AS BIGINT)"
+        ).cast("bigint"),
+    ).drop("__bp_cum")

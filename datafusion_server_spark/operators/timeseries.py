@@ -611,3 +611,73 @@ def autocorrelation(
         "n_days",
         (F.col("s.num").cast("double") / F.col("den").cast("double")).alias("acf"),
     )
+
+
+def theil_sen_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    value_scale: int = 100,
+) -> DataFrame:
+    """(key, n_days, n_pairs, slope): Theil-Sen robust trend of each
+    key's DAILY-TOTAL series — the lower median of all pairwise slopes
+    (x_j - x_i) / (d_j - d_i), i < j. Median-of-slopes has a 29.3%
+    breakdown point, so one corrupted ingest day cannot swing the trend
+    the way it swings the least-squares line (``linear_trend``).
+
+    Determinism: x is the exact scaled-BIGINT daily total and d the
+    integer epoch day, so each slope is one IEEE division of exact
+    integers — bit-identical across engines — and the "median" is an
+    ELEMENT (row (n_pairs+1)//2 of the (slope, d_i, d_j) order), never
+    an interpolated average, so no float summation exists anywhere.
+
+    Scale shape: one map-side-combined (key, day) aggregation collapses
+    the corpus to calendar-bounded series; the pairwise self-join and
+    the rank window are both keyed by ``key`` (one shuffle, reused),
+    and per-key work is O(days^2) with days bounded by the calendar
+    window — entity-bounded state, the sanctioned window class.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(value_col) * value_scale).cast("bigint").alias("vi"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vi").cast("bigint").alias("x"))
+        .select("key", F.unix_date("day").cast("bigint").alias("d"), "x")
+    )
+    a = daily.select("key", F.col("d").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select("key", F.col("d").alias("d2"), F.col("x").alias("x2"))
+    pairs = (
+        a.join(b, ["key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "key",
+            "d1",
+            "d2",
+            (
+                (F.col("x2") - F.col("x1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wk = Window.partitionBy("key")
+    wo = wk.orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "key",
+        "slope",
+        F.row_number().over(wo).cast("bigint").alias("__ts_rn"),
+        F.count(F.lit(1)).over(wk).cast("bigint").alias("n_pairs"),
+    )
+    n_days = daily.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        ranked.filter(F.col("__ts_rn") == F.expr("(n_pairs + 1) div 2"))
+        .drop("__ts_rn")
+        .join(n_days, ["key"])
+        .select("key", "n_days", "n_pairs", "slope")
+    )

@@ -177,7 +177,11 @@ PRIORITY: tuple[str, ...] = (
     # banded ANN and late-round-4's int8-SQ+refine search; ann_lsh_cosine
     # rotated OUT — the LSH surface stays in-window via ann_lsh_scaled and
     # the pinned variant stays oracle-verified in pytest)
-    "knn_bruteforce_cosine",
+    # (knn_bruteforce_cosine rotated OUT round 9 continuation —
+    # driver-green r1-r8 — for the never-windowed retrieval-MRR eval,
+    # which exercises the same cosine_topk operator in-window and adds
+    # the label-judged eval layer on top)
+    "eval_retrieval_mrr",
     "ann_lsh_scaled",
     # (ann_ivf_cosine rotated OUT round 9 continuation — driver-green
     # r3-r8, IVF stays oracle-verified in pytest — for the never-
@@ -277,17 +281,25 @@ PRIORITY: tuple[str, ...] = (
     # pytest vs DuckDB's native ASOF JOIN — for the never-windowed
     # Kaplan-Meier survival row, same events family)
     "events_survival_km",
+    # (hypertable_rollup rotated OUT round 9 continuation — driver-green
+    # r2-r8 — for the brand-new Theil-Sen robust-trend row, same
+    # time-series family, driver-gated the round it lands)
+    "timeseries_theil_sen",
     # (timeseries_anomaly_zscore rotated OUT round 8 — driver-green
     # r5-r7, stays oracle-verified in pytest — for the RFM quintile
     # segmentation row, round 7's three-pass distributed_rank shape;
     # events_rfm_segmentation rotated OUT round 9 — driver-green r8 —
     # the events family stays covered by asof_join + hypertable_rollup)
-    "hypertable_rollup",
     # (timeseries_gapfill_locf rotated OUT round 5 for the web-ingest
     # capstone — the gapfill surface stays oracle-verified in pytest)
     "pipeline_web_ingest",
     # graph analytics (round 5, beyond-reference family)
-    "graph_pagerank_trade",
+    # (graph_pagerank_trade rotated OUT round 9 continuation —
+    # driver-green r5-r8, the folded-iteration path keeps its
+    # fold-vs-loop + empty-edge regression tests — for the brand-new
+    # Resource-Allocation link-prediction row, same co-purchase graph,
+    # driver-gated the round it lands)
+    "graph_resource_allocation",
     # sketches
     "sketch_kmv_distinct",
     # multimodal plumbing
@@ -310,6 +322,7 @@ def registry() -> dict[str, QueryDef]:
         core2,
         core3,
         core4,
+        core5,
         dedup,
         doremi,
         evalstats,

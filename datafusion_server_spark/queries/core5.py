@@ -1,0 +1,376 @@
+"""Round-9 continuation additions (batch 4): skew-salted join parity,
+Resource-Allocation link prediction, sorted bin-pack compaction
+planning, retrieval MRR@k, and the Theil-Sen robust trend.
+
+House determinism rules throughout: money in exact ROUND(x*100) cents,
+scores in pure-BIGINT scaled units (``div`` both engines), medians as
+ELEMENT selection (never interpolation), repr-rounding (``rrepr``) on
+the few final doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_server_spark import tables
+from datafusion_server_spark.operators import graph as graph_ops
+from datafusion_server_spark.operators import scale as scale_ops
+from datafusion_server_spark.operators import similarity as sim_ops
+from datafusion_server_spark.operators import timeseries as ts_ops
+from datafusion_server_spark.queries import df_query, rrepr
+from datafusion_server_spark.queries.graph import _COPURCHASE_SQL
+from datafusion_server_spark.queries.similarity import _EL_CTE
+
+# --- join_skew_salted_agg ---------------------------------------------------
+# The scale.salted_join operator (SURVEY §2 scale-engineering family)
+# finally gets its own oracle row: a salted fact-dim join must be
+# RESULT-identical to the plain join — the salt only changes the
+# physical key distribution. Oracle = the plain join, which is the
+# whole point of the test.
+
+_SALTED_ORACLE = """
+SELECT CAST(s.s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1
+"""
+
+
+@df_query("join_skew_salted_agg", _SALTED_ORACLE)
+def join_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue through a SKEW-SALTED fact-dim join:
+    each fact row scatters its join key across 8 sub-keys (hash of the
+    whole row) and the supplier dim replicates 8x, so a pathologically
+    hot supplier lands on 8 tasks instead of one. The oracle is the
+    PLAIN join — salting is a physical rewrite and must be value-
+    invariant; this row pins that invariant under the driver's hash.
+    """
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("l_suppkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    supp = tables.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("bigint").alias("s_nationkey")
+    )
+    joined = scale_ops.salted_join(li, supp, "s_suppkey", salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+# --- graph_resource_allocation ----------------------------------------------
+# Link prediction on the part co-purchase graph: top-K non-adjacent
+# pairs by the Resource-Allocation index (sum of 1/deg over common
+# neighbors). Pure-BIGINT score (RA_ONE div deg) — an Adamic-Adar
+# ln(deg) variant would hinge on cross-engine libm ulp agreement.
+
+_RA_K = 20
+
+_RA_ORACLE = f"""
+WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+adj AS (SELECT pa AS node, pb AS nb FROM e
+        UNION ALL SELECT pb AS node, pa AS nb FROM e),
+deg AS (SELECT nb, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY nb),
+wedges AS (
+  SELECT a1.node AS u, a2.node AS v, a1.nb
+  FROM adj a1 JOIN adj a2 ON a1.nb = a2.nb AND a1.node < a2.node),
+scored AS (
+  SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM({graph_ops.RA_ONE} // d.deg) AS BIGINT) AS ra_pico
+  FROM wedges w JOIN deg d ON d.nb = w.nb
+  GROUP BY w.u, w.v),
+nonadj AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = s.u AND e.pb = s.v))
+SELECT u, v, common_neighbors, ra_pico, CAST(rnk AS BIGINT) AS rank_pos
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ra_pico DESC, u, v) AS rnk
+      FROM nonadj) t
+WHERE rnk <= {_RA_K}
+"""
+
+
+@df_query("graph_resource_allocation", _RA_ORACLE)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted co-purchase links: non-adjacent part pairs
+    ranked by the Resource-Allocation index over the order-basket
+    graph. Wedge enumeration is the equi-self-join the triangle counter
+    already pays for, the degree attaches on the shared-neighbor key,
+    existing edges leave via one anti-join, and the global top-k is
+    TakeOrderedAndProject — no all-pairs stage anywhere.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    edges = graph_ops.copurchase_edges(li)
+    return graph_ops.resource_allocation_topk(edges, k=_RA_K)
+
+
+# --- scale_compaction_binpack -----------------------------------------------
+# Lakehouse maintenance planning: pack per-day "files" (row-count-
+# proportional byte sizes) into ~target-size output bins by banding the
+# exclusive running size — the Delta/Iceberg OPTIMIZE shape. The
+# running sum is distributed_cumsum, so a million-file inventory never
+# meets a single-partition window.
+
+_BP_ROW_BYTES = 480
+_BP_TARGET = 256 * 1024
+
+
+_BP_ORACLE = f"""
+WITH files AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) * {_BP_ROW_BYTES} AS BIGINT) AS bytes
+  FROM orders GROUP BY 1),
+packed AS (
+  SELECT day, bytes,
+         CAST((SUM(bytes) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - bytes)
+              // {_BP_TARGET} AS BIGINT) AS bin_id
+  FROM files)
+SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       MIN(day) AS day_min, MAX(day) AS day_max
+FROM packed GROUP BY bin_id
+"""
+
+
+@df_query("scale_compaction_binpack", _BP_ORACLE)
+def scale_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan for the per-order-day file inventory: files
+    sorted by day pack greedily into ~256 KiB bins (bin = exclusive
+    running bytes div target), preserving date-range locality so
+    partition pruning survives the rewrite. Output: one row per planned
+    output file with its size, file count and date span.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg((F.count(F.lit(1)) * _BP_ROW_BYTES).cast("bigint").alias("bytes"))
+    packed = scale_ops.binpack_by_cumsum(files, ["day"], "bytes", _BP_TARGET)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("day").alias("day_min"),
+        F.max("day").alias("day_max"),
+    )
+
+
+# --- eval_retrieval_mrr -----------------------------------------------------
+# Retrieval eval over the embeddings table: MRR@k per query label,
+# relevance = neighbor shares the query's label. Reciprocal ranks in
+# exact 1e-12 units (1e12 div rank — pure integer), so the per-label
+# sums are order-free BIGINTs; the single float op is the final mean.
+
+_MRR_K = 10
+_MRR_QUERIES = 20  # query vectors: vec_id < 20
+_MRR_ONE = 1_000_000_000_000
+
+_MRR_ORACLE = f"""
+WITH {_EL_CTE},
+dots AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(qa.x * ca.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el qa JOIN el ca ON ca.i = qa.i AND ca.vec_id <> qa.vec_id
+  WHERE qa.vec_id < {_MRR_QUERIES}
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id),
+topk AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored) t
+  WHERE rnk <= {_MRR_K}),
+firsts AS (
+  SELECT t.query_id, CAST(ql.label AS BIGINT) AS label,
+         MIN(t.rnk) FILTER (WHERE nl.label = ql.label) AS first_rank
+  FROM topk t
+  JOIN embeddings ql ON ql.vec_id = t.query_id
+  JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+  GROUP BY 1, 2)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(first_rank) AS BIGINT) AS n_hit,
+       CAST(SUM(COALESCE({_MRR_ONE} // first_rank, 0)) AS BIGINT) AS rr_pico,
+       {rrepr(f"CAST(SUM(COALESCE({_MRR_ONE} // first_rank, 0)) AS DOUBLE) / (COUNT(*) * 1e12)", 6)} AS mrr
+FROM firsts GROUP BY label
+"""
+
+
+@df_query("eval_retrieval_mrr", _MRR_ORACLE)
+def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of brute-force cosine retrieval, judged by label match
+    and grouped by query label — the standard recall-style eval read
+    next to eval_ann_sq8_recall/ndcg. The scoring reuses cosine_topk's
+    in-row scaled-long dots; labels attach by two id-keyed joins and
+    everything after the per-query top-k is label-bounded.
+    """
+    emb = tables.load(spark, sf_dir, "embeddings")
+    top = sim_ops.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < _MRR_QUERIES), _MRR_K
+    )
+    ql = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").cast("bigint").alias("label")
+    )
+    nl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__n_label")
+    )
+    firsts = (
+        top.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.min(
+                F.when(F.col("__n_label") == F.col("label"), F.col("rank"))
+            ).alias("first_rank")
+        )
+    )
+    return firsts.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.count("first_rank").cast("bigint").alias("n_hit"),
+        F.sum(F.coalesce(F.expr(f"{_MRR_ONE} div first_rank"), F.lit(0)))
+        .cast("bigint")
+        .alias("rr_pico"),
+        F.round(
+            F.sum(F.coalesce(F.expr(f"{_MRR_ONE} div first_rank"), F.lit(0))).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * F.lit(1e12)),
+            6,
+        ).alias("mrr"),
+    )
+
+
+# --- timeseries_theil_sen ---------------------------------------------------
+
+_TS_SCALE = 100
+
+_THEIL_SEN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * {_TS_SCALE}) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+dd AS (SELECT key, CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS d, x
+       FROM daily),
+pairs AS (
+  SELECT a.key, a.d AS d1, b.d AS d2,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM dd a JOIN dd b ON a.key = b.key AND a.d < b.d),
+ranked AS (
+  SELECT key, slope,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY slope, d1, d2) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n_pairs
+  FROM pairs),
+nd AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_days FROM dd GROUP BY key)
+SELECT r.key AS event_type, nd.n_days, r.n_pairs,
+       {rrepr("r.slope", 6)} AS slope
+FROM ranked r JOIN nd ON nd.key = r.key
+WHERE r.rn = (r.n_pairs + 1) // 2
+"""
+
+
+@df_query("timeseries_theil_sen", _THEIL_SEN_ORACLE)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (cents/day) of each event type's daily
+    totals — the median-of-pairwise-slopes companion to the least-
+    squares linear_trend row: a 29.3% breakdown point means one
+    corrupted ingest day cannot swing it. Element-median (no
+    interpolation), IEEE-exact slopes, entity-bounded pair windows.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    ts = ts_ops.theil_sen_daily(
+        ev, "event_type", "ts", "value", value_scale=_TS_SCALE
+    )
+    return ts.select(
+        F.col("key").alias("event_type"),
+        "n_days",
+        "n_pairs",
+        F.round("slope", 6).alias("slope"),
+    )
+
+
+# --- eval_isotonic_calibration ----------------------------------------------
+# PAV recalibration of the GD classifier's decile calibration table via
+# the minimax closed form fitted_i = max_{j<=i} min_{k>=i} avg(j..k)
+# (Barlow et al. 1972) — B^3 cells with B fixed at 10, so the whole fit
+# is bounded and needs no sequential pooling loop. Oracle = the same
+# unrolled-GD chain the other classifier rows share, plus the bounded
+# enumeration in SQL.
+
+
+def _isotonic_oracle() -> str:
+    from datafusion_server_spark.queries.classifier import _logreg_ctes
+
+    return f"""
+WITH {_logreg_ctes()},
+bands AS (
+  SELECT CAST(LEAST(9, CAST(FLOOR(p.p * 10.0) AS BIGINT)) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM pfin p JOIN lab l ON l.id = p.id
+  GROUP BY 1),
+pre AS (
+  SELECT band, n, pos,
+         CAST(SUM(n) OVER w AS BIGINT) AS cn,
+         CAST(SUM(pos) OVER w AS BIGINT) AS cp
+  FROM bands WINDOW w AS (ORDER BY band ROWS UNBOUNDED PRECEDING)),
+segs AS (
+  SELECT j.band AS jb, k.band AS kb,
+         CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+         / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS seg_avg
+  FROM pre j JOIN pre k ON k.band >= j.band),
+minsuff AS (
+  SELECT i.band AS ib, s.jb, MIN(s.seg_avg) AS mn
+  FROM pre i JOIN segs s ON s.jb <= i.band AND s.kb >= i.band
+  GROUP BY 1, 2),
+fit AS (SELECT ib AS band, MAX(mn) AS fitted FROM minsuff GROUP BY ib)
+SELECT b.band, b.n, b.pos,
+       {rrepr("CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)", 6)} AS raw_rate,
+       {rrepr("f.fitted", 6)} AS fitted_rate
+FROM bands b JOIN fit f ON f.band = b.band
+"""
+
+
+@df_query("eval_isotonic_calibration", _isotonic_oracle())
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration curve of the hashed-BoW GD classifier:
+    the decile calibration table's positive rates, pooled monotone by
+    PAV in closed minimax form. Everything after the per-doc scoring
+    is decile-bounded; the scoring itself is the shared logreg
+    pipeline (one corpus pass per GD iteration, bucket-bounded state).
+    """
+    from datafusion_server_spark.operators import classifier as clf_ops
+    from datafusion_server_spark.queries.classifier import DIM, ITERS, LR, PROBE
+
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = clf_ops.hashed_features(docs, "text", "doc_id", DIM)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), PROBE), 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    w = clf_ops.train_logreg(feats, labels, DIM, ITERS, LR)
+    scored = clf_ops.predict(feats, w).join(labels, "id")
+    band = F.least(F.lit(9), F.floor(F.col("p") * 10.0)).cast("bigint")
+    bands = scored.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("y") == 1.0).cast("bigint")).cast("bigint").alias("pos"),
+    )
+    fitted = clf_ops.isotonic_bands(bands)
+    return fitted.select(
+        "band",
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6).alias(
+            "raw_rate"
+        ),
+        F.round("fitted", 6).alias("fitted_rate"),
+    )

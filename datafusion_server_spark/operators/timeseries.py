@@ -681,3 +681,69 @@ def theil_sen_daily(
         .join(n_days, ["key"])
         .select("key", "n_days", "n_pairs", "slope")
     )
+
+
+def holt_linear_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    value_scale: int = 100,
+) -> DataFrame:
+    """(key, n_days, level, trend, forecast): Holt's linear (double
+    exponential) smoothing of each key's DAILY-TOTAL series with
+    alpha = beta = 1/2 — l_t = a*x_t + (1-a)(l_{t-1} + b_{t-1}),
+    b_t = g(l_t - l_{t-1}) + (1-g) b_{t-1}, init l_0 = x_0,
+    b_0 = x_1 - x_0; ``forecast`` is the one-step-ahead l + b.
+
+    Determinism: the recurrence is inherently sequential, so it runs
+    as a BOUNDED-STATE FOLD (the Kaplan-Meier pattern): one (key, day)
+    aggregation collapses the corpus to calendar-bounded series, then a
+    single in-row ``aggregate`` HOF folds the day-sorted array in a
+    fixed order. The pinned half coefficients are exact binary
+    fractions, so every step is one IEEE multiply/add chain evaluated
+    in the same order by both engines — bit-identical without any
+    scaled-integer detour. The oracle is a recursive CTE walking the
+    same recurrence (house pattern for sequential per-entity state).
+
+    Scale shape: one map-side-combined aggregation + one key-grouped
+    collect of a calendar-bounded array; no windows, no driver loop.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.round(F.col(value_col) * value_scale).cast("bigint").alias("vi"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vi").cast("bigint").alias("x"))
+    )
+    collected = daily.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("srt"),
+    )
+    hw = F.expr(
+        """
+        aggregate(
+          slice(srt, 2, greatest(size(srt) - 1, 0)),
+          named_struct(
+            'l', cast(srt[0].x as double),
+            'b', if(size(srt) > 1,
+                    cast(srt[1].x - srt[0].x as double), 0.0d)),
+          (acc, e) -> named_struct(
+            'l', 0.5d * cast(e.x as double) + 0.5d * (acc.l + acc.b),
+            'b', 0.5d * ((0.5d * cast(e.x as double)
+                          + 0.5d * (acc.l + acc.b)) - acc.l)
+                 + 0.5d * acc.b))
+        """
+    )
+    return collected.withColumn("__hw", hw).select(
+        "key",
+        "n_days",
+        F.col("__hw.l").alias("level"),
+        F.col("__hw.b").alias("trend"),
+        (F.col("__hw.l") + F.col("__hw.b")).alias("forecast"),
+    )
+
+

@@ -374,3 +374,139 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("fitted", 6).alias("fitted_rate"),
     )
+
+
+# --- timeseries_holt_linear -------------------------------------------------
+# Holt's double exponential smoothing per event-type daily series —
+# the inherently-sequential recurrence as a bounded-state in-row fold
+# (the KM-survival pattern); alpha = beta = 1/2 are exact binary
+# fractions, so the IEEE chains agree bit-for-bit and the oracle is a
+# recursive CTE walking the identical recurrence.
+
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT key, x,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY day) - 1 AS i
+  FROM daily),
+nk AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS c FROM idx GROUP BY key),
+hw AS (
+  SELECT i0.key, CAST(0 AS BIGINT) AS i,
+         CAST(i0.x AS DOUBLE) AS l,
+         COALESCE(CAST(i1.x - i0.x AS DOUBLE), 0.0) AS b
+  FROM idx i0 LEFT JOIN idx i1 ON i1.key = i0.key AND i1.i = 1
+  WHERE i0.i = 0
+  UNION ALL
+  SELECT h.key, h.i + 1,
+         0.5 * CAST(x.x AS DOUBLE) + 0.5 * (h.l + h.b),
+         0.5 * ((0.5 * CAST(x.x AS DOUBLE) + 0.5 * (h.l + h.b)) - h.l)
+         + 0.5 * h.b
+  FROM hw h JOIN idx x ON x.key = h.key AND x.i = h.i + 1)
+SELECT h.key AS event_type, nk.c AS n_days,
+       {rrepr("h.l", 6)} AS level,
+       {rrepr("h.b", 6)} AS trend,
+       {rrepr("h.l + h.b", 6)} AS forecast
+FROM hw h JOIN nk ON nk.key = h.key
+WHERE h.i = nk.c - 1
+"""
+
+
+@df_query("timeseries_holt_linear", _HOLT_ORACLE)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear level/trend state and one-step forecast for each
+    event type's daily totals — the smoothing companion to the EWMA and
+    Theil-Sen rows. Sequential state folds in-row over the calendar-
+    bounded day array; no windows, no driver loop, one shuffle.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    hw = ts_ops.holt_linear_daily(ev, "event_type", "ts", "value", value_scale=100)
+    return hw.select(
+        F.col("key").alias("event_type"),
+        "n_days",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+# --- eval_calibration_error -------------------------------------------------
+# Scalar calibration summary of the GD classifier: expected calibration
+# error (10 deciles) + Brier score, both EXACT before the single final
+# division: the classifier's p is an exact 8-decimal value (pfin repr-
+# rounds), so n_b*|mean_p - rate| telescopes to |SUM(p) - pos| in
+# DECIMAL, and (p - y)^2 sums exactly in DECIMAL(38,16).
+
+
+def _calibration_error_oracle() -> str:
+    from datafusion_server_spark.queries.classifier import _logreg_ctes
+
+    return f"""
+WITH {_logreg_ctes()},
+scored AS (
+  SELECT p.p, CAST(p.p AS DECIMAL(18,8)) AS pd, l.y
+  FROM pfin p JOIN lab l ON l.id = p.id),
+bt AS (
+  SELECT CAST(LEAST(9, CAST(FLOOR(p * 10.0) AS BIGINT)) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         SUM(pd) AS sum_p
+  FROM scored GROUP BY 1),
+gap AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               SUM(ABS(sum_p - pos)) AS g
+        FROM bt),
+br AS (SELECT SUM(CAST((pd - CAST(y AS DECIMAL(18,8)))
+                       * (pd - CAST(y AS DECIMAL(18,8))) AS DECIMAL(38,16))) AS bs
+       FROM scored)
+SELECT gap.n_total,
+       {rrepr("CAST(gap.g AS DOUBLE) / gap.n_total", 8)} AS ece,
+       {rrepr("CAST(br.bs AS DOUBLE) / gap.n_total", 8)} AS brier
+FROM gap, br
+"""
+
+
+@df_query("eval_calibration_error", _calibration_error_oracle())
+def eval_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE(10 bins) + Brier score of the hashed-BoW GD classifier —
+    the scalar companions to the per-band calibration curve and its
+    isotonic fit. Two bounded aggregations over the shared scoring
+    pipeline; every sum is DECIMAL-exact, the only floats are the two
+    final divisions.
+    """
+    from datafusion_server_spark.operators import classifier as clf_ops
+    from datafusion_server_spark.queries.classifier import DIM, ITERS, LR, PROBE
+
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = clf_ops.hashed_features(docs, "text", "doc_id", DIM)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), PROBE), 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    w = clf_ops.train_logreg(feats, labels, DIM, ITERS, LR)
+    scored = clf_ops.predict(feats, w).join(labels, "id").select(
+        "p",
+        F.col("p").cast("decimal(18,8)").alias("pd"),
+        "y",
+    )
+    band = F.least(F.lit(9), F.floor(F.col("p") * 10.0)).cast("bigint")
+    bt = scored.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("y") == 1.0).cast("bigint")).cast("bigint").alias("pos"),
+        F.sum("pd").alias("sum_p"),
+    )
+    gap = bt.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.abs(F.col("sum_p") - F.col("pos"))).alias("g"),
+    )
+    diff = F.col("pd") - F.col("y").cast("decimal(18,8)")
+    br = scored.agg(F.sum((diff * diff).cast("decimal(38,16)")).alias("bs"))
+    return gap.crossJoin(br).select(
+        "n_total",
+        F.round(F.col("g").cast("double") / F.col("n_total"), 8).alias("ece"),
+        F.round(F.col("bs").cast("double") / F.col("n_total"), 8).alias("brier"),
+    )

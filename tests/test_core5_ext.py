@@ -156,3 +156,53 @@ def test_isotonic_bands_all_decreasing_pools_to_global_mean(spark):
         r["fitted"] for r in clf_ops.isotonic_bands(bands).collect()
     )
     assert fitted == [8 / 15] * 3
+
+
+def _holt_replay(xs):
+    l, b = float(xs[0]), float(xs[1] - xs[0]) if len(xs) > 1 else 0.0
+    for x in xs[1:]:
+        nl = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+    return l, b
+
+
+def test_holt_linear_matches_python_replay(spark):
+    import datetime
+
+    xs = [3.0, 7.0, 4.0, 12.0, 9.0, 15.0]
+    rows = [
+        ("k", datetime.datetime(2024, 3, 1 + d, 8, 0, 0), v)
+        for d, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = ts_ops.holt_linear_daily(df, "event_type", "ts", "value").collect()[0]
+    l, b = _holt_replay([x * 100 for x in xs])
+    assert out["n_days"] == 6
+    assert out["level"] == l and out["trend"] == b and out["forecast"] == l + b
+
+
+def test_holt_linear_single_day(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 3, 1), 2.5)],
+        "event_type string, ts timestamp, value double",
+    )
+    out = ts_ops.holt_linear_daily(df, "event_type", "ts", "value").collect()[0]
+    assert (out["level"], out["trend"], out["forecast"]) == (250.0, 0.0, 250.0)
+
+
+def test_holt_linear_exact_linear_series_recovers_slope(spark):
+    """On a perfectly linear series x_t = 5t the recurrence is exact:
+    level tracks the line and trend equals the slope from step 1."""
+    import datetime
+
+    rows = [
+        ("k", datetime.datetime(2024, 4, 1 + d, 8, 0, 0), 5.0 * d)
+        for d in range(8)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = ts_ops.holt_linear_daily(df, "event_type", "ts", "value").collect()[0]
+    assert out["trend"] == 500.0  # 5.0/day in cents
+    assert out["level"] == 500.0 * 7

@@ -880,3 +880,93 @@ def embedding_near_duplicates(
     ).filter(
         F.col("cosine") >= threshold
     )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center coreset (farthest-first traversal, Gonzalez
+    1985 — a 2-approximation of the optimal covering radius): seed at
+    the smallest id, then repeatedly pick the point FARTHEST from the
+    selected set. The geometry-coverage counterpart of the density
+    corrections (cluster_balanced_sample): picks spread out to cover
+    the embedding space, so rare modes survive subsetting.
+
+    Determinism: ALL-integer — squared euclidean in 1e-12 units,
+    d2(a, c) = sqn_a + sqn_c - 2*dot (exact scaled-long dots, the
+    cosine_topk contract), argmax ties break on id ascending. No float
+    exists anywhere, so both engines agree exactly.
+
+    Plan shape (100 TB): greedy steps are inherently sequential — k
+    tiny jobs (the MMR/kmeans house pattern), each ONE broadcast of the
+    1-row center + a corpus-wide ``least`` update + a
+    TakeOrderedAndProject argmax; running min-distance state is carried
+    as a localCheckpoint-ed DataFrame, never a driver collect.
+
+    Output: (pick_order, {id_col}, radius) in selection order; radius
+    = the picked point's min-distance at selection time (the covering-
+    radius profile; NULL for the seed)."""
+    pts = _vectors(ensure_fanout_parallelism(embeddings), id_col, vec_col).select(
+        "id", "v", _dot_scaled(F.col("v"), F.col("v")).alias("sqn")
+    )
+    seed = pts.orderBy(F.asc("id")).limit(1).localCheckpoint(eager=True)
+    sel = seed.select(
+        F.lit(1).cast("bigint").alias("pick_order"),
+        "id",
+        F.lit(None).cast("bigint").alias("radius"),
+    )
+    center = seed.select(F.col("v").alias("__cv"), F.col("sqn").alias("__csqn"))
+    state = (
+        pts.join(seed.select("id"), "id", "left_anti")
+        .crossJoin(F.broadcast(center))
+        .select(
+            "id",
+            "v",
+            "sqn",
+            (
+                F.col("sqn")
+                + F.col("__csqn")
+                - 2 * _dot_scaled(F.col("v"), F.col("__cv"))
+            ).cast("bigint").alias("mind"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for step in range(2, int(k) + 1):
+        pick = (
+            state.orderBy(F.desc("mind"), F.asc("id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        sel = sel.unionByName(
+            pick.select(
+                F.lit(step).cast("bigint").alias("pick_order"),
+                "id",
+                F.col("mind").alias("radius"),
+            )
+        )
+        if step < int(k):
+            center = pick.select(
+                F.col("v").alias("__cv"), F.col("sqn").alias("__csqn")
+            )
+            state = (
+                state.join(pick.select("id"), "id", "left_anti")
+                .crossJoin(F.broadcast(center))
+                .select(
+                    "id",
+                    "v",
+                    "sqn",
+                    F.least(
+                        F.col("mind"),
+                        (
+                            F.col("sqn")
+                            + F.col("__csqn")
+                            - 2 * _dot_scaled(F.col("v"), F.col("__cv"))
+                        ).cast("bigint"),
+                    ).alias("mind"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return sel.select("pick_order", F.col("id").alias(id_col), "radius")

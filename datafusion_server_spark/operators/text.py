@@ -10,6 +10,7 @@ deterministic double division, md5).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from datafusion_server_spark.operators.scale import (
@@ -1468,3 +1469,73 @@ def lm_kneser_ney_cross_entropy(
             ).alias("xent_nats"),
         )
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 15,
+    stopwords: tuple[str, ...] = LANG_STOPWORDS["en"],
+) -> DataFrame:
+    """Top-``k`` corpus keyphrases by RAKE (Rose et al. 2010): candidate
+    phrases are maximal runs of non-stopword tokens, word score =
+    deg(w)/freq(w) over phrase co-occurrence (deg = sum of the lengths
+    of phrases containing w, freq = occurrence count), phrase score =
+    sum of its word scores.
+
+    Determinism: scores are pure BIGINT — word score in 1e-9 units is
+    ``(1e9 * deg) div freq`` (integer division; deg stays < 9.2e9
+    before overflow, i.e. ~1e9 phrase-word occurrences — shard the
+    corpus or lower the scale factor beyond that), so phrase sums are
+    order-free and both engines agree exactly; ties break on phrase
+    text ascending.
+
+    Scale shape: one token explode (narrow), phrase islands via a
+    doc-partitioned window (pos - row_number — corpus-scale KEY count
+    but per-doc bounded partitions), one word-stats aggregation, one
+    phrase aggregation, global top-k via TakeOrderedAndProject.
+
+    Output: (rank_pos, phrase, n_words, n_occurrences, score_nano)."""
+    from datafusion_server_spark.operators.scale import ranked_topk
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter((F.col("w") != "") & ~F.col("w").isin(*stopwords))
+    wd = Window.partitionBy("id").orderBy("pos")
+    islands = toks.withColumn(
+        "island", F.col("pos") - F.row_number().over(wd)
+    )
+    phrases = islands.groupBy("id", "island").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+    )
+    occ = islands.join(phrases, ["id", "island"]).select("w", "len")
+    wstats = occ.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("len").cast("bigint").alias("deg"),
+    ).withColumn("wscore", F.expr("(1000000000 * deg) div freq").cast("bigint"))
+    pscore = (
+        islands.join(phrases, ["id", "island"])
+        .join(wstats.select("w", "wscore"), "w")
+        .groupBy("id", "island", "phrase", "len")
+        .agg(F.sum("wscore").cast("bigint").alias("occ_score"))
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.max("len").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("occ_score").alias("score_nano"),
+    )
+    return ranked_topk(
+        agg,
+        [F.desc("score_nano"), F.asc("phrase")],
+        k,
+        rank_col="rank_pos",
+    ).select("rank_pos", "phrase", "n_words", "n_occurrences", "score_nano")

@@ -510,3 +510,132 @@ def eval_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("g").cast("double") / F.col("n_total"), 8).alias("ece"),
         F.round(F.col("bs").cast("double") / F.col("n_total"), 8).alias("brier"),
     )
+
+
+# --- sample_kcenter_coreset -------------------------------------------------
+# Farthest-first k-center coreset over the embeddings table — geometry
+# coverage for subset selection (rare modes survive). ALL-integer
+# squared-euclidean argmax chain; oracle = the greedy loop unrolled
+# into MATERIALIZED CTE levels (house pattern for sequential picks,
+# cf. MMR), so agreement proves SELECTION ORDER, not just the set.
+
+_KC_K = 8
+
+
+def _kcenter_oracle(k: int = _KC_K) -> str:
+    parts = [
+        "sq AS (SELECT vec_id, CAST(SUM(CAST(ROUND(x * x * 1e12) AS BIGINT))"
+        " AS BIGINT) AS sqn FROM el GROUP BY vec_id)",
+        "c1 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM embeddings)",
+    ]
+    for t in range(1, k):
+        ct = f"c{t}"
+        parts.append(
+            f"""d{t} AS (
+  SELECT a.vec_id AS id,
+         CAST(SUM(CAST(ROUND(a.x * b.x * 1e12) AS BIGINT)) AS BIGINT) AS dot
+  FROM el a JOIN el b ON b.i = a.i JOIN {ct} ON b.vec_id = {ct}.cid
+  GROUP BY a.vec_id)"""
+        )
+        prior = (
+            "sa.sqn + sc.sqn - 2 * d.dot"
+            if t == 1
+            else "LEAST(m.mind, sa.sqn + sc.sqn - 2 * d.dot)"
+        )
+        src = f"d{t} d" if t == 1 else f"m{t - 1} m JOIN d{t} d ON d.id = m.id"
+        idref = "d.id" if t == 1 else "m.id"
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT {idref} AS id, {prior} AS mind
+  FROM {src} JOIN sq sa ON sa.vec_id = {idref}
+  CROSS JOIN (SELECT sq.sqn FROM sq JOIN {ct} ON sq.vec_id = {ct}.cid) sc
+  WHERE {idref} <> (SELECT cid FROM {ct}))"""
+        )
+        parts.append(
+            f"c{t + 1} AS MATERIALIZED (SELECT id AS cid, mind FROM m{t}"
+            " ORDER BY mind DESC, id ASC LIMIT 1)"
+        )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS pick_order, cid AS vec_id,"
+        " CAST(NULL AS BIGINT) AS radius FROM c1"
+    ] + [
+        f"SELECT CAST({t} AS BIGINT), cid, mind FROM c{t}"
+        for t in range(2, k + 1)
+    ]
+    return (
+        "WITH " + _EL_CTE.strip().rstrip(",") + ",\n" + ",\n".join(parts)
+        + "\n" + "\nUNION ALL ".join(selects)
+    )
+
+
+@df_query("sample_kcenter_coreset", _kcenter_oracle())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-point farthest-first coreset of the embeddings table with its
+    covering-radius profile — the diversity-coverage sampler next to
+    cluster_balanced_sample's density correction. Greedy steps are k
+    bounded sequential jobs; everything per step is one broadcast +
+    one narrow update + one TakeOrderedAndProject.
+    """
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return sim_ops.kcenter_select(emb, k=_KC_K)
+
+
+# --- text_rake_keywords -----------------------------------------------------
+# RAKE keyphrase extraction (Rose et al. 2010) over the documents
+# corpus: stopword-delimited phrase islands, deg/freq word scores,
+# phrase-sum ranking — all BIGINT (1e-9-unit integer-division word
+# scores), so no float aggregation anywhere.
+
+_RAKE_K = 15
+_RAKE_STOPS = "', '".join(("the", "a", "of", "and", "to", "in", "is"))
+
+_RAKE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS pos,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents),
+ns AS (
+  SELECT id, pos, w,
+         CAST(pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS BIGINT) AS island
+  FROM tok WHERE w <> '' AND w NOT IN ('{_RAKE_STOPS}')),
+phrases AS (
+  SELECT id, island, STRING_AGG(w, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM ns GROUP BY id, island),
+wstats AS (
+  SELECT n.w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.len) AS BIGINT) AS deg
+  FROM ns n JOIN phrases p ON p.id = n.id AND p.island = n.island
+  GROUP BY n.w),
+wscore AS (SELECT w, CAST((1000000000 * deg) // freq AS BIGINT) AS wscore FROM wstats),
+pscore AS (
+  SELECT n.id, n.island, p.phrase, p.len,
+         CAST(SUM(s.wscore) AS BIGINT) AS occ_score
+  FROM ns n
+  JOIN phrases p ON p.id = n.id AND p.island = n.island
+  JOIN wscore s ON s.w = n.w
+  GROUP BY n.id, n.island, p.phrase, p.len),
+agg AS (
+  SELECT phrase, MAX(len) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MAX(occ_score) AS score_nano
+  FROM pscore GROUP BY phrase)
+SELECT CAST(rnk AS BIGINT) AS rank_pos, phrase, n_words, n_occurrences, score_nano
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_nano DESC, phrase ASC) AS rnk
+      FROM agg) t
+WHERE rnk <= {_RAKE_K}
+"""
+
+
+@df_query("text_rake_keywords", _RAKE_ORACLE)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 corpus keyphrases by RAKE — the unsupervised keyword
+    extractor next to TF-IDF/PMI: stopword-delimited islands, integer
+    deg/freq word scores, phrase-sum ranking, global top-k via
+    TakeOrderedAndProject.
+    """
+    from datafusion_server_spark.operators import text as text_ops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return text_ops.rake_keywords(docs, "text", "doc_id", k=_RAKE_K)

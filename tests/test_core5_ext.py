@@ -206,3 +206,53 @@ def test_holt_linear_exact_linear_series_recovers_slope(spark):
     out = ts_ops.holt_linear_daily(df, "event_type", "ts", "value").collect()[0]
     assert out["trend"] == 500.0  # 5.0/day in cents
     assert out["level"] == 500.0 * 7
+
+
+def test_kcenter_hand_points(spark):
+    """2-D points (0,0),(0.1,0),(1,0),(0,1): seed = min id; the two
+    distance-1 points follow (tie -> id asc), the close one last."""
+    from datafusion_server_spark.operators import similarity as sim_ops
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.25, 0.0]),  # float32-exact so d2 lands on the grid
+            (3, [1.0, 0.0]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim_ops.kcenter_select(emb, k=4).orderBy("pick_order").collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 4, 2]
+    assert out[0]["radius"] is None
+    assert out[1]["radius"] == 10**12  # d2 = 1.0 in 1e-12 units
+    assert out[2]["radius"] == 10**12
+    assert out[3]["radius"] == 62_500_000_000  # d2 = 0.0625
+
+
+def test_rake_hand_corpus(spark):
+    """'deep learning of deep learning systems': word scores deg/freq
+    give 'deep learning systems' 8.0 > 'deep learning' 5.0."""
+    from datafusion_server_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning of deep learning systems")],
+        "doc_id long, text string",
+    )
+    out = text_ops.rake_keywords(docs, "text", "doc_id", k=5).orderBy(
+        "rank_pos"
+    ).collect()
+    assert [(r["phrase"], r["score_nano"]) for r in out] == [
+        ("deep learning systems", 8_000_000_000),
+        ("deep learning", 5_000_000_000),
+    ]
+    assert out[0]["n_words"] == 3 and out[1]["n_occurrences"] == 1
+
+
+def test_rake_all_stopwords_doc_empty(spark):
+    from datafusion_server_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "the of and to in is a")], "doc_id long, text string"
+    )
+    assert text_ops.rake_keywords(docs, "text", "doc_id").collect() == []

@@ -639,3 +639,94 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return text_ops.rake_keywords(docs, "text", "doc_id", k=_RAKE_K)
+
+
+# --- text_textrank_keywords -------------------------------------------------
+# TextRank (Mihalcea & Tarau 2004): PageRank over the word
+# co-occurrence graph (consecutive kept tokens, both directions,
+# count-weighted). Composes the existing all-integer DISTRIBUTED
+# pagerank — the word graph is vocabulary-scale, so the folded
+# bounded-state path stays OFF and the Pregel loop keeps per-iteration
+# state partitioned. Oracle = the same recurrence unrolled
+# (pagerank_oracle_ctes) over an identically-derived edge list.
+
+_TR_K = 15
+_TR_ITERS = 5
+
+_TR_EDGES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS pos,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents),
+kept AS (
+  SELECT id, pos, w FROM tok
+  WHERE w <> '' AND w NOT IN ('{_RAKE_STOPS}')),
+adj AS (
+  SELECT w AS w1, LEAD(w) OVER (PARTITION BY id ORDER BY pos) AS w2
+  FROM kept),
+und AS (
+  SELECT w1, w2 FROM adj WHERE w2 IS NOT NULL
+  UNION ALL
+  SELECT w2, w1 FROM adj WHERE w2 IS NOT NULL)
+SELECT w1 AS src, w2 AS dst, CAST(COUNT(*) AS BIGINT) AS w
+FROM und GROUP BY 1, 2
+"""
+
+_TR_ORACLE = (
+    graph_ops.pagerank_oracle_ctes(
+        # the generator wraps edges_sql in "edges AS MATERIALIZED (...)",
+        # so the WITH chain above must fold into a derived-table form
+        f"SELECT * FROM ({_TR_EDGES_SQL.replace('WITH', 'WITH', 1)}) tr_e",
+        iterations=_TR_ITERS,
+    )
+    + f"""
+SELECT CAST(rnk AS BIGINT) AS rank_pos, id AS word, r AS rank_nano,
+       {rrepr(f"CAST(r AS DOUBLE) / {graph_ops.RANK_ONE}", 9)} AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY r DESC, id ASC) AS rnk
+      FROM r{_TR_ITERS}) t
+WHERE rnk <= {_TR_K}
+"""
+)
+
+
+@df_query("text_textrank_keywords", _TR_ORACLE)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 corpus keywords by TextRank — PageRank centrality on the
+    word co-occurrence graph, the graph-based complement to RAKE's
+    frequency statistics. One token explode + one doc-partitioned LEAD
+    builds the vocabulary-bounded edge aggregate; the integer Pregel
+    loop and a TakeOrderedAndProject top-k finish it.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    stops = ("the", "a", "of", "and", "to", "in", "is")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    ).filter((F.col("w") != "") & ~F.col("w").isin(*stops))
+    from pyspark.sql.window import Window as _W
+
+    nxt = F.lead("w").over(_W.partitionBy("id").orderBy("pos"))
+    adj = toks.select("id", "w", nxt.alias("w2")).filter(F.col("w2").isNotNull())
+    und = adj.select(F.col("w").alias("src"), F.col("w2").alias("dst")).unionAll(
+        adj.select(F.col("w2").alias("src"), F.col("w").alias("dst"))
+    )
+    edges = und.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    ranks = graph_ops.pagerank(
+        edges, "src", "dst", "w", iterations=_TR_ITERS, folded=False
+    )
+    from datafusion_server_spark.operators.scale import ranked_topk
+
+    return ranked_topk(
+        ranks,
+        [F.desc("rank_nano"), F.asc("id")],
+        _TR_K,
+        rank_col="rank_pos",
+    ).select(
+        "rank_pos",
+        F.col("id").alias("word"),
+        "rank_nano",
+        F.round(
+            F.col("rank_nano").cast("double") / graph_ops.RANK_ONE, 9
+        ).alias("rank"),
+    )

@@ -711,3 +711,148 @@ def corpus_snapshot_diff(
         .otherwise("unchanged")
     )
     return j.select("id", status.alias("status"))
+
+
+# Poisson(1) CDF thresholds in 1e-6 units (floor(P(X<=k) * 1e6) for
+# k = 0..7; residues >= the last threshold draw 8). Inlined as integer
+# literals on BOTH engines so the replicate weights are pure integer
+# comparisons — no exp/factorial at query time.
+POISSON1_CDF_MICRO: tuple[int, ...] = (
+    367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989,
+)
+
+
+def _poisson_weight(u_micro) -> "F.Column":
+    w = F.lit(len(POISSON1_CDF_MICRO))
+    for k in range(len(POISSON1_CDF_MICRO) - 1, -1, -1):
+        w = F.when(u_micro < POISSON1_CDF_MICRO[k], F.lit(k)).otherwise(w)
+    return w.cast("bigint")
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    replicates: int = 40,
+    lo_idx: int = 2,
+    hi_idx: int = 39,
+) -> DataFrame:
+    """One-row bootstrap confidence interval for the corpus mean of an
+    integer column via the Poisson(1) bootstrap (Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams"): each (row,
+    replicate) pair draws a deterministic Poisson(1) weight from an
+    md5 residue — the single-pass, no-resampling form of the bootstrap
+    that works when n is unknown and the data is sharded.
+
+    Determinism: weights are integer CASE thresholds over a 1e-6-unit
+    hash residue (CDF literals precomputed, no float math); replicate
+    means are single divisions of exact BIGINT sums; the CI bounds are
+    ELEMENT selections (rows ``lo_idx``/``hi_idx`` of the
+    (mean, replicate) order over the ``replicates``-bounded table).
+
+    Scale shape: the replicate explode multiplies the SCAN ``replicates``
+    x but map-side combine collapses it to ``replicates`` rows per
+    partition before the shuffle; everything after is bounded.
+
+    Output: (n_rows, n_replicates, mean_full, boot_lo, boot_hi) —
+    unrounded doubles; round at the edge."""
+    from pyspark.sql.window import Window
+
+    reps = df.select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(replicates)))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("id"), F.col("r"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    per = reps.select("r", "v", _poisson_weight(u).alias("w")).groupBy("r").agg(
+        F.sum(F.col("w") * F.col("v")).cast("bigint").alias("swv"),
+        F.sum("w").cast("bigint").alias("sw"),
+    )
+    means = per.select(
+        "r", (F.col("swv").cast("double") / F.col("sw").cast("double")).alias("m")
+    )
+    # bounded window: `replicates` rows total
+    wr = Window.orderBy("m", "r")
+    ranked = means.withColumn("rn", F.row_number().over(wr))
+    lo = ranked.filter(F.col("rn") == int(lo_idx)).select(F.col("m").alias("boot_lo"))
+    hi = ranked.filter(F.col("rn") == int(hi_idx)).select(F.col("m").alias("boot_hi"))
+    full = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col(value_col).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_full"),
+    ).withColumn("n_replicates", F.lit(int(replicates)).cast("bigint"))
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("n_rows", "n_replicates", "mean_full", "boot_lo", "boot_hi")
+    )
+
+
+def cramers_v(
+    df: DataFrame, cat_a: str, cat_b: str
+) -> DataFrame:
+    """One-row Cramér's V association between two bounded categorical
+    columns: V = sqrt(chi2 / (n * min(r-1, c-1))) over the r x c
+    contingency table. Per-cell chi2 terms round to the 1e-6 grid and
+    sum as DECIMAL(38,6) — exact, order-free — so the only raw-float
+    ops are the per-cell expected-count divisions (identical IEEE
+    inputs both engines) and the final sqrt.
+
+    Scale: one count aggregation (cell-bounded) + broadcast totals.
+    Output: (n, n_rows_cat, n_cols_cat, chi2, v) unrounded where noted.
+    """
+    obs = (
+        df.filter(F.col(cat_a).isNotNull() & F.col(cat_b).isNotNull())
+        .groupBy(F.col(cat_a).alias("a"), F.col(cat_b).alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    # the FULL r x c grid: zero cells contribute (0 - e)^2 / e and
+    # omitting them understates chi2 (tested: a perfect 2x2 association
+    # halves without them)
+    cells = (
+        obs.select("a").distinct()
+        .crossJoin(obs.select("b").distinct())
+        .join(obs, ["a", "b"], "left_outer")
+        .select("a", "b", F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o"))
+    )
+    rowt = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("rt"))
+    colt = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("ra"),
+        F.countDistinct("b").cast("bigint").alias("cb"),
+    )
+    j = (
+        cells.join(F.broadcast(rowt), "a")
+        .join(F.broadcast(colt), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast(
+        "double"
+    )
+    cell = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e, 6
+    ).cast("decimal(38,6)")
+    agg = j.groupBy("n", "ra", "cb").agg(F.sum(cell).alias("chi2d"))
+    dof = F.least(F.col("ra") - 1, F.col("cb") - 1).cast("double")
+    return agg.select(
+        "n",
+        F.col("ra").alias("n_rows_cat"),
+        F.col("cb").alias("n_cols_cat"),
+        F.col("chi2d").cast("double").alias("chi2"),
+        F.sqrt(
+            F.col("chi2d").cast("double") / (F.col("n").cast("double") * dof)
+        ).alias("v"),
+    )

@@ -730,3 +730,131 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_nano").cast("double") / graph_ops.RANK_ONE, 9
         ).alias("rank"),
     )
+
+
+# --- eval_bootstrap_ci_mean -------------------------------------------------
+# Poisson(1) single-pass bootstrap (Chamandy et al. 2012) CI for the
+# corpus mean document length: deterministic integer weights from md5
+# residues against precomputed CDF thresholds, replicate means from
+# exact BIGINT sums, CI bounds by ELEMENT selection over the
+# replicate-bounded table.
+
+_BOOT_R = 40
+_BOOT_LO_IDX = 2
+_BOOT_HI_IDX = 39
+
+
+def _bootstrap_oracle() -> str:
+    from datafusion_server_spark.operators.profiling import POISSON1_CDF_MICRO
+
+    case = " ".join(
+        f"WHEN um < {t} THEN {k}" for k, t in enumerate(POISSON1_CDF_MICRO)
+    )
+    return f"""
+WITH reps AS (
+  SELECT d.doc_id AS id, CAST(d.n_chars AS BIGINT) AS v, rr.r
+  FROM documents d, (SELECT UNNEST(RANGE(1, {_BOOT_R + 1})) AS r) rr),
+uw AS (
+  SELECT r, v,
+         CASE {case} ELSE {len(POISSON1_CDF_MICRO)} END AS w
+  FROM (SELECT r, v,
+               CAST(('0x' || SUBSTR(md5(CAST(id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS um
+        FROM reps) t),
+per AS (SELECT r, CAST(SUM(w * v) AS BIGINT) AS swv, CAST(SUM(w) AS BIGINT) AS sw
+        FROM uw GROUP BY r),
+means AS (SELECT r, CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM per),
+ranked AS MATERIALIZED (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn FROM means),
+fl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS mf
+       FROM documents)
+SELECT n_rows, CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+       {rrepr("mf", 6)} AS mean_full,
+       {rrepr(f"(SELECT m FROM ranked WHERE rn = {_BOOT_LO_IDX})", 6)} AS boot_lo,
+       {rrepr(f"(SELECT m FROM ranked WHERE rn = {_BOOT_HI_IDX})", 6)} AS boot_hi
+FROM fl
+"""
+
+
+@df_query("eval_bootstrap_ci_mean", _bootstrap_oracle())
+def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for the corpus mean document length —
+    the uncertainty companion every pipeline health metric needs at a
+    scale where classic resampling is impossible. One pass, 40x
+    map-side fanout collapsed by the combiner, everything after
+    replicate-bounded.
+    """
+    from datafusion_server_spark.operators import profiling as prof_ops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    ci = prof_ops.poisson_bootstrap_mean(
+        docs, "doc_id", "n_chars",
+        replicates=_BOOT_R, lo_idx=_BOOT_LO_IDX, hi_idx=_BOOT_HI_IDX,
+    )
+    return ci.select(
+        "n_rows",
+        "n_replicates",
+        F.round("mean_full", 6).alias("mean_full"),
+        F.round("boot_lo", 6).alias("boot_lo"),
+        F.round("boot_hi", 6).alias("boot_hi"),
+    )
+
+
+# --- profile_cramers_v ------------------------------------------------------
+# Cramér's V association between event type and day-of-week (epoch-day
+# mod 7 — engine-neutral, no dow-convention trap): per-cell chi2 terms
+# repr-round to the 1e-6 grid and sum as DECIMAL(38,6) so the total is
+# exact; final sqrt is one IEEE op on identical inputs.
+
+
+_CV_ORACLE = f"""
+WITH base AS (
+  SELECT event_type AS a,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) AS b
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY a, b),
+cells AS (
+  SELECT g.a, g.b, CAST(COALESCE(obs.o, 0) AS BIGINT) AS o
+  FROM (SELECT da.a, db.b
+        FROM (SELECT DISTINCT a FROM obs) da,
+             (SELECT DISTINCT b FROM obs) db) g
+  LEFT JOIN obs ON obs.a = g.a AND obs.b = g.b),
+rowt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+colt AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS ra,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS cb
+        FROM cells),
+terms AS (
+  SELECT t.n, t.ra, t.cb,
+         CAST({rrepr("(CAST(c.o AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE)) * (CAST(c.o AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE)) / (CAST(r.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE))", 6)} AS DECIMAL(38,6)) AS cell
+  FROM cells c JOIN rowt r ON r.a = c.a JOIN colt ct ON ct.b = c.b CROSS JOIN tot t)
+SELECT n, ra AS n_rows_cat, cb AS n_cols_cat,
+       CAST(SUM(cell) AS DOUBLE) AS chi2,
+       {rrepr("SQRT(CAST(SUM(cell) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(LEAST(ra - 1, cb - 1) AS DOUBLE)))", 6)} AS v
+FROM terms GROUP BY n, ra, cb
+"""
+
+
+@df_query("profile_cramers_v", _CV_ORACLE)
+def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and day-of-week — the normalized
+    effect-size companion to the chi-squared drift row (chi2 grows with
+    n; V stays in [0,1]). Cell-bounded aggregations only.
+    """
+    from datafusion_server_spark.operators import profiling as prof_ops
+
+    ev = tables.load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        (F.unix_date(F.to_date("ts")) % 7).cast("bigint").alias("dow7"),
+    )
+    out = prof_ops.cramers_v(base, "event_type", "dow7")
+    return out.select(
+        "n",
+        "n_rows_cat",
+        "n_cols_cat",
+        F.col("chi2"),
+        F.round("v", 6).alias("v"),
+    )

@@ -256,3 +256,36 @@ def test_rake_all_stopwords_doc_empty(spark):
         [(1, "the of and to in is a")], "doc_id long, text string"
     )
     assert text_ops.rake_keywords(docs, "text", "doc_id").collect() == []
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    """On 200 iid rows the 95% CI must bracket the full-sample mean and
+    the replicate weights must average ~1 (Poisson(1))."""
+    from datafusion_server_spark.operators import profiling as prof_ops
+
+    rows = [(i, 100 + (i * 37) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = prof_ops.poisson_bootstrap_mean(df, "doc_id", "n_chars").collect()[0]
+    assert out["n_rows"] == 200 and out["n_replicates"] == 40
+    assert out["boot_lo"] <= out["mean_full"] <= out["boot_hi"]
+    assert out["boot_lo"] < out["boot_hi"]  # nondegenerate interval
+    spread = out["boot_hi"] - out["boot_lo"]
+    assert spread < 0.2 * out["mean_full"]  # sane width for n=200
+
+
+def test_cramers_v_perfect_association_is_one(spark):
+    from datafusion_server_spark.operators import profiling as prof_ops
+
+    rows = [("x", 0)] * 10 + [("y", 1)] * 10
+    df = spark.createDataFrame(rows, "a string, b long")
+    out = prof_ops.cramers_v(df, "a", "b").collect()[0]
+    assert out["v"] == 1.0 and out["chi2"] == 20.0
+
+
+def test_cramers_v_independence_is_zero(spark):
+    from datafusion_server_spark.operators import profiling as prof_ops
+
+    rows = [(a, b) for a in ("x", "y") for b in (0, 1) for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b long")
+    out = prof_ops.cramers_v(df, "a", "b").collect()[0]
+    assert out["v"] == 0.0

@@ -858,3 +858,161 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chi2"),
         F.round("v", 6).alias("v"),
     )
+
+
+# --- profile_topk_heavy_change ----------------------------------------------
+# Heavy-change detection between two snapshots (the drift triage step
+# after PSI/chi2 say "something moved"): top-K categories by absolute
+# SHARE delta. The ranking key is the cross-multiplied integer
+# |ca*nb - cb*na| (DECIMAL(38,0)-exact products so warehouse-scale
+# counts cannot overflow) — no float enters the order.
+
+_HC_K = 20
+_HC_CUT = "1996-01-01"
+
+_HC_ORACLE = f"""
+WITH counts AS (
+  SELECT l_partkey AS part,
+         CAST(SUM(CASE WHEN l_shipdate <  TIMESTAMP '{_HC_CUT}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_HC_CUT}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM counts),
+scored AS (
+  SELECT c.part, c.ca, c.cb, t.na, t.nb,
+         ABS(CAST(c.ca AS DECIMAL(38,0)) * t.nb - CAST(c.cb AS DECIMAL(38,0)) * t.na) AS xm
+  FROM counts c CROSS JOIN tot t)
+SELECT part, ca, cb,
+       {rrepr("CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb", 8)} AS share_delta,
+       CAST(rnk AS BIGINT) AS rank_pos
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY xm DESC, part ASC) AS rnk FROM scored) s
+WHERE rnk <= {_HC_K}
+"""
+
+
+@df_query("profile_topk_heavy_change", _HC_ORACLE)
+def profile_topk_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by absolute demand-share change across the 1996
+    ship-date boundary — one conditional-sum pass builds the per-part
+    snapshot counts, broadcast totals score them, the integer
+    cross-multiplication orders them, TakeOrderedAndProject finishes.
+    """
+    from datafusion_server_spark.operators.scale import ranked_topk
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    before = (F.col("l_shipdate") < _HC_CUT).cast("bigint")
+    counts = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(before).cast("bigint").alias("ca"),
+        F.sum(1 - before).cast("bigint").alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "xm",
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("nb")
+            - F.col("cb").cast("decimal(38,0)") * F.col("na")
+        ),
+    )
+    return ranked_topk(
+        scored, [F.desc("xm"), F.asc("part")], _HC_K, rank_col="rank_pos"
+    ).select(
+        "part",
+        "ca",
+        "cb",
+        F.round(
+            F.col("ca").cast("double") / F.col("na")
+            - F.col("cb").cast("double") / F.col("nb"),
+            8,
+        ).alias("share_delta"),
+        "rank_pos",
+    )
+
+
+# --- text_ngram_novelty -----------------------------------------------------
+# Per-source novelty: the share of each source's distinct word-3-grams
+# it introduced to the corpus (first occurrence = MIN doc_id over the
+# gram — deterministic attribution, no ordering ambiguity). The ratio
+# is a micro-average n_novel/n_grams of exact BIGINTs — a macro mean
+# of per-doc ratios would be a float sum, so it is deliberately not
+# offered.
+
+_NOV_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS pos,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents),
+tri AS (
+  SELECT DISTINCT doc_id, source,
+         w || ' ' || LEAD(w, 1) OVER wd || ' ' || LEAD(w, 2) OVER wd AS g
+  FROM tok WHERE w <> ''
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+tri2 AS (SELECT doc_id, source, g FROM tri WHERE g IS NOT NULL),
+firsts AS (SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tri2 GROUP BY g),
+per AS (
+  SELECT t.source,
+         CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM tri2 t JOIN firsts f ON f.g = t.g
+  GROUP BY t.source)
+SELECT source, n_docs, n_grams, n_novel,
+       {rrepr("CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)", 6)} AS novelty
+FROM per
+"""
+
+
+@df_query("text_ngram_novelty", _NOV_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much genuinely new text each source contributes: the share
+    of its distinct 3-grams whose corpus-first occurrence (min doc_id)
+    lands in that source's docs — the novelty/memorization profile read
+    next to self-overlap diversity and the contamination check. One
+    explode + two gram-keyed aggregations; LEAD windows are doc-
+    partitioned.
+    """
+    from pyspark.sql.window import Window as _W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    wd = _W.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        tok.select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ", F.col("w"), F.lead("w", 1).over(wd), F.lead("w", 2).over(wd)
+            ).alias("g"),
+            F.lead("w", 2).over(wd).alias("__w3"),
+        )
+        .filter(F.col("__w3").isNotNull())
+        .select("doc_id", "source", "g")
+        .distinct()
+    )
+    firsts = tri.groupBy("g").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    per = (
+        tri.join(firsts, "g")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("novelty"),
+    )

@@ -94,219 +94,122 @@ def rrepr(expr: str, places: int) -> str:
 # merge / streaming / multimodal). Everything else follows in module
 # registration order.
 PRIORITY: tuple[str, ...] = (
+    # ROUND 10 ROTATION: the verdict's task 2 seats ALL 17 rows that had
+    # never held a driver seat (every one already oracle-verified in the
+    # full-registry pytest sweep). 17 r9-driver-green rows rotate OUT to
+    # make room; each departure is annotated with why its surface stays
+    # covered. Full rotation history through r9 lives in git (this file's
+    # log) and PLANS.md.
+    #
     # aggregation (incl. grouping sets/filter)
     "q1_pricing_summary",
     "agg_grouping_sets",
-    # (agg_filter_clause rotated OUT round 7 for the t-closeness privacy
-    # row — FILTER-clause semantics stay oracle-verified in pytest and
-    # run inside several in-window aggregations)
-    # (privacy_t_closeness rotated OUT round 9 — driver-green r8 — for
-    # the never-windowed l-diversity row, same privacy family)
-    "privacy_l_diversity",
-    # joins (join_semi rotated OUT late round 4 for the classifier row;
-    # the join surface keeps join_inner_3way plus the TPC-H rows, and
-    # semi-join semantics run inside several in-window queries)
+    # (privacy_l_diversity rotated OUT round 10 — driver-green r9; the
+    # privacy family — k-anon/l-div/t-closeness — stays oracle-verified
+    # in pytest)
+    # joins (join_semi rotated OUT late round 4; semi-join semantics run
+    # inside several in-window queries)
     "join_inner_3way",
-    # TPC-H-style analytics (q14/q18 rotated OUT round 4 — family covered
-    # by q1/q3/q5/q6/q10; both remain oracle-verified in pytest)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    # TPC-H-style analytics (q14/q18 rotated OUT round 4; q3+q5 rotated
+    # OUT round 10 — driver-green r1-r9, the family stays in-window via
+    # q1/q6/q10 and both remain oracle-verified in pytest + in the bench
+    # headline set)
     "q6_forecast_revenue",
     "q10_returned_items",
-    # window functions (incl. the GROUPS-frame rewrite)
-    # (window_groups_frame rotated OUT round 7 for the offset-GROUPS
-    # star row — the unbounded GROUPS->RANGE rewrite stays oracle-
-    # verified in pytest; offset_star exercises the broader r6/r7
-    # dense-rank rewrite incl. star-EXCEPT projection)
-    # (window_running_sum rotated OUT round 9 — driver-green since r1,
-    # running-sum semantics run inside several in-window rows — for the
-    # brand-new r9 MIN/MAX EXCLUDE decomposition row, which should be
-    # driver-gated the round it lands)
+    # window functions (incl. the GROUPS-frame rewrite): the r9 MIN/MAX
+    # EXCLUDE decomposition keeps the GROUPS seat
+    # (window_groups_offset_groupby + _ordinal rotated OUT round 10 —
+    # driver-green r9, the GROUPS rewrite surface stays in-window via
+    # window_groups_exclude_minmax and the 240-case fuzzer in pytest)
     "window_groups_exclude_minmax",
-    # (window_groups_offset_star rotated OUT round 9 — driver-green
-    # r7/r8 — for the two never-windowed GROUPS+GROUP BY rows: the r8
-    # aggregation-hoist closure and the r9 ordinal resolution)
-    "window_groups_offset_groupby",
-    "window_groups_offset_groupby_ordinal",
-    # sort/limit + set ops (sort_limit_offset rotated OUT late round 4
-    # for the PQ row; ordered-LIMIT semantics run inside q3/q10 and every
-    # top-k query in the window)
+    # sort/limit + set ops (ordered-LIMIT inside q10/top-k rows)
     "set_union_all",
-    # subqueries / CTE (incl. WITH RECURSIVE)
+    # subqueries / CTE
+    # (recursive_cte_months rotated OUT round 10 — driver-green r9 —
+    # WITH RECURSIVE stays oracle-verified in pytest; CTE surface stays
+    # in-window via cte_top_nations)
     "subquery_correlated_select",
     "cte_top_nations",
-    "recursive_cte_months",
-    # scalar function families (string_functions + agg_distinct rotated
-    # OUT round 4 — regexp/casting rows keep the string surface in-window;
-    # date_functions + array_functions rotated out late round 4 for the
-    # gopher/gapfill rows below: the date surface stays covered by
-    # date_bin_tumbling + gapfill, arrays by array_lambda_functions)
-    # (map_functions rotated OUT late round 4 for the temperature-mix
-    # sampler row; the map surface stays oracle-verified in pytest)
+    # scalar function families
+    # (array_lambda_functions + regexp_functions rotated OUT round 10 —
+    # driver-green since r1 — HOF/lambda surface runs in-window inside
+    # text_span_corruption / timeseries_theil_sen / events_markov rows,
+    # regexp inside web_url_canonicalize / text_rake_keywords; both rows
+    # stay oracle-verified in pytest)
     "date_bin_tumbling",
-    "array_lambda_functions",
-    # (casting_try_cast rotated OUT late round 4 for the semantic-dedup
-    # row: every inventory query exercises explicit casts on both the
-    # Spark and oracle sides, and the dedicated row stays pytest-green)
-    "regexp_functions",
     "json_extraction",
-    # LLM-pipeline: dedup family (clusters = LSH pairs -> threshold ->
-    # connected components, the round-3 addition; ngram_jaccard remains
-    # pytest-verified outside the window)
-    # (dedup_exact rotated OUT round 5 for the unigram-LM tokenizer row:
-    # exact-dedup semantics run in-window inside pipeline_web_ingest's
-    # lead-hash dedup and pipeline_curation_end2end, and the dedicated
-    # row stays oracle-verified in pytest)
-    "unigram_vocab_em",
+    # LLM-pipeline: dedup family
+    # (unigram_vocab_em rotated OUT round 10 — driver-green r5-r9, the
+    # tokenizer-training family stays oracle-verified in pytest;
+    # dedup_semantic_semdedup rotated OUT round 10 — driver-green r9,
+    # embedding near-dup semantics stay pytest-verified, dedup keeps
+    # three seats below)
     "dedup_lsh_pairs",
-    # (dedup_simhash rotated OUT round 7 for the MinHash estimate-vs-
-    # exact calibration row; dedup_minhash_estimate_calibration rotated
-    # OUT round 8 — driver-green r7, stays oracle-verified in pytest —
-    # for the content-defined-chunking dedup row)
-    # (dedup_cdc_chunks rotated OUT round 9 — driver-green r8 — for the
-    # never-windowed quality-aware survivor pick, r8's dedup addition
-    # with the r9 float-policy fix)
     "dedup_survivors_keep_longest",
-    # (dedup_clusters rotated OUT round 9 continuation — driver-green
-    # r3-r8, components stay oracle-verified in pytest and run inside
-    # split_leakage_safe/keepers — for the never-windowed canonical-URL
-    # first-pass dedup, the crawl pipeline's cheapest dedup stage)
     "web_url_canonicalize",
-    "dedup_semantic_semdedup",
-    # LLM-pipeline: similarity family (incl. the scale-parameterized
-    # banded ANN and late-round-4's int8-SQ+refine search; ann_lsh_cosine
-    # rotated OUT — the LSH surface stays in-window via ann_lsh_scaled and
-    # the pinned variant stays oracle-verified in pytest)
-    # (knn_bruteforce_cosine rotated OUT round 9 continuation —
-    # driver-green r1-r8 — for the never-windowed retrieval-MRR eval,
-    # which exercises the same cosine_topk operator in-window and adds
-    # the label-judged eval layer on top)
+    # LLM-pipeline: similarity / eval family
+    # (eval_matryoshka_recall, eval_bradley_terry_sources,
+    # eval_cohens_kappa rotated OUT round 10 — all driver-green r9; the
+    # eval family takes THREE never-gated seats this round: isotonic
+    # calibration, calibration error (ECE), bootstrap CI)
     "eval_retrieval_mrr",
     "ann_lsh_scaled",
-    # (ann_ivf_cosine rotated OUT round 9 continuation — driver-green
-    # r3-r8, IVF stays oracle-verified in pytest — for the never-
-    # windowed matryoshka truncated-dim recall eval, same family)
-    "eval_matryoshka_recall",
-    # (ann_sq8_cosine rotated OUT round 6 for the sharded-packing row;
-    # ann_pq_cosine rotated OUT round 8 — driver-green r7, quantized
-    # search stays oracle-verified in pytest — for the MMR
-    # diversity-aware selection row, round 7's greedy rerank family)
-    # (similarity_mmr_select rotated OUT round 9 — driver-green r8 —
-    # for the never-windowed PSI drift row, the profiling family's
-    # first driver seat)
     "profile_psi_drift",
-    # (embedding_near_duplicates rotated OUT round 6 for the Bradley-Terry
-    # preference-rating row — the embedding near-dup surface stays in-window
-    # via dedup_semantic_semdedup and the row stays oracle-verified in pytest)
-    "eval_bradley_terry_sources",
-    # LLM-pipeline: trained-model family (late round 4)
-    # (classifier_logreg_quality rotated OUT round 9 continuation —
-    # driver-green r4-r8; the trained-model family stays in-window via
-    # weak_label_vote — for the never-windowed label-propagation
-    # community detection, the graph family's distributed iteration)
     "graph_label_propagation",
-    # LLM-pipeline: text family (+ round-3 blocked-Levenshtein fuzzy
-    # match, + late-round-4 Gopher rules and corpus-LM cross-entropy;
-    # text_token_stats rotated OUT — counting surface covered by
-    # quality_score/gopher, still oracle-verified in pytest)
+    # LLM-pipeline: text family
+    # (chat_prompt_response_pairs rotated OUT round 10 — driver-green
+    # r6-r9, the SFT-prep family stays oracle-verified in pytest; text
+    # takes three never-gated seats: RAKE, TextRank, n-gram novelty)
     "text_quality_score",
-    # (text_tfidf_topk rotated OUT round 8 — driver-green since r4,
-    # stays oracle-verified in pytest — for the CCNet perplexity-band
-    # pruning row, round 7's per-language distributed_rank shape)
     "prune_ccnet_perplexity_band",
-    # (text_lm_cross_entropy rotated OUT round 7 for the pass@k eval
-    # row; eval_pass_at_k rotated OUT round 8 — driver-green r7, stays
-    # oracle-verified in pytest — for the Krippendorff-alpha
-    # inter-annotator agreement row, round 7's eval/audit family)
-    # (eval_krippendorff_alpha rotated OUT round 9 — driver-green r8 —
-    # for the never-windowed Cohen's-kappa row, same agreement family)
-    "eval_cohens_kappa",
-    # (text_fuzzy_match_pairs rotated OUT round 6 for the SFT chat row —
-    # fuzzy matching stays oracle-verified in pytest)
-    "chat_prompt_response_pairs",
-    # (gopher_quality_flags rotated OUT round 9 continuation —
-    # driver-green r4-r8, the rule family runs in-window inside
-    # pipeline_curation_end2end — for the never-windowed Kneser-Ney
-    # bigram cross-entropy, the text-quality family's sharpest LM)
     "text_lm_kneser_ney",
-    # (text_pack_sequences_sharded rotated OUT round 9 — driver-green
-    # r6-r8, sharded packing stays oracle-verified in pytest — for the
-    # brand-new r9 span-corruption denoising-prep row, same
-    # sequence-prep family, driver-gated the round it lands)
     "text_span_corruption",
-    # LLM-pipeline: sampling + mixture learning (round-5: DSIR
-    # importance resampling and DoReMi Group-DRO domain reweighting join
-    # the window; sample_domain_mix and later sample_temperature_mix
-    # rotated OUT — the share-derivation surface stays pytest-green and
-    # exercised inside pipeline_curation_end2end)
+    # LLM-pipeline: sampling + mixture learning
+    # (doremi_domain_weights rotated OUT round 10 — driver-green r5-r9,
+    # mixture learning stays oracle-verified in pytest; sampling takes
+    # the never-gated k-center coreset seat)
     "sample_dsir_topk",
-    "doremi_domain_weights",
-    # (sample_token_waterfill rotated OUT round 7, Neyman allocation
-    # rotated OUT round 8 — both driver-green when seated, both still
-    # oracle-verified in pytest — for the greedy quality-budget pick,
-    # round 7's distributed_cumsum selection shape)
-    # (sample_greedy_quality_budget rotated OUT round 9 — driver-green
-    # r8 — for the never-windowed UniMax per-epoch allocation row)
     "sample_unimax_allocation",
-    # merge family (reference A14/A15 processors both rotated OUT by
-    # r6/r8 — column/row-merge semantics stay oracle-verified in pytest
-    # and run inside the e2e merge tests; round 8 seated the lakehouse
-    # CDC changeset apply — driver-green r8, rotated OUT round 9 for
-    # the never-windowed weak-supervision label-model vote, r8's
-    # classifier-family addition)
     "weak_label_vote",
-    # streaming (beyond-reference; + round-3 native session_window;
-    # sliding rotated OUT late round 4 for the curation pipeline —
-    # tumbling covers the windowed-agg family, sliding stays
-    # oracle-verified in pytest)
-    # (session_window_native rotated OUT round 5 for the graph row;
-    # the session-window surface stays in-window via
-    # streaming_stateful_sessionize and remains oracle-verified in pytest)
-    # (tumbling_counts rotated OUT round 5 for the streaming near-dup
-    # row — windowed-agg streaming stays in-window via the trending
-    # top-k's underlying tumbling aggregation and stateful_sessionize,
-    # and tumbling_counts remains oracle-verified in pytest)
+    # streaming (beyond-reference)
+    # (streaming_stream_stream_join rotated OUT round 10 — driver-green
+    # r9, the stream-stream join stays oracle-verified in pytest with
+    # micro-batch-invariance tests; streaming keeps two seats)
     "streaming_incremental_neardup",
     "streaming_stateful_sessionize",
-    "streaming_stream_stream_join",
-    # end-to-end curation pipeline: the r4 operator family composed
-    # (gopher gate -> dedup keepers -> domain mix -> stats)
+    # end-to-end curation pipeline
     "pipeline_curation_end2end",
-    # time-series operators (+ late-round-4 gap-fill/LOCF; round-5
-    # swaps: range_join rotated OUT for the trailing-window z-score —
-    # interval-join semantics stay pytest-green — and the new graph
-    # family takes a window row via the all-integer PageRank)
-    # (asof_join_last_click rotated OUT round 9 continuation —
-    # driver-green r2-r8, as-of semantics stay oracle-verified in
-    # pytest vs DuckDB's native ASOF JOIN — for the never-windowed
-    # Kaplan-Meier survival row, same events family)
+    # time-series / events operators
     "events_survival_km",
-    # (hypertable_rollup rotated OUT round 9 continuation — driver-green
-    # r2-r8 — for the brand-new Theil-Sen robust-trend row, same
-    # time-series family, driver-gated the round it lands)
     "timeseries_theil_sen",
-    # (timeseries_anomaly_zscore rotated OUT round 8 — driver-green
-    # r5-r7, stays oracle-verified in pytest — for the RFM quintile
-    # segmentation row, round 7's three-pass distributed_rank shape;
-    # events_rfm_segmentation rotated OUT round 9 — driver-green r8 —
-    # the events family stays covered by asof_join + hypertable_rollup)
-    # (timeseries_gapfill_locf rotated OUT round 5 for the web-ingest
-    # capstone — the gapfill surface stays oracle-verified in pytest)
     "pipeline_web_ingest",
-    # graph analytics (round 5, beyond-reference family)
-    # (graph_pagerank_trade rotated OUT round 9 continuation —
-    # driver-green r5-r8, the folded-iteration path keeps its
-    # fold-vs-loop + empty-edge regression tests — for the brand-new
-    # Resource-Allocation link-prediction row, same co-purchase graph,
-    # driver-gated the round it lands)
+    # graph analytics
     "graph_resource_allocation",
-    # sketches
-    "sketch_kmv_distinct",
+    # sketches / profiling: heavy-change drift triage IS a sketch row
+    # (per-source top-k heavy hitters), so the dedicated KMV row rotates
+    # (sketch_kmv_distinct rotated OUT round 10 — driver-green r2-r9,
+    # KMV stays oracle-verified in pytest)
     # multimodal plumbing
-    # (multimodal_decode_pipeline rotated OUT round 9 continuation —
-    # driver-green r4-r8 on its VALUES oracle — for the never-windowed
-    # frame-sampling schedule, same family but a REAL SQL oracle)
     "multimodal_frame_sample",
+    # ---- the 17 never-driver-gated rows, seated round 10 (verdict
+    # task 2; each lands with full oracle + pytest history) ----
+    "timeseries_cusum_changepoint",
+    "timeseries_holt_linear",
+    "events_attribution_linear",
+    "events_growth_accounting",
+    "events_markov_stationary",
+    "scale_hilbert_key",
+    "scale_compaction_binpack",
+    "eval_isotonic_calibration",
+    "eval_calibration_error",
+    "eval_bootstrap_ci_mean",
+    "sample_kcenter_coreset",
+    "text_rake_keywords",
+    "text_textrank_keywords",
+    "text_ngram_novelty",
+    "profile_cramers_v",
+    "profile_autocorrelation",
+    "profile_topk_heavy_change",
 )
 
 

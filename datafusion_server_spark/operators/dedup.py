@@ -45,6 +45,20 @@ def _word_shingles(text: Column, k: int) -> Column:
     return F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
 
 
+def _word_shingles_sql(col_sql: str, k: int) -> str:
+    """SQL-text twin of ``_word_shingles`` over a column REFERENCE (or any
+    SQL fragment) — the identical slice/arrays_zip/transform tree, parsed
+    JVM-side in one ``F.expr`` call instead of ~25 py4j round-trips
+    (plan construction is py4j-chatter-bound; see
+    similarity._dot_scaled_sql). arrays_zip names unnamed inputs by
+    positional index, matching the Column form's ``s[str(j)]`` access."""
+    words = f"SPLIT({col_sql}, ' ')"
+    m = f"GREATEST(SIZE({words}) - {k - 1}, 0)"
+    slices = ", ".join(f"SLICE({words}, {j + 1}, {m})" for j in range(k))
+    fields = ", ".join(f"s['{j}']" for j in range(k))
+    return f"TRANSFORM(ARRAYS_ZIP({slices}), s -> CONCAT_WS(' ', {fields}))"
+
+
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup via hash groupBy: one row per distinct text with the
     keeper (min id) and the duplicate count. Output: (keep_id, n_copies,
@@ -64,7 +78,10 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = DEFAULT_SHI
     MinHash and exact-Jaccard verification."""
     df = ensure_fanout_parallelism(df)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"EXPLODE({_word_shingles_sql(f'`{text_col}`', k)}) AS shingle"),
+        )
         .distinct()
     )
 
@@ -80,10 +97,10 @@ def _minhash_aggs(num_hashes: int) -> list[Column]:
     slice extractions and all ``num_hashes`` minima. ``a + i*b`` stays
     under 2^36 for i<=15, so the arithmetic is overflow-free in both
     Spark bigint and the DuckDB oracle's BIGINT."""
+    # SQL-string form: one py4j call per hash instead of ~7 (plan
+    # construction is py4j-chatter-bound — see similarity._dot_scaled_sql)
     return [
-        F.min((F.col("_mh_a") + F.lit(i) * F.col("_mh_b")) % F.lit(4294967296)).alias(
-            f"mh{i}"
-        )
+        F.expr(f"MIN((_mh_a + {i} * _mh_b) % 4294967296) AS mh{i}")
         for i in range(num_hashes)
     ]
 
@@ -93,10 +110,10 @@ def _with_hash_slices(shingled: DataFrame) -> DataFrame:
     ``_mh_a``/``_mh_b``) so the aggregation's 16 minima consume plain
     bigint columns — the single md5 lives in the projection, not inside
     16 aggregate input expressions."""
-    return shingled.withColumn(
-        "_mh_a", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
-    ).withColumn(
-        "_mh_b", F.conv(F.substring(F.md5(F.col("shingle")), 9, 8), 16, 10).cast("bigint")
+    return shingled.select(
+        "*",
+        F.expr("CAST(CONV(SUBSTRING(MD5(shingle), 1, 8), 16, 10) AS BIGINT) AS _mh_a"),
+        F.expr("CAST(CONV(SUBSTRING(MD5(shingle), 9, 8), 16, 10) AS BIGINT) AS _mh_b"),
     )
 
 
@@ -121,18 +138,21 @@ def minhash_signatures(
 def lsh_bands(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """Banding: concat each band's signature slice into one bucket key.
     Output: (id, band, bucket)."""
-    per_band = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
+    # inline() explodes straight into (band, bucket) columns in ONE
+    # F.expr call (vs ~10 py4j calls per band composing struct/concat_ws)
     return signatures.select(
-        "id", F.explode(F.array(*per_band)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id",
+        F.expr(
+            "inline(array("
+            + ", ".join(
+                f"struct({b} AS band, CONCAT_WS('|', "
+                + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+                + ") AS bucket)"
+                for b in range(bands)
+            )
+            + "))"
+        ),
+    )
 
 
 def lsh_signature_index(
@@ -171,13 +191,14 @@ def lsh_signature_index(
     shingled = _with_hash_slices(
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(_word_shingles(F.col(text_col), k)).alias("shingle"),
+            F.expr(f"EXPLODE({_word_shingles_sql(f'`{text_col}`', k)}) AS shingle"),
         )
     )
-    hash60 = F.col("_mh_a") * F.lit(268435456) + F.shiftright(F.col("_mh_b"), 4)
     sigs = shingled.groupBy("id").agg(
         *_minhash_aggs(num_hashes),
-        F.sort_array(F.collect_set(hash60)).alias("sh"),
+        F.expr(
+            "SORT_ARRAY(COLLECT_SET(_mh_a * 268435456 + SHIFTRIGHT(_mh_b, 4))) AS sh"
+        ),
     )
     if materialize:
         sigs = sigs.localCheckpoint(eager=True)
@@ -232,18 +253,17 @@ def lsh_pairs_against_index(
     return (
         pairs.join(new_sets, "new_id")
         .join(idx_sets, "index_id")
-        .withColumn("n_common", F.size(F.array_intersect("sh_n", "sh_i")).cast("bigint"))
         .select(
             "new_id",
             "index_id",
-            "n_common",
+            F.expr("CAST(SIZE(ARRAY_INTERSECT(sh_n, sh_i)) AS BIGINT) AS n_common"),
             "n_new",
             "n_index",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_new") + F.col("n_index") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            F.expr(
+                "ROUND(CAST(SIZE(ARRAY_INTERSECT(sh_n, sh_i)) AS DOUBLE) / "
+                "CAST(n_new + n_index - CAST(SIZE(ARRAY_INTERSECT(sh_n, sh_i))"
+                " AS BIGINT) AS DOUBLE), 6) AS jaccard"
+            ),
         )
     )
 
@@ -292,32 +312,26 @@ def lsh_candidate_pairs(
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, F.expr("a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"))
+        .select(F.expr("a.id AS id_a"), F.expr("b.id AS id_b"))
         .distinct()
     )
-    sets_a = sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    sets_b = sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    sets_a = sigs.select(F.expr("id AS id_a"), F.expr("sh AS sh_a"), F.expr("n_sh AS n_a"))
+    sets_b = sigs.select(F.expr("id AS id_b"), F.expr("sh AS sh_b"), F.expr("n_sh AS n_b"))
     return (
         pairs.join(sets_a, "id_a")
         .join(sets_b, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
         .select(
             "id_a",
             "id_b",
-            "n_common",
+            F.expr("CAST(SIZE(ARRAY_INTERSECT(sh_a, sh_b)) AS BIGINT) AS n_common"),
             "n_a",
             "n_b",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            F.expr(
+                "ROUND(CAST(SIZE(ARRAY_INTERSECT(sh_a, sh_b)) AS DOUBLE) / "
+                "CAST(n_a + n_b - CAST(SIZE(ARRAY_INTERSECT(sh_a, sh_b)) AS BIGINT)"
+                " AS DOUBLE), 6) AS jaccard"
+            ),
         )
     )
 
@@ -487,16 +501,22 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     with_hash = tokens.select("id", F.md5(F.col("tok")).alias("h"))
+    # SQL-string aggregates: one py4j call per bit instead of ~9
     sums = with_hash.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.substring(F.col("h"), p + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"s{p}")
+            F.expr(
+                f"SUM(CASE WHEN SUBSTRING(h, {p + 1}, 1) >= '8'"
+                f" THEN 1 ELSE -1 END) AS s{p}"
+            )
             for p in range(bits)
         ]
     )
-    bit_cols = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)]
-    return sums.select("id", F.concat(*bit_cols).alias("simhash"))
+    fingerprint = F.expr(
+        "CONCAT("
+        + ", ".join(f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(bits))
+        + ") AS simhash"
+    )
+    return sums.select("id", fingerprint)
 
 
 def prefix_jaccard_pairs(

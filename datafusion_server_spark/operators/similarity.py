@@ -88,6 +88,29 @@ def _dot_scaled(va: Column, vb: Column) -> Column:
     )
 
 
+def _dot_scaled_sql(a: str, b: str) -> str:
+    """SQL text of ``_dot_scaled`` over two column NAMES — same parsed
+    expression tree, but delivered to the JVM in ONE ``F.expr`` call.
+    Composing the lambda form via the Column API costs ~15 py4j
+    round-trips per dot (~1.5 ms each on this host); the hot builders
+    (r10 plan-construction profile: ann/knn/dedup rows spent 0.9-1.4 s
+    per query in py4j chatter vs 0.2-0.35 s executing) assemble their
+    expressions as strings instead. Values are bit-identical: the parser
+    produces the same ZipWith/Aggregate/Round/Cast operators."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {SCALE}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+
+
+def _norm_sql(v: str) -> str:
+    """SQL text of the exact scaled-long L2 norm of array column ``v``
+    (sqrt of the unscaled self-dot) — the string twin of
+    ``F.sqrt(_unscale(_dot_scaled(v, v)))``."""
+    return f"SQRT(CAST(({_dot_scaled_sql(v, v)}) AS DOUBLE) / {SCALE})"
+
+
 def _vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, v): the vector-level view used by the in-row scoring path."""
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -133,19 +156,28 @@ def _codes_norms(el: DataFrame, planes: int, dim: int) -> DataFrame:
         "".join("1" if s == 1 else "0" for s in hyperplane_signs(p, dim))
         for p in range(planes)
     ]
+    # expressions delivered as SQL strings — one py4j call per plane
+    # instead of ~12 (see _dot_scaled_sql); the parsed trees are the
+    # exact Column-API operators, so values are unchanged
     sums = el.groupBy("id").agg(
         *[
-            _ssum(
-                F.when(
-                    F.substring(F.lit(sign_strs[p]), F.col("i"), 1) == "1", F.col("x")
-                ).otherwise(-F.col("x"))
-            ).alias(f"s{p}")
+            F.expr(
+                f"SUM(CAST(ROUND((CASE WHEN SUBSTRING('{sign_strs[p]}', i, 1) = '1' "
+                f"THEN x ELSE -x END) * {SCALE}) AS BIGINT)) AS s{p}"
+            )
             for p in range(planes)
         ],
-        F.sqrt(_unscale(_ssum(F.col("x") * F.col("x")))).alias("nrm"),
+        F.expr(
+            f"SQRT(CAST(SUM(CAST(ROUND((x * x) * {SCALE}) AS BIGINT)) AS DOUBLE)"
+            f" / {SCALE}) AS nrm"
+        ),
     )
-    bits = [F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(planes)]
-    return sums.select("id", F.concat(*bits).alias("bucket"), "nrm")
+    bucket = F.expr(
+        "CONCAT("
+        + ", ".join(f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(planes))
+        + ") AS bucket"
+    )
+    return sums.select("id", bucket, "nrm")
 
 
 def bucket_codes(
@@ -183,11 +215,10 @@ def _score_pairs(pairs: DataFrame, vecs: DataFrame, a: str, b: str) -> DataFrame
         .select(
             a,
             b,
-            F.round(
-                _unscale(_dot_scaled(F.col("__va"), F.col("__vb")))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            ).alias("cosine"),
+            F.expr(
+                f"ROUND((CAST(({_dot_scaled_sql('__va', '__vb')}) AS DOUBLE)"
+                f" / {SCALE}) / (nrm_a * nrm_b), 6) AS cosine"
+            ),
         )
     )
 
@@ -227,23 +258,22 @@ def cosine_topk(
     cand = _vectors(embeddings, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"),
         F.col("v").alias("__cv"),
-        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__nrm"),
+        F.expr(f"{_norm_sql('v')} AS __nrm"),
     ).filter(F.col("__nrm") > 0.0)
     q = _vectors(queries, id_col, vec_col).select(
         F.col("id").alias("query_id"),
         F.col("v").alias("__qv"),
-        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__qnrm"),
+        F.expr(f"{_norm_sql('v')} AS __qnrm"),
     ).filter(F.col("__qnrm") > 0.0)
     scored = cand.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            _unscale(_dot_scaled(F.col("__cv"), F.col("__qv")))
-            / (F.col("__qnrm") * F.col("__nrm")),
-            6,
-        ).alias("cosine"),
+        F.expr(
+            f"ROUND((CAST(({_dot_scaled_sql('__cv', '__qv')}) AS DOUBLE)"
+            f" / {SCALE}) / (__qnrm * __nrm), 6) AS cosine"
+        ),
     )
     return _rank_topk(scored, k)
 
@@ -600,19 +630,20 @@ def scaled_lsh_ann_topk(
     cn = _codes_norms(el, planes, dim)
     if materialize:
         cn = cn.localCheckpoint(eager=True)
-    band_struct = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("b"),
-                    F.substring("bucket", b * band_bits + 1, band_bits).alias("code"),
-                )
+    # inline() explodes the struct array straight into (b, code) columns —
+    # one F.expr call replaces the explode/array/struct/substring chain
+    band_codes = cn.select(
+        "id",
+        "nrm",
+        F.expr(
+            "inline(array("
+            + ", ".join(
+                f"struct({b} AS b, SUBSTRING(bucket, {b * band_bits + 1},"
+                f" {band_bits}) AS code)"
                 for b in range(bands)
-            ]
-        )
-    ).alias("bc")
-    band_codes = cn.select("id", "nrm", band_struct).select(
-        "id", "nrm", F.col("bc.b").alias("b"), F.col("bc.code").alias("code")
+            )
+            + "))"
+        ),
     )
     q_bands = queries.select(F.col(id_col).alias("query_id")).join(
         band_codes.select(
@@ -848,19 +879,20 @@ def embedding_near_duplicates(
     cn = _codes_norms(el, bands * band_bits, dim)
     if materialize:
         cn = cn.localCheckpoint(eager=True)
-    band_struct = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("b"),
-                    F.substring("bucket", b * band_bits + 1, band_bits).alias("code"),
-                )
+    # inline() explodes the struct array straight into (b, code) columns —
+    # one F.expr call replaces the explode/array/struct/substring chain
+    band_codes = cn.select(
+        "id",
+        "nrm",
+        F.expr(
+            "inline(array("
+            + ", ".join(
+                f"struct({b} AS b, SUBSTRING(bucket, {b * band_bits + 1},"
+                f" {band_bits}) AS code)"
                 for b in range(bands)
-            ]
-        )
-    ).alias("bc")
-    band_codes = cn.select("id", "nrm", band_struct).select(
-        "id", "nrm", F.col("bc.b").alias("b"), F.col("bc.code").alias("code")
+            )
+            + "))"
+        ),
     )
     a = band_codes.select(
         F.col("id").alias("id_a"), F.col("nrm").alias("nrm_a"), "b", "code"

@@ -4,7 +4,6 @@ Flight) server."""
 from __future__ import annotations
 
 import argparse
-import threading
 
 
 def main() -> None:
@@ -29,16 +28,15 @@ def main() -> None:
     )
     engine = Engine(settings=settings)
     httpd = serve(engine, host, port)
-    print(f"REST:   http://{host}:{httpd.server_address[1]}")
+    print(f"REST:   http://{host}:{httpd.server_address[1]}", flush=True)
     if flight_port:
         from datafusion_server_spark.server import flight
 
         flight.serve(engine, f"grpc://{settings.server.flight_address}:{flight_port}")
-        print(f"Flight: grpc://{settings.server.flight_address}:{flight_port}")
-    try:
-        threading.Event().wait()
-    except KeyboardInterrupt:
-        httpd.shutdown()
+        print(f"Flight: grpc://{settings.server.flight_address}:{flight_port}", flush=True)
+    from datafusion_server_spark.server.http import run_until_signalled
+
+    run_until_signalled(engine, httpd)
 
 
 if __name__ == "__main__":

@@ -268,6 +268,45 @@ def lsh_pairs_against_index(
     )
 
 
+def cap_bucket_members(
+    banded: DataFrame,
+    max_bucket_members: int,
+    *,
+    observation=None,
+) -> DataFrame:
+    """Hot-bucket guard for the band self-join (r9 verdict #3): bound
+    per-(band, bucket) membership at ``max_bucket_members`` so a
+    degenerate bucket (mass-duplicated boilerplate that survived exact
+    dedup) cannot make the a×b join quadratic in that bucket's
+    population — the same bounded-candidate discipline as
+    ``similarity.scaled_lsh_ann_topk``'s per-query cap.
+
+    Members are kept deterministically (smallest ids first), so the
+    survivors of a capped bucket are stable across runs and partitions;
+    a capped bucket still yields cap*(cap-1)/2 candidate pairs linking
+    all kept members, and downstream connected components reunite the
+    cluster through those. The drop count is LOGGED, not silent
+    (no-silent-caps rule): pass a ``pyspark.sql.Observation`` to read
+    ``dropped``/``kept`` after the action, or rely on the named
+    ``observe`` metric ("lsh_bucket_cap") a QueryExecutionListener
+    sees. The window shuffles by the same (band, bucket) key the
+    candidate join hashes on, so it adds no new exchange width."""
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    guarded = banded.withColumn("__bm", F.row_number().over(w))
+    metrics = [
+        F.sum(F.when(F.col("__bm") > max_bucket_members, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped"),
+        F.sum(F.when(F.col("__bm") <= max_bucket_members, 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept"),
+    ]
+    guarded = guarded.observe(
+        observation if observation is not None else "lsh_bucket_cap", *metrics
+    )
+    return guarded.filter(F.col("__bm") <= max_bucket_members).drop("__bm")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -277,6 +316,8 @@ def lsh_candidate_pairs(
     k: int = DEFAULT_SHINGLE_WORDS,
     *,
     materialize: bool = True,
+    max_bucket_members: int | None = None,
+    bucket_cap_observation=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents sharing >=1 LSH band
     bucket, verified with exact shingle-set Jaccard. Output:
@@ -303,12 +344,24 @@ def lsh_candidate_pairs(
       signature table, the standard MinHash-LSH shape.
 
     Results are identical to the round-2 plan (deterministic md5 math,
-    same set semantics)."""
+    same set semantics).
+
+    ``max_bucket_members`` (default None = off; set it above the
+    expected bucket population — e.g. 10_000 at corpus scale) engages
+    the ``cap_bucket_members`` hot-bucket guard: exact dedup upstream
+    normally bounds bucket skew, but a boilerplate-heavy corpus can
+    still funnel near-identical documents into one (band, bucket); the
+    cap bounds that join's fan-out at cap^2 with a logged drop count
+    instead of letting it go quadratic."""
     rows_per_band = num_hashes // bands
     sigs = lsh_signature_index(
         df, text_col, id_col, num_hashes, k, materialize=materialize
     )
     banded = lsh_bands(sigs, bands, rows_per_band)
+    if max_bucket_members is not None:
+        banded = cap_bucket_members(
+            banded, max_bucket_members, observation=bucket_cap_observation
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -134,6 +134,23 @@ class PayloadTooLarge(ValueError):
 class Handler(BaseHTTPRequestHandler):
     engine: Engine  # set by serve()
 
+    # Permissive CORS layer, reference parity (lib/src/server/http.rs:17-34
+    # tower_http::cors::CorsLayer): any origin, no credentials, five
+    # methods, the five listed request headers. tower-http stamps every
+    # response with allow-origin and answers OPTIONS preflight itself;
+    # the Vary triple matches its output for `Any` origin.
+    _CORS_ALLOW_METHODS = "GET,POST,PUT,DELETE,OPTIONS"
+    _CORS_ALLOW_HEADERS = (
+        "accept,accept-language,authorization,content-language,content-type"
+    )
+    _CORS_VARY = (
+        "origin, access-control-request-method, access-control-request-headers"
+    )
+
+    def _cors(self) -> None:
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Vary", self._CORS_VARY)
+
     # -- helpers -----------------------------------------------------------
 
     def _body(self) -> bytes:
@@ -149,6 +166,7 @@ class Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, data: bytes, content_type: str = "application/json") -> None:
         self._last_status = code
         self.send_response(code)
+        self._cors()
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
@@ -160,6 +178,7 @@ class Handler(BaseHTTPRequestHandler):
     def _send_chunked(self, chunks, content_type: str) -> None:
         self._last_status = 200
         self.send_response(200)
+        self._cors()
         self.send_header("Content-Type", content_type)
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
@@ -392,6 +411,18 @@ class Handler(BaseHTTPRequestHandler):
     def do_DELETE(self):
         self._tracked("DELETE")
 
+    def do_OPTIONS(self):
+        """CORS preflight (reference http.rs:17-34: the CorsLayer answers
+        OPTIONS for every route before routing happens — so this replies
+        for any path, exactly like tower-http, and is not metric-tracked
+        since the reference's layer sits outside the telemetry layer)."""
+        self.send_response(200)
+        self._cors()
+        self.send_header("Access-Control-Allow-Methods", self._CORS_ALLOW_METHODS)
+        self.send_header("Access-Control-Allow-Headers", self._CORS_ALLOW_HEADERS)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
 
 def serve(engine: Engine, host: str = "127.0.0.1", port: int = 4000) -> ThreadingHTTPServer:
     """Start the REST server on a daemon thread; returns the server."""
@@ -424,10 +455,29 @@ def main() -> None:
             print(f"prewarm failed (serving anyway): {e}")
     httpd = serve(engine, host, port)
     print(f"serving on http://{host}:{port}")
+    run_until_signalled(engine, httpd)
+
+
+def run_until_signalled(engine: Engine, httpd: ThreadingHTTPServer) -> None:
+    """Block until SIGTERM or SIGINT, then drain gracefully (reference
+    signal_handler.rs:5-29 selects over ctrl-c AND terminate): a
+    container orchestrator sends SIGTERM, and the server must stop
+    accepting, close every live session (unpersist + duration metrics,
+    the TTL reaper's path), and exit 0 — not die mid-request."""
+    import signal
+
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
     try:
-        threading.Event().wait()
+        stop.wait()
     except KeyboardInterrupt:
-        httpd.shutdown()
+        pass
+    print("signal received, starting graceful shutdown", flush=True)
+    httpd.shutdown()
+    engine.sessions.stop_reaper()
+    closed = engine.sessions.close_all()
+    print(f"closed {len(closed)} session(s)", flush=True)
 
 
 if __name__ == "__main__":

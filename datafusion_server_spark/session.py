@@ -227,6 +227,19 @@ class SessionManager:
             self._closed(sess)
         return [sid for sid, _ in reaped]
 
+    def close_all(self) -> list[str]:
+        """Drain every live session (graceful-shutdown path, reference
+        signal_handler.rs:5-29): unpersist cached sources and fire the
+        ``on_close`` lifecycle hook (session-duration telemetry) exactly
+        as the TTL reaper does. Returns the closed session ids."""
+        with self._lock:
+            drained = list(self._sessions.items())
+            self._sessions.clear()
+        for _, sess in drained:
+            sess.close()
+            self._closed(sess)
+        return [sid for sid, _ in drained]
+
     def start_reaper(self) -> None:
         if self._reaper is not None:
             return

@@ -1326,9 +1326,26 @@ def span_corruption(
             lambda s: (s["L"] > 0) & (s["blk"] * block + s["off"] < n),
         ),
     ).otherwise(F.array().cast("array<struct<blk:int,L:int,off:int>>"))
+
+    # Per-row constants are HOISTED into real projection columns (r10):
+    # in the single-select form the span map sat INSIDE the per-token
+    # lambda, and interpreted higher-order functions re-evaluate their
+    # whole body per element — O(tokens x blocks) md5 work per document
+    # (~9 s/run at sf0.01, misdiagnosed in r9 as a one-time compile
+    # cliff). Staged, each constant is computed once per row and the
+    # lambda reads a bound reference: 0.3 s/run, values bit-identical.
+    # CollapseProject cannot re-inline the stages because every hoisted
+    # alias is non-cheap and referenced more than once downstream
+    # (__spans by smap + the final size()s, __w/__smap by both pieces).
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        w.alias("__w"),
+        n.alias("__n"),
+        spans.alias("__spans"),
+    )
     smap = F.map_from_entries(
         F.transform(
-            spans,
+            F.col("__spans"),
             lambda s, i: F.struct(
                 s["blk"].alias("key"),
                 F.struct(
@@ -1337,15 +1354,19 @@ def span_corruption(
             ),
         )
     )
+    st2 = base.select("doc_id", "__w", "__n", "__spans", smap.alias("__smap"))
+    nn = F.col("__n")
+    ww = F.col("__w")
+    sm = F.col("__smap")
 
     def pieces(kind: str) -> Column:
         def one(p: Column) -> Column:
-            e = F.element_at(smap, F.floor(p / block).cast("int"))
+            e = F.element_at(sm, F.floor(p / block).cast("int"))
             local = p % block
             in_span = (
                 e.isNotNull() & (local >= e["off"]) & (local < e["off"] + e["L"])
             )
-            word = F.element_at(w, (p + 1).cast("int"))
+            word = F.element_at(ww, (p + 1).cast("int"))
             sentinel = F.concat(
                 F.lit("<extra_id_"), e["k"].cast("string"), F.lit(">")
             )
@@ -1358,20 +1379,27 @@ def span_corruption(
                 ).otherwise(word),
             )
 
-        seq = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        seq = F.when(nn > 0, F.sequence(F.lit(0), nn - 1)).otherwise(
             F.array().cast("array<int>")
         )
         return F.filter(F.transform(seq, one), lambda x: x.isNotNull())
 
-    pin = pieces("inputs")
-    ptg = pieces("targets")
-    return df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        n.cast("bigint").alias("n_tokens"),
-        F.size(spans).cast("bigint").alias("n_spans"),
-        (n - F.size(pin) + F.size(spans)).cast("bigint").alias("n_masked"),
-        F.md5(F.array_join(pin, " ")).alias("inputs_md5"),
-        F.md5(F.array_join(ptg, " ")).alias("targets_md5"),
+    st3 = st2.select(
+        "doc_id",
+        "__n",
+        "__spans",
+        pieces("inputs").alias("__pin"),
+        pieces("targets").alias("__ptg"),
+    )
+    return st3.select(
+        "doc_id",
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        F.size("__spans").cast("bigint").alias("n_spans"),
+        (F.col("__n") - F.size("__pin") + F.size("__spans"))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.md5(F.array_join("__pin", " ")).alias("inputs_md5"),
+        F.md5(F.array_join("__ptg", " ")).alias("targets_md5"),
     )
 
 

@@ -229,13 +229,14 @@ class Engine:
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        # Large-HOF expression-tree shape (r10, verdict task 6): the
-        # span-corruption family compiles a very large nested
-        # transform/aggregate/filter tree — ~8 s one-time codegen cost
-        # at first touch (BENCH_r09 secondary). Running the REAL
-        # operator over a 2-row synthetic input generates the same
-        # codegen source, so Janino's compilation cache absorbs the
-        # first real request's cliff at boot.
+        # Large-HOF expression-tree shape (r10, verdict task 6): run the
+        # REAL span-corruption operator over a 2-row input so a serving
+        # boot pre-compiles that family's plan shapes. (r9's "8 s
+        # first-compile" diagnosis turned out to be per-run interpreted
+        # HOF recomputation, fixed in operators/text.py by hoisting the
+        # span map out of the per-token lambda; this prewarm leg remains
+        # as cheap insurance for the family's genuine first-call
+        # analysis/codegen cost, ~0.5 s.)
         from datafusion_server_spark.operators.text import span_corruption
 
         tiny = self.spark.range(2).selectExpr(

@@ -88,10 +88,51 @@ def measure(prewarm: bool) -> dict:
     }
 
 
+_SPAN_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from datafusion_server_spark.session import build_spark
+spark = build_spark(app_name="span-ab", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+t_warm = 0.0
+if {prewarm!r} == "on":
+    from datafusion_server_spark.server.api import Engine
+    t0 = time.time()
+    Engine(spark, start_reaper=False).prewarm()
+    t_warm = time.time() - t0
+from datafusion_server_spark.queries import registry
+qd = registry()["text_span_corruption"]
+t1 = time.time(); qd.build(spark, {sf!r}).toArrow(); first = time.time() - t1
+t2 = time.time(); qd.build(spark, {sf!r}).toArrow(); second = time.time() - t2
+print(json.dumps({{"prewarm_s": round(t_warm, 2),
+                   "first_call_s": round(first, 2),
+                   "second_call_s": round(second, 2)}}))
+"""
+
+
+def measure_span(prewarm: bool) -> dict:
+    """First-call latency of the span-corruption expression shape in a
+    FRESH JVM (r10, verdict task 6): the ~8 s cliff is one-time codegen
+    compile of the large HOF tree; Engine.prewarm() now compiles the
+    same shape on a 2-row input at boot."""
+    code = _SPAN_CHILD.format(
+        repo=REPO, prewarm="on" if prewarm else "off", sf=SF_DIR
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO,
+        env=dict(os.environ, PYTHONPATH=REPO),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    return {"prewarm": prewarm, **json.loads(out.stdout.strip().splitlines()[-1])}
+
+
 if __name__ == "__main__":
     out = {
         "load1m_start": round(os.getloadavg()[0], 2),
         "off": measure(False),
         "on": measure(True),
+        "span_off": measure_span(False),
+        "span_on": measure_span(True),
     }
     print(json.dumps(out))

@@ -892,6 +892,11 @@ def rewrite_offset_groups(sql: str) -> str:
         m_fn = re.search(r"([A-Za-z_]\w*)\s*$", masked[:open_idx])
         if not m_fn or m_fn.group(1).upper() not in (
             "SUM", "COUNT", "AVG", "MIN", "MAX",
+            # r10 (verdict task 7): STDDEV/VAR are moment-subtractable —
+            # n, Σx, Σx² each rewrite like COUNT/SUM even though the
+            # aggregate itself is not order-decomposable
+            "STDDEV", "STDDEV_SAMP", "STDDEV_POP",
+            "VARIANCE", "VAR_SAMP", "VAR_POP",
         ):
             return sql  # neither subtractable nor decomposable: reject
         fn = m_fn.group(1).upper()
@@ -978,18 +983,47 @@ def rewrite_offset_groups(sql: str) -> str:
         if fn == "COUNT":
             expr = f"CAST({cnt} AS BIGINT)"
         else:
-            sf_ = f"SUM({arg}) OVER ({wf})"
-            sg = f"SUM({arg}) OVER ({wg})"
-            if e == "EXCLUDE CURRENT ROW":
-                ssum = f"({sf_} - COALESCE({arg}, 0))"
-            elif e == "EXCLUDE GROUP":
-                ssum = f"({sf_} - COALESCE({sg}, 0))"
-            else:  # EXCLUDE TIES
-                ssum = f"({sf_} - COALESCE({sg}, 0) + COALESCE({arg}, 0))"
+
+            def minus_excluded(term: str) -> str:
+                """Frame sum of ``term`` minus the EXCLUDE-d rows' sum."""
+                tf = f"SUM({term}) OVER ({wf})"
+                tg = f"SUM({term}) OVER ({wg})"
+                if e == "EXCLUDE CURRENT ROW":
+                    return f"({tf} - COALESCE({term}, 0))"
+                if e == "EXCLUDE GROUP":
+                    return f"({tf} - COALESCE({tg}, 0))"
+                return f"({tf} - COALESCE({tg}, 0) + COALESCE({term}, 0))"  # TIES
+
+            ssum = minus_excluded(arg)
             if fn == "SUM":
                 expr = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
-            else:  # AVG
+            elif fn == "AVG":
                 expr = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} / {cnt} END)"
+            else:
+                # STDDEV/VAR via subtractable raw moments (n, Σx, Σx²):
+                # var_pop = (Σx² - Σx·Σx/n)/n over the KEPT rows, each
+                # moment computed frame-minus-excluded exactly like SUM.
+                # Sums are cast to DOUBLE before the square so Σx·Σx
+                # cannot overflow BIGINT at scale; GREATEST(0e0, ·)
+                # clamps the float-cancellation residue a moment
+                # subtraction can leave where the exact variance is ~0
+                # (the standard tradeoff vs single-pass Welford — and
+                # the same decomposition every distributed engine uses
+                # for partial aggregation). NULL for n=0 (and n=1 for
+                # the _SAMP family), matching Spark and DuckDB.
+                ssum2 = minus_excluded(f"({arg} * {arg})")
+                base = (
+                    f"(CAST({ssum2} AS DOUBLE) - CAST({ssum} AS DOUBLE)"
+                    f" * CAST({ssum} AS DOUBLE) / {cnt})"
+                )
+                if fn in ("VAR_POP", "STDDEV_POP"):
+                    var = f"GREATEST(CAST(0 AS DOUBLE), {base} / {cnt})"
+                    guard = f"{cnt} = 0"
+                else:  # VARIANCE/VAR_SAMP, STDDEV/STDDEV_SAMP
+                    var = f"GREATEST(CAST(0 AS DOUBLE), {base} / ({cnt} - 1))"
+                    guard = f"{cnt} < 2"
+                val = f"SQRT({var})" if fn.startswith("STDDEV") else var
+                expr = f"(CASE WHEN {guard} THEN NULL ELSE {val} END)"
         replacements.append((agg_start, cl + 1, expr))
 
     # splice right-to-left (keeps earlier indices valid)

@@ -110,18 +110,20 @@ PRIORITY: tuple[str, ...] = (
     # joins (join_semi rotated OUT late round 4; semi-join semantics run
     # inside several in-window queries)
     "join_inner_3way",
-    # TPC-H-style analytics (q14/q18 rotated OUT round 4; q3+q5 rotated
-    # OUT round 10 — driver-green r1-r9, the family stays in-window via
-    # q1/q6/q10 and both remain oracle-verified in pytest + in the bench
-    # headline set)
+    # TPC-H-style analytics (q14/q18 rotated OUT round 4; q3+q5+q10
+    # rotated OUT round 10 — driver-green r1-r9, the family stays
+    # in-window via q1/q6 and all three remain oracle-verified in
+    # pytest + in the bench headline set)
     "q6_forecast_revenue",
-    "q10_returned_items",
     # window functions (incl. the GROUPS-frame rewrite): the r9 MIN/MAX
-    # EXCLUDE decomposition keeps the GROUPS seat
+    # EXCLUDE decomposition keeps a GROUPS seat, and the brand-new r10
+    # STDDEV/VAR moment-subtraction rewrite is driver-gated the round
+    # it lands (the r8 bar)
     # (window_groups_offset_groupby + _ordinal rotated OUT round 10 —
     # driver-green r9, the GROUPS rewrite surface stays in-window via
-    # window_groups_exclude_minmax and the 240-case fuzzer in pytest)
+    # the two EXCLUDE rows and the extended fuzzer in pytest)
     "window_groups_exclude_minmax",
+    "window_groups_exclude_stddev",
     # sort/limit + set ops (ordered-LIMIT inside q10/top-k rows)
     "set_union_all",
     # subqueries / CTE

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_server_spark import tables
-from datafusion_server_spark.queries import df_query, sql_query
+from datafusion_server_spark.queries import df_query, rrepr, sql_query
 from datafusion_server_spark.queries.core import _ss
 
 D = "DECIMAL(38,6)"
@@ -553,6 +553,109 @@ def window_groups_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tables.register_views(spark, sf_dir)
     return spark.sql(transpile(_GROUPS_EXCLUDE_MINMAX_SQL))
+
+
+# r10 (verdict task 7): STDDEV/VAR under frame EXCLUDE — not
+# order-decomposable, but their RAW MOMENTS are: n, Σx, Σx² each rewrite
+# frame-minus-excluded exactly like COUNT/SUM, then
+# var = (Σx² - Σx·Σx/n)/(n or n-1) and stddev = sqrt. The value column is
+# an exact BIGINT (cents mod 1e5), so every moment is integer-exact in
+# both engines and the only float ops are the final CAST/(·)/GREATEST/
+# SQRT chain, which the oracle replicates op-for-op on the SAME integers
+# (IEEE-deterministic => bit-identical doubles); rrepr handles the final
+# Spark-style ROUND. The oracle re-derives the EXCLUDE-d GROUPS frames
+# via rank self-joins (DuckDB's GROUPS parser gap again).
+_SDVAL = "(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) % 100000)"
+
+_GROUPS_EXCLUDE_STDDEV_SQL = f"""
+    SELECT o_orderkey,
+           ROUND(STDDEV_SAMP({_SDVAL}) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP), 6)
+             AS sd_excl_group,
+           ROUND(VAR_POP({_SDVAL}) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES), 6)
+             AS var_excl_ties,
+           ROUND(STDDEV_POP({_SDVAL}) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), 6)
+             AS sd_excl_current
+    FROM orders WHERE o_orderkey < 2000
+"""
+
+# shared moment->value formula text (the rewrite's exact op order):
+# base = CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n
+def _mom(n: str, s1: str, s2: str, *, pop: bool, sqrt: bool) -> str:
+    base = (
+        f"(CAST({s2} AS DOUBLE) - CAST({s1} AS DOUBLE)"
+        f" * CAST({s1} AS DOUBLE) / {n})"
+    )
+    var = f"GREATEST(CAST(0 AS DOUBLE), {base} / {n if pop else f'({n} - 1)'})"
+    val = f"SQRT({var})" if sqrt else var
+    guard = f"{n} = 0" if pop else f"{n} < 2"
+    return f"(CASE WHEN {guard} THEN NULL ELSE {val} END)"
+
+
+_GROUPS_EXCLUDE_STDDEV_ORACLE = f"""
+    WITH v AS MATERIALIZED (
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             {_SDVAL} AS val
+      FROM orders WHERE o_orderkey < 2000
+    ), g AS MATERIALIZED (
+      SELECT o_orderstatus, o_orderdate,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(val) AS BIGINT) AS s1,
+             CAST(SUM(val * val) AS BIGINT) AS s2,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate) AS rk
+      FROM v GROUP BY o_orderstatus, o_orderdate
+    ), nb AS MATERIALIZED (
+      SELECT a.o_orderstatus, a.o_orderdate,
+             CAST(COALESCE(SUM(CASE WHEN b.rk <> a.rk THEN b.cnt END), 0)
+                  AS BIGINT) AS n_nb,
+             CAST(COALESCE(SUM(CASE WHEN b.rk <> a.rk THEN b.s1 END), 0)
+                  AS BIGINT) AS s1_nb,
+             CAST(COALESCE(SUM(CASE WHEN b.rk <> a.rk THEN b.s2 END), 0)
+                  AS BIGINT) AS s2_nb,
+             CAST(COALESCE(SUM(CASE WHEN b.rk = a.rk - 1 THEN b.cnt END), 0)
+                  AS BIGINT) AS n_p,
+             CAST(COALESCE(SUM(CASE WHEN b.rk = a.rk - 1 THEN b.s1 END), 0)
+                  AS BIGINT) AS s1_p,
+             CAST(COALESCE(SUM(CASE WHEN b.rk = a.rk - 1 THEN b.s2 END), 0)
+                  AS BIGINT) AS s2_p,
+             CAST(SUM(b.cnt) AS BIGINT) AS n_tri,
+             CAST(SUM(b.s1) AS BIGINT) AS s1_tri,
+             CAST(SUM(b.s2) AS BIGINT) AS s2_tri
+      FROM g a JOIN g b
+        ON b.o_orderstatus = a.o_orderstatus
+       AND b.rk BETWEEN a.rk - 1 AND a.rk + 1
+      GROUP BY a.o_orderstatus, a.o_orderdate
+    )
+    SELECT a.o_orderkey,
+           {rrepr(_mom("nb.n_nb", "nb.s1_nb", "nb.s2_nb", pop=False, sqrt=True), 6)}
+             AS sd_excl_group,
+           {rrepr(_mom("(nb.n_p + 1)", "(nb.s1_p + a.val)",
+                       "(nb.s2_p + a.val * a.val)", pop=True, sqrt=False), 6)}
+             AS var_excl_ties,
+           {rrepr(_mom("(nb.n_tri - 1)", "(nb.s1_tri - a.val)",
+                       "(nb.s2_tri - a.val * a.val)", pop=True, sqrt=True), 6)}
+             AS sd_excl_current
+    FROM v a
+    JOIN nb ON nb.o_orderstatus = a.o_orderstatus
+           AND nb.o_orderdate = a.o_orderdate
+"""
+
+
+@df_query("window_groups_exclude_stddev", _GROUPS_EXCLUDE_STDDEV_ORACLE)
+def window_groups_exclude_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV/VAR GROUPS windows under frame EXCLUDE, rewritten to
+    frame-minus-excluded raw moments (r10 dialect extension)."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_EXCLUDE_STDDEV_SQL))
 
 
 # r8: the last cheap offset-GROUPS residual — a GROUPS frame in a query

@@ -312,10 +312,24 @@ def test_offset_groups_exclude_rewrites_and_rejections():
     )
     # peers-minus-self = ROWS before-self U after-self over the peer group
     assert "GREATEST(" in out6 and out6.count("ROWS BETWEEN") == 2
-    # a non-decomposable aggregate under EXCLUDE still rejects
+    # r10: STDDEV/VAR under EXCLUDE now rewrite via raw-moment
+    # subtraction (n, Σx, Σx² each frame-minus-excluded) instead of
+    # rejecting; value-exactness is covered by the extended fuzzer grid
+    # and the window_groups_exclude_stddev oracle row
+    out7 = transpile(
+        "SELECT STDDEV(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
+        "EXCLUDE TIES) AS s FROM t"
+    )
+    assert "SQRT(" in out7 and "GREATEST(" in out7 and "GROUPS" not in out7
+    out8 = transpile(
+        "SELECT VAR_POP(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
+        "EXCLUDE GROUP) AS s FROM t"
+    )
+    assert "SQRT(" not in out8 and "GREATEST(" in out8 and "GROUPS" not in out8
+    # a genuinely non-decomposable aggregate under EXCLUDE still rejects
     with pytest.raises(UnsupportedDialectFeature):
         transpile(
-            "SELECT STDDEV(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
+            "SELECT ARRAY_AGG(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
             "EXCLUDE TIES) AS s FROM t"
         )
 

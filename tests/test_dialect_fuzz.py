@@ -38,6 +38,17 @@ ROWS = [{"g": i % 3, "v": i, "x": (i * 5) % 7} for i in range(36)]
 COLS = ("g", "v", "x")
 
 
+# r10 (verdict task 7): STDDEV/VAR accepted under EXCLUDE via raw-moment
+# subtraction. Generated ONLY with a live EXCLUDE clause: without one the
+# plain frame rewrite keeps Spark's NATIVE single-pass central-moment
+# aggregate, whose incremental float updates differ from the moment
+# formula in the last ulp — the moment path (ours and the evaluator's)
+# is exact on the all-integer fixture, so equality stays exact.
+_VARIANCE_FNS = (
+    "STDDEV", "STDDEV_SAMP", "STDDEV_POP", "VARIANCE", "VAR_SAMP", "VAR_POP",
+)
+
+
 @dataclass(frozen=True)
 class Case:
     fn: str  # SUM | COUNT_STAR | COUNT | MIN | MAX
@@ -74,6 +85,8 @@ def _fn_sql(c: Case) -> str:
         inner = {"MIN": "MIN(v)", "MAX": "MAX(v)"}.get(c.fn, "SUM(v)")
         outer = "SUM" if c.fn in ("SUM", "COUNT_STAR", "COUNT") else c.fn
         return f"{outer}({inner})"
+    if c.fn in _VARIANCE_FNS:
+        return f"{c.fn}({c.arg})"
     return {
         "SUM": f"SUM({c.arg})",
         "COUNT_STAR": "COUNT(*)",
@@ -121,6 +134,22 @@ def _agg(fn: str, vals: list[int]):
         # fixture's sums are small enough to be exact in IEEE double,
         # so this division is bit-identical to Spark's
         return sum(vals) / len(vals)
+    if fn in _VARIANCE_FNS:
+        # the rewrite's exact raw-moment formula, replicated op-for-op:
+        # every intermediate (Σx, Σx², Σx·Σx) is an exact integer well
+        # under 2^53, so the float ops below are bit-identical to the
+        # spliced SQL's CAST/…/GREATEST/SQRT chain
+        import math
+
+        n = len(vals)
+        pop = fn.endswith("_POP")
+        if n < (1 if pop else 2):
+            return None
+        s1 = sum(vals)
+        s2 = sum(v * v for v in vals)
+        base = float(s2) - float(s1) * float(s1) / n
+        var = max(0.0, base / (n if pop else n - 1))
+        return math.sqrt(var) if fn.startswith("STDDEV") else var
     return {"SUM": sum, "MIN": min, "MAX": max}[fn](vals)
 
 
@@ -188,16 +217,24 @@ def gen_cases(n: int, seed: int = 0xD1A1EC7) -> list[Case]:
         groupby = rng.choice([None, None, None, "g", "ordinal"])
         lo = rng.choice([("unb",), ("prec", rng.randint(0, 3)), ("cur",)])
         shorthand = lo[0] == "prec" and rng.random() < 0.25
+        fn = rng.choice(
+            ["SUM", "SUM", "COUNT_STAR", "COUNT", "AVG", "MIN", "MAX", "VAR"]
+        )
+        if fn == "VAR":  # r10: one slot rotates through the moment family
+            fn = rng.choice(_VARIANCE_FNS)
+            exclude = rng.choice(["CURRENT ROW", "GROUP", "TIES"])
+        else:
+            exclude = rng.choice([None, None, None, "CURRENT ROW", "GROUP", "TIES"])
         cases.append(
             Case(
-                fn=rng.choice(["SUM", "SUM", "COUNT_STAR", "COUNT", "AVG", "MIN", "MAX"]),
+                fn=fn,
                 arg=rng.choice(["v", "x"]),
                 part=rng.choice([None, "g"]),
                 order=rng.choice([("x",), ("x",), ("x", "v")]),
                 lo=lo,
                 hi=rng.choice([("cur",), ("foll", rng.randint(0, 3)), ("unb",)]),
                 shorthand=shorthand,
-                exclude=rng.choice([None, None, None, "CURRENT ROW", "GROUP", "TIES"]),
+                exclude=exclude,
                 proj=rng.choice(["explicit", "explicit", "star", "tstar"]),
                 groupby=groupby,
                 wrap=rng.random() < 0.2,

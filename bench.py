@@ -385,6 +385,8 @@ def main() -> None:
         "weak_label_vote",
         "window_groups_exclude_minmax",
         "text_span_corruption",
+        # round-10 families (informational, non-pinned)
+        "window_groups_exclude_stddev",
     ]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

@@ -146,7 +146,11 @@ PRIORITY: tuple[str, ...] = (
     # dedup_semantic_semdedup rotated OUT round 10 — driver-green r9,
     # embedding near-dup semantics stay pytest-verified, dedup keeps
     # three seats below)
-    "dedup_lsh_pairs",
+    # (dedup_lsh_pairs rotated OUT round 10 — driver-green r3-r9 and
+    # still a bench headline + pytest oracle row — for its r10
+    # bucket-capped twin: the SAME operator plan plus the hot-bucket
+    # guard with a BINDING cap, driver-gated the round the guard lands)
+    "dedup_lsh_pairs_bucket_capped",
     "dedup_survivors_keep_longest",
     "web_url_canonicalize",
     # LLM-pipeline: similarity / eval family

@@ -112,6 +112,58 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS)
 
 
+# Hot-bucket guard, oracle-verified with a BINDING cap (r10, verdict
+# task 3): max_bucket_members=2 actually drops members on this fixture
+# (the sf0.01 bucket-size histogram is {1: 1835, 2: 78, 3: 3}, so three
+# buckets lose their largest id), proving the deterministic
+# smallest-ids semantics end to end, not just at the unit level. The
+# oracle reproduces the cap as ROW_NUMBER() OVER (PARTITION BY band,
+# bucket ORDER BY id) <= cap — the exact definition of the guard.
+_BUCKET_CAP = 2
+
+_LSH_CAPPED_ORACLE = f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.id, bs.band, CASE bs.band {_BAND_CASES} END AS bucket
+  FROM sig, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS band) bs),
+capped AS (
+  SELECT id, band, bucket FROM (
+    SELECT id, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+    FROM banded) t
+  WHERE rn <= {_BUCKET_CAP}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sizes AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b,
+       COALESCE(c.n_common, 0) AS n_common,
+       za.n_sh AS n_a, zb.n_sh AS n_b,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - COALESCE(c.n_common, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+JOIN sizes za ON za.id = p.id_a
+JOIN sizes zb ON zb.id = p.id_b
+"""
+
+
+@df_query("dedup_lsh_pairs_bucket_capped", _LSH_CAPPED_ORACLE)
+def dedup_lsh_pairs_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(
+        docs, "text", "doc_id", NUM_HASHES, BANDS,
+        max_bucket_members=_BUCKET_CAP,
+    )
+
+
 # Fuzzy-dedup clustering: LSH pairs -> jaccard threshold -> connected
 # components (min-label propagation; oracle = recursive-CTE transitive
 # closure) -> per-cluster survivor + size.

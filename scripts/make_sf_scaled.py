@@ -93,6 +93,29 @@ def main() -> None:
         print(f"{t}: {n} rows", flush=True)
     spark.stop()
 
+    # Flatten each Spark output DIRECTORY into the single-file layout
+    # the fixtures use (DuckDB's read_parquet('<dir>') pattern and the
+    # compare harness both expect one file per table); µs timestamps so
+    # Spark re-reads without the fixture-specific nanos handling.
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    for t in list(DIMS) + list(KEYMAP):
+        p = os.path.join(args.out, f"{t}.parquet")
+        if not os.path.isdir(p):
+            continue
+        tbl = pads.dataset(p, format="parquet").to_table()
+        tmp = os.path.join(args.out, f"{t}__flat.parquet")
+        pq.write_table(
+            tbl, tmp, row_group_size=1_000_000,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        shutil.rmtree(p)
+        os.rename(tmp, p)
+        print(f"{t}: flattened ({tbl.num_rows} rows)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -203,7 +203,7 @@ def semdedup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(
-            _unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))
+            _unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))
         ).alias("nrm"),
     ).filter(F.col("nrm") > 0.0)
     side = assigned.join(vec, "id")
@@ -227,7 +227,7 @@ def semdedup_pairs(
             "keep_id",
             "drop_id",
             F.round(
-                _unscale(_dot_scaled(F.col("__va"), F.col("__vb")))
+                _unscale(_dot_scaled("__va", "__vb"))
                 / (F.col("__na") * F.col("__nb")),
                 6,
             ).alias("cosine"),

@@ -145,13 +145,13 @@ def quantized_topk(
     ).select(
         "neighbor_id",
         "__rv",
-        F.sqrt(_unscale(_dot_scaled(F.col("__rv"), F.col("__rv")))).alias("__rnrm"),
+        F.sqrt(_unscale(_dot_scaled("__rv", "__rv"))).alias("__rnrm"),
     ).filter(F.col("__rnrm") > 0.0)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.sqrt(
-            _unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))
+            _unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))
         ).alias("__qnrm"),
     ).filter(F.col("__qnrm") > 0.0)
     adc = recon.join(
@@ -160,7 +160,7 @@ def quantized_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            _unscale(_dot_scaled(F.col("__rv"), F.col("__qv")))
+            _unscale(_dot_scaled("__rv", "__qv"))
             / (F.col("__qnrm") * F.col("__rnrm")),
             6,
         ).alias("adc"),
@@ -175,7 +175,7 @@ def quantized_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.sqrt(
-            _unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))
+            _unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))
         ).alias("__cnrm"),
     ).filter(F.col("__cnrm") > 0.0)
     exact = (
@@ -185,7 +185,7 @@ def quantized_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _unscale(_dot_scaled(F.col("__cv"), F.col("__qv")))
+                _unscale(_dot_scaled("__cv", "__qv"))
                 / (F.col("__qnrm") * F.col("__cnrm")),
                 6,
             ).alias("cosine"),
@@ -405,7 +405,7 @@ def pq_topk(
         .select(
             F.col("id").alias("neighbor_id"),
             "__rv",
-            F.sqrt(_unscale(_dot_scaled(F.col("__rv"), F.col("__rv")))).alias(
+            F.sqrt(_unscale(_dot_scaled("__rv", "__rv"))).alias(
                 "__rnrm"
             ),
         )
@@ -414,13 +414,13 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.sqrt(_unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))).alias("__qnrm"),
+        F.sqrt(_unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))).alias("__qnrm"),
     ).filter(F.col("__qnrm") > 0.0)
     adc = recon.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
         F.round(
-            _unscale(_dot_scaled(F.col("__rv"), F.col("__qv")))
+            _unscale(_dot_scaled("__rv", "__qv"))
             / (F.col("__qnrm") * F.col("__rnrm")),
             6,
         ).alias("adc"),
@@ -434,7 +434,7 @@ def pq_topk(
     true_c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        F.sqrt(_unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))).alias("__cnrm"),
+        F.sqrt(_unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))).alias("__cnrm"),
     ).filter(F.col("__cnrm") > 0.0)
     exact = (
         cand.join(true_c, "neighbor_id")
@@ -443,7 +443,7 @@ def pq_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _unscale(_dot_scaled(F.col("__cv"), F.col("__qv")))
+                _unscale(_dot_scaled("__cv", "__qv"))
                 / (F.col("__qnrm") * F.col("__cnrm")),
                 6,
             ).alias("cosine"),
@@ -492,7 +492,7 @@ def ivf_sq_topk(
     ).select(
         "id",
         "__rv",
-        F.sqrt(_unscale(_dot_scaled(F.col("__rv"), F.col("__rv")))).alias("__rnrm"),
+        F.sqrt(_unscale(_dot_scaled("__rv", "__rv"))).alias("__rnrm"),
     ).filter(F.col("__rnrm") > 0.0)
     q_ids = queries.select(F.col(id_col).alias("id"))
     q_assign = assign.join(q_ids, "id").select(
@@ -505,7 +505,7 @@ def ivf_sq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.sqrt(_unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))).alias("__qnrm"),
+        F.sqrt(_unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))).alias("__qnrm"),
     ).filter(F.col("__qnrm") > 0.0)
     adc = (
         pairs.join(
@@ -519,7 +519,7 @@ def ivf_sq_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _unscale(_dot_scaled(F.col("__rv"), F.col("__qv")))
+                _unscale(_dot_scaled("__rv", "__qv"))
                 / (F.col("__qnrm") * F.col("__rnrm")),
                 6,
             ).alias("adc"),
@@ -534,7 +534,7 @@ def ivf_sq_topk(
     true_c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        F.sqrt(_unscale(_dot_scaled(F.col(vec_col), F.col(vec_col)))).alias("__cnrm"),
+        F.sqrt(_unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))).alias("__cnrm"),
     ).filter(F.col("__cnrm") > 0.0)
     exact = (
         cand.join(true_c, "neighbor_id")
@@ -543,7 +543,7 @@ def ivf_sq_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _unscale(_dot_scaled(F.col("__cv"), F.col("__qv")))
+                _unscale(_dot_scaled("__cv", "__qv"))
                 / (F.col("__qnrm") * F.col("__cnrm")),
                 6,
             ).alias("cosine"),

@@ -67,14 +67,21 @@ def _unscale(col: Column) -> Column:
     return col.cast("double") / SCALE
 
 
-def _dot_scaled(va: Column, vb: Column) -> Column:
+def _dot_scaled(va: Column | str, vb: Column | str) -> Column:
     """Exact scaled-long dot product of two array columns, computed
     IN-ROW (zip_with + aggregate): per-element ``round(x*y*1e12)`` as
     BIGINT, summed sequentially. Identical element math to ``_ssum``
     over an exploded element join, and integer addition is
     order-independent, so the result is bit-identical — but with no
     dim-fold row blow-up, no shuffle, and no aggregation: the dot is a
-    narrow column expression."""
+    narrow column expression.
+
+    Pass column NAMES (strings) on hot paths: the expression then
+    parses JVM-side in one py4j call (``_dot_scaled_sql``) instead of
+    ~15 composing the lambda — same parsed operator tree, bit-identical
+    values (pinned by tests/test_expr_sql_equivalence.py)."""
+    if isinstance(va, str) and isinstance(vb, str):
+        return F.expr(_dot_scaled_sql(va, vb))
     return F.aggregate(
         F.zip_with(
             va,
@@ -308,7 +315,7 @@ def hard_negative_topk(
         F.col("id").alias("neighbor_id"),
         F.col("v").alias("__cv"),
         F.col("lbl").alias("__cl"),
-        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__nrm"),
+        F.sqrt(_unscale(_dot_scaled("v", "v"))).alias("__nrm"),
     ).filter(F.col("__nrm") > 0.0)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -318,7 +325,7 @@ def hard_negative_topk(
         "query_id",
         "__qv",
         "__ql",
-        F.sqrt(_unscale(_dot_scaled(F.col("__qv"), F.col("__qv")))).alias("__qnrm"),
+        F.sqrt(_unscale(_dot_scaled("__qv", "__qv"))).alias("__qnrm"),
     ).filter(F.col("__qnrm") > 0.0)
     scored = cand.join(
         F.broadcast(q),
@@ -328,7 +335,7 @@ def hard_negative_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            _unscale(_dot_scaled(F.col("__cv"), F.col("__qv")))
+            _unscale(_dot_scaled("__cv", "__qv"))
             / (F.col("__qnrm") * F.col("__nrm")),
             6,
         ).alias("cosine"),
@@ -371,18 +378,18 @@ def mmr_select(
     q = _vectors(query, id_col, vec_col).select(
         F.col("id").alias("__qid"),
         F.col("v").alias("__qv"),
-        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__qnrm"),
+        F.sqrt(_unscale(_dot_scaled("v", "v"))).alias("__qnrm"),
     ).filter(F.col("__qnrm") > 0.0)
     cand = base.select(
         "id",
         "v",
-        F.sqrt(_unscale(_dot_scaled(F.col("v"), F.col("v")))).alias("__nrm"),
+        F.sqrt(_unscale(_dot_scaled("v", "v"))).alias("__nrm"),
     ).filter(F.col("__nrm") > 0.0)
     rel = cand.join(F.broadcast(q), F.col("id") != F.col("__qid")).select(
         "id",
         "v",
         F.round(
-            _unscale(_dot_scaled(F.col("v"), F.col("__qv")))
+            _unscale(_dot_scaled("v", "__qv"))
             / (F.col("__qnrm") * F.col("__nrm")),
             6,
         ).alias("rel"),
@@ -405,7 +412,7 @@ def mmr_select(
             "a",
             "b",
             F.round(
-                _unscale(_dot_scaled(F.col("__va"), F.col("__vb")))
+                _unscale(_dot_scaled("__va", "__vb"))
                 / (F.col("__na") * F.col("__nb")),
                 6,
             ).alias("sim"),
@@ -942,7 +949,7 @@ def kcenter_select(
     = the picked point's min-distance at selection time (the covering-
     radius profile; NULL for the seed)."""
     pts = _vectors(ensure_fanout_parallelism(embeddings), id_col, vec_col).select(
-        "id", "v", _dot_scaled(F.col("v"), F.col("v")).alias("sqn")
+        "id", "v", _dot_scaled("v", "v").alias("sqn")
     )
     seed = pts.orderBy(F.asc("id")).limit(1).localCheckpoint(eager=True)
     sel = seed.select(
@@ -961,7 +968,7 @@ def kcenter_select(
             (
                 F.col("sqn")
                 + F.col("__csqn")
-                - 2 * _dot_scaled(F.col("v"), F.col("__cv"))
+                - 2 * _dot_scaled("v", "__cv")
             ).cast("bigint").alias("mind"),
         )
         .localCheckpoint(eager=True)
@@ -995,7 +1002,7 @@ def kcenter_select(
                         (
                             F.col("sqn")
                             + F.col("__csqn")
-                            - 2 * _dot_scaled(F.col("v"), F.col("__cv"))
+                            - 2 * _dot_scaled("v", "__cv")
                         ).cast("bigint"),
                     ).alias("mind"),
                 )

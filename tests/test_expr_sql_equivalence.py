@@ -1,0 +1,126 @@
+"""Round-10 regression pins for the SQL-string expression refactor.
+
+The r10 perf work replaced hot Column-API loops with SQL text delivered
+through one ``F.expr`` (plan construction was py4j-chatter-bound). The
+bench rows' DuckDB oracles already prove end-to-end values; these tests
+pin the *pairwise* equivalence of each string builder against its
+Column-API twin on randomized inputs, so a future edit to either side
+cannot drift silently. Also: invariants of the r10 LSH hot-bucket cap.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_server_spark.operators import dedup
+from datafusion_server_spark.operators.similarity import (
+    SCALE,
+    _dot_scaled,
+    _dot_scaled_sql,
+    _norm_sql,
+    _unscale,
+)
+
+
+def _rand_vecs(rng: random.Random, n: int, dim: int) -> list[tuple[int, list[float]]]:
+    return [
+        (i, [round(rng.uniform(-2.0, 2.0), 4) for _ in range(dim)])
+        for i in range(n)
+    ]
+
+
+def test_dot_scaled_sql_matches_column_form(spark):
+    rng = random.Random(0xD07)
+    rows = [
+        (i, va, vb)
+        for (i, va), (_, vb) in zip(_rand_vecs(rng, 64, 16), _rand_vecs(rng, 64, 16))
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, va array<double>, vb array<double>"
+    )
+    out = df.select(
+        _dot_scaled(F.col("va"), F.col("vb")).alias("col_form"),
+        F.expr(f"{_dot_scaled_sql('va', 'vb')} AS sql_form"),
+        F.sqrt(_unscale(_dot_scaled(F.col("va"), F.col("va")))).alias("col_norm"),
+        F.expr(f"{_norm_sql('va')} AS sql_norm"),
+    ).collect()
+    for r in out:
+        assert r.col_form == r.sql_form  # exact BIGINT equality
+        assert r.col_norm == r.sql_norm  # identical IEEE chain
+
+
+def test_word_shingles_sql_matches_column_form(spark):
+    rng = random.Random(0x5816)
+    words = ["alpha", "beta", "gamma", "delta", "x", "longerword"]
+    texts = [
+        (" ".join(rng.choice(words) for _ in range(rng.randint(0, 12))),)
+        for _ in range(80)
+    ] + [("",), ("one",), ("one two",), ("one two three",)]
+    df = spark.createDataFrame(texts, "text string")
+    for k in (2, 3, 4):
+        out = df.select(
+            dedup._word_shingles(F.col("text"), k).alias("col_form"),
+            F.expr(f"{dedup._word_shingles_sql('`text`', k)} AS sql_form"),
+        ).collect()
+        for r in out:
+            assert r.col_form == r.sql_form
+
+
+def test_bucket_cap_invariants_random_corpus(spark):
+    """Capped pairs ⊆ uncapped pairs; per-(band,bucket) membership never
+    exceeds the cap; dropped + kept == total memberships."""
+    from pyspark.sql import Observation
+
+    rng = random.Random(0xCA9)
+    vocab = ["spark", "row", "scan", "agg", "table", "fast", "slow", "key"]
+    rows = []
+    for i in range(120):
+        base = [rng.choice(vocab) for _ in range(10)]
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # force near-duplicate mass
+            rows.append((1000 + i, " ".join(base[:-1] + [rng.choice(vocab)])))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(
+            docs, "text", "doc_id", materialize=False
+        ).collect()
+    }
+    obs = Observation()
+    capped_df = dedup.lsh_candidate_pairs(
+        docs, "text", "doc_id", materialize=False,
+        max_bucket_members=3, bucket_cap_observation=obs,
+    )
+    capped = {(r.id_a, r.id_b) for r in capped_df.collect()}
+    assert capped <= uncapped
+    assert obs.get["dropped"] >= 0 and obs.get["kept"] >= 0
+
+    # direct membership bound on the banded view
+    sigs = dedup.lsh_signature_index(docs, "text", "doc_id", materialize=False)
+    banded = dedup.lsh_bands(sigs, 4, 4)
+    guarded = dedup.cap_bucket_members(banded, 3)
+    sizes = guarded.groupBy("band", "bucket").count().collect()
+    assert all(r["count"] <= 3 for r in sizes)
+    total = banded.count()
+    assert obs.get["dropped"] + obs.get["kept"] == total
+
+
+@pytest.mark.parametrize("planes,dim", [(4, 8), (8, 16)])
+def test_codes_norms_sql_form_deterministic(spark, planes, dim):
+    """_codes_norms (now SQL-string aggregates) stays deterministic and
+    partition-independent: same input under different parallelism gives
+    identical (id, bucket, nrm) rows."""
+    from datafusion_server_spark.operators.similarity import _codes_norms, _elements
+
+    rng = random.Random(planes * 100 + dim)
+    vecs = _rand_vecs(rng, 40, dim)
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    el = _elements(df, "vec_id", "embedding", "id")
+    a = sorted(map(tuple, _codes_norms(el, planes, dim).collect()))
+    el2 = _elements(df.repartition(7), "vec_id", "embedding", "id")
+    b = sorted(map(tuple, _codes_norms(el2, planes, dim).collect()))
+    assert a == b and len(a) == 40

@@ -332,6 +332,91 @@ def _sole_from_relation(masked: str, frm: int) -> tuple[str | None, str | None]:
     return m.group(1), m.group(2)
 
 
+_JOIN_KW = re.compile(
+    r"\b(?:(?:INNER|LEFT|RIGHT|FULL|CROSS)\s+(?:OUTER\s+)?)?JOIN\b",
+    re.IGNORECASE,
+)
+_RELATION_RE = re.compile(
+    r"\s*([A-Za-z_][\w.@$]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*$",
+    re.IGNORECASE,
+)
+_ALIAS_KEYWORDS = frozenset(
+    {"ON", "USING", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+     "OUTER", "NATURAL", "WHERE"}
+)
+
+
+def _from_base_relations(
+    masked: str, frm: int
+) -> list[tuple[str, str]] | None:
+    """Parse a depth-0 FROM clause made purely of BASE relations —
+    ``FROM a [AS] x, b`` / ``a JOIN b ON ...`` chains — returning
+    ``[(table, qualifier), ...]`` where qualifier is the alias or the
+    table name's last dotted part. None for anything richer (derived
+    tables, USING/NATURAL/SEMI/ANTI/LATERAL, parenthesized ON
+    conditions): those keep the conservative multi-relation reject."""
+    stop = _depth0_find(
+        masked,
+        r"(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW|QUALIFY)\b",
+        frm,
+    )
+    seg = masked[frm + 4 : stop if stop != -1 else len(masked)]
+    seg = seg.strip().rstrip(";").strip()
+    if not seg or "(" in seg or ")" in seg:
+        return None
+    if re.search(r"\b(NATURAL|SEMI|ANTI|LATERAL|USING)\b", seg, re.IGNORECASE):
+        return None
+    parts: list[str] = []
+    for chunk in seg.split(","):
+        parts.extend(_JOIN_KW.split(chunk))
+    rels: list[tuple[str, str]] = []
+    for p in parts:
+        p = p.strip()
+        if not p:
+            return None
+        m_on = re.search(r"\bON\b", p, re.IGNORECASE)
+        head = p[: m_on.start()] if m_on else p
+        m = _RELATION_RE.match(head)
+        if not m:
+            return None
+        name, alias = m.group(1), m.group(2)
+        if alias and alias.upper() in _ALIAS_KEYWORDS:
+            return None
+        rels.append((name, alias or name.rsplit(".", 1)[-1]))
+    return rels or None
+
+
+def _join_colmap(
+    masked: str, frm: int, columns_of
+) -> dict[str, list[str]] | None:
+    """qualifier -> column list for a base-relation join FROM clause,
+    but ONLY when every relation's schema resolves AND every column
+    name is globally unique across relations (case-insensitive — then
+    the derived-table wrap's ``SELECT *`` exposes each column
+    unqualified and unambiguously, so outer ``q.col`` == ``col`` and
+    ``q.*`` expands to q's explicit column list). None otherwise."""
+    rels = _from_base_relations(masked, frm)
+    if not rels or columns_of is None:
+        return None
+    colmap: dict[str, list[str]] = {}
+    seen: set[str] = set()
+    for table, qual in rels:
+        if qual in colmap:
+            return None  # duplicate qualifier: ambiguous
+        try:
+            cols = columns_of(table)
+        except Exception:
+            return None
+        if not cols:
+            return None
+        lowered = [c.lower() for c in cols]
+        if len(set(lowered)) != len(lowered) or seen & set(lowered):
+            return None
+        seen.update(lowered)
+        colmap[qual] = list(cols)
+    return colmap
+
+
 def _frame_contains_current(frame_norm: str) -> bool:
     """True when a normalized ``BETWEEN lo AND hi`` GROUPS frame always
     contains the current peer group (the only case a frame EXCLUDE
@@ -729,7 +814,7 @@ def rewrite_groups_over_groupby(sql: str) -> str:
     return _restore_strings(rewritten, lits)
 
 
-def rewrite_offset_groups(sql: str) -> str:
+def rewrite_offset_groups(sql: str, columns_of=None) -> str:
     """Rewrite offset GROUPS frames to dense-rank-keyed RANGE frames.
     Set-operation statements rewrite branch-by-branch; a bare ``*``
     projection becomes ``* EXCEPT (<injected ranks>)`` so the helper
@@ -745,7 +830,19 @@ def rewrite_offset_groups(sql: str) -> str:
     (top-level GROUP BY/HAVING, multi-relation ``t.*``, EXCLUDE on
     aggregates neither subtractable nor order-decomposable) are
     returned unchanged and then rejected by check_unsupported with the
-    narrowed message."""
+    narrowed message.
+
+    r11 (verdict task 4): when ``columns_of`` (a ``table -> [column]``
+    resolver over the registered views, e.g.
+    ``lambda t: spark.table(t).columns``) is supplied, a qualified
+    ``t.*`` over a MULTI-relation base join expands to t's explicit
+    column list pre-rewrite — valid only when every relation resolves
+    and all column names are globally unique, so the derived-table
+    wrap's ``SELECT *`` exposes each column unambiguously; qualified
+    outer references strip to bare columns under the same proof.
+    Genuinely ambiguous bodies (duplicate column names, derived
+    tables, USING/NATURAL joins, unresolvable relations) keep the
+    clear reject."""
     masked, lits = _protect_strings(sql)
     if not _GROUPS_FRAME.search(masked):
         return sql
@@ -753,7 +850,7 @@ def rewrite_offset_groups(sql: str) -> str:
     # frame (IN (...) subqueries, derived tables, parenthesized set-op
     # branches) — each is a standalone statement for this rewrite
     masked, lits, new_sql, changed = _recurse_groups_subselects(
-        masked, lits, rewrite_offset_groups
+        masked, lits, lambda s: rewrite_offset_groups(s, columns_of)
     )
     if changed:
         sql = new_sql
@@ -769,7 +866,11 @@ def rewrite_offset_groups(sql: str) -> str:
             if is_op:
                 out.append(seg)
             else:
-                out.append(rewrite_offset_groups(_restore_strings(seg, lits)))
+                out.append(
+                    rewrite_offset_groups(
+                        _restore_strings(seg, lits), columns_of
+                    )
+                )
         return "".join(out)
     # enclosing-paren stack per index: an OVER nested inside a
     # SUBQUERY's parens (content starts with SELECT) belongs to that
@@ -840,16 +941,60 @@ def rewrite_offset_groups(sql: str) -> str:
     sole_names = {n for n in (rel, rel_alias) if n}
     if rel and "." in rel:
         sole_names.add(rel.rsplit(".", 1)[-1])
+    # r11 (verdict task 4): multi-relation strip set — when the FROM
+    # clause is a base-relation join whose schemas resolve through
+    # ``columns_of`` with globally-unique column names, EVERY alias
+    # qualifier is strippable in the outer regions (q.col == col in
+    # the wrap's SELECT *) and q.* expands to q's explicit columns.
+    join_cols: dict[str, list[str]] | None = None
+    if not sole_names and columns_of is not None:
+        join_cols = _join_colmap(masked, frm, columns_of)
+    strip_names = sole_names if sole_names else set(join_cols or ())
     if qualified_stars:
-        if not sole_names or any(q not in sole_names for q in qualified_stars):
-            return sql  # multi-relation or mismatched qualifier: hidden name
-        has_bare_star = True  # each t.* expands exactly like *
+        if sole_names and all(q in sole_names for q in qualified_stars):
+            has_bare_star = True  # each t.* expands exactly like *
+        elif join_cols and all(q in join_cols for q in qualified_stars):
+            # expand each q.* to q's explicit (unqualified) column
+            # list pre-rewrite, then re-run: the recursion sees a
+            # star-free select list with strippable qualifiers
+            new_items = []
+            for it in items:
+                s = it.strip()
+                if s.endswith(".*") and s[:-2] in join_cols:
+                    new_items.append(", ".join(join_cols[s[:-2]]))
+                else:
+                    new_items.append(it)
+            distinct_prefix = select_list[
+                : len(select_list) - len(list_body)
+            ]
+            expanded = (
+                masked[: sel + 6]
+                + (distinct_prefix or " ")
+                + ", ".join(i.strip() for i in new_items)
+                + " "
+                + masked[frm:]
+            )
+            return rewrite_offset_groups(
+                _restore_strings(expanded, lits), columns_of
+            )
+        else:
+            return sql  # ambiguous/unresolvable qualifier: hidden name
 
     # assign one dense-rank column per distinct (partition, order) spec
     def norm(s: str | None) -> str:
         return re.sub(r"\s+", " ", (s or "").strip())
 
     specs: dict[tuple[str, str], str] = {}
+    # r11 (ADVICE): per-(partition, arg) anchor columns for the
+    # STDDEV/VAR moment rewrite — injected into the derived table next
+    # to the dense ranks (window functions cannot nest, so the anchor
+    # must be a materialized column). Variance is shift-invariant, and
+    # moments of (x - min_partition(x)) are bounded by the partition's
+    # RANGE rather than its absolute magnitude, so the Σx² − (Σx)²/n
+    # subtraction no longer cancels catastrophically when mean² ≫ var.
+    # MIN is deterministic per partition (unlike FIRST_VALUE), keeping
+    # the partition-independence contract.
+    anchors: dict[tuple[str, str], str] = {}
     replacements = []  # (start, end, replacement_text) full-span splices
     for kw, op, cl, part, ordr, frame, excl in targets:
         key = (norm(part), norm(ordr))
@@ -1000,21 +1145,29 @@ def rewrite_offset_groups(sql: str) -> str:
             elif fn == "AVG":
                 expr = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} / {cnt} END)"
             else:
-                # STDDEV/VAR via subtractable raw moments (n, Σx, Σx²):
-                # var_pop = (Σx² - Σx·Σx/n)/n over the KEPT rows, each
-                # moment computed frame-minus-excluded exactly like SUM.
-                # Sums are cast to DOUBLE before the square so Σx·Σx
-                # cannot overflow BIGINT at scale; GREATEST(0e0, ·)
-                # clamps the float-cancellation residue a moment
-                # subtraction can leave where the exact variance is ~0
-                # (the standard tradeoff vs single-pass Welford — and
-                # the same decomposition every distributed engine uses
-                # for partial aggregation). NULL for n=0 (and n=1 for
-                # the _SAMP family), matching Spark and DuckDB.
-                ssum2 = minus_excluded(f"({arg} * {arg})")
+                # STDDEV/VAR via subtractable raw moments (n, Σd, Σd²)
+                # of the ANCHOR-SHIFTED values d = x - min_partition(x)
+                # (r11 ADVICE: variance is shift-invariant, and the
+                # shifted moments are bounded by the partition's range,
+                # not its absolute magnitude — without the shift,
+                # Σx² - (Σx)²/n cancels catastrophically when
+                # mean² ≫ variance). Each moment is computed
+                # frame-minus-excluded exactly like SUM; GREATEST(0e0,·)
+                # clamps the (now range-bounded) float residue where the
+                # exact variance is ~0 (the standard tradeoff vs
+                # single-pass Welford — the same decomposition every
+                # distributed engine uses for partial aggregation).
+                # NULL for n=0 (and n=1 for the _SAMP family), matching
+                # Spark and DuckDB.
+                anchor = anchors.setdefault(
+                    (key[0], arg), f"__grp_anchor_{len(anchors) + 1}"
+                )
+                shifted = f"(CAST({arg} AS DOUBLE) - {anchor})"
+                dsum = minus_excluded(shifted)
+                dsum2 = minus_excluded(f"({shifted} * {shifted})")
                 base = (
-                    f"(CAST({ssum2} AS DOUBLE) - CAST({ssum} AS DOUBLE)"
-                    f" * CAST({ssum} AS DOUBLE) / {cnt})"
+                    f"(CAST({dsum2} AS DOUBLE) - CAST({dsum} AS DOUBLE)"
+                    f" * CAST({dsum} AS DOUBLE) / {cnt})"
                 )
                 if fn in ("VAR_POP", "STDDEV_POP"):
                     var = f"GREATEST(CAST(0 AS DOUBLE), {base} / {cnt})"
@@ -1042,6 +1195,11 @@ def rewrite_offset_groups(sql: str) -> str:
         f" AS {alias}"
         for (p, o), alias in specs.items()
     )
+    if anchors:
+        rank_cols += ", " + ", ".join(
+            f"MIN({a}) OVER ({'PARTITION BY ' + p if p else ''}) AS {alias}"
+            for (p, a), alias in anchors.items()
+        )
     # r8 (ADVICE): the wrap hides every FROM alias behind
     # __groups_rewrite, so a qualified reference spliced into the OUTER
     # regions (select list incl. rewritten window specs, ORDER BY /
@@ -1052,7 +1210,7 @@ def rewrite_offset_groups(sql: str) -> str:
     # is rejected back to the caller's clear UnsupportedDialectFeature
     # instead of emitting SQL that cannot resolve.
     outer_head, outer_tail = masked[:frm], tail
-    for q in sorted(sole_names):
+    for q in sorted(strip_names):
         qpat = re.compile(rf"\b{re.escape(q)}\s*\.\s*(?=[A-Za-z_*\"`])")
         outer_head = qpat.sub("", outer_head)
         outer_tail = qpat.sub("", outer_tail)
@@ -1067,7 +1225,7 @@ def rewrite_offset_groups(sql: str) -> str:
     if has_bare_star:
         # a bare * in the outer projection would also emit the injected
         # rank columns — exclude them explicitly (Spark star-EXCEPT)
-        except_list = ", ".join(specs.values())
+        except_list = ", ".join([*specs.values(), *anchors.values()])
         r_sel = _depth0_find(rewritten, r"SELECT\b")
         r_frm = _depth0_find(rewritten, r"FROM\b", r_sel)
         out_list = rewritten[r_sel + 6 : r_frm]
@@ -1103,8 +1261,13 @@ def check_unsupported(sql: str) -> None:
             "arithmetic — r7, and top-level GROUP BY/HAVING via an "
             "aggregation-hoisting pre-pass — r8, with GROUP BY ordinals "
             "resolved to select-list expressions and EXCLUDE on MIN/MAX "
-            "decomposed to LEAST/GREATEST over sub-frames — r9), but "
-            "multi-relation qualified t.*/column refs, parenthesized "
+            "decomposed to LEAST/GREATEST over sub-frames — r9, and "
+            "multi-relation qualified t.*/column refs over base-join "
+            "FROM clauses expanded from the registered-view schemas "
+            "when all column names are globally unique — r11, "
+            "schema-resolver sessions only), but ambiguous "
+            "multi-relation qualified refs (duplicate column names, "
+            "derived tables, USING/NATURAL joins), parenthesized "
             "set-op branches, EXCLUDE on aggregates that are neither "
             "subtractable nor order-decomposable (STDDEV/...), "
             "out-of-range ordinals, and window args that are neither group "
@@ -1113,11 +1276,16 @@ def check_unsupported(sql: str) -> None:
         )
 
 
-def transpile(sql: str) -> str:
-    """Full DataFusion->Spark pre-pass applied before ``spark.sql``."""
+def transpile(sql: str, columns_of=None) -> str:
+    """Full DataFusion->Spark pre-pass applied before ``spark.sql``.
+
+    ``columns_of`` (optional ``table -> [column]`` resolver, e.g.
+    ``lambda t: spark.table(t).columns``) enables the r11
+    multi-relation qualified-``t.*`` GROUPS expansion; without it the
+    pure-string passes keep the conservative reject."""
     out = rewrite_groups_frames(sql)
     out = rewrite_groups_over_groupby(out)
-    out = rewrite_offset_groups(out)
+    out = rewrite_offset_groups(out, columns_of)
     check_unsupported(out)
     out = rewrite_date_bin(out)
     out = rewrite_function_aliases(out)

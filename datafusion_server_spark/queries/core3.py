@@ -413,6 +413,62 @@ def window_groups_offset_qualified_star(spark: SparkSession, sf_dir: str) -> Dat
     return spark.sql(transpile(_GROUPS_QSTAR_SQL))
 
 
+# r11 (verdict task 4): qualified t.* over a MULTI-relation base join.
+# The dialect expands o.* from the registered-view schemas (columns_of
+# resolver) — valid because orders/customer column names are globally
+# unique — then the ordinary dense-rank rewrite applies. The join is
+# N:1 (each order has exactly one customer), so the GROUPS window over
+# the joined relation equals the orders-only window; the oracle derives
+# it independently per peer group and joins customer back for the
+# projected customer column (DuckDB has no GROUPS mode).
+_GROUPS_MULTI_STAR_SQL = f"""
+    SELECT o.*, c.c_mktsegment, ROUND(CAST(SUM(CAST(o.o_totalprice AS {D18}))
+             OVER (PARTITION BY o.o_orderstatus ORDER BY o.o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS rolling_by_date
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey < 2000
+"""
+
+_GROUPS_MULTI_STAR_ORACLE = f"""
+    WITH g AS (
+      SELECT o_orderstatus, o_orderdate,
+             SUM(CAST(o_totalprice AS {D18})) AS grp_sum,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate) AS rk
+      FROM orders WHERE o_orderkey < 2000
+      GROUP BY o_orderstatus, o_orderdate
+    ), w AS (
+      SELECT a.o_orderstatus, a.o_orderdate, SUM(b.grp_sum) AS frame_sum
+      FROM g a JOIN g b
+        ON b.o_orderstatus = a.o_orderstatus AND b.rk BETWEEN a.rk - 1 AND a.rk
+      GROUP BY a.o_orderstatus, a.o_orderdate
+    )
+    SELECT o.*, c.c_mktsegment,
+           ROUND(CAST(w.frame_sum AS DOUBLE), 6) AS rolling_by_date
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN w ON w.o_orderstatus = o.o_orderstatus
+          AND w.o_orderdate = o.o_orderdate
+    WHERE o.o_orderkey < 2000
+"""
+
+
+@df_query("window_groups_offset_multi_star", _GROUPS_MULTI_STAR_ORACLE)
+def window_groups_offset_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-relation qualified star: ``o.*`` + a joined customer
+    column under an offset-GROUPS frame — the r11 schema-resolver
+    expansion (``functions/dialect.py`` ``_join_colmap``), exercised
+    exactly as the serving path does (``session.py columns_of``)."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        transpile(_GROUPS_MULTI_STAR_SQL, lambda t: spark.table(t).columns)
+    )
+
+
 _GROUPS_EXCLUDE_SQL = f"""
     SELECT o_orderkey,
            ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (
@@ -556,15 +612,19 @@ def window_groups_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # r10 (verdict task 7): STDDEV/VAR under frame EXCLUDE — not
-# order-decomposable, but their RAW MOMENTS are: n, Σx, Σx² each rewrite
+# order-decomposable, but their RAW MOMENTS are: n, Σd, Σd² each rewrite
 # frame-minus-excluded exactly like COUNT/SUM, then
-# var = (Σx² - Σx·Σx/n)/(n or n-1) and stddev = sqrt. The value column is
-# an exact BIGINT (cents mod 1e5), so every moment is integer-exact in
-# both engines and the only float ops are the final CAST/(·)/GREATEST/
-# SQRT chain, which the oracle replicates op-for-op on the SAME integers
-# (IEEE-deterministic => bit-identical doubles); rrepr handles the final
-# Spark-style ROUND. The oracle re-derives the EXCLUDE-d GROUPS frames
-# via rank self-joins (DuckDB's GROUPS parser gap again).
+# var = (Σd² - Σd·Σd/n)/(n or n-1) and stddev = sqrt, where (r11 ADVICE)
+# d = x - MIN(x) OVER (partition) — variance is shift-invariant and the
+# shifted moments are bounded by the partition RANGE, so the moment
+# subtraction no longer cancels catastrophically at large magnitudes.
+# The value column is an exact BIGINT (cents mod 1e5), so every shifted
+# moment is integer-exact in both engines and the only float ops are
+# the final CAST/(·)/GREATEST/SQRT chain, which the oracle replicates
+# op-for-op on the SAME integers (IEEE-deterministic => bit-identical
+# doubles); rrepr handles the final Spark-style ROUND. The oracle
+# re-derives the EXCLUDE-d GROUPS frames via rank self-joins (DuckDB's
+# GROUPS parser gap again).
 _SDVAL = "(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) % 100000)"
 
 _GROUPS_EXCLUDE_STDDEV_SQL = f"""
@@ -598,10 +658,14 @@ def _mom(n: str, s1: str, s2: str, *, pop: bool, sqrt: bool) -> str:
 
 
 _GROUPS_EXCLUDE_STDDEV_ORACLE = f"""
-    WITH v AS MATERIALIZED (
+    WITH v0 AS MATERIALIZED (
       SELECT o_orderkey, o_orderstatus, o_orderdate,
-             {_SDVAL} AS val
+             {_SDVAL} AS raw
       FROM orders WHERE o_orderkey < 2000
+    ), v AS MATERIALIZED (
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             raw - MIN(raw) OVER (PARTITION BY o_orderstatus) AS val
+      FROM v0
     ), g AS MATERIALIZED (
       SELECT o_orderstatus, o_orderdate,
              CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -280,7 +280,7 @@ class Engine:
             rest = m.group("rest").strip().rstrip(";")
             if rest.upper().startswith("VALUES"):
                 rest = f"SELECT * FROM ({rest})"
-            incoming = sess.spark.sql(transpile(rest))
+            incoming = sess.spark.sql(transpile(rest, sess.columns_of))
             existing = sess.spark.table(name)
             merged = existing.union(incoming.toDF(*existing.columns)).persist()
             merged.createOrReplaceTempView(name)
@@ -292,7 +292,7 @@ class Engine:
             # lazy count: evaluated when the response is encoded — no
             # extra eager job here
             return incoming.selectExpr("CAST(COUNT(*) AS BIGINT) AS inserted_rows")
-        return sess.sql(transpile(sql))
+        return sess.sql(transpile(sql, sess.columns_of))
 
     def _respond(
         self, df: DataFrame, response: dict | None, accept: str | None

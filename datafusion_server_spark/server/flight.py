@@ -60,7 +60,7 @@ if fl is not None:
             sess = self.engine.sessions.get(session_id)
             from datafusion_server_spark.functions.dialect import transpile
 
-            return sess.sql(transpile(sql))
+            return sess.sql(transpile(sql, sess.columns_of))
 
         def _tracked(self, method: str, fn):
             """Per-RPC telemetry mirroring the reference's track_flight
@@ -150,7 +150,7 @@ if fl is not None:
                 sql = re.sub(
                     r"(?<![A-Za-z0-9_])exchange_input(?![A-Za-z0-9_])", view, sql
                 )
-                df = sess.sql(transpile(sql))
+                df = sess.sql(transpile(sql, sess.columns_of))
                 batches = encoders.arrow_batches_incremental(df)
                 first = next(batches, None)
                 writer.begin(first.schema if first is not None

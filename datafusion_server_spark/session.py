@@ -136,6 +136,16 @@ class ServerSession:
             return True
         return False
 
+    def columns_of(self, table: str) -> list[str] | None:
+        """Schema resolver for the dialect pre-pass (r11: multi-relation
+        qualified ``t.*`` GROUPS expansion): column names of a view
+        registered in this session, or None when the name does not
+        resolve — the rewrite then keeps its conservative reject."""
+        try:
+            return self.spark.table(table).columns
+        except Exception:
+            return None
+
     def sql(self, query: str):
         self.touch()
         return self.spark.sql(query)

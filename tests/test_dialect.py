@@ -443,3 +443,39 @@ def test_offset_groups_over_groupby_rewrites(spark):
             "SELECT g, SUM(SUM(v)) OVER (ORDER BY g GROUPS 1 PRECEDING) AS s "
             "FROM u GROUP BY 2"
         )
+
+
+def test_exclude_stddev_large_magnitude_anchor_shift(spark):
+    """r11 (ADVICE medium): the STDDEV/VAR EXCLUDE moment rewrite must
+    stay accurate when mean² ≫ variance. Values near 1e9 with unit
+    spacing: the UN-shifted raw moments (Σx² ~ 1e19) are far beyond
+    2^53, so the old formula returned catastrophically wrong variances;
+    the anchor-shifted moments (d = x - min_partition(x) ∈ [0, 11]) are
+    exact, so the result matches the true peer-group variance to full
+    precision."""
+    import math
+
+    from datafusion_server_spark.functions.dialect import transpile
+
+    base = 1_000_000_000
+    spark.createDataFrame(
+        [(i, base + i) for i in range(12)], "k bigint, v bigint"
+    ).createOrReplaceTempView("bigmag")
+    out = transpile(
+        "SELECT k, VAR_POP(v) OVER (ORDER BY k "
+        "GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)"
+        " AS vp FROM bigmag"
+    )
+    assert "GROUPS" not in out.split("__groups_rewrite")[0].split("FROM")[0]
+    assert "__grp_anchor_1" in out
+    got = {r["k"]: r["vp"] for r in spark.sql(out).collect()}
+    # independent truth: frame = ks within +/-2, minus self (all peers
+    # are singletons on a unique order key)
+    for k in range(12):
+        frame = [base + j for j in range(max(0, k - 2), min(11, k + 2) + 1)
+                 if j != k]
+        mean = sum(frame) / len(frame)
+        true_vp = sum((x - mean) ** 2 for x in frame) / len(frame)
+        assert math.isclose(got[k], true_vp, rel_tol=1e-12), (
+            k, got[k], true_vp
+        )

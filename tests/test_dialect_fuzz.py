@@ -124,7 +124,7 @@ def render(c: Case) -> str:
 # ---------------------------------------------------------------- oracle
 
 
-def _agg(fn: str, vals: list[int]):
+def _agg(fn: str, vals: list[int], anchor: int = 0):
     if fn == "COUNT_STAR" or fn == "COUNT":  # fixture has no NULLs
         return len(vals)
     if not vals:
@@ -135,18 +135,21 @@ def _agg(fn: str, vals: list[int]):
         # so this division is bit-identical to Spark's
         return sum(vals) / len(vals)
     if fn in _VARIANCE_FNS:
-        # the rewrite's exact raw-moment formula, replicated op-for-op:
-        # every intermediate (Σx, Σx², Σx·Σx) is an exact integer well
-        # under 2^53, so the float ops below are bit-identical to the
-        # spliced SQL's CAST/…/GREATEST/SQRT chain
+        # the rewrite's exact ANCHOR-SHIFTED raw-moment formula (r11
+        # ADVICE: d = x - min_partition(x) bounds the Σd² - (Σd)²/n
+        # cancellation by the partition range), replicated op-for-op:
+        # every intermediate (Σd, Σd², Σd·Σd) is an exact integer well
+        # under 2^53 on this fixture, so the float ops below are
+        # bit-identical to the spliced SQL's CAST/…/GREATEST/SQRT chain
         import math
 
         n = len(vals)
         pop = fn.endswith("_POP")
         if n < (1 if pop else 2):
             return None
-        s1 = sum(vals)
-        s2 = sum(v * v for v in vals)
+        dv = [v - anchor for v in vals]
+        s1 = sum(dv)
+        s2 = sum(d * d for d in dv)
         base = float(s2) - float(s1) * float(s1) / n
         var = max(0.0, base / (n if pop else n - 1))
         return math.sqrt(var) if fn.startswith("STDDEV") else var
@@ -172,6 +175,9 @@ def eval_groups_case(c: Case) -> list[dict]:
         order, fn, arg = c.order, c.fn, c.arg
     out = []
     for prows in parts.values():
+        # per-partition anchor for the variance moment shift (matches
+        # the rewrite's injected MIN(arg) OVER (PARTITION BY ...))
+        anchor = min(r[arg] for r in prows) if fn in _VARIANCE_FNS else 0
         srt = sorted(prows, key=lambda r: tuple(r[k] for k in order))
         peers: list[list[dict]] = []
         for r in srt:
@@ -199,7 +205,7 @@ def eval_groups_case(c: Case) -> list[dict]:
                 if fn == "COUNT_STAR":
                     w = len(rows_in)
                 else:
-                    w = _agg(fn, [q[arg] for q in rows_in])
+                    w = _agg(fn, [q[arg] for q in rows_in], anchor)
                 if c.groupby:
                     out.append({"g": r["g"], "w": w})
                 else:
@@ -284,3 +290,145 @@ def test_groups_rewriter_fuzz(spark):
     # surface (offset/unbounded frames, EXCLUDE on SUM/COUNT, stars,
     # GROUP BY + ordinals) is most of the grid
     assert accepted >= 120, f"only {accepted}/{N_CASES} accepted ({rejected} rejected)"
+
+
+# ------------------------------------------------- r11: multi-relation t.*
+# verdict task 4: qualified t.* over a base JOIN expands from the
+# registered-view schemas (columns_of resolver) when all column names
+# are globally unique. Grid: projection shapes x aggregate x frame x
+# EXCLUDE, value-exact vs the same independent evaluator (the join is
+# 1:1 on s.k = t.g, so GROUPS semantics over the joined relation equal
+# the single-table evaluation with the s columns appended as g-derived
+# constants).
+
+# s: one row per g value; k == g, y = k*10 + 1 (all-integer, unique names)
+S_ROWS = [{"k": k, "y": k * 10 + 1} for k in range(3)]
+_MR_SCHEMAS = {"t": ["g", "v", "x"], "s": ["k", "y"]}
+
+
+def _mr_resolver(name: str):
+    return _MR_SCHEMAS.get(name.rsplit(".", 1)[-1])
+
+
+_MR_PROJECTIONS = {
+    # label -> (select-list prefix, output column names sans w)
+    "t_star_sy": ("t.*, s.y", ("g", "v", "x", "y")),
+    "s_star_tv": ("s.*, t.v", ("k", "y", "v")),
+    "both_stars": ("t.*, s.*", ("g", "v", "x", "k", "y")),
+    "explicit_qual": ("t.g, t.v, t.x, s.y", ("g", "v", "x", "y")),
+}
+
+
+def gen_multi_cases(n: int, seed: int = 0xB45E) -> list[tuple[Case, str]]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        fn = rng.choice(["SUM", "COUNT_STAR", "AVG", "MIN", "MAX", "VAR"])
+        if fn == "VAR":
+            fn = rng.choice(_VARIANCE_FNS)
+            exclude = rng.choice(["CURRENT ROW", "GROUP", "TIES"])
+        else:
+            exclude = rng.choice([None, None, "CURRENT ROW", "GROUP", "TIES"])
+        lo = rng.choice([("unb",), ("prec", rng.randint(0, 3)), ("cur",)])
+        out.append((
+            Case(
+                fn=fn,
+                arg=rng.choice(["v", "x"]),
+                part=rng.choice([None, "g"]),
+                order=rng.choice([("x",), ("x", "v")]),
+                lo=lo,
+                hi=rng.choice([("cur",), ("foll", rng.randint(0, 3)), ("unb",)]),
+                shorthand=lo[0] == "prec" and rng.random() < 0.25,
+                exclude=exclude,
+                proj="explicit",
+                groupby=None,
+                wrap=False,
+            ),
+            rng.choice(sorted(_MR_PROJECTIONS)),
+        ))
+    return out
+
+
+def render_multi(c: Case, proj: str) -> str:
+    over = []
+    if c.part:
+        over.append(f"PARTITION BY t.{c.part}")
+    over.append("ORDER BY " + ", ".join(f"t.{k}" for k in c.order))
+    over.append(_frame_sql(c))
+    if c.exclude:
+        over.append(f"EXCLUDE {c.exclude}")
+    fn_sql = _fn_sql(c)
+    # qualify the aggregate arg too: t.v / t.x
+    fn_sql = fn_sql.replace("(v)", "(t.v)").replace("(x)", "(t.x)")
+    sel = _MR_PROJECTIONS[proj][0]
+    return (
+        f"SELECT {sel}, {fn_sql} OVER ({' '.join(over)}) AS w "
+        f"FROM t JOIN s ON s.k = t.g"
+    )
+
+
+N_MULTI_CASES = 120
+
+
+def test_groups_multistar_fuzz(spark):
+    from datafusion_server_spark.functions.dialect import _GROUPS_FRAME
+
+    spark.createDataFrame(
+        [(r["g"], r["v"], r["x"]) for r in ROWS], "g bigint, v bigint, x bigint"
+    ).createOrReplaceTempView("t")
+    spark.createDataFrame(
+        [(r["k"], r["y"]) for r in S_ROWS], "k bigint, y bigint"
+    ).createOrReplaceTempView("s")
+    accepted = rejected = 0
+    for c, proj in gen_multi_cases(N_MULTI_CASES):
+        sql = render_multi(c, proj)
+        try:
+            out = transpile(sql, _mr_resolver)
+        except UnsupportedDialectFeature:
+            rejected += 1
+            continue
+        assert not _GROUPS_FRAME.search(out), (
+            f"transpile left a GROUPS frame un-rewritten and un-rejected:\n{sql}"
+        )
+        try:
+            got = [r.asDict() for r in spark.sql(out).collect()]
+        except Exception as e:
+            pytest.fail(
+                f"transpile emitted SQL Spark cannot run ({type(e).__name__}):"
+                f"\n  raw: {sql}\n  out: {out}\n  {str(e)[:400]}"
+            )
+        cols = _MR_PROJECTIONS[proj][1]
+        want = []
+        for r in eval_groups_case(c):
+            full = dict(r)
+            full["k"] = full["g"]
+            full["y"] = full["g"] * 10 + 1
+            want.append({k: full[k] for k in (*cols, "w")})
+        assert _canon(got) == _canon(want), (
+            f"value mismatch on accepted multi-relation rewrite:"
+            f"\n  raw: {sql}\n  out: {out}\n  case: {c} proj={proj}"
+        )
+        accepted += 1
+    assert accepted >= 80, (
+        f"only {accepted}/{N_MULTI_CASES} accepted ({rejected} rejected)"
+    )
+
+
+def test_groups_multistar_guards(spark):
+    """Ambiguous / unresolvable multi-relation bodies keep the clear
+    reject (never broken SQL): duplicate column names across relations,
+    unknown tables, no resolver, USING joins, derived tables."""
+    base = (
+        "SELECT t.*, SUM(t.v) OVER (ORDER BY t.x "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w "
+    )
+    dup_resolver = lambda n: {"t": ["g", "v", "x"], "d": ["v", "z"]}.get(n)  # noqa: E731
+    for sql, resolver in [
+        (base + "FROM t JOIN d ON d.z = t.g", dup_resolver),  # dup col v
+        (base + "FROM t JOIN missing ON missing.m = t.g", _mr_resolver),
+        (base + "FROM t JOIN s ON s.k = t.g", None),  # no resolver
+        (base + "FROM t JOIN s USING (g)", _mr_resolver),
+        (base + "FROM t JOIN (SELECT * FROM s) s ON s.k = t.g", _mr_resolver),
+    ]:
+        with pytest.raises(UnsupportedDialectFeature):
+            transpile(sql, resolver)

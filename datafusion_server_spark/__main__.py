@@ -29,14 +29,17 @@ def main() -> None:
     engine = Engine(settings=settings)
     httpd = serve(engine, host, port)
     print(f"REST:   http://{host}:{httpd.server_address[1]}", flush=True)
+    flight_server = None
     if flight_port:
         from datafusion_server_spark.server import flight
 
-        flight.serve(engine, f"grpc://{settings.server.flight_address}:{flight_port}")
+        flight_server = flight.serve(
+            engine, f"grpc://{settings.server.flight_address}:{flight_port}"
+        )
         print(f"Flight: grpc://{settings.server.flight_address}:{flight_port}", flush=True)
     from datafusion_server_spark.server.http import run_until_signalled
 
-    run_until_signalled(engine, httpd)
+    run_until_signalled(engine, httpd, flight_server)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from datafusion_server_spark.operators.sampling import hash_fraction
 from datafusion_server_spark.operators.scale import (
     ensure_fanout_parallelism,
+    quote_ident,
     ranked_topk,
 )
 from datafusion_server_spark.operators.similarity import SCALE, _dot_scaled, _unscale
@@ -203,7 +204,7 @@ def semdedup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(
-            _unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))
+            _unscale(_dot_scaled(quote_ident(vec_col), quote_ident(vec_col)))
         ).alias("nrm"),
     ).filter(F.col("nrm") > 0.0)
     side = assigned.join(vec, "id")

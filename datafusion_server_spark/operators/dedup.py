@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+from datafusion_server_spark.operators.scale import (
+    ensure_fanout_parallelism,
+    quote_ident,
+)
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_SHINGLE_WORDS = 3
@@ -80,7 +83,7 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = DEFAULT_SHI
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.expr(f"EXPLODE({_word_shingles_sql(f'`{text_col}`', k)}) AS shingle"),
+            F.expr(f"EXPLODE({_word_shingles_sql(quote_ident(text_col), k)}) AS shingle"),
         )
         .distinct()
     )
@@ -191,7 +194,7 @@ def lsh_signature_index(
     shingled = _with_hash_slices(
         df.select(
             F.col(id_col).alias("id"),
-            F.expr(f"EXPLODE({_word_shingles_sql(f'`{text_col}`', k)}) AS shingle"),
+            F.expr(f"EXPLODE({_word_shingles_sql(quote_ident(text_col), k)}) AS shingle"),
         )
     )
     sigs = shingled.groupBy("id").agg(
@@ -268,6 +271,11 @@ def lsh_pairs_against_index(
     )
 
 
+# monotone counter for default observe-metric names: two capped LSH
+# pipelines composed in ONE query (e.g. a UNION) must not collide
+_BUCKET_CAP_SEQ = 0
+
+
 def cap_bucket_members(
     banded: DataFrame,
     max_bucket_members: int,
@@ -288,9 +296,12 @@ def cap_bucket_members(
     cluster through those. The drop count is LOGGED, not silent
     (no-silent-caps rule): pass a ``pyspark.sql.Observation`` to read
     ``dropped``/``kept`` after the action, or rely on the named
-    ``observe`` metric ("lsh_bucket_cap") a QueryExecutionListener
-    sees. The window shuffles by the same (band, bucket) key the
-    candidate join hashes on, so it adds no new exchange width."""
+    ``observe`` metric ("lsh_bucket_cap_N") a QueryExecutionListener
+    sees — the default name carries a per-call counter (r11 ADVICE)
+    because Spark's CheckAnalysis rejects duplicate observed-metric
+    names in one query, e.g. a UNION of two capped pipelines. The
+    window shuffles by the same (band, bucket) key the candidate join
+    hashes on, so it adds no new exchange width."""
     w = Window.partitionBy("band", "bucket").orderBy("id")
     guarded = banded.withColumn("__bm", F.row_number().over(w))
     metrics = [
@@ -301,9 +312,11 @@ def cap_bucket_members(
         .cast("bigint")
         .alias("kept"),
     ]
-    guarded = guarded.observe(
-        observation if observation is not None else "lsh_bucket_cap", *metrics
-    )
+    if observation is None:
+        global _BUCKET_CAP_SEQ
+        _BUCKET_CAP_SEQ += 1
+        observation = f"lsh_bucket_cap_{_BUCKET_CAP_SEQ}"
+    guarded = guarded.observe(observation, *metrics)
     return guarded.filter(F.col("__bm") <= max_bucket_members).drop("__bm")
 
 

@@ -36,7 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+from datafusion_server_spark.operators.scale import (
+    ensure_fanout_parallelism,
+    quote_ident,
+)
 from datafusion_server_spark.operators.similarity import (
     SCALE,
     _dot_scaled,
@@ -151,7 +154,7 @@ def quantized_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.sqrt(
-            _unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))
+            _unscale(_dot_scaled(quote_ident(vec_col), quote_ident(vec_col)))
         ).alias("__qnrm"),
     ).filter(F.col("__qnrm") > 0.0)
     adc = recon.join(
@@ -175,7 +178,7 @@ def quantized_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.sqrt(
-            _unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))
+            _unscale(_dot_scaled(quote_ident(vec_col), quote_ident(vec_col)))
         ).alias("__cnrm"),
     ).filter(F.col("__cnrm") > 0.0)
     exact = (
@@ -414,7 +417,7 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.sqrt(_unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))).alias("__qnrm"),
+        F.sqrt(_unscale(_dot_scaled(quote_ident(vec_col), quote_ident(vec_col)))).alias("__qnrm"),
     ).filter(F.col("__qnrm") > 0.0)
     adc = recon.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
@@ -434,7 +437,7 @@ def pq_topk(
     true_c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        F.sqrt(_unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))).alias("__cnrm"),
+        F.sqrt(_unscale(_dot_scaled(quote_ident(vec_col), quote_ident(vec_col)))).alias("__cnrm"),
     ).filter(F.col("__cnrm") > 0.0)
     exact = (
         cand.join(true_c, "neighbor_id")
@@ -505,7 +508,7 @@ def ivf_sq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.sqrt(_unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))).alias("__qnrm"),
+        F.sqrt(_unscale(_dot_scaled(quote_ident(vec_col), quote_ident(vec_col)))).alias("__qnrm"),
     ).filter(F.col("__qnrm") > 0.0)
     adc = (
         pairs.join(
@@ -534,7 +537,7 @@ def ivf_sq_topk(
     true_c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        F.sqrt(_unscale(_dot_scaled(f"`{vec_col}`", f"`{vec_col}`"))).alias("__cnrm"),
+        F.sqrt(_unscale(_dot_scaled(quote_ident(vec_col), quote_ident(vec_col)))).alias("__cnrm"),
     ).filter(F.col("__cnrm") > 0.0)
     exact = (
         cand.join(true_c, "neighbor_id")

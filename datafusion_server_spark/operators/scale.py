@@ -456,3 +456,13 @@ def binpack_by_cumsum(
             f"(__bp_cum - CAST({size_col} AS BIGINT)) div CAST({target_bytes} AS BIGINT)"
         ).cast("bigint"),
     ).drop("__bp_cum")
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote a caller-supplied column name for splicing into
+    SQL-string expression builders (r11 ADVICE: unescaped interpolation
+    let a name containing a backtick break — or inject into — the
+    generated SQL). Backticks are doubled per Spark's identifier
+    escaping, so any column name round-trips; the Column-API path and
+    this string path then fail/succeed identically."""
+    return "`" + name.replace("`", "``") + "`"

@@ -458,12 +458,17 @@ def main() -> None:
     run_until_signalled(engine, httpd)
 
 
-def run_until_signalled(engine: Engine, httpd: ThreadingHTTPServer) -> None:
+def run_until_signalled(
+    engine: Engine, httpd: ThreadingHTTPServer, flight_server=None
+) -> None:
     """Block until SIGTERM or SIGINT, then drain gracefully (reference
     signal_handler.rs:5-29 selects over ctrl-c AND terminate): a
     container orchestrator sends SIGTERM, and the server must stop
     accepting, close every live session (unpersist + duration metrics,
-    the TTL reaper's path), and exit 0 — not die mid-request."""
+    the TTL reaper's path), and exit 0 — not die mid-request. The
+    optional Flight gRPC server drains the same way (r11 ADVICE:
+    without this, active Flight streams died abruptly at process
+    exit while the HTTP side drained)."""
     import signal
 
     stop = threading.Event()
@@ -475,6 +480,13 @@ def run_until_signalled(engine: Engine, httpd: ThreadingHTTPServer) -> None:
         pass
     print("signal received, starting graceful shutdown", flush=True)
     httpd.shutdown()
+    if flight_server is not None:
+        try:
+            # FlightServerBase.shutdown waits for active RPCs to finish
+            flight_server.shutdown()
+            print("flight server drained", flush=True)
+        except Exception as e:  # never let Flight teardown block HTTP drain
+            print(f"flight shutdown failed: {e}", flush=True)
     engine.sessions.stop_reaper()
     closed = engine.sessions.close_all()
     print(f"closed {len(closed)} session(s)", flush=True)

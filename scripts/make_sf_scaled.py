@@ -73,14 +73,20 @@ def main() -> None:
             if t == "documents" and i > 0:
                 c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
             if t == "embeddings" and i > 0:
-                # rotate the vector by i: norm-preserving, decorrelates
-                # hyperplane signs between copies
-                d = f"SIZE(embedding)"
+                # rotate the vector by i MOD dim (r11 ADVICE: a raw
+                # shift of i >= dim made the slice length non-positive,
+                # silently emitting empty/short vectors for large
+                # --copies): norm-preserving, decorrelates hyperplane
+                # signs between copies; a zero effective shift skips
+                # the no-op rewrite
+                d = "SIZE(embedding)"
+                r = f"({i} % {d})"
                 c = c.withColumn(
                     "embedding",
                     F.expr(
-                        f"CONCAT(SLICE(embedding, {i} + 1, {d} - {i}),"
-                        f" SLICE(embedding, 1, {i}))"
+                        f"IF({r} = 0, embedding,"
+                        f" CONCAT(SLICE(embedding, {r} + 1, {d} - {r}),"
+                        f" SLICE(embedding, 1, {r})))"
                     ),
                 )
             copies.append(c)

@@ -124,3 +124,34 @@ def test_codes_norms_sql_form_deterministic(spark, planes, dim):
     el2 = _elements(df.repartition(7), "vec_id", "embedding", "id")
     b = sorted(map(tuple, _codes_norms(el2, planes, dim).collect()))
     assert a == b and len(a) == 40
+
+
+def test_two_capped_lsh_pipelines_union_analyzes(spark):
+    """r11 ADVICE: composing two capped LSH pipelines in ONE query used
+    to collide on the fixed observe-metric name ("lsh_bucket_cap") and
+    fail CheckAnalysis; the per-call counter default must keep a UNION
+    of two capped pipelines analyzable and runnable."""
+    rows = [(i, f"w{i % 3} common words repeated {' x' * 6}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = dedup.lsh_candidate_pairs(
+        docs, "text", "doc_id", materialize=False, max_bucket_members=3
+    )
+    b = dedup.lsh_candidate_pairs(
+        docs, "text", "doc_id", materialize=False, max_bucket_members=4
+    )
+    assert a.unionByName(b).count() >= 0  # analyzes and runs
+
+
+def test_quote_ident_backtick_column_roundtrip(spark):
+    """r11 ADVICE: SQL-string builders must not break (or inject) on
+    column names containing backticks/spaces — quote_ident doubles
+    backticks so the string path behaves like the Column API."""
+    from datafusion_server_spark.operators.scale import quote_ident
+
+    weird = "te`xt col"
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], ["doc_id", "plain"]
+    ).withColumnRenamed("plain", weird)
+    sets = dedup.shingle_sets(df, weird, "doc_id")
+    assert sets.count() == 4  # 2 docs x 2 distinct 3-gram shingles
+    assert quote_ident(weird) == "`te``xt col`"

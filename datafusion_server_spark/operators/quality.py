@@ -223,3 +223,57 @@ def gopher_quality_flags(
             & F.col("pass_rep_trigram")
         ).alias("keep"),
     )
+
+
+def c4_prune_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020, §2.2 — the public
+    T5/C4 heuristics) over newline-structured text.
+
+    Line rules — a line is RETAINED only if it (a) ends in a terminal
+    punctuation mark (``.`` ``!`` ``?`` ``"``), (b) contains at least 3
+    words, (c) does not mention "javascript", and (d) is not a
+    boilerplate policy line ("cookie policy" / "privacy policy" /
+    "terms of use"). Page rules — a page is KEPT only if it contains
+    no "lorem ipsum", no curly brace, and at least 5 sentences
+    (terminal punctuation marks) survive line filtering.
+
+    Output: (id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, keep_page, cleaned_text). One narrow projection — no
+    shuffle, no UDF: the whole chain is codegen'd string/array
+    built-ins, so it scales with the scan. The kept-lines array is
+    hoisted to its own projection with three downstream references so
+    CollapseProject cannot re-inline the FILTER per consumer (the
+    established lambda-invariant discipline)."""
+    from datafusion_server_spark.operators.scale import quote_ident
+
+    t = quote_ident(text_col)
+    kept = (
+        f"FILTER(SPLIT({t}, '\\n'), l -> "
+        "RTRIM(l) RLIKE '[.!?\"]$' "
+        "AND SIZE(SPLIT(TRIM(l), ' ')) >= 3 "
+        "AND NOT CONTAINS(LOWER(l), 'javascript') "
+        "AND NOT CONTAINS(LOWER(l), 'cookie policy') "
+        "AND NOT CONTAINS(LOWER(l), 'privacy policy') "
+        "AND NOT CONTAINS(LOWER(l), 'terms of use'))"
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__page"),
+        F.expr(f"{kept} AS __kept"),
+    )
+    cleaned = "ARRAY_JOIN(__kept, '\\n')"
+    n_sent = f"CAST(LENGTH(REGEXP_REPLACE({cleaned}, '[^.!?]', '')) AS BIGINT)"
+    return staged.select(
+        "id",
+        F.expr("CAST(SIZE(SPLIT(__page, '\\n')) AS BIGINT) AS n_lines"),
+        F.expr("CAST(SIZE(__kept) AS BIGINT) AS n_kept_lines"),
+        F.expr(f"{n_sent} AS n_sentences"),
+        F.expr("CONTAINS(LOWER(__page), 'lorem ipsum') AS has_lorem"),
+        F.expr("CONTAINS(__page, '{') AS has_brace"),
+        F.expr(
+            "(NOT CONTAINS(LOWER(__page), 'lorem ipsum') "
+            "AND NOT CONTAINS(__page, '{') "
+            f"AND {n_sent} >= 5) AS keep_page"
+        ),
+        F.expr(f"{cleaned} AS cleaned_text"),
+    )

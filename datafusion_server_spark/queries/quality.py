@@ -1412,3 +1412,118 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("emd"), 6).alias("emd"),
         (F.col("emd") <= F.lit(_T_CLOSE)).alias("meets_t"),
     )
+
+
+# ---------------------------------------------------------------- C4 rules
+# r11 (verdict task 5): the fixture corpus is a single-line word soup, so
+# — the established html-wrapper precedent (queries/htmltext.py) — the
+# query SYNTHESIZES a deterministic multi-line page around every document
+# on BOTH engines, then runs the REAL C4 line/page heuristics on it. The
+# template is designed to exercise every rule: an unpunctuated header, a
+# 2-word line, a javascript line, a cookie-policy line, a sentence-count
+# knife edge (doc_id % 4 == 1 pages lose the 5th sentence), lorem-ipsum
+# and curly-brace page poisons on other residues.
+_C4_ID, _C4_TEXT = object(), object()
+
+# (condition on doc_id or None, line parts)
+_C4_LINES: tuple = (
+    (None, ("Doc ", _C4_ID, " header intro")),
+    (None, (_C4_TEXT, " extra tail.")),
+    (None, ("Too short.",)),
+    (None, ("This page describes document ", _C4_ID, " fully.")),
+    (None, ("Is this useful? Yes, it is!",)),
+    ("doc_id % 4 <> 1", ("The final line ends the page here.",)),
+    ("doc_id % 3 = 0", ("Enable javascript to view this page.",)),
+    ("doc_id % 2 = 0", ("We use cookies and our cookie policy applies.",)),
+    ("doc_id % 7 = 0", ("Lorem ipsum dolor sit amet.",)),
+    ("doc_id % 11 = 3", ("code sample { return 1 }",)),
+)
+
+
+def _c4_line_spark(parts: tuple):
+    cols = []
+    for p in parts:
+        if p is _C4_ID:
+            cols.append(F.col("doc_id").cast("string"))
+        elif p is _C4_TEXT:
+            cols.append(F.col("text"))
+        else:
+            cols.append(F.lit(p))
+    return F.concat(*cols)
+
+
+def _c4_page_spark() -> F.Column:
+    page = None
+    for cond, parts in _C4_LINES:
+        line = _c4_line_spark(parts)
+        seg = line if page is None else F.concat(F.lit("\n"), line)
+        if cond is not None:
+            seg = F.when(F.expr(cond), seg).otherwise(F.lit(""))
+        page = seg if page is None else F.concat(page, seg)
+    return page
+
+
+def _c4_line_sql(parts: tuple) -> str:
+    out = []
+    for p in parts:
+        if p is _C4_ID:
+            out.append("CAST(doc_id AS VARCHAR)")
+        elif p is _C4_TEXT:
+            out.append("text")
+        else:
+            out.append("'" + p.replace("'", "''") + "'")
+    return " || ".join(out)
+
+
+def _c4_page_sql() -> str:
+    segs = []
+    for i, (cond, parts) in enumerate(_C4_LINES):
+        line = _c4_line_sql(parts)
+        seg = line if i == 0 else f"CHR(10) || {line}"
+        if cond is not None:
+            seg = f"CASE WHEN {cond} THEN {seg} ELSE '' END"
+        segs.append(f"({seg})")
+    return " || ".join(segs)
+
+
+_C4_KEPT_SQL = """LIST_FILTER(STRING_SPLIT(page, CHR(10)), l ->
+        REGEXP_MATCHES(RTRIM(l), '[.!?"]$')
+        AND LEN(STRING_SPLIT(TRIM(l), ' ')) >= 3
+        AND NOT CONTAINS(LOWER(l), 'javascript')
+        AND NOT CONTAINS(LOWER(l), 'cookie policy')
+        AND NOT CONTAINS(LOWER(l), 'privacy policy')
+        AND NOT CONTAINS(LOWER(l), 'terms of use'))"""
+
+_C4_ORACLE = f"""
+WITH p AS (SELECT doc_id, {_c4_page_sql()} AS page FROM documents),
+k AS (SELECT doc_id, page, {_C4_KEPT_SQL} AS kept FROM p),
+s AS (SELECT doc_id, page, kept,
+             ARRAY_TO_STRING(kept, CHR(10)) AS cleaned,
+             CAST(LENGTH(REGEXP_REPLACE(ARRAY_TO_STRING(kept, CHR(10)),
+                                        '[^.!?]', '', 'g')) AS BIGINT)
+               AS n_sentences
+      FROM k)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(LEN(STRING_SPLIT(page, CHR(10))) AS BIGINT) AS n_lines,
+       CAST(LEN(kept) AS BIGINT) AS n_kept_lines,
+       n_sentences,
+       CONTAINS(LOWER(page), 'lorem ipsum') AS has_lorem,
+       CONTAINS(page, '{{') AS has_brace,
+       (NOT CONTAINS(LOWER(page), 'lorem ipsum')
+        AND NOT CONTAINS(page, '{{')
+        AND n_sentences >= 5) AS keep_page,
+       cleaned AS cleaned_text
+FROM s
+"""
+
+
+@df_query("prune_c4_rules", _C4_ORACLE)
+def prune_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning heuristics (operators/quality.py
+    c4_prune_rules) over deterministically synthesized multi-line
+    pages — every rule (terminal punctuation, >=3 words, javascript,
+    policy boilerplate, lorem ipsum, curly brace, >=5 sentences) has
+    residue classes of documents on both sides of it."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _c4_page_spark().alias("page"))
+    return quality.c4_prune_rules(pages, "page", "doc_id")

@@ -286,3 +286,34 @@ def test_quantiles_disc_float_boundary_rank(spark):
            sk.quantiles_disc(df, "v", ["grp"], [0.07, 0.0]).collect()}
     assert out[0.07] == 7.0
     assert out[0.0] == 1.0
+
+
+def test_c4_prune_rules_edges(spark):
+    """Rule-level edges for c4_prune_rules: empty text, a page with no
+    retainable line, quote-terminated lines, and the exact 5-sentence
+    knife edge."""
+    from datafusion_server_spark.operators.quality import c4_prune_rules
+
+    rows = [
+        (1, ""),  # empty page: nothing kept, 0 sentences
+        (2, "no punctuation here\nstill none"),  # no retainable lines
+        (3, 'He said "stop right there."\nShe agreed "fine."'),  # quote ends
+        # exactly 5 sentences on kept lines -> keep_page True
+        (4, "One two three.\nFour five six.\nSeven eight nine.\n"
+            "Ten eleven twelve.\nLast full line here."),
+        # 4 sentences -> keep_page False
+        (5, "One two three.\nFour five six.\nSeven eight nine.\n"
+            "Ten eleven twelve."),
+        (6, "Lorem Ipsum dolor sit amet.\n" + "A B C.\n" * 5),  # lorem poison
+        (7, "Braces are bad { }.\n" + "A B C.\n" * 5),  # brace poison
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, page string")
+    got = {r["id"]: r.asDict() for r in
+           c4_prune_rules(df, "page", "doc_id").collect()}
+    assert got[1]["n_kept_lines"] == 0 and not got[1]["keep_page"]
+    assert got[2]["n_kept_lines"] == 0 and got[2]["cleaned_text"] == ""
+    assert got[3]["n_kept_lines"] == 2  # quote-terminated lines retained
+    assert got[4]["n_sentences"] == 5 and got[4]["keep_page"]
+    assert got[5]["n_sentences"] == 4 and not got[5]["keep_page"]
+    assert got[6]["has_lorem"] and not got[6]["keep_page"]
+    assert got[7]["has_brace"] and not got[7]["keep_page"]

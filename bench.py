@@ -461,6 +461,12 @@ def main() -> None:
                 # these two fields make cross-round comparisons readable
                 "load1m_start": load_start,
                 "load1m_end": round(os.getloadavg()[0], 2),
+                # r11 (verdict task 6): self-documenting pollution flag —
+                # same-code captures have swung ±30% with co-tenant load
+                # (r9/r10 evidence in PLANS.md), so any capture that
+                # STARTED on a loaded box is marked untrustworthy for
+                # cross-round perf comparisons right in the artifact.
+                "polluted": load_start >= 2.0,
                 # serving tier: concurrent stateless REST one-shots
                 # (requests, per-request P50/P95 sec, requests/sec)
                 "concurrency": concurrency,

@@ -94,12 +94,20 @@ def rrepr(expr: str, places: int) -> str:
 # merge / streaming / multimodal). Everything else follows in module
 # registration order.
 PRIORITY: tuple[str, ...] = (
-    # ROUND 10 ROTATION: the verdict's task 2 seats ALL 17 rows that had
-    # never held a driver seat (every one already oracle-verified in the
-    # full-registry pytest sweep). 17 r9-driver-green rows rotate OUT to
-    # make room; each departure is annotated with why its surface stays
-    # covered. Full rotation history through r9 lives in git (this file's
-    # log) and PLANS.md.
+    # ROUND 11 ROTATION (verdict task 1: drive down the 166-row
+    # never-driver-gated debt, >=17 first-time seats): the 17 rows
+    # seated in r10 all went driver-green in CORRECTNESS_r10 and rotate
+    # OUT (their families stay oracle-verified in pytest), plus 3
+    # long-green core rows whose category coverage is REPLACED by
+    # never-gated siblings (set_union_all -> set_intersect_all +
+    # set_except_all; subquery_correlated_select ->
+    # correlated_exists_double; cte_top_nations -> nested_cte_chain).
+    # 20 seats IN: the 2 brand-new r11 rows (seated the round they land,
+    # the r8 bar) + 18 never-gated rows prioritizing the judge-named
+    # LLM-pipeline debt (incremental LSH, SemDeDup keepers, BPE trainer,
+    # sequence packing, the whole sketch family) — every one already
+    # oracle-verified in the full-registry pytest sweep. Full rotation
+    # history lives in git (this file's log) and PLANS.md.
     #
     # aggregation (incl. grouping sets/filter)
     "q1_pricing_summary",
@@ -115,23 +123,25 @@ PRIORITY: tuple[str, ...] = (
     # in-window via q1/q6 and all three remain oracle-verified in
     # pytest + in the bench headline set)
     "q6_forecast_revenue",
-    # window functions (incl. the GROUPS-frame rewrite): the r9 MIN/MAX
-    # EXCLUDE decomposition keeps a GROUPS seat, and the brand-new r10
-    # STDDEV/VAR moment-subtraction rewrite is driver-gated the round
-    # it lands (the r8 bar)
-    # (window_groups_offset_groupby + _ordinal rotated OUT round 10 —
-    # driver-green r9, the GROUPS rewrite surface stays in-window via
-    # the two EXCLUDE rows and the extended fuzzer in pytest)
+    # window functions (incl. the GROUPS-frame rewrite): the EXCLUDE
+    # rows stay seated (stddev now exercises the r11 anchor-shifted
+    # moments), and the brand-new r11 multi-relation qualified-t.*
+    # expansion is driver-gated the round it lands (the r8 bar)
     "window_groups_exclude_minmax",
     "window_groups_exclude_stddev",
-    # sort/limit + set ops (ordered-LIMIT inside q10/top-k rows)
-    "set_union_all",
+    "window_groups_offset_multi_star",
+    # sort/limit + set ops
+    # (set_union_all rotated OUT round 11 — driver-green r1-r10; the
+    # set-op surface is REPLACED in-window by its two never-gated
+    # siblings, which also cover the ALL-semantics duplicates path)
+    "set_intersect_all",
+    "set_except_all",
     # subqueries / CTE
-    # (recursive_cte_months rotated OUT round 10 — driver-green r9 —
-    # WITH RECURSIVE stays oracle-verified in pytest; CTE surface stays
-    # in-window via cte_top_nations)
-    "subquery_correlated_select",
-    "cte_top_nations",
+    # (subquery_correlated_select + cte_top_nations rotated OUT round
+    # 11 — driver-green r1-r10; coverage replaced by the never-gated
+    # double-correlated EXISTS and the 3-level CTE chain)
+    "correlated_exists_double",
+    "nested_cte_chain",
     # scalar function families
     # (array_lambda_functions + regexp_functions rotated OUT round 10 —
     # driver-green since r1 — HOF/lambda surface runs in-window inside
@@ -152,6 +162,10 @@ PRIORITY: tuple[str, ...] = (
     # guard with a BINDING cap, driver-gated the round the guard lands)
     "dedup_lsh_pairs_bucket_capped",
     "dedup_survivors_keep_longest",
+    # r11 first-time seats (judge-named LLM-pipeline debt): the
+    # incremental daily-ingest LSH probe and the SemDeDup keeper set
+    "dedup_incremental_lsh",
+    "dedup_semantic_keepers",
     "web_url_canonicalize",
     # LLM-pipeline: similarity / eval family
     # (eval_matryoshka_recall, eval_bradley_terry_sources,
@@ -170,6 +184,12 @@ PRIORITY: tuple[str, ...] = (
     "prune_ccnet_perplexity_band",
     "text_lm_kneser_ney",
     "text_span_corruption",
+    # r11 first-time seats: the brand-new C4 page-pruning row (landed
+    # this round), BPE merge training, sequence packing, BM25 top-k
+    "prune_c4_rules",
+    "bpe_train_merges",
+    "text_pack_sequences",
+    "text_bm25_topk",
     # LLM-pipeline: sampling + mixture learning
     # (doremi_domain_weights rotated OUT round 10 — driver-green r5-r9,
     # mixture learning stays oracle-verified in pytest; sampling takes
@@ -191,31 +211,31 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_web_ingest",
     # graph analytics
     "graph_resource_allocation",
-    # sketches / profiling: heavy-change drift triage IS a sketch row
-    # (per-source top-k heavy hitters), so the dedicated KMV row rotates
-    # (sketch_kmv_distinct rotated OUT round 10 — driver-green r2-r9,
-    # KMV stays oracle-verified in pytest)
     # multimodal plumbing
     "multimodal_frame_sample",
-    # ---- the 17 never-driver-gated rows, seated round 10 (verdict
-    # task 2; each lands with full oracle + pytest history) ----
-    "timeseries_cusum_changepoint",
-    "timeseries_holt_linear",
-    "events_attribution_linear",
-    "events_growth_accounting",
-    "events_markov_stationary",
-    "scale_hilbert_key",
-    "scale_compaction_binpack",
-    "eval_isotonic_calibration",
-    "eval_calibration_error",
-    "eval_bootstrap_ci_mean",
-    "sample_kcenter_coreset",
-    "text_rake_keywords",
-    "text_textrank_keywords",
-    "text_ngram_novelty",
-    "profile_cramers_v",
-    "profile_autocorrelation",
-    "profile_topk_heavy_change",
+    # ---- r11 first-time seats, continued ----
+    # (the 17 rows seated round 10 — timeseries_cusum/holt, the three
+    # events_* rows, scale_hilbert/compaction, the three eval_*
+    # calibration rows, sample_kcenter_coreset, the three text keyword/
+    # novelty rows, the three profile_* rows — ALL went driver-green in
+    # CORRECTNESS_r10 and rotate OUT; their families remain covered by
+    # the pytest oracle sweep and by the in-window family siblings)
+    #
+    # the ENTIRE sketch family takes its first driver seats (never
+    # gated; judge-named): KMV set estimates, heavy hitters, Bloom
+    # membership, deterministic HLL, Count-Min, histogram quantiles
+    "sketch_kmv_set_estimates",
+    "sketch_heavy_hitters",
+    "sketch_bloom_membership",
+    "sketch_hll_deterministic",
+    "sketch_countmin_freq",
+    "sketch_histogram_quantiles",
+    # embeddings: the ABTT top-component-removal + renorm heavy row
+    "embedding_abtt_renorm",
+    # merge family: SCD2 history reconstruction
+    "merge_scd2_history",
+    # privacy family returns with its never-gated k-anonymity row
+    "privacy_k_anonymity",
 )
 
 

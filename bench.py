@@ -387,6 +387,9 @@ def main() -> None:
         "text_span_corruption",
         # round-10 families (informational, non-pinned)
         "window_groups_exclude_stddev",
+        # round-11 families (informational, non-pinned)
+        "prune_c4_rules",
+        "window_groups_offset_multi_star",
     ]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

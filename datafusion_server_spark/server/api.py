@@ -176,7 +176,11 @@ class Engine:
 
         self.spark = spark or get_spark()
         self.settings: Settings = settings or Settings()
-        self.sessions = SessionManager(self.spark, start_reaper=start_reaper)
+        self.sessions = SessionManager(
+            self.spark,
+            start_reaper=start_reaper,
+            session_conf=self.settings.session.spark_conf,
+        )
         self.metrics = Metrics()
         self.sessions.on_close = lambda sess: self.metrics.track_session_duration(
             time.time() - sess.created_at

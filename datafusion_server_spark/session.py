@@ -162,12 +162,24 @@ class SessionManager:
     detail/delete + expiry) on top of ``SparkSession.newSession()``.
     """
 
-    def __init__(self, root: SparkSession | None = None, *, start_reaper: bool = False):
+    def __init__(
+        self,
+        root: SparkSession | None = None,
+        *,
+        start_reaper: bool = False,
+        session_conf: dict | None = None,
+    ):
         self._root = root or get_spark()
         self._sessions: dict[str, ServerSession] = {}
         self._lock = threading.Lock()
         self._reaper: threading.Thread | None = None
         self._stop = threading.Event()
+        # r11 (serving-floor A/B): per-session SQLConf overrides —
+        # newSession() initializes its SQLConf from the STATIC SparkConf,
+        # so serving-tier knobs (AQE on + partition coalescing, measured
+        # better at every shuffle setting under concurrent load) must be
+        # re-applied on every create.
+        self.session_conf: dict = dict(session_conf or {})
         # lifecycle hook invoked (outside the lock) with each closed
         # session — the Engine wires telemetry here (reference
         # track_session_context_duration, metrics.rs:139-147)
@@ -189,6 +201,8 @@ class SessionManager:
             if sid in self._sessions:
                 raise ValueError(f"session already exists: {sid}")
             spark = self._root.newSession()
+            for k, v in self.session_conf.items():
+                spark.conf.set(k, str(v))
             # dialect-shim SQL functions (regexp_match first-match
             # semantics etc.) live per temp-function catalog, i.e. per
             # session — install on every create.

@@ -48,6 +48,21 @@ class ServerSettings:
 class SessionSettings:
     default_keep_alive: int = 3600  # seconds (settings.rs:211)
     upload_limit_size: int = 20  # MB (settings.rs:213)
+    # beyond-reference (r11, serving-floor A/B): SQLConf overrides
+    # applied to EVERY server session at create. newSession() takes its
+    # SQLConf from the static SparkConf, so a serving tier that wants
+    # different knobs than the batch root session (measured: AQE ON
+    # wins the concurrent tier at every shuffle setting — coalesced
+    # tiny shuffles mean fewer tasks and less scheduler contention —
+    # while single-stream batch favors AQE off) sets them here. The
+    # default turns AQE on for server sessions; set to {} to inherit
+    # the root verbatim.
+    spark_conf: dict = field(
+        default_factory=lambda: {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        }
+    )
 
 
 @dataclass

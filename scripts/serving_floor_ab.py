@@ -105,27 +105,30 @@ def aqe_probe() -> None:
     names = ["q3_shipping_priority", "q5_local_supplier_volume",
              "agg_cube", "window_running_sum", "events_sessionize",
              "dedup_lsh_pairs"]
-    print("query, aqe, median_s (3 runs), jobs_per_run")
+    print("query, aqe, min_s/median_s (4 interleaved runs), jobs_per_run")
     rows = []
     for name in names:
-        for aqe in ("false", "true"):
+        acc = {"false": ([], []), "true": ([], [])}  # times, jobs
+        for i in range(8):  # interleaved off/on, exactly like bench.py
+            aqe = "false" if i % 2 == 0 else "true"
             spark.conf.set("spark.sql.adaptive.enabled", aqe)
-            times, jobs = [], []
-            for i in range(3):
-                group = f"{name}-{aqe}-{i}"
-                sc.setJobGroup(group, group)
-                t0 = time.time()
-                df = reg[name].build(spark, SF_DIR)
-                df.toArrow()
-                times.append(time.time() - t0)
-                tracker = sc._jsc.sc().statusTracker()
-                jobs.append(len(tracker.getJobIdsForGroup(group)))
-                sc.setJobGroup("", "")
-            med = round(statistics.median(times), 3)
-            rows.append((name, aqe, med, jobs))
-            print(f"{name}, aqe={aqe}, {med}s, jobs={jobs}", flush=True)
-    print(json.dumps([{"query": n, "aqe": a, "median_s": m, "jobs": j}
-                      for n, a, m, j in rows]))
+            group = f"{name}-{aqe}-{i}"
+            sc.setJobGroup(group, group)
+            t0 = time.time()
+            df = reg[name].build(spark, SF_DIR)
+            df.toArrow()
+            acc[aqe][0].append(time.time() - t0)
+            tracker = sc._jsc.sc().statusTracker()
+            acc[aqe][1].append(len(tracker.getJobIdsForGroup(group)))
+            sc.setJobGroup("", "")
+        for aqe in ("false", "true"):
+            times, jobs = acc[aqe]
+            mn, med = round(min(times), 3), round(statistics.median(times), 3)
+            rows.append((name, aqe, mn, med, jobs))
+            print(f"{name}, aqe={aqe}, min={mn}s med={med}s, jobs={jobs}",
+                  flush=True)
+    print(json.dumps([{"query": n, "aqe": a, "min_s": mn, "median_s": m,
+                       "jobs": j} for n, a, mn, m, j in rows]))
     spark.stop()
 
 

@@ -438,3 +438,32 @@ def test_xlsx_duplicate_headers_disambiguated(spark, tmp_path):
         assert batch.column("value_2").to_pylist() == ["b"]
     finally:
         sys.path.remove(str(plugin_dir))
+
+
+def test_session_spark_conf_applied_per_session(spark):
+    """r11 (serving-floor A/B): [session] spark_conf overrides must
+    land on EVERY server session at create — newSession() takes its
+    SQLConf from the static SparkConf, so the root's runtime conf does
+    not propagate on its own."""
+    from datafusion_server_spark.server.api import Engine
+    from datafusion_server_spark.settings import Settings
+
+    # default settings: server sessions get AQE on even when the root
+    # session runs with it off (the batch-bench configuration)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        eng = Engine(spark, start_reaper=False)
+        sess = eng.sessions.create()
+        assert sess.spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        eng.sessions.delete(sess.session_id)
+        # explicit override through the settings dict path
+        st = Settings.from_dict(
+            {"session": {"spark_conf": {"spark.sql.shuffle.partitions": "7"}}}
+        )
+        eng2 = Engine(spark, start_reaper=False, settings=st)
+        sess2 = eng2.sessions.create()
+        assert sess2.spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        eng2.sessions.delete(sess2.session_id)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -88,7 +88,34 @@ def _agg_cube(div: str) -> str:
     """
 
 
-sql_query("agg_cube", _agg_cube("DIV"), oracle=_agg_cube("//"))
+# Spark side: TWO-PHASE cube (r11 sf1 diagnosis). Spark's CUBE plans an
+# Expand that multiplies the INPUT 4x before the partial aggregate —
+# measured 0.674 s vs 0.246 s for the plain (a,b) group-by at sf1. SUM/
+# COUNT are algebraic, so CUBE over the pre-aggregated (a,b) table is
+# value-identical (BIGINT partial sums are associative; the final
+# hi*1e6+lo recombination sees the same exact integers) while the Expand
+# touches ~25 rows instead of 1.5M. At 100 TB this is the only sane cube
+# plan; DuckDB reaches the same effect internally via hierarchical
+# grouping-set computation. The oracle keeps the direct single-phase
+# CUBE — agreement proves the decomposition.
+_AGG_CUBE_SPARK = """
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND((CAST(SUM(s_hi) AS DOUBLE) * 1000000 +
+                  CAST(SUM(s_lo) AS DOUBLE)) / 1000000, 6) AS total,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority,
+             SUM(CAST(ROUND((o_totalprice) * 1000000) AS BIGINT) DIV 1000000)
+               AS s_hi,
+             SUM(CAST(ROUND((o_totalprice) * 1000000) AS BIGINT) % 1000000)
+               AS s_lo,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) base
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+sql_query("agg_cube", _AGG_CUBE_SPARK, oracle=_agg_cube("//"))
 
 
 def _agg_rollup(div: str) -> str:
@@ -645,11 +672,20 @@ sql_query(
     """,
 )
 
+# Spark side: VARIANT JSONPath extraction (Spark 4's binary-JSON path).
+# r11 sf1 A/Bs: a cold-ish pass showed 0.442 vs GET_JSON_OBJECT's 0.682
+# at 1M rows, but the properly interleaved warmed A/B is much closer
+# (0.384 vs 0.404 min-of-6) — the win is real but small on a
+# single-key payload; it grows with repeated extraction from the same
+# payload (parse once vs re-parse per path). Value-parity verified
+# row-for-row; TRY_PARSE_JSON nulls malformed payloads exactly like
+# GET_JSON_OBJECT, and a missing key is NULL on both paths.
 sql_query(
     "json_extraction",
     """
     SELECT event_id,
-           CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k_value
+           CAST(VARIANT_GET(TRY_PARSE_JSON(props), '$.k', 'bigint')
+                AS BIGINT) AS k_value
     FROM events
     """,
     oracle="""

@@ -25,20 +25,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    import bench
     from bench import HEADLINE
     from datafusion_server_spark.queries import registry
-    from datafusion_server_spark.session import build_spark
     from tests.harness import duck_connection
 
-    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", str(cpus)))
-    spark = build_spark(
-        app_name="sf-paired", master=f"local[{cpus}]",
-        shuffle_partitions=shuffle,
-        extra_conf={"spark.sql.adaptive.enabled":
-                    os.environ.get("SPARK_GRAFT_BENCH_AQE", "off")
-                    in ("on", "true", "1")and "true" or "false"},
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    # the bench session + the bench LAYOUT (untimed ingest): re-laid
+    # multi-split parquet + bucketed orders/lineitem/events — without
+    # it the scaled fixture's single ~125 MB file is 1-4 row groups,
+    # capping the scan at 4 tasks and measuring file layout, not plans.
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+    spark, sf_dir, cpus, warehouse = bench.build_bench_session()
+    bench.prepare(spark, sf_dir, warehouse, cpus)
     reg = registry()
     con = duck_connection(sf_dir)
 

@@ -389,6 +389,7 @@ def main() -> None:
         "window_groups_exclude_stddev",
         # round-11 families (informational, non-pinned)
         "prune_c4_rules",
+        "prune_repetition_rules",
         "window_groups_offset_multi_star",
     ]
     secondary: dict[str, float] = {}

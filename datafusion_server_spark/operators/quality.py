@@ -277,3 +277,57 @@ def c4_prune_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
         F.expr(f"{cleaned} AS cleaned_text"),
     )
+
+
+def repetition_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style line-repetition pruning signals (Rae et al. 2021,
+    §A1.3 repetition filters; the same family FineWeb applies) over
+    newline-structured text.
+
+    Signals — duplicates counted as instances BEYOND the first
+    occurrence of an identical line:
+    - ``dup_line_frac``: duplicate line instances / total lines
+      (Gopher drops > 0.30)
+    - ``dup_line_char_frac``: characters inside duplicate line
+      instances / total line characters (Gopher drops > 0.20)
+    - ``top_line_frac``: occurrences of the most frequent line / total
+      lines (the boilerplate-header signal)
+
+    Output: (id, n_lines, n_dup_lines, dup_line_frac,
+    dup_line_char_frac, top_line_frac, keep). One narrow codegen
+    projection — no shuffle, no UDF. ``top_line_frac`` is an in-row
+    O(L²) distinct×filter scan, bounded because lines-per-document is
+    a small constant (pages, not corpora — L ≤ tens); the char
+    fractions are O(L) via join-length differences."""
+    from datafusion_server_spark.operators.scale import quote_ident
+
+    t = quote_ident(text_col)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"SPLIT({t}, '\\n') AS __lines"),
+        F.expr(f"ARRAY_DISTINCT(SPLIT({t}, '\\n')) AS __dlines"),
+    )
+    n = "CAST(SIZE(__lines) AS BIGINT)"
+    nd = "CAST(SIZE(__dlines) AS BIGINT)"
+    chars = "CAST(LENGTH(ARRAY_JOIN(__lines, '')) AS BIGINT)"
+    dchars = "CAST(LENGTH(ARRAY_JOIN(__dlines, '')) AS BIGINT)"
+    dup_frac = f"(CAST({n} - {nd} AS DOUBLE) / {n})"
+    dup_char_frac = (
+        f"(CASE WHEN {chars} = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE CAST({chars} - {dchars} AS DOUBLE) / {chars} END)"
+    )
+    top_frac = (
+        "(CAST(ARRAY_MAX(TRANSFORM(__dlines, d -> "
+        f"SIZE(FILTER(__lines, x -> x = d)))) AS DOUBLE) / {n})"
+    )
+    return staged.select(
+        "id",
+        F.expr(f"{n} AS n_lines"),
+        F.expr(f"CAST({n} - {nd} AS BIGINT) AS n_dup_lines"),
+        F.expr(f"ROUND({dup_frac}, 6) AS dup_line_frac"),
+        F.expr(f"ROUND({dup_char_frac}, 6) AS dup_line_char_frac"),
+        F.expr(f"ROUND({top_frac}, 6) AS top_line_frac"),
+        F.expr(
+            f"({dup_frac} <= 0.30 AND {dup_char_frac} <= 0.20) AS keep"
+        ),
+    )

@@ -196,7 +196,11 @@ PRIORITY: tuple[str, ...] = (
     # the never-gated k-center coreset seat)
     "sample_dsir_topk",
     "sample_unimax_allocation",
-    "weak_label_vote",
+    # (weak_label_vote rotated OUT round 11 — driver-green r10; the
+    # labeling family stays oracle-verified in pytest. Its seat goes to
+    # the brand-new Gopher line-repetition pruning row, seated the
+    # round it lands per the r8 bar)
+    "prune_repetition_rules",
     # streaming (beyond-reference)
     # (streaming_stream_stream_join rotated OUT round 10 — driver-green
     # r9, the stream-stream join stays oracle-verified in pytest with

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from datafusion_server_spark import tables
 from datafusion_server_spark.operators import embeddings, quality
-from datafusion_server_spark.queries import df_query
+from datafusion_server_spark.queries import df_query, rrepr
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in quality.STOPWORD_PROBE)
 
@@ -1527,3 +1527,69 @@ def prune_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     pages = docs.select("doc_id", _c4_page_spark().alias("page"))
     return quality.c4_prune_rules(pages, "page", "doc_id")
+
+
+# ----------------------------------------------------------- repetition
+# r11 continuation: Gopher line-repetition pruning signals over
+# deterministically synthesized pages (same precedent as the C4 row).
+# Residue classes: d%4 controls boilerplate ("Subscribe...") copy count
+# (0-3 -> 0-2 duplicate instances), d%6==0 additionally repeats the
+# whole document text (large CHARACTER duplication with few duplicate
+# LINES — separates the two fractions).
+_REP_LINE = "Subscribe to our newsletter today."
+
+_REP_PAGE_SPARK = (
+    "CONCAT(text,"
+    " '\\nTop story ', CAST(doc_id % 5 AS STRING), ' of the week.',"
+    f" REPEAT('\\n{_REP_LINE}', CAST(doc_id % 4 AS INT)),"
+    " CASE WHEN doc_id % 6 = 0 THEN CONCAT('\\n', text) ELSE '' END,"
+    " '\\nClosing note for document ', CAST(doc_id AS STRING), '.')"
+)
+
+_REP_PAGE_SQL = (
+    "text || CHR(10) || 'Top story ' || CAST(doc_id % 5 AS VARCHAR)"
+    " || ' of the week.'"
+    f" || REPEAT(CHR(10) || '{_REP_LINE}', CAST(doc_id % 4 AS INT))"
+    " || (CASE WHEN doc_id % 6 = 0 THEN CHR(10) || text ELSE '' END)"
+    " || CHR(10) || 'Closing note for document '"
+    " || CAST(doc_id AS VARCHAR) || '.'"
+)
+
+_REP_ORACLE = f"""
+WITH p AS (SELECT doc_id, {_REP_PAGE_SQL} AS page FROM documents),
+l AS (SELECT doc_id,
+             STRING_SPLIT(page, CHR(10)) AS lines,
+             LIST_DISTINCT(STRING_SPLIT(page, CHR(10))) AS dl
+      FROM p),
+m AS (SELECT doc_id,
+             CAST(LEN(lines) AS BIGINT) AS n,
+             CAST(LEN(dl) AS BIGINT) AS nd,
+             CAST(LENGTH(ARRAY_TO_STRING(lines, '')) AS BIGINT) AS chars,
+             CAST(LENGTH(ARRAY_TO_STRING(dl, '')) AS BIGINT) AS dchars,
+             CAST(LIST_MAX(LIST_TRANSFORM(dl, d ->
+                 LEN(LIST_FILTER(lines, x -> x = d)))) AS BIGINT) AS topn
+      FROM l)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       n AS n_lines,
+       CAST(n - nd AS BIGINT) AS n_dup_lines,
+       {rrepr("CAST(n - nd AS DOUBLE) / n", 6)} AS dup_line_frac,
+       {rrepr("CASE WHEN chars = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(chars - dchars AS DOUBLE) / chars END", 6)} AS dup_line_char_frac,
+       {rrepr("CAST(topn AS DOUBLE) / n", 6)} AS top_line_frac,
+       (CAST(n - nd AS DOUBLE) / n <= 0.30
+        AND (CASE WHEN chars = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(chars - dchars AS DOUBLE) / chars END) <= 0.20)
+         AS keep
+FROM m
+"""
+
+
+@df_query("prune_repetition_rules", _REP_ORACLE)
+def prune_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line-repetition signals (operators/quality.py
+    repetition_rules) over synthesized pages with controlled
+    boilerplate duplication — duplicate-line fraction, duplicate-line
+    CHARACTER fraction (the two Gopher thresholds), and the
+    top-line-share boilerplate signal."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(f"{_REP_PAGE_SPARK} AS page"))
+    return quality.repetition_rules(pages, "page", "doc_id")

@@ -30,6 +30,14 @@ def main() -> None:
     from datafusion_server_spark.queries import registry
     from tests.harness import duck_connection
 
+    # optional row subset (comma list) — the sf10 probe skips the
+    # dedup rows whose fixture construction (every doc has ~copies-1
+    # near-duplicates) makes the candidate-pair count scale with
+    # copies², dominating the probe on both engines
+    rows_env = os.environ.get("SF_PAIRED_ROWS")
+    if rows_env:
+        HEADLINE = [n for n in HEADLINE if n in set(rows_env.split(","))]
+
     # the bench session + the bench LAYOUT (untimed ingest): re-laid
     # multi-split parquet + bucketed orders/lineitem/events — without
     # it the scaled fixture's single ~125 MB file is 1-4 row groups,

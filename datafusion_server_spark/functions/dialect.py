@@ -969,7 +969,8 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
             ]
             expanded = (
                 masked[: sel + 6]
-                + (distinct_prefix or " ")
+                + distinct_prefix
+                + " "
                 + ", ".join(i.strip() for i in new_items)
                 + " "
                 + masked[frm:]

@@ -432,3 +432,32 @@ def test_groups_multistar_guards(spark):
     ]:
         with pytest.raises(UnsupportedDialectFeature):
             transpile(sql, resolver)
+
+
+def test_groups_multistar_wrapped_and_distinct(spark):
+    """The multi-relation expansion composes with the derived-table
+    recursion and DISTINCT bodies (deterministic spot cases extending
+    the random grid)."""
+    from datafusion_server_spark.functions.dialect import _GROUPS_FRAME
+
+    spark.createDataFrame(
+        [(r["g"], r["v"], r["x"]) for r in ROWS], "g bigint, v bigint, x bigint"
+    ).createOrReplaceTempView("t")
+    spark.createDataFrame(
+        [(r["k"], r["y"]) for r in S_ROWS], "k bigint, y bigint"
+    ).createOrReplaceTempView("s")
+    inner = (
+        "SELECT t.*, s.y, SUM(t.v) OVER (ORDER BY t.x, t.v "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w "
+        "FROM t JOIN s ON s.k = t.g"
+    )
+    for sql in (
+        f"SELECT * FROM ({inner}) sub WHERE w >= 0",  # derived-table wrap
+        "SELECT DISTINCT t.*, s.y, COUNT(*) OVER (ORDER BY t.x, t.v "
+        "GROUPS 1 PRECEDING) AS w FROM t JOIN s ON s.k = t.g",
+    ):
+        out = transpile(sql, _mr_resolver)
+        assert not _GROUPS_FRAME.search(out), sql
+        rows = spark.sql(out).collect()
+        assert len(rows) == 36  # (x, v) is a total order; DISTINCT keeps all
+        assert all(r["w"] is not None for r in rows)

@@ -238,3 +238,41 @@ def test_full_registry_no_unbounded_global_windows(spark, sf_dir):
         if hits:
             bad[name] = hits[:1]
     assert not bad, f"unbounded global windows outside allowlist: {bad}"
+
+
+def test_c4_and_repetition_rows_are_shuffle_free(spark, sf_dir):
+    """r11: the page-pruning rows must stay single-pass narrow
+    projections — no Exchange at all (they scale with the scan)."""
+    from datafusion_server_spark.queries import registry
+
+    reg = registry()
+    for name in ("prune_c4_rules", "prune_repetition_rules"):
+        df = reg[name].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan[:800]}"
+
+
+def test_c4_kept_filter_not_reinlined(spark, sf_dir):
+    """The kept-lines FILTER must survive CollapseProject as a single
+    evaluation (the lambda-invariant discipline): exactly one
+    lambdafunction FILTER in the optimized plan."""
+    from datafusion_server_spark.queries import registry
+
+    df = registry()["prune_c4_rules"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert plan.count("filter(split") == 1, plan[:800]
+
+
+def test_two_phase_cube_expands_preaggregate(spark, sf_dir):
+    """r11: agg_cube's Expand must sit ABOVE a hash aggregate (the
+    two-phase form — Expand multiplies the ~25-row pre-aggregate, not
+    the fact table)."""
+    from datafusion_server_spark.queries import registry
+
+    df = registry()["agg_cube"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i_exp = plan.find("Expand")
+    assert i_exp != -1
+    # an aggregate must appear BELOW the Expand (later in the printed
+    # tree = deeper), proving the pre-aggregation feeds it
+    assert "HashAggregate" in plan[i_exp:], plan[:1200]

@@ -386,22 +386,39 @@ def _from_base_relations(
     return rels or None
 
 
+def _quote_col(name: str) -> str:
+    """Backtick-quote a resolver-returned column name before splicing it
+    into generated SQL (r12 ADVICE: server sessions resolve columns_of
+    over user-registered views, so a name needing quoting — space,
+    reserved word, embedded backtick — must round-trip instead of
+    producing unparseable SQL). Same escaping as operators.scale
+    ``quote_ident`` (kept local: functions/ has no package deps)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _join_colmap(
     masked: str, frm: int, columns_of
-) -> dict[str, list[str]] | None:
-    """qualifier -> column list for a base-relation join FROM clause,
-    but ONLY when every relation's schema resolves AND every column
-    name is globally unique across relations (case-insensitive — then
-    the derived-table wrap's ``SELECT *`` exposes each column
-    unqualified and unambiguously, so outer ``q.col`` == ``col`` and
-    ``q.*`` expands to q's explicit column list). None otherwise."""
+) -> tuple[dict[str, list[str]], set[str]] | None:
+    """(qualifier-lowercase -> column list, colliding-lowercase-names)
+    for a base-relation join FROM clause whose every relation schema
+    resolves through ``columns_of``. Qualifiers compare and key
+    case-insensitively (r12 ADVICE — Spark resolves aliases
+    case-insensitively, so ``FROM t a JOIN s A`` IS a duplicate).
+    ``colliding`` holds column names appearing in more than one
+    relation: those stay unambiguous only behind an explicit qualifier,
+    and the caller maps them to wrap-level aliases (r12 verdict task 5)
+    instead of rejecting the statement. None when a relation fails to
+    resolve, a qualifier duplicates, or a single relation carries an
+    internally duplicated column name (ambiguous even when qualified)."""
     rels = _from_base_relations(masked, frm)
     if not rels or columns_of is None:
         return None
     colmap: dict[str, list[str]] = {}
     seen: set[str] = set()
+    colliding: set[str] = set()
     for table, qual in rels:
-        if qual in colmap:
+        q = qual.lower()
+        if q in colmap:
             return None  # duplicate qualifier: ambiguous
         try:
             cols = columns_of(table)
@@ -410,11 +427,12 @@ def _join_colmap(
         if not cols:
             return None
         lowered = [c.lower() for c in cols]
-        if len(set(lowered)) != len(lowered) or seen & set(lowered):
-            return None
+        if len(set(lowered)) != len(lowered):
+            return None  # intra-relation duplicate: ambiguous even qualified
+        colliding |= seen & set(lowered)
         seen.update(lowered)
-        colmap[qual] = list(cols)
-    return colmap
+        colmap[q] = list(cols)
+    return colmap, colliding
 
 
 def _frame_contains_current(frame_norm: str) -> bool:
@@ -936,32 +954,50 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
         it.strip()[:-2] for it in items if it.strip().endswith(".*")
     }
     # sole-relation names, captured pre-splice: used to validate t.*
-    # AND (r8, ADVICE) to strip outer-query qualifiers after the wrap
+    # AND (r8, ADVICE) to strip outer-query qualifiers after the wrap.
+    # All qualifier comparison and stripping is case-insensitive (r12
+    # ADVICE — Spark resolves aliases case-insensitively).
     rel, rel_alias = _sole_from_relation(masked, frm)
-    sole_names = {n for n in (rel, rel_alias) if n}
+    sole_names = {n.lower() for n in (rel, rel_alias) if n}
     if rel and "." in rel:
-        sole_names.add(rel.rsplit(".", 1)[-1])
+        sole_names.add(rel.rsplit(".", 1)[-1].lower())
     # r11 (verdict task 4): multi-relation strip set — when the FROM
     # clause is a base-relation join whose schemas resolve through
-    # ``columns_of`` with globally-unique column names, EVERY alias
-    # qualifier is strippable in the outer regions (q.col == col in
-    # the wrap's SELECT *) and q.* expands to q's explicit columns.
+    # ``columns_of``, every alias qualifier of a GLOBALLY-UNIQUE column
+    # is strippable in the outer regions (q.col == col in the wrap's
+    # SELECT *) and q.* expands to q's explicit columns. r12 (verdict
+    # task 5): a column name COLLIDING across relations no longer
+    # rejects — the wrap projects it under an explicit per-relation
+    # alias and outer ``q.col`` references rewrite to that alias.
     join_cols: dict[str, list[str]] | None = None
+    colliding: set[str] = set()
     if not sole_names and columns_of is not None:
-        join_cols = _join_colmap(masked, frm, columns_of)
+        jc = _join_colmap(masked, frm, columns_of)
+        if jc is not None:
+            join_cols, colliding = jc
     strip_names = sole_names if sole_names else set(join_cols or ())
     if qualified_stars:
-        if sole_names and all(q in sole_names for q in qualified_stars):
+        quals_l = {q.lower() for q in qualified_stars}
+        if sole_names and quals_l <= sole_names:
             has_bare_star = True  # each t.* expands exactly like *
-        elif join_cols and all(q in join_cols for q in qualified_stars):
-            # expand each q.* to q's explicit (unqualified) column
-            # list pre-rewrite, then re-run: the recursion sees a
-            # star-free select list with strippable qualifiers
+        elif join_cols and quals_l <= set(join_cols):
+            # expand each q.* to q's explicit column list pre-rewrite,
+            # then re-run: the recursion sees a star-free select list.
+            # Unique columns expand unqualified (strippable); colliding
+            # columns keep the qualifier plus an AS back to their own
+            # name (the alias-map pass below rebinds them to the wrap's
+            # per-relation aliases). Names are backtick-quoted (r12
+            # ADVICE: resolver-returned names may need quoting).
             new_items = []
             for it in items:
                 s = it.strip()
-                if s.endswith(".*") and s[:-2] in join_cols:
-                    new_items.append(", ".join(join_cols[s[:-2]]))
+                if s.endswith(".*") and s[:-2].lower() in join_cols:
+                    q = s[:-2]
+                    new_items.append(", ".join(
+                        f"{q}.{_quote_col(c)} AS {_quote_col(c)}"
+                        if c.lower() in colliding else _quote_col(c)
+                        for c in join_cols[q.lower()]
+                    ))
                 else:
                     new_items.append(it)
             distinct_prefix = select_list[
@@ -1160,6 +1196,15 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
                 # distributed engine uses for partial aggregation).
                 # NULL for n=0 (and n=1 for the _SAMP family), matching
                 # Spark and DuckDB.
+                # Exactness envelope (r12, ADVICE): the shifted moments
+                # accumulate as DOUBLE window sums, so for integer args
+                # they stay exact (and tie-order-independent) only while
+                # n·range² < 2^53 per frame, range = max-min within the
+                # partition. Beyond that, Σd² carries float rounding
+                # that can vary with accumulation order — still far
+                # better conditioned than the unshifted Σx² (which
+                # risked BIGINT overflow / catastrophic cancellation at
+                # mean² ≫ var), but not bit-exact.
                 anchor = anchors.setdefault(
                     (key[0], arg), f"__grp_anchor_{len(anchors) + 1}"
                 )
@@ -1211,17 +1256,85 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
     # is rejected back to the caller's clear UnsupportedDialectFeature
     # instead of emitting SQL that cannot resolve.
     outer_head, outer_tail = masked[:frm], tail
+    # r12 (verdict task 5): colliding column names across base relations.
+    # Each colliding (qualifier, column) gets a wrap-level alias column
+    # `q`.`col` AS __qc_q_i (i = ordinal in q's schema — always a valid
+    # identifier regardless of the column's spelling); outer qualified
+    # references rewrite to that alias BEFORE the qualifier strip, which
+    # would otherwise turn them into ambiguous bare names. A bare * (or
+    # DISTINCT-ed *) stays rejected under collisions: it would propagate
+    # the duplicate names into the outer projection.
+    qc_aliases: dict[tuple[str, str], str] = {}
+    if join_cols and colliding:
+        if has_bare_star:
+            return sql
+        for q, cols in join_cols.items():
+            for i, c in enumerate(cols):
+                if c.lower() in colliding:
+                    qc_aliases[(q, c)] = f"__qc_{q}_{i}"
+        # a select item that is EXACTLY `q.col` outputs a column named
+        # col — rebinding it to the wrap alias must keep that name, so
+        # alias-back bare colliding items before the generic rebind
+        # (items already carrying AS, and refs inside expressions /
+        # window specs / the ORDER BY tail, keep the plain rebind)
+        head_sel = _depth0_find(outer_head, r"SELECT\b")
+        lead = outer_head[: head_sel + 6]
+        sel_list2 = outer_head[head_sel + 6 :]
+        body2 = re.sub(r"^\s*DISTINCT\b", "", sel_list2, flags=re.IGNORECASE)
+        lead += sel_list2[: len(sel_list2) - len(body2)]
+        fixed_items = []
+        for it in _split_depth0_commas(body2):
+            m_bare = re.fullmatch(
+                r"\s*([A-Za-z_]\w*)\s*\.\s*(`(?:[^`]|``)+`|[A-Za-z_]\w*)\s*",
+                it,
+            )
+            if m_bare:
+                q_l = m_bare.group(1).lower()
+                c_txt = m_bare.group(2)
+                c_name = (
+                    c_txt[1:-1].replace("``", "`")
+                    if c_txt.startswith("`") else c_txt
+                )
+                hit = next(
+                    (al for (q, c), al in qc_aliases.items()
+                     if q == q_l and c.lower() == c_name.lower()),
+                    None,
+                )
+                if hit:
+                    fixed_items.append(f" {hit} AS {_quote_col(c_name)}")
+                    continue
+            fixed_items.append(it)
+        outer_head = lead + ",".join(fixed_items)
+        for (q, c), qc_alias in qc_aliases.items():
+            cpat = re.compile(
+                # (?<!\.) — never rebind the `.a.col` tail of a struct
+                # field path `s.a.col`; that shape falls through to the
+                # residual-dot reject instead of a silent mis-bind
+                rf"(?<!\.)\b{re.escape(q)}\s*\.\s*"
+                rf"(?:`{re.escape(c)}`|{re.escape(c)}\b)",
+                re.IGNORECASE,
+            )
+            outer_head = cpat.sub(qc_alias, outer_head)
+            outer_tail = cpat.sub(qc_alias, outer_tail)
     for q in sorted(strip_names):
-        qpat = re.compile(rf"\b{re.escape(q)}\s*\.\s*(?=[A-Za-z_*\"`])")
+        qpat = re.compile(
+            rf"\b{re.escape(q)}\s*\.\s*(?=[A-Za-z_*\"`])", re.IGNORECASE
+        )
         outer_head = qpat.sub("", outer_head)
         outer_tail = qpat.sub("", outer_tail)
     if re.search(
         r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_*]", f"{outer_head} {outer_tail}"
     ):
         return sql
+    inner_cols = "*"
+    if qc_aliases:
+        inner_cols += ", " + ", ".join(
+            f"{q}.{_quote_col(c)} AS {qc_alias}"
+            for (q, c), qc_alias in qc_aliases.items()
+        )
     rewritten = (
-        f"{outer_head}FROM (SELECT *, {rank_cols} {body}) __groups_rewrite "
-        f"{outer_tail}"
+        f"{outer_head}FROM (SELECT {inner_cols}, {rank_cols} {body}) "
+        f"__groups_rewrite {outer_tail}"
     )
     if has_bare_star:
         # a bare * in the outer projection would also emit the injected
@@ -1264,10 +1377,11 @@ def check_unsupported(sql: str) -> None:
             "resolved to select-list expressions and EXCLUDE on MIN/MAX "
             "decomposed to LEAST/GREATEST over sub-frames — r9, and "
             "multi-relation qualified t.*/column refs over base-join "
-            "FROM clauses expanded from the registered-view schemas "
-            "when all column names are globally unique — r11, "
-            "schema-resolver sessions only), but ambiguous "
-            "multi-relation qualified refs (duplicate column names, "
+            "FROM clauses expanded from the registered-view schemas — "
+            "r11, incl. column names colliding across relations via "
+            "per-relation wrap aliases — r12, schema-resolver sessions "
+            "only), but ambiguous multi-relation qualified refs "
+            "(bare * over colliding schemas, intra-relation duplicates, "
             "derived tables, USING/NATURAL joins), parenthesized "
             "set-op branches, EXCLUDE on aggregates that are neither "
             "subtractable nor order-decomposable (STDDEV/...), "

@@ -21,6 +21,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -272,8 +274,11 @@ def lsh_pairs_against_index(
 
 
 # monotone counter for default observe-metric names: two capped LSH
-# pipelines composed in ONE query (e.g. a UNION) must not collide
-_BUCKET_CAP_SEQ = 0
+# pipelines composed in ONE query (e.g. a UNION) must not collide.
+# itertools.count (r12, ADVICE): next() is atomic under the GIL, so
+# concurrent server threads building capped pipelines cannot race a
+# read-modify-write into duplicate names.
+_BUCKET_CAP_SEQ = itertools.count(1)
 
 
 def cap_bucket_members(
@@ -313,9 +318,7 @@ def cap_bucket_members(
         .alias("kept"),
     ]
     if observation is None:
-        global _BUCKET_CAP_SEQ
-        _BUCKET_CAP_SEQ += 1
-        observation = f"lsh_bucket_cap_{_BUCKET_CAP_SEQ}"
+        observation = f"lsh_bucket_cap_{next(_BUCKET_CAP_SEQ)}"
     guarded = guarded.observe(observation, *metrics)
     return guarded.filter(F.col("__bm") <= max_bucket_members).drop("__bm")
 

@@ -76,9 +76,6 @@ def _agg_grouping_sets(div: str) -> str:
     """
 
 
-sql_query("agg_grouping_sets", _agg_grouping_sets("DIV"), oracle=_agg_grouping_sets("//"))
-
-
 def _agg_cube(div: str) -> str:
     return f"""
     SELECT o_orderstatus, o_orderpriority,
@@ -88,18 +85,24 @@ def _agg_cube(div: str) -> str:
     """
 
 
-# Spark side: TWO-PHASE cube (r11 sf1 diagnosis). Spark's CUBE plans an
-# Expand that multiplies the INPUT 4x before the partial aggregate —
-# measured 0.674 s vs 0.246 s for the plain (a,b) group-by at sf1. SUM/
-# COUNT are algebraic, so CUBE over the pre-aggregated (a,b) table is
-# value-identical (BIGINT partial sums are associative; the final
-# hi*1e6+lo recombination sees the same exact integers) while the Expand
-# touches ~25 rows instead of 1.5M. At 100 TB this is the only sane cube
-# plan; DuckDB reaches the same effect internally via hierarchical
-# grouping-set computation. The oracle keeps the direct single-phase
-# CUBE — agreement proves the decomposition.
-_AGG_CUBE_SPARK = """
-    SELECT o_orderstatus, o_orderpriority,
+# Spark side: TWO-PHASE multi-grouping (r11 sf1 diagnosis, extended to
+# ROLLUP/GROUPING SETS in r12 per the verdict). Spark plans CUBE/ROLLUP/
+# GROUPING SETS as an Expand that multiplies the INPUT once per grouping
+# set BEFORE the partial aggregate — measured 0.674 s vs 0.246 s for the
+# plain (a,b) group-by at sf1 (cube; rollup/sets pay the same 3x). SUM/
+# COUNT are algebraic, so the multi-grouping over the pre-aggregated
+# (a,b) table is value-identical (BIGINT partial sums are associative;
+# the final hi*1e6+lo recombination sees the same exact integers) while
+# the Expand touches ~25 rows instead of 1.5M. GROUPING(col) also
+# survives the decomposition: the outer query's grouping sets are the
+# original ones, so its GROUPING flags are computed on the same sets.
+# At 100 TB this is the only sane plan shape; DuckDB reaches the same
+# effect internally via hierarchical grouping-set computation. The
+# oracles keep the direct single-phase form — agreement proves the
+# decomposition.
+def _two_phase_multi_group(group_clause: str, grouping_cols: str = "") -> str:
+    return f"""
+    SELECT o_orderstatus, o_orderpriority,{grouping_cols}
            ROUND((CAST(SUM(s_hi) AS DOUBLE) * 1000000 +
                   CAST(SUM(s_lo) AS DOUBLE)) / 1000000, 6) AS total,
            CAST(SUM(n) AS BIGINT) AS n
@@ -112,10 +115,26 @@ _AGG_CUBE_SPARK = """
              COUNT(*) AS n
       FROM orders GROUP BY o_orderstatus, o_orderpriority
     ) base
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    GROUP BY {group_clause}
     """
 
-sql_query("agg_cube", _AGG_CUBE_SPARK, oracle=_agg_cube("//"))
+
+sql_query(
+    "agg_grouping_sets",
+    _two_phase_multi_group(
+        "GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())",
+        """
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,""",
+    ),
+    oracle=_agg_grouping_sets("//"),
+)
+
+sql_query(
+    "agg_cube",
+    _two_phase_multi_group("CUBE (o_orderstatus, o_orderpriority)"),
+    oracle=_agg_cube("//"),
+)
 
 
 def _agg_rollup(div: str) -> str:
@@ -127,7 +146,11 @@ def _agg_rollup(div: str) -> str:
     """
 
 
-sql_query("agg_rollup", _agg_rollup("DIV"), oracle=_agg_rollup("//"))
+sql_query(
+    "agg_rollup",
+    _two_phase_multi_group("ROLLUP (o_orderstatus, o_orderpriority)"),
+    oracle=_agg_rollup("//"),
+)
 
 
 def _agg_filter_clause(div: str) -> str:
@@ -680,11 +703,15 @@ sql_query(
 # payload (parse once vs re-parse per path). Value-parity verified
 # row-for-row; TRY_PARSE_JSON nulls malformed payloads exactly like
 # GET_JSON_OBJECT, and a missing key is NULL on both paths.
+# TRY_VARIANT_GET (r12, ADVICE): the plain VARIANT_GET errors when the
+# extracted value exists but won't cast ('$.k' holding "abc"), whereas
+# the old CAST(GET_JSON_OBJECT(...) AS BIGINT) — and the DuckDB oracle —
+# null the row; TRY_ preserves null-on-malformed end to end.
 sql_query(
     "json_extraction",
     """
     SELECT event_id,
-           CAST(VARIANT_GET(TRY_PARSE_JSON(props), '$.k', 'bigint')
+           CAST(TRY_VARIANT_GET(TRY_PARSE_JSON(props), '$.k', 'bigint')
                 AS BIGINT) AS k_value
     FROM events
     """,

@@ -469,6 +469,66 @@ def window_groups_offset_multi_star(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# r12 (verdict task 5): qualified t.* over a base join whose column
+# names COLLIDE across relations (nation self-join: every column name
+# appears on both sides). The dialect now projects each colliding
+# (qualifier, column) under a per-relation wrap alias (__qc_q_i) and
+# rebinds outer qualified refs to it instead of rejecting; only bare *
+# over colliding schemas, intra-relation duplicates, derived tables and
+# USING/NATURAL keep the reject. Window: no partition, ORDER BY the
+# a-side nation key, so a peer group is one a-nation's 4 same-region
+# peers and the frame sums the current + previous nation's peer loads.
+# The oracle derives the frame sum independently per peer group (the
+# same derivation style as the other GROUPS rows — stronger than
+# restating GROUPS in DuckDB).
+_GROUPS_COLLIDE_SQL = """
+    SELECT a.*, b.n_name AS peer_name,
+           CAST(SUM(b.n_regionkey * b.n_nationkey) OVER (
+             ORDER BY a.n_nationkey
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_peer_load
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+"""
+
+_GROUPS_COLLIDE_ORACLE = """
+    WITH j AS (
+      SELECT a.n_nationkey AS a_key, a.n_name AS a_name,
+             a.n_regionkey AS a_region,
+             b.n_name AS peer_name,
+             b.n_regionkey * b.n_nationkey AS peer_load
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey
+       AND a.n_nationkey <> b.n_nationkey
+    ), g AS (
+      SELECT a_key, SUM(peer_load) AS grp_sum,
+             DENSE_RANK() OVER (ORDER BY a_key) AS rk
+      FROM j GROUP BY a_key
+    ), w AS (
+      SELECT x.a_key, SUM(y.grp_sum) AS frame_sum
+      FROM g x JOIN g y ON y.rk BETWEEN x.rk - 1 AND x.rk
+      GROUP BY x.a_key
+    )
+    SELECT j.a_key AS n_nationkey, j.a_name AS n_name,
+           j.a_region AS n_regionkey,
+           j.peer_name, CAST(w.frame_sum AS BIGINT) AS rolling_peer_load
+    FROM j JOIN w ON w.a_key = j.a_key
+"""
+
+
+@df_query("window_groups_multi_star_collide", _GROUPS_COLLIDE_ORACLE)
+def window_groups_multi_star_collide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colliding-schema multi-relation ``a.*`` under an offset-GROUPS
+    frame (r12 dialect extension — per-relation wrap aliases)."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        transpile(_GROUPS_COLLIDE_SQL, lambda t: spark.table(t).columns)
+    )
+
+
 _GROUPS_EXCLUDE_SQL = f"""
     SELECT o_orderkey,
            ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (

@@ -479,3 +479,91 @@ def test_exclude_stddev_large_magnitude_anchor_shift(spark):
         assert math.isclose(got[k], true_vp, rel_tol=1e-12), (
             k, got[k], true_vp
         )
+
+
+def test_offset_groups_colliding_multi_star_aliases(spark):
+    """r12 (verdict task 5): a base join whose column names collide
+    across relations no longer rejects — colliding (qualifier, column)
+    refs rebind to per-relation wrap aliases (__qc_q_i) and ``q.*``
+    expands with AS-backed names. Deterministic spot: nation self-join,
+    value-checked against an independently derived frame sum."""
+    from datafusion_server_spark.functions.dialect import transpile
+
+    spark.createDataFrame(
+        [(i, f"n{i}", i % 2) for i in range(6)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).createOrReplaceTempView("mini_nation")
+    sql = (
+        "SELECT a.*, b.n_name AS peer_name, "
+        "CAST(SUM(b.n_nationkey) OVER (ORDER BY a.n_nationkey "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s "
+        "FROM mini_nation a JOIN mini_nation b "
+        "ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey"
+    )
+    out = transpile(sql, lambda t: spark.table(t).columns)
+    assert "__qc_a_0" in out and "GROUPS" not in out
+    rows = spark.sql(out).collect()
+    # peers of key k: same parity, excluding self -> {k-4, k-2, k+2, k+4} & [0,6)
+    def peers(k):
+        return [j for j in range(6) if j % 2 == k % 2 and j != k]
+
+    keys = sorted({r["n_nationkey"] for r in rows})
+    for r in rows:
+        k = r["n_nationkey"]
+        prev = [x for x in keys if x < k][-1:]  # 1 PRECEDING peer group
+        expect = sum(peers(k)) + sum(sum(peers(p)) for p in prev)
+        assert r["s"] == expect, (k, r["s"], expect)
+        assert r["n_name"] == f"n{k}"  # a-side columns survived the rebind
+
+
+def test_offset_groups_colliding_bare_star_rejects():
+    """Bare * over colliding schemas would propagate duplicate output
+    names through the wrap — stays a clean reject (unchanged SQL)."""
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    cols = {"t": ["k", "v"], "s": ["k", "w"]}
+    sql = (
+        "SELECT *, SUM(t.v) OVER (ORDER BY t.k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r "
+        "FROM t JOIN s ON t.k = s.k"
+    )
+    assert rewrite_offset_groups(sql, lambda t: cols[t]) == sql
+
+
+def test_offset_groups_case_insensitive_qualifiers():
+    """r12 (ADVICE): Spark resolves aliases case-insensitively, so
+    ``FROM t a JOIN t A`` IS a duplicate qualifier (reject), and an
+    outer ref whose case differs from its alias still strips/rebinds."""
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    cols = {"t": ["k", "v"], "s": ["k2", "w"]}
+    dup = (
+        "SELECT a.v, SUM(A.v) OVER (ORDER BY a.k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r "
+        "FROM t a JOIN t A ON a.k = A.k"
+    )
+    assert rewrite_offset_groups(dup, lambda t: cols[t]) == dup
+    # case-differing outer qualifier over unique-name join: strips fine
+    ok = (
+        "SELECT T.v, SUM(S.w) OVER (ORDER BY t.k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r "
+        "FROM t JOIN s ON t.k = s.k2"
+    )
+    out = rewrite_offset_groups(ok, lambda t: cols[t])
+    assert out != ok and "T." not in out and "S." not in out
+
+
+def test_offset_groups_expansion_quotes_resolver_columns():
+    """r12 (ADVICE medium): resolver-returned column names needing
+    quoting (reserved word, space) splice backtick-quoted instead of
+    yielding unparseable SQL."""
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    cols = {"t": ["k", "order", "col name"], "s": ["k2", "w"]}
+    sql = (
+        "SELECT t.*, SUM(s.w) OVER (ORDER BY t.k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r "
+        "FROM t JOIN s ON t.k = s.k2"
+    )
+    out = rewrite_offset_groups(sql, lambda t: cols[t])
+    assert out != sql and "`order`" in out and "`col name`" in out

@@ -416,15 +416,26 @@ def test_groups_multistar_fuzz(spark):
 
 def test_groups_multistar_guards(spark):
     """Ambiguous / unresolvable multi-relation bodies keep the clear
-    reject (never broken SQL): duplicate column names across relations,
-    unknown tables, no resolver, USING joins, derived tables."""
+    reject (never broken SQL): intra-relation duplicate column names,
+    bare * over colliding schemas, case-insensitively duplicate
+    qualifiers (r12), unknown tables, no resolver, USING joins, derived
+    tables. Cross-relation collisions alone no longer reject (r12 —
+    covered by test_groups_multistar_collide_fuzz)."""
     base = (
         "SELECT t.*, SUM(t.v) OVER (ORDER BY t.x "
         "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w "
     )
-    dup_resolver = lambda n: {"t": ["g", "v", "x"], "d": ["v", "z"]}.get(n)  # noqa: E731
+    intradup_resolver = lambda n: {"t": ["g", "v", "x"], "d": ["z", "z"]}.get(n)  # noqa: E731
+    collide_resolver = lambda n: {"t": ["g", "v", "x"], "d": ["v", "z"]}.get(n)  # noqa: E731
     for sql, resolver in [
-        (base + "FROM t JOIN d ON d.z = t.g", dup_resolver),  # dup col v
+        (base + "FROM t JOIN d ON d.z = t.g", intradup_resolver),
+        (
+            "SELECT *, SUM(t.v) OVER (ORDER BY t.x "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w "
+            "FROM t JOIN d ON d.z = t.g",
+            collide_resolver,  # bare * over colliding schemas
+        ),
+        (base + "FROM t JOIN t T ON T.g = t.g", _mr_resolver),  # dup qual
         (base + "FROM t JOIN missing ON missing.m = t.g", _mr_resolver),
         (base + "FROM t JOIN s ON s.k = t.g", None),  # no resolver
         (base + "FROM t JOIN s USING (g)", _mr_resolver),
@@ -461,3 +472,71 @@ def test_groups_multistar_wrapped_and_distinct(spark):
         rows = spark.sql(out).collect()
         assert len(rows) == 36  # (x, v) is a total order; DISTINCT keeps all
         assert all(r["w"] is not None for r in rows)
+
+
+# --- r12: colliding-schema multi-relation grid ---------------------------
+# s2 collides with t on column name "v" (s2.v = k*100 + 7, still 1:1 on
+# k == g). Projections are chosen so OUTPUT names stay unique (duplicate
+# output names are a bare-* shape, which stays rejected); the collision
+# lives in the INPUT schemas and the outer qualified refs, exercising
+# the r12 per-relation wrap-alias rebind on both sides.
+_MR2_SCHEMAS = {"t": ["g", "v", "x"], "s2": ["k", "y", "v"]}
+
+
+def _mr2_resolver(name: str):
+    return _MR2_SCHEMAS.get(name.rsplit(".", 1)[-1])
+
+
+_MR2_PROJECTIONS = {
+    "t_star_s2y": ("t.*, s2.y", ("g", "v", "x", "y")),
+    "explicit_both_v": (
+        "t.g, t.v, t.x, s2.y, s2.v AS sv",
+        ("g", "v", "x", "y", "sv"),
+    ),
+}
+
+
+def test_groups_multistar_collide_fuzz(spark):
+    from datafusion_server_spark.functions.dialect import _GROUPS_FRAME
+
+    spark.createDataFrame(
+        [(r["g"], r["v"], r["x"]) for r in ROWS], "g bigint, v bigint, x bigint"
+    ).createOrReplaceTempView("t")
+    spark.createDataFrame(
+        [(k, k * 10 + 1, k * 100 + 7) for k in range(3)],
+        "k bigint, y bigint, v bigint",
+    ).createOrReplaceTempView("s2")
+    rng = random.Random(0xC0111DE)
+    accepted = rejected = 0
+    for c, _ in gen_multi_cases(60, seed=0xC0111DE):
+        proj = rng.choice(sorted(_MR2_PROJECTIONS))
+        sql = render_multi(c, "explicit_qual").replace(
+            "SELECT t.g, t.v, t.x, s.y,",
+            f"SELECT {_MR2_PROJECTIONS[proj][0]},",
+        ).replace("FROM t JOIN s ON s.k = t.g", "FROM t JOIN s2 ON s2.k = t.g")
+        try:
+            out = transpile(sql, _mr2_resolver)
+        except UnsupportedDialectFeature:
+            rejected += 1
+            continue
+        assert not _GROUPS_FRAME.search(out), sql
+        try:
+            got = [r.asDict() for r in spark.sql(out).collect()]
+        except Exception as e:
+            pytest.fail(
+                f"transpile emitted SQL Spark cannot run ({type(e).__name__}):"
+                f"\n  raw: {sql}\n  out: {out}\n  {str(e)[:400]}"
+            )
+        cols = _MR2_PROJECTIONS[proj][1]
+        want = []
+        for r in eval_groups_case(c):
+            full = dict(r)
+            full["y"] = full["g"] * 10 + 1
+            full["sv"] = full["g"] * 100 + 7
+            want.append({k: full[k] for k in (*cols, "w")})
+        assert _canon(got) == _canon(want), (
+            f"value mismatch on accepted colliding-schema rewrite:"
+            f"\n  raw: {sql}\n  out: {out}\n  case: {c} proj={proj}"
+        )
+        accepted += 1
+    assert accepted >= 40, f"only {accepted}/60 accepted ({rejected} rejected)"

@@ -263,13 +263,14 @@ def test_c4_kept_filter_not_reinlined(spark, sf_dir):
     assert plan.count("filter(split") == 1, plan[:800]
 
 
-def test_two_phase_cube_expands_preaggregate(spark, sf_dir):
-    """r11: agg_cube's Expand must sit ABOVE a hash aggregate (the
-    two-phase form — Expand multiplies the ~25-row pre-aggregate, not
-    the fact table)."""
+@pytest.mark.parametrize("name", ["agg_cube", "agg_rollup", "agg_grouping_sets"])
+def test_two_phase_multi_group_expands_preaggregate(spark, sf_dir, name):
+    """r11 (cube) + r12 (rollup/grouping sets, verdict task 2): the
+    Expand must sit ABOVE a hash aggregate (the two-phase form — Expand
+    multiplies the ~25-row pre-aggregate, not the fact table)."""
     from datafusion_server_spark.queries import registry
 
-    df = registry()["agg_cube"].build(spark, sf_dir)
+    df = registry()[name].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     i_exp = plan.find("Expand")
     assert i_exp != -1

@@ -268,6 +268,12 @@ def concurrency_bench(spark, sf_dir: str) -> dict:
             raise RuntimeError(f"concurrency bench request failed: {r.text[:200]}")
         return time.time() - t0
 
+    # r12 (verdict task 6): the serving numbers carry their own load
+    # stamp + polluted flag (same convention as the headline block) so
+    # concurrency captures become cross-round-comparable — the r11
+    # judge capture (17.3 rps, loaded box) vs builder clean (27.8 rps)
+    # spread was ambient load, not code.
+    load_start = round(os.getloadavg()[0], 2)
     out: dict[str, dict] = {}
     try:
         one(0)  # warm the serving path once, untimed
@@ -285,6 +291,9 @@ def concurrency_bench(spark, sf_dir: str) -> dict:
             }
     finally:
         httpd.shutdown()
+    out["load1m_start"] = load_start
+    out["load1m_end"] = round(os.getloadavg()[0], 2)
+    out["polluted"] = load_start >= 2.0
     return out
 
 

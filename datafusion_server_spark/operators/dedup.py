@@ -323,6 +323,30 @@ def cap_bucket_members(
     return guarded.filter(F.col("__bm") <= max_bucket_members).drop("__bm")
 
 
+def auto_bucket_cap(
+    n_docs: int,
+    pairs_per_doc: int = 32,
+    *,
+    floor: int = 256,
+    ceiling: int = 65536,
+) -> int:
+    """Stats-derived default for the LSH hot-bucket cap (r12 verdict
+    task 3): size the per-(band, bucket) membership bound so the WORST
+    CASE candidate-pair count stays linear in the corpus — one
+    degenerate bucket of ``cap`` members yields cap*(cap-1)/2 pairs, so
+    ``cap = sqrt(2 * pairs_per_doc * n)`` bounds that single bucket's
+    fan-out at ``pairs_per_doc * n`` pairs. The floor keeps small-corpus
+    runs (fixtures, unit tests) effectively uncapped — no legitimate
+    near-dup cluster at that scale approaches 256 same-bucket members —
+    and the ceiling bounds the window-state row_number must scan per
+    bucket at petabyte scale. Same log2-granular-knob philosophy as
+    ``similarity.lsh_band_bits``: a 2x row-count estimate error moves
+    the cap by only sqrt(2)."""
+    import math
+
+    return max(floor, min(ceiling, math.isqrt(2 * pairs_per_doc * max(n_docs, 1)) + 1))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -332,7 +356,7 @@ def lsh_candidate_pairs(
     k: int = DEFAULT_SHINGLE_WORDS,
     *,
     materialize: bool = True,
-    max_bucket_members: int | None = None,
+    max_bucket_members: int | None | str = "auto",
     bucket_cap_observation=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents sharing >=1 LSH band
@@ -362,18 +386,31 @@ def lsh_candidate_pairs(
     Results are identical to the round-2 plan (deterministic md5 math,
     same set semantics).
 
-    ``max_bucket_members`` (default None = off; set it above the
-    expected bucket population — e.g. 10_000 at corpus scale) engages
-    the ``cap_bucket_members`` hot-bucket guard: exact dedup upstream
-    normally bounds bucket skew, but a boilerplate-heavy corpus can
-    still funnel near-identical documents into one (band, bucket); the
-    cap bounds that join's fan-out at cap^2 with a logged drop count
-    instead of letting it go quadratic."""
+    ``max_bucket_members`` (default ``"auto"`` — r12 verdict task 3)
+    engages the ``cap_bucket_members`` hot-bucket guard: exact dedup
+    upstream normally bounds bucket skew, but a boilerplate-heavy
+    corpus can still funnel near-identical documents into one (band,
+    bucket) and make the candidate join quadratic in duplication
+    density (measured at sf10: 27.2M uncapped candidate pairs vs 6.8k
+    capped, 29.8 s vs 17.6 s wall). ``"auto"`` derives the cap from
+    Catalyst row-count stats via ``auto_bucket_cap`` (job-free, the
+    same source ``scaled_lsh_ann_topk`` sizes its band bits from); any
+    bucket under the cap is untouched, so small corpora see identical
+    results. Pass an int to pin the cap, or ``None`` to opt OUT into
+    the unbounded join (exact parity with the all-pairs oracle even
+    under adversarial duplication). Drops are Observation-logged,
+    never silent."""
     rows_per_band = num_hashes // bands
     sigs = lsh_signature_index(
         df, text_col, id_col, num_hashes, k, materialize=materialize
     )
     banded = lsh_bands(sigs, bands, rows_per_band)
+    if max_bucket_members == "auto":
+        from datafusion_server_spark.operators.similarity import (
+            estimate_row_count,
+        )
+
+        max_bucket_members = auto_bucket_cap(estimate_row_count(df, 1024))
     if max_bucket_members is not None:
         banded = cap_bucket_members(
             banded, max_bucket_members, observation=bucket_cap_observation

@@ -94,119 +94,105 @@ def rrepr(expr: str, places: int) -> str:
 # merge / streaming / multimodal). Everything else follows in module
 # registration order.
 PRIORITY: tuple[str, ...] = (
-    # ROUND 11 ROTATION (verdict task 1: drive down the 166-row
-    # never-driver-gated debt, >=17 first-time seats): the 17 rows
-    # seated in r10 all went driver-green in CORRECTNESS_r10 and rotate
-    # OUT (their families stay oracle-verified in pytest), plus 3
-    # long-green core rows whose category coverage is REPLACED by
-    # never-gated siblings (set_union_all -> set_intersect_all +
-    # set_except_all; subquery_correlated_select ->
-    # correlated_exists_double; cte_top_nations -> nested_cte_chain).
-    # 20 seats IN: the 2 brand-new r11 rows (seated the round they land,
-    # the r8 bar) + 18 never-gated rows prioritizing the judge-named
-    # LLM-pipeline debt (incremental LSH, SemDeDup keepers, BPE trainer,
-    # sequence packing, the whole sketch family) — every one already
-    # oracle-verified in the full-registry pytest sweep. Full rotation
-    # history lives in git (this file's log) and PLANS.md.
+    # ROUND 12 ROTATION (verdict task 1: keep clearing the 148-row
+    # never-driver-gated debt; the r11 bar was 21 first-time seats).
+    # The 21 rows first-time-seated in r11 ALL went driver-green in
+    # CORRECTNESS_r11 and rotate OUT (families stay oracle-verified in
+    # the full-registry pytest sweep), plus 2 long-green rows
+    # (date_bin_tumbling r1-r11, web_url_canonicalize) whose category
+    # coverage is carried by in-window siblings. 23 seats IN: the
+    # brand-new r12 colliding-schema GROUPS row (seated the round it
+    # lands, the r8 bar), agg_rollup RE-seated because its plan was
+    # rewritten two-phase this round (last gated r01 in the old
+    # single-phase form), and the 21 never-gated rows of the r12 prep
+    # list (PLANS.md) — dedup tail, chat, NB classifier + its eval
+    # pair, k-means + purity, stratified/split family, HTML extraction,
+    # 2 streaming rows, q4, QUALIFY, native pivot, IGNORE NULLS.
+    # => 22 first-time rows this round. Full rotation history lives in
+    # git (this file's log) and PLANS.md.
     #
-    # aggregation (incl. grouping sets/filter)
+    # aggregation (incl. grouping sets/filter): agg_grouping_sets and
+    # agg_rollup re-gate their r12 two-phase Expand-over-preaggregate
+    # rewrite (agg_cube, same shape, was judge-verified green in r11)
     "q1_pricing_summary",
     "agg_grouping_sets",
-    # (privacy_l_diversity rotated OUT round 10 — driver-green r9; the
-    # privacy family — k-anon/l-div/t-closeness — stays oracle-verified
-    # in pytest)
-    # joins (join_semi rotated OUT late round 4; semi-join semantics run
-    # inside several in-window queries)
+    "agg_rollup",
+    # joins
     "join_inner_3way",
-    # TPC-H-style analytics (q14/q18 rotated OUT round 4; q3+q5+q10
-    # rotated OUT round 10 — driver-green r1-r9, the family stays
-    # in-window via q1/q6 and all three remain oracle-verified in
-    # pytest + in the bench headline set)
+    # TPC-H-style analytics: q4 (EXISTS-correlated priority counts)
+    # takes its first driver seat
     "q6_forecast_revenue",
+    "q4_order_priority",
     # window functions (incl. the GROUPS-frame rewrite): the EXCLUDE
-    # rows stay seated (stddev now exercises the r11 anchor-shifted
-    # moments), and the brand-new r11 multi-relation qualified-t.*
-    # expansion is driver-gated the round it lands (the r8 bar)
+    # rows stay seated; the r12 colliding-schema multi-relation t.*
+    # expansion row is driver-gated the round it lands (replacing the
+    # r11 unique-name multi-star row, driver-green r11, whose surface
+    # is a strict subset of the new row's); QUALIFY top-n and window
+    # IGNORE NULLS take their first seats
     "window_groups_exclude_minmax",
     "window_groups_exclude_stddev",
-    "window_groups_offset_multi_star",
-    # sort/limit + set ops
-    # (set_union_all rotated OUT round 11 — driver-green r1-r10; the
-    # set-op surface is REPLACED in-window by its two never-gated
-    # siblings, which also cover the ALL-semantics duplicates path)
-    "set_intersect_all",
-    "set_except_all",
-    # subqueries / CTE
-    # (subquery_correlated_select + cte_top_nations rotated OUT round
-    # 11 — driver-green r1-r10; coverage replaced by the never-gated
-    # double-correlated EXISTS and the 3-level CTE chain)
-    "correlated_exists_double",
-    "nested_cte_chain",
-    # scalar function families
-    # (array_lambda_functions + regexp_functions rotated OUT round 10 —
-    # driver-green since r1 — HOF/lambda surface runs in-window inside
-    # text_span_corruption / timeseries_theil_sen / events_markov rows,
-    # regexp inside web_url_canonicalize / text_rake_keywords; both rows
-    # stay oracle-verified in pytest)
-    "date_bin_tumbling",
+    "window_groups_multi_star_collide",
+    "qualify_top_n_per_group",
+    "window_ignore_nulls",
+    # (set_intersect_all / set_except_all / correlated_exists_double /
+    # nested_cte_chain rotated OUT round 12 — all driver-green r11;
+    # set-op ALL semantics and correlated-subquery coverage stay via
+    # q4's EXISTS and the pytest oracle sweep)
+    # scalar function families (date_bin_tumbling rotated OUT round 12
+    # — driver-green r1-r11; date arithmetic runs in-window inside
+    # q4/q6/events rows. json_extraction stays seated: its r12
+    # TRY_VARIANT_GET null-on-malformed fix re-gates)
     "json_extraction",
-    # LLM-pipeline: dedup family
-    # (unigram_vocab_em rotated OUT round 10 — driver-green r5-r9, the
-    # tokenizer-training family stays oracle-verified in pytest;
-    # dedup_semantic_semdedup rotated OUT round 10 — driver-green r9,
-    # embedding near-dup semantics stay pytest-verified, dedup keeps
-    # three seats below)
-    # (dedup_lsh_pairs rotated OUT round 10 — driver-green r3-r9 and
-    # still a bench headline + pytest oracle row — for its r10
-    # bucket-capped twin: the SAME operator plan plus the hot-bucket
-    # guard with a BINDING cap, driver-gated the round the guard lands)
+    # native pivot API surface
+    "pivot_native_api",
+    # LLM-pipeline: dedup family — the headline pairs row now runs the
+    # r12 stats-aware default cap (dedup_lsh_pairs_bucket_capped gates
+    # the BINDING-cap semantics; the auto default is equality-below-cap
+    # at every gated scale). The never-gated dedup tail takes four
+    # first seats: raw MinHash signatures, containment pairs,
+    # IDF-weighted Jaccard, duplicate span detection.
     "dedup_lsh_pairs_bucket_capped",
     "dedup_survivors_keep_longest",
-    # r11 first-time seats (judge-named LLM-pipeline debt): the
-    # incremental daily-ingest LSH probe and the SemDeDup keeper set
-    "dedup_incremental_lsh",
-    "dedup_semantic_keepers",
-    "web_url_canonicalize",
-    # LLM-pipeline: similarity / eval family
-    # (eval_matryoshka_recall, eval_bradley_terry_sources,
-    # eval_cohens_kappa rotated OUT round 10 — all driver-green r9; the
-    # eval family takes THREE never-gated seats this round: isotonic
-    # calibration, calibration error (ECE), bootstrap CI)
+    "dedup_minhash_signatures",
+    "dedup_containment_pairs",
+    "dedup_idf_weighted_jaccard",
+    "dedup_duplicate_spans",
+    # (dedup_incremental_lsh + dedup_semantic_keepers rotated OUT round
+    # 12 — driver-green r11)
+    # LLM-pipeline: similarity / eval family; the NB evaluation pair
+    # (confusion matrix, AUC) takes first seats with the classifier
     "eval_retrieval_mrr",
     "ann_lsh_scaled",
     "profile_psi_drift",
+    "classifier_naive_bayes",
+    "eval_nb_confusion",
+    "eval_nb_auc",
+    # clustering: k-means assignment + external validation (purity/NMI)
+    "cluster_kmeans_assign",
+    "cluster_purity_nmi",
     "graph_label_propagation",
-    # LLM-pipeline: text family
-    # (chat_prompt_response_pairs rotated OUT round 10 — driver-green
-    # r6-r9, the SFT-prep family stays oracle-verified in pytest; text
-    # takes three never-gated seats: RAKE, TextRank, n-gram novelty)
+    # LLM-pipeline: text family (prune_c4_rules, bpe_train_merges,
+    # text_pack_sequences, text_bm25_topk, prune_repetition_rules
+    # rotated OUT round 12 — all driver-green r11); HTML text
+    # extraction takes its first seat
     "text_quality_score",
     "prune_ccnet_perplexity_band",
     "text_lm_kneser_ney",
     "text_span_corruption",
-    # r11 first-time seats: the brand-new C4 page-pruning row (landed
-    # this round), BPE merge training, sequence packing, BM25 top-k
-    "prune_c4_rules",
-    "bpe_train_merges",
-    "text_pack_sequences",
-    "text_bm25_topk",
-    # LLM-pipeline: sampling + mixture learning
-    # (doremi_domain_weights rotated OUT round 10 — driver-green r5-r9,
-    # mixture learning stays oracle-verified in pytest; sampling takes
-    # the never-gated k-center coreset seat)
+    "html_extract_text",
+    # LLM-pipeline: sampling + splits — the stratified-hash sampler and
+    # the leakage-safe train/val/test split family take first seats
     "sample_dsir_topk",
     "sample_unimax_allocation",
-    # (weak_label_vote rotated OUT round 11 — driver-green r10; the
-    # labeling family stays oracle-verified in pytest. Its seat goes to
-    # the brand-new Gopher line-repetition pruning row, seated the
-    # round it lands per the r8 bar)
-    "prune_repetition_rules",
-    # streaming (beyond-reference)
-    # (streaming_stream_stream_join rotated OUT round 10 — driver-green
-    # r9, the stream-stream join stays oracle-verified in pytest with
-    # micro-batch-invariance tests; streaming keeps two seats)
+    "sample_stratified_hash",
+    "split_train_val_test",
+    "split_leakage_safe",
+    # streaming (beyond-reference): the watermark-bounded dedup and CDC
+    # upsert rows take first seats alongside the two veterans
     "streaming_incremental_neardup",
     "streaming_stateful_sessionize",
+    "streaming_dedup_within_watermark",
+    "streaming_cdc_upsert",
     # end-to-end curation pipeline
     "pipeline_curation_end2end",
     # time-series / events operators
@@ -217,29 +203,13 @@ PRIORITY: tuple[str, ...] = (
     "graph_resource_allocation",
     # multimodal plumbing
     "multimodal_frame_sample",
-    # ---- r11 first-time seats, continued ----
-    # (the 17 rows seated round 10 — timeseries_cusum/holt, the three
-    # events_* rows, scale_hilbert/compaction, the three eval_*
-    # calibration rows, sample_kcenter_coreset, the three text keyword/
-    # novelty rows, the three profile_* rows — ALL went driver-green in
-    # CORRECTNESS_r10 and rotate OUT; their families remain covered by
-    # the pytest oracle sweep and by the in-window family siblings)
-    #
-    # the ENTIRE sketch family takes its first driver seats (never
-    # gated; judge-named): KMV set estimates, heavy hitters, Bloom
-    # membership, deterministic HLL, Count-Min, histogram quantiles
-    "sketch_kmv_set_estimates",
-    "sketch_heavy_hitters",
-    "sketch_bloom_membership",
-    "sketch_hll_deterministic",
-    "sketch_countmin_freq",
-    "sketch_histogram_quantiles",
-    # embeddings: the ABTT top-component-removal + renorm heavy row
-    "embedding_abtt_renorm",
-    # merge family: SCD2 history reconstruction
-    "merge_scd2_history",
-    # privacy family returns with its never-gated k-anonymity row
-    "privacy_k_anonymity",
+    # chat/SFT family returns with two never-gated seats: turn
+    # flattening and loss-mask span computation
+    "chat_flatten_turns",
+    "chat_loss_mask_spans",
+    # (the whole r11 first-time block — sketch family x6,
+    # embedding_abtt_renorm, merge_scd2_history, privacy_k_anonymity —
+    # rotated OUT round 12, all driver-green r11)
 )
 
 

@@ -108,6 +108,11 @@ JOIN sizes zb ON zb.id = p.id_b
 
 @df_query("dedup_lsh_pairs", _LSH_ORACLE)
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline LSH near-dup row. Runs the r12 DEFAULT cap path
+    (``max_bucket_members="auto"`` — stats-derived, floor 256): the
+    sf0.01 bucket histogram is {1: 1835, 2: 78, 3: 3} and stays orders
+    of magnitude under the floor at every gated scale, so the all-pairs
+    oracle is exact for the capped plan too (equality-below-cap)."""
     docs = tables.load(spark, sf_dir, "documents")
     return dedup.lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS)
 

@@ -400,6 +400,8 @@ def main() -> None:
         "prune_c4_rules",
         "prune_repetition_rules",
         "window_groups_offset_multi_star",
+        # round-12 families (informational, non-pinned)
+        "window_groups_multi_star_collide",
     ]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

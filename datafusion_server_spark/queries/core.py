@@ -104,6 +104,20 @@ def _q1_fused_spark() -> str:
 
 sql_query("q1_pricing_summary", _q1_fused_spark(), oracle=_q1("//"))
 
+
+def _fused_v(expr: str, i: int = 0) -> str:
+    """Inner-projection leg of the fused split-sum: the scaled-BIGINT
+    conversion, projected once per measure (see _q1_fused_spark)."""
+    return f"CAST(ROUND(({expr}) * 1000000) AS BIGINT) AS v{i}"
+
+
+def _fused_sum(alias: str, i: int = 0) -> str:
+    """Outer-aggregation leg of the fused split-sum."""
+    return (
+        f"ROUND((CAST(SUM(v{i} DIV 1000000) AS DOUBLE) * 1000000 + "
+        f"CAST(SUM(v{i} % 1000000) AS DOUBLE)) / 1000000, 6) AS {alias}"
+    )
+
 def _agg_grouping_sets(div: str) -> str:
     return f"""
     SELECT o_orderstatus, o_orderpriority,
@@ -397,7 +411,27 @@ def _q3(div: str) -> str:
     """
 
 
-sql_query("q3_shipping_priority", _q3("DIV"), oracle=_q3("//"))
+# Spark sides of q3/q5/q6/q10: fused split-sum (r12 — same rationale
+# and A/B evidence as _q1_fused_spark; single measure, so the fusion
+# halves the per-row ROUND/CAST). Oracles keep the inline form.
+_Q3_FUSED = f"""
+    SELECT l_orderkey, {_fused_sum("revenue")}, o_orderdate
+    FROM (
+      SELECT l.l_orderkey, o.o_orderdate,
+             {_fused_v("l.l_extendedprice * (1 - l.l_discount)")}
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < DATE '1998-03-15'
+        AND l.l_shipdate > DATE '1998-03-15'
+    ) t
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """
+
+sql_query("q3_shipping_priority", _Q3_FUSED, oracle=_q3("//"))
 
 
 def _q5(div: str) -> str:
@@ -415,7 +449,23 @@ def _q5(div: str) -> str:
     """
 
 
-sql_query("q5_local_supplier_volume", _q5("DIV"), oracle=_q5("//"))
+_Q5_FUSED = f"""
+    SELECT n_name, {_fused_sum("revenue")}
+    FROM (
+      SELECT n.n_name,
+             {_fused_v("l.l_extendedprice * (1 - l.l_discount)")}
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+    ) t
+    GROUP BY n_name
+    """
+
+sql_query("q5_local_supplier_volume", _Q5_FUSED, oracle=_q5("//"))
 
 
 def _q6(div: str) -> str:
@@ -427,7 +477,17 @@ def _q6(div: str) -> str:
     """
 
 
-sql_query("q6_forecast_revenue", _q6("DIV"), oracle=_q6("//"))
+_Q6_FUSED = f"""
+    SELECT {_fused_sum("revenue")}
+    FROM (
+      SELECT {_fused_v("l_extendedprice * l_discount")}
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    ) t
+    """
+
+sql_query("q6_forecast_revenue", _Q6_FUSED, oracle=_q6("//"))
 
 
 def _q10(div: str) -> str:
@@ -445,7 +505,23 @@ def _q10(div: str) -> str:
     """
 
 
-sql_query("q10_returned_items", _q10("DIV"), oracle=_q10("//"))
+_Q10_FUSED = f"""
+    SELECT c_custkey, c_name, n_name, {_fused_sum("revenue")}
+    FROM (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             {_fused_v("l.l_extendedprice * (1 - l.l_discount)")}
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+    ) t
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+
+sql_query("q10_returned_items", _Q10_FUSED, oracle=_q10("//"))
 
 # --- Window functions ------------------------------------------------------
 

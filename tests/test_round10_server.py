@@ -262,7 +262,7 @@ def test_lsh_auto_cap_sizing_and_engagement(spark):
         "'the same boilerplate text repeated across every mirror page of"
         " the crawl corpus' AS text",
     )
-    cap = dedup.auto_bucket_cap(estimate_row_count(docs, 1024))
+    cap = dedup.auto_bucket_cap(estimate_row_count(docs, 256))
     obs = Observation()
     pairs = dedup.lsh_candidate_pairs(
         docs, "text", "doc_id", materialize=False,

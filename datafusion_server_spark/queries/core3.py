@@ -475,16 +475,17 @@ def window_groups_offset_multi_star(spark: SparkSession, sf_dir: str) -> DataFra
 # (qualifier, column) under a per-relation wrap alias (__qc_q_i) and
 # rebinds outer qualified refs to it instead of rejecting; only bare *
 # over colliding schemas, intra-relation duplicates, derived tables and
-# USING/NATURAL keep the reject. Window: no partition, ORDER BY the
-# a-side nation key, so a peer group is one a-nation's 4 same-region
-# peers and the frame sums the current + previous nation's peer loads.
-# The oracle derives the frame sum independently per peer group (the
-# same derivation style as the other GROUPS rows — stronger than
-# restating GROUPS in DuckDB).
+# USING/NATURAL keep the reject. Window: PARTITION BY the a-side
+# region, ORDER BY the a-side nation key — the rewrite's dense-rank
+# shuffles by region (plan-audit clean, no SinglePartition funnel); a
+# peer group is one a-nation's 4 same-region peers and the frame adds
+# the region's previous nation. The oracle derives the frame sum
+# independently per peer group (the same derivation style as the
+# other GROUPS rows — stronger than restating GROUPS in DuckDB).
 _GROUPS_COLLIDE_SQL = """
     SELECT a.*, b.n_name AS peer_name,
            CAST(SUM(b.n_regionkey * b.n_nationkey) OVER (
-             ORDER BY a.n_nationkey
+             PARTITION BY a.n_regionkey ORDER BY a.n_nationkey
              GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)
              AS rolling_peer_load
     FROM nation a JOIN nation b
@@ -501,12 +502,13 @@ _GROUPS_COLLIDE_ORACLE = """
         ON a.n_regionkey = b.n_regionkey
        AND a.n_nationkey <> b.n_nationkey
     ), g AS (
-      SELECT a_key, SUM(peer_load) AS grp_sum,
-             DENSE_RANK() OVER (ORDER BY a_key) AS rk
-      FROM j GROUP BY a_key
+      SELECT a_region, a_key, SUM(peer_load) AS grp_sum,
+             DENSE_RANK() OVER (PARTITION BY a_region ORDER BY a_key) AS rk
+      FROM j GROUP BY a_region, a_key
     ), w AS (
       SELECT x.a_key, SUM(y.grp_sum) AS frame_sum
-      FROM g x JOIN g y ON y.rk BETWEEN x.rk - 1 AND x.rk
+      FROM g x JOIN g y
+        ON y.a_region = x.a_region AND y.rk BETWEEN x.rk - 1 AND x.rk
       GROUP BY x.a_key
     )
     SELECT j.a_key AS n_nationkey, j.a_name AS n_name,

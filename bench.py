@@ -402,6 +402,8 @@ def main() -> None:
         "window_groups_offset_multi_star",
         # round-12 families (informational, non-pinned)
         "window_groups_multi_star_collide",
+        "window_groups_exclude_array_agg",
+        "window_groups_using_join",
     ]
     secondary: dict[str, float] = {}
     for name in SECONDARY:

@@ -348,13 +348,16 @@ _ALIAS_KEYWORDS = frozenset(
 
 def _from_base_relations(
     masked: str, frm: int
-) -> list[tuple[str, str]] | None:
+) -> tuple[list[tuple[str, str]], list[str]] | None:
     """Parse a depth-0 FROM clause made purely of BASE relations —
-    ``FROM a [AS] x, b`` / ``a JOIN b ON ...`` chains — returning
-    ``[(table, qualifier), ...]`` where qualifier is the alias or the
-    table name's last dotted part. None for anything richer (derived
-    tables, USING/NATURAL/SEMI/ANTI/LATERAL, parenthesized ON
-    conditions): those keep the conservative multi-relation reject."""
+    ``FROM a [AS] x, b`` / ``a JOIN b ON ...`` / INNER ``JOIN ...
+    USING (k)`` chains (r12) — returning ``([(table, qualifier), ...],
+    [using_col, ...])`` where qualifier is the alias or the table
+    name's last dotted part and using cols are lowercased. None for
+    anything richer (derived tables, NATURAL/SEMI/ANTI/LATERAL,
+    OUTER joins combined with USING — their coalesced-key semantics
+    differ, parenthesized ON conditions): those keep the conservative
+    multi-relation reject."""
     stop = _depth0_find(
         masked,
         r"(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW|QUALIFY)\b",
@@ -362,9 +365,28 @@ def _from_base_relations(
     )
     seg = masked[frm + 4 : stop if stop != -1 else len(masked)]
     seg = seg.strip().rstrip(";").strip()
-    if not seg or "(" in seg or ")" in seg:
+    if not seg:
         return None
-    if re.search(r"\b(NATURAL|SEMI|ANTI|LATERAL|USING)\b", seg, re.IGNORECASE):
+    if re.search(r"\b(NATURAL|SEMI|ANTI|LATERAL)\b", seg, re.IGNORECASE):
+        return None
+    # r12: lift USING (...) clauses out before the paren check — INNER
+    # joins only (an OUTER USING join COALESCEs the key, which the
+    # SELECT-*-wrap does not model)
+    using_cols: list[str] = []
+
+    def _take_using(m: re.Match) -> str:
+        using_cols.extend(
+            c.strip().strip('`"').lower()
+            for c in m.group(1).split(",") if c.strip()
+        )
+        return " "
+
+    seg = re.sub(r"\bUSING\s*\(([^)]*)\)", _take_using, seg, flags=re.IGNORECASE)
+    if using_cols and re.search(
+        r"\b(LEFT|RIGHT|FULL|OUTER)\b", seg, re.IGNORECASE
+    ):
+        return None
+    if "(" in seg or ")" in seg:
         return None
     parts: list[str] = []
     for chunk in seg.split(","):
@@ -383,7 +405,7 @@ def _from_base_relations(
         if alias and alias.upper() in _ALIAS_KEYWORDS:
             return None
         rels.append((name, alias or name.rsplit(".", 1)[-1]))
-    return rels or None
+    return (rels, using_cols) if rels else None
 
 
 def _quote_col(name: str) -> str:
@@ -407,12 +429,19 @@ def _join_colmap(
     ``colliding`` holds column names appearing in more than one
     relation: those stay unambiguous only behind an explicit qualifier,
     and the caller maps them to wrap-level aliases (r12 verdict task 5)
-    instead of rejecting the statement. None when a relation fails to
-    resolve, a qualifier duplicates, or a single relation carries an
-    internally duplicated column name (ambiguous even when qualified)."""
-    rels = _from_base_relations(masked, frm)
-    if not rels or columns_of is None:
+    instead of rejecting the statement. r12 extension: INNER ``USING``
+    join keys are MERGED by the join — ``SELECT *`` exposes them once
+    and the bare name is unambiguous — so they are excluded from
+    ``colliding``, but only when every relation carrying the name is
+    merged through it (a chain of n relations needs n-1 USING mentions;
+    anything less leaves an unmerged duplicate and rejects). None when
+    a relation fails to resolve, a qualifier duplicates, or a single
+    relation carries an internally duplicated column name (ambiguous
+    even when qualified)."""
+    parsed = _from_base_relations(masked, frm)
+    if not parsed or columns_of is None:
         return None
+    rels, using_cols = parsed
     colmap: dict[str, list[str]] = {}
     seen: set[str] = set()
     colliding: set[str] = set()
@@ -432,6 +461,15 @@ def _join_colmap(
         colliding |= seen & set(lowered)
         seen.update(lowered)
         colmap[q] = list(cols)
+    if using_cols:
+        merged = set(using_cols)
+        for u in merged:
+            n_rels = sum(1 for cols in colmap.values()
+                         if u in (c.lower() for c in cols))
+            n_using = using_cols.count(u)
+            if n_rels < 2 or n_using != n_rels - 1:
+                return None  # unmerged/malformed duplicate of a USING key
+        colliding -= merged
     return colmap, colliding
 
 
@@ -844,7 +882,9 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
     effective-count CASE so an emptied frame still yields NULL; r9:
     MIN/MAX under EXCLUDE decompose to LEAST/GREATEST over the
     before-/after-group sub-frames (plus a peers-minus-self ROWS pair
-    for EXCLUDE CURRENT ROW). Statements the rewrite cannot prove safe
+    for EXCLUDE CURRENT ROW); r12: ARRAY_AGG/COLLECT_LIST under
+    EXCLUDE GROUP/TIES decompose to an order-preserving CONCAT of the
+    same sub-frames. Statements the rewrite cannot prove safe
     (top-level GROUP BY/HAVING, multi-relation ``t.*``, EXCLUDE on
     aggregates neither subtractable nor order-decomposable) are
     returned unchanged and then rejected by check_unsupported with the
@@ -1079,6 +1119,8 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
             # aggregate itself is not order-decomposable
             "STDDEV", "STDDEV_SAMP", "STDDEV_POP",
             "VARIANCE", "VAR_SAMP", "VAR_POP",
+            # r12: ARRAY_AGG/COLLECT_LIST decompose in ORDER (see below)
+            "ARRAY_AGG", "COLLECT_LIST",
         ):
             return sql  # neither subtractable nor decomposable: reject
         fn = m_fn.group(1).upper()
@@ -1102,6 +1144,65 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
                 ).strip()
             )
         wg = f"PARTITION BY {', '.join(peer_keys)}"
+        if fn in ("ARRAY_AGG", "COLLECT_LIST"):
+            # r12: ARRAY_AGG/COLLECT_LIST are neither subtractable nor
+            # LEAST/GREATEST-combinable, but frame-minus-excluded still
+            # DECOMPOSES in ORDER: the kept elements are (frame before
+            # the current peer group) ++ [the current row's own value,
+            # for TIES] ++ (frame after it) — each leg a plain window
+            # aggregate over the dense-rank RANGE key, so CONCAT
+            # preserves frame order (intra-peer tie order stays
+            # engine-arbitrary, exactly as in the direct evaluation).
+            # EXCLUDE CURRENT ROW stays rejected: its peers-minus-self
+            # leg would need an order WITHIN the peer group, which SQL
+            # leaves unspecified — no deterministic rewrite exists.
+            # NULL handling matches Spark's null-skipping ARRAY_AGG
+            # (the plain-frame path keeps Spark semantics too); a
+            # fully-emptied frame yields NULL, not [], per the
+            # standard. The typed empty array for CONCAT padding is
+            # SLICE(first-non-null-leg, 1, 0) — avoids the untyped
+            # ARRAY() literal.
+            if e == "EXCLUDE CURRENT ROW":
+                return sql
+            mb = re.fullmatch(
+                r"BETWEEN\s+(.+?)\s+AND\s+(.+)", f, re.IGNORECASE
+            )
+            if not mb:
+                return sql
+            lo_b, hi_b = mb.group(1).strip(), mb.group(2).strip()
+            is_cur0 = lambda b: (  # noqa: E731
+                b.upper() == "CURRENT ROW"
+                or re.fullmatch(r"0\s+(PRECEDING|FOLLOWING)", b, re.IGNORECASE)
+            )
+            legs: list[str] = []
+            if not is_cur0(lo_b):
+                legs.append(
+                    f"{fn}({arg}) OVER ({part_clause}ORDER BY {alias} "
+                    f"RANGE BETWEEN {lo_b} AND 1 PRECEDING)"
+                )
+            if e == "EXCLUDE TIES":
+                legs.append(
+                    f"(CASE WHEN {arg} IS NOT NULL THEN ARRAY({arg}) END)"
+                )
+            if not is_cur0(hi_b):
+                legs.append(
+                    f"{fn}({arg}) OVER ({part_clause}ORDER BY {alias} "
+                    f"RANGE BETWEEN 1 FOLLOWING AND {hi_b})"
+                )
+            if not legs:  # frame was exactly the peer group, all excluded
+                expr = f"(CASE WHEN FALSE THEN ARRAY({arg}) END)"
+            elif len(legs) == 1:
+                expr = f"({legs[0]})"
+            else:
+                nn = f"COALESCE({', '.join(legs)})"
+                empty = f"SLICE({nn}, 1, 0)"
+                parts = ", ".join(f"COALESCE({leg}, {empty})" for leg in legs)
+                expr = (
+                    f"(CASE WHEN {nn} IS NULL THEN NULL "
+                    f"ELSE CONCAT({parts}) END)"
+                )
+            replacements.append((agg_start, cl + 1, expr))
+            continue
         if fn in ("MIN", "MAX"):
             # r9: MIN/MAX are not subtractable, but frame-minus-excluded
             # DECOMPOSES: the kept rows are (frame before the current
@@ -1380,11 +1481,16 @@ def check_unsupported(sql: str) -> None:
             "FROM clauses expanded from the registered-view schemas — "
             "r11, incl. column names colliding across relations via "
             "per-relation wrap aliases — r12, schema-resolver sessions "
-            "only), but ambiguous multi-relation qualified refs "
+            "only, incl. INNER JOIN USING with fully-merged keys — "
+            "r12), but ambiguous multi-relation qualified refs "
             "(bare * over colliding schemas, intra-relation duplicates, "
-            "derived tables, USING/NATURAL joins), parenthesized "
+            "derived tables, NATURAL joins, OUTER joins with USING — "
+            "coalesced-key semantics), parenthesized "
             "set-op branches, EXCLUDE on aggregates that are neither "
-            "subtractable nor order-decomposable (STDDEV/...), "
+            "subtractable nor order-decomposable (percentiles; "
+            "ARRAY_AGG decomposes for EXCLUDE GROUP/TIES — r12 — but "
+            "keeps the reject under EXCLUDE CURRENT ROW, whose "
+            "peers-minus-self element order SQL leaves unspecified), "
             "out-of-range ordinals, and window args that are neither group "
             "keys nor aggregate calls stay unsupported — use RANGE or "
             "ROWS frames there"

@@ -123,13 +123,16 @@ PRIORITY: tuple[str, ...] = (
     # takes its first driver seat
     "q6_forecast_revenue",
     "q4_order_priority",
-    # window functions (incl. the GROUPS-frame rewrite): the EXCLUDE
-    # rows stay seated; the r12 colliding-schema multi-relation t.*
-    # expansion row is driver-gated the round it lands (replacing the
-    # r11 unique-name multi-star row, driver-green r11, whose surface
-    # is a strict subset of the new row's); QUALIFY top-n and window
-    # IGNORE NULLS take their first seats
-    "window_groups_exclude_minmax",
+    # window functions (incl. the GROUPS-frame rewrite): the r12
+    # colliding-schema multi-relation t.* expansion row and the
+    # brand-new ARRAY_AGG-under-EXCLUDE row (order-preserving CONCAT
+    # decomposition, lands this round) are driver-gated the round they
+    # land; they replace the r11 unique-name multi-star row
+    # (driver-green r11, a strict subset of the collide row's surface)
+    # and window_groups_exclude_minmax (driver-green r9-r11; the
+    # EXCLUDE family keeps two seats via stddev + array_agg). QUALIFY
+    # top-n and window IGNORE NULLS take their first seats.
+    "window_groups_exclude_array_agg",
     "window_groups_exclude_stddev",
     "window_groups_multi_star_collide",
     "qualify_top_n_per_group",
@@ -198,7 +201,11 @@ PRIORITY: tuple[str, ...] = (
     # time-series / events operators
     "events_survival_km",
     "timeseries_theil_sen",
-    "pipeline_web_ingest",
+    # (pipeline_web_ingest rotated OUT late round 12 — driver-green
+    # r10-r11; the pipeline family keeps pipeline_curation_end2end
+    # in-window. Its seat goes to the brand-new INNER-JOIN-USING
+    # GROUPS row, seated the round it lands per the r8 bar.)
+    "window_groups_using_join",
     # graph analytics
     "graph_resource_allocation",
     # multimodal plumbing

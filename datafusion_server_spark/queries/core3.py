@@ -531,6 +531,61 @@ def window_groups_multi_star_collide(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# r12: INNER JOIN USING under an offset-GROUPS frame. The USING key is
+# MERGED by the join (SELECT * exposes it once), so the dialect keeps
+# bare references to it un-aliased while the remaining colliding
+# columns of the self-join route through the per-relation wrap aliases
+# — both r12 mechanisms in one statement. The window partitions by the
+# merged key (no single-partition funnel); the oracle restates the
+# USING join as an explicit equality join and derives the frame sum per
+# peer group.
+_GROUPS_USING_SQL = """
+    SELECT a.n_nationkey, a.n_name, n_regionkey, b.n_name AS peer_name,
+           CAST(SUM(b.n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY a.n_nationkey
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling
+    FROM nation a JOIN nation b USING (n_regionkey)
+    WHERE a.n_nationkey <> b.n_nationkey
+"""
+
+_GROUPS_USING_ORACLE = """
+    WITH j AS (
+      SELECT a.n_nationkey AS a_key, a.n_name AS a_name,
+             a.n_regionkey AS region,
+             b.n_name AS peer_name, b.n_nationkey AS b_key
+      FROM nation a JOIN nation b ON b.n_regionkey = a.n_regionkey
+      WHERE a.n_nationkey <> b.n_nationkey
+    ), g AS (
+      SELECT region, a_key, SUM(b_key) AS grp_sum,
+             DENSE_RANK() OVER (PARTITION BY region ORDER BY a_key) AS rk
+      FROM j GROUP BY region, a_key
+    ), w AS (
+      SELECT x.region, x.a_key, SUM(y.grp_sum) AS frame_sum
+      FROM g x JOIN g y
+        ON y.region = x.region AND y.rk BETWEEN x.rk - 1 AND x.rk
+      GROUP BY x.region, x.a_key
+    )
+    SELECT j.a_key AS n_nationkey, j.a_name AS n_name,
+           j.region AS n_regionkey, j.peer_name,
+           CAST(w.frame_sum AS BIGINT) AS rolling
+    FROM j JOIN w ON w.region = j.region AND w.a_key = j.a_key
+"""
+
+
+@df_query("window_groups_using_join", _GROUPS_USING_ORACLE)
+def window_groups_using_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER JOIN USING + colliding columns under an offset-GROUPS
+    frame (r12 dialect extension — merged-key handling)."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        transpile(_GROUPS_USING_SQL, lambda t: spark.table(t).columns)
+    )
+
+
 _GROUPS_EXCLUDE_SQL = f"""
     SELECT o_orderkey,
            ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (
@@ -671,6 +726,76 @@ def window_groups_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tables.register_views(spark, sf_dir)
     return spark.sql(transpile(_GROUPS_EXCLUDE_MINMAX_SQL))
+
+
+# r12: ARRAY_AGG/COLLECT_LIST under frame EXCLUDE — order-decomposable
+# into an order-preserving CONCAT of the before-/after-group sub-frames
+# (EXCLUDE GROUP/TIES; CURRENT ROW stays rejected — intra-peer order is
+# unspecified). Column 1 orders by the UNIQUE o_orderkey, so peer
+# groups are singletons and EXCLUDE GROUP == [lag2, lag1, lead1] —
+# this pins ELEMENT ORDER, which the oracle derives via LAG/LEAD.
+# Column 2 orders by o_orderdate (real ties): previous peer group's
+# keys + the current row's own key under EXCLUDE TIES, emitted SORTED
+# (intra-peer order is engine-arbitrary by spec). Outputs are joined
+# strings, never ARRAY columns (harness: Arrow list child names differ
+# between engines).
+_GROUPS_EXCLUDE_ARRAYAGG_SQL = """
+    SELECT o_orderkey,
+           ARRAY_JOIN(ARRAY_AGG(CAST(o_orderkey AS STRING)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP),
+             ',') AS excl_group_neighbors,
+           ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(CAST(o_orderkey AS STRING))
+             OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES)),
+             ',') AS excl_ties_sorted
+    FROM orders WHERE o_orderkey < 2000
+"""
+
+_GROUPS_EXCLUDE_ARRAYAGG_ORACLE = """
+    WITH f AS (
+      SELECT o_orderkey, o_orderstatus, o_orderdate
+      FROM orders WHERE o_orderkey < 2000
+    ), base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             LAG(CAST(o_orderkey AS VARCHAR), 2) OVER w AS l2,
+             LAG(CAST(o_orderkey AS VARCHAR), 1) OVER w AS l1,
+             LEAD(CAST(o_orderkey AS VARCHAR), 1) OVER w AS f1
+      FROM f
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+    ), g AS (
+      SELECT o_orderstatus, o_orderdate,
+             LIST(CAST(o_orderkey AS VARCHAR)) AS ks,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate) AS rk
+      FROM f GROUP BY o_orderstatus, o_orderdate
+    )
+    SELECT b.o_orderkey,
+           CASE WHEN b.l2 IS NULL AND b.l1 IS NULL AND b.f1 IS NULL
+                THEN NULL
+                ELSE CONCAT_WS(',', b.l2, b.l1, b.f1) END
+             AS excl_group_neighbors,
+           ARRAY_TO_STRING(
+             LIST_SORT(LIST_APPEND(COALESCE(p.ks, []),
+                                   CAST(b.o_orderkey AS VARCHAR))),
+             ',') AS excl_ties_sorted
+    FROM base b
+    JOIN g cur ON cur.o_orderstatus = b.o_orderstatus
+              AND cur.o_orderdate = b.o_orderdate
+    LEFT JOIN g p ON p.o_orderstatus = b.o_orderstatus
+                 AND p.rk = cur.rk - 1
+"""
+
+
+@df_query("window_groups_exclude_array_agg", _GROUPS_EXCLUDE_ARRAYAGG_ORACLE)
+def window_groups_exclude_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame EXCLUDE over ARRAY_AGG/COLLECT_LIST GROUPS windows: the
+    r12 order-preserving CONCAT sub-frame decomposition."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(transpile(_GROUPS_EXCLUDE_ARRAYAGG_SQL))
 
 
 # r10 (verdict task 7): STDDEV/VAR under frame EXCLUDE — not

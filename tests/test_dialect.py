@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from datafusion_server_spark.functions.dialect import (
     find_table_at_namespace,
     quote_table_at_namespace,
@@ -326,11 +328,18 @@ def test_offset_groups_exclude_rewrites_and_rejections():
         "EXCLUDE GROUP) AS s FROM t"
     )
     assert "SQRT(" not in out8 and "GREATEST(" in out8 and "GROUPS" not in out8
-    # a genuinely non-decomposable aggregate under EXCLUDE still rejects
+    # a genuinely non-decomposable aggregate under EXCLUDE still
+    # rejects (r12 moved ARRAY_AGG GROUP/TIES to the supported set;
+    # percentile-family and ARRAY_AGG's CURRENT ROW case keep it)
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT MEDIAN(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
+            "EXCLUDE TIES) AS s FROM t"
+        )
     with pytest.raises(UnsupportedDialectFeature):
         transpile(
             "SELECT ARRAY_AGG(x) OVER (ORDER BY o GROUPS 1 PRECEDING "
-            "EXCLUDE TIES) AS s FROM t"
+            "EXCLUDE CURRENT ROW) AS s FROM t"
         )
 
 
@@ -567,3 +576,128 @@ def test_offset_groups_expansion_quotes_resolver_columns():
     )
     out = rewrite_offset_groups(sql, lambda t: cols[t])
     assert out != sql and "`order`" in out and "`col name`" in out
+
+
+def test_offset_groups_exclude_array_agg(spark):
+    """r12: ARRAY_AGG/COLLECT_LIST under EXCLUDE GROUP/TIES decompose
+    to an order-preserving CONCAT of the before-/after-group sub-frames.
+    Unique order keys prove ELEMENT ORDER (not just content): frame
+    2 PRECEDING..1 FOLLOWING EXCLUDE GROUP == [lag2, lag1, lead1]."""
+    from datafusion_server_spark.functions.dialect import (
+        UnsupportedDialectFeature,
+        transpile,
+    )
+
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "k bigint, v bigint"
+    ).createOrReplaceTempView("uq")
+    out = transpile(
+        "SELECT k, ARRAY_JOIN(ARRAY_AGG(v) OVER (ORDER BY k "
+        "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP), ',')"
+        " AS w FROM uq"
+    )
+    assert "GROUPS" not in out and "CONCAT" in out
+    got = {r["k"]: r["w"] for r in spark.sql(out).collect()}
+    for k in range(8):
+        want = [j * 10 for j in (k - 2, k - 1, k + 1) if 0 <= j <= 7]
+        assert got[k] == ",".join(map(str, want)), (k, got[k], want)
+
+    # TIES with real ties: self kept, peers dropped — content check on
+    # sorted elements (intra-peer order is engine-arbitrary by spec)
+    spark.createDataFrame(
+        [(i, i // 2, i * 100) for i in range(8)],
+        "rid bigint, k bigint, v bigint",
+    ).createOrReplaceTempView("tied")
+    out2 = transpile(
+        "SELECT rid, ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(v) OVER ("
+        "ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW "
+        "EXCLUDE TIES)), ',') AS w FROM tied"
+    )
+    assert "GROUPS" not in out2
+    got2 = {r["rid"]: r["w"] for r in spark.sql(out2).collect()}
+    for rid in range(8):
+        k = rid // 2
+        keep = [j * 100 for j in range(8)
+                if j // 2 == k - 1 or j == rid]  # prev peer group + self
+        assert got2[rid] == ",".join(map(str, sorted(keep))), (
+            rid, got2[rid], keep
+        )
+
+    # fully-emptied frame -> NULL (standard), not []
+    out3 = transpile(
+        "SELECT k, ARRAY_AGG(v) OVER (ORDER BY k "
+        "GROUPS BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE GROUP)"
+        " AS w FROM uq"
+    )
+    assert all(r["w"] is None for r in spark.sql(out3).collect())
+
+    # EXCLUDE CURRENT ROW keeps the clear reject (peers-minus-self
+    # element order is unspecified)
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile(
+            "SELECT k, ARRAY_AGG(v) OVER (ORDER BY k "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW "
+            "EXCLUDE CURRENT ROW) AS w FROM uq"
+        )
+
+
+def test_offset_groups_using_join_expansion(spark):
+    """r12: INNER JOIN USING participates in the multi-relation GROUPS
+    expansion — the USING key is merged (SELECT * exposes it once, bare
+    name unambiguous); non-key collisions still alias through the wrap.
+    OUTER USING (coalesced key), NATURAL, and partially-merged keys
+    keep the reject."""
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    spark.createDataFrame(
+        [(i, i * 10, i % 3) for i in range(9)], "k bigint, v bigint, g bigint"
+    ).createOrReplaceTempView("ut")
+    spark.createDataFrame(
+        [(i, i * 7) for i in range(9)], "k bigint, w bigint"
+    ).createOrReplaceTempView("us")
+    cols = {"ut": ["k", "v", "g"], "us": ["k", "w"]}
+    sql = (
+        "SELECT ut.*, us.w, "
+        "CAST(SUM(us.w) OVER (PARTITION BY ut.g ORDER BY ut.k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s "
+        "FROM ut JOIN us USING (k)"
+    )
+    out = rewrite_offset_groups(sql, lambda t: cols[t])
+    assert out != sql and "GROUPS" not in out
+    rows = {r["k"]: r for r in spark.sql(out).collect()}
+    for k in range(9):
+        # peers within g-partition ordered by k: previous same-g k is k-3
+        prev = k - 3 if k - 3 >= 0 else None
+        want = k * 7 + (prev * 7 if prev is not None else 0)
+        assert rows[k]["s"] == want and rows[k]["v"] == k * 10, (k, rows[k])
+
+    # three-way chain fully merged on k: accepted
+    spark.createDataFrame(
+        [(i, i + 100) for i in range(9)], "k bigint, z bigint"
+    ).createOrReplaceTempView("uu")
+    cols3 = {**cols, "uu": ["k", "z"]}
+    sql3 = (
+        "SELECT ut.k, uu.z, CAST(SUM(us.w) OVER (ORDER BY ut.k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s "
+        "FROM ut JOIN us USING (k) JOIN uu USING (k)"
+    )
+    out3 = rewrite_offset_groups(sql3, lambda t: cols3[t])
+    assert out3 != sql3 and "GROUPS" not in out3
+    assert spark.sql(out3).count() == 9
+
+    # rejects: OUTER USING; USING key absent from one side (unmerged)
+    for bad, res in [
+        (
+            "SELECT ut.v, SUM(us.w) OVER (ORDER BY ut.k "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+            "FROM ut LEFT JOIN us USING (k)",
+            lambda t: cols[t],
+        ),
+        (
+            "SELECT ut.v, SUM(us.w) OVER (ORDER BY ut.k "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+            "FROM ut JOIN us USING (g)",  # us has no g
+            lambda t: cols[t],
+        ),
+    ]:
+        assert rewrite_offset_groups(bad, res) == bad

@@ -367,8 +367,24 @@ def _from_base_relations(
     seg = seg.strip().rstrip(";").strip()
     if not seg:
         return None
-    if re.search(r"\b(NATURAL|SEMI|ANTI|LATERAL)\b", seg, re.IGNORECASE):
+    if re.search(r"\b(SEMI|ANTI|LATERAL)\b", seg, re.IGNORECASE):
         return None
+    # r12: NATURAL INNER JOIN == USING(common columns) — the caller
+    # resolves the common set from the schemas (two-relation FROM only;
+    # OUTER NATURAL keeps the coalesced-key reject). The "NATURAL"
+    # sentinel is returned as a using col entry the caller expands.
+    natural = False
+    if re.search(
+        r"\bNATURAL\s+(LEFT|RIGHT|FULL|OUTER)\b", seg, re.IGNORECASE
+    ):
+        return None
+    if re.search(r"\bNATURAL\b", seg, re.IGNORECASE):
+        natural = True
+        seg = re.sub(
+            r"\bNATURAL\s+(INNER\s+)?(?=JOIN\b)", "", seg, flags=re.IGNORECASE
+        )
+        if re.search(r"\bNATURAL\b", seg, re.IGNORECASE):
+            return None  # NATURAL not attached to a JOIN: malformed
     # r12: lift USING (...) clauses out before the paren check — INNER
     # joins only (an OUTER USING join COALESCEs the key, which the
     # SELECT-*-wrap does not model)
@@ -405,6 +421,10 @@ def _from_base_relations(
         if alias and alias.upper() in _ALIAS_KEYWORDS:
             return None
         rels.append((name, alias or name.rsplit(".", 1)[-1]))
+    if natural:
+        if using_cols or len(rels) != 2:
+            return None  # NATURAL+USING mix / chains: keep the reject
+        using_cols = ["\0natural"]  # sentinel: caller expands from schemas
     return (rels, using_cols) if rels else None
 
 
@@ -461,6 +481,13 @@ def _join_colmap(
         colliding |= seen & set(lowered)
         seen.update(lowered)
         colmap[q] = list(cols)
+    if using_cols == ["\0natural"]:
+        # r12: NATURAL INNER JOIN of exactly two relations — the merged
+        # set IS the schema intersection (empty intersection = a cross
+        # join: nothing merges, nothing collides by construction)
+        a, b = colmap.values()
+        common = {c.lower() for c in a} & {c.lower() for c in b}
+        using_cols = sorted(common)
     if using_cols:
         merged = set(using_cols)
         for u in merged:
@@ -1481,10 +1508,11 @@ def check_unsupported(sql: str) -> None:
             "FROM clauses expanded from the registered-view schemas — "
             "r11, incl. column names colliding across relations via "
             "per-relation wrap aliases — r12, schema-resolver sessions "
-            "only, incl. INNER JOIN USING with fully-merged keys — "
-            "r12), but ambiguous multi-relation qualified refs "
-            "(bare * over colliding schemas, intra-relation duplicates, "
-            "derived tables, NATURAL joins, OUTER joins with USING — "
+            "only, incl. INNER JOIN USING with fully-merged keys and "
+            "two-relation NATURAL INNER JOIN — r12), but ambiguous "
+            "multi-relation qualified refs (bare * over colliding "
+            "schemas, intra-relation duplicates, derived tables, "
+            "NATURAL chains/OUTER, OUTER joins with USING — "
             "coalesced-key semantics), parenthesized "
             "set-op branches, EXCLUDE on aggregates that are neither "
             "subtractable nor order-decomposable (percentiles; "

@@ -701,3 +701,43 @@ def test_offset_groups_using_join_expansion(spark):
         ),
     ]:
         assert rewrite_offset_groups(bad, res) == bad
+
+
+def test_offset_groups_natural_join_expansion(spark):
+    """r12: two-relation NATURAL INNER JOIN == USING(schema
+    intersection), resolved from columns_of — merged keys stay bare,
+    non-common collisions alias through the wrap. NATURAL OUTER and
+    NATURAL chains keep the reject."""
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    spark.createDataFrame(
+        [(i, i * 10, i % 3) for i in range(9)], "k bigint, v bigint, g bigint"
+    ).createOrReplaceTempView("nt")
+    spark.createDataFrame(
+        [(i, i * 7) for i in range(9)], "k bigint, w bigint"
+    ).createOrReplaceTempView("ns")
+    cols = {"nt": ["k", "v", "g"], "ns": ["k", "w"]}
+    sql = (
+        "SELECT nt.v, ns.w, CAST(SUM(ns.w) OVER (PARTITION BY nt.g "
+        "ORDER BY nt.k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS s FROM nt NATURAL JOIN ns"
+    )
+    out = rewrite_offset_groups(sql, lambda t: cols[t])
+    assert out != sql and "GROUPS" not in out
+    rows = {r["v"]: r for r in spark.sql(out).collect()}
+    for k in range(9):
+        prev = k - 3 if k - 3 >= 0 else None
+        want = k * 7 + (prev * 7 if prev is not None else 0)
+        assert rows[k * 10]["s"] == want, (k, rows[k * 10])
+
+    # rejects: NATURAL LEFT; three-relation NATURAL chain
+    cols3 = {**cols, "nu": ["k", "z"]}
+    for bad, res in [
+        (sql.replace("NATURAL JOIN", "NATURAL LEFT JOIN"), lambda t: cols[t]),
+        (
+            sql.replace("FROM nt NATURAL JOIN ns",
+                        "FROM nt NATURAL JOIN ns NATURAL JOIN nu"),
+            lambda t: cols3[t],
+        ),
+    ]:
+        assert rewrite_offset_groups(bad, res) == bad

@@ -424,10 +424,24 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
 
 
+class _Server(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a serving-tier listen backlog (r12).
+
+    The stdlib default ``request_queue_size`` is 5; a concurrency burst
+    (the bench's 32-wide one-shot tier, or N clients released together)
+    overflows the accept backlog while handler threads hold the GIL on
+    a loaded box, and the kernel resets the overflow connections —
+    observed as client-side ``ConnectionResetError(104)`` with zero
+    server-side errors. 128 matches the listen(2) backlog a production
+    HTTP front end would use."""
+
+    request_queue_size = 128
+
+
 def serve(engine: Engine, host: str = "127.0.0.1", port: int = 4000) -> ThreadingHTTPServer:
     """Start the REST server on a daemon thread; returns the server."""
     handler = type("BoundHandler", (Handler,), {"engine": engine})
-    httpd = ThreadingHTTPServer((host, port), handler)
+    httpd = _Server((host, port), handler)
     thread = threading.Thread(target=httpd.serve_forever, name="rest-server", daemon=True)
     thread.start()
     return httpd

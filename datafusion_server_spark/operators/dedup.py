@@ -220,6 +220,8 @@ def lsh_pairs_against_index(
     k: int = DEFAULT_SHINGLE_WORDS,
     *,
     materialize: bool = True,
+    index_bucket_cap: int | None = None,
+    bucket_cap_observation=None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: candidates of a NEW document
     batch against an EXISTING ``lsh_signature_index`` table, verified
@@ -232,7 +234,17 @@ def lsh_pairs_against_index(
     from storage. The band join keys on (band, bucket) — the batch side
     is small, so the join broadcasts it and the index is streamed; cost
     is linear in batch size plus one index scan, never corpus x corpus.
-    """
+
+    ``index_bucket_cap`` (r12, OPT-IN — default None) applies the
+    ``cap_bucket_members`` guard to the INDEX side: a degenerate corpus
+    bucket (boilerplate that survived exact dedup) otherwise multiplies
+    EVERY matching batch document by the bucket's full population.
+    Unlike the self-join cap, a drop here has no connected-components
+    downstream to reunite through, so capping trades recall against the
+    dropped members for bounded fan-out — which is why it stays opt-in
+    while ``lsh_candidate_pairs`` defaults to auto. Deterministic
+    smallest-id keeps, Observation-logged drops, same as the self-join
+    guard."""
     rows_per_band = num_hashes // bands
     new_sigs = lsh_signature_index(
         new_df, text_col, id_col, num_hashes, k, materialize=materialize
@@ -240,7 +252,12 @@ def lsh_pairs_against_index(
     nb = lsh_bands(new_sigs, bands, rows_per_band).select(
         F.col("id").alias("new_id"), "band", "bucket"
     )
-    ib = lsh_bands(index, bands, rows_per_band).select(
+    ib_raw = lsh_bands(index, bands, rows_per_band)
+    if index_bucket_cap is not None:
+        ib_raw = cap_bucket_members(
+            ib_raw, index_bucket_cap, observation=bucket_cap_observation
+        )
+    ib = ib_raw.select(
         F.col("id").alias("index_id"), "band", "bucket"
     )
     pairs = (

@@ -289,3 +289,42 @@ def test_lsh_cap_plan_has_no_new_unbounded_exchange(spark):
         docs, "text", "doc_id", materialize=False, max_bucket_members=64
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_incremental_lsh_index_bucket_cap_opt_in(spark):
+    """r12: the incremental probe's INDEX-side hot-bucket guard is
+    opt-in (default None = exact): a degenerate index bucket of
+    identical docs fans out every matching batch doc by the bucket
+    population; the cap bounds it at cap candidates per (band, batch
+    doc) with deterministic smallest-id keeps and logged drops."""
+    from pyspark.sql import Observation
+
+    from datafusion_server_spark.operators import dedup
+
+    corpus = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate text repeated across every mirror page of"
+        " the crawl corpus' AS text",
+    )
+    batch = spark.range(1000, 1002).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate text repeated across every mirror page of"
+        " the crawl corpus' AS text",
+    )
+    index = dedup.lsh_signature_index(corpus, "text", "doc_id", materialize=False)
+
+    exact = dedup.lsh_pairs_against_index(
+        batch, index, "text", "doc_id", materialize=False
+    )
+    assert exact.count() == 2 * 200  # every batch doc pairs the whole bucket
+
+    obs = Observation()
+    capped = dedup.lsh_pairs_against_index(
+        batch, index, "text", "doc_id", materialize=False,
+        index_bucket_cap=16, bucket_cap_observation=obs,
+    )
+    rows = capped.collect()
+    assert len(rows) == 2 * 16
+    assert {r.index_id for r in rows} == set(range(16))  # smallest ids kept
+    assert obs.get["dropped"] == 4 * (200 - 16)
+    assert obs.get["kept"] == 4 * 16

@@ -652,6 +652,8 @@ def prefix_jaccard_pairs(
     id_col: str,
     k: int = DEFAULT_SHINGLE_WORDS,
     threshold: float = 0.5,
+    *,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT threshold set-similarity join by PREFIX FILTERING (the
     PPJoin/AllPairs family, Bayardo et al. 2007 / Xiao et al. 2008) —
@@ -675,18 +677,38 @@ def prefix_jaccard_pairs(
     shingles (keyed by doc); the candidate self-join keys on PREFIX
     shingles, whose global frequencies are the corpus's LOWEST — the
     frequency-ascending order is precisely what keeps the join fan-out
-    small; verification is one shared-shingle count over candidate pairs
-    (semi-join-restricted), not the corpus."""
+    small. Verification (r12 rewrite — the sf1 incident): the ORIGINAL
+    verify pass re-joined candidate pairs against the full exploded
+    shingle stream, i.e. pairs × set-size rows — quadratic in
+    duplication density, and at 10× scale on a near-dup-dense corpus
+    the shuffle spill filled the disk. Now each candidate pair is
+    verified IN-ROW against per-doc sorted 60-bit shingle-hash arrays
+    (``size(array_intersect(...))`` in whole-stage codegen) — the same
+    shape ``lsh_candidate_pairs`` adopted in r3: rows touched =
+    |pairs|, not |pairs| × |set|. The hashes reuse the single per-row
+    md5 (first 15 hex chars); a pair's hashed intersection differs
+    from the true string intersection only on a 60-bit collision
+    within that pair's union (P < |union|²/2^61), and the DuckDB
+    oracle intentionally KEEPS string-exact verification, so every
+    gate run doubles as an empirical no-collision proof. ``materialize``
+    eager-localCheckpoints the per-doc array table and the candidate
+    set (real sizes for join planning; no subplan re-execution)."""
     from pyspark.sql.window import Window
 
     shingled = shingle_sets(df, text_col, id_col, k)
     dfreq = shingled.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("__df")
     )
-    sized = shingled.join(
-        shingled.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh")),
-        "id",
+    sets = shingled.groupBy("id").agg(
+        F.expr(
+            "SORT_ARRAY(COLLECT_SET(CAST(CONV(SUBSTRING(MD5(shingle), 1, 15),"
+            " 16, 10) AS BIGINT))) AS sh"
+        )
     )
+    if materialize:
+        sets = sets.localCheckpoint(eager=True)
+    sets = sets.withColumn("n_sh", F.size("sh").cast("bigint"))
+    sized = shingled.join(sets.select("id", "n_sh"), "id")
     ranked = (
         sized.join(dfreq, "shingle")
         .withColumn(
@@ -700,39 +722,45 @@ def prefix_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("__rn") <= F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1
-    ).select("id", "n_sh", "shingle")
+    ).select("id", "shingle")
     cand = (
-        prefix.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
-        .join(
-            prefix.select(
-                F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
-            ),
-            "shingle",
-        )
+        prefix.select(F.col("id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "n_a", "n_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    sh_a = shingled.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = shingled.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
+    return (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(SIZE(ARRAY_INTERSECT(sh_a, sh_b)) AS BIGINT) AS n_common"),
+            "n_a",
+            "n_b",
+            F.expr(
+                "ROUND(CAST(SIZE(ARRAY_INTERSECT(sh_a, sh_b)) AS DOUBLE) / "
+                "CAST(n_a + n_b - CAST(SIZE(ARRAY_INTERSECT(sh_a, sh_b))"
+                " AS BIGINT) AS DOUBLE), 6) AS jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
-    return common.select(
-        "id_a",
-        "id_b",
-        "n_common",
-        "n_a",
-        "n_b",
-        F.round(
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-            6,
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
 
 
 def idf_weighted_jaccard_pairs(

@@ -350,14 +350,18 @@ def _from_base_relations(
     masked: str, frm: int
 ) -> tuple[list[tuple[str, str]], list[str]] | None:
     """Parse a depth-0 FROM clause made purely of BASE relations —
-    ``FROM a [AS] x, b`` / ``a JOIN b ON ...`` / INNER ``JOIN ...
-    USING (k)`` chains (r12) — returning ``([(table, qualifier), ...],
-    [using_col, ...])`` where qualifier is the alias or the table
-    name's last dotted part and using cols are lowercased. None for
-    anything richer (derived tables, NATURAL/SEMI/ANTI/LATERAL,
-    OUTER joins combined with USING — their coalesced-key semantics
-    differ, parenthesized ON conditions): those keep the conservative
-    multi-relation reject."""
+    ``FROM a [AS] x, b`` / ``a JOIN b ON ...`` / ``JOIN ... USING
+    (k)`` chains (INNER r12; LEFT/RIGHT/FULL r13) — returning
+    ``([(table, qualifier), ...], [using_col, ...], outer_using)``
+    where qualifier is the alias or the table name's last dotted part,
+    using cols are lowercased, and ``outer_using`` flags USING keys
+    under an OUTER join (merged output is the standard's coalesced
+    key — Spark models it natively in ``SELECT *``/bare refs, but the
+    per-SIDE qualified refs ``q.k`` differ from the merged column, so
+    the caller must wrap-alias them instead of stripping the
+    qualifier). None for anything richer (derived tables,
+    NATURAL OUTER/SEMI/ANTI/LATERAL, parenthesized ON conditions):
+    those keep the conservative multi-relation reject."""
     stop = _depth0_find(
         masked,
         r"(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW|QUALIFY)\b",
@@ -385,9 +389,11 @@ def _from_base_relations(
         )
         if re.search(r"\bNATURAL\b", seg, re.IGNORECASE):
             return None  # NATURAL not attached to a JOIN: malformed
-    # r12: lift USING (...) clauses out before the paren check — INNER
-    # joins only (an OUTER USING join COALESCEs the key, which the
-    # SELECT-*-wrap does not model)
+    # r12: lift USING (...) clauses out before the paren check; r13
+    # (verdict task 6): OUTER joins with USING no longer reject — the
+    # merged (coalesced) key is Spark-native in the wrap's SELECT *,
+    # and the outer_using flag routes per-side qualified key refs
+    # through wrap aliases
     using_cols: list[str] = []
 
     def _take_using(m: re.Match) -> str:
@@ -398,10 +404,9 @@ def _from_base_relations(
         return " "
 
     seg = re.sub(r"\bUSING\s*\(([^)]*)\)", _take_using, seg, flags=re.IGNORECASE)
-    if using_cols and re.search(
-        r"\b(LEFT|RIGHT|FULL|OUTER)\b", seg, re.IGNORECASE
-    ):
-        return None
+    outer_using = bool(using_cols) and bool(
+        re.search(r"\b(LEFT|RIGHT|FULL|OUTER)\b", seg, re.IGNORECASE)
+    )
     if "(" in seg or ")" in seg:
         return None
     parts: list[str] = []
@@ -425,7 +430,7 @@ def _from_base_relations(
         if using_cols or len(rels) != 2:
             return None  # NATURAL+USING mix / chains: keep the reject
         using_cols = ["\0natural"]  # sentinel: caller expands from schemas
-    return (rels, using_cols) if rels else None
+    return (rels, using_cols, outer_using) if rels else None
 
 
 def _quote_col(name: str) -> str:
@@ -440,8 +445,9 @@ def _quote_col(name: str) -> str:
 
 def _join_colmap(
     masked: str, frm: int, columns_of
-) -> tuple[dict[str, list[str]], set[str]] | None:
-    """(qualifier-lowercase -> column list, colliding-lowercase-names)
+) -> tuple[dict[str, list[str]], set[str], set[str]] | None:
+    """(qualifier-lowercase -> column list, colliding-lowercase-names,
+    wrap-aliased-lowercase-names)
     for a base-relation join FROM clause whose every relation schema
     resolves through ``columns_of``. Qualifiers compare and key
     case-insensitively (r12 ADVICE — Spark resolves aliases
@@ -454,14 +460,21 @@ def _join_colmap(
     and the bare name is unambiguous — so they are excluded from
     ``colliding``, but only when every relation carrying the name is
     merged through it (a chain of n relations needs n-1 USING mentions;
-    anything less leaves an unmerged duplicate and rejects). None when
-    a relation fails to resolve, a qualifier duplicates, or a single
-    relation carries an internally duplicated column name (ambiguous
-    even when qualified)."""
+    anything less leaves an unmerged duplicate and rejects). r13
+    (verdict task 6): OUTER joins with USING resolve too — merged keys
+    leave ``colliding`` exactly like the INNER case (the bare name is
+    the standard's coalesced column, which Spark's SELECT-*-wrap
+    models natively), but they land in the returned ALIASED set: a
+    per-side qualified ``q.k`` differs from the merged column under an
+    OUTER join (NULL on q's unmatched rows), so the caller must rebind
+    those refs to explicit wrap aliases rather than strip the
+    qualifier. None when a relation fails to resolve, a qualifier
+    duplicates, or a single relation carries an internally duplicated
+    column name (ambiguous even when qualified)."""
     parsed = _from_base_relations(masked, frm)
     if not parsed or columns_of is None:
         return None
-    rels, using_cols = parsed
+    rels, using_cols, outer_using = parsed
     colmap: dict[str, list[str]] = {}
     seen: set[str] = set()
     colliding: set[str] = set()
@@ -488,6 +501,7 @@ def _join_colmap(
         a, b = colmap.values()
         common = {c.lower() for c in a} & {c.lower() for c in b}
         using_cols = sorted(common)
+    aliased: set[str] = set()
     if using_cols:
         merged = set(using_cols)
         for u in merged:
@@ -497,7 +511,9 @@ def _join_colmap(
             if n_rels < 2 or n_using != n_rels - 1:
                 return None  # unmerged/malformed duplicate of a USING key
         colliding -= merged
-    return colmap, colliding
+        if outer_using:
+            aliased |= merged
+    return colmap, colliding, aliased | colliding
 
 
 def _frame_contains_current(frame_norm: str) -> bool:
@@ -1038,10 +1054,11 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
     # alias and outer ``q.col`` references rewrite to that alias.
     join_cols: dict[str, list[str]] | None = None
     colliding: set[str] = set()
+    aliased: set[str] = set()
     if not sole_names and columns_of is not None:
         jc = _join_colmap(masked, frm, columns_of)
         if jc is not None:
-            join_cols, colliding = jc
+            join_cols, colliding, aliased = jc
     strip_names = sole_names if sole_names else set(join_cols or ())
     if qualified_stars:
         quals_l = {q.lower() for q in qualified_stars}
@@ -1060,9 +1077,12 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
                 s = it.strip()
                 if s.endswith(".*") and s[:-2].lower() in join_cols:
                     q = s[:-2]
+                    # r13: qualify every ALIASED name (colliding + outer
+                    # USING keys — q.* keeps the SIDE's key value, which
+                    # differs from the merged column on unmatched rows)
                     new_items.append(", ".join(
                         f"{q}.{_quote_col(c)} AS {_quote_col(c)}"
-                        if c.lower() in colliding else _quote_col(c)
+                        if c.lower() in aliased else _quote_col(c)
                         for c in join_cols[q.lower()]
                     ))
                 else:
@@ -1218,15 +1238,28 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
                 )
             if not legs:  # frame was exactly the peer group, all excluded
                 expr = f"(CASE WHEN FALSE THEN ARRAY({arg}) END)"
-            elif len(legs) == 1:
-                expr = f"({legs[0]})"
             else:
-                nn = f"COALESCE({', '.join(legs)})"
-                empty = f"SLICE({nn}, 1, 0)"
-                parts = ", ".join(f"COALESCE({leg}, {empty})" for leg in legs)
+                # r13 (ADVICE): guard on EMPTINESS, not nullness — Spark's
+                # window COLLECT_LIST yields [] (not NULL) over a
+                # runtime-empty sub-frame (partition's first row under
+                # N PRECEDING..M PRECEDING legs, single-row partitions),
+                # so an IS NULL guard never fires there and the rewrite
+                # leaked [] where the standard (and the rewrite-time
+                # provably-empty branch above) say NULL. SIZE(x)=0 -> NULL
+                # covers both: SIZE(NULL) is NULL, so a NULL inner falls
+                # through the ELSE unchanged (still NULL).
+                if len(legs) == 1:
+                    inner = f"({legs[0]})"
+                else:
+                    nn = f"COALESCE({', '.join(legs)})"
+                    empty = f"SLICE({nn}, 1, 0)"
+                    parts = ", ".join(
+                        f"COALESCE({leg}, {empty})" for leg in legs
+                    )
+                    inner = f"CONCAT({parts})"
                 expr = (
-                    f"(CASE WHEN {nn} IS NULL THEN NULL "
-                    f"ELSE CONCAT({parts}) END)"
+                    f"(CASE WHEN SIZE({inner}) = 0 THEN NULL "
+                    f"ELSE {inner} END)"
                 )
             replacements.append((agg_start, cl + 1, expr))
             continue

@@ -655,11 +655,17 @@ def prefix_jaccard_pairs(
     *,
     materialize: bool = True,
 ) -> DataFrame:
-    """EXACT threshold set-similarity join by PREFIX FILTERING (the
-    PPJoin/AllPairs family, Bayardo et al. 2007 / Xiao et al. 2008) —
-    the lossless upgrade of both approximations in this family: unlike
-    LSH it misses nothing, and unlike ``ngram_jaccard_pairs`` it needs
-    no df cap to stay sub-quadratic.
+    """Threshold set-similarity join by PREFIX FILTERING (the
+    PPJoin/AllPairs family, Bayardo et al. 2007 / Xiao et al. 2008),
+    exact up to a bounded hash-collision probability: candidate
+    GENERATION (prefix bound, set sizes, Jaccard denominator) is
+    string-exact and misses nothing; only the per-pair intersection
+    size runs on 60-bit shingle hashes, so a reported pair's
+    ``n_common``/``jaccard`` can err only on a 60-bit collision within
+    that pair's union (P < |union|²/2^61 per pair — zero observed
+    across every oracle gate, which verifies string-exactly). Unlike
+    LSH there is no recall loss by construction, and unlike
+    ``ngram_jaccard_pairs`` no df cap is needed to stay sub-quadratic.
 
     The bound: order every document's shingle set by GLOBAL document
     frequency ascending (rarest first, ties lexicographic) and keep only
@@ -690,9 +696,14 @@ def prefix_jaccard_pairs(
     from the true string intersection only on a 60-bit collision
     within that pair's union (P < |union|²/2^61), and the DuckDB
     oracle intentionally KEEPS string-exact verification, so every
-    gate run doubles as an empirical no-collision proof. ``materialize``
-    eager-localCheckpoints the per-doc array table and the candidate
-    set (real sizes for join planning; no subplan re-execution)."""
+    gate run doubles as an empirical no-collision proof. ``n_sh`` (r13,
+    ADVICE) is the distinct-STRING shingle count — NOT the hashed-array
+    length — so an intra-doc hash collision can never shrink the prefix
+    length (which would silently DROP a true pair) or skew the Jaccard
+    denominator; hashes touch nothing but the intersection.
+    ``materialize`` eager-localCheckpoints the per-doc array table and
+    the candidate set (real sizes for join planning; no subplan
+    re-execution)."""
     from pyspark.sql.window import Window
 
     shingled = shingle_sets(df, text_col, id_col, k)
@@ -703,11 +714,14 @@ def prefix_jaccard_pairs(
         F.expr(
             "SORT_ARRAY(COLLECT_SET(CAST(CONV(SUBSTRING(MD5(shingle), 1, 15),"
             " 16, 10) AS BIGINT))) AS sh"
-        )
+        ),
+        # exact distinct-STRING count (r13 ADVICE): prefix length and
+        # Jaccard denominator must not depend on the hashed array, whose
+        # length an intra-doc collision can shrink
+        F.expr("CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_sh"),
     )
     if materialize:
         sets = sets.localCheckpoint(eager=True)
-    sets = sets.withColumn("n_sh", F.size("sh").cast("bigint"))
     sized = shingled.join(sets.select("id", "n_sh"), "id")
     ranked = (
         sized.join(dfreq, "shingle")

@@ -748,7 +748,11 @@ _GROUPS_EXCLUDE_ARRAYAGG_SQL = """
            ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(CAST(o_orderkey AS STRING))
              OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate
              GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES)),
-             ',') AS excl_ties_sorted
+             ',') AS excl_ties_sorted,
+           ARRAY_JOIN(ARRAY_AGG(CAST(o_orderkey AS STRING)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP),
+             ',') AS excl_prev_row
     FROM orders WHERE o_orderkey < 2000
 """
 
@@ -778,7 +782,8 @@ _GROUPS_EXCLUDE_ARRAYAGG_ORACLE = """
            ARRAY_TO_STRING(
              LIST_SORT(LIST_APPEND(COALESCE(p.ks, []),
                                    CAST(b.o_orderkey AS VARCHAR))),
-             ',') AS excl_ties_sorted
+             ',') AS excl_ties_sorted,
+           b.l1 AS excl_prev_row
     FROM base b
     JOIN g cur ON cur.o_orderstatus = b.o_orderstatus
               AND cur.o_orderdate = b.o_orderdate

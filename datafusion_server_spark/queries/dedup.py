@@ -497,6 +497,67 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r13 (verdict task 2): the INDEX-side bucket cap (r12, opt-in) gets its
+# own driver-gated row with a cap SMALL enough to BIND at fixture scale
+# (cap=2 smallest ids per (band, bucket) on the index side), so the
+# deterministic-keep + recall-trading semantics — not just the
+# no-op-below-cap case — pass through the external gate. The oracle
+# mirrors the cap with a ROW_NUMBER window over the SAME (band, bucket,
+# id-ascending) key the Spark guard uses.
+_INC_CAP = 2
+
+_INC_CAPPED_ORACLE = f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.id, bs.band, CASE bs.band {_BAND_CASES} END AS bucket
+  FROM sig, (SELECT UNNEST([{", ".join(str(b) for b in range(BANDS))}]) AS band) bs),
+ib AS (
+  SELECT id, band, bucket FROM (
+    SELECT id, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+    FROM banded WHERE id % 10 < 8) capped
+  WHERE rn <= {_INC_CAP}),
+pairs AS (
+  SELECT DISTINCT n.id AS new_id, i.id AS index_id
+  FROM banded n JOIN ib i
+    ON n.band = i.band AND n.bucket = i.bucket
+   AND n.id % 10 >= 8),
+sizes AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.new_id, p.index_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.new_id
+  JOIN sh sb ON sb.doc_id = p.index_id AND sb.shingle = sa.shingle
+  GROUP BY p.new_id, p.index_id)
+SELECT p.new_id, p.index_id,
+       COALESCE(c.n_common, 0) AS n_common,
+       zn.n_sh AS n_new, zi.n_sh AS n_index,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / CAST(zn.n_sh + zi.n_sh - COALESCE(c.n_common, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+LEFT JOIN common c ON c.new_id = p.new_id AND c.index_id = p.index_id
+JOIN sizes zn ON zn.id = p.new_id
+JOIN sizes zi ON zi.id = p.index_id
+"""
+
+
+@df_query("dedup_incremental_lsh_capped", _INC_CAPPED_ORACLE)
+def dedup_incremental_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental probe with the BINDING index-side bucket cap: a
+    degenerate corpus bucket contributes only its ``_INC_CAP`` smallest
+    ids to the candidate fan-out (recall-trading, deterministic keeps —
+    see ``lsh_pairs_against_index``'s docstring for why this stays
+    opt-in while the self-join cap defaults on)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    new_batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    index = dedup.lsh_signature_index(existing, "text", "doc_id", NUM_HASHES)
+    return dedup.lsh_pairs_against_index(
+        new_batch, index, "text", "doc_id", NUM_HASHES, BANDS,
+        index_bucket_cap=_INC_CAP,
+    )
+
+
 # dedup-aware (leakage-safe) splitting: the hash band is taken over the
 # near-dup component ROOT so no cluster straddles train/val/test. The
 # oracle reuses the EXACT cluster CTE chain from _CLUSTERS_ORACLE (the

@@ -51,7 +51,14 @@ def click_error_join(
     The partition count is pinned into a streaming checkpoint on first
     run; this helper starts a FRESH query per call, so the knob is
     safe here — long-lived production queries must keep it stable
-    across restarts."""
+    across restarts.
+
+    r13 (ADVICE): the width override runs on ``spark.newSession()`` — a
+    child session with its OWN SQLConf over the shared SparkContext — so
+    a query planned concurrently on the caller's session (e.g. the
+    threaded REST serving tier) can never inherit the reduced width, and
+    no set/restore pair exists to race."""
+    spark = spark.newSession()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
     if state_partitions == "auto":
@@ -92,26 +99,21 @@ def click_error_join(
         ),
     )
     sink = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
-        # runtime conf is read at query START, so the set/restore pair
-        # scopes the width to this streaming query only
+        # runtime conf is read at query START; the child session's conf
+        # is invisible to the caller's session, so no restore is needed
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            query.awaitTermination(timeout_s)
-        finally:
-            query.stop()
+        query.awaitTermination(timeout_s)
     finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        query.stop()
     return spark.table(sink).select(
         F.col("c_user").cast("bigint").alias("user_id"),
         F.col("c_id").alias("click_id"),

@@ -641,6 +641,51 @@ def test_offset_groups_exclude_array_agg(spark):
         )
 
 
+def test_offset_groups_exclude_array_agg_runtime_empty(spark):
+    """r13 (ADVICE): a frame that empties only AT RUNTIME (partition's
+    first row under 1 PRECEDING..CURRENT ROW EXCLUDE GROUP; single-row
+    partition under 2 PRECEDING..1 FOLLOWING EXCLUDE GROUP) must yield
+    NULL, not [] — Spark's window COLLECT_LIST returns [] over an empty
+    sub-frame, so the rewrite guards on SIZE()=0, not IS NULL."""
+    from datafusion_server_spark.functions.dialect import transpile
+
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 9, 90)],
+        "p string, k int, v int",
+    ).createOrReplaceTempView("rtpart")
+    # first row of each partition: only leg (1 PRECEDING..1 PRECEDING)
+    # is runtime-empty -> NULL
+    out = transpile(
+        "SELECT p, k, ARRAY_AGG(v) OVER (PARTITION BY p ORDER BY k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP)"
+        " AS w FROM rtpart"
+    )
+    got = {(r["p"], r["k"]): r["w"] for r in spark.sql(out).collect()}
+    assert got[("a", 1)] is None and got[("b", 9)] is None
+    assert got[("a", 2)] == [10] and got[("a", 3)] == [20]
+    # single-row partition under a two-leg CONCAT frame -> NULL
+    out2 = transpile(
+        "SELECT p, k, ARRAY_AGG(v) OVER (PARTITION BY p ORDER BY k "
+        "GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)"
+        " AS w FROM rtpart"
+    )
+    got2 = {(r["p"], r["k"]): r["w"] for r in spark.sql(out2).collect()}
+    assert got2[("b", 9)] is None
+    assert got2[("a", 1)] == [20] and got2[("a", 2)] == [10, 30]
+    # TIES keeps the self row, so the frame never runtime-empties for
+    # non-null args — but a NULL self value under an otherwise-empty
+    # frame must still collapse to NULL (null-skipping ARRAY_AGG)
+    spark.createDataFrame(
+        [("c", 1, None)], "p string, k int, v int"
+    ).createOrReplaceTempView("rtnull")
+    out3 = transpile(
+        "SELECT p, ARRAY_AGG(v) OVER (PARTITION BY p ORDER BY k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES)"
+        " AS w FROM rtnull"
+    )
+    assert spark.sql(out3).collect()[0]["w"] is None
+
+
 def test_offset_groups_using_join_expansion(spark):
     """r12: INNER JOIN USING participates in the multi-relation GROUPS
     expansion — the USING key is merged (SELECT * exposes it once, bare

@@ -109,3 +109,69 @@ def test_streaming_hll_batch_count_invariant(spark, sf_dir, tmp_path):
         }
 
     assert rows(multi) == rows(single) == rows(batch)
+
+
+def test_stream_join_width_isolated_from_caller_session(spark, sf_dir):
+    """r13 (ADVICE): click_error_join's state_partitions override runs on
+    a child session (spark.newSession) — the caller's SQLConf must be
+    untouched for the whole call, so a concurrently-planned query can
+    never inherit the reduced shuffle width."""
+    from datafusion_server_spark.streaming.joins import click_error_join
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = click_error_join(
+        spark, f"{sf_dir}/events.parquet", state_partitions=4, timeout_s=90.0
+    )
+    assert out.count() >= 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_stateful_width_pinned_by_checkpoint(spark, tmp_path):
+    """r13 (verdict task 7): the state-partition count is pinned into the
+    streaming checkpoint on first run — restarting the SAME checkpoint
+    under a session whose shuffle width (e.g. a changed 'auto' estimate)
+    differs must keep the pinned width, not silently re-shard state."""
+    import time
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 10 AS STRING) AS k"
+    ).write.parquet(src)
+
+    def run(width: int):
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", str(width))
+        stream = sess.readStream.schema("id bigint, k string").parquet(src)
+        agg = stream.groupBy("k").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"pin_{width}")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(90.0)
+            # availableNow terminates the query; progress may lag a beat
+            for _ in range(20):
+                if q.lastProgress and q.lastProgress.get("stateOperators"):
+                    break
+                time.sleep(0.25)
+            ops = (q.lastProgress or {}).get("stateOperators") or []
+            return ops[0].get("numShufflePartitions") if ops else None
+        finally:
+            q.stop()
+
+    first = run(3)
+    assert first == 3
+    # second run: session asks for 8, checkpoint must pin 3
+    spark.range(100, 120).selectExpr(
+        "id", "CAST(id % 10 AS STRING) AS k"
+    ).write.mode("append").parquet(src)
+    second = run(8)
+    assert second == 3, (
+        "restart against an existing checkpoint must keep the pinned "
+        f"state width (got {second})"
+    )

@@ -273,6 +273,17 @@ def concurrency_bench(spark, sf_dir: str) -> dict:
     # concurrency captures become cross-round-comparable — the r11
     # judge capture (17.3 rps, loaded box) vs builder clean (27.8 rps)
     # spread was ambient load, not code.
+    # r13 (verdict task 4): the PRECEDING batch phase itself leaves
+    # load1m ~8 on a 32-thread box, so even clean runs self-flagged
+    # this block polluted. Cool down first — 1-min load decays
+    # ~e^(-t/60), so ~85 s takes 8 -> 2 — with a bounded wait, making
+    # a polluted:false serving block attainable in the same artifact
+    # as the headline. SPARK_GRAFT_BENCH_COOLDOWN_S=0 opts out.
+    deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_S", "180")
+    )
+    while os.getloadavg()[0] >= 2.0 and time.time() < deadline:
+        time.sleep(5)
     load_start = round(os.getloadavg()[0], 2)
     out: dict[str, dict] = {}
     try:

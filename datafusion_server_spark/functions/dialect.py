@@ -1426,12 +1426,19 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
     # DISTINCT-ed *) stays rejected under collisions: it would propagate
     # the duplicate names into the outer projection.
     qc_aliases: dict[tuple[str, str], str] = {}
-    if join_cols and colliding:
-        if has_bare_star:
-            return sql
+    if join_cols and colliding and has_bare_star:
+        return sql
+    if join_cols and aliased:
+        # r13 (verdict task 6): the aliased set adds OUTER-USING merged
+        # keys — bare refs stay valid (Spark's wrap-* models the
+        # standard's coalesced key natively), but a per-side `q.k` is a
+        # DIFFERENT column (NULL on q's unmatched rows), so it rebinds
+        # to an explicit wrap alias exactly like a colliding name. Bare
+        # * remains legal for them (unlike true collisions) because the
+        # merged output carries the name exactly once.
         for q, cols in join_cols.items():
             for i, c in enumerate(cols):
-                if c.lower() in colliding:
+                if c.lower() in aliased:
                     qc_aliases[(q, c)] = f"__qc_{q}_{i}"
         # a select item that is EXACTLY `q.col` outputs a column named
         # col — rebinding it to the wrap alias must keep that name, so
@@ -1499,8 +1506,12 @@ def rewrite_offset_groups(sql: str, columns_of=None) -> str:
     )
     if has_bare_star:
         # a bare * in the outer projection would also emit the injected
-        # rank columns — exclude them explicitly (Spark star-EXCEPT)
-        except_list = ", ".join([*specs.values(), *anchors.values()])
+        # rank columns — exclude them explicitly (Spark star-EXCEPT);
+        # r13: the per-side OUTER-USING key aliases are injected wrap
+        # columns too
+        except_list = ", ".join(
+            [*specs.values(), *anchors.values(), *qc_aliases.values()]
+        )
         r_sel = _depth0_find(rewritten, r"SELECT\b")
         r_frm = _depth0_find(rewritten, r"FROM\b", r_sel)
         out_list = rewritten[r_sel + 6 : r_frm]
@@ -1541,12 +1552,13 @@ def check_unsupported(sql: str) -> None:
             "FROM clauses expanded from the registered-view schemas — "
             "r11, incl. column names colliding across relations via "
             "per-relation wrap aliases — r12, schema-resolver sessions "
-            "only, incl. INNER JOIN USING with fully-merged keys and "
-            "two-relation NATURAL INNER JOIN — r12), but ambiguous "
+            "only, incl. JOIN USING with fully-merged keys — INNER r12, "
+            "LEFT/RIGHT/FULL r13 with per-side key refs wrap-aliased "
+            "against the coalesced output — and two-relation NATURAL "
+            "INNER JOIN — r12), but ambiguous "
             "multi-relation qualified refs (bare * over colliding "
             "schemas, intra-relation duplicates, derived tables, "
-            "NATURAL chains/OUTER, OUTER joins with USING — "
-            "coalesced-key semantics), parenthesized "
+            "NATURAL chains/OUTER), parenthesized "
             "set-op branches, EXCLUDE on aggregates that are neither "
             "subtractable nor order-decomposable (percentiles; "
             "ARRAY_AGG decomposes for EXCLUDE GROUP/TIES — r12 — but "

@@ -94,129 +94,86 @@ def rrepr(expr: str, places: int) -> str:
 # merge / streaming / multimodal). Everything else follows in module
 # registration order.
 PRIORITY: tuple[str, ...] = (
-    # ROUND 12 ROTATION (verdict task 1: keep clearing the 148-row
-    # never-driver-gated debt; the r11 bar was 21 first-time seats).
-    # The 21 rows first-time-seated in r11 ALL went driver-green in
-    # CORRECTNESS_r11 and rotate OUT (families stay oracle-verified in
-    # the full-registry pytest sweep), plus 2 long-green rows
-    # (date_bin_tumbling r1-r11, web_url_canonicalize) whose category
-    # coverage is carried by in-window siblings. 23 seats IN: the
-    # brand-new r12 colliding-schema GROUPS row (seated the round it
-    # lands, the r8 bar), agg_rollup RE-seated because its plan was
-    # rewritten two-phase this round (last gated r01 in the old
-    # single-phase form), and the 21 never-gated rows of the r12 prep
-    # list (PLANS.md) — dedup tail, chat, NB classifier + its eval
-    # pair, k-means + purity, stratified/split family, HTML extraction,
-    # 2 streaming rows, q4, QUALIFY, native pivot, IGNORE NULLS.
-    # => 22 first-time rows this round. Full rotation history lives in
-    # git (this file's log) and PLANS.md.
-    #
-    # aggregation (incl. grouping sets/filter): agg_grouping_sets and
-    # agg_rollup re-gate their r12 two-phase Expand-over-preaggregate
-    # rewrite (agg_cube, same shape, was judge-verified green in r11)
+    # ROUND 13 ROTATION (verdict task 1: clear the never-driver-gated
+    # debt faster — 127 rows entering the round). The r12 window's 24
+    # first-time seats ALL went driver-green in CORRECTNESS_r12 and
+    # rotate OUT (their families stay oracle-verified in the
+    # full-registry pytest sweep), as do the long-green category
+    # anchors whose coverage the incoming SQL-surface fillers carry
+    # in-window. 47 first-time seats this round: the full r13 prep
+    # list (PLANS.md), 18 more never-gated SQL-surface/window rows,
+    # and the two rows that LAND this round (the r8 bar — new rows
+    # gate the round they land): window_groups_outer_using (OUTER
+    # JOIN USING GROUPS closure) and dedup_incremental_lsh_capped
+    # (binding index-side bucket cap). 3 carry-overs: the flagship
+    # q1, window_groups_exclude_array_agg (re-gates the r13
+    # empty-frame NULL fix + new runtime-emptying column), and
+    # json_extraction (re-gates if the task-5 A/B changes its plan).
+    # Debt after this round: 127+2-47 = 82; cumulative gated 245/327.
     "q1_pricing_summary",
-    "agg_grouping_sets",
-    "agg_rollup",
-    # joins
-    "join_inner_3way",
-    # TPC-H-style analytics: q4 (EXISTS-correlated priority counts)
-    # takes its first driver seat
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    # window functions (incl. the GROUPS-frame rewrite): the r12
-    # colliding-schema multi-relation t.* expansion row and the
-    # brand-new ARRAY_AGG-under-EXCLUDE row (order-preserving CONCAT
-    # decomposition, lands this round) are driver-gated the round they
-    # land; they replace the r11 unique-name multi-star row
-    # (driver-green r11, a strict subset of the collide row's surface)
-    # and window_groups_exclude_minmax (driver-green r9-r11; the
-    # EXCLUDE family keeps two seats via stddev + array_agg). QUALIFY
-    # top-n and window IGNORE NULLS take their first seats.
+    # --- changed-this-round re-gates
     "window_groups_exclude_array_agg",
-    "window_groups_exclude_stddev",
-    "window_groups_multi_star_collide",
-    "qualify_top_n_per_group",
-    "window_ignore_nulls",
-    # (set_intersect_all / set_except_all / correlated_exists_double /
-    # nested_cte_chain rotated OUT round 12 — all driver-green r11;
-    # set-op ALL semantics and correlated-subquery coverage stay via
-    # q4's EXISTS and the pytest oracle sweep)
-    # scalar function families (date_bin_tumbling rotated OUT round 12
-    # — driver-green r1-r11; date arithmetic runs in-window inside
-    # q4/q6/events rows. json_extraction stays seated: its r12
-    # TRY_VARIANT_GET null-on-malformed fix re-gates)
     "json_extraction",
-    # native pivot API surface
-    "pivot_native_api",
-    # LLM-pipeline: dedup family — the headline pairs row now runs the
-    # r12 stats-aware default cap (dedup_lsh_pairs_bucket_capped gates
-    # the BINDING-cap semantics; the auto default is equality-below-cap
-    # at every gated scale). The never-gated dedup tail takes four
-    # first seats: raw MinHash signatures, containment pairs,
-    # IDF-weighted Jaccard, duplicate span detection.
-    "dedup_lsh_pairs_bucket_capped",
-    "dedup_survivors_keep_longest",
-    "dedup_minhash_signatures",
-    "dedup_containment_pairs",
-    "dedup_idf_weighted_jaccard",
-    "dedup_duplicate_spans",
-    # (dedup_incremental_lsh + dedup_semantic_keepers rotated OUT round
-    # 12 — driver-green r11)
-    # LLM-pipeline: similarity / eval family; the NB evaluation pair
-    # (confusion matrix, AUC) takes first seats with the classifier
-    "eval_retrieval_mrr",
-    "ann_lsh_scaled",
-    "profile_psi_drift",
-    "classifier_naive_bayes",
-    "eval_nb_confusion",
-    "eval_nb_auc",
-    # clustering: k-means assignment + external validation (purity/NMI)
-    "cluster_kmeans_assign",
-    "cluster_purity_nmi",
-    "graph_label_propagation",
-    # LLM-pipeline: text family (prune_c4_rules, bpe_train_merges,
-    # text_pack_sequences, text_bm25_topk, prune_repetition_rules
-    # rotated OUT round 12 — all driver-green r11); HTML text
-    # extraction takes its first seat
-    "text_quality_score",
-    "prune_ccnet_perplexity_band",
-    "text_lm_kneser_ney",
-    "text_span_corruption",
-    "html_extract_text",
-    # LLM-pipeline: sampling + splits — the stratified-hash sampler and
-    # the leakage-safe train/val/test split family take first seats
-    "sample_dsir_topk",
-    "sample_unimax_allocation",
-    "sample_stratified_hash",
-    "split_train_val_test",
-    "split_leakage_safe",
-    # streaming (beyond-reference): the watermark-bounded dedup and CDC
-    # upsert rows take first seats alongside the two veterans
-    "streaming_incremental_neardup",
-    "streaming_stateful_sessionize",
-    "streaming_dedup_within_watermark",
-    "streaming_cdc_upsert",
-    # end-to-end curation pipeline
-    "pipeline_curation_end2end",
-    # time-series / events operators
-    "events_survival_km",
-    "timeseries_theil_sen",
-    # (pipeline_web_ingest rotated OUT late round 12 — driver-green
-    # r10-r11; the pipeline family keeps pipeline_curation_end2end
-    # in-window. Its seat goes to the brand-new INNER-JOIN-USING
-    # GROUPS row, seated the round it lands per the r8 bar.)
-    "window_groups_using_join",
-    # graph analytics
-    "graph_resource_allocation",
-    # multimodal plumbing
-    "multimodal_frame_sample",
-    # chat/SFT family returns with two never-gated seats: turn
-    # flattening and loss-mask span computation
-    "chat_flatten_turns",
-    "chat_loss_mask_spans",
-    # (the whole r11 first-time block — sketch family x6,
-    # embedding_abtt_renorm, merge_scd2_history, privacy_k_anonymity —
-    # rotated OUT round 12, all driver-green r11)
+    # --- landing-this-round rows (r8 bar)
+    "window_groups_outer_using",
+    "dedup_incremental_lsh_capped",
+    # --- SQL-surface fillers (never gated): grouping, predicates,
+    # ordering, set/values/lateral shapes, typed ops
+    "group_by_all",
+    "group_by_ordinal",
+    "having_clause",
+    "agg_max_by_min_by",
+    "array_agg_distinct_sorted",
+    "percentile_disc_groups",
+    "unpivot_melt",
+    "join_using_clause",
+    "join_natural",
+    "lateral_join_topn",
+    "null_safe_equality",
+    "order_nulls_handling",
+    "in_between_predicates",
+    "ilike_patterns",
+    "interval_arithmetic",
+    "date_construction_parsing",
+    "struct_functions",
+    "bitwise_ops",
+    "posexplode_with_position",
+    "values_inline_table",
+    "union_mixed_shapes",
+    # window family (never gated)
+    "window_sum_over_groups",
+    # --- LLM-pipeline: dedup explanation tail (prep list; incl. the
+    # r12 late-landing prefix-Jaccard in-row rewrite, never gated)
+    "dedup_pair_explanations",
+    "dedup_span_fraction",
+    "dedup_prefix_jaccard",
+    "dedup_fuzzy_survivors",
+    # embedding family (prep list)
+    "embedding_l2_normalize",
+    "embedding_random_projection",
+    "embedding_top_component",
+    # ANN variants (prep list)
+    "ann_ivfsq_cosine",
+    "ann_projected_bruteforce",
+    # eval tail (prep list)
+    "eval_fleiss_kappa",
+    "eval_langid_confusion",
+    "eval_rbo_lexical_vs_dense",
+    # events analytics (prep list)
+    "events_transition_matrix",
+    "events_weekly_churn",
+    # profile tail (prep list)
+    "profile_ks_statistic",
+    "profile_referential_integrity",
+    "profile_correlation_matrix",
+    # text tail (prep list)
+    "text_language_id",
+    "text_contamination_check",
+    "text_redact_pii",
+    "text_winnowing_fingerprints",
+    # streaming (prep list)
+    "streaming_stream_static_enrich",
+    "streaming_trending_topk",
 )
 
 

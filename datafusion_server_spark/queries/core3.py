@@ -586,6 +586,98 @@ def window_groups_using_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r13 (verdict task 6): OUTER JOIN USING under an offset-GROUPS frame.
+# The dialect now accepts LEFT/RIGHT/FULL USING: bare refs to the key
+# bind to the standard's MERGED (coalesced) column — which Spark's
+# SELECT-*-wrap models natively — while per-side qualified refs
+# (``o.custkey`` / ``c.custkey``, NULL on that side's unmatched rows)
+# rebind to per-relation wrap aliases. Sides are filtered DISJOINTLY
+# (orders o_orderkey%4=0; customers custkey%3<>0) so the FULL join has
+# real unmatched rows on both sides, and the aggregate arg (order
+# cents) is NULL on customer-only rows — exercising null-skipping
+# through the frame arithmetic. Window partitions by custkey%8 (no
+# single-partition funnel); the oracle restates the merged key with an
+# explicit COALESCE join and derives the GROUPS frames per peer group
+# (rank self-join — DuckDB's parser rejects GROUPS mode).
+_GROUPS_OUTER_USING_SQL = """
+    SELECT custkey, o_orderkey,
+           window_outer_ord.custkey AS o_ck,
+           window_outer_cust.custkey AS c_ck, acct,
+           CAST(SUM(cents) OVER (PARTITION BY custkey % 8 ORDER BY custkey
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES)
+             AS BIGINT) AS roll_excl_ties,
+           CAST(COUNT(cents) OVER (PARTITION BY custkey % 8 ORDER BY custkey
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cnt_frame
+    FROM window_outer_ord FULL JOIN window_outer_cust USING (custkey)
+"""
+
+_GROUPS_OUTER_USING_ORACLE = """
+    WITH o AS (
+      SELECT o_custkey AS custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), c AS (
+      SELECT c_custkey AS custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT) AS acct
+      FROM customer WHERE c_custkey % 3 <> 0
+    ), j AS (
+      SELECT COALESCE(o.custkey, c.custkey) AS custkey,
+             o.custkey AS o_ck, c.custkey AS c_ck,
+             o.o_orderkey, o.cents, c.acct
+      FROM o FULL JOIN c ON c.custkey = o.custkey
+    ), g AS (
+      SELECT custkey % 8 AS p, custkey,
+             SUM(cents) AS sv, COUNT(cents) AS cnt,
+             DENSE_RANK() OVER (PARTITION BY custkey % 8
+                                ORDER BY custkey) AS rk
+      FROM j GROUP BY custkey
+    ), w AS (
+      SELECT x.p, x.custkey, CAST(SUM(y.cnt) AS BIGINT) AS f_cnt
+      FROM g x JOIN g y ON y.p = x.p AND y.rk BETWEEN x.rk - 1 AND x.rk
+      GROUP BY x.p, x.custkey
+    ), pg AS (
+      SELECT x.custkey, y.sv AS prev_sv, y.cnt AS prev_cnt
+      FROM g x LEFT JOIN g y ON y.p = x.p AND y.rk = x.rk - 1
+    )
+    SELECT j.custkey, j.o_orderkey, j.o_ck, j.c_ck, j.acct,
+           CAST(CASE WHEN COALESCE(pg.prev_cnt, 0)
+                          + (CASE WHEN j.cents IS NOT NULL
+                                  THEN 1 ELSE 0 END) = 0
+                     THEN NULL
+                     ELSE COALESCE(pg.prev_sv, 0) + COALESCE(j.cents, 0)
+                END AS BIGINT) AS roll_excl_ties,
+           w.f_cnt AS cnt_frame
+    FROM j
+    JOIN w ON w.custkey = j.custkey
+    JOIN pg ON pg.custkey = j.custkey
+"""
+
+
+@df_query("window_groups_outer_using", _GROUPS_OUTER_USING_ORACLE)
+def window_groups_outer_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL JOIN USING + per-side key refs under offset-GROUPS frames
+    with EXCLUDE TIES (r13 dialect extension — coalesced-key OUTER
+    USING expansion)."""
+    from datafusion_server_spark import tables
+    from datafusion_server_spark.functions.dialect import transpile
+
+    tables.register_views(spark, sf_dir)
+    spark.sql(
+        "SELECT o_custkey AS custkey, o_orderkey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents "
+        "FROM orders WHERE o_orderkey % 4 = 0"
+    ).createOrReplaceTempView("window_outer_ord")
+    spark.sql(
+        "SELECT c_custkey AS custkey, "
+        "CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT) AS acct "
+        "FROM customer WHERE c_custkey % 3 <> 0"
+    ).createOrReplaceTempView("window_outer_cust")
+    return spark.sql(
+        transpile(_GROUPS_OUTER_USING_SQL, lambda t: spark.table(t).columns)
+    )
+
+
 _GROUPS_EXCLUDE_SQL = f"""
     SELECT o_orderkey,
            ROUND(CAST(SUM(CAST(o_totalprice AS {D18})) OVER (

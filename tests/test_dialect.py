@@ -690,8 +690,8 @@ def test_offset_groups_using_join_expansion(spark):
     """r12: INNER JOIN USING participates in the multi-relation GROUPS
     expansion — the USING key is merged (SELECT * exposes it once, bare
     name unambiguous); non-key collisions still alias through the wrap.
-    OUTER USING (coalesced key), NATURAL, and partially-merged keys
-    keep the reject."""
+    NATURAL OUTER and partially-merged keys keep the reject (OUTER
+    USING itself is accepted since r13 — see the dedicated test)."""
     from datafusion_server_spark.functions.dialect import rewrite_offset_groups
 
     spark.createDataFrame(
@@ -730,22 +730,79 @@ def test_offset_groups_using_join_expansion(spark):
     assert out3 != sql3 and "GROUPS" not in out3
     assert spark.sql(out3).count() == 9
 
-    # rejects: OUTER USING; USING key absent from one side (unmerged)
-    for bad, res in [
-        (
-            "SELECT ut.v, SUM(us.w) OVER (ORDER BY ut.k "
-            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
-            "FROM ut LEFT JOIN us USING (k)",
-            lambda t: cols[t],
-        ),
-        (
-            "SELECT ut.v, SUM(us.w) OVER (ORDER BY ut.k "
-            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
-            "FROM ut JOIN us USING (g)",  # us has no g
-            lambda t: cols[t],
-        ),
-    ]:
-        assert rewrite_offset_groups(bad, res) == bad
+    # reject: USING key absent from one side (unmerged)
+    bad = (
+        "SELECT ut.v, SUM(us.w) OVER (ORDER BY ut.k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+        "FROM ut JOIN us USING (g)"  # us has no g
+    )
+    assert rewrite_offset_groups(bad, lambda t: cols[t]) == bad
+
+
+def test_offset_groups_outer_using_join_expansion(spark):
+    """r13 (verdict task 6): LEFT/RIGHT/FULL JOIN USING participates in
+    the GROUPS expansion. Bare key refs bind to the standard's merged
+    (coalesced) column — Spark's wrap-* models it natively — while
+    per-side qualified refs ``q.k`` (NULL on q's unmatched rows) rebind
+    to explicit wrap aliases, and ``q.*`` keeps the SIDE's key value."""
+    from datafusion_server_spark.functions.dialect import rewrite_offset_groups
+
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (4, 40)], "k bigint, av bigint"
+    ).createOrReplaceTempView("oa")
+    spark.createDataFrame(
+        [(2, 7), (3, 8), (4, 9)], "k bigint, bv bigint"
+    ).createOrReplaceTempView("ob")
+    cols = {"oa": ["k", "av"], "ob": ["k", "bv"]}
+    res = lambda t: cols[t]  # noqa: E731
+
+    # FULL USING + bare star: merged k = COALESCE(oa.k, ob.k) feeds the
+    # GROUPS order; k values 1,2,3,4 each a singleton peer group
+    out = rewrite_offset_groups(
+        "SELECT *, CAST(SUM(k) OVER (ORDER BY k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s "
+        "FROM oa FULL JOIN ob USING (k)",
+        res,
+    )
+    assert "GROUPS" not in out
+    got = {r["k"]: (r["av"], r["bv"], r["s"]) for r in spark.sql(out).collect()}
+    assert got == {
+        1: (10, None, 1), 2: (20, 7, 3), 3: (None, 8, 5), 4: (40, 9, 7)
+    }
+    assert "__qc" not in str(spark.sql(out).columns), "wrap aliases leaked"
+
+    # per-side qualified key refs under LEFT USING
+    out2 = rewrite_offset_groups(
+        "SELECT oa.k AS ak, ob.k AS bk, CAST(COUNT(*) OVER (ORDER BY k "
+        "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS c "
+        "FROM oa LEFT JOIN ob USING (k)",
+        res,
+    )
+    assert "GROUPS" not in out2
+    got2 = {r["ak"]: (r["bk"], r["c"]) for r in spark.sql(out2).collect()}
+    assert got2 == {1: (None, 2), 2: (2, 3), 4: (4, 2)}
+
+    # q.* under RIGHT USING keeps the SIDE's key (NULL on unmatched)
+    out3 = rewrite_offset_groups(
+        "SELECT oa.*, CAST(SUM(k) OVER (ORDER BY k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s "
+        "FROM oa RIGHT JOIN ob USING (k)",
+        res,
+    )
+    assert "GROUPS" not in out3
+    got3 = sorted(
+        ((r["k"], r["av"], r["s"]) for r in spark.sql(out3).collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert got3 == [(2, 20, 2), (4, 40, 7), (None, None, 5)]
+
+    # NATURAL OUTER still rejects
+    bad = (
+        "SELECT oa.av, SUM(k) OVER (ORDER BY k "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+        "FROM oa NATURAL LEFT JOIN ob"
+    )
+    assert rewrite_offset_groups(bad, res) == bad
 
 
 def test_offset_groups_natural_join_expansion(spark):

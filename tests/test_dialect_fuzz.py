@@ -540,3 +540,144 @@ def test_groups_multistar_collide_fuzz(spark):
         )
         accepted += 1
     assert accepted >= 40, f"only {accepted}/60 accepted ({rejected} rejected)"
+
+
+# --- r13: OUTER JOIN USING grid (verdict task 6) -------------------------
+# t2 FULL/LEFT/RIGHT JOIN su USING (g): su covers g in {1,2,3,5} so LEFT
+# leaves g in {0,4} unmatched (y NULL), RIGHT leaves g=5 unmatched
+# (v NULL), FULL both. The merged key g is never NULL (both sides'
+# keys are non-null), so peer-group order is deterministic; aggregate
+# args v / y ARE null on unmatched rows, exercising null-skipping
+# through the frame-minus-excluded arithmetic. Expected values come
+# from an independent pure-Python join + GROUPS evaluation.
+
+_OU_SU = {1: 11, 2: 21, 3: 31, 5: 51}  # g -> y
+_OU_T2 = [{"g": i % 5, "v": i} for i in range(20)]
+
+_OU_PROJECTIONS = {
+    # label -> (select list, ((output col, evaluator source), ...));
+    # q.* outputs the SIDE's key (NULL on unmatched), not the merged g
+    "star": ("*", (("g", "g"), ("v", "v"), ("y", "y"))),
+    "explicit": ("g, v, y", (("g", "g"), ("v", "v"), ("y", "y"))),
+    "side_keys": (
+        "t2.g AS tg, su.g AS sg, v, y",
+        (("tg", "tg"), ("sg", "sg"), ("v", "v"), ("y", "y")),
+    ),
+    "su_star": ("su.*, v", (("g", "sg"), ("y", "y"), ("v", "v"))),
+}
+
+
+def _ou_joined(jt: str) -> list[dict]:
+    rows = []
+    for r in _OU_T2:
+        if r["g"] in _OU_SU:
+            rows.append({"g": r["g"], "tg": r["g"], "sg": r["g"],
+                         "v": r["v"], "y": _OU_SU[r["g"]]})
+        elif jt in ("LEFT", "FULL"):
+            rows.append({"g": r["g"], "tg": r["g"], "sg": None,
+                         "v": r["v"], "y": None})
+    t2_gs = {r["g"] for r in _OU_T2}
+    if jt in ("RIGHT", "FULL"):
+        for g, y in _OU_SU.items():
+            if g not in t2_gs:
+                rows.append({"g": g, "tg": None, "sg": g, "v": None, "y": y})
+    return rows
+
+
+def _ou_agg(fn: str, vals: list) -> object:
+    nn = [v for v in vals if v is not None]
+    if fn == "COUNT_STAR":
+        return len(vals)
+    if fn == "COUNT":
+        return len(nn)
+    if not nn:
+        return None
+    if fn == "AVG":
+        return sum(nn) / len(nn)
+    return {"SUM": sum, "MIN": min, "MAX": max}[fn](nn)
+
+
+def _ou_eval(jt: str, fn: str, arg: str, lo, hi, exclude, proj: str):
+    rows = _ou_joined(jt)
+    srt = sorted(rows, key=lambda r: r["g"])
+    peers: list[list[dict]] = []
+    for r in srt:
+        if peers and peers[-1][0]["g"] == r["g"]:
+            peers[-1].append(r)
+        else:
+            peers.append([r])
+    last = len(peers) - 1
+    out = []
+    for pg, peer in enumerate(peers):
+        flo = {"unb": 0}.get(lo[0], pg - lo[1] if lo[0] == "prec" else pg)
+        fhi = {"unb": last}.get(hi[0], pg + hi[1] if hi[0] == "foll" else pg)
+        frame = [r for p in peers[max(flo, 0): min(fhi, last) + 1] for r in p]
+        for r in peer:
+            rows_in = list(frame)
+            if exclude == "CURRENT ROW":
+                rows_in = [q for q in rows_in if q is not r]
+            elif exclude == "GROUP":
+                rows_in = [q for q in rows_in if q not in peer]
+            elif exclude == "TIES":
+                rows_in = [q for q in rows_in if q is r or q not in peer]
+            w = _ou_agg(fn, [q[arg] for q in rows_in])
+            out.append({
+                **{name: r[src] for name, src in _OU_PROJECTIONS[proj][1]},
+                "w": w,
+            })
+    return out
+
+
+def test_groups_outer_using_fuzz(spark):
+    from datafusion_server_spark.functions.dialect import _GROUPS_FRAME
+
+    spark.createDataFrame(
+        [(r["g"], r["v"]) for r in _OU_T2], "g bigint, v bigint"
+    ).createOrReplaceTempView("t2")
+    spark.createDataFrame(
+        [(g, y) for g, y in _OU_SU.items()], "g bigint, y bigint"
+    ).createOrReplaceTempView("su")
+    cols = {"t2": ["g", "v"], "su": ["g", "y"]}
+    resolver = lambda t: cols.get(t.rsplit(".", 1)[-1])  # noqa: E731
+    rng = random.Random(0x0172E12)
+    accepted = rejected = 0
+    for _ in range(120):
+        jt = rng.choice(["LEFT", "RIGHT", "FULL"])
+        fn = rng.choice(["SUM", "COUNT_STAR", "COUNT", "AVG", "MIN", "MAX"])
+        arg = rng.choice(["v", "y", "g"])
+        lo = rng.choice([("unb",), ("prec", rng.randint(0, 2)), ("cur",)])
+        hi = rng.choice([("cur",), ("foll", rng.randint(0, 2)), ("unb",)])
+        exclude = rng.choice([None, None, "CURRENT ROW", "GROUP", "TIES"])
+        proj = rng.choice(sorted(_OU_PROJECTIONS))
+        frame = _frame_sql(Case(
+            fn=fn, arg=arg, part=None, order=("g",), lo=lo, hi=hi,
+            shorthand=False, exclude=exclude, proj="explicit",
+            groupby=None, wrap=False,
+        ))
+        fsql = "COUNT(*)" if fn == "COUNT_STAR" else f"{fn}({arg})"
+        over = f"ORDER BY g {frame}" + (f" EXCLUDE {exclude}" if exclude else "")
+        jt_sql = rng.choice([jt, f"{jt} OUTER"])
+        sql = (
+            f"SELECT {_OU_PROJECTIONS[proj][0]}, {fsql} OVER ({over}) AS w "
+            f"FROM t2 {jt_sql} JOIN su USING (g)"
+        )
+        try:
+            out = transpile(sql, resolver)
+        except UnsupportedDialectFeature:
+            rejected += 1
+            continue
+        assert not _GROUPS_FRAME.search(out), sql
+        try:
+            got = [r.asDict() for r in spark.sql(out).collect()]
+        except Exception as e:
+            pytest.fail(
+                f"transpile emitted SQL Spark cannot run ({type(e).__name__}):"
+                f"\n  raw: {sql}\n  out: {out}\n  {str(e)[:400]}"
+            )
+        want = _ou_eval(jt, fn, arg, lo, hi, exclude, proj)
+        assert _canon(got) == _canon(want), (
+            f"value mismatch:\n  raw: {sql}\n  out: {out}"
+            f"\n  jt={jt} fn={fn} arg={arg} lo={lo} hi={hi} ex={exclude} proj={proj}"
+        )
+        accepted += 1
+    assert accepted >= 80, f"only {accepted}/120 accepted ({rejected} rejected)"

@@ -324,20 +324,25 @@ def cap_bucket_members(
     names in one query, e.g. a UNION of two capped pipelines. The
     window shuffles by the same (band, bucket) key the candidate join
     hashes on, so it adds no new exchange width."""
-    w = Window.partitionBy("band", "bucket").orderBy("id")
-    guarded = banded.withColumn("__bm", F.row_number().over(w))
+    cap = int(max_bucket_members)
+    guarded = banded.selectExpr(
+        "*",
+        "ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY id ASC) AS __bm",
+    )
     metrics = [
-        F.sum(F.when(F.col("__bm") > max_bucket_members, 1).otherwise(0))
-        .cast("bigint")
-        .alias("dropped"),
-        F.sum(F.when(F.col("__bm") <= max_bucket_members, 1).otherwise(0))
-        .cast("bigint")
-        .alias("kept"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN __bm > {cap} THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS dropped"
+        ),
+        F.expr(
+            f"CAST(SUM(CASE WHEN __bm <= {cap} THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS kept"
+        ),
     ]
     if observation is None:
         observation = f"lsh_bucket_cap_{next(_BUCKET_CAP_SEQ)}"
     guarded = guarded.observe(observation, *metrics)
-    return guarded.filter(F.col("__bm") <= max_bucket_members).drop("__bm")
+    return guarded.where(f"__bm <= {cap}").drop("__bm")
 
 
 def auto_bucket_cap(
@@ -433,16 +438,44 @@ def lsh_candidate_pairs(
         # A 2x mis-estimate moves the sqrt-derived cap only 1.4x.
         max_bucket_members = auto_bucket_cap(estimate_row_count(df, 256))
     if max_bucket_members is not None:
-        banded = cap_bucket_members(
+        # r13 (optimization): fused cap + IN-ROW pair expansion. The old
+        # shape self-joined the capped band stream, which planned the
+        # whole explode->Exchange->Sort->Window cap pipeline TWICE (the
+        # broadcast side cannot reuse the probe side's exchange). Since
+        # the cap window already shuffles and sorts by (band, bucket),
+        # a groupBy on the same key aggregates WITHOUT a new exchange;
+        # per-bucket kept members (<= cap, so the collect buffer is
+        # bounded by the cap's 65536 ceiling, ~512 KB worst case) expand
+        # to ordered i<j pairs in-row. One banding pipeline instead of
+        # two, no broadcast of the band stream, no join — identical
+        # pairs (kept set unchanged; sorted-array expansion emits
+        # exactly the a.id < b.id pairs the join produced).
+        capped = cap_bucket_members(
             banded, max_bucket_members, observation=bucket_cap_observation
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, F.expr("a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"))
-        .select(F.expr("a.id AS id_a"), F.expr("b.id AS id_b"))
-        .distinct()
-    )
+        pairs = (
+            capped.groupBy("band", "bucket")
+            .agg(F.expr("SORT_ARRAY(COLLECT_LIST(id)) AS ids"))
+            .select(
+                F.expr(
+                    "INLINE(FLATTEN(TRANSFORM(ids, (x, i) -> "
+                    "TRANSFORM(SLICE(ids, i + 2, SIZE(ids)), "
+                    "y -> STRUCT(x AS id_a, y AS id_b)))))"
+                )
+            )
+            .distinct()
+        )
+    else:
+        # unbounded opt-out: keep the self-join shape — a degenerate
+        # bucket's members stream through the join rather than
+        # materializing one unbounded collect buffer per bucket.
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(b, F.expr("a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"))
+            .select(F.expr("a.id AS id_a"), F.expr("b.id AS id_b"))
+            .distinct()
+        )
     sets_a = sigs.select(F.expr("id AS id_a"), F.expr("sh AS sh_a"), F.expr("n_sh AS n_a"))
     sets_b = sigs.select(F.expr("id AS id_b"), F.expr("sh AS sh_b"), F.expr("n_sh AS n_b"))
     return (
@@ -624,26 +657,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     """
     assert bits <= 32
     df = ensure_fanout_parallelism(df)
-    tokens = df.select(
-        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    )
-    with_hash = tokens.select("id", F.md5(F.col("tok")).alias("h"))
-    # SQL-string aggregates: one py4j call per bit instead of ~9
-    sums = with_hash.groupBy("id").agg(
-        *[
-            F.expr(
-                f"SUM(CASE WHEN SUBSTRING(h, {p + 1}, 1) >= '8'"
-                f" THEN 1 ELSE -1 END) AS s{p}"
-            )
-            for p in range(bits)
-        ]
-    )
-    fingerprint = F.expr(
-        "CONCAT("
-        + ", ".join(f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(bits))
-        + ") AS simhash"
-    )
-    return sums.select("id", fingerprint)
+    # ONE F.expr per pipeline step (r13): the per-bit agg list cost ~260
+    # py4j round-trips in plan construction; the 32 SUM aggregates now
+    # ride inside a single CONCAT aggregation expression — the physical
+    # aggregate evaluates the same 32 sums, the final projection is
+    # merged into the agg's result expression.
+    with_hash = df.selectExpr(
+        f"{quote_ident(id_col)} AS id",
+        f"EXPLODE(SPLIT({quote_ident(text_col)}, ' ')) AS tok",
+    ).selectExpr("id", "MD5(tok) AS h")
+    fingerprint = "CONCAT(" + ", ".join(
+        f"CASE WHEN SUM(CASE WHEN SUBSTRING(h, {p + 1}, 1) >= '8'"
+        f" THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+        for p in range(bits)
+    ) + ") AS simhash"
+    return with_hash.groupBy("id").agg(F.expr(fingerprint))
 
 
 def prefix_jaccard_pairs(

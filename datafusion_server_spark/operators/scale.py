@@ -149,6 +149,20 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
     return parts
 
 
+# Per-DataFrame memo of estimate_scan_partitions (r13): the estimate
+# costs a py4j inputFiles() round-trip plus a stat per file on every
+# call, but hot query builders (ANN / dedup / kNN) call the guard on the
+# SAME long-lived DataFrame object (tables.load caches per session+sf)
+# once per bench run. Input files of a given DataFrame's plan never
+# change (immutable lineage), so identity-keyed memoization is safe; the
+# WeakKey entry dies with the DataFrame.
+import weakref
+
+_SCAN_EST_MEMO: "weakref.WeakKeyDictionary[DataFrame, int | None]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def ensure_fanout_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Guard a DataFrame that is about to enter a fan-out stage (explode
     of shingles / tokens / vector elements, typically 50-500x row growth
@@ -168,7 +182,14 @@ def ensure_fanout_parallelism(df: DataFrame, min_partitions: int | None = None) 
     left untouched, since Spark already planned those at full width.
     """
     target = min_partitions or _session_parallelism(df.sparkSession)
-    est = estimate_scan_partitions(df)
+    try:
+        est = _SCAN_EST_MEMO[df]
+    except (KeyError, TypeError):
+        est = estimate_scan_partitions(df)
+        try:
+            _SCAN_EST_MEMO[df] = est
+        except TypeError:
+            pass
     if est is None or est >= target:
         return df
     return df.repartition(target)

@@ -6,32 +6,21 @@ Beyond-reference operators (BASELINE.json north-star):
   are bucketed by a deterministic hyperplane-sign code so the candidate
   join touches only same-bucket pairs.
 
-Execution shape (round-4 split): PER-VECTOR derivations (the LSH codes
-+ norm — ``planes``+1 sums over the same elements) stay on the
-element-exploded + hash-aggregated path, where one ``posexplode`` feeds
-many codegen'd ``SUM(BIGINT)`` aggregations with map-side combine.
-PAIR scoring (brute-force dots and candidate re-ranks) moved IN-ROW:
-``zip_with`` + ``aggregate`` on the two arrays (``_dot_scaled``).
-Spark's higher-order lambdas are interpreted — per-element they lose to
-codegen — but the element-join form carried pairs x dim rows into a
-grouped aggregation, a 64x row blow-up (and shuffle) at dim 64 that
-dwarfs the interpreter penalty: scoring is now a narrow expression with
-no aggregation stage at all, the shape that survives 100 TB. (Round-2's
-"5-15x slower" zip_with measurement was for the per-VECTOR derivations,
-where the explode amortizes across planes+1 aggregations — that path
-correctly keeps codegen.)
-
-Plan shape (round-2 restructure, profiled at sf0.1): ALL per-vector
-derivations — every hyperplane projection AND the norm — happen in ONE
-grouped aggregation over the element view (one shuffle), and the norms
-ride along through the bucket/candidate joins instead of being re-joined
-per side afterwards. No eager checkpoints: every subplan here is
-deterministic (md5-derived signs, exact integer sums), so recomputation
-is harmless, and at bench scale the parallel per-consumer recompute of
-the element view measures cheaper than blocking checkpoint jobs (2.5s ->
-1.7s on ann_lsh at sf0.1). At corpus scales where re-exploding the
-vectors per consumer dominates, feed the functions a checkpointed
-DataFrame — the plans are agnostic to where their input came from.
+Execution shape (r13: everything IN-ROW): both PER-VECTOR derivations
+(the LSH codes + norm — ``planes``+1 sums, ``_codes_norms``) and PAIR
+scoring (brute-force dots and candidate re-ranks, ``_dot_scaled``) are
+``transform``/``zip_with`` + ``aggregate`` expressions over the
+embedding arrays — pure maps over one row per vector/pair, no
+``posexplode``, no element shuffle, no aggregation stage. Spark's
+higher-order lambdas are interpreted — per-element they lose to
+codegen — but the exploded forms carried n x dim (codes) or
+pairs x dim (scoring) rows into grouped aggregations, a 64x row
+blow-up plus shuffle at dim 64 that dwarfs the interpreter penalty;
+the in-row codes build is scan-bound, the shape that survives 100 TB
+(interleaved A/B at sf0.1 in scripts/codes_inrow_ab.py: in-row
+0.350/0.510 min/med vs exploded 0.363/0.735 at planes=16, values
+bit-identical). The norms ride along through the bucket/candidate
+joins instead of being re-joined per side afterwards.
 
 Determinism contract: each per-element product is an IEEE double scaled
 and rounded to a 1e-12-granular BIGINT (``ROUND(x*y*1e12) AS BIGINT``);
@@ -52,7 +41,10 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
+from datafusion_server_spark.operators.scale import (
+    ensure_fanout_parallelism,
+    quote_ident,
+)
 
 SCALE = 1_000_000_000_000  # 1e12: element products keep 12 decimal digits
 
@@ -119,17 +111,21 @@ def _norm_sql(v: str) -> str:
 
 
 def _vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, v): the vector-level view used by the in-row scoring path."""
-    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    """(id, v): the vector-level view used by the in-row scoring path.
+    selectExpr strings: plan construction on the hot ANN/kNN paths is
+    py4j-chatter-bound (r13 profile: 1100+ round-trips per build, ~70%
+    of the row's wall under load), and a string projection parses
+    JVM-side in ONE call where the Column form pays one per method."""
+    return df.selectExpr(f"{quote_ident(id_col)} AS id", f"{quote_ident(vec_col)} AS v")
 
 
 def _elements(df: DataFrame, id_col: str, vec_col: str, id_alias: str) -> DataFrame:
     """(id, i, x): one row per vector element, x cast to double, i 1-based
     to match the oracle's generate_subscripts."""
-    return df.select(
-        F.col(id_col).alias(id_alias),
-        F.posexplode(F.col(vec_col)).alias("i", "x"),
-    ).select(id_alias, (F.col("i") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    return df.selectExpr(
+        f"{quote_ident(id_col)} AS {id_alias}",
+        f"POSEXPLODE({quote_ident(vec_col)}) AS (__p, __x)",
+    ).selectExpr(id_alias, "__p + 1 AS i", "CAST(__x AS DOUBLE) AS x")
 
 
 def _norms(el: DataFrame, id_alias: str) -> DataFrame:
@@ -151,40 +147,43 @@ def hyperplane_signs(plane: int, dim: int) -> list[int]:
     ]
 
 
-def _codes_norms(el: DataFrame, planes: int, dim: int) -> DataFrame:
-    """(id, bucket, nrm) in ONE grouped aggregation over the element view:
-    ``planes`` sign-projection sums plus the norm sum — a single shuffle
-    of the element rows covers every per-vector derivation downstream
-    consumers need. Each plane's signs are encoded as ONE '1'/'0' string
-    literal indexed by ``substring`` (whole-stage codegen; measured ~40%
-    faster than a 64-element literal-array lookup, whose plan carries
-    planes x dim literals through analysis and codegen)."""
+def _codes_norms(vecs: DataFrame, planes: int, dim: int) -> DataFrame:
+    """(id, bucket, nrm) computed IN-ROW over the ``_vectors`` view
+    (r13 restructure): ``planes`` sign-projection sums plus the norm as
+    TRANSFORM/ZIP_WITH + AGGREGATE expressions over the embedding array
+    — a pure map over one row per vector, where the old shape exploded
+    n*dim element rows and shuffled them into a grouped aggregation. At
+    100 TB the codes build becomes scan-bound instead of shuffle-bound;
+    at sf0.1 the interleaved A/B (scripts/codes_inrow_ab.py) has in-row
+    at 0.350/0.510 min/med vs 0.363/0.735 exploded (planes=16). Values
+    are bit-identical: per-element CAST-to-DOUBLE and scaled ROUND are
+    unchanged and integer addition is order-independent. Each plane's
+    signs stay ONE '1'/'0' string literal indexed by ``substring``.
+    Contract: vectors are dense, NULL-free, exactly ``dim`` long (the
+    zip against SEQUENCE(1, dim) assumes it, as did the old element
+    explode's sign indexing)."""
     sign_strs = [
         "".join("1" if s == 1 else "0" for s in hyperplane_signs(p, dim))
         for p in range(planes)
     ]
-    # expressions delivered as SQL strings — one py4j call per plane
-    # instead of ~12 (see _dot_scaled_sql); the parsed trees are the
-    # exact Column-API operators, so values are unchanged
-    sums = el.groupBy("id").agg(
-        *[
-            F.expr(
-                f"SUM(CAST(ROUND((CASE WHEN SUBSTRING('{sign_strs[p]}', i, 1) = '1' "
-                f"THEN x ELSE -x END) * {SCALE}) AS BIGINT)) AS s{p}"
-            )
-            for p in range(planes)
-        ],
-        F.expr(
-            f"SQRT(CAST(SUM(CAST(ROUND((x * x) * {SCALE}) AS BIGINT)) AS DOUBLE)"
-            f" / {SCALE}) AS nrm"
-        ),
+    sums = [
+        f"AGGREGATE(ZIP_WITH(v, SEQUENCE(1, {dim}), (x, i) -> "
+        f"CAST(ROUND((CASE WHEN SUBSTRING('{sign_strs[p]}', i, 1) = '1' "
+        f"THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END) * {SCALE}) "
+        f"AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t) AS s{p}"
+        for p in range(planes)
+    ]
+    nrm = (
+        f"SQRT(CAST(AGGREGATE(TRANSFORM(v, x -> "
+        f"CAST(ROUND((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * {SCALE}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE) / {SCALE}) AS nrm"
     )
-    bucket = F.expr(
+    bucket = (
         "CONCAT("
         + ", ".join(f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(planes))
         + ") AS bucket"
     )
-    return sums.select("id", bucket, "nrm")
+    return vecs.selectExpr("id", *sums, nrm).selectExpr("id", bucket, "nrm")
 
 
 def bucket_codes(
@@ -193,14 +192,11 @@ def bucket_codes(
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    *,
-    el: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, bucket): sign-LSH code per vector. Pass a pre-built ``el``
-    element view to avoid re-exploding when the caller already holds one."""
-    if el is None:
-        el = _elements(embeddings, id_col, vec_col, "id")
-    return _codes_norms(el, planes, dim).select("id", "bucket")
+    """(id, bucket): sign-LSH code per vector (in-row, no explode)."""
+    return _codes_norms(_vectors(embeddings, id_col, vec_col), planes, dim).select(
+        "id", "bucket"
+    )
 
 
 def _score_pairs(pairs: DataFrame, vecs: DataFrame, a: str, b: str) -> DataFrame:
@@ -213,30 +209,31 @@ def _score_pairs(pairs: DataFrame, vecs: DataFrame, a: str, b: str) -> DataFrame
     ``_dot_scaled``, so scoring adds no aggregation stage at all.
     Zero-norm vectors have no direction: pairs touching one are dropped
     (also prevents ANSI-mode divide-by-zero). Output: (a, b, cosine)."""
-    va = vecs.select(F.col("id").alias(a), F.col("v").alias("__va"))
-    vb = vecs.select(F.col("id").alias(b), F.col("v").alias("__vb"))
+    va = vecs.selectExpr(f"id AS {a}", "v AS __va")
+    vb = vecs.selectExpr(f"id AS {b}", "v AS __vb")
     return (
-        pairs.filter((F.col("nrm_a") > 0.0) & (F.col("nrm_b") > 0.0))
+        pairs.where("nrm_a > 0.0D AND nrm_b > 0.0D")
         .join(va, a)
         .join(vb, b)
-        .select(
+        .selectExpr(
             a,
             b,
-            F.expr(
-                f"ROUND((CAST(({_dot_scaled_sql('__va', '__vb')}) AS DOUBLE)"
-                f" / {SCALE}) / (nrm_a * nrm_b), 6) AS cosine"
-            ),
+            f"ROUND((CAST(({_dot_scaled_sql('__va', '__vb')}) AS DOUBLE)"
+            f" / {SCALE}) / (nrm_a * nrm_b), 6) AS cosine",
         )
     )
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # window as SQL text (one parse call; same plan — DESC is NULLS
+    # LAST / ASC is NULLS FIRST by default in both forms)
+    return scored.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank",
+    ).where(f"rank <= {int(k)}")
 
 
 def cosine_topk(
@@ -262,25 +259,23 @@ def cosine_topk(
     embeddings = ensure_fanout_parallelism(embeddings)
     # zero-norm vectors have no direction — dropped from both sides
     # (also prevents ANSI-mode divide-by-zero)
-    cand = _vectors(embeddings, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"),
-        F.col("v").alias("__cv"),
-        F.expr(f"{_norm_sql('v')} AS __nrm"),
-    ).filter(F.col("__nrm") > 0.0)
-    q = _vectors(queries, id_col, vec_col).select(
-        F.col("id").alias("query_id"),
-        F.col("v").alias("__qv"),
-        F.expr(f"{_norm_sql('v')} AS __qnrm"),
-    ).filter(F.col("__qnrm") > 0.0)
+    cand = _vectors(embeddings, id_col, vec_col).selectExpr(
+        "id AS neighbor_id",
+        "v AS __cv",
+        f"{_norm_sql('v')} AS __nrm",
+    ).where("__nrm > 0.0D")
+    q = _vectors(queries, id_col, vec_col).selectExpr(
+        "id AS query_id",
+        "v AS __qv",
+        f"{_norm_sql('v')} AS __qnrm",
+    ).where("__qnrm > 0.0D")
     scored = cand.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select(
+        F.broadcast(q), F.expr("neighbor_id != query_id")
+    ).selectExpr(
         "query_id",
         "neighbor_id",
-        F.expr(
-            f"ROUND((CAST(({_dot_scaled_sql('__cv', '__qv')}) AS DOUBLE)"
-            f" / {SCALE}) / (__qnrm * __nrm), 6) AS cosine"
-        ),
+        f"ROUND((CAST(({_dot_scaled_sql('__cv', '__qv')}) AS DOUBLE)"
+        f" / {SCALE}) / (__qnrm * __nrm), 6) AS cosine",
     )
     return _rank_topk(scored, k)
 
@@ -500,25 +495,17 @@ def lsh_ann_topk(
             materialize=materialize,
         )
     embeddings = ensure_fanout_parallelism(embeddings)
-    el = _elements(embeddings, id_col, vec_col, "id")
-    cn = _codes_norms(el, planes, dim)
+    cn = _codes_norms(_vectors(embeddings, id_col, vec_col), planes, dim)
     if materialize:
         cn = cn.localCheckpoint(eager=True)
-    q_ids = queries.select(F.col(id_col).alias("query_id"))
+    q_ids = queries.selectExpr(f"{quote_ident(id_col)} AS query_id")
     qb = q_ids.join(
-        cn.select(
-            F.col("id").alias("query_id"), "bucket", F.col("nrm").alias("nrm_a")
-        ),
+        cn.selectExpr("id AS query_id", "bucket", "nrm AS nrm_a"),
         "query_id",
     )
     pairs = qb.join(
-        cn.select(
-            F.col("id").alias("neighbor_id"),
-            F.col("bucket").alias("c_bucket"),
-            F.col("nrm").alias("nrm_b"),
-        ),
-        (F.col("bucket") == F.col("c_bucket"))
-        & (F.col("neighbor_id") != F.col("query_id")),
+        cn.selectExpr("id AS neighbor_id", "bucket AS c_bucket", "nrm AS nrm_b"),
+        F.expr("bucket = c_bucket AND neighbor_id != query_id"),
     ).select("query_id", "neighbor_id", "nrm_a", "nrm_b")
     scored = _score_pairs(
         pairs, _vectors(embeddings, id_col, vec_col), "query_id", "neighbor_id"
@@ -633,8 +620,7 @@ def scaled_lsh_ann_topk(
         band_bits = lsh_band_bits(n_vectors, target_bucket_size)
     planes = bands * band_bits
     embeddings = ensure_fanout_parallelism(embeddings)
-    el = _elements(embeddings, id_col, vec_col, "id")
-    cn = _codes_norms(el, planes, dim)
+    cn = _codes_norms(_vectors(embeddings, id_col, vec_col), planes, dim)
     if materialize:
         cn = cn.localCheckpoint(eager=True)
     # inline() explodes the struct array straight into (b, code) columns —
@@ -652,28 +638,28 @@ def scaled_lsh_ann_topk(
             + "))"
         ),
     )
-    q_bands = queries.select(F.col(id_col).alias("query_id")).join(
-        band_codes.select(
-            F.col("id").alias("query_id"), F.col("nrm").alias("nrm_a"), "b", "code"
-        ),
+    q_bands = queries.selectExpr(f"{quote_ident(id_col)} AS query_id").join(
+        band_codes.selectExpr("id AS query_id", "nrm AS nrm_a", "b", "code"),
         "query_id",
     )
     shared = (
         q_bands.join(
-            band_codes.select(
-                F.col("id").alias("neighbor_id"), F.col("nrm").alias("nrm_b"), "b", "code"
-            ),
+            band_codes.selectExpr("id AS neighbor_id", "nrm AS nrm_b", "b", "code"),
             ["b", "code"],
         )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .where("neighbor_id != query_id")
         .groupBy("query_id", "neighbor_id", "nrm_a", "nrm_b")
-        .agg(F.count(F.lit(1)).alias("nb"))
+        .agg(F.expr("COUNT(1) AS nb"))
     )
-    cap_w = Window.partitionBy("query_id").orderBy(F.desc("nb"), F.asc("neighbor_id"))
-    pairs = (
-        shared.withColumn("rc", F.row_number().over(cap_w))
-        .filter(F.col("rc") <= max_candidates)
-        .select("query_id", "neighbor_id", "nrm_a", "nrm_b")
+    pairs = shared.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "nrm_a",
+        "nrm_b",
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY nb DESC, neighbor_id ASC) AS rc",
+    ).where(f"rc <= {int(max_candidates)}").select(
+        "query_id", "neighbor_id", "nrm_a", "nrm_b"
     )
     scored = _score_pairs(
         pairs, _vectors(embeddings, id_col, vec_col), "query_id", "neighbor_id"
@@ -860,9 +846,9 @@ def embedding_near_duplicates(
     explicit ``planes`` pins the fixed-plane single-bucket variant
     (oracle-pinned internal; bucket population grows ~n/2^planes)."""
     embeddings = ensure_fanout_parallelism(embeddings)
-    el = _elements(embeddings, id_col, vec_col, "id")
+    vecs = _vectors(embeddings, id_col, vec_col)
     if planes is not None:
-        cn = _codes_norms(el, planes, dim)
+        cn = _codes_norms(vecs, planes, dim)
         if materialize:
             cn = cn.localCheckpoint(eager=True)
         a = cn.select(F.col("id").alias("id_a"), "bucket", F.col("nrm").alias("nrm_a"))
@@ -883,7 +869,7 @@ def embedding_near_duplicates(
         if n_vectors is None:
             n_vectors = estimate_row_count(embeddings, bytes_per_row=4 * dim)
         band_bits = lsh_band_bits(n_vectors, target_bucket_size)
-    cn = _codes_norms(el, bands * band_bits, dim)
+    cn = _codes_norms(vecs, bands * band_bits, dim)
     if materialize:
         cn = cn.localCheckpoint(eager=True)
     # inline() explodes the struct array straight into (b, code) columns —

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from datafusion_server_spark.operators.scale import (
     ensure_fanout_parallelism,
+    quote_ident,
     ranked_topk,
 )
 
@@ -67,29 +68,31 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     word ratio, length band. score in [0,1]; heuristics in the style of
     C4/Gopher filtering rules. Output: (id, stopword_ratio,
     unique_ratio, len_ok, quality)."""
-    words = _words(F.col(text_col))
-    n_words = F.size(words).cast("bigint")
-    n_stop = F.size(F.filter(words, lambda w: w.isin([s for s in LANG_STOPWORDS["en"]]))).cast(
-        "bigint"
+    # SQL-string twin of the Column form (r13): one selectExpr parse
+    # instead of ~460 py4j round-trips (the per-stopword isin literals
+    # dominated plan construction). Same parsed operators, bit-identical
+    # values; double literals carry the D suffix so they stay DOUBLE
+    # (bare 0.4 parses as DECIMAL in SQL text).
+    t = quote_ident(text_col)
+    words = f"SPLIT({t}, ' ')"
+    stops = ", ".join("'" + s.replace("'", "''") + "'" for s in LANG_STOPWORDS["en"])
+    n_words = f"CAST(SIZE({words}) AS BIGINT)"
+    n_stop = f"CAST(SIZE(FILTER({words}, w -> w IN ({stops}))) AS BIGINT)"
+    n_unique = f"CAST(SIZE(ARRAY_DISTINCT({words})) AS BIGINT)"
+    sr = f"ROUND(CAST({n_stop} AS DOUBLE) / CAST({n_words} AS DOUBLE), 6)"
+    ur = f"ROUND(CAST({n_unique} AS DOUBLE) / CAST({n_words} AS DOUBLE), 6)"
+    len_ok = f"((LENGTH({t}) >= 100) AND (LENGTH({t}) <= 20000))"
+    quality = (
+        f"ROUND(((CASE WHEN {sr} > 0.01D THEN 0.4D ELSE 0.0D END + "
+        f"CASE WHEN {ur} > 0.3D THEN 0.3D ELSE 0.0D END) + "
+        f"CASE WHEN {len_ok} THEN 0.3D ELSE 0.0D END), 2)"
     )
-    n_unique = F.size(F.array_distinct(words)).cast("bigint")
-    stopword_ratio = F.round(n_stop.cast("double") / n_words.cast("double"), 6)
-    unique_ratio = F.round(n_unique.cast("double") / n_words.cast("double"), 6)
-    len_ok = (F.length(F.col(text_col)) >= 100) & (F.length(F.col(text_col)) <= 20000)
-    quality = F.round(
-        (
-            F.when(stopword_ratio > 0.01, F.lit(0.4)).otherwise(F.lit(0.0))
-            + F.when(unique_ratio > 0.3, F.lit(0.3)).otherwise(F.lit(0.0))
-            + F.when(len_ok, F.lit(0.3)).otherwise(F.lit(0.0))
-        ),
-         2,
-    )
-    return df.select(
-        F.col(id_col).alias("id"),
-        stopword_ratio.alias("stopword_ratio"),
-        unique_ratio.alias("unique_ratio"),
-        len_ok.alias("len_ok"),
-        quality.alias("quality"),
+    return df.selectExpr(
+        f"{quote_ident(id_col)} AS id",
+        f"{sr} AS stopword_ratio",
+        f"{ur} AS unique_ratio",
+        f"{len_ok} AS len_ok",
+        f"{quality} AS quality",
     )
 
 

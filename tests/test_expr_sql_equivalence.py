@@ -111,19 +111,63 @@ def test_bucket_cap_invariants_random_corpus(spark):
 
 @pytest.mark.parametrize("planes,dim", [(4, 8), (8, 16)])
 def test_codes_norms_sql_form_deterministic(spark, planes, dim):
-    """_codes_norms (now SQL-string aggregates) stays deterministic and
-    partition-independent: same input under different parallelism gives
-    identical (id, bucket, nrm) rows."""
-    from datafusion_server_spark.operators.similarity import _codes_norms, _elements
+    """_codes_norms (r13: IN-ROW transform/aggregate over the vector
+    view) stays deterministic and partition-independent, and stays
+    bit-identical to the old exploded + hash-aggregated reference form
+    (same per-element scaled ROUND terms; integer sums are
+    order-independent)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_server_spark.operators.similarity import (
+        SCALE,
+        _codes_norms,
+        _elements,
+        _vectors,
+        hyperplane_signs,
+    )
 
     rng = random.Random(planes * 100 + dim)
     vecs = _rand_vecs(rng, 40, dim)
     df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
-    el = _elements(df, "vec_id", "embedding", "id")
-    a = sorted(map(tuple, _codes_norms(el, planes, dim).collect()))
-    el2 = _elements(df.repartition(7), "vec_id", "embedding", "id")
-    b = sorted(map(tuple, _codes_norms(el2, planes, dim).collect()))
+    a = sorted(
+        map(tuple, _codes_norms(_vectors(df, "vec_id", "embedding"), planes, dim).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            _codes_norms(
+                _vectors(df.repartition(7), "vec_id", "embedding"), planes, dim
+            ).collect(),
+        )
+    )
     assert a == b and len(a) == 40
+
+    # exploded + grouped-aggregation reference (the pre-r13 shape)
+    sign_strs = [
+        "".join("1" if s == 1 else "0" for s in hyperplane_signs(p, dim))
+        for p in range(planes)
+    ]
+    el = _elements(df, "vec_id", "embedding", "id")
+    sums = el.groupBy("id").agg(
+        *[
+            F.expr(
+                f"SUM(CAST(ROUND((CASE WHEN SUBSTRING('{sign_strs[p]}', i, 1) = '1' "
+                f"THEN x ELSE -x END) * {SCALE}) AS BIGINT)) AS s{p}"
+            )
+            for p in range(planes)
+        ],
+        F.expr(
+            f"SQRT(CAST(SUM(CAST(ROUND((x * x) * {SCALE}) AS BIGINT)) AS DOUBLE)"
+            f" / {SCALE}) AS nrm"
+        ),
+    )
+    bucket = F.expr(
+        "CONCAT("
+        + ", ".join(f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(planes))
+        + ") AS bucket"
+    )
+    ref = sorted(map(tuple, sums.select("id", bucket, "nrm").collect()))
+    assert a == ref
 
 
 def test_two_capped_lsh_pipelines_union_analyzes(spark):

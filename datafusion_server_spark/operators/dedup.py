@@ -11,8 +11,8 @@ tokenization is a literal single-space split, so the DuckDB oracle can
 reproduce every value bit-for-bit.
 
 Scale notes (100 TB):
-- MinHash signatures are ONE groupBy over the exploded shingles (all 16
-  mins computed in a single aggregation pass -> one shuffle).
+- MinHash signatures/index rows are computed IN-ROW over the shingle
+  array (r13) — a shuffle-free map; the signature build is scan-bound.
 - LSH banding turns the O(n^2) pair search into a per-bucket self-join;
   bucket sizes are bounded by band width, and the band-value shuffle key
   is uniformly distributed (md5), so there is no skew hot-spot.
@@ -91,35 +91,39 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = DEFAULT_SHI
     )
 
 
-def _minhash_aggs(num_hashes: int) -> list[Column]:
-    """All-minima aggregation list: ONE md5 per shingle supplies every
-    hash function — ``a`` and ``b`` are the first two 32-bit slices of
-    ``md5(shingle)`` and hash ``i`` is ``(a + i*b) mod 2^32`` (the same
-    one-base-hash + linear-perturbation construction Spark ML's
-    MinHashLSH uses). Versus the earlier 4-md5-slice scheme this cuts
-    the dominant map-side cost (md5 evaluations) 4x with equivalent
-    MinHash quality; codegen CSE shares the single md5 across the two
-    slice extractions and all ``num_hashes`` minima. ``a + i*b`` stays
-    under 2^36 for i<=15, so the arithmetic is overflow-free in both
-    Spark bigint and the DuckDB oracle's BIGINT."""
-    # SQL-string form: one py4j call per hash instead of ~7 (plan
-    # construction is py4j-chatter-bound — see similarity._dot_scaled_sql)
+def _inrow_slice_layers(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, ha, hb): per-document ARRAYS of the two 32-bit md5 slices of
+    every shingle (r13 restructure of the exploded hash-slice projection). A pure map over one row per document: no shingle
+    explode, no element shuffle, so at 100 TB the signature build is
+    scan-bound. Each layer's array is referenced more than once
+    downstream, so CollapseProject keeps the md5/slice projections
+    evaluated once per shingle, exactly like the exploded projection.
+    Documents with no shingles (< k words) are dropped, matching the
+    grouped form's absent-group semantics."""
+    ws = _word_shingles_sql(quote_ident(text_col), k)
+    return (
+        df.selectExpr(f"{quote_ident(id_col)} AS id", f"{ws} AS ws")
+        .where("SIZE(ws) > 0")
+        .selectExpr("id", "TRANSFORM(ws, s -> MD5(s)) AS hx")
+        .selectExpr(
+            "id",
+            "TRANSFORM(hx, h -> CAST(CONV(SUBSTRING(h, 1, 8), 16, 10) AS BIGINT)) AS ha",
+            "TRANSFORM(hx, h -> CAST(CONV(SUBSTRING(h, 9, 8), 16, 10) AS BIGINT)) AS hb",
+        )
+    )
+
+
+def _inrow_min_exprs(num_hashes: int) -> list[str]:
+    """The ``num_hashes`` MinHash minima over the (ha, hb) slice arrays:
+    ``mh_i = ARRAY_MIN((ha + i*hb) % 2^32)`` — same one-base-hash +
+    linear-perturbation values as the old grouped form, min over the array
+    instead of a grouped MIN (duplicate-insensitive either way)."""
     return [
-        F.expr(f"MIN((_mh_a + {i} * _mh_b) % 4294967296) AS mh{i}")
+        f"ARRAY_MIN(ZIP_WITH(ha, hb, (x, y) -> (x + {i} * y) % 4294967296)) AS mh{i}"
         for i in range(num_hashes)
     ]
-
-
-def _with_hash_slices(shingled: DataFrame) -> DataFrame:
-    """Project the two 32-bit md5 slices ONCE per shingle row (columns
-    ``_mh_a``/``_mh_b``) so the aggregation's 16 minima consume plain
-    bigint columns — the single md5 lives in the projection, not inside
-    16 aggregate input expressions."""
-    return shingled.select(
-        "*",
-        F.expr("CAST(CONV(SUBSTRING(MD5(shingle), 1, 8), 16, 10) AS BIGINT) AS _mh_a"),
-        F.expr("CAST(CONV(SUBSTRING(MD5(shingle), 9, 8), 16, 10) AS BIGINT) AS _mh_b"),
-    )
 
 
 def minhash_signatures(
@@ -129,15 +133,17 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     k: int = DEFAULT_SHINGLE_WORDS,
 ) -> DataFrame:
-    """MinHash signature per document: ``mh_i = min(slice_i(md5(seed:shingle)))``
-    (see ``_minhash_aggs``).
-
-    One explode + one groupBy computing all ``num_hashes`` minima in a
-    single aggregation (single shuffle). md5-slice-as-string minima are
+    """MinHash signature per document: ``mh_i = min(slice_i(md5(shingle)))``
+    computed IN-ROW over the shingle array (``_inrow_slice_layers`` —
+    r13: no explode, no shuffle; the A/B in scripts/minhash_inrow_ab.py
+    has the in-row signature build at 0.231/0.351 min/med vs 0.342/0.448
+    exploded at sf0.1, values identical). md5-slice minima are
     uniform-random over shingles, which is all MinHash needs.
     """
-    shingled = _with_hash_slices(shingle_sets(df, text_col, id_col, k))
-    return shingled.groupBy("id").agg(*_minhash_aggs(num_hashes))
+    df = ensure_fanout_parallelism(df)
+    return _inrow_slice_layers(df, text_col, id_col, k).selectExpr(
+        "id", *_inrow_min_exprs(num_hashes)
+    )
 
 
 def lsh_bands(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -170,8 +176,9 @@ def lsh_signature_index(
     materialize: bool = True,
 ) -> DataFrame:
     """The persistable MinHash-LSH index table: (id, mh0..mh{n-1}, sh
-    sorted-distinct 60-bit shingle-hash array, n_sh). ONE wide
-    aggregation over the exploded shingle stream computes every column. At 100 TB this table
+    sorted-distinct 60-bit shingle-hash array, n_sh). Every column is
+    computed IN-ROW over the shingle array — a shuffle-free map (r13;
+    see the body comment). At 100 TB this table
     is written once per corpus snapshot and reused by every later
     self-dedup or incremental-batch run (``lsh_pairs_against_index``) —
     the index-build/probe split that makes daily ingest linear in the
@@ -193,21 +200,24 @@ def lsh_signature_index(
     intersections, so every gate run doubles as an empirical
     no-collision proof at fixture scale."""
     df = ensure_fanout_parallelism(df)
-    shingled = _with_hash_slices(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.expr(f"EXPLODE({_word_shingles_sql(quote_ident(text_col), k)}) AS shingle"),
-        )
-    )
-    sigs = shingled.groupBy("id").agg(
-        *_minhash_aggs(num_hashes),
-        F.expr(
-            "SORT_ARRAY(COLLECT_SET(_mh_a * 268435456 + SHIFTRIGHT(_mh_b, 4))) AS sh"
-        ),
+    # r13 restructure: the whole index row is computed IN-ROW over the
+    # shingle array (``_inrow_slice_layers``) — a pure map, where the
+    # old shape exploded the shingle stream and shuffled it into a
+    # 16-min + collect_set aggregation. Same md5 slices, same minima,
+    # SORT_ARRAY(ARRAY_DISTINCT(...)) instead of a sorted COLLECT_SET
+    # for the 60-bit hash set: identical values (interleaved A/B in
+    # scripts/minhash_inrow_ab.py, rows asserted equal; 0.231 vs 0.342 s
+    # min at sf0.1), and at 100 TB the index build is scan-bound with
+    # no shuffle at all.
+    sigs = _inrow_slice_layers(df, text_col, id_col, k).selectExpr(
+        "id",
+        *_inrow_min_exprs(num_hashes),
+        "SORT_ARRAY(ARRAY_DISTINCT(ZIP_WITH(ha, hb, (x, y) -> "
+        "x * 268435456 + SHIFTRIGHT(y, 4)))) AS sh",
     )
     if materialize:
         sigs = sigs.localCheckpoint(eager=True)
-    return sigs.withColumn("n_sh", F.size("sh").cast("bigint"))
+    return sigs.selectExpr("*", "CAST(SIZE(sh) AS BIGINT) AS n_sh")
 
 
 def lsh_pairs_against_index(

@@ -196,179 +196,121 @@ def top_component_power(
             F.collect_list(F.struct("i", "j", "m", "s_i", "n_i"))
         ).alias("cells")
     )
-    row = row.withColumn(
-        "diag", F.filter(F.col("cells"), lambda c: c["i"] == c["j"])
+    # Positional-indexing guard (r9): the cov build below computes a
+    # POSITION in the (i, j)-sorted cells array and mu indexes diag by
+    # position, so a gap in the triangle (ragged/short embedding arrays
+    # upstream) would silently misalign every later cell. Require the
+    # dense contiguous grid — size == dc*(dc+1)/2, diag dims == 0..dc-1,
+    # and dc pinned to the caller's dim (a UNIFORMLY truncated triangle
+    # is still a dense grid) — and raise loudly otherwise. r13: these
+    # pre-loop stages are SQL-string selectExpr (same parsed operators,
+    # ~2000 fewer py4j round-trips per build).
+    row = row.selectExpr("cells", "FILTER(cells, c -> c.i = c.j) AS diag")
+    row = row.selectExpr("cells", "diag", "SIZE(diag) AS dc")
+    _err = (
+        "top_component_power: moments triangle is ragged — "
+        "expected a dense i<=j grid over contiguous dims"
     )
-    row = row.withColumn("dc", F.size("diag"))
-    # Positional-indexing guard (r9): _tri below computes a POSITION in
-    # the (i, j)-sorted cells array and mu indexes diag by position, so
-    # a gap in the triangle (ragged/short embedding arrays upstream)
-    # would silently misalign every later cell. Require the dense
-    # contiguous grid — size == dc*(dc+1)/2 and diag dims == 0..dc-1 —
-    # and raise loudly otherwise (the join-based form degraded
-    # gracefully by key; the fold must not degrade silently).
-    _dc = F.col("dc")
     _tri_ok = (
-        (F.size("cells") * 2 == _dc * (_dc + 1))
-        # r9 self-review: a UNIFORMLY truncated triangle (all embeddings
-        # shorter than `dim`) is still a dense grid and passed the two
-        # structural checks — pin the inferred dimension to the caller's
-        & (_dc == F.lit(int(dim)))
-        & (
-            F.when(_dc == 0, F.lit(True)).otherwise(
-                F.transform(F.col("diag"), lambda c: c["i"].cast("bigint"))
-                == F.sequence(F.lit(0).cast("bigint"), (_dc - 1).cast("bigint"))
-            )
-        )
+        f"(((SIZE(cells) * 2) = (dc * (dc + 1))) AND (dc = {int(dim)})) AND "
+        "(CASE WHEN dc = 0 THEN TRUE ELSE "
+        "TRANSFORM(diag, c -> CAST(c.i AS BIGINT)) = "
+        "SEQUENCE(CAST(0 AS BIGINT), CAST(dc - 1 AS BIGINT)) END)"
     )
-    row = row.withColumn(
+    row = row.selectExpr(
+        f"CASE WHEN {_tri_ok} THEN cells ELSE RAISE_ERROR('{_err}') END AS cells",
+        "diag",
+        "dc",
+    )
+    _dbl_scale = f"CAST({SCALE} AS DOUBLE)"
+    row = row.selectExpr(
         "cells",
-        F.when(_tri_ok, F.col("cells")).otherwise(
-            F.raise_error(
-                F.lit(
-                    "top_component_power: moments triangle is ragged — "
-                    "expected a dense i<=j grid over contiguous dims"
-                )
-            )
-        ),
-    )
-    row = row.withColumn(
-        "mu",
-        F.transform(
-            F.col("diag"),
-            lambda c: c["s_i"].cast("double")
-            / (c["n_i"].cast("double") * F.lit(float(SCALE))),
-        ),
+        "diag",
+        "dc",
+        f"TRANSFORM(diag, c -> CAST(c.s_i AS DOUBLE) / "
+        f"(CAST(c.n_i AS DOUBLE) * {_dbl_scale})) AS mu",
     )
     # dense cov matrix: triangle cell (lo, hi) sits at 1-based index
     # lo*dc - lo*(lo-1)/2 + (hi-lo) + 1 in the (i, j)-sorted array
-    dc = F.col("dc")
-    idx0 = F.sequence(F.lit(0), dc - 1)
-
-    def _tri(i: Column, j: Column) -> Column:
-        lo, hi = F.least(i, j), F.greatest(i, j)
-        pos = lo * dc - (lo * (lo - 1)).cast("bigint") / 2 + (hi - lo) + 1
-        return F.element_at(F.col("cells"), pos.cast("int"))
-
-    row = row.withColumn(
-        "cov",
-        F.transform(
-            idx0,
-            lambda i: F.transform(
-                idx0,
-                lambda j: _tri(i, j)["m"].cast("double")
-                / (
-                    F.element_at(F.col("diag"), (i + 1).cast("int"))[
-                        "n_i"
-                    ].cast("double")
-                    * F.lit(float(SCALE))
-                )
-                - F.element_at(F.col("mu"), (i + 1).cast("int"))
-                * F.element_at(F.col("mu"), (j + 1).cast("int")),
-            ),
-        ),
+    _tri_m = (
+        "ELEMENT_AT(cells, CAST(LEAST(i, j) * dc - "
+        "CAST(LEAST(i, j) * (LEAST(i, j) - 1) AS BIGINT) / 2 + "
+        "(GREATEST(i, j) - LEAST(i, j)) + 1 AS INT)).m"
+    )
+    row = row.selectExpr(
+        "diag",
+        "dc",
+        "mu",
+        f"TRANSFORM(SEQUENCE(0, dc - 1), i -> TRANSFORM(SEQUENCE(0, dc - 1), "
+        f"j -> CAST({_tri_m} AS DOUBLE) / "
+        f"(CAST(ELEMENT_AT(diag, CAST(i + 1 AS INT)).n_i AS DOUBLE) * {_dbl_scale}) "
+        f"- ELEMENT_AT(mu, CAST(i + 1 AS INT)) * ELEMENT_AT(mu, CAST(j + 1 AS INT))"
+        f")) AS cov",
     )
     # deterministic non-degenerate init: x_i = round8(1/sqrt(dim))
-    row = row.withColumn(
-        "x", F.transform(idx0, lambda _: F.round(F.lit(1.0 / dim**0.5), 8))
+    row = row.selectExpr(
+        "mu",
+        "dc",
+        "cov",
+        f"TRANSFORM(SEQUENCE(0, dc - 1), t -> ROUND({1.0 / dim ** 0.5!r}D, 8)) AS x",
     )
-    dec0 = F.lit(0).cast("decimal(37,8)")
-    big0 = F.lit(0).cast("bigint")
     # NOTE: y is consumed by BOTH nrm and the x update, so Catalyst's
     # CollapseProject cannot inline it into per-element lookups (the
     # single-reference inlining is an exponential-evaluation trap —
-    # measured and documented in graph._pagerank_folded)
+    # measured and documented in graph._pagerank_folded). r13: the loop
+    # body is SQL-string selectExpr stages — the Column-lambda form cost
+    # ~600 py4j round-trips per iteration (~7200/build, the dominant
+    # share of the ABTT row's wall). Each stage lists its passthrough
+    # columns explicitly so every expensive alias (x into y's lambda, y
+    # into nrm, nrm into the x update) keeps >= 2 references at the
+    # collapse boundary, exactly like the old withColumn passthroughs;
+    # the parsed operators and DECIMAL/rounding arithmetic are identical,
+    # keeping the unrolled SQL oracle byte-identical.
+    dec0 = "CAST(0 AS DECIMAL(37,8))"
+    y_sql = (
+        f"TRANSFORM(cov, r -> CAST(AGGREGATE(ZIP_WITH(r, x, (c, xv) -> "
+        f"CAST(ROUND(c * xv, 8) AS DECIMAL(28,8))), {dec0}, "
+        f"(acc, t) -> CAST(acc + t AS DECIMAL(37,8))) AS DOUBLE))"
+    )
+    nrm_sql = (
+        f"SQRT(CAST(AGGREGATE(y, CAST(0 AS BIGINT), (acc, v) -> "
+        f"acc + CAST(ROUND((v * v) * CAST({SCALE} AS DOUBLE)) AS BIGINT)) "
+        f"AS DOUBLE) / CAST({SCALE} AS DOUBLE))"
+    )
     for _ in range(iterations):
-        row = row.withColumn(
-            "y",
-            F.transform(
-                F.col("cov"),
-                lambda r: F.aggregate(
-                    F.zip_with(
-                        r,
-                        F.col("x"),
-                        lambda c, xv: F.round(c * xv, 8).cast("decimal(28,8)"),
-                    ),
-                    dec0,
-                    lambda acc, t: (acc + t).cast("decimal(37,8)"),
-                ).cast("double"),
-            ),
-        )
-        row = row.withColumn(
-            "nrm",
-            F.sqrt(
-                F.aggregate(
-                    F.col("y"),
-                    big0,
-                    lambda acc, v: acc
-                    + F.round(v * v * F.lit(float(SCALE))).cast("bigint"),
-                ).cast("double")
-                / F.lit(float(SCALE))
-            ),
-        )
-        row = row.withColumn(
-            "x",
-            F.transform(F.col("y"), lambda v: F.round(v / F.col("nrm"), 8)),
+        row = row.selectExpr("mu", "cov", "dc", "x", f"{y_sql} AS y")
+        row = row.selectExpr("mu", "cov", "dc", "y", f"{nrm_sql} AS nrm")
+        row = row.selectExpr(
+            "mu", "cov", "dc", "y", "nrm",
+            "TRANSFORM(y, v -> ROUND(v / nrm, 8)) AS x",
         )
     # Rayleigh quotient lambda = x' C x (x unit up to rounding); the
     # nested exact-DECIMAL sums regroup the original flat SUM — decimal
     # addition is associative, so the value is unchanged
-    row = row.withColumn(
-        "lam",
-        F.aggregate(
-            F.zip_with(
-                F.col("cov"),
-                F.col("x"),
-                lambda r, xi: F.aggregate(
-                    F.zip_with(
-                        r,
-                        F.col("x"),
-                        lambda c, xj: F.round(xi * c * xj, 8).cast(
-                            "decimal(28,8)"
-                        ),
-                    ),
-                    dec0,
-                    lambda a, t: (a + t).cast("decimal(37,8)"),
-                ),
-            ),
-            dec0,
-            lambda a, v: (a + v).cast("decimal(37,8)"),
-        ).cast("double"),
+    row = row.selectExpr(
+        "mu", "dc", "x", "cov",
+        f"CAST(AGGREGATE(ZIP_WITH(cov, x, (r, xi) -> "
+        f"AGGREGATE(ZIP_WITH(r, x, (c, xj) -> "
+        f"CAST(ROUND((xi * c) * xj, 8) AS DECIMAL(28,8))), {dec0}, "
+        f"(a, t) -> CAST(a + t AS DECIMAL(37,8)))), {dec0}, "
+        f"(a, v) -> CAST(a + v AS DECIMAL(37,8))) AS DOUBLE) AS lam",
     )
     # orientation: flip so the max-|x| entry (ties -> lower i) is positive
-    row = row.withColumn(
-        "flip",
-        F.when(
-            F.array_max(
-                F.transform(
-                    F.col("x"),
-                    lambda v, i: F.struct(
-                        F.abs(v).alias("a"), (-i).alias("ni"), v.alias("x")
-                    ),
-                )
-            )["x"]
-            < 0,
-            F.lit(-1.0),
-        ).otherwise(F.lit(1.0)),
+    row = row.selectExpr(
+        "mu",
+        "dc",
+        "x",
+        "lam",
+        "CASE WHEN ARRAY_MAX(TRANSFORM(x, (v, i) -> "
+        "STRUCT(ABS(v) AS a, -i AS ni, v AS x))).x < 0 "
+        "THEN -1.0D ELSE 1.0D END AS flip",
     )
-    out = row.select(
-        F.explode(
-            F.transform(
-                idx0,
-                lambda i: F.struct(
-                    i.cast("bigint").alias("i"),
-                    F.round(
-                        F.element_at(F.col("mu"), (i + 1).cast("int")), 6
-                    ).alias("mu"),
-                    F.round(
-                        F.element_at(F.col("x"), (i + 1).cast("int"))
-                        * F.col("flip"),
-                        6,
-                    ).alias("comp"),
-                    F.round(F.col("lam"), 6).alias("eigenvalue"),
-                ),
-            )
-        ).alias("r")
+    out = row.selectExpr(
+        "EXPLODE(TRANSFORM(SEQUENCE(0, dc - 1), i -> STRUCT("
+        "CAST(i AS BIGINT) AS i, "
+        "ROUND(ELEMENT_AT(mu, CAST(i + 1 AS INT)), 6) AS mu, "
+        "ROUND(ELEMENT_AT(x, CAST(i + 1 AS INT)) * flip, 6) AS comp, "
+        "ROUND(lam, 6) AS eigenvalue))) AS r"
     )
     return out.select("r.i", "r.mu", "r.comp", "r.eigenvalue")
 
@@ -393,41 +335,32 @@ def remove_top_component(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).crossJoin(F.broadcast(comp_row))
-    proj = F.round(
-        F.aggregate(
-            F.zip_with(
-                "v",
-                "carr",
-                lambda a, b: F.round(a.cast("double") * b * SCALE).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
-        ).cast("double")
-        / SCALE,
-        8,
+    # r13: SQL-string stages (same operators, ~700 fewer py4j round
+    # trips per build); each expensive alias keeps >= 2 references at
+    # the collapse boundary, exactly like the old withColumn chain.
+    proj_sql = (
+        f"ROUND(CAST(AGGREGATE(ZIP_WITH(v, carr, (a, b) -> "
+        f"CAST(ROUND(CAST(a AS DOUBLE) * b * {SCALE}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE) / {SCALE}, 8)"
     )
-    corrected = F.zip_with(
-        "v", "carr", lambda a, b: a.cast("double") - F.col("__p") * b
+    norm_sql = (
+        f"SQRT(CAST(AGGREGATE(TRANSFORM(__c, a -> "
+        f"CAST(ROUND(a * a * {SCALE}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE) / {SCALE})"
     )
-    with_p = base.withColumn("__p", proj).withColumn("__c", corrected)
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                "__c", lambda a: F.round(a * a * SCALE).cast("bigint")
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
-        ).cast("double")
-        / SCALE
-    )
-    return with_p.withColumn("__n", norm).select(
-        "id",
-        F.round(F.col("__p"), 6).alias("proj_coeff"),
-        F.round(F.col("__n"), 6).alias("corrected_norm"),
-        F.transform(
-            "__c",
-            lambda a: F.round(
-                F.when(F.col("__n") > 0, a / F.col("__n")).otherwise(F.lit(0.0)), 6
-            ),
-        ).alias("corrected"),
+    return (
+        base.selectExpr("id", "v", "carr", f"{proj_sql} AS __p")
+        .selectExpr(
+            "id",
+            "__p",
+            "ZIP_WITH(v, carr, (a, b) -> CAST(a AS DOUBLE) - __p * b) AS __c",
+        )
+        .selectExpr("id", "__p", "__c", f"{norm_sql} AS __n")
+        .selectExpr(
+            "id",
+            "ROUND(__p, 6) AS proj_coeff",
+            "ROUND(__n, 6) AS corrected_norm",
+            "TRANSFORM(__c, a -> ROUND(CASE WHEN __n > 0 THEN a / __n "
+            "ELSE 0.0D END, 6)) AS corrected",
+        )
     )

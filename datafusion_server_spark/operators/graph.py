@@ -172,52 +172,31 @@ def _pagerank_folded(
             F.transform(F.col("ns"), lambda i: F.struct(i, F.col("init")))
         ),
     )
-    zero = F.lit(0).cast("bigint")
+    # The previous map is referenced SEVERAL times in the iteration body
+    # (per-edge lookup + the carry guard). That multiplicity matters
+    # beyond style: Catalyst's CollapseProject inlines a projection
+    # whose alias the consumer references only ONCE, which here would
+    # rebuild the entire previous-iteration map PER EDGE LOOKUP —
+    # measured exponential blowup (sf0.001 trade graph: iters 2 -> 3
+    # went 1.8 s -> 16 s before the guard; flat after). The carry guard
+    # mirrors bradley_terry_ratings' convention (a node missing previous
+    # state keeps it) and keeps every iteration a materialized one-row
+    # projection. r13: the body is ONE SQL-string selectExpr per
+    # iteration — the Column-lambda form cost ~400 py4j round-trips per
+    # iteration; parsed operators and bigint DIV arithmetic identical.
+    rmap_sql = (
+        "MAP_FROM_ENTRIES(TRANSFORM(ns, i -> STRUCT(i, "
+        "CASE WHEN ELEMENT_AT(rmap, i) IS NOT NULL THEN "
+        f"tele + DIV(CAST({damping_pct} AS BIGINT) * "
+        "COALESCE(AGGREGATE(ELEMENT_AT(pm, i), CAST(0 AS BIGINT), "
+        "(acc, ed) -> acc + DIV(ELEMENT_AT(rmap, ed.src) * ed.p, "
+        f"CAST({PROP_ONE} AS BIGINT))), CAST(0 AS BIGINT)), "
+        "CAST(100 AS BIGINT)) "
+        "ELSE ELEMENT_AT(rmap, i) END)))"
+    )
     for _ in range(iterations):
-        rmap = F.col("rmap")
-        # The previous map is referenced SEVERAL times below (per-edge
-        # lookup + the carry guard). That multiplicity matters beyond
-        # style: Catalyst's CollapseProject inlines a projection whose
-        # alias the consumer references only ONCE, which here would
-        # rebuild the entire previous-iteration map PER EDGE LOOKUP —
-        # measured exponential blowup (sf0.001 trade graph: iters 2 ->
-        # 3 went 1.8 s -> 16 s before the guard; flat after). The
-        # carry guard mirrors bradley_terry_ratings' convention (a
-        # node missing previous state keeps it) and keeps every
-        # iteration a materialized one-row projection.
-        row = row.withColumn(
-            "rmap",
-            F.map_from_entries(
-                F.transform(
-                    F.col("ns"),
-                    lambda i: F.struct(
-                        i,
-                        F.when(
-                            F.element_at(rmap, i).isNotNull(),
-                            F.col("tele")
-                            + F.call_function(
-                                "div",
-                                big(damping_pct)
-                                * F.coalesce(
-                                    F.aggregate(
-                                        F.element_at(F.col("pm"), i),
-                                        zero,
-                                        lambda acc, ed: acc
-                                        + F.call_function(
-                                            "div",
-                                            F.element_at(rmap, ed["src"])
-                                            * ed["p"],
-                                            big(PROP_ONE),
-                                        ),
-                                    ),
-                                    zero,
-                                ),
-                                big(100),
-                            ),
-                        ).otherwise(F.element_at(rmap, i)),
-                    ),
-                )
-            ),
+        row = row.selectExpr(
+            "ns", "pm", "n", "init", "tele", f"{rmap_sql} AS rmap"
         )
     rmap = F.col("rmap")
     return row.select(

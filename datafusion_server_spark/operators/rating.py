@@ -155,65 +155,39 @@ def bradley_terry_ratings(
             F.transform(ps, lambda pl: F.struct(pl["p"], F.lit(1.0)))
         ),
     )
-    zero = F.lit(0).cast("decimal(28,8)")
+    # NOTE: rmap is referenced 3x in the iteration body (two denominator
+    # lookups + the carry-forward), which blocks Catalyst's
+    # CollapseProject from inlining the previous iteration's map into
+    # per-element lookups — the inlining is an exponential-evaluation
+    # trap measured and documented in graph._pagerank_folded. r13: the
+    # loop body is SQL-string selectExpr stages — the Column-lambda form
+    # cost ~700 py4j round-trips per iteration; the parsed operators and
+    # DECIMAL/rounding arithmetic are identical, keeping the unrolled
+    # SQL oracles byte-identical.
+    # per player: DECIMAL-summed denominator (NULL when the player has
+    # no opponents — element_at misses -> aggregate(NULL) is NULL,
+    # matching the r7 left-join semantics) + previous rating. Zero/NULL
+    # denominator (an isolated player, or an undefeated player whose
+    # per-opponent terms all rounded to 0 as its rating grew): carry
+    # the PREVIOUS rating forward — resetting to the 1.0 init would
+    # snap a monotonically growing rating back down mid-fit.
+    it_sql = (
+        "TRANSFORM(ps, pl -> STRUCT("
+        "pl.p AS p, pl.w AS w, "
+        "CAST(AGGREGATE(ELEMENT_AT(adjm, pl.p), CAST(0 AS DECIMAL(28,8)), "
+        "(acc, a) -> CAST(acc + CAST(ROUND(CAST(a.n_ij AS DOUBLE) / "
+        "(ELEMENT_AT(rmap, pl.p) + ELEMENT_AT(rmap, a.j)), 8) "
+        "AS DECIMAL(18,8)) AS DECIMAL(28,8))) AS DOUBLE) AS d, "
+        "ELEMENT_AT(rmap, pl.p) AS prev))"
+    )
+    rmap_sql = (
+        "MAP_FROM_ENTRIES(TRANSFORM(it, x -> STRUCT("
+        "x.p, CASE WHEN x.d IS NOT NULL AND x.d > 0 "
+        "THEN ROUND(CAST(x.w AS DOUBLE) / x.d, 8) ELSE x.prev END)))"
+    )
     for t in range(iterations):
-        rmap = F.col("rmap")
-        # NOTE: rmap is referenced 3x below (two denominator lookups +
-        # the carry-forward), which blocks Catalyst's CollapseProject
-        # from inlining the previous iteration's map into per-element
-        # lookups — the inlining is an exponential-evaluation trap
-        # measured and documented in graph._pagerank_folded.
-        # per player: DECIMAL-summed denominator (NULL when the player
-        # has no opponents — element_at misses -> aggregate(NULL) is
-        # NULL, matching the r7 left-join semantics) + previous rating
-        row = row.withColumn(
-            "it",
-            F.transform(
-                ps,
-                lambda pl: F.struct(
-                    pl["p"].alias("p"),
-                    pl["w"].alias("w"),
-                    F.aggregate(
-                        F.element_at(F.col("adjm"), pl["p"]),
-                        zero,
-                        lambda acc, a: (
-                            acc
-                            + F.round(
-                                a["n_ij"].cast("double")
-                                / (
-                                    F.element_at(rmap, pl["p"])
-                                    + F.element_at(rmap, a["j"])
-                                ),
-                                8,
-                            ).cast("decimal(18,8)")
-                        ).cast("decimal(28,8)"),
-                    )
-                    .cast("double")
-                    .alias("d"),
-                    F.element_at(rmap, pl["p"]).alias("prev"),
-                ),
-            ),
-        )
-        # zero/NULL denominator (an isolated player, or an undefeated
-        # player whose per-opponent terms all rounded to 0 as its
-        # rating grew): carry the PREVIOUS rating forward — resetting
-        # to the 1.0 init would snap a monotonically growing rating
-        # back down, a discontinuity mid-fit.
-        row = row.withColumn(
-            "rmap",
-            F.map_from_entries(
-                F.transform(
-                    F.col("it"),
-                    lambda x: F.struct(
-                        x["p"],
-                        F.when(
-                            x["d"].isNotNull() & (x["d"] > 0),
-                            F.round(x["w"].cast("double") / x["d"], 8),
-                        ).otherwise(x["prev"]),
-                    ),
-                )
-            ),
-        )
+        row = row.selectExpr("ps", "adjm", "rmap", f"{it_sql} AS it")
+        row = row.selectExpr("ps", "adjm", f"{rmap_sql} AS rmap")
     rmap = F.col("rmap")
     out = row.select(
         F.explode(

@@ -1283,18 +1283,14 @@ def embedding_abtt_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corrected vector travels as scalar digests (first element +
     # exact micro-unit L1): elements are on the 1e-6 grid, so the L1
     # sums exactly as integers on both engines
-    return out.select(
-        F.col("id").cast("bigint").alias("id"),
+    return out.selectExpr(
+        "CAST(id AS BIGINT) AS id",
         "proj_coeff",
         "corrected_norm",
-        F.element_at("corrected", 1).alias("corrected_dim0"),
-        F.aggregate(
-            F.transform(
-                "corrected", lambda e: F.round(F.abs(e) * 1e6).cast("bigint")
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
-        ).alias("corrected_l1_micro"),
+        "ELEMENT_AT(corrected, 1) AS corrected_dim0",
+        "AGGREGATE(TRANSFORM(corrected, e -> "
+        "CAST(ROUND(ABS(e) * 1.0E6) AS BIGINT)), CAST(0 AS BIGINT), "
+        "(acc, t) -> acc + t) AS corrected_l1_micro",
     )
 
 

@@ -55,6 +55,22 @@ VARIANTS = {
 }
 
 
+def cooldown() -> float:
+    """Bounded wait for ambient 1-min load to decay below 2.0 (r13 added
+    this before the serving block only — verdict task 4; r14 task 1 runs
+    the same wait before the HEADLINE phase too, so the polluted flag
+    reflects the load the timed region actually started under, not the
+    load at process boot). 1-min load decays ~e^(-t/60), so the default
+    180 s bound takes load 8 -> ~0.4. SPARK_GRAFT_BENCH_COOLDOWN_S=0
+    opts out. Returns load1m after the wait."""
+    deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_S", "180")
+    )
+    while os.getloadavg()[0] >= 2.0 and time.time() < deadline:
+        time.sleep(5)
+    return round(os.getloadavg()[0], 2)
+
+
 def build_bench_session():
     """Build the bench SparkSession exactly as ``main`` does (shuffle
     width, AQE pin, warehouse layout) — factored out so profiling
@@ -279,12 +295,7 @@ def concurrency_bench(spark, sf_dir: str) -> dict:
     # ~e^(-t/60), so ~85 s takes 8 -> 2 — with a bounded wait, making
     # a polluted:false serving block attainable in the same artifact
     # as the headline. SPARK_GRAFT_BENCH_COOLDOWN_S=0 opts out.
-    deadline = time.time() + float(
-        os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_S", "180")
-    )
-    while os.getloadavg()[0] >= 2.0 and time.time() < deadline:
-        time.sleep(5)
-    load_start = round(os.getloadavg()[0], 2)
+    load_start = cooldown()
     out: dict[str, dict] = {}
     try:
         one(0)  # warm the serving path once, untimed
@@ -316,6 +327,16 @@ def main() -> None:
 
     reg = registry()
     prepare(spark, sf_dir, warehouse, cpus)
+
+    # r14 (verdict task 1): cool down BEFORE the headline timing loop —
+    # both r12 and r13 driver captures self-flagged polluted because the
+    # box (or the bench's own ingest) left load1m >= 2 at the moment
+    # timing started, making round-over-round comparisons unusable
+    # (10/13 "regressed" r13 rows had byte-identical plans). The stamp
+    # below is the load the TIMED region starts under; process-boot load
+    # is kept separately as load1m_boot.
+    load_boot = load_start
+    load_start = cooldown()
 
     import gc
 
@@ -489,6 +510,10 @@ def main() -> None:
                 # these two fields make cross-round comparisons readable
                 "load1m_start": load_start,
                 "load1m_end": round(os.getloadavg()[0], 2),
+                # load at process boot (pre-ingest, pre-cooldown) — kept
+                # so captures stay comparable with r13 and earlier, whose
+                # load1m_start was stamped here
+                "load1m_boot": load_boot,
                 # r11 (verdict task 6): self-documenting pollution flag —
                 # same-code captures have swung ±30% with co-tenant load
                 # (r9/r10 evidence in PLANS.md), so any capture that

@@ -448,7 +448,7 @@ def lsh_candidate_pairs(
         # A 2x mis-estimate moves the sqrt-derived cap only 1.4x.
         max_bucket_members = auto_bucket_cap(estimate_row_count(df, 256))
     if max_bucket_members is not None:
-        # r13 (optimization): fused cap + IN-ROW pair expansion. The old
+        # r13 (optimization): fused cap + in-row pair expansion. The old
         # shape self-joined the capped band stream, which planned the
         # whole explode->Exchange->Sort->Window cap pipeline TWICE (the
         # broadcast side cannot reuse the probe side's exchange). Since
@@ -456,23 +456,34 @@ def lsh_candidate_pairs(
         # a groupBy on the same key aggregates WITHOUT a new exchange;
         # per-bucket kept members (<= cap, so the collect buffer is
         # bounded by the cap's 65536 ceiling, ~512 KB worst case) expand
-        # to ordered i<j pairs in-row. One banding pipeline instead of
-        # two, no broadcast of the band stream, no join — identical
-        # pairs (kept set unchanged; sorted-array expansion emits
-        # exactly the a.id < b.id pairs the join produced).
+        # to ordered i<j pairs. One banding pipeline instead of two, no
+        # broadcast of the band stream, no join — identical pairs (kept
+        # set unchanged; sorted-array expansion emits exactly the
+        # a.id < b.id pairs the join produced).
+        # r14 (ADVICE): the expansion STREAMS in two Generate stages —
+        # POSEXPLODE picks each left member, then EXPLODE over a SLICE
+        # of the ids array yields its greater partners — so the peak
+        # per-row buffer is one ids array + one slice (<= cap longs,
+        # ~512 KB at the 65536 ceiling). The r13 single-expression form
+        # (INLINE(FLATTEN(TRANSFORM(..)))) materialized ALL
+        # cap*(cap-1)/2 pair structs of a bucket as one in-memory array
+        # before exploding — ~2.1e9 structs for a ceiling-capped bucket,
+        # an executor OOM the old self-join never risked. The
+        # id_a != id_b guard keeps the old join's strict-inequality
+        # contract even under duplicate-id input (sorted positions would
+        # otherwise emit (x, x) self-pairs).
         capped = cap_bucket_members(
             banded, max_bucket_members, observation=bucket_cap_observation
         )
         pairs = (
             capped.groupBy("band", "bucket")
             .agg(F.expr("SORT_ARRAY(COLLECT_LIST(id)) AS ids"))
-            .select(
-                F.expr(
-                    "INLINE(FLATTEN(TRANSFORM(ids, (x, i) -> "
-                    "TRANSFORM(SLICE(ids, i + 2, SIZE(ids)), "
-                    "y -> STRUCT(x AS id_a, y AS id_b)))))"
-                )
+            .selectExpr("ids", "POSEXPLODE(ids) AS (__i, id_a)")
+            .selectExpr(
+                "id_a",
+                "EXPLODE(SLICE(ids, __i + 2, SIZE(ids))) AS id_b",
             )
+            .where("id_a != id_b")
             .distinct()
         )
     else:

@@ -161,7 +161,17 @@ def _codes_norms(vecs: DataFrame, planes: int, dim: int) -> DataFrame:
     signs stay ONE '1'/'0' string literal indexed by ``substring``.
     Contract: vectors are dense, NULL-free, exactly ``dim`` long (the
     zip against SEQUENCE(1, dim) assumes it, as did the old element
-    explode's sign indexing)."""
+    explode's sign indexing). r14 (verdict task 7): the contract is now
+    enforced LOUDLY — a vector whose SIZE differs from ``dim`` raises
+    (RAISE_ERROR, matching embeddings.top_component_power's ragged-input
+    convention) instead of silently NULL-padding the zip into an all-'0'
+    bucket where every short vector would collide. One SIZE comparison
+    per row; values on contract-satisfying input are unchanged."""
+    guard = (
+        f"CASE WHEN SIZE(v) = {int(dim)} THEN v ELSE RAISE_ERROR(CONCAT("
+        f"'similarity codes: dense-vector contract violated: SIZE(v) = ', "
+        f"CAST(SIZE(v) AS STRING), ', expected {int(dim)}')) END AS v"
+    )
     sign_strs = [
         "".join("1" if s == 1 else "0" for s in hyperplane_signs(p, dim))
         for p in range(planes)
@@ -183,7 +193,28 @@ def _codes_norms(vecs: DataFrame, planes: int, dim: int) -> DataFrame:
         + ", ".join(f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(planes))
         + ") AS bucket"
     )
-    return vecs.selectExpr("id", *sums, nrm).selectExpr("id", bucket, "nrm")
+    return (
+        vecs.selectExpr("id", guard)
+        .selectExpr("id", *sums, nrm)
+        .selectExpr("id", bucket, "nrm")
+    )
+
+
+def _stage_codes(cn: DataFrame) -> DataFrame:
+    """Materialize the per-vector (id, bucket, nrm) codes table.
+
+    r14 (verdict task 2): hash-partition by ``id`` BEFORE the eager
+    localCheckpoint. The r12 grouped codes build left
+    hashpartitioning(id) on the checkpoint, which the probe side's
+    per-query aggregation/window (query_id = a rename of id) silently
+    reused — zero candidate-path exchanges; the r13 in-row build (a pure
+    map) dropped it, so the candidate stream paid its own exchanges.
+    One small exchange of n (id, bucket, nrm) rows at build time
+    restores the downstream reuse while keeping the in-row map (no
+    corpus x dim element shuffle). Width follows
+    spark.sql.shuffle.partitions — scale-adaptive, not a local constant.
+    """
+    return cn.repartition("id").localCheckpoint(eager=True)
 
 
 def bucket_codes(
@@ -497,7 +528,7 @@ def lsh_ann_topk(
     embeddings = ensure_fanout_parallelism(embeddings)
     cn = _codes_norms(_vectors(embeddings, id_col, vec_col), planes, dim)
     if materialize:
-        cn = cn.localCheckpoint(eager=True)
+        cn = _stage_codes(cn)
     q_ids = queries.selectExpr(f"{quote_ident(id_col)} AS query_id")
     qb = q_ids.join(
         cn.selectExpr("id AS query_id", "bucket", "nrm AS nrm_a"),
@@ -622,7 +653,7 @@ def scaled_lsh_ann_topk(
     embeddings = ensure_fanout_parallelism(embeddings)
     cn = _codes_norms(_vectors(embeddings, id_col, vec_col), planes, dim)
     if materialize:
-        cn = cn.localCheckpoint(eager=True)
+        cn = _stage_codes(cn)
     # inline() explodes the struct array straight into (b, code) columns —
     # one F.expr call replaces the explode/array/struct/substring chain
     band_codes = cn.select(

@@ -170,6 +170,61 @@ def test_codes_norms_sql_form_deterministic(spark, planes, dim):
     assert a == ref
 
 
+def test_codes_norms_ragged_vector_raises(spark):
+    """r14 (verdict task 7): the dense-exactly-dim contract fails LOUDLY.
+    A vector shorter (or longer) than ``dim`` must raise, not silently
+    NULL-pad the SEQUENCE zip into an all-'0' bucket."""
+    from datafusion_server_spark.operators.similarity import (
+        _codes_norms,
+        _vectors,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [-0.25] * 8)], "vec_id bigint, embedding array<double>"
+    )
+    out = _codes_norms(_vectors(ok, "vec_id", "embedding"), 4, 8).collect()
+    assert len(out) == 2 and all(len(r.bucket) == 4 for r in out)
+
+    ragged = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [0.5] * 5)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception) as ei:
+        _codes_norms(_vectors(ragged, "vec_id", "embedding"), 4, 8).collect()
+    assert "dense-vector contract" in str(ei.value)
+
+
+def test_capped_pair_expansion_matches_join_form(spark):
+    """r14 (ADVICE): the streaming two-stage pair expansion
+    (POSEXPLODE + EXPLODE(SLICE(...))) must emit EXACTLY the pairs the
+    unbounded self-join form produces when the cap is non-binding —
+    including the strict a.id < b.id contract (no self-pairs)."""
+    rng = random.Random(0x9A18)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = []
+    for i in range(60):
+        base = [rng.choice(vocab) for _ in range(8)]
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.5:
+            rows.append((2000 + i, " ".join(base)))  # exact dup text
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    joined = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(
+            docs, "text", "doc_id", materialize=False, max_bucket_members=None
+        ).collect()
+    }
+    expanded = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(
+            docs, "text", "doc_id", materialize=False,
+            max_bucket_members=10_000_000,
+        ).collect()
+    }
+    assert expanded == joined
+    assert all(a < b for a, b in expanded)
+
+
 def test_two_capped_lsh_pipelines_union_analyzes(spark):
     """r11 ADVICE: composing two capped LSH pipelines in ONE query used
     to collide on the fixed observe-metric name ("lsh_bucket_cap") and

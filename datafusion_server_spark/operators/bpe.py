@@ -41,21 +41,19 @@ from pyspark.sql import functions as F
 from datafusion_server_spark.operators.scale import ensure_fanout_parallelism
 
 
-def _apply_merge(syms: Column, left: Column, right: Column) -> Column:
+def _apply_merge_sql(syms: str, left: str, right: str) -> str:
     """Left-to-right non-overlapping replacement of each (left, right)
-    adjacency with the concatenated symbol. ``F.get`` (0-based, null
-    out-of-bounds) keeps the fold ANSI-safe on the empty accumulator."""
-    return F.aggregate(
-        syms,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.get(acc, F.size(acc) - 1) == left)
-            & (s == right),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(left, right))
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
+    adjacency with the concatenated symbol, as SQL text (r14 chatter
+    cut: the Column fold cost ~80 py4j round-trips per embedded copy —
+    once per merge rank). ``GET`` (0-based, null out-of-bounds) keeps
+    the fold ANSI-safe on the empty accumulator."""
+    return (
+        f"AGGREGATE({syms}, CAST(ARRAY() AS ARRAY<STRING>), "
+        f"(acc, s) -> CASE WHEN SIZE(acc) > 0 "
+        f"AND GET(acc, SIZE(acc) - 1) = {left} AND s = {right} "
+        f"THEN CONCAT(SLICE(acc, 1, SIZE(acc) - 1), "
+        f"ARRAY(CONCAT({left}, {right}))) "
+        f"ELSE CONCAT(acc, ARRAY(s)) END)"
     )
 
 
@@ -73,19 +71,15 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
-    pairs = vocab.filter(F.size("syms") >= 2).select(
+    pairs = vocab.where("SIZE(syms) >= 2").selectExpr(
         "wc",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                lambda a, b: F.struct(a.alias("left"), b.alias("right")),
-            )
-        ).alias("p"),
+        "EXPLODE(ZIP_WITH(SLICE(syms, 1, SIZE(syms) - 1), "
+        "SLICE(syms, 2, SIZE(syms) - 1), "
+        "(a, b) -> STRUCT(a AS left, b AS right))) AS p",
     )
-    return pairs.groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right")).agg(
-        F.sum("wc").cast("bigint").alias("freq")
-    )
+    return pairs.groupBy(
+        F.expr("p.`left`").alias("left"), F.expr("p.`right`").alias("right")
+    ).agg(F.expr("CAST(SUM(wc) AS BIGINT) AS freq"))
 
 
 def bpe_train(
@@ -112,12 +106,10 @@ def bpe_train(
         merge_rows.append(best.withColumn("rank", F.lit(rank).cast("bigint")))
         vocab = (
             vocab.crossJoin(F.broadcast(best))
-            .select(
+            .selectExpr(
                 "word",
                 "wc",
-                _apply_merge(
-                    F.col("syms"), F.col("left"), F.col("right")
-                ).alias("syms"),
+                _apply_merge_sql("syms", "`left`", "`right`") + " AS syms",
             )
             .localCheckpoint()
         )
@@ -136,23 +128,21 @@ def bpe_token_counts(
     the corpus word stream against the trained vocab's segmentation —
     applying N merges per word again would be N folds; the vocab already
     holds the result. Unseen words fall back to character count."""
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("word"),
-    ).filter(F.col("word") != "")
-    seg = vocab.select("word", F.size("syms").cast("bigint").alias("__n_sub"))
+    iq = id_col if id_col.isidentifier() else f"`{id_col}`"
+    tq = text_col if text_col.isidentifier() else f"`{text_col}`"
+    words = df.selectExpr(
+        f"{iq} AS id", f"EXPLODE(SPLIT({tq}, ' ')) AS word"
+    ).where("word != ''")
+    seg = vocab.selectExpr("word", "CAST(SIZE(syms) AS BIGINT) AS __n_sub")
     return (
         words.join(F.broadcast(seg), "word", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("__n_sub"), F.length("word").cast("bigint")).alias(
-                "__n"
-            ),
+        .selectExpr(
+            "id", "COALESCE(__n_sub, CAST(LENGTH(word) AS BIGINT)) AS __n"
         )
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("__n").cast("bigint").alias("n_bpe_tokens"),
+            F.expr("CAST(COUNT(1) AS BIGINT) AS n_words"),
+            F.expr("CAST(SUM(__n) AS BIGINT) AS n_bpe_tokens"),
         )
     )
 
@@ -175,20 +165,23 @@ def bpe_apply_merges(
     n_merges rows — collect it or pass it from config); the application
     itself is a narrow map: |merges| chained folds inside one projection,
     no shuffle, no joins."""
-    syms = F.split(F.col("word"), "")
+    iq = id_col if id_col.isidentifier() else f"`{id_col}`"
+    tq = text_col if text_col.isidentifier() else f"`{text_col}`"
+    syms = "SPLIT(word, '')"
     for left, right in merges:
-        syms = _apply_merge(syms, F.lit(left), F.lit(right))
+        l = "'{}'".format(left.replace("'", "''"))
+        r = "'{}'".format(right.replace("'", "''"))
+        syms = _apply_merge_sql(syms, l, r)
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("word_idx", "word"),
+        df.selectExpr(
+            f"{iq} AS id", f"POSEXPLODE(SPLIT({tq}, ' ')) AS (word_idx, word)"
         )
-        .filter(F.col("word") != "")
-        .select(
+        .where("word != ''")
+        .selectExpr(
             "id",
-            F.col("word_idx").cast("bigint").alias("word_idx"),
+            "CAST(word_idx AS BIGINT) AS word_idx",
             "word",
-            syms.alias("syms"),
+            f"{syms} AS syms",
         )
-        .withColumn("n_sub", F.size("syms").cast("bigint"))
+        .selectExpr("*", "CAST(SIZE(syms) AS BIGINT) AS n_sub")
     )

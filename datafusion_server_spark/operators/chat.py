@@ -30,32 +30,28 @@ def parse_sharegpt(df: DataFrame, json_col: str, id_col: str) -> DataFrame:
     (conv_id, turns array<struct<role, content>>) shape with ONE
     codegen ``from_json``. Unparseable rows yield NULL turns (visible
     downstream, never dropped silently)."""
-    parsed = F.from_json(F.col(json_col), SHAREGPT_SCHEMA)
-    return df.select(
-        F.col(id_col).alias("conv_id"),
-        F.transform(
-            parsed,
-            lambda t: F.struct(
-                t["from"].alias("role"), t["value"].alias("content")
-            ),
-        ).alias("turns"),
+    jq = json_col if json_col.isidentifier() else f"`{json_col}`"
+    iq = id_col if id_col.isidentifier() else f"`{id_col}`"
+    return df.selectExpr(
+        f"{iq} AS conv_id",
+        f"TRANSFORM(FROM_JSON({jq}, '{SHAREGPT_SCHEMA}'), "
+        "t -> STRUCT(t.`from` AS role, t.value AS content)) AS turns",
     )
 
 
 def flatten_turns(conv: DataFrame) -> DataFrame:
     """One row per turn: (conv_id, turn_idx 0-based, role, content,
     n_words, n_chars). A narrow posexplode — no shuffle."""
-    return conv.select(
-        "conv_id", F.posexplode("turns").alias("turn_idx", "t")
-    ).select(
+    return conv.selectExpr(
+        "conv_id", "POSEXPLODE(turns) AS (turn_idx, t)"
+    ).selectExpr(
         "conv_id",
-        F.col("turn_idx").cast("bigint").alias("turn_idx"),
-        F.col("t.role").alias("role"),
-        F.col("t.content").alias("content"),
-        F.size(F.filter(F.split("t.content", " "), lambda w: w != ""))
-        .cast("bigint")
-        .alias("n_words"),
-        F.length("t.content").cast("bigint").alias("n_chars"),
+        "CAST(turn_idx AS BIGINT) AS turn_idx",
+        "t.role AS role",
+        "t.content AS content",
+        "CAST(SIZE(FILTER(SPLIT(t.content, ' '), w -> w != ''))"
+        " AS BIGINT) AS n_words",
+        "CAST(LENGTH(t.content) AS BIGINT) AS n_chars",
     )
 
 
@@ -72,32 +68,34 @@ def prompt_response_pairs(
 
     Plan: one posexplode + one conv-keyed window (collect_list of the
     rendered prior turns — bounded by the conversation's own length)."""
-    flat = conv.select(
-        "conv_id", F.posexplode("turns").alias("turn_idx", "t")
-    ).select(
-        "conv_id",
-        F.col("turn_idx").cast("bigint").alias("turn_idx"),
-        F.col("t.role").alias("role"),
-        F.col("t.content").alias("content"),
-        F.concat(F.col("t.role"), F.lit(": "), F.col("t.content")).alias(
-            "__rendered"
-        ),
+    prior = (
+        "OVER (PARTITION BY conv_id ORDER BY turn_idx"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    with_prompt = flat.withColumn(
-        "__prompt", F.array_join(F.collect_list("__rendered").over(w), "\n")
-    ).withColumn("__nctx", F.count(F.lit(1)).over(w).cast("bigint"))
-    return with_prompt.filter(F.col("role") == assistant_role).select(
-        "conv_id",
-        "turn_idx",
-        F.col("__nctx").alias("n_context_turns"),
-        F.length("__prompt").cast("bigint").alias("prompt_chars"),
-        F.md5("__prompt").alias("prompt_md5"),
-        F.col("content").alias("response"),
+    role_lit = "'{}'".format(assistant_role.replace("'", "''"))
+    return (
+        conv.selectExpr("conv_id", "POSEXPLODE(turns) AS (turn_idx, t)")
+        .selectExpr(
+            "conv_id",
+            "CAST(turn_idx AS BIGINT) AS turn_idx",
+            "t.role AS role",
+            "t.content AS content",
+            "CONCAT(t.role, ': ', t.content) AS __rendered",
+        )
+        .selectExpr(
+            "*",
+            f"ARRAY_JOIN(COLLECT_LIST(__rendered) {prior}, '\\n') AS __prompt",
+            f"CAST(COUNT(1) {prior} AS BIGINT) AS __nctx",
+        )
+        .where(f"role = {role_lit}")
+        .selectExpr(
+            "conv_id",
+            "turn_idx",
+            "__nctx AS n_context_turns",
+            "CAST(LENGTH(__prompt) AS BIGINT) AS prompt_chars",
+            "MD5(__prompt) AS prompt_md5",
+            "content AS response",
+        )
     )
 
 
@@ -112,35 +110,31 @@ def loss_mask_spans(
 
     Plan: one posexplode + one conv-keyed cumulative window over the
     rendered lengths."""
-    flat = conv.select(
-        "conv_id", F.posexplode("turns").alias("turn_idx", "t")
-    ).select(
-        "conv_id",
-        F.col("turn_idx").cast("bigint").alias("turn_idx"),
-        F.col("t.role").alias("role"),
-        (F.length("t.role") + F.lit(2)).cast("bigint").alias("__head"),
-        F.length("t.content").cast("bigint").alias("__clen"),
-    )
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    role_lit = "'{}'".format(assistant_role.replace("'", "''"))
     # offset of this turn's rendered text = sum of prior rendered
     # lengths + one newline separator per prior turn
-    prior = F.coalesce(
-        F.sum(F.col("__head") + F.col("__clen")).over(w), F.lit(0).cast("bigint")
-    ) + F.col("turn_idx")
     return (
-        flat.withColumn("__off", prior)
-        .filter(F.col("role") == assistant_role)
-        .select(
+        conv.selectExpr("conv_id", "POSEXPLODE(turns) AS (turn_idx, t)")
+        .selectExpr(
+            "conv_id",
+            "CAST(turn_idx AS BIGINT) AS turn_idx",
+            "t.role AS role",
+            "CAST(LENGTH(t.role) + 2 AS BIGINT) AS __head",
+            "CAST(LENGTH(t.content) AS BIGINT) AS __clen",
+        )
+        .selectExpr(
+            "*",
+            "COALESCE(SUM(__head + __clen)"
+            " OVER (PARTITION BY conv_id ORDER BY turn_idx"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " CAST(0 AS BIGINT)) + turn_idx AS __off",
+        )
+        .where(f"role = {role_lit}")
+        .selectExpr(
             "conv_id",
             "turn_idx",
-            (F.col("__off") + F.col("__head")).cast("bigint").alias("span_start"),
-            (F.col("__off") + F.col("__head") + F.col("__clen"))
-            .cast("bigint")
-            .alias("span_end"),
+            "CAST(__off + __head AS BIGINT) AS span_start",
+            "CAST(__off + __head + __clen AS BIGINT) AS span_end",
         )
     )
 
@@ -159,65 +153,53 @@ def response_echo_rate(
     (conv, gram)-keyed self-join restricted to earlier turns, one
     distinct + count — all keyed by conversation, fan-out bounded by a
     single conversation's size."""
-    flat = conv.select(
-        "conv_id", F.posexplode("turns").alias("turn_idx", "t")
-    ).select(
-        "conv_id",
-        F.col("turn_idx").cast("bigint").alias("turn_idx"),
-        F.col("t.role").alias("role"),
-        F.col("t.content").alias("content"),
+    role_lit = "'{}'".format(assistant_role.replace("'", "''"))
+    words = "FILTER(SPLIT(content, ' '), w -> w != '')"
+    m = f"GREATEST(SIZE({words}) - {n - 1}, 0)"
+    zipped = "ARRAYS_ZIP({})".format(
+        ", ".join(f"SLICE({words}, {j + 1}, {m})" for j in range(n))
     )
-    words = F.filter(F.split("content", " "), lambda w: w != "")
-    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(n)])
-    grams = flat.select(
+    gram = "CONCAT_WS(' ', {})".format(
+        ", ".join(f"s.`{j}`" for j in range(n))
+    )
+    grams = conv.selectExpr(
+        "conv_id", "POSEXPLODE(turns) AS (turn_idx, t)"
+    ).selectExpr(
+        "conv_id",
+        "CAST(turn_idx AS BIGINT) AS turn_idx",
+        "t.role AS role",
+        "t.content AS content",
+    ).selectExpr(
         "conv_id",
         "turn_idx",
         "role",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    zipped,
-                    lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
-                )
-            )
-        ).alias("gram"),
+        f"EXPLODE(ARRAY_DISTINCT(TRANSFORM({zipped}, s -> {gram}))) AS gram",
     )
-    resp = grams.filter(F.col("role") == assistant_role).select(
-        "conv_id", F.col("turn_idx").alias("rt"), "gram"
+    resp = grams.where(f"role = {role_lit}").selectExpr(
+        "conv_id", "turn_idx AS rt", "gram"
     )
     # distinct column names on the context side — resp and ctx share a
     # lineage, and Spark's self-join resolution needs the disambiguation
-    ctx = grams.select(
-        F.col("conv_id").alias("c_conv"),
-        F.col("turn_idx").alias("ct"),
-        F.col("gram").alias("cgram"),
+    ctx = grams.selectExpr(
+        "conv_id AS c_conv", "turn_idx AS ct", "gram AS cgram"
     )
     echoed = (
         resp.join(
             ctx,
-            (F.col("conv_id") == F.col("c_conv"))
-            & (F.col("gram") == F.col("cgram"))
-            & (F.col("ct") < F.col("rt")),
+            F.expr("conv_id = c_conv AND gram = cgram AND ct < rt"),
             "left_semi",
         )
         .groupBy("conv_id", "rt")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_echoed"))
+        .agg(F.expr("CAST(COUNT(1) AS BIGINT) AS n_echoed"))
     )
     totals = resp.groupBy("conv_id", "rt").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_resp_grams")
+        F.expr("CAST(COUNT(1) AS BIGINT) AS n_resp_grams")
     )
-    return (
-        totals.join(echoed, ["conv_id", "rt"], "left")
-        .select(
-            "conv_id",
-            F.col("rt").alias("turn_idx"),
-            "n_resp_grams",
-            F.coalesce("n_echoed", F.lit(0)).cast("bigint").alias("n_echoed"),
-            F.round(
-                F.coalesce("n_echoed", F.lit(0)).cast("double")
-                / F.col("n_resp_grams").cast("double"),
-                6,
-            ).alias("echo_rate"),
-        )
+    return totals.join(echoed, ["conv_id", "rt"], "left").selectExpr(
+        "conv_id",
+        "rt AS turn_idx",
+        "n_resp_grams",
+        "CAST(COALESCE(n_echoed, 0) AS BIGINT) AS n_echoed",
+        "ROUND(CAST(COALESCE(n_echoed, 0) AS DOUBLE)"
+        " / CAST(n_resp_grams AS DOUBLE), 6) AS echo_rate",
     )

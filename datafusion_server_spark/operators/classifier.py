@@ -79,22 +79,16 @@ def hashed_features(
 
 def _logits(features: DataFrame, weights: DataFrame) -> DataFrame:
     """(id, p): rounded sigmoid of the scaled-long dot of features and
-    broadcast weights."""
+    broadcast weights. r14: SQL-string stages (guide §1.2) — the loop
+    embeds this once per GD iteration, so the Column form's chatter
+    multiplied by ``iters``."""
     z = (
         features.join(F.broadcast(weights), "bucket")
         .groupBy("id")
-        .agg(
-            F.sum(
-                F.round(F.col("w") * F.col("x") * SCALE).cast("bigint")
-            ).alias("__zs")
-        )
-        .select(
-            "id", (F.col("__zs").cast("double") / SCALE).alias("__z")
-        )
+        .agg(F.expr(f"SUM(CAST(ROUND(w * x * {SCALE}) AS BIGINT)) AS __zs"))
+        .selectExpr("id", f"CAST(__zs AS DOUBLE) / {SCALE} AS __z")
     )
-    return z.select(
-        "id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))), 8).alias("p")
-    )
+    return z.selectExpr("id", "ROUND(1.0D / (1.0D + EXP(-__z)), 8) AS p")
 
 
 def train_logreg(
@@ -114,31 +108,21 @@ def train_logreg(
     feats = features.localCheckpoint()
     for _ in range(iters):
         p = _logits(feats, weights)
-        err = p.join(labels, "id").select(
-            "id", (F.col("p") - F.col("y")).alias("__e")
-        )
+        err = p.join(labels, "id").selectExpr("id", "p - y AS __e")
         grad = (
             feats.join(err, "id")
             .groupBy("bucket")
-            .agg(
-                F.sum(
-                    F.round(F.col("__e") * F.col("x") * SCALE).cast("bigint")
-                ).alias("__gs")
-            )
-            .select(
+            .agg(F.expr(f"SUM(CAST(ROUND(__e * x * {SCALE}) AS BIGINT)) AS __gs"))
+            .selectExpr(
                 "bucket",
-                F.round(
-                    F.col("__gs").cast("double") / SCALE / float(n), 8
-                ).alias("__g"),
+                f"ROUND(CAST(__gs AS DOUBLE) / {SCALE} / {float(n)!r}D, 8) AS __g",
             )
         )
         weights = (
             weights.join(grad, "bucket", "left")
-            .select(
+            .selectExpr(
                 "bucket",
-                F.round(
-                    F.col("w") - lr * F.coalesce(F.col("__g"), F.lit(0.0)), 6
-                ).alias("w"),
+                f"ROUND(w - {float(lr)!r}D * COALESCE(__g, 0.0D), 6) AS w",
             )
             .localCheckpoint()
         )
@@ -254,8 +238,9 @@ def weak_label_vote(
 ) -> DataFrame:
     """Programmatic weak supervision (Snorkel-style label model, one
     agreement-weighting refinement): ``rules`` is a list of
-    ``(name, vote_column)`` where each vote is +1 (positive), -1
-    (negative), or 0 (abstain) — deterministic predicates over the row.
+    ``(name, vote)`` — vote a Column or a SQL expression string —
+    where each vote is +1 (positive), -1 (negative), or 0 (abstain),
+    a deterministic predicate over the row.
 
     Two passes over the (id, rule, v) non-abstain vote table:
     1. unweighted majority ``label0`` per doc (sign of the vote sum;
@@ -273,58 +258,80 @@ def weak_label_vote(
     fanout of ONE corpus scan; both aggregations are id-keyed with
     map-side combine; the weights table is #rules rows, broadcast. No
     windows, no iteration beyond the single refinement pass."""
-    votes_arr = F.array(
-        *[
-            F.struct(F.lit(name).alias("rule"), v.cast("int").alias("v"))
-            for name, v in rules
-        ]
-    )
+    # r14 (optimization, guide §1.2): internals delivered as SQL-string
+    # stages (selectExpr / F.expr aggregates) — 1:1 translation of the
+    # Column-API chain; plan-construction chatter 1484 → ~40 py4j
+    # round-trips. A vote may be a SQL expression STRING (preferred —
+    # the whole vote array then parses in ONE round-trip) or a Column
+    # (the original API, still supported for programmatic callers).
+    if all(isinstance(v, str) for _, v in rules):
+        votes_arr = F.expr(
+            "ARRAY("
+            + ", ".join(
+                "STRUCT('{}' AS rule, CAST(({}) AS INT) AS v)".format(
+                    name.replace("'", "''"), v
+                )
+                for name, v in rules
+            )
+            + ")"
+        )
+    else:
+        votes_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    (F.expr(v) if isinstance(v, str) else v)
+                    .cast("int")
+                    .alias("v"),
+                )
+                for name, v in rules
+            ]
+        )
     base = df.select(F.col(id_col).cast("bigint").alias("id"), votes_arr.alias("va"))
-    votes = base.select(
-        "id", F.explode(F.filter(F.col("va"), lambda x: x["v"] != 0)).alias("x")
-    ).select("id", F.col("x.rule").alias("rule"), F.col("x.v").alias("v"))
-    maj = votes.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_votes"),
-        F.sum("v").cast("bigint").alias("vote_sum"),
-    ).withColumn("label0", F.signum(F.col("vote_sum")).cast("int"))
-    decided = votes.join(
-        maj.filter(F.col("label0") != 0).select("id", "label0"), "id"
+    votes = base.selectExpr(
+        "id", "EXPLODE(FILTER(va, x -> x.v != 0)) AS x"
+    ).selectExpr("id", "x.rule AS rule", "x.v AS v")
+    maj = (
+        votes.groupBy("id")
+        .agg(
+            F.expr("CAST(COUNT(1) AS BIGINT) AS n_votes"),
+            F.expr("CAST(SUM(v) AS BIGINT) AS vote_sum"),
+        )
+        .selectExpr(
+            "id", "n_votes", "vote_sum", "CAST(SIGNUM(vote_sum) AS INT) AS label0"
+        )
     )
+    decided = votes.join(maj.where("label0 != 0").select("id", "label0"), "id")
     # pure-integer half-up rounding: (2e6*agree + n) DIV (2n) — exact at
     # any corpus size (a double 1e6*agree loses exactness past 2^33)
     weights = decided.groupBy("rule").agg(
-        F.call_function(
-            "div",
-            F.lit(2000000).cast("bigint")
-            * F.sum((F.col("v") == F.col("label0")).cast("bigint"))
-            + F.count(F.lit(1)),
-            F.lit(2).cast("bigint") * F.count(F.lit(1)),
+        F.expr(
+            "CAST((CAST(2000000 AS BIGINT) * SUM(CAST(v = label0 AS BIGINT))"
+            " + COUNT(1)) DIV (CAST(2 AS BIGINT) * COUNT(1)) AS BIGINT)"
+            " AS w_micro"
         )
-        .cast("bigint")
-        .alias("w_micro")
     )
     scored = (
         votes.join(F.broadcast(weights), "rule")
         .groupBy("id")
-        .agg(F.sum(F.col("v").cast("bigint") * F.col("w_micro")).alias("score_micro"))
+        .agg(F.expr("SUM(CAST(v AS BIGINT) * w_micro) AS score_micro"))
     )
-    out = (
+    return (
         base.select("id")
         .join(maj, "id", "left")
         .join(scored, "id", "left")
-        .select(
+        .selectExpr(
             "id",
-            F.coalesce("n_votes", F.lit(0)).cast("bigint").alias("n_votes"),
-            F.coalesce("vote_sum", F.lit(0)).cast("bigint").alias("vote_sum"),
-            F.coalesce("label0", F.lit(0)).cast("int").alias("label0"),
-            F.coalesce("score_micro", F.lit(0)).cast("bigint").alias("score_micro"),
+            "CAST(COALESCE(n_votes, 0) AS BIGINT) AS n_votes",
+            "CAST(COALESCE(vote_sum, 0) AS BIGINT) AS vote_sum",
+            "CAST(COALESCE(label0, 0) AS INT) AS label0",
+            "CAST(COALESCE(score_micro, 0) AS BIGINT) AS score_micro",
         )
-    )
-    return out.withColumn(
-        "final_label",
-        F.when(F.col("score_micro") > 0, "pos")
-        .when(F.col("score_micro") < 0, "neg")
-        .otherwise("abstain"),
+        .selectExpr(
+            "*",
+            "CASE WHEN score_micro > 0 THEN 'pos' "
+            "WHEN score_micro < 0 THEN 'neg' ELSE 'abstain' END AS final_label",
+        )
     )
 
 

@@ -81,13 +81,13 @@ def kmeans_init(
 def _centroid_row(centroids: DataFrame) -> DataFrame:
     """k centroid rows -> ONE broadcastable row holding the sorted
     array<struct<cluster, c>> (plan-embedded, no driver job)."""
-    return centroids.agg(
-        F.sort_array(F.collect_list(F.struct("cluster", "c"))).alias("cents")
-    )
+    return centroids.agg(F.expr("SORT_ARRAY(COLLECT_LIST(STRUCT(cluster, c))) AS cents"))
 
 
 def _d2_scaled(v: Column, c: Column) -> Column:
-    """Exact scaled-long squared L2 distance between two arrays."""
+    """Exact scaled-long squared L2 distance between two arrays
+    (Column form — kept for programmatic callers; the hot kmeans path
+    uses the SQL-text twin below)."""
     return F.aggregate(
         F.zip_with(
             v,
@@ -101,29 +101,42 @@ def _d2_scaled(v: Column, c: Column) -> Column:
     )
 
 
+def _d2_scaled_sql(v: str, c: str) -> str:
+    """Exact scaled-long squared L2 distance between two array
+    expressions, as SQL text (r14: the Column lambda form cost ~90 py4j
+    round-trips per embedded copy; kmeans embeds it 2x per argmin step)."""
+    return (
+        f"AGGREGATE(ZIP_WITH({v}, {c}, (x, y) -> "
+        f"CAST(ROUND((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)"
+        f" * {SCALE}) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+
+
 def assign_clusters(
     embeddings: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:
     """(id, cluster, v): nearest-centroid assignment as a NARROW map —
     a per-row argmin folded over the broadcast centroid array with the
-    exact scaled-long distance; ties break to the lower cluster index."""
-    v = F.col("__v")
-    best = F.aggregate(
-        F.col("cents"),
-        F.struct(
-            F.lit(None).cast("bigint").alias("d2"), F.lit(-1).alias("cluster")
-        ),
-        lambda acc, ct: F.when(
-            acc["d2"].isNull() | (_d2_scaled(v, ct["c"]) < acc["d2"]),
-            F.struct(
-                _d2_scaled(v, ct["c"]).alias("d2"), ct["cluster"].alias("cluster")
-            ),
-        ).otherwise(acc),
+    exact scaled-long distance; ties break to the lower cluster index.
+
+    r14 (optimization, guide §1.2): the argmin fold is ONE SQL string —
+    the Column-lambda form cost ~1600 py4j round-trips per embedded
+    assignment (x3 Lloyd iterations made the kmeans rows the heaviest
+    builders in the repo at 5200-6700 RTs). Same expression tree, same
+    values."""
+    best = (
+        "AGGREGATE(cents, STRUCT(CAST(NULL AS BIGINT) AS d2, -1 AS cluster), "
+        "(acc, ct) -> CASE WHEN acc.d2 IS NULL OR "
+        f"{_d2_scaled_sql('__v', 'ct.c')} < acc.d2 "
+        f"THEN STRUCT({_d2_scaled_sql('__v', 'ct.c')} AS d2, "
+        "ct.cluster AS cluster) ELSE acc END)"
     )
+    iq = id_col if id_col.isidentifier() else f"`{id_col}`"
+    vq = vec_col if vec_col.isidentifier() else f"`{vec_col}`"
     return (
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        embeddings.selectExpr(f"{iq} AS id", f"{vq} AS __v")
         .crossJoin(F.broadcast(_centroid_row(centroids)))
-        .select("id", best["cluster"].alias("cluster"), F.col("__v").alias("v"))
+        .selectExpr("id", f"({best}).cluster AS cluster", "__v AS v")
     )
 
 
@@ -141,42 +154,42 @@ def kmeans(
     (assignments (id, cluster), centroids (cluster, c))."""
     embeddings = ensure_fanout_parallelism(embeddings)
     cent = kmeans_init(embeddings, k, vec_col, id_col, seed).localCheckpoint()
-    for _ in range(iters):
+    for it in range(iters):
         assigned = assign_clusters(embeddings, cent, vec_col, id_col)
-        el = assigned.select(
-            "cluster", F.posexplode(F.col("v")).alias("__i", "__x")
-        )
+        el = assigned.selectExpr("cluster", "POSEXPLODE(v) AS (__i, __x)")
         means = (
             el.groupBy("cluster", "__i")
             .agg(
-                F.sum(F.round(F.col("__x").cast("double") * SCALE).cast("bigint")).alias(
-                    "__s"
+                F.expr(
+                    f"SUM(CAST(ROUND(CAST(__x AS DOUBLE) * {SCALE})"
+                    " AS BIGINT)) AS __s"
                 ),
-                F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+                F.expr("CAST(COUNT(1) AS BIGINT) AS __cnt"),
             )
-            .select(
+            .selectExpr(
                 "cluster",
                 "__i",
-                F.round(
-                    F.col("__s").cast("double") / F.col("__cnt") / SCALE, 6
-                ).alias("__m"),
+                f"ROUND(CAST(__s AS DOUBLE) / __cnt / {SCALE}, 6) AS __m",
             )
             .groupBy("cluster")
             .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__i", "__m"))),
-                    lambda s: s["__m"],
-                ).alias("__newc")
+                F.expr(
+                    "TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(__i, __m))),"
+                    " s -> s.__m) AS __newc"
+                )
             )
         )
         # empty clusters keep their previous centroid
-        cent = (
-            cent.join(means, "cluster", "left")
-            .select(
-                "cluster", F.coalesce(F.col("__newc"), F.col("c")).alias("c")
-            )
-            .localCheckpoint()
+        cent = cent.join(means, "cluster", "left").selectExpr(
+            "cluster", "COALESCE(__newc, c) AS c"
         )
+        # r14 (verdict task 5, guide §1.2): checkpoint every SECOND
+        # Lloyd step (and the last) — two iterations chain lazily into
+        # one scheduled job, halving job/checkpoint overhead for the
+        # same total corpus scans. The checkpoint is a materialization
+        # boundary only; centroid values are identical either way.
+        if it % 2 == 1 or it == iters - 1:
+            cent = cent.localCheckpoint()
     return assign_clusters(embeddings, cent, vec_col, id_col).select(
         "id", "cluster"
     ), cent

@@ -613,24 +613,40 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
     converged = False
     for _ in range(max_iterations):
         propagated = labels.join(edges, labels["node"] == edges["src"]).select(
             F.col("dst").alias("node"), F.col("label")
         )
-        new_labels = (
+        new_agg = (
             labels.select("node", "label")
             .union(propagated)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
         )
+        # r14 (guide §1.2, job-count cut): the convergence check rides
+        # the SAME job that materializes the checkpoint — an Observation
+        # counts changed labels while the eager localCheckpoint runs,
+        # replacing the separate join+count action each iteration paid
+        # before (2 scheduled jobs/iteration -> 1). Labels are identical:
+        # the old-label join is 1:1 (every labeled node appears in the
+        # union's aggregation), so it adds no rows and drops none.
+        obs = Observation()
+        new_labels = (
+            labels.select("node", F.col("label").alias("__old"))
+            .join(new_agg, "node")
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("__old")).cast("bigint")).alias(
+                    "changed"
+                ),
+            )
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        changed = obs.get["changed"] or 0
         labels = new_labels
         if changed == 0:
             converged = True

@@ -58,6 +58,14 @@ def _log_loss(p_col: Column, y_col: Column) -> Column:
     )
 
 
+def _log_loss_sql(p: str, y: str) -> str:
+    """SQL-text twin of ``_log_loss`` (r14 chatter cut) — identical
+    expression tree, including the duplicated clamp subtree the Column
+    form embedded by reusing the ``pc`` Column object."""
+    pc = f"GREATEST({P_LO!r}D, LEAST({P_HI!r}D, {p}))"
+    return f"ROUND(-({y} * LN({pc}) + (1.0D - {y}) * LN(1.0D - {pc})), 8)"
+
+
 def doremi_domain_weights(
     features: DataFrame,
     labels: DataFrame,
@@ -92,7 +100,7 @@ def doremi_domain_weights(
     l_ref = (
         _logits(feats, w_ref)
         .join(lab, "id")
-        .select("id", _log_loss(F.col("p"), F.col("y")).alias("l_ref"))
+        .selectExpr("id", f"{_log_loss_sql('p', 'y')} AS l_ref")
         .localCheckpoint()
     )
 
@@ -105,15 +113,15 @@ def doremi_domain_weights(
         F.col("id").cast("bigint").alias("bucket"), F.lit(0.0).alias("w")
     ).localCheckpoint()
 
+    # r14 (guide §1.2): per-iteration stages as SQL strings — identical
+    # expression trees (all Python-computed float literals embedded as
+    # D-suffixed doubles), ~9k -> ~2k py4j round-trips per build.
     alpha_hist = []
     for _ in range(iters):
         # (1) per-doc loss under the current proxy
         p = _logits(feats, weights)
-        ld = p.join(lab, "id").select(
-            "id",
-            "p",
-            F.col("y"),
-            _log_loss(F.col("p"), F.col("y")).alias("l_cur"),
+        ld = p.join(lab, "id").selectExpr(
+            "id", "p", "y", f"{_log_loss_sql('p', 'y')} AS l_cur"
         )
         # (2) per-domain mean excess loss (scaled-long sum of 8-dec diffs)
         ex = (
@@ -121,48 +129,30 @@ def doremi_domain_weights(
             .join(dom, "id")
             .groupBy("domain")
             .agg(
-                F.sum(
-                    F.round((F.col("l_cur") - F.col("l_ref")) * F.lit(1.0e8)).cast(
-                        "bigint"
-                    )
-                ).alias("__es"),
-                F.count(F.lit(1)).cast("bigint").alias("__nk"),
+                F.expr(
+                    "SUM(CAST(ROUND((l_cur - l_ref) * 1.0E8) AS BIGINT)) AS __es"
+                ),
+                F.expr("CAST(COUNT(1) AS BIGINT) AS __nk"),
             )
-            .select(
+            .selectExpr(
                 "domain",
-                F.greatest(
-                    F.lit(0.0),
-                    F.round(
-                        F.col("__es").cast("double")
-                        / F.lit(1.0e8)
-                        / F.col("__nk").cast("double"),
-                        8,
-                    ),
-                ).alias("lam"),
+                "GREATEST(0.0D, ROUND(CAST(__es AS DOUBLE) / 1.0E8"
+                " / CAST(__nk AS DOUBLE), 8)) AS lam",
             )
         )
         # (3) multiplicative-weights update + normalize + smooth
-        raw = alpha.join(ex, "domain").select(
+        raw = alpha.join(ex, "domain").selectExpr(
             "domain",
-            F.round(
-                F.col("alpha") * F.round(F.exp(F.lit(eta) * F.col("lam")), 8), 8
-            ).alias("__a1"),
+            f"ROUND(alpha * ROUND(EXP({float(eta)!r}D * lam), 8), 8) AS __a1",
         )
-        tot = raw.agg(
-            F.sum(F.col("__a1").cast("decimal(18,8)")).alias("__s")
-        )
+        tot = raw.agg(F.expr("SUM(CAST(__a1 AS DECIMAL(18,8))) AS __s"))
         alpha = (
             raw.crossJoin(F.broadcast(tot))
-            .select(
+            .selectExpr(
                 "domain",
-                F.round(
-                    F.lit(1.0 - smoothing)
-                    * F.round(
-                        F.col("__a1") / F.col("__s").cast("double"), 8
-                    )
-                    + F.lit(smooth_term),
-                    8,
-                ).alias("alpha"),
+                f"ROUND({(1.0 - smoothing)!r}D"
+                " * ROUND(__a1 / CAST(__s AS DOUBLE), 8)"
+                f" + {smooth_term!r}D, 8) AS alpha",
             )
             .localCheckpoint()
         )
@@ -170,39 +160,32 @@ def doremi_domain_weights(
         # (4) alpha-weighted gradient step:
         #     per-(domain, bucket) scaled-long error sums, then an exact
         #     DECIMAL sum of the K repr-rounded alpha-weighted terms
-        pe = ld.select(
-            "id", F.round((F.col("p") - F.col("y")) * SCALE).cast("bigint").alias("__e")
+        pe = ld.selectExpr(
+            "id", f"CAST(ROUND((p - y) * {SCALE}) AS BIGINT) AS __e"
         )
         skb = (
             feats.join(pe, "id")
             .join(dom, "id")
             .groupBy("domain", "bucket")
-            .agg(F.sum("__e").alias("__skb"))
+            .agg(F.expr("SUM(__e) AS __skb"))
         )
         gb = (
             skb.join(F.broadcast(alpha), "domain")
             .join(F.broadcast(nk), "domain")
-            .select(
+            .selectExpr(
                 "bucket",
-                F.round(
-                    F.col("alpha")
-                    * (F.col("__skb").cast("double") / SCALE)
-                    / F.col("n_k").cast("double"),
-                    12,
-                ).alias("__d"),
+                f"ROUND(alpha * (CAST(__skb AS DOUBLE) / {SCALE})"
+                " / CAST(n_k AS DOUBLE), 12) AS __d",
             )
             .groupBy("bucket")
-            .agg(F.sum(F.col("__d").cast("decimal(30,12)")).alias("__g"))
+            .agg(F.expr("SUM(CAST(__d AS DECIMAL(30,12))) AS __g"))
         )
         weights = (
             weights.join(gb, "bucket", "left")
-            .select(
+            .selectExpr(
                 "bucket",
-                F.round(
-                    F.col("w")
-                    - F.lit(lr) * F.coalesce(F.col("__g").cast("double"), F.lit(0.0)),
-                    6,
-                ).alias("w"),
+                f"ROUND(w - {float(lr)!r}D"
+                " * COALESCE(CAST(__g AS DOUBLE), 0.0D), 6) AS w",
             )
             .localCheckpoint()
         )
@@ -211,11 +194,10 @@ def doremi_domain_weights(
     for a in alpha_hist[1:]:
         hist = hist.unionByName(a)
     avg = hist.groupBy("domain").agg(
-        F.round(
-            F.sum(F.col("alpha").cast("decimal(18,8)")).cast("double")
-            / F.lit(float(iters)),
-            8,
-        ).alias("alpha_avg")
+        F.expr(
+            "ROUND(CAST(SUM(CAST(alpha AS DECIMAL(18,8))) AS DOUBLE)"
+            f" / {float(iters)!r}D, 8) AS alpha_avg"
+        )
     )
     return (
         nk.join(alpha.select("domain", F.col("alpha").alias("alpha_final")), "domain")

@@ -532,40 +532,29 @@ def markov_stationary(
     ).select(
         "states", "cells", F.size("states").cast("bigint").alias("k")
     )
-    row = row.withColumn(
-        "pi",
-        F.transform(
-            "states",
-            lambda _: (F.lit(MARKOV_RANK_ONE) - F.lit(MARKOV_RANK_ONE) % F.col("k"))
-            / F.col("k"),
-        ).cast("array<bigint>"),
+    # r14 (guide §1.2): the fold steps are SQL strings — identical
+    # expression trees (same integer floor-division arithmetic), the
+    # 12-step loop just parses in ~2 round-trips per step instead of
+    # ~400. The pim map stays a real projection column per step, so
+    # CollapseProject cannot inline it per-element (the documented trap).
+    row = row.selectExpr(
+        "states",
+        "cells",
+        "k",
+        f"CAST(TRANSFORM(states, s -> ({MARKOV_RANK_ONE} - "
+        f"{MARKOV_RANK_ONE} % k) / k) AS ARRAY<BIGINT>) AS pi",
     )
-    prop = F.lit(MARKOV_PROP_ONE).cast("bigint")
+    prop = f"CAST({MARKOV_PROP_ONE} AS BIGINT)"
+    step = (
+        "TRANSFORM(states, s -> AGGREGATE(FILTER(cells, c -> c.j = s), "
+        "CAST(0 AS BIGINT), (acc, c) -> acc + CAST("
+        f"(ELEMENT_AT(pim, c.i) * c.p - (ELEMENT_AT(pim, c.i) * c.p) % {prop})"
+        f" / {prop} AS BIGINT))) AS pi"
+    )
     for _ in range(iterations):
-        row = row.withColumn(
-            "pim", F.map_from_arrays(F.col("states"), F.col("pi"))
-        ).withColumn(
-            "pi",
-            F.transform(
-                "states",
-                lambda s: F.aggregate(
-                    F.filter(F.col("cells"), lambda c: c["j"] == s),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, c: acc
-                    + (
-                        (
-                            F.element_at(F.col("pim"), c["i"]) * c["p"]
-                            - (F.element_at(F.col("pim"), c["i"]) * c["p"]) % prop
-                        )
-                        / prop
-                    ).cast("bigint"),
-                ),
-            ),
-        )
-    out = row.select(
-        F.explode(F.arrays_zip("states", "pi")).alias("z")
-    )
-    return out.select(
-        F.col("z.states").alias("state"),
-        F.col("z.pi").cast("bigint").alias("pi_nano"),
-    )
+        row = row.selectExpr(
+            "states", "cells", "k", "pi", "MAP_FROM_ARRAYS(states, pi) AS pim"
+        ).selectExpr("states", "cells", "k", step)
+    return row.selectExpr(
+        "EXPLODE(ARRAYS_ZIP(states, pi)) AS z"
+    ).selectExpr("z.states AS state", "CAST(z.pi AS BIGINT) AS pi_nano")

@@ -74,62 +74,46 @@ def tracin_influence(
     ).localCheckpoint()
     acc = lab.select("id", F.lit(0).cast("bigint").alias("acc")).localCheckpoint()
 
+    # r14 (guide §1.2): per-iteration stages as SQL strings — same
+    # expression trees as the Column chain (and as train_logreg), the
+    # loop just parses them in a handful of round-trips per iteration.
+    from datafusion_server_spark.operators.similarity import SCALE
+
     for _ in range(iters):
         p = _logits(feats, weights)
-        err = p.join(lab, "id").select(
-            "id", (F.col("p") - F.col("y")).alias("__e")
-        )
-        probe_e = err.filter(F.col("id") == probe_id).select(
-            F.col("__e").alias("__ep")
-        )
+        err = p.join(lab, "id").selectExpr("id", "p - y AS __e")
+        probe_e = err.where(f"id = {int(probe_id)}").selectExpr("__e AS __ep")
         acc = (
             acc.join(err, "id")
             .crossJoin(F.broadcast(probe_e))
-            .select(
+            .selectExpr(
                 "id",
-                (
-                    F.col("acc")
-                    + F.round(F.col("__ep") * F.col("__e") * ACC_SCALE).cast("bigint")
-                ).alias("acc"),
+                f"acc + CAST(ROUND(__ep * __e * {ACC_SCALE}) AS BIGINT) AS acc",
             )
             .localCheckpoint()
         )
         # the standard GD step (same arithmetic as classifier.train_logreg)
-        from datafusion_server_spark.operators.similarity import SCALE
-
         grad = (
             feats.join(err, "id")
             .groupBy("bucket")
-            .agg(
-                F.sum(
-                    F.round(F.col("__e") * F.col("x") * SCALE).cast("bigint")
-                ).alias("__gs")
-            )
-            .select(
+            .agg(F.expr(f"SUM(CAST(ROUND(__e * x * {SCALE}) AS BIGINT)) AS __gs"))
+            .selectExpr(
                 "bucket",
-                F.round(
-                    F.col("__gs").cast("double") / SCALE / float(n), 8
-                ).alias("__g"),
+                f"ROUND(CAST(__gs AS DOUBLE) / {SCALE} / {float(n)!r}D, 8) AS __g",
             )
         )
         weights = (
             weights.join(grad, "bucket", "left")
-            .select(
+            .selectExpr(
                 "bucket",
-                F.round(
-                    F.col("w") - lr * F.coalesce(F.col("__g"), F.lit(0.0)), 6
-                ).alias("w"),
+                f"ROUND(w - {float(lr)!r}D * COALESCE(__g, 0.0D), 6) AS w",
             )
             .localCheckpoint()
         )
 
-    return acc.join(common, "id").select(
+    return acc.join(common, "id").selectExpr(
         "id",
         "common_buckets",
-        F.round(
-            F.lit(lr)
-            * F.col("common_buckets").cast("double")
-            * (F.col("acc").cast("double") / F.lit(float(ACC_SCALE))),
-            6,
-        ).alias("influence"),
+        f"ROUND({float(lr)!r}D * CAST(common_buckets AS DOUBLE)"
+        f" * (CAST(acc AS DOUBLE) / {float(ACC_SCALE)!r}D), 6) AS influence",
     )

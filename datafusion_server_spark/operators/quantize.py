@@ -287,6 +287,22 @@ def _pq_argmin(sub_col, cents_col):
     )["cluster"]
 
 
+def _pq_argmin_sql(sub: str, cents: str) -> str:
+    """SQL-text twin of ``_pq_argmin`` (r14 chatter cut, guide §1.2) —
+    identical fold, parsed in one round-trip instead of ~180 per
+    embedded copy."""
+    from datafusion_server_spark.operators.clustering import _d2_scaled_sql
+
+    return (
+        f"(AGGREGATE({cents}, "
+        "STRUCT(CAST(NULL AS BIGINT) AS d2, -1 AS cluster), "
+        "(acc, ct) -> CASE WHEN acc.d2 IS NULL OR "
+        f"{_d2_scaled_sql(sub, 'ct.c')} < acc.d2 "
+        f"THEN STRUCT({_d2_scaled_sql(sub, 'ct.c')} AS d2, "
+        "ct.cluster AS cluster) ELSE acc END)).cluster"
+    )
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int,
@@ -311,47 +327,41 @@ def pq_train(
     book = _pq_init(sub, n_centroids, seed).localCheckpoint()
     for _ in range(iters):
         row = _pq_codebook_row(book)
-        assigned = sub.crossJoin(F.broadcast(row)).select(
+        assigned = sub.crossJoin(F.broadcast(row)).selectExpr(
             "subspace",
             "sub",
-            _pq_argmin(
-                F.col("sub"), F.element_at(F.col("books"), F.col("subspace") + 1)
-            ).alias("cluster"),
+            _pq_argmin_sql("sub", "ELEMENT_AT(books, subspace + 1)")
+            + " AS cluster",
         )
-        el = assigned.select(
-            "subspace", "cluster", F.posexplode(F.col("sub")).alias("__i", "__x")
+        el = assigned.selectExpr(
+            "subspace", "cluster", "POSEXPLODE(sub) AS (__i, __x)"
         )
         means = (
             el.groupBy("subspace", "cluster", "__i")
             .agg(
-                F.sum(
-                    F.round(F.col("__x").cast("double") * SCALE).cast("bigint")
-                ).alias("__s"),
-                F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+                F.expr(
+                    f"SUM(CAST(ROUND(CAST(__x AS DOUBLE) * {SCALE})"
+                    " AS BIGINT)) AS __s"
+                ),
+                F.expr("CAST(COUNT(1) AS BIGINT) AS __cnt"),
             )
-            .select(
+            .selectExpr(
                 "subspace",
                 "cluster",
                 "__i",
-                F.round(F.col("__s").cast("double") / F.col("__cnt") / SCALE, 6).alias(
-                    "__m"
-                ),
+                f"ROUND(CAST(__s AS DOUBLE) / __cnt / {SCALE}, 6) AS __m",
             )
             .groupBy("subspace", "cluster")
             .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__i", "__m"))),
-                    lambda s: s["__m"],
-                ).alias("__newc")
+                F.expr(
+                    "TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(__i, __m))),"
+                    " s -> s.__m) AS __newc"
+                )
             )
         )
         book = (
             book.join(means, ["subspace", "cluster"], "left")
-            .select(
-                "subspace",
-                "cluster",
-                F.coalesce(F.col("__newc"), F.col("c")).alias("c"),
-            )
+            .selectExpr("subspace", "cluster", "COALESCE(__newc, c) AS c")
             .localCheckpoint()
         )
     return book
@@ -384,16 +394,12 @@ def pq_topk(
     sub = _subspace_view(embeddings, vec_col, id_col, m, subdim)
     # encode + reconstruct per (id, subspace), then re-pack the full
     # reconstruction by id (sort by subspace keeps element order)
-    enc = sub.crossJoin(F.broadcast(row)).select(
+    enc = sub.crossJoin(F.broadcast(row)).selectExpr(
         "id",
         "subspace",
-        F.element_at(
-            F.element_at(F.col("books"), F.col("subspace") + 1),
-            _pq_argmin(
-                F.col("sub"), F.element_at(F.col("books"), F.col("subspace") + 1)
-            )
-            + 1,
-        )["c"].alias("__part"),
+        "ELEMENT_AT(ELEMENT_AT(books, subspace + 1), "
+        + _pq_argmin_sql("sub", "ELEMENT_AT(books, subspace + 1)")
+        + " + 1).c AS __part",
     )
     recon = (
         enc.groupBy("id")

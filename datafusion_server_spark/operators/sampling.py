@@ -429,7 +429,7 @@ def dsir_importance(
     docs: DataFrame,
     text_col: str,
     id_col: str,
-    target_pred: Column,
+    target_pred: "Column | str",
     *,
     n_buckets: int = 256,
     seed: str = "dsir",
@@ -460,56 +460,54 @@ def dsir_importance(
     (broadcast back), one per-document re-aggregation — no self-joins,
     no driver materialization; the model table is O(n_buckets).
     """
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        target_pred.cast("boolean").alias("is_target"),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    # r14 (optimization, guide §1.2): SQL-string stages — 1:1 translation
+    # of the Column-API chain (953 → ~60 py4j round-trips/build).
+    # ``target_pred`` may be a SQL expression string (one-parse path) or
+    # a Column (original API, still supported).
+    tq = text_col if text_col.isidentifier() else f"`{text_col}`"
+    iq = id_col if id_col.isidentifier() else f"`{id_col}`"
+    if isinstance(target_pred, str):
+        tok = docs.selectExpr(
+            f"{iq} AS id",
+            f"CAST(({target_pred}) AS BOOLEAN) AS is_target",
+            f"EXPLODE(SPLIT({tq}, ' ')) AS term",
+        )
+    else:
+        tok = docs.select(
+            F.col(id_col).alias("id"),
+            target_pred.cast("boolean").alias("is_target"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+    tokb = tok.selectExpr(
+        "id",
+        "is_target",
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}:', term)), 1, {_HEX_DIGITS}),"
+        f" 16, 10) AS BIGINT) % {int(n_buckets)} AS bucket",
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("term"))), 1, _HEX_DIGITS),
-            16,
-            10,
-        ).cast("bigint")
-        % n_buckets
-    )
-    tokb = tok.select("id", "is_target", bucket.alias("bucket"))
     counts = tokb.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cr"),
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.expr("CAST(COUNT(1) AS BIGINT) AS cr"),
+        F.expr("CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct"),
     )
     totals = counts.agg(
-        F.sum("cr").cast("bigint").alias("tr"), F.sum("ct").cast("bigint").alias("tt")
+        F.expr("CAST(SUM(cr) AS BIGINT) AS tr"),
+        F.expr("CAST(SUM(ct) AS BIGINT) AS tt"),
     )
-    lr = counts.crossJoin(F.broadcast(totals)).select(
+    lr = counts.crossJoin(F.broadcast(totals)).selectExpr(
         "bucket",
-        F.round(
-            F.log(
-                (F.col("ct") + 1).cast("double")
-                / (F.col("tt") + n_buckets).cast("double")
-            )
-            - F.log(
-                (F.col("cr") + 1).cast("double")
-                / (F.col("tr") + n_buckets).cast("double")
-            ),
-            8,
-        )
-        .cast("decimal(18,8)")
-        .alias("lr"),
+        f"CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + {int(n_buckets)} AS DOUBLE))"
+        f" - LN(CAST(cr + 1 AS DOUBLE) / CAST(tr + {int(n_buckets)} AS DOUBLE)),"
+        f" 8) AS DECIMAL(18,8)) AS lr",
     )
     scored = (
         tokb.join(F.broadcast(lr), "bucket")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("lr").cast("decimal(28,8)").alias("logw_dec"),
+            F.expr("CAST(COUNT(1) AS BIGINT) AS n_tokens"),
+            F.expr("CAST(SUM(lr) AS DECIMAL(28,8)) AS logw_dec"),
         )
     )
-    return scored.select(
-        "id",
-        "n_tokens",
-        F.col("logw_dec").cast("double").alias("logw"),
-        "logw_dec",
+    return scored.selectExpr(
+        "id", "n_tokens", "CAST(logw_dec AS DOUBLE) AS logw", "logw_dec"
     )
 
 

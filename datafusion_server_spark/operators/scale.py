@@ -156,6 +156,15 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
 # once per bench run. Input files of a given DataFrame's plan never
 # change (immutable lineage), so identity-keyed memoization is safe; the
 # WeakKey entry dies with the DataFrame.
+# Assumption (r14, ADVICE): the memo also assumes the files BEHIND the
+# plan are immutable for the DataFrame's lifetime. A path that rewrites
+# a table mid-session (e.g. operators/merge.py materialization replacing
+# a registered table) must hand consumers the NEW DataFrame object —
+# which tables.load / re-registration does — an old object kept alive
+# elsewhere would serve a stale estimate (worst case: one skipped
+# repartition, perf-only, never wrong results). ``None`` results
+# (transient estimation failure) are NOT memoized, so a later call on
+# the same object retries instead of pinning the failure.
 import weakref
 
 _SCAN_EST_MEMO: "weakref.WeakKeyDictionary[DataFrame, int | None]" = (
@@ -186,10 +195,11 @@ def ensure_fanout_parallelism(df: DataFrame, min_partitions: int | None = None) 
         est = _SCAN_EST_MEMO[df]
     except (KeyError, TypeError):
         est = estimate_scan_partitions(df)
-        try:
-            _SCAN_EST_MEMO[df] = est
-        except TypeError:
-            pass
+        if est is not None:
+            try:
+                _SCAN_EST_MEMO[df] = est
+            except TypeError:
+                pass
     if est is None or est >= target:
         return df
     return df.repartition(target)
@@ -304,24 +314,27 @@ def distributed_rank(
     from pyspark.sql.window import Window
 
     n_part = num_partitions or max(4, _session_parallelism(df.sparkSession))
-    tagged = df.repartitionByRange(n_part, *order_cols).withColumn(
-        "__drk_pid", F.spark_partition_id().cast("bigint")
+    # r14 chatter cut (guide §1.2): the fixed-name pieces (pid tag,
+    # offset window, final arithmetic) are SQL strings; only the
+    # caller-supplied order columns stay Column API. Plan unchanged.
+    tagged = df.repartitionByRange(n_part, *order_cols).selectExpr(
+        "*", "CAST(SPARK_PARTITION_ID() AS BIGINT) AS __drk_pid"
     )
     wl = Window.partitionBy("__drk_pid").orderBy(*order_cols)
-    wp = Window.orderBy("__drk_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         tagged.groupBy("__drk_pid")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__drk_c"))
-        .withColumn(
-            "__drk_off",
-            F.coalesce(F.sum("__drk_c").over(wp), F.lit(0).cast("bigint")),
+        .agg(F.expr("CAST(COUNT(1) AS BIGINT) AS __drk_c"))
+        .selectExpr(
+            "__drk_pid",
+            "COALESCE(SUM(__drk_c) OVER (ORDER BY __drk_pid"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " CAST(0 AS BIGINT)) AS __drk_off",
         )
-        .select("__drk_pid", "__drk_off")
     )
     return (
         tagged.withColumn("__drk_lrn", F.row_number().over(wl).cast("bigint"))
         .join(F.broadcast(offsets), "__drk_pid")
-        .withColumn(rank_col, F.col("__drk_off") + F.col("__drk_lrn"))
+        .selectExpr("*", f"__drk_off + __drk_lrn AS `{rank_col}`")
         .drop("__drk_pid", "__drk_lrn", "__drk_off")
     )
 

@@ -446,39 +446,67 @@ def mmr_select(
         .localCheckpoint(eager=True)
     )
     short = short.select("id", "rel")
-    sel = (
-        short.orderBy(F.desc("rel"), F.asc("id"))
-        .limit(1)
-        .select("id", "rel", F.lit(1).cast("bigint").alias("pick_order"))
-        .localCheckpoint(eager=True)
+    # r14 (verdict task 5, the ABTT bounded-state-fold pattern): the
+    # greedy loop state is <= shortlist rows and shortlist^2 sims — a
+    # MODEL-constant, never corpus-scale — so fold both into ONE row and
+    # run ALL k-1 greedy steps as one in-row AGGREGATE expression: one
+    # scheduled job replaces k-1 sequential localCheckpoint jobs whose
+    # wall time was ~pure scheduling overhead (r13 audit: 1.7 s).
+    # Arithmetic is IDENTICAL to the staged loop: same rounded rel/sim
+    # inputs, the same float score expression (lam and the
+    # PYTHON-computed 1.0-lam embedded as D-suffixed double literals —
+    # 1.0 - 0.7 != 0.3 by one ulp, a reachable tie-break divergence on
+    # the 1e-6-grid scores), ties on id ascending via the same
+    # (score DESC, id ASC) order, realized as a comparator sort.
+    cands_row = short.agg(
+        F.expr("ARRAY_SORT(COLLECT_LIST(STRUCT(id, rel))) AS cands")
     )
-    for step in range(2, int(k) + 1):
-        remaining = short.join(sel.select("id"), "id", "left_anti")
+    sims_row = pairs.agg(
+        F.expr(
+            "MAP_FROM_ENTRIES(COLLECT_LIST(STRUCT("
+            "CONCAT(CAST(a AS STRING), ':', CAST(b AS STRING)), sim))) AS sims"
+        )
+    )
+    byrel = (
+        "(l, r) -> CASE WHEN l.rel > r.rel THEN -1 WHEN l.rel < r.rel THEN 1 "
+        "WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1 ELSE 0 END"
+    )
+    byscore = (
+        "(l, r) -> CASE WHEN l.__score > r.__score THEN -1 "
+        "WHEN l.__score < r.__score THEN 1 "
+        "WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1 ELSE 0 END"
+    )
+    first = f"ARRAY(ELEMENT_AT(ARRAY_SORT(cands, {byrel}), 1))"
+    if int(k) >= 2:
         pen = (
-            pairs.join(F.broadcast(sel.select(F.col("id").alias("b"))), "b")
-            .groupBy("a")
-            .agg(F.max("sim").alias("pen"))
+            "ARRAY_MAX(TRANSFORM(acc, p -> ELEMENT_AT(sims, "
+            "CONCAT(CAST(c.id AS STRING), ':', CAST(p.id AS STRING)))))"
         )
-        pick = (
-            remaining.join(pen, remaining["id"] == pen["a"])
-            .select(
-                "id",
-                "rel",
-                (
-                    # oracles must mirror this EXACT float expression
-                    # (1.0 - 0.7 != 0.3 by one ulp — a reachable
-                    # tie-break divergence on the 1e-6-grid scores)
-                    F.lit(lam) * F.col("rel")
-                    - F.lit(1.0 - lam) * F.col("pen")
-                ).alias("__score"),
-            )
-            .orderBy(F.desc("__score"), F.asc("id"))
-            .limit(1)
-            .select("id", "rel", F.lit(step).cast("bigint").alias("pick_order"))
+        scored = (
+            "TRANSFORM(FILTER(cands, c -> NOT EXISTS(acc, p -> p.id = c.id)), "
+            f"c -> STRUCT(c.id AS id, c.rel AS rel, "
+            f"{lam!r}D * c.rel - {(1.0 - lam)!r}D * {pen} AS __score))"
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
-    return sel.select(
-        "pick_order", F.col("id").alias(id_col), F.col("rel").alias("relevance")
+        best = f"ELEMENT_AT(ARRAY_SORT({scored}, {byscore}), 1)"
+        picks = (
+            f"AGGREGATE(SEQUENCE(2, {int(k)}), {first}, (acc, stp) -> "
+            f"CASE WHEN SIZE({scored}) = 0 THEN acc "
+            f"ELSE acc || ARRAY(STRUCT({best}.id AS id, {best}.rel AS rel)) "
+            "END)"
+        )
+    else:
+        picks = first
+    # SLICE(cands, 1, 0) = a same-typed EMPTY pick list when the
+    # shortlist itself is empty (the loop form returned zero rows)
+    picks = f"CASE WHEN SIZE(cands) = 0 THEN SLICE(cands, 1, 0) ELSE {picks} END"
+    return (
+        cands_row.crossJoin(sims_row)
+        .selectExpr(f"POSEXPLODE({picks}) AS (__o, p)")
+        .selectExpr(
+            "CAST(__o + 1 AS BIGINT) AS pick_order",
+            f"p.id AS `{id_col}`",
+            "p.rel AS relevance",
+        )
     )
 
 

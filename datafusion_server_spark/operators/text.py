@@ -699,37 +699,33 @@ def lm_unigram_cross_entropy(
     driver job, no second corpus pass); one final groupBy doc. Two
     shuffles total, both keyed aggregations with partial combine.
     """
+    # r14 (optimization, guide §1.2): SQL-string stages — 1:1 translation
+    # of the Column-API chain (497 → ~40 py4j round-trips/build; the
+    # physical plan is unchanged).
+    tq = text_col if text_col.isidentifier() else f"`{text_col}`"
+    iq = id_col if id_col.isidentifier() else f"`{id_col}`"
     tok = ensure_fanout_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    ).select("id", F.explode(_words(F.col("__t"))).alias("term"))
-    model = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+        df.selectExpr(f"{iq} AS id", f"{tq} AS __t")
+    ).selectExpr("id", "EXPLODE(SPLIT(__t, ' ')) AS term")
+    model = tok.groupBy("term").agg(F.expr("CAST(COUNT(1) AS BIGINT) AS n_t"))
     totals = model.agg(
-        F.sum("n_t").cast("bigint").alias("__N"),
-        F.count(F.lit(1)).cast("bigint").alias("__V"),
+        F.expr("CAST(SUM(n_t) AS BIGINT) AS __N"),
+        F.expr("CAST(COUNT(1) AS BIGINT) AS __V"),
     )
-    logp = (
-        model.crossJoin(F.broadcast(totals))
-        .select(
-            "term",
-            F.round(
-                -F.log(
-                    (F.col("n_t") + 1).cast("double")
-                    / (F.col("__N") + F.col("__V")).cast("double")
-                ),
-                8,
-            )
-            .cast("decimal(18,8)")
-            .alias("__nll"),
-        )
+    logp = model.crossJoin(F.broadcast(totals)).selectExpr(
+        "term",
+        "CAST(ROUND(-LN(CAST(n_t + 1 AS DOUBLE) / CAST(__N + __V AS DOUBLE)),"
+        " 8) AS DECIMAL(18,8)) AS __nll",
     )
     return (
         tok.join(F.broadcast(logp), "term")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum("__nll").cast("double") / F.count(F.lit(1)).cast("double"), 6
-            ).alias("xent_nats"),
+            F.expr("CAST(COUNT(1) AS BIGINT) AS n_tokens"),
+            F.expr(
+                "ROUND(CAST(SUM(__nll) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE),"
+                " 6) AS xent_nats"
+            ),
         )
     )
 
@@ -1291,44 +1287,50 @@ def span_corruption(
     exact double division, so the DIV-then-mod terms reduce through
     small residues first — (h DIV a) % b == ((h % (a*b)) DIV a) % b,
     and the inner DIV of a residue < a*b is exact in a double.
+
+    r14 (optimization, guide §1.2): the builder is delivered as staged
+    ``selectExpr`` SQL strings — a 1:1 textual translation of the r10
+    Column-API chain (same stage boundaries, same expression trees) —
+    cutting plan-construction py4j chatter 2116 → ~10 round-trips.
+    The r10 hoisting structure is PRESERVED: every per-row constant
+    (__w, __n, __spans, __smap) is a real projection column referenced
+    >= 2 times downstream, so CollapseProject cannot re-inline it into
+    a higher-order-function lambda (the measured O(tokens x blocks)
+    re-evaluation blowup documented below).
     """
-    doc = F.col(id_col).cast("string")
-    w = F.split(F.col(text_col), " ")
-    n = F.size(w)
     mods = sel_mod * max_len
-
-    def feat(b: Column) -> Column:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), doc, F.lit(":"), b.cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        # L = 1 + (h DIV sel_mod) % max_len, via the small-residue form
-        sel = h % sel_mod == 0
-        lres = h % mods
-        length = F.when(
-            sel, (F.lit(1) + ((lres - lres % sel_mod) / sel_mod).cast("int") % max_len)
-        ).otherwise(F.lit(0))
-        # off = (h DIV mods) % (block - L + 1)
-        m = F.lit(block) - length + 1
-        r2 = h % (m.cast("bigint") * mods)
-        off = (((r2 - r2 % mods) / mods).cast("bigint") % m.cast("bigint")).cast("int")
-        return F.struct(
-            b.alias("blk"), length.alias("L"), F.when(sel, off).alias("off")
-        )
-
-    nblk = F.floor((n - 1) / block).cast("int")
-    spans = F.when(
-        n > 0,
-        F.filter(
-            F.transform(F.sequence(F.lit(0), nblk), feat),
-            lambda s: (s["L"] > 0) & (s["blk"] * block + s["off"] < n),
-        ),
-    ).otherwise(F.array().cast("array<struct<blk:int,L:int,off:int>>"))
+    tq = text_col if text_col.isidentifier() else f"`{text_col}`"
+    iq = id_col if id_col.isidentifier() else f"`{id_col}`"
+    n_raw = f"SIZE(SPLIT({tq}, ' '))"
+    # per-block feature struct; ``b`` is the TRANSFORM lambda variable.
+    # Each reference to h duplicates the md5/conv tree exactly as the
+    # Column form did (each Column use embedded its own copy).
+    h = (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}:', CAST({iq} AS STRING), "
+        f"':', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    sel = f"{h} % {sel_mod} = 0"
+    lres = f"({h} % {mods})"
+    # L = 1 + (h DIV sel_mod) % max_len via the small-residue form
+    length = (
+        f"(CASE WHEN {sel} THEN 1 + CAST(({lres} - {lres} % {sel_mod}) "
+        f"/ {sel_mod} AS INT) % {max_len} ELSE 0 END)"
+    )
+    # off = (h DIV mods) % (block - L + 1)
+    m = f"CAST({block} - {length} + 1 AS BIGINT)"
+    r2 = f"({h} % ({m} * {mods}))"
+    off = f"CAST(CAST(({r2} - {r2} % {mods}) / {mods} AS BIGINT) % {m} AS INT)"
+    feat = (
+        f"STRUCT(b AS blk, {length} AS L, "
+        f"CASE WHEN {sel} THEN {off} END AS off)"
+    )
+    nblk = f"CAST(FLOOR(({n_raw} - 1) / {block}) AS INT)"
+    spans = (
+        f"CASE WHEN {n_raw} > 0 THEN "
+        f"FILTER(TRANSFORM(SEQUENCE(0, {nblk}), b -> {feat}), "
+        f"s -> s.L > 0 AND s.blk * {block} + s.off < {n_raw}) "
+        f"ELSE CAST(ARRAY() AS ARRAY<STRUCT<blk:INT,L:INT,off:INT>>) END"
+    )
 
     # Per-row constants are HOISTED into real projection columns (r10):
     # in the single-select form the span map sat INSIDE the per-token
@@ -1340,69 +1342,62 @@ def span_corruption(
     # CollapseProject cannot re-inline the stages because every hoisted
     # alias is non-cheap and referenced more than once downstream
     # (__spans by smap + the final size()s, __w/__smap by both pieces).
-    base = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        w.alias("__w"),
-        n.alias("__n"),
-        spans.alias("__spans"),
+    base = df.selectExpr(
+        f"CAST({iq} AS BIGINT) AS doc_id",
+        f"SPLIT({tq}, ' ') AS __w",
+        f"{n_raw} AS __n",
+        f"{spans} AS __spans",
     )
-    smap = F.map_from_entries(
-        F.transform(
-            F.col("__spans"),
-            lambda s, i: F.struct(
-                s["blk"].alias("key"),
-                F.struct(
-                    i.alias("k"), s["L"].alias("L"), s["off"].alias("off")
-                ).alias("value"),
-            ),
-        )
+    st2 = base.selectExpr(
+        "doc_id",
+        "__w",
+        "__n",
+        "__spans",
+        "MAP_FROM_ENTRIES(TRANSFORM(__spans, (s, i) -> "
+        "STRUCT(s.blk AS key, STRUCT(i AS k, s.L AS L, s.off AS off) AS value)"
+        ")) AS __smap",
     )
-    st2 = base.select("doc_id", "__w", "__n", "__spans", smap.alias("__smap"))
-    nn = F.col("__n")
-    ww = F.col("__w")
-    sm = F.col("__smap")
 
-    def pieces(kind: str) -> Column:
-        def one(p: Column) -> Column:
-            e = F.element_at(sm, F.floor(p / block).cast("int"))
-            local = p % block
-            in_span = (
-                e.isNotNull() & (local >= e["off"]) & (local < e["off"] + e["L"])
-            )
-            word = F.element_at(ww, (p + 1).cast("int"))
-            sentinel = F.concat(
-                F.lit("<extra_id_"), e["k"].cast("string"), F.lit(">")
-            )
-            if kind == "inputs":
-                return F.when(~in_span, word).when(local == e["off"], sentinel)
-            return F.when(
-                in_span,
-                F.when(
-                    local == e["off"], F.concat(sentinel, F.lit(" "), word)
-                ).otherwise(word),
-            )
-
-        seq = F.when(nn > 0, F.sequence(F.lit(0), nn - 1)).otherwise(
-            F.array().cast("array<int>")
+    def pieces(kind: str) -> str:
+        e = f"ELEMENT_AT(__smap, CAST(FLOOR(p / {block}) AS INT))"
+        local = f"p % {block}"
+        in_span = (
+            f"({e} IS NOT NULL AND {local} >= {e}.off "
+            f"AND {local} < {e}.off + {e}.L)"
         )
-        return F.filter(F.transform(seq, one), lambda x: x.isNotNull())
+        word = "ELEMENT_AT(__w, CAST(p + 1 AS INT))"
+        sentinel = f"CONCAT('<extra_id_', CAST({e}.k AS STRING), '>')"
+        if kind == "inputs":
+            one = (
+                f"CASE WHEN NOT {in_span} THEN {word} "
+                f"WHEN {local} = {e}.off THEN {sentinel} END"
+            )
+        else:
+            one = (
+                f"CASE WHEN {in_span} THEN "
+                f"CASE WHEN {local} = {e}.off THEN CONCAT({sentinel}, ' ', {word}) "
+                f"ELSE {word} END END"
+            )
+        seq = (
+            "CASE WHEN __n > 0 THEN SEQUENCE(0, __n - 1) "
+            "ELSE CAST(ARRAY() AS ARRAY<INT>) END"
+        )
+        return f"FILTER(TRANSFORM({seq}, p -> {one}), x -> x IS NOT NULL)"
 
-    st3 = st2.select(
+    st3 = st2.selectExpr(
         "doc_id",
         "__n",
         "__spans",
-        pieces("inputs").alias("__pin"),
-        pieces("targets").alias("__ptg"),
+        f"{pieces('inputs')} AS __pin",
+        f"{pieces('targets')} AS __ptg",
     )
-    return st3.select(
+    return st3.selectExpr(
         "doc_id",
-        F.col("__n").cast("bigint").alias("n_tokens"),
-        F.size("__spans").cast("bigint").alias("n_spans"),
-        (F.col("__n") - F.size("__pin") + F.size("__spans"))
-        .cast("bigint")
-        .alias("n_masked"),
-        F.md5(F.array_join("__pin", " ")).alias("inputs_md5"),
-        F.md5(F.array_join("__ptg", " ")).alias("targets_md5"),
+        "CAST(__n AS BIGINT) AS n_tokens",
+        "CAST(SIZE(__spans) AS BIGINT) AS n_spans",
+        "CAST(__n - SIZE(__pin) + SIZE(__spans) AS BIGINT) AS n_masked",
+        "MD5(ARRAY_JOIN(__pin, ' ')) AS inputs_md5",
+        "MD5(ARRAY_JOIN(__ptg, ' ')) AS targets_md5",
     )
 
 

@@ -24,32 +24,25 @@ _MAX_TURNS = 6
 
 
 def _conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (conv_id, turns) via the ShareGPT JSON round-trip."""
+    """documents -> (conv_id, turns) via the ShareGPT JSON round-trip.
+
+    r14 (optimization, guide §1.2): one selectExpr SQL string replaces
+    the nested-lambda Column chain (454 -> ~10 py4j round-trips), and
+    the turn content is computed DIRECTLY per k — the old Column form
+    could only bind the inner lambda via
+    ``element_at(transform(seq, turn), k+1)``, which materialized all
+    ``_MAX_TURNS`` turns once per outer element (36 slice evaluations
+    per row instead of 6). Values identical (element_at(transform(s, f),
+    k+1) == f(s[k]) for s = 0.._MAX_TURNS-1); oracle unchanged."""
     docs = tables.load(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    turn = lambda k: F.concat_ws(  # noqa: E731
-        " ", F.slice(words, k * _TURN_WORDS + 1, _TURN_WORDS)
+    turns = (
+        f"FILTER(TRANSFORM(SEQUENCE(0, {_MAX_TURNS - 1}), k -> STRUCT("
+        "CASE WHEN k % 2 = 0 THEN 'user' ELSE 'assistant' END AS `from`, "
+        "CONCAT_WS(' ', SLICE(FILTER(SPLIT(text, ' '), w -> w != ''), "
+        f"k * {_TURN_WORDS} + 1, {_TURN_WORDS})) AS value)), "
+        "t -> t.value != '')"
     )
-    turns = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_MAX_TURNS - 1)),
-            lambda k: F.struct(
-                F.when(k % 2 == 0, F.lit("user"))
-                .otherwise(F.lit("assistant"))
-                .alias("from"),
-                F.element_at(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(_MAX_TURNS - 1)), turn
-                    ),
-                    k + 1,
-                ).alias("value"),
-            ),
-        ),
-        lambda t: t["value"] != "",
-    )
-    wire = docs.select(
-        F.col("doc_id").alias("cid"), F.to_json(turns).alias("payload")
-    )
+    wire = docs.selectExpr("doc_id AS cid", f"TO_JSON({turns}) AS payload")
     return chat.parse_sharegpt(wire, "payload", "cid")
 
 

@@ -652,14 +652,15 @@ def weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, unweighted majority, exact-integer agreement weights,
     weighted final vote."""
     docs = tables.load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    has = lambda w: F.array_contains(toks, w)  # noqa: E731
-    sgn = lambda c, v: F.when(c, F.lit(v)).otherwise(F.lit(0))  # noqa: E731
+    # SQL-string votes: the operator parses the whole vote array in ONE
+    # round-trip (r14 chatter cut; Column votes remain supported)
+    has = lambda w: f"ARRAY_CONTAINS(SPLIT(text, ' '), '{w}')"  # noqa: E731
+    sgn = lambda c, v: f"CASE WHEN {c} THEN {v} ELSE 0 END"  # noqa: E731
     rules = [
         ("kw_spark", sgn(has("spark"), 1)),
         ("kw_join", sgn(has("join"), 1)),
         ("kw_slow", sgn(has("slow"), -1)),
-        ("short_doc", sgn(F.col("n_chars") < 200, -1)),
-        ("data_query", sgn(has("data") & has("query"), 1)),
+        ("short_doc", sgn("n_chars < 200", -1)),
+        ("data_query", sgn(f"{has('data')} AND {has('query')}", 1)),
     ]
     return classifier.weak_label_vote(docs, "doc_id", rules)

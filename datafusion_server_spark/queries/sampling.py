@@ -312,16 +312,16 @@ def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         "text",
         "doc_id",
-        F.col("source").isin(*_DSIR_TARGET),
+        "source IN ({})".format(", ".join(f"'{s}'" for s in _DSIR_TARGET)),
         n_buckets=_DSIR_BUCKETS,
     )
     return ranked_topk(
         scored, [F.desc("logw_dec"), F.asc("id")], _DSIR_K, rank_col="rank_pos"
-    ).select(
+    ).selectExpr(
         "rank_pos",
-        F.col("id").cast("bigint").alias("id"),
+        "CAST(id AS BIGINT) AS id",
         "n_tokens",
-        F.round(F.col("logw"), 6).alias("logw"),
+        "ROUND(logw, 6) AS logw",
     )
 
 

@@ -1133,36 +1133,30 @@ def prune_ccnet_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     xent = text.lm_unigram_cross_entropy(docs, "text", "doc_id").select(
         "id", "xent_nats"
     )
-    j = xent.join(
-        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
-    )
+    j = xent.join(docs.selectExpr("doc_id AS id", "lang"), "id")
     ranked = distributed_rank(
         j, [F.asc("lang"), F.asc("xent_nats"), F.asc("id")], "__gr"
     )
-    counts = (
-        j.groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__nl"))
-    )
-    from pyspark.sql.window import Window
-
     # bounded window: exclusive prefix over the per-LANGUAGE counts
     # (|langs|-bounded — the corpus-scaling rank above is distributed)
-    woff = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "__off", F.coalesce(F.sum("__nl").over(woff), F.lit(0).cast("bigint"))
-    )
-    r = F.col("__gr") - F.col("__off")
-    return (
-        ranked.join(F.broadcast(offsets), "lang")
-        .select(
-            F.col("id").cast("bigint").alias("id"),
+    offsets = (
+        j.groupBy("lang")
+        .agg(F.expr("CAST(COUNT(1) AS BIGINT) AS __nl"))
+        .selectExpr(
             "lang",
-            "xent_nats",
-            F.when(3 * r <= F.col("__nl"), "head")
-            .when(3 * r <= 2 * F.col("__nl"), "middle")
-            .otherwise("tail")
-            .alias("band"),
+            "__nl",
+            "COALESCE(SUM(__nl) OVER (ORDER BY lang"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " CAST(0 AS BIGINT)) AS __off",
         )
+    )
+    return ranked.join(F.broadcast(offsets), "lang").selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "lang",
+        "xent_nats",
+        "CASE WHEN 3 * (__gr - __off) <= __nl THEN 'head' "
+        "WHEN 3 * (__gr - __off) <= 2 * __nl THEN 'middle' "
+        "ELSE 'tail' END AS band",
     )
 
 

@@ -271,7 +271,12 @@ class Engine:
         from datafusion_server_spark.sources import jdbc
 
         try:
-            jdbc.register_tables_from_sql(sess.spark, sql)
+            # registered JDBC views are tracked as UNTRACKED catalog
+            # state: the session manager never pools such a session
+            # (r14 warm pool — cleanliness is known without listTables)
+            sess.untracked_views.update(
+                jdbc.register_tables_from_sql(sess.spark, sql)
+            )
         except ValueError:
             pass  # no namespaces configured; plain query
 

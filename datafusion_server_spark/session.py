@@ -102,6 +102,11 @@ class ServerSession:
     created_at: float = field(default_factory=time.time)
     last_access: float = field(default_factory=time.time)
     data_sources: dict[str, dict] = field(default_factory=dict)
+    # temp views created OUTSIDE register()/remove() tracking (today:
+    # JDBC-namespace shims) — a session with any of these never returns
+    # to the manager's warm pool (r14), so recycling needs NO catalog
+    # enumeration (listTables costs as much as a fresh newSession).
+    untracked_views: set = field(default_factory=set)
 
     def touch(self) -> None:
         self.last_access = time.time()
@@ -174,6 +179,19 @@ class SessionManager:
         self._lock = threading.Lock()
         self._reaper: threading.Thread | None = None
         self._stop = threading.Event()
+        # r14 (verdict task 8, serving floor): bounded WARM POOL of
+        # recycled SparkSessions. Every create() pays newSession() +
+        # per-session conf + the dialect temp-function DDL; the one-shot
+        # REST path creates and destroys a session per request, so under
+        # 8/32-wide concurrency that setup serializes on the JVM. A
+        # closed session's SparkSession returns to the pool after a
+        # temp-view sweep (the ServerSession lifecycle — TTL, metrics,
+        # data-source cleanup — is untouched; only the underlying
+        # catalog object is reused). Bounded + env-tunable; 0 disables.
+        import os as _os
+
+        self._spark_pool: list[SparkSession] = []
+        self._pool_max = int(_os.environ.get("SPARK_GRAFT_SESSION_POOL", "16"))
         # r11 (serving-floor A/B): per-session SQLConf overrides —
         # newSession() initializes its SQLConf from the STATIC SparkConf,
         # so serving-tier knobs (AQE on + partition coalescing, measured
@@ -200,18 +218,39 @@ class SessionManager:
         with self._lock:
             if sid in self._sessions:
                 raise ValueError(f"session already exists: {sid}")
+            spark = self._spark_pool.pop() if self._spark_pool else None
+        if spark is None:
             spark = self._root.newSession()
             for k, v in self.session_conf.items():
                 spark.conf.set(k, str(v))
             # dialect-shim SQL functions (regexp_match first-match
             # semantics etc.) live per temp-function catalog, i.e. per
-            # session — install on every create.
+            # session — install on every create. Pooled sessions keep
+            # them (and their session_conf), which is why recycling
+            # skips this setup entirely.
             from datafusion_server_spark.functions.dialect import register_session_functions
 
             register_session_functions(spark)
-            sess = ServerSession(sid, spark, keep_alive_s)
+        sess = ServerSession(sid, spark, keep_alive_s)
+        with self._lock:
+            if sid in self._sessions:
+                raise ValueError(f"session already exists: {sid}")
             self._sessions[sid] = sess
-            return sess
+        return sess
+
+    def _recycle(self, sess: "ServerSession") -> None:
+        """Return a closed session's SparkSession to the warm pool.
+        Catalog cleanliness is tracked PYTHON-SIDE (measured: a
+        ``listTables`` sweep costs as much as ``newSession`` itself, so
+        an enumerating reset would erase the pool's win): data sources
+        were already dropped by ``close()``; a session that ever
+        registered an untracked view (JDBC-namespace shims) is dropped,
+        never pooled dirty."""
+        if self._pool_max <= 0 or sess.untracked_views:
+            return
+        with self._lock:
+            if len(self._spark_pool) < self._pool_max:
+                self._spark_pool.append(sess.spark)
 
     def get(self, session_id: str) -> ServerSession:
         with self._lock:
@@ -239,6 +278,7 @@ class SessionManager:
         if sess is None:
             raise KeyError(f"no such session: {session_id}")
         sess.close()
+        self._recycle(sess)
         self._closed(sess)
 
     def reap(self) -> list[str]:
@@ -248,6 +288,7 @@ class SessionManager:
             reaped = [(sid, self._sessions.pop(sid)) for sid in dead]
         for _, sess in reaped:
             sess.close()
+            self._recycle(sess)
             self._closed(sess)
         return [sid for sid, _ in reaped]
 

@@ -133,31 +133,37 @@ def covariance_moments(df: DataFrame, vec_col: str) -> DataFrame:
     (BIGINT, order-free) plus the scaled first-moment sums and count —
     everything a covariance needs, in ONE pass.
 
-    Plan (r14, guide §2.4): IN-ROW triangle — one TRANSFORM builds each
-    vector's i<=j product cells as a flattened array and ONE generator
-    (INLINE) explodes it straight into the (i, j)-keyed aggregation.
-    The r13 shape ran two chained generators (POSEXPLODE dim, then
-    POSEXPLODE of the per-i slice), materializing an intermediate
-    (row, i) element stream that carried the whole vector per element.
-    The flattened array is dim*(dim+1)/2 structs per row — bounded by
-    the MODEL dimensionality (2080 cells at dim 64, <= a few MB at any
-    real dim), never by corpus size, so the in-row buffer is safe (the
-    lesson from the LSH pair expansion, where the same pattern was
-    corpus-bounded and had to stream). Shuffle volume is unchanged:
-    dim^2/2-bounded partial aggregates per task. Values identical —
-    same products, same rounding, same cells."""
+    Plan: explode dim -> per-(row, i) product slice v_i * v[i:] ->
+    posexplode the triangle -> groupBy (i, j) with map-side combine.
+    Shuffle volume is dim^2/2-bounded partial aggregates per task,
+    independent of corpus size; at dim 64 that is 2080 cells.
+
+    r14 MEASURED NEGATIVE (kept for the record): the in-row variant —
+    one INLINE(FLATTEN(TRANSFORM(...))) building all dim*(dim+1)/2
+    cells per row in place of the two chained POSEXPLODEs — returned
+    IDENTICAL values but ran 1.5x SLOWER on the ABTT row (interleaved
+    A/B at sf0.1: two-generate 1.874/2.004 min/med vs in-row
+    2.901/2.987). Unlike the LSH-codes case there is no element
+    SHUFFLE to remove here (the partial aggregates are dim^2-bounded
+    either way), so the interpreted nested-lambda cost is pure loss
+    against two whole-stage-codegen generators. The exploded form
+    stays."""
+    # SQL-string stages (r13): same operators, ~500 fewer py4j
+    # round-trips per build.
     d = df.selectExpr(f"{quote_ident(vec_col)} AS v")
-    cell = (
-        f"STRUCT(i AS i, i + dj AS j, "
-        f"CAST(ROUND(CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE) * {SCALE})"
-        f" AS BIGINT) AS __m, "
-        f"CASE WHEN dj = 0 THEN CAST(ROUND(CAST(vi AS DOUBLE) * {SCALE})"
-        f" AS BIGINT) ELSE 0 END AS __s, "
-        "CASE WHEN dj = 0 THEN 1 ELSE 0 END AS __n)"
+    ex = d.selectExpr("v", "POSEXPLODE(v) AS (i, vi)")
+    tri = ex.selectExpr(
+        "i",
+        "CAST(vi AS DOUBLE) AS vi",
+        "POSEXPLODE(SLICE(v, i + 1, SIZE(v))) AS (dj, vj)",
     )
-    cells = d.selectExpr(
-        "INLINE(FLATTEN(TRANSFORM(v, (vi, i) -> "
-        f"TRANSFORM(SLICE(v, i + 1, SIZE(v)), (vj, dj) -> {cell}))))"
+    cells = tri.selectExpr(
+        "i",
+        "i + dj AS j",
+        f"CAST(ROUND(vi * CAST(vj AS DOUBLE) * {SCALE}) AS BIGINT) AS __m",
+        f"CASE WHEN dj = 0 THEN CAST(ROUND(vi * {SCALE}) AS BIGINT) "
+        "ELSE 0 END AS __s",
+        "CASE WHEN dj = 0 THEN 1 ELSE 0 END AS __n",
     )
     return cells.groupBy("i", "j").agg(
         F.expr("SUM(__m) AS m"),

@@ -159,75 +159,53 @@ def naive_bayes_scores(
     Scale shape: token stream exploded once; ONE (term, class)
     aggregation (map-side combined, vocab-bounded output); the
     likelihood table broadcasts back; one per-doc aggregation."""
+    # r14 (guide §1.2): SQL-string stages — 1:1 translation of the
+    # Column chain; shared by the NB/preference rows (~2.3-2.9k -> ~250
+    # RTs each).
+    iq = id_col if id_col.isidentifier() else f"`{id_col}`"
+    tq = text_col if text_col.isidentifier() else f"`{text_col}`"
     tok = ensure_fanout_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    ).select("id", F.explode(F.split(F.col("__t"), " ")).alias("term")).filter(
-        F.col("term") != ""
-    )
-    lab = labels.select("id", F.col("y").cast("double").alias("y"))
+        df.selectExpr(f"{iq} AS id", f"{tq} AS __t")
+    ).selectExpr("id", "EXPLODE(SPLIT(__t, ' ')) AS term").where("term != ''")
+    lab = labels.selectExpr("id", "CAST(y AS DOUBLE) AS y")
     ltok = tok.join(lab, "id")
     # per-(term, class) counts, dense over both classes via the vocab
     counts = ltok.groupBy("term").agg(
-        F.sum((F.col("y") == 1.0).cast("bigint")).cast("bigint").alias("c1"),
-        F.sum((F.col("y") == 0.0).cast("bigint")).cast("bigint").alias("c0"),
+        F.expr("CAST(SUM(CAST(y = 1.0D AS BIGINT)) AS BIGINT) AS c1"),
+        F.expr("CAST(SUM(CAST(y = 0.0D AS BIGINT)) AS BIGINT) AS c0"),
     )
     totals = counts.agg(
-        F.sum("c1").cast("bigint").alias("__t1"),
-        F.sum("c0").cast("bigint").alias("__t0"),
-        F.count(F.lit(1)).cast("bigint").alias("__v"),
+        F.expr("CAST(SUM(c1) AS BIGINT) AS __t1"),
+        F.expr("CAST(SUM(c0) AS BIGINT) AS __t0"),
+        F.expr("CAST(COUNT(1) AS BIGINT) AS __v"),
     )
-    lik = counts.crossJoin(F.broadcast(totals)).select(
+    lik = counts.crossJoin(F.broadcast(totals)).selectExpr(
         "term",
-        F.round(
-            F.log(
-                (F.col("c1") + 1).cast("double")
-                / (F.col("__t1") + F.col("__v")).cast("double")
-            ),
-            8,
-        )
-        .cast("decimal(18,8)")
-        .alias("__l1"),
-        F.round(
-            F.log(
-                (F.col("c0") + 1).cast("double")
-                / (F.col("__t0") + F.col("__v")).cast("double")
-            ),
-            8,
-        )
-        .cast("decimal(18,8)")
-        .alias("__l0"),
+        "CAST(ROUND(LN(CAST(c1 + 1 AS DOUBLE) / CAST(__t1 + __v AS DOUBLE)),"
+        " 8) AS DECIMAL(18,8)) AS __l1",
+        "CAST(ROUND(LN(CAST(c0 + 1 AS DOUBLE) / CAST(__t0 + __v AS DOUBLE)),"
+        " 8) AS DECIMAL(18,8)) AS __l0",
     )
     priors = lab.agg(
-        F.sum((F.col("y") == 1.0).cast("bigint")).cast("bigint").alias("__n1"),
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-    ).select(
-        F.round(
-            F.log(F.col("__n1").cast("double") / F.col("__n").cast("double")), 8
-        ).alias("__p1"),
-        F.round(
-            F.log(
-                (F.col("__n") - F.col("__n1")).cast("double")
-                / F.col("__n").cast("double")
-            ),
-            8,
-        ).alias("__p0"),
+        F.expr("CAST(SUM(CAST(y = 1.0D AS BIGINT)) AS BIGINT) AS __n1"),
+        F.expr("CAST(COUNT(1) AS BIGINT) AS __n"),
+    ).selectExpr(
+        "ROUND(LN(CAST(__n1 AS DOUBLE) / CAST(__n AS DOUBLE)), 8) AS __p1",
+        "ROUND(LN(CAST(__n - __n1 AS DOUBLE) / CAST(__n AS DOUBLE)), 8) AS __p0",
     )
     scored = (
         tok.join(F.broadcast(lik), "term")
         .groupBy("id")
-        .agg(
-            F.sum("__l1").alias("__s1"),
-            F.sum("__l0").alias("__s0"),
-        )
+        .agg(F.expr("SUM(__l1) AS __s1"), F.expr("SUM(__l0) AS __s0"))
         .crossJoin(F.broadcast(priors))
-        .select(
+        .selectExpr(
             "id",
-            F.round(F.col("__s1").cast("double") + F.col("__p1"), 6).alias("score1"),
-            F.round(F.col("__s0").cast("double") + F.col("__p0"), 6).alias("score0"),
+            "ROUND(CAST(__s1 AS DOUBLE) + __p1, 6) AS score1",
+            "ROUND(CAST(__s0 AS DOUBLE) + __p0, 6) AS score0",
         )
     )
-    return scored.select(
-        "id", "score1", "score0", (F.col("score1") > F.col("score0")).alias("pred")
+    return scored.selectExpr(
+        "id", "score1", "score0", "score1 > score0 AS pred"
     )
 
 

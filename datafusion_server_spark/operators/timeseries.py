@@ -295,24 +295,26 @@ def ewma(
     Scale shape: ONE window over (key, time) — the same single shuffle
     every per-key sequence operator pays; no joins, no iteration.
     """
+    # r14 (guide §1.2): one selectExpr SQL string — identical expression
+    # tree (driver-computed coefficient literals embedded via repr+D),
+    # the 13 lag terms no longer pay ~15 py4j round-trips each.
     coeffs = [alpha * (1.0 - alpha) ** k for k in range(lookback + 1)]
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
-    terms = [
-        F.coalesce(
-            F.round(F.lag(F.col(value_col), k).over(w) * F.lit(c) * 1e8).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        )
+    kq = key_col if key_col.isidentifier() else f"`{key_col}`"
+    tq = ts_col if ts_col.isidentifier() else f"`{ts_col}`"
+    oq = order_tiebreak if order_tiebreak.isidentifier() else f"`{order_tiebreak}`"
+    vq = value_col if value_col.isidentifier() else f"`{value_col}`"
+    over = f"OVER (PARTITION BY {kq} ORDER BY {tq} ASC, {oq} ASC)"
+    total = " + ".join(
+        f"COALESCE(CAST(ROUND(LAG({vq}, {k}) {over} * {c!r}D * 1.0E8)"
+        " AS BIGINT), CAST(0 AS BIGINT))"
         for k, c in enumerate(coeffs)
-    ]
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
-    return df.select(
-        F.col(key_col).alias("key"),
-        F.col(order_tiebreak),
-        F.col(ts_col).alias("ts"),
-        F.col(value_col).alias("value"),
-        F.round(total.cast("double") / 1e8, 6).alias("ewma"),
+    )
+    return df.selectExpr(
+        f"{kq} AS key",
+        oq,
+        f"{tq} AS ts",
+        f"{vq} AS value",
+        f"ROUND(CAST(({total}) AS DOUBLE) / 1.0E8, 6) AS ewma",
     )
 
 
